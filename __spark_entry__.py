@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship search pipeline (SURVEY §3.1) at sf0.001.
+queries()    — operator battery from memory_opensource_spark.queries.
+oracle_sql() — DuckDB twins for the correctness gate.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query at sf0.001: the full /v1/memory/search read path —
+    ACL-filtered cosine top-k over chunks, chunk→memory dedup, row fetch,
+    final top-k (memory/memory_graph.py:5721-7118 re-expressed as one DAG)."""
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.operators.predicate import AclContext
+    from memory_opensource_spark.plans.search import search
+    from memory_opensource_spark.sources import tables
+
+    sf_dir = "/root/testdata/sf0.001"
+    chunks = tables.build_chunks(tables.load(spark, sf_dir, "embeddings"))
+    memories = tables.build_memories(tables.load(spark, sf_dir, "documents"))
+    qvec = [float(x) for x in
+            chunks.filter(F.col("chunk_id") == "m0_0").select("embedding").first()[0]]
+    ctx = AclContext(user_id="u5", workspace_ids=["w1", "w3"], role_ids=["r2"],
+                     organization_id="o1", namespace_id="ns3")
+    out = search(chunks, memories, qvec, ctx=ctx, top_k=20, score_threshold=0.0)
+    return out.select("memory_id", "score", "content", "user_id", "created_at")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from memory_opensource_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from memory_opensource_spark.queries import ORACLE
+
+    return dict(ORACLE)

@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall-clock over the headline set (lower is better).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "v2_cosine_topk",
+    "v5_near_dup_pairs",
+    "v5_knn_join",
+    "dedup_exact_hash",
+    "dedup_minhash_bands",
+    "dedup_jaccard_pairs",
+    "text_stats",
+    "text_lang_id",
+    "r8_tier1_ranking",
+    "r9_ema_decay",
+    "r11_windowed_counts",
+    "f1_acl_filter",
+    "g1_pattern_match",
+    "g2_two_hop_paths",
+    "st8_tumbling_window",
+    "st2_session_windows",
+    "st3_context_window",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from memory_opensource_spark.queries import QUERIES
+    from memory_opensource_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers with a trivial job so per-query timings
+    # measure the engine, not session startup
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # forces full execution without driver-side row transfer
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""Deduplication operator family (north-star LLM-pipeline ops + reference V4/V5).
+
+Five dedup strategies, each returning DataFrames with deterministic canonical
+choices (min id wins) so results are oracle-checkable:
+
+- exact        : md5(content) hash-groupBy — one shuffle on a 32-char key.
+- minhash_lsh  : shingle -> minhash -> band -> bucket equi-join (candidate pairs
+                 without the O(n^2) cross join) -> exact Jaccard refine.
+- simhash      : 32-bit token-vote fingerprint; near-dups share fingerprint or
+                 differ in few bits.
+- ngram_jaccard: exact Jaccard over word n-gram shingle sets.
+- embedding    : cosine-threshold join (reference V4 ingest 0.97 / V5 sweep 0.95).
+
+Scale notes: exact/minhash/simhash shuffle on short hash keys (tiny rows after
+projection — shuffle bytes are bounded by signature size, not document size).
+LSH candidate generation is the canonical 100 TB near-dup plan (MapReduce-era
+proven); band count trades recall vs candidate volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    fingerprint,
+    minhash_bands,
+    minhash_signature,
+    shingles,
+    simhash,
+)
+from ..semantics import (
+    DUPLICATE_SWEEP_THRESHOLD,
+    MINHASH_BANDS,
+    MINHASH_NUM_HASHES,
+    NEAR_DUP_JACCARD,
+)
+from .similarity import cosine_join, knn_join
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by md5(text); emit groups with >1 member, canonical =
+    min id.  Returns {content_hash, canonical_id, dup_count, dup_ids(sorted)}."""
+    hashed = docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash"))
+    return (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.min("id").alias("canonical_id"),
+            F.count("*").alias("dup_count"),
+            F.array_sort(F.collect_list("id")).alias("dup_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def fingerprint_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Order-insensitive content-set dedup via token-set fingerprint."""
+    fp = docs.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(F.min("id").alias("canonical_id"), F.count("*").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           num_hashes: int = MINHASH_NUM_HASHES,
+                           bands: int = MINHASH_BANDS) -> DataFrame:
+    """LSH candidate pairs: docs sharing >= 1 minhash band bucket.
+
+    Returns {left_id, right_id} with left < right, distinct.  This is an
+    equi-join on (band_index, band_hash) — shuffle key is 34 bytes/row/band, so
+    the candidate-generation cost is independent of document length.
+    """
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_bands(minhash_signature(F.col(text_col), num_hashes), bands, num_hashes).alias("bands"),
+    )
+    exploded = sig.select("id", F.posexplode("bands").alias("band_idx", "band_hash"))
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, candidates: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  threshold: float = NEAR_DUP_JACCARD) -> DataFrame:
+    """Refine candidate pairs with exact shingle-set Jaccard >= threshold.
+    Returns {left_id, right_id, jaccard}."""
+    sh = docs.select(F.col(id_col).alias("id"), shingles(F.col(text_col)).alias("sh"))
+    out = (
+        candidates.join(sh.withColumnRenamed("id", "left_id").withColumnRenamed("sh", "lsh_"), "left_id")
+        .join(sh.withColumnRenamed("id", "right_id").withColumnRenamed("sh", "rsh_"), "right_id")
+        .withColumn("inter", F.size(F.array_intersect("lsh_", "rsh_")))
+        .withColumn("uni", F.size(F.array_union("lsh_", "rsh_")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / F.greatest(F.col("uni"), F.lit(1)).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("left_id", "right_id", "jaccard")
+
+
+def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            threshold: float = NEAR_DUP_JACCARD) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: candidates -> Jaccard refine."""
+    cands = minhash_lsh_candidates(docs, id_col, text_col)
+    return jaccard_pairs(docs, cands, id_col, text_col, threshold)
+
+
+def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash fingerprint {id, simhash}; equal fingerprints are near-dups.
+    (Hamming-distance banding: split fingerprint into 4 chunks; dups share >=1.)"""
+    return docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("simhash"))
+
+
+def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 32) -> DataFrame:
+    fp = simhash_fingerprints(docs, id_col, text_col, bits)
+    return (
+        fp.groupBy("simhash")
+        .agg(F.min("id").alias("canonical_id"), F.count("*").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def embedding_near_duplicates(vectors: DataFrame, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              threshold: float = DUPLICATE_SWEEP_THRESHOLD) -> DataFrame:
+    """Reference V5 duplicate sweep (memory/memory_graph.py:10333-10390):
+    pairs with cosine > threshold, left < right ordering."""
+    pairs = cosine_join(
+        vectors, vectors, threshold, vec_col, vec_col, id_col, id_col
+    )
+    return pairs.filter(F.col("left_id") < F.col("right_id"))
+
+
+def ingest_dedup_reuse(new_chunks: DataFrame, existing: DataFrame,
+                       threshold: float, new_id: str = "chunk_id",
+                       existing_id: str = "chunk_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Reference V4 near-duplicate check at ingest
+    (memory/memory_graph.py:14214-14442): for each new chunk, its best existing
+    match with cosine > threshold -> {new_id, reuse_id, score}; rows absent =
+    genuinely new.  1-NN via knn_join(k=1) then threshold."""
+    nn = knn_join(new_chunks, existing, 1, vec_col, vec_col, new_id, existing_id)
+    return (
+        nn.filter(F.col("score") > threshold)
+        .select(F.col("left_id").alias("new_id"), F.col("right_id").alias("reuse_id"), "score")
+    )

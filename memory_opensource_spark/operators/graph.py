@@ -1,0 +1,211 @@
+"""Graph operators (SURVEY §2.4): the reference's constrained-Cypher subset as
+DataFrame joins over ``nodes`` / ``edges`` tables.
+
+The reference's query language is a Pydantic AST (models/cipher_ast.py): exactly one
+``MATCH (m:L1)-[r:TYPE]-(n:L2)`` (undirected), a property-whitelisted WHERE, mandatory
+ACL on both endpoints, DISTINCT path, LIMIT k.  Spark-first translation:
+
+- undirected edge == union of both orientations (cipher_ast.py:23-25);
+- pattern match == edges ⋈ nodes(m) ⋈ nodes(n) — two equi-joins; nodes is the small
+  side at typical graph shapes, so it broadcasts; at 100 TB edges shuffle-hash-join
+  on id with AQE skew handling;
+- DISTINCT path == dropDuplicates on (m.id, rel_type, n.id);
+- bounded var-length 1..2 paths == 1-hop ∪ (edges ⋈ edges) — no recursion needed
+  (chat_gpt_completion.py:2464-2553 caps at *1..2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PatternSpec:
+    """SearchOverrideSpecification (models/memory_models.py:679-763) — the
+    deterministic public query surface (G15) that compiles to a G1 match."""
+
+    source_label: str | None = None
+    relationship_type: str | None = None
+    target_label: str | None = None
+    direction: str = "any"  # out | in | any  (any == undirected, the AST default)
+    limit: int | None = None
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Union of both orientations (models/cipher_ast.py:23-25).  Distinct-path
+    dedup downstream collapses A-B/B-A double counting per the AST's
+    ``WITH DISTINCT path`` (:886-898)."""
+    fwd = edges.select(F.col("src"), F.col("dst"), F.col("rel_type"))
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("rel_type"))
+    return fwd.unionByName(rev)
+
+
+def match_pattern(nodes: DataFrame, edges: DataFrame, spec: PatternSpec,
+                  m_pred: Column | None = None, n_pred: Column | None = None,
+                  node_cols: list[str] | None = None) -> DataFrame:
+    """G1 single-hop pattern match (cipher_ast.py:855-900; executed
+    memory/memory_graph.py:8963-9143).
+
+    Returns one row per DISTINCT path: m_id, m_label, rel_type, n_id, n_label
+    (+ requested ``node_cols`` prefixed m_/n_).
+    """
+    e = edges
+    if spec.relationship_type:
+        e = e.filter(F.col("rel_type") == spec.relationship_type)
+    if spec.direction == "any":
+        e = undirected_edges(e)
+    elif spec.direction == "in":
+        e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "rel_type")
+    else:
+        e = e.select("src", "dst", "rel_type")
+
+    extra = node_cols or []
+    m = nodes.select(F.col("node_id"), F.col("label"), *[F.col(c) for c in extra])
+    n = nodes.select(F.col("node_id"), F.col("label"), *[F.col(c) for c in extra])
+    if spec.source_label:
+        m = m.filter(F.col("label") == spec.source_label)
+    if spec.target_label:
+        n = n.filter(F.col("label") == spec.target_label)
+    if m_pred is not None:
+        m = m.filter(m_pred)
+    if n_pred is not None:
+        n = n.filter(n_pred)
+
+    m = m.select(
+        F.col("node_id").alias("m_id"), F.col("label").alias("m_label"),
+        *[F.col(c).alias(f"m_{c}") for c in extra],
+    )
+    n = n.select(
+        F.col("node_id").alias("n_id"), F.col("label").alias("n_label"),
+        *[F.col(c).alias(f"n_{c}") for c in extra],
+    )
+    out = (
+        e.join(m, e.src == F.col("m_id"))
+        .join(n, e.dst == F.col("n_id"))
+        .drop("src", "dst")
+        .dropDuplicates(["m_id", "rel_type", "n_id"])
+    )
+    if spec.limit:
+        out = out.orderBy("m_id", "rel_type", "n_id").limit(spec.limit)
+    return out
+
+
+def two_hop_paths(nodes: DataFrame, edges: DataFrame,
+                  start_pred: Column | None = None,
+                  limit: int | None = None) -> DataFrame:
+    """G2 bounded var-length paths *1..2 (chat_gpt_completion.py:2464-2553).
+
+    Returns {start_id, hop1_id, end_id, depth} where depth ∈ {1,2}; depth-1 rows
+    have hop1_id == end_id.  DISTINCT paths; directed edges here (the fallback
+    query's second MATCH is `path=(p)-[*1..2]-(n)` — we expose direction as data
+    and let callers pre-union orientations via :func:`undirected_edges`).
+    """
+    e1 = edges.select(F.col("src").alias("start_id"), F.col("dst").alias("hop1_id"))
+    if start_pred is not None:
+        starts = nodes.filter(start_pred).select(F.col("node_id").alias("start_id"))
+        e1 = e1.join(starts, "start_id", "left_semi")
+    one = e1.select("start_id", "hop1_id", F.col("hop1_id").alias("end_id"),
+                    F.lit(1).alias("depth")).distinct()
+    e2 = edges.select(F.col("src").alias("hop1_id"), F.col("dst").alias("end_id"))
+    two = (
+        e1.join(e2, "hop1_id")
+        .filter(F.col("start_id") != F.col("end_id"))  # no trivial cycles
+        .select("start_id", "hop1_id", "end_id", F.lit(2).alias("depth"))
+        .distinct()
+    )
+    out = one.unionByName(two)
+    if limit:
+        out = out.orderBy("start_id", "depth", "hop1_id", "end_id").limit(limit)
+    return out
+
+
+def find_node_by_property(nodes: DataFrame, label: str, prop_col: str, value: Any,
+                          acl: Column | None = None) -> DataFrame:
+    """G3 (memory/memory_graph.py:2977-3048): exact property lookup, LIMIT 1
+    deterministic (min node_id)."""
+    out = nodes.filter(F.col("label") == label).filter(F.col(prop_col) == F.lit(value))
+    if acl is not None:
+        out = out.filter(acl)
+    return out.orderBy("node_id").limit(1)
+
+
+def find_node_by_fuzzy_match(nodes: DataFrame, label: str, prop_col: str, query: str,
+                             acl: Column | None = None) -> DataFrame:
+    """G4 (memory/memory_graph.py:3090-3162): toLower(prop) CONTAINS toLower(q)."""
+    out = nodes.filter(F.col("label") == label).filter(
+        F.lower(F.col(prop_col)).contains(query.lower())
+    )
+    if acl is not None:
+        out = out.filter(acl)
+    return out.orderBy("node_id").limit(1)
+
+
+def find_node_via_relationship(nodes: DataFrame, edges: DataFrame, label: str,
+                               rel_type: str, target_id: str,
+                               direction: str = "out") -> DataFrame:
+    """G6 (memory/memory_graph.py:3163-3237): neighbor of a known node through a
+    typed edge, LIMIT 1 deterministic."""
+    e = edges.filter(F.col("rel_type") == rel_type)
+    if direction == "out":
+        e = e.filter(F.col("dst") == target_id).select(F.col("src").alias("node_id"))
+    else:
+        e = e.filter(F.col("src") == target_id).select(F.col("dst").alias("node_id"))
+    return (
+        nodes.filter(F.col("label") == label)
+        .join(e, "node_id", "left_semi")
+        .orderBy("node_id")
+        .limit(1)
+    )
+
+
+def schema_discovery(nodes: DataFrame, edges: DataFrame,
+                     acl: Column | None = None) -> tuple[DataFrame, DataFrame]:
+    """G7 (memory/memory_graph.py:8437-8571): DISTINCT labels(n), DISTINCT type(r)
+    under ACL."""
+    nn = nodes.filter(acl) if acl is not None else nodes
+    labels = nn.select("label").distinct()
+    ee = edges.join(nn.select("node_id"), edges.src == F.col("node_id"), "left_semi")
+    rels = ee.select("rel_type").distinct()
+    return labels, rels
+
+
+def merge_nodes(existing: DataFrame, incoming: DataFrame,
+                key_cols: list[str]) -> DataFrame:
+    """G8 MERGE-by-unique-props semantics (memory/memory_graph.py:11109-11270) in
+    pure-DataFrame form: incoming rows matching on keys replace existing; others
+    append.  (With Delta this is a MERGE INTO; parquet pipelines rewrite.)"""
+    updated = existing.join(incoming.select(*key_cols), key_cols, "left_anti")
+    return updated.unionByName(incoming)
+
+
+def extracted_edges(memory_nodes: DataFrame, entity_nodes: DataFrame,
+                    mapping: DataFrame) -> DataFrame:
+    """G11 (memory/memory_graph.py:4732-4756): Memory -EXTRACTED-> entity edges
+    from an extraction mapping {memory_id, entity_id}."""
+    return mapping.select(
+        F.col("memory_id").alias("src"),
+        F.col("entity_id").alias("dst"),
+        F.lit("EXTRACTED").alias("rel_type"),
+    )
+
+
+def related_to_edges(similarities: DataFrame, k: int = 3) -> DataFrame:
+    """G12 (memory/memory_graph.py:4414-4440): RELATED_TO edges to each memory's
+    top-k most-similar memories, similarity kept as edge metadata."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("left_id").orderBy(F.col("score").desc(), F.col("right_id").asc())
+    return (
+        similarities.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("left_id").alias("src"),
+            F.col("right_id").alias("dst"),
+            F.lit("RELATED_TO").alias("rel_type"),
+            F.col("score").alias("similarity_score"),
+        )
+    )

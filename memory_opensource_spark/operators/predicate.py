@@ -1,0 +1,170 @@
+"""Predicate compiler: the reference's filter algebra (F1-F4) -> a single Column.
+
+The reference builds a Qdrant ``Filter`` tree per request
+(memory/memory_graph.py:5810-6034) and re-applies the same algebra row-wise after
+fetch (:6844-6912).  In Spark one declarative Column suffices — Catalyst pushes it
+into the parquet scan (PushedFilters) — but the *semantics* must match exactly:
+
+- ACL (F1, :5810-5904): OR-block
+    user_id == me
+    OR me IN user_read_access
+    OR any(my workspaces) IN workspace_read_access
+    OR any(my roles) IN role_read_access
+    OR my org IN organization_read_access
+    OR my ns IN namespace_read_access
+  AND hard scoping equalities (namespace_id == X when requested, :5861-5871),
+  where legacy rows with NULL organization_id / namespace_id still match
+  (:5834-5844).
+- Metadata filters (F2, :5919-5960): topics/emoji_tags/emotion_tags match-any;
+  hierarchical_structures/location/conversation_id/role/category equality.
+- customMetadata (F3, :5961-6026): list -> match-any; bool -> eq;
+  **bare numeric -> >= lower bound** (non-obvious; :5990-5997); dict -> range
+  {gte,lte,gt,lt}; str -> eq.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass
+class AclContext:
+    """The caller's identity, as resolved by auth (SURVEY §1.4)."""
+
+    user_id: str
+    workspace_ids: list[str] = field(default_factory=list)
+    role_ids: list[str] = field(default_factory=list)
+    organization_id: str | None = None
+    namespace_id: str | None = None
+    # hard scoping: require namespace_id equality (memory_graph.py:5861-5871)
+    scope_namespace: bool = False
+    scope_organization: bool = False
+
+
+@dataclass
+class FilterSpec:
+    """Declarative search filters (SearchRequest, models/memory_models.py:766-962)."""
+
+    topics: list[str] | None = None
+    emoji_tags: list[str] | None = None
+    emotion_tags: list[str] | None = None
+    hierarchical_structures: str | None = None
+    location: str | None = None
+    conversation_id: str | None = None
+    role: str | None = None
+    category: str | None = None
+    custom_metadata: dict[str, Any] | None = None
+    exclude_memory_id: str | None = None
+
+
+def _lit_array(values: list[str]) -> Column:
+    return F.array(*[F.lit(v) for v in values])
+
+
+def acl_predicate(ctx: AclContext, prefix: str = "") -> Column:
+    """Compile the F1 OR-block + scoping for columns named ``{prefix}user_id`` etc."""
+    c = lambda name: F.col(prefix + name)  # noqa: E731
+    ors = [
+        c("user_id") == ctx.user_id,
+        F.array_contains(c("user_read_access"), ctx.user_id),
+    ]
+    if ctx.workspace_ids:
+        ors.append(F.arrays_overlap(c("workspace_read_access"), _lit_array(ctx.workspace_ids)))
+    if ctx.role_ids:
+        ors.append(F.arrays_overlap(c("role_read_access"), _lit_array(ctx.role_ids)))
+    if ctx.organization_id:
+        ors.append(F.array_contains(c("organization_read_access"), ctx.organization_id))
+    if ctx.namespace_id:
+        ors.append(F.array_contains(c("namespace_read_access"), ctx.namespace_id))
+    pred = ors[0]
+    for o in ors[1:]:
+        pred = pred | o
+    # Coalesce each arm's NULL (null arrays on legacy rows) to false.
+    pred = F.coalesce(pred, F.lit(False))
+    # Hard scoping equalities; legacy rows (NULL ids) still match (:5834-5844).
+    if ctx.scope_namespace and ctx.namespace_id:
+        pred = pred & (c("namespace_id").isNull() | (c("namespace_id") == ctx.namespace_id))
+    if ctx.scope_organization and ctx.organization_id:
+        pred = pred & (
+            c("organization_id").isNull() | (c("organization_id") == ctx.organization_id)
+        )
+    return pred
+
+
+def _custom_metadata_cond(key: str, value: Any, map_col: str = "custom_metadata") -> Column:
+    """F3 algebra on a map<string,string> column with typed promotions.
+
+    Values in the map are stringified; typed twin columns (``cm_*``) are preferred
+    when present at compile time is unknown, so this operates on the map column and
+    casts as needed — mirroring the row-wise `value_matches`
+    (memory/memory_graph.py:6855-6897).
+    """
+    v_col = F.col(map_col).getItem(key)
+    if isinstance(value, bool):  # bool before int: bool is an int subclass
+        return v_col == F.lit(str(value).lower())
+    if isinstance(value, (int, float)):
+        # bare numeric -> >= lower bound (memory_graph.py:5990-5997)
+        return v_col.cast("double") >= F.lit(float(value))
+    if isinstance(value, list):
+        # match-any over list values
+        cond = F.lit(False)
+        for item in value:
+            cond = cond | (v_col == F.lit(str(item)))
+        return cond
+    if isinstance(value, dict):
+        # range {gte,lte,gt,lt} (memory_graph.py:6005-6020)
+        cond = F.lit(True)
+        num = v_col.cast("double")
+        if "gte" in value:
+            cond = cond & (num >= float(value["gte"]))
+        if "gt" in value:
+            cond = cond & (num > float(value["gt"]))
+        if "lte" in value:
+            cond = cond & (num <= float(value["lte"]))
+        if "lt" in value:
+            cond = cond & (num < float(value["lt"]))
+        return cond
+    return v_col == F.lit(str(value))
+
+
+def metadata_predicate(spec: FilterSpec, map_col: str = "custom_metadata") -> Column:
+    """Compile F2 + F3 + F5 into one Column (True when spec is empty)."""
+    pred = F.lit(True)
+    for arr_field, values in (
+        ("topics", spec.topics),
+        ("emoji_tags", spec.emoji_tags),
+        ("emotion_tags", spec.emotion_tags),
+    ):
+        if values:
+            pred = pred & F.arrays_overlap(F.col(arr_field), _lit_array(values))
+    for eq_field, value in (
+        ("hierarchical_structures", spec.hierarchical_structures),
+        ("location", spec.location),
+        ("conversation_id", spec.conversation_id),
+        ("role", spec.role),
+        ("category", spec.category),
+    ):
+        if value is not None:
+            pred = pred & (F.col(eq_field) == F.lit(value))
+    if spec.custom_metadata:
+        for key, value in spec.custom_metadata.items():
+            pred = pred & _custom_metadata_cond(key, value, map_col)
+    if spec.exclude_memory_id:
+        pred = pred & (F.col("memory_id") != F.lit(spec.exclude_memory_id))
+    return pred
+
+
+def compile_filter(ctx: AclContext | None, spec: FilterSpec | None,
+                   prefix: str = "") -> Column:
+    """Full search predicate: ACL AND metadata (the single filter stage that
+    subsumes the reference's pushdown/post-fetch split, SURVEY §4)."""
+    pred = F.lit(True)
+    if ctx is not None:
+        pred = pred & acl_predicate(ctx, prefix)
+    if spec is not None:
+        pred = pred & metadata_predicate(spec)
+    return pred

@@ -1,0 +1,161 @@
+"""Similarity operator family (SURVEY V2-V7): filtered kNN, threshold joins, ANN.
+
+Design for scale
+----------------
+- **Single-query top-k** (V2): the query vector is a *literal* array — a constant
+  broadcast to every task, no join, no shuffle.  Scoring is a JVM-side dot product
+  inside whole-stage codegen; the global top-k is a ``TakeOrderedAndProject``
+  (per-partition heap + driver merge), NOT a full sort — exactly the plan you want
+  over a 100 TB scan.
+- **kNN join / threshold self-join** (V4-V7): the only theta-join in the engine.
+  Exact form is a blocked cross-join + filter; the scale path prunes candidates
+  first with IVF bucketing (assign each vector to its nearest of C centroids; join
+  only within probed buckets) or MinHash-LSH for text.  AQE handles skewed buckets.
+- Ties always break ``score DESC, id ASC`` so results are deterministic and
+  oracle-checkable (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, dot, lit_vector, to_double
+from ..semantics import SEARCH_SCORE_THRESHOLD
+
+
+def score_against(df: DataFrame, query_vec: list[float], vec_col: str = "embedding",
+                  score_col: str = "score", assume_normalized: bool = False) -> DataFrame:
+    """Add a cosine-similarity column against a literal query vector."""
+    q = lit_vector(query_vec)
+    v = to_double(F.col(vec_col))
+    expr = dot(v, q) if assume_normalized else cosine(v, q)
+    return df.withColumn(score_col, expr)
+
+
+def topk_search(df: DataFrame, query_vec: list[float], k: int,
+                pred: Column | None = None, vec_col: str = "embedding",
+                id_col: str = "chunk_id", score_col: str = "score",
+                score_threshold: float | None = SEARCH_SCORE_THRESHOLD) -> DataFrame:
+    """V2 filtered kNN: filter -> score -> threshold -> global top-k.
+
+    Mirrors get_qdrant_related_memories_async (memory/memory_graph.py:8103-8238):
+    pre-filter (pushed to scan by Catalyst), cosine score, cut at
+    score_threshold=0.15, ORDER BY score DESC LIMIT k (ties by id ASC).
+    """
+    out = df
+    if pred is not None:
+        out = out.filter(pred)
+    out = score_against(out, query_vec, vec_col, score_col)
+    if score_threshold is not None:
+        out = out.filter(F.col(score_col) >= score_threshold)
+    return out.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(k)
+
+
+def scroll_fallback(df: DataFrame, k: int, pred: Column | None = None,
+                    order_col: str = "created_at", id_col: str = "chunk_id") -> DataFrame:
+    """V3: when ANN returns 0 rows, return first k rows matching the filter
+    (memory/memory_graph.py:8327-8437)."""
+    out = df.filter(pred) if pred is not None else df
+    return out.orderBy(F.col(order_col).desc(), F.col(id_col).asc()).limit(k)
+
+
+def cosine_join(left: DataFrame, right: DataFrame, threshold: float,
+                left_vec: str = "embedding", right_vec: str = "embedding",
+                left_id: str = "id", right_id: str = "id",
+                block_cols: list[str] | None = None,
+                anti_reflexive: bool = True) -> DataFrame:
+    """Threshold theta-join: pairs with cosine >= threshold (V4/V5/V6/V7 core).
+
+    Exact form.  ``block_cols`` restricts candidate pairs to equal blocking keys
+    (tenant / IVF bucket / LSH band) turning the cross join into an equi-join —
+    the scale path.  Columns come back as ``{left_id, right_id, score}``.
+    """
+    l = left.select(F.col(left_id).alias("_lid"), to_double(F.col(left_vec)).alias("_lvec"),
+                    *[F.col(c).alias(f"_lb_{c}") for c in (block_cols or [])])
+    r = right.select(F.col(right_id).alias("_rid"), to_double(F.col(right_vec)).alias("_rvec"),
+                     *[F.col(c).alias(f"_rb_{c}") for c in (block_cols or [])])
+    if block_cols:
+        cond = None
+        for c in block_cols:
+            eq = F.col(f"_lb_{c}") == F.col(f"_rb_{c}")
+            cond = eq if cond is None else (cond & eq)
+        joined = l.join(r, cond)
+    else:
+        joined = l.crossJoin(r)
+    if anti_reflexive:
+        joined = joined.filter(F.col("_lid") != F.col("_rid"))
+    scored = joined.withColumn("score", cosine(F.col("_lvec"), F.col("_rvec")))
+    return (
+        scored.filter(F.col("score") >= threshold)
+        .select(F.col("_lid").alias("left_id"), F.col("_rid").alias("right_id"), "score")
+    )
+
+
+def knn_join(left: DataFrame, right: DataFrame, k: int,
+             left_vec: str = "embedding", right_vec: str = "embedding",
+             left_id: str = "id", right_id: str = "id") -> DataFrame:
+    """For every left row, its k nearest right rows by cosine (V5 sweep core).
+
+    Exact: cross-join + per-left-id window top-k.  At scale, pre-prune with
+    :func:`ivf_assign` blocking before calling this.
+    """
+    l = left.select(F.col(left_id).alias("left_id"), to_double(F.col(left_vec)).alias("_lvec"))
+    r = right.select(F.col(right_id).alias("right_id"), to_double(F.col(right_vec)).alias("_rvec"))
+    scored = (
+        l.crossJoin(r)
+        .filter(F.col("left_id") != F.col("right_id"))
+        .withColumn("score", cosine(F.col("_lvec"), F.col("_rvec")))
+    )
+    w = Window.partitionBy("left_id").orderBy(F.col("score").desc(), F.col("right_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("left_id", "right_id", "score", "rank")
+    )
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding",
+               bucket_col: str = "ivf_bucket") -> DataFrame:
+    """IVF-style bucketing: assign each vector to its max-dot-product centroid.
+
+    ``centroids`` is a small driver-side list (e.g. sampled or k-means'd offline);
+    it compiles to a literal array-of-arrays — broadcast as a constant, evaluated
+    JVM-side.  Bucket id = argmax_c dot(v, c) with index-asc tiebreak.
+    At 100 TB this turns brute-force O(N*M) joins into O(N*M/C) per-bucket joins,
+    and the bucket column doubles as a partition key for the parquet layout.
+    """
+    v = to_double(F.col(vec_col))
+    best_idx, best_score = F.lit(0), None
+    for i, c in enumerate(centroids):
+        s = dot(v, lit_vector(c))
+        if best_score is None:
+            best_idx, best_score = F.lit(0), s
+        else:
+            gt = s > best_score
+            best_idx = F.when(gt, F.lit(i)).otherwise(best_idx)
+            best_score = F.when(gt, s).otherwise(best_score)
+    return df.withColumn(bucket_col, best_idx)
+
+
+def ivf_topk_search(df: DataFrame, query_vec: list[float], k: int,
+                    centroids: list[list[float]], nprobe: int = 2,
+                    vec_col: str = "embedding", id_col: str = "chunk_id",
+                    pred: Column | None = None) -> DataFrame:
+    """ANN top-k: probe only the ``nprobe`` centroids nearest the query.
+
+    With the table pre-partitioned by ``ivf_bucket``, the bucket filter becomes
+    partition pruning — the scan reads nprobe/C of the data.
+    """
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype="float64")
+    cents = np.asarray(centroids, dtype="float64")
+    sims = cents @ q
+    probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
+    bucketed = ivf_assign(df, centroids, vec_col)
+    out = bucketed.filter(F.col("ivf_bucket").isin(probe))
+    if pred is not None:
+        out = out.filter(pred)
+    return topk_search(out, query_vec, k, None, vec_col, id_col,
+                       score_threshold=None).drop("ivf_bucket")

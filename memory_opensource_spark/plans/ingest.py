@@ -1,0 +1,80 @@
+"""The write path: POST /v1/memory (+/batch) as a two-phase batch pipeline.
+
+Mirrors add_memory_item_without_relationships (memory/memory_graph.py:2102-2550,
+SURVEY §3.2): chunk -> embed -> near-dup check (reuse if cosine > 0.97) -> append
+chunks + memories.  The enrichment phase (graph extraction, entity resolution) is
+plans-level composition of operators.graph + operators.similarity.
+
+Chunking and embedding are the only Python stages; both are Arrow-batched
+(mapInPandas / pandas-free arithmetic here since the deterministic embedder is
+pure hashing — expressible as Column expressions, no UDF at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.ids import chunk_id, point_id
+from ..functions.text import tokens
+from ..functions.vector import l2_normalize
+from ..semantics import CHUNK_SIZE_TOKENS, EMBEDDING_DIM_FIXTURE, INGEST_DEDUP_THRESHOLD
+from ..operators.dedup import ingest_dedup_reuse
+
+
+def chunk_text(df: DataFrame, content_col: str = "content",
+               id_col: str = "memory_id",
+               chunk_tokens: int = CHUNK_SIZE_TOKENS) -> DataFrame:
+    """V1 chunking (models/embedding_model.py:784-789: TokenTextSplitter
+    chunk_size=2048, overlap=0) — token-window slices as a pure Column program:
+    tokens -> sequence of window starts -> slice + rejoin -> posexplode.
+    """
+    toks = tokens(F.col(content_col))
+    n_chunks = F.greatest(F.ceil(F.size(toks) / chunk_tokens), F.lit(1)).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    pieces = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens))
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(pieces).alias("chunk_index", "chunk_content"),
+        n_chunks.alias("total_chunks"),
+    )
+    return out.withColumn("chunk_id", chunk_id(F.col(id_col), F.col("chunk_index"))).withColumn(
+        "point_id", point_id(F.col("chunk_id"))
+    )
+
+
+def hash_embed(df: DataFrame, text_col: str = "chunk_content",
+               dim: int = EMBEDDING_DIM_FIXTURE) -> DataFrame:
+    """Deterministic hash-ngram embedder (the pluggable default of SURVEY §2.10):
+    bucket = crc32(token) % dim, value = count in bucket, L2-normalized.
+    JVM-side only — a real model would slot in as a pandas_udf with the same
+    signature (text -> array<float>).
+    """
+    toks = tokens(F.col(text_col))
+    buckets = F.transform(toks, lambda t: F.crc32(t) % dim)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(F.filter(buckets, lambda b: b == i.cast("bigint"))).cast("double"),
+    )
+    return df.withColumn("embedding", l2_normalize(vec))
+
+
+def ingest(new_memories: DataFrame, existing_chunks: DataFrame,
+           dedup_threshold: float = INGEST_DEDUP_THRESHOLD,
+           dim: int = EMBEDDING_DIM_FIXTURE) -> dict[str, DataFrame]:
+    """Full §3.2 foreground path.  Returns dict of:
+    - ``chunks``: new chunk rows to append (near-dups excluded)
+    - ``reused``: {new_id, reuse_id, score} mappings (V4 hits)
+    """
+    chunked = chunk_text(new_memories)
+    embedded = hash_embed(chunked)
+    reused = ingest_dedup_reuse(
+        embedded, existing_chunks, dedup_threshold,
+        new_id="chunk_id", existing_id="chunk_id",
+    )
+    new_chunks = embedded.join(
+        reused.select(F.col("new_id").alias("chunk_id")), "chunk_id", "left_anti"
+    )
+    return {"chunks": new_chunks, "reused": reused}

@@ -1,0 +1,70 @@
+"""The flagship read path: POST /v1/memory/search as one DataFrame DAG.
+
+Mirrors find_related_memory_items_async (memory/memory_graph.py:5721-7118, traced
+in SURVEY §3.1):
+
+  1. compile ACL + metadata filter (F1-F4)          -> one Column, pushed to scan
+  2. embed query (deterministic hash embedder here) -> literal vector
+  3. filtered cosine top-k over chunks, k*3 overfetch (V2/R5), threshold 0.15 (F6)
+  4. chunk -> memory dedup via base-id algebra       (regexp strip _N)
+  5. optional graph-neighbor source (G1)             -> stratified merge (R2)
+  6. fetch memory rows (S1: semi-join on id)
+  7. post-filters + final top-k (F4/F5/R4)
+  8. ranking annotation (R8 scores available on demand)
+
+The whole thing is one lazy plan: Catalyst pushes the ACL filter into the parquet
+scan, the top-k is TakeOrdered (no full sort), and the id-join broadcasts the tiny
+top-k id set against the memories table — the plan you want when `chunks` is 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.ids import strip_chunk_suffix
+from ..operators.predicate import AclContext, FilterSpec, compile_filter
+from ..operators.ranking import overfetch_k
+from ..operators.similarity import topk_search
+from ..semantics import MAX_MEMORIES_DEFAULT, SEARCH_SCORE_THRESHOLD
+
+
+def search(
+    chunks: DataFrame,
+    memories: DataFrame,
+    query_vec: list[float],
+    ctx: AclContext | None = None,
+    spec: FilterSpec | None = None,
+    top_k: int = MAX_MEMORIES_DEFAULT,
+    score_threshold: float = SEARCH_SCORE_THRESHOLD,
+) -> DataFrame:
+    """Returns the top_k memories for a query vector: {memory_id, score, content,
+    ...memory cols}, ordered by score desc, memory_id asc."""
+    acl_pred = compile_filter(ctx, None) if ctx else None
+
+    hits = topk_search(
+        chunks,
+        query_vec,
+        overfetch_k(top_k),
+        pred=acl_pred,
+        vec_col="embedding",
+        id_col="chunk_id",
+        score_threshold=score_threshold,
+    )
+
+    # chunk -> memory: strip the _N suffix, keep best chunk score per memory
+    # (memory/memory_graph.py:6064-6066 + dict-by-id dedup :9111-9112)
+    mem_hits = (
+        hits.withColumn("memory_id", strip_chunk_suffix(F.col("chunk_id")))
+        .groupBy("memory_id")
+        .agg(F.max("score").alias("score"))
+    )
+
+    # S1 fetch: the hit set is tiny (<= 3k ids) -> broadcast semi-join into memories
+    fetched = memories.join(F.broadcast(mem_hits), "memory_id")
+
+    post_pred = compile_filter(None, spec) if spec else None
+    if post_pred is not None:
+        fetched = fetched.filter(post_pred)
+
+    return fetched.orderBy(F.col("score").desc(), F.col("memory_id").asc()).limit(top_k)

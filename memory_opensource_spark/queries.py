@@ -1,0 +1,730 @@
+"""The correctness-gate query battery: every SURVEY §2 operator expressed over the
+driver's parquet tables, each paired with a DuckDB oracle SQL statement.
+
+Contract (driver, __spark_entry__.py):
+- ``QUERIES[name](spark, sf_dir) -> DataFrame``
+- ``ORACLE[name] -> ANSI SQL`` DuckDB runs on pre-registered views of the same
+  parquet.  Column names are aliased identically on both sides; the driver sorts
+  columns by name and value-hashes order-insensitively.
+
+Parity rules used throughout (see tools/check.py for the local replica harness):
+- all float outputs rounded to 6 decimals AND cast to double on both sides;
+- vector math in double precision, sequential order (round-6 absorbs FP
+  reassociation);
+- deterministic tie-breaks (score DESC, id ASC) on every top-k;
+- tokenization: lower, split on single space, drop empties — identical split
+  semantics in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import decay as D
+from .functions import text as T
+from .functions import vector as V
+from .operators import dedup, graph, ranking, similarity, windows
+from .operators.graph import PatternSpec
+from .operators.predicate import AclContext, acl_predicate
+from .oracle import CHUNKS_CTE, EDGES_CTE, MEMORIES_CTE, NODES_CTE
+from .sources import tables
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def _r6(col):
+    """round to 6 decimals as double (cross-engine float parity)."""
+    return F.round(col.cast("double"), 6)
+
+
+# ---------------------------------------------------------------------------------
+# Relational baseline (scan → filter → agg; proves pushdown + partial aggregation)
+# ---------------------------------------------------------------------------------
+
+@_register("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 6)::DOUBLE AS sum_qty,
+       ROUND(SUM(l_extendedprice), 6)::DOUBLE AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)::DOUBLE AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6)::DOUBLE AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1(spark, sf_dir):
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r6(F.sum("l_quantity")).alias("sum_qty"),
+            _r6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _r6(F.avg("l_quantity")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register("q3_top_orders", """
+SELECT o.o_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6)::DOUBLE AS revenue,
+       o.o_orderdate
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1995-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""")
+def q3(spark, sf_dir):
+    c = tables.load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(_r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------------
+# V2: filtered cosine top-k (the flagship vector read)
+# ---------------------------------------------------------------------------------
+
+_COSINE_SQL = """
+ROUND(
+  list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                   list_transform(q.embedding, x -> x::DOUBLE))
+  / (SQRT(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                           list_transform(e.embedding, x -> x::DOUBLE)))
+   * SQRT(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+                           list_transform(q.embedding, x -> x::DOUBLE)))), 6)::DOUBLE
+"""
+
+
+@_register("v2_cosine_topk", f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {_COSINE_SQL} AS score
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> 0
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 20
+""")
+def v2_topk(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    out = similarity.topk_search(
+        emb.filter(F.col("vec_id") != 0), qvec, 20,
+        vec_col="embedding", id_col="vec_id", score_threshold=None,
+    )
+    return out.select("vec_id", _r6(F.col("score")).alias("score"))
+
+
+@_register("v2_filtered_topk", f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label, {_COSINE_SQL} AS score
+FROM embeddings e CROSS JOIN q
+WHERE e.label IN (1, 3, 5) AND e.vec_id <> 0
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 15
+""")
+def v2_filtered(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    out = similarity.topk_search(
+        emb.filter(F.col("vec_id") != 0), qvec, 15,
+        pred=F.col("label").isin(1, 3, 5),
+        vec_col="embedding", id_col="vec_id", score_threshold=None,
+    )
+    return out.select("vec_id", "label", _r6(F.col("score")).alias("score"))
+
+
+# ---------------------------------------------------------------------------------
+# V4/V5: similarity threshold join + kNN join (dedup family, vector side)
+# ---------------------------------------------------------------------------------
+
+@_register("v5_near_dup_pairs", f"""
+SELECT a.vec_id AS left_id, b.vec_id AS right_id, {_COSINE_SQL.replace('e.embedding', 'a.embedding').replace('q.embedding', 'b.embedding')} AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COSINE_SQL.replace('e.embedding', 'a.embedding').replace('q.embedding', 'b.embedding')} >= 0.35
+""")
+def v5_pairs(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_duplicates(emb, id_col="vec_id", threshold=0.35)
+    return pairs.select("left_id", "right_id", _r6(F.col("score")).alias("score"))
+
+
+@_register("v5_knn_join", f"""
+WITH scored AS (
+  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+         {_COSINE_SQL.replace('e.embedding', 'a.embedding').replace('q.embedding', 'b.embedding')} AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 50
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id ORDER BY score DESC, right_id ASC) AS rank
+  FROM scored
+)
+SELECT left_id, right_id, score, rank FROM ranked WHERE rank <= 5
+""")
+def v5_knn(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 50)
+    out = similarity.knn_join(left, emb, 5, left_id="vec_id", right_id="vec_id")
+    return out.select("left_id", "right_id", _r6(F.col("score")).alias("score"), "rank")
+
+
+# ---------------------------------------------------------------------------------
+# Dedup family, text side (exact hash / fingerprint / minhash-LSH / jaccard)
+# ---------------------------------------------------------------------------------
+
+@_register("dedup_exact_hash", """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+""")
+def dedup_exact(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    hashed = docs.select(F.md5("text").alias("content_hash"), F.col("doc_id"))
+    return hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("dup_count")
+    )
+
+
+@_register("dedup_fingerprint", """
+SELECT md5(array_to_string(list_sort(list_distinct(
+         list_filter(string_split(lower(text), ' '), t -> t <> ''))), ' ')) AS fp,
+       MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+FROM documents
+GROUP BY 1
+""")
+def dedup_fp(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    fp = docs.select(T.fingerprint(F.col("text")).alias("fp"), F.col("doc_id"))
+    return fp.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("dup_count")
+    )
+
+
+def _minhash_sql(num_hashes: int, bands: int) -> str:
+    """DuckDB twin of functions.text.minhash_signature + minhash_bands."""
+    rows = num_hashes // bands
+    return f"""
+toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(tk) - 2, 1) + 1),
+      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+    list_transform(range(0, {num_hashes}),
+      i -> list_aggregate(list_transform(shingles, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS sig
+  FROM sh
+), bands AS (
+  SELECT doc_id,
+    list_transform(range(0, {bands}),
+      b -> md5(array_to_string(list_slice(sig, b * {rows} + 1, b * {rows} + {rows}), ','))) AS bands
+  FROM sig
+)
+"""
+
+
+@_register("dedup_minhash_bands", f"""
+WITH {_minhash_sql(16, 4)}
+SELECT doc_id, u['band_idx'] AS band_idx, u['band_hash'] AS band_hash FROM (
+  SELECT doc_id,
+         UNNEST(list_transform(range(0, 4),
+                b -> {{'band_idx': b, 'band_hash': bands[b + 1]}})) AS u
+  FROM bands
+)
+""")
+def dedup_minhash(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    sig = docs.select(
+        F.col("doc_id"),
+        T.minhash_bands(T.minhash_signature(F.col("text"))).alias("bands"),
+    )
+    return sig.select("doc_id", F.posexplode("bands").alias("band_idx", "band_hash"))
+
+
+@_register("dedup_jaccard_pairs", """
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(tk) - 2, 1) + 1),
+      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
+  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        FROM documents WHERE doc_id < 100)
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / greatest(len(list_distinct(a.shingles || b.shingles)), 1), 6)::DOUBLE AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+""")
+def dedup_jaccard(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sh = docs.select(F.col("doc_id"), T.shingles(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("left_id"), F.col("sh").alias("lsh_"))
+    b = sh.select(F.col("doc_id").alias("right_id"), F.col("sh").alias("rsh_"))
+    out = (
+        a.join(b, F.col("left_id") < F.col("right_id"))
+        .withColumn("inter", F.size(F.array_intersect("lsh_", "rsh_")))
+        .filter(F.col("inter") > 0)
+        .withColumn("uni", F.size(F.array_union("lsh_", "rsh_")))
+        .withColumn(
+            "jaccard",
+            _r6(F.col("inter").cast("double") / F.greatest(F.col("uni"), F.lit(1))),
+        )
+    )
+    return out.select("left_id", "right_id", "jaccard")
+
+
+# ---------------------------------------------------------------------------------
+# Text analysis (token counts, quality, language-ID)
+# ---------------------------------------------------------------------------------
+
+@_register("text_stats", """
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk,
+         text
+  FROM documents
+)
+SELECT doc_id,
+       len(tk) AS token_count,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_count,
+       ROUND(len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is','it','that','for'], t)))::DOUBLE
+             / greatest(len(tk), 1), 6)::DOUBLE AS stopword_ratio,
+       ROUND(list_sum(list_transform(tk, t -> length(t)))::DOUBLE / greatest(len(tk), 1), 6)::DOUBLE AS avg_token_len
+FROM toks
+""")
+def text_stats(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(txt).alias("token_count"),
+        F.regexp_count(F.lower(txt), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]")).alias("bpe_count"),
+        _r6(T.stopword_ratio(txt)).alias("stopword_ratio"),
+        _r6(T.avg_token_len(txt)).alias("avg_token_len"),
+    )
+
+
+@_register("text_lang_id", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents
+), scores AS (
+  SELECT doc_id,
+    len(list_filter(tk, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','für','von'], t))) AS s_de,
+    len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is','it','that','for'], t))) AS s_en,
+    len(list_filter(tk, t -> list_contains(['el','la','los','las','es','un','una','por','para','con'], t))) AS s_es,
+    len(list_filter(tk, t -> list_contains(['le','la','les','et','est','un','une','pour','dans','avec'], t))) AS s_fr
+  FROM toks
+)
+SELECT lang_id, COUNT(*) AS doc_count FROM (
+  SELECT doc_id,
+    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         WHEN s_es >= s_fr THEN 'es'
+         ELSE 'fr' END AS lang_id
+  FROM scores
+) GROUP BY lang_id
+""")
+def text_lang(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        docs.select(T.lang_id(F.col("text")).alias("lang_id"))
+        .groupBy("lang_id")
+        .agg(F.count("*").alias("doc_count"))
+    )
+
+
+# ---------------------------------------------------------------------------------
+# Ranking / counters (R8, R9, R10, R11, R13)
+# ---------------------------------------------------------------------------------
+
+@_register("r8_tier1_ranking", f"""
+WITH {MEMORIES_CTE.strip()},
+scored AS (
+  SELECT memory_id,
+    0.5 * ln(1 + cache_hit_total) + 0.3 * cache_hit_ema_30d
+      + 0.2 * (cache_confidence_weighted_30d / greatest(cache_hit_ema_30d, 1.0)) AS score_cache,
+    0.4 * ln(1 + citation_hit_total) + 0.3 * citation_hit_ema_30d
+      + 0.3 * (citation_confidence_weighted_30d / greatest(citation_hit_ema_30d, 1.0)) AS score_cite,
+    citation_hit_total > 0 AS has_cite
+  FROM memories_d
+)
+SELECT memory_id,
+       ROUND(CASE WHEN has_cite THEN 0.7 * score_cite + 0.3 * score_cache
+                  ELSE score_cache END, 6)::DOUBLE AS final_score
+FROM scored
+ORDER BY final_score DESC, memory_id ASC
+LIMIT 50
+""")
+def r8(spark, sf_dir):
+    mems = tables.build_memories(tables.load(spark, sf_dir, "documents"))
+    out = ranking.tier1_ranked(mems, 50)
+    return out.select("memory_id", _r6(F.col("final_score")).alias("final_score"))
+
+
+@_register("r9_ema_decay", f"""
+WITH {{EVENTS}}, ref AS (SELECT MAX(ts) AS ref_ts FROM events_us)
+SELECT user_id,
+       ROUND(SUM(POW(0.5, (floor(epoch(ref_ts)) - floor(epoch(ts))) / 86400.0 / 30.0)), 6)::DOUBLE AS ema,
+       COUNT(*) AS hit_total
+FROM events_us CROSS JOIN ref
+GROUP BY user_id
+""")
+def r9(spark, sf_dir):
+    ev = tables.load(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("ref_ts"))
+    joined = ev.crossJoin(F.broadcast(ref))
+    out = joined.groupBy("user_id").agg(
+        _r6(F.sum(D.decayed_hit_sum(F.col("ts"), F.col("ref_ts")))).alias("ema"),
+        F.count("*").alias("hit_total"),
+    )
+    return out
+
+
+@_register("r10_fused_confidence", """
+SELECT event_id,
+  ROUND(least(greatest(value / 200.0, 0.0), 1.0)
+        * 0.9
+        * exp(-(value) / 500.0)
+        * (1.0 / 2.0)
+        * 0.8
+        * least((CAST(props->>'k' AS DOUBLE) * 10.0) / 512.0, 1.0), 6)::DOUBLE AS fused
+FROM events
+WHERE event_id < 1000
+""")
+def r10(spark, sf_dir):
+    ev = tables.load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    tokens_col = F.get_json_object(F.col("props"), "$.k").cast("double") * 10.0
+    fused = D.fused_confidence(
+        sim=F.col("value") / 200.0,
+        conf=F.lit(0.9),
+        latency_ms=F.col("value"),
+        tier=F.lit(1.0),
+        engagement=F.lit(0.8),
+        tokens=tokens_col,
+    )
+    return ev.select("event_id", _r6(fused).alias("fused"))
+
+
+@_register("r11_windowed_counts", """
+WITH {EVENTS}, ref AS (SELECT MAX(ts) AS ref_ts FROM events_us)
+SELECT user_id, COUNT(*) AS retrieval_count
+FROM events_us CROSS JOIN ref
+WHERE ts >= ref_ts - INTERVAL 7 DAY
+GROUP BY user_id
+ORDER BY retrieval_count DESC, user_id ASC
+LIMIT 500
+""")
+def r11(spark, sf_dir):
+    ev = tables.load(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("ref_ts"))
+    joined = ev.crossJoin(F.broadcast(ref))
+    return ranking.windowed_counts(joined, "user_id", "ts", 7, F.col("ref_ts"))
+
+
+@_register("r13_temporal_coherence", """
+WITH {EVENTS}, diffs AS (
+  SELECT a.user_id AS memory_id,
+         abs(floor(epoch(a.ts)) - floor(epoch(b.ts))) / 3600.0 AS age_diff_hours
+  FROM events_us a JOIN events_us b
+    ON a.user_id = b.user_id AND b.event_id = a.event_id + 1
+  WHERE a.event_id < 2000
+)
+SELECT memory_id,
+       ROUND(MAX(age_diff_hours), 6)::DOUBLE AS max_diff,
+       ROUND(MIN(age_diff_hours), 6)::DOUBLE AS min_diff,
+       ROUND(quantile_cont(age_diff_hours, 0.5), 6)::DOUBLE AS median_diff,
+       ROUND(1.0 - (MAX(age_diff_hours) - MIN(age_diff_hours)) / (MAX(age_diff_hours) + 1.0), 6)::DOUBLE AS coherence
+FROM diffs
+GROUP BY memory_id
+""")
+def r13(spark, sf_dir):
+    ev = tables.load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") < 2000).select(
+        F.col("user_id").alias("memory_id"), F.col("ts").alias("ts_a"), F.col("event_id")
+    )
+    b = ev.select(F.col("user_id").alias("memory_id"), F.col("ts").alias("ts_b"),
+                  (F.col("event_id") - 1).alias("event_id"))
+    pairs = a.join(b, ["memory_id", "event_id"]).withColumn(
+        "age_diff_hours",
+        F.abs(F.unix_timestamp("ts_a") - F.unix_timestamp("ts_b")) / 3600.0,
+    )
+    agg = pairs.groupBy("memory_id").agg(
+        _r6(F.max("age_diff_hours")).alias("max_diff"),
+        _r6(F.min("age_diff_hours")).alias("min_diff"),
+        _r6(F.percentile(F.col("age_diff_hours"), F.lit(0.5))).alias("median_diff"),
+        _r6(
+            F.lit(1.0)
+            - (F.max("age_diff_hours") - F.min("age_diff_hours"))
+            / (F.max("age_diff_hours") + F.lit(1.0))
+        ).alias("coherence"),
+    )
+    return agg
+
+
+# ---------------------------------------------------------------------------------
+# ACL + metadata predicate compiler (F1-F5)
+# ---------------------------------------------------------------------------------
+
+@_register("f1_acl_filter", f"""
+WITH {MEMORIES_CTE.strip()}
+SELECT memory_id, user_id
+FROM memories_d
+WHERE (user_id = 'u5'
+       OR list_contains(user_read_access, 'u5')
+       OR len(list_intersect(workspace_read_access, ['w1'])) > 0
+       OR len(list_intersect(role_read_access, ['r2'])) > 0
+       OR list_contains(organization_read_access, 'o1')
+       OR list_contains(namespace_read_access, 'ns3'))
+  AND (namespace_id IS NULL OR namespace_id = 'ns3')
+""")
+def f1_acl(spark, sf_dir):
+    mems = tables.build_memories(tables.load(spark, sf_dir, "documents"))
+    ctx = AclContext(
+        user_id="u5", workspace_ids=["w1"], role_ids=["r2"],
+        organization_id="o1", namespace_id="ns3", scope_namespace=True,
+    )
+    return mems.filter(acl_predicate(ctx)).select("memory_id", "user_id")
+
+
+@_register("f3_custom_metadata_numeric", """
+SELECT event_id, CAST(props->>'k' AS DOUBLE) AS k_value
+FROM events
+WHERE CAST(props->>'k' AS DOUBLE) >= 50
+""")
+def f3_numeric(spark, sf_dir):
+    # F3 quirk: bare numeric custom-metadata filter means >= lower bound
+    # (memory/memory_graph.py:5990-5997)
+    ev = tables.load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("double")
+    return ev.withColumn("k_value", k).filter(F.col("k_value") >= 50).select("event_id", "k_value")
+
+
+# ---------------------------------------------------------------------------------
+# Graph operators (G1, G2, G4, G7)
+# ---------------------------------------------------------------------------------
+
+@_register("g1_pattern_match", f"""
+WITH {NODES_CTE.strip()}, {EDGES_CTE.strip()},
+und AS (
+  SELECT src, dst, rel_type FROM edges_d
+  UNION ALL
+  SELECT dst, src, rel_type FROM edges_d
+)
+SELECT DISTINCT m.node_id AS m_id, m.label AS m_label, e.rel_type,
+       n.node_id AS n_id, n.label AS n_label
+FROM und e
+JOIN nodes_d m ON e.src = m.node_id AND m.label = 'Customer'
+JOIN nodes_d n ON e.dst = n.node_id AND n.label = 'Nation'
+WHERE e.rel_type = 'BELONGS_TO' AND contains(lower(n.prop_name), 'a')
+""")
+def g1(spark, sf_dir):
+    t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "region", "supplier"]}
+    nodes = tables.build_nodes(t["customer"], t["nation"], t["region"], t["supplier"])
+    edges = tables.build_edges(t["customer"], t["nation"], t["supplier"])
+    spec = PatternSpec(source_label="Customer", relationship_type="BELONGS_TO",
+                       target_label="Nation", direction="any")
+    out = graph.match_pattern(
+        nodes, edges, spec,
+        n_pred=F.lower(F.col("prop_name")).contains("a"),
+        node_cols=[],
+    )
+    return out.select("m_id", "m_label", "rel_type", "n_id", "n_label")
+
+
+@_register("g2_two_hop_paths", f"""
+WITH {EDGES_CTE.strip()},
+e1 AS (SELECT src AS start_id, dst AS hop1_id FROM edges_d
+       WHERE src LIKE 'c%' AND CAST(substr(src, 2) AS BIGINT) < 200),
+one AS (SELECT DISTINCT start_id, hop1_id, hop1_id AS end_id, 1 AS depth FROM e1),
+two AS (
+  SELECT DISTINCT e1.start_id, e1.hop1_id, e2.dst AS end_id, 2 AS depth
+  FROM e1 JOIN edges_d e2 ON e1.hop1_id = e2.src
+  WHERE e1.start_id <> e2.dst
+)
+SELECT * FROM one UNION ALL SELECT * FROM two
+""")
+def g2(spark, sf_dir):
+    t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "region", "supplier"]}
+    nodes = tables.build_nodes(t["customer"], t["nation"], t["region"], t["supplier"])
+    edges = tables.build_edges(t["customer"], t["nation"], t["supplier"])
+    start = (F.col("label") == "Customer") & (
+        F.substring(F.col("node_id"), 2, 100).cast("bigint") < 200
+    )
+    return graph.two_hop_paths(nodes, edges, start_pred=start)
+
+
+@_register("g4_fuzzy_lookup", f"""
+WITH {NODES_CTE.strip()}
+SELECT node_id, label, prop_name
+FROM nodes_d
+WHERE label = 'Customer' AND contains(lower(prop_name), '001')
+ORDER BY node_id LIMIT 1
+""")
+def g4(spark, sf_dir):
+    t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "region", "supplier"]}
+    nodes = tables.build_nodes(t["customer"], t["nation"], t["region"], t["supplier"])
+    out = graph.find_node_by_fuzzy_match(nodes, "Customer", "prop_name", "001")
+    return out.select("node_id", "label", "prop_name")
+
+
+@_register("g7_schema_discovery", f"""
+WITH {NODES_CTE.strip()}, {EDGES_CTE.strip()}
+SELECT label AS name, 'node_label' AS kind FROM (SELECT DISTINCT label FROM nodes_d)
+UNION ALL
+SELECT rel_type AS name, 'rel_type' AS kind FROM (SELECT DISTINCT rel_type FROM edges_d)
+""")
+def g7(spark, sf_dir):
+    t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "region", "supplier"]}
+    nodes = tables.build_nodes(t["customer"], t["nation"], t["region"], t["supplier"])
+    edges = tables.build_edges(t["customer"], t["nation"], t["supplier"])
+    labels, rels = graph.schema_discovery(nodes, edges)
+    return labels.select(F.col("label").alias("name"), F.lit("node_label").alias("kind")).unionByName(
+        rels.select(F.col("rel_type").alias("name"), F.lit("rel_type").alias("kind"))
+    )
+
+
+# ---------------------------------------------------------------------------------
+# Windows / sessions (ST2, ST3, ST8 batch analogs)
+# ---------------------------------------------------------------------------------
+
+@_register("st8_tumbling_window", """
+WITH {EVENTS}
+SELECT to_timestamp((floor(epoch(ts))::BIGINT // 300) * 300)::TIMESTAMP AS window_start,
+       event_type,
+       COUNT(*) AS event_count,
+       ROUND(SUM(value), 6)::DOUBLE AS value_sum
+FROM events_us
+GROUP BY 1, 2
+""")
+def st8(spark, sf_dir):
+    ev = tables.load(spark, sf_dir, "events")
+    out = windows.tumbling(ev, "ts", 300)
+    return out.groupBy("window_start", "event_type").agg(
+        F.count("*").alias("event_count"), _r6(F.sum("value")).alias("value_sum")
+    )
+
+
+@_register("st2_session_windows", """
+WITH {EVENTS}, ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events_us
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id, COUNT(*) AS message_count,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+""")
+def st2(spark, sf_dir):
+    ev = tables.load(spark, sf_dir, "events")
+    sess = windows.session_ids(ev, "user_id", "ts", 1800)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("message_count"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@_register("st3_context_window", """
+WITH {EVENTS}
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)::DOUBLE AS ctx_avg,
+       COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ctx_count
+FROM events_us
+""")
+def st3(spark, sf_dir):
+    ev = tables.load(spark, sf_dir, "events")
+    out = windows.sliding_last_n(ev, "user_id", "ts", "event_id", 5, "value")
+    return out.select("event_id", "user_id", _r6(F.col("ctx_avg")).alias("ctx_avg"), "ctx_count")
+
+
+# ---------------------------------------------------------------------------------
+# Set ops / id algebra / scalar functions
+# ---------------------------------------------------------------------------------
+
+@_register("ids_chunk_algebra", f"""
+WITH {CHUNKS_CTE.strip()}
+SELECT chunk_id,
+       regexp_replace(chunk_id, '_[0-9]+$', '') AS base_id,
+       string_split(chunk_id, '_')[1] AS split_base
+FROM chunks_d
+""")
+def ids_algebra(spark, sf_dir):
+    from .functions import ids as I
+
+    chunks = tables.build_chunks(tables.load(spark, sf_dir, "embeddings"))
+    return chunks.select(
+        "chunk_id",
+        I.strip_chunk_suffix(F.col("chunk_id")).alias("base_id"),
+        I.base_id(F.col("chunk_id")).alias("split_base"),
+    )
+
+
+@_register("set_ops_semi_anti", """
+SELECT 'with_orders' AS bucket, COUNT(*) AS n FROM (
+  SELECT DISTINCT c.c_custkey FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+)
+UNION ALL
+SELECT 'without_orders', COUNT(*) FROM (
+  SELECT c.c_custkey FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+)
+""")
+def set_ops(spark, sf_dir):
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    with_o = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey").distinct()
+    without_o = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+    return with_o.agg(F.count("*").alias("n")).select(
+        F.lit("with_orders").alias("bucket"), "n"
+    ).unionByName(
+        without_o.agg(F.count("*").alias("n")).select(F.lit("without_orders").alias("bucket"), "n")
+    )
+
+
+# Resolve the shared events-truncation CTE placeholder in all oracle statements.
+from .oracle import EVENTS_CTE as _EV  # noqa: E402
+
+for _k in list(ORACLE):
+    ORACLE[_k] = ORACLE[_k].replace("{EVENTS}", _EV.strip())

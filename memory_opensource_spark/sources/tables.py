@@ -1,0 +1,183 @@
+"""Table loaders and the derived memory-domain tables.
+
+The driver provides TPC-H-ish parquet plus ``documents``/``embeddings``/``events``
+(TESTDATA.md).  The memory-domain tables the engine operates on — ``memories``,
+``chunks``, ``nodes``, ``edges`` (FIXTURES.md schemas) — are derived here
+*deterministically* from those inputs with arithmetic only, so the DuckDB oracle
+can re-derive the identical tables in SQL CTEs (see oracle.py).
+
+At production scale these would be real Delta/parquet tables partitioned by
+tenant (namespace_id) with the embedding column colocated; the derivation is the
+test-fixture stand-in.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+EXTRA_TABLES = ["events", "documents", "embeddings"]
+ALL_TABLES = TPCH_TABLES + EXTRA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+N_USERS = 20          # synthetic tenant population for ACL derivation
+N_WORKSPACES = 8
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
+        # rejects; read ns-as-long and truncate to microseconds.  The oracle
+        # truncates identically (ts::TIMESTAMP) so both engines see equal values.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in ALL_TABLES}
+
+
+def _acl_cols(df: DataFrame, id_num: str) -> DataFrame:
+    """Deterministic ACL block from an integer id column (FIXTURES.md shared block).
+
+    - owner user:      u{id % 20}
+    - extra reader:    u{(id+1) % 20}
+    - workspace:       w{id % 8}, readable also by w{(id+2) % 8}
+    - org/ns:          o{id % 3} / ns{id % 5}, ~10% legacy NULL (id % 10 == 7)
+    """
+    i = F.col(id_num)
+    u = F.concat(F.lit("u"), (i % N_USERS).cast("string"))
+    u2 = F.concat(F.lit("u"), ((i + 1) % N_USERS).cast("string"))
+    w = F.concat(F.lit("w"), (i % N_WORKSPACES).cast("string"))
+    w2 = F.concat(F.lit("w"), ((i + 2) % N_WORKSPACES).cast("string"))
+    org = F.when(i % 10 == 7, F.lit(None)).otherwise(F.concat(F.lit("o"), (i % 3).cast("string")))
+    ns = F.when(i % 10 == 7, F.lit(None)).otherwise(F.concat(F.lit("ns"), (i % 5).cast("string")))
+    return (
+        df.withColumn("user_id", u)
+        .withColumn("workspace_id", w)
+        .withColumn("organization_id", org)
+        .withColumn("namespace_id", ns)
+        .withColumn("user_read_access", F.array(u, u2))
+        .withColumn("user_write_access", F.array(u))
+        .withColumn("workspace_read_access", F.array(w, w2))
+        .withColumn("workspace_write_access", F.array(w))
+        .withColumn("role_read_access", F.array(F.concat(F.lit("r"), (i % 4).cast("string"))))
+        .withColumn("role_write_access", F.array())
+        .withColumn("organization_read_access",
+                    F.when(org.isNull(), F.array()).otherwise(F.array(org)))
+        .withColumn("namespace_read_access",
+                    F.when(ns.isNull(), F.array()).otherwise(F.array(ns)))
+    )
+
+
+def build_memories(documents: DataFrame) -> DataFrame:
+    """memories table (FIXTURES.md §1) derived from documents."""
+    base = documents.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("memory_id"),
+        F.col("doc_id").alias("_id_num"),
+        F.col("text").alias("content"),
+        F.array(F.col("lang"), F.col("source")).alias("topics"),
+        F.col("lang"),
+        F.col("source").alias("source_type"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(hours=F.col("doc_id").cast("int"))).alias("created_at"),
+        # counters: deterministic arithmetic so ranking formulas are testable
+        (F.col("doc_id") % 17).cast("double").alias("cache_hit_total"),
+        ((F.col("doc_id") % 11) / 3.0).alias("cache_hit_ema_30d"),
+        ((F.col("doc_id") % 7) / 2.0).alias("cache_confidence_weighted_30d"),
+        (F.col("doc_id") % 5).cast("double").alias("citation_hit_total"),
+        ((F.col("doc_id") % 9) / 4.0).alias("citation_hit_ema_30d"),
+        ((F.col("doc_id") % 6) / 5.0).alias("citation_confidence_weighted_30d"),
+    )
+    return _acl_cols(base, "_id_num").drop("_id_num")
+
+
+def build_chunks(embeddings: DataFrame) -> DataFrame:
+    """chunks table (FIXTURES.md §2) derived from embeddings (one chunk per vector)."""
+    base = embeddings.select(
+        F.concat(F.lit("m"), F.col("vec_id").cast("string"), F.lit("_0")).alias("chunk_id"),
+        F.concat(F.lit("m"), F.col("vec_id").cast("string")).alias("memory_id"),
+        F.col("vec_id").alias("_id_num"),
+        F.lit(0).alias("chunk_index"),
+        F.lit(1).alias("total_chunks"),
+        F.col("embedding"),
+        F.col("label"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(hours=F.col("vec_id").cast("int"))).alias("created_at"),
+    )
+    return _acl_cols(base, "_id_num").drop("_id_num")
+
+
+def build_nodes(customer: DataFrame, nation: DataFrame, region: DataFrame,
+                supplier: DataFrame) -> DataFrame:
+    """nodes table (FIXTURES.md §3): Customer/Nation/Region/Supplier entities."""
+    c = customer.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node_id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_name").alias("prop_name"),
+        F.col("c_mktsegment").alias("prop_status"),
+        F.col("c_custkey").alias("_id_num"),
+    )
+    n = nation.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("node_id"),
+        F.lit("Nation").alias("label"),
+        F.col("n_name").alias("prop_name"),
+        F.lit("active").alias("prop_status"),
+        F.col("n_nationkey").cast("bigint").alias("_id_num"),
+    )
+    r = region.select(
+        F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias("node_id"),
+        F.lit("Region").alias("label"),
+        F.col("r_name").alias("prop_name"),
+        F.lit("active").alias("prop_status"),
+        F.col("r_regionkey").cast("bigint").alias("_id_num"),
+    )
+    s = supplier.select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node_id"),
+        F.lit("Supplier").alias("label"),
+        F.col("s_name").alias("prop_name"),
+        F.lit("active").alias("prop_status"),
+        F.col("s_suppkey").alias("_id_num"),
+    )
+    out = c.unionByName(n).unionByName(r).unionByName(s)
+    return _acl_cols(out, "_id_num").drop("_id_num")
+
+
+def build_edges(customer: DataFrame, nation: DataFrame, supplier: DataFrame) -> DataFrame:
+    """edges table (FIXTURES.md §4): Customer-BELONGS_TO->Nation,
+    Nation-BELONGS_TO->Region, Supplier-WORKS_AT->Nation — gives 2-hop chains
+    (Customer->Nation->Region) for G2."""
+    c_n = customer.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+        F.lit("BELONGS_TO").alias("rel_type"),
+    )
+    n_r = nation.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+        F.lit("BELONGS_TO").alias("rel_type"),
+    )
+    s_n = supplier.select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+        F.lit("WORKS_AT").alias("rel_type"),
+    )
+    return c_n.unionByName(n_r).unionByName(s_n)
+
+
+def build_domain(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All derived memory-domain tables for a scale-factor directory."""
+    t = load_all(spark, sf_dir)
+    return {
+        "memories": build_memories(t["documents"]),
+        "chunks": build_chunks(t["embeddings"]),
+        "nodes": build_nodes(t["customer"], t["nation"], t["region"], t["supplier"]),
+        "edges": build_edges(t["customer"], t["nation"], t["supplier"]),
+        **t,
+    }

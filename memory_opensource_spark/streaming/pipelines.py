@@ -1,0 +1,93 @@
+"""Structured Streaming pipelines (SURVEY §2.9).
+
+The reference is request-driven with background queues; its streaming analogs are:
+- ST1 background ingest  -> readStream + foreachBatch running plans.ingest
+- ST2 session batches    -> session_window(gap) aggregation with watermark
+- ST3 context window     -> last-N sliding buffer (batch form in operators.windows)
+- ST5 decayed counters   -> per-micro-batch MERGE; replay-safe because decay is
+                            computed from event timestamps, not arrival order.
+
+These run against file/rate sources in tests (no Kafka in the container); the
+transformations are source-agnostic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..semantics import EMA_HALF_LIFE_DAYS
+
+
+def sessionized_messages(stream: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """ST2 (services/message_batch_analysis.py:122-523): group messages into
+    per-conversation session windows; emit per-session aggregates once the
+    watermark passes (late data within 1h is merged, later dropped)."""
+    return (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(
+            F.session_window("event_time", gap).alias("session"),
+            F.col("conversation_id"),
+        )
+        .agg(
+            F.count("*").alias("message_count"),
+            F.min("event_time").alias("session_start"),
+            F.max("event_time").alias("session_end"),
+        )
+    )
+
+
+def windowed_event_counts(stream: DataFrame, width: str = "5 minutes",
+                          slide: str | None = None,
+                          watermark: str = "10 minutes") -> DataFrame:
+    """ST8 tumbling/sliding windowed aggregation over the events stream."""
+    win = F.window("ts", width, slide) if slide else F.window("ts", width)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(win.alias("window"), F.col("event_type"))
+        .agg(F.count("*").alias("event_count"), F.sum("value").alias("value_sum"))
+    )
+
+
+def foreach_batch_ingest(stream: DataFrame, sink: Callable[[DataFrame, int], None],
+                         checkpoint: str):
+    """ST1: micro-batch ingest driving the §3.2 pipeline; batch-id = epoch id
+    (memory/memory_graph.py:363-456 queue semantics)."""
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def decayed_counter_updates(batch: DataFrame, counters: DataFrame, key_col: str,
+                            ts_col: str = "ts",
+                            half_life_days: float = EMA_HALF_LIFE_DAYS) -> DataFrame:
+    """ST5/R9 per-micro-batch counter merge, replay-safe: new_ema =
+    old_ema * 0.5^((batch_max_ts - old_ts)/hl) + sum(hits decayed to batch_max_ts).
+
+    Pure DataFrame merge (works under foreachBatch); with Delta this is MERGE INTO.
+    """
+    batch_ref = batch.agg(F.max(ts_col).alias("_ref")).select("_ref")
+    b = batch.crossJoin(F.broadcast(batch_ref))
+    delta_days = (F.unix_timestamp(F.col("_ref")) - F.unix_timestamp(F.col(ts_col))) / 86400.0
+    hits = b.groupBy(key_col).agg(
+        F.sum(F.pow(F.lit(0.5), delta_days / half_life_days)).alias("hit_ema"),
+        F.count("*").cast("double").alias("hit_count"),
+        F.max("_ref").alias("ref_ts"),
+    )
+    joined = counters.join(hits, key_col, "full_outer")
+    old_decayed = F.coalesce(F.col("ema"), F.lit(0.0)) * F.pow(
+        F.lit(0.5),
+        (F.unix_timestamp(F.coalesce(F.col("ref_ts"), F.col("ema_updated_at")))
+         - F.unix_timestamp(F.col("ema_updated_at"))) / 86400.0 / half_life_days,
+    )
+    return joined.select(
+        F.col(key_col),
+        (F.coalesce(old_decayed, F.lit(0.0)) + F.coalesce(F.col("hit_ema"), F.lit(0.0))).alias("ema"),
+        (F.coalesce(F.col("hit_total"), F.lit(0.0)) + F.coalesce(F.col("hit_count"), F.lit(0.0))).alias("hit_total"),
+        F.coalesce(F.col("ref_ts"), F.col("ema_updated_at")).alias("ema_updated_at"),
+    )

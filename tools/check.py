@@ -1,0 +1,104 @@
+"""Local replica of the driver's correctness harness.
+
+Runs every queries() entry at the given sf, runs the oracle SQL in DuckDB on the
+same parquet, and compares row count, column names, and an order-insensitive
+value hash (columns sorted by name, floats rounded).  Usage:
+
+    python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+sys.path.insert(0, ".")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+          "events", "documents", "embeddings"]
+
+
+def normalize(df):
+    """pandas DF -> canonical sorted record list for order-insensitive compare."""
+    import pandas as pd
+
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+        if str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+        if "datetime" in str(df[c].dtype):
+            df[c] = df[c].astype("datetime64[us]")
+    recs = [tuple(r) for r in df.itertuples(index=False)]
+    return sorted(recs, key=repr)
+
+
+def main():
+    import duckdb
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from memory_opensource_spark.session import get_spark
+
+    spark = get_spark("check", shuffle_partitions=8)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    passed = failed = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark error")
+            traceback.print_exc()
+            failed += 1
+            continue
+        if name not in oracles:
+            print(f"OK?  {name}: rows-only check, {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            passed += 1
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception:
+            print(f"FAIL {name}: oracle error")
+            traceback.print_exc()
+            failed += 1
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            print(f"FAIL {name}: columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+            failed += 1
+            continue
+        if len(sdf) != len(odf):
+            print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
+            failed += 1
+            continue
+        s, o = normalize(sdf), normalize(odf)
+        if s != o:
+            ndiff = sum(1 for a, b in zip(s, o) if a != b)
+            print(f"FAIL {name}: values differ ({ndiff}/{len(s)} rows)")
+            for a, b in list(zip(s, o))[:200]:
+                if a != b:
+                    print(f"  spark:  {a}\n  oracle: {b}")
+                    break
+            failed += 1
+            continue
+        print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+        passed += 1
+
+    print(f"\n{passed} passed, {failed} failed")
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
