@@ -22,20 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import (
-    fingerprint,
-    minhash_bands,
-    minhash_signature,
-    shingles,
-    simhash,
-)
+from ..functions.text import fingerprint, shingles, simhash
 from ..semantics import (
     DUPLICATE_SWEEP_THRESHOLD,
     MINHASH_BANDS,
     MINHASH_NUM_HASHES,
     NEAR_DUP_JACCARD,
 )
-from .similarity import cosine_join, knn_join
+from .similarity import cosine_join, cosine_join_blas, knn_join, knn_join_blas
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -65,6 +59,62 @@ def fingerprint_duplicates(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       num_hashes: int = MINHASH_NUM_HASHES) -> DataFrame:
+    """Per-doc MinHash signature {id, sig array<string>} via explode + codegen'd
+    scalar md5 columns.
+
+    The pure-expression form (functions.text.minhash_signature) re-evaluates the
+    shingle array once per hash seed because Catalyst doesn't CSE across lambda
+    scopes — O(num_hashes * n^2) interpreted work per doc.  This shape computes
+    shingles once, explodes to (id, shingle), derives the ``num_hashes`` md5s as
+    plain scalar columns inside whole-stage codegen, and reduces with min()
+    aggregates — one shuffle on id, signature math fully JVM-compiled.  This is
+    the 100 TB-shaped plan: shuffle rows are (id, 16x32B hashes), independent of
+    document length.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    # shingle = tok + next two tokens; concat_ws skips trailing NULLs, which
+    # reproduces functions.text.shingles' truncated final gram for short docs.
+    sh = (
+        toks.withColumn("shingle", F.concat_ws(" ", "tok", F.lead("tok", 1).over(w),
+                                               F.lead("tok", 2).over(w)))
+        .withColumn("ntok", F.count("*").over(Window.partitionBy("id")))
+        .filter(F.col("pos") <= F.greatest(F.col("ntok") - 3, F.lit(0)))
+    )
+    # no distinct needed: min() over the shingle multiset == min() over the set
+    hash_cols = [
+        F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    hashed = sh.select("id", *hash_cols)
+    agg = hashed.groupBy("id").agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
+    return agg.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_band_table(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       num_hashes: int = MINHASH_NUM_HASHES,
+                       bands: int = MINHASH_BANDS) -> DataFrame:
+    """{id, band_idx, band_hash} — the LSH bucket table (explode-based fast path)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes)
+    band_cols = F.array(*[
+        F.md5(F.concat_ws(",", *[F.col("sig").getItem(b * rows + r) for r in range(rows)]))
+        for b in range(bands)
+    ])
+    return sig.select("id", F.posexplode(band_cols).alias("band_idx", "band_hash"))
+
+
 def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
                            num_hashes: int = MINHASH_NUM_HASHES,
@@ -75,11 +125,7 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     equi-join on (band_index, band_hash) — shuffle key is 34 bytes/row/band, so
     the candidate-generation cost is independent of document length.
     """
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_bands(minhash_signature(F.col(text_col), num_hashes), bands, num_hashes).alias("bands"),
-    )
-    exploded = sig.select("id", F.posexplode("bands").alias("band_idx", "band_hash"))
+    exploded = minhash_band_table(docs, id_col, text_col, num_hashes, bands)
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (
@@ -140,24 +186,30 @@ def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 def embedding_near_duplicates(vectors: DataFrame, id_col: str = "vec_id",
                               vec_col: str = "embedding",
-                              threshold: float = DUPLICATE_SWEEP_THRESHOLD) -> DataFrame:
+                              threshold: float = DUPLICATE_SWEEP_THRESHOLD,
+                              use_blas: bool = True) -> DataFrame:
     """Reference V5 duplicate sweep (memory/memory_graph.py:10333-10390):
-    pairs with cosine > threshold, left < right ordering."""
-    pairs = cosine_join(
-        vectors, vectors, threshold, vec_col, vec_col, id_col, id_col
-    )
+    pairs with cosine > threshold, left < right ordering.
+
+    use_blas streams left partitions against a broadcast right matrix (the fast
+    path); the expression form remains as the oracle-shaped fallback for a right
+    side too big to broadcast un-bucketed."""
+    join = cosine_join_blas if use_blas else cosine_join
+    pairs = join(vectors, vectors, threshold, vec_col, vec_col, id_col, id_col)
     return pairs.filter(F.col("left_id") < F.col("right_id"))
 
 
 def ingest_dedup_reuse(new_chunks: DataFrame, existing: DataFrame,
                        threshold: float, new_id: str = "chunk_id",
                        existing_id: str = "chunk_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       use_blas: bool = True) -> DataFrame:
     """Reference V4 near-duplicate check at ingest
     (memory/memory_graph.py:14214-14442): for each new chunk, its best existing
     match with cosine > threshold -> {new_id, reuse_id, score}; rows absent =
     genuinely new.  1-NN via knn_join(k=1) then threshold."""
-    nn = knn_join(new_chunks, existing, 1, vec_col, vec_col, new_id, existing_id)
+    join = knn_join_blas if use_blas else knn_join
+    nn = join(new_chunks, existing, 1, vec_col, vec_col, new_id, existing_id)
     return (
         nn.filter(F.col("score") > threshold)
         .select(F.col("left_id").alias("new_id"), F.col("right_id").alias("reuse_id"), "score")

@@ -115,6 +115,122 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     )
 
 
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """Collect a (small) vector table to a numpy matrix + id list, normalized.
+    Used to broadcast the dimension side of a similarity join."""
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = [r[0] for r in rows]
+    mat = np.asarray([list(r[1]) for r in rows], dtype="float64")
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
+
+
+def cosine_join_blas(left: DataFrame, right: DataFrame, threshold: float,
+                     left_vec: str = "embedding", right_vec: str = "embedding",
+                     left_id: str = "id", right_id: str = "id",
+                     anti_reflexive: bool = True) -> DataFrame:
+    """BLAS path for the cosine threshold join: broadcast the right side as a
+    numpy matrix, stream left partitions through mapInPandas, and emit only
+    pairs >= threshold from a single matrix product per Arrow batch.
+
+    ~100x faster than the per-pair expression form (Spark's higher-order-function
+    lambdas are interpreted) and never materializes the cross join.  This is the
+    block-nested-loop similarity join: at 100 TB the left side streams, the right
+    side is a broadcast dimension (or an IVF/LSH bucket of one — compose with
+    ivf_assign for the billion x billion case).
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    r_ids, r_mat = _collect_matrix(right, right_id, right_vec)
+    spark = left.sparkSession
+    b = spark.sparkContext.broadcast((r_ids, r_mat))
+    left_id_type = left.schema[left_id].dataType
+    right_id_type = right.schema[right_id].dataType
+    out_schema = StructType([
+        StructField("left_id", left_id_type),
+        StructField("right_id", right_id_type),
+        StructField("score", DoubleType()),
+    ])
+
+    def compute(batches):
+        import numpy as np
+
+        ids, mat = b.value
+        ids_arr = np.asarray(ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lmat = np.asarray([np.asarray(v, dtype="float64") for v in pdf[left_vec]])
+            lnorm = np.linalg.norm(lmat, axis=1, keepdims=True)
+            lnorm[lnorm == 0] = 1.0
+            scores = (lmat / lnorm) @ mat.T          # (B, R) cosine matrix
+            li, ri = np.nonzero(scores >= threshold)
+            if len(li) == 0:
+                continue
+            out = pd.DataFrame({
+                "left_id": pdf[left_id].to_numpy()[li],
+                "right_id": ids_arr[ri],
+                "score": scores[li, ri],
+            })
+            if anti_reflexive:
+                out = out[out.left_id != out.right_id]
+            yield out
+
+    return left.select(left_id, left_vec).mapInPandas(compute, out_schema)
+
+
+def knn_join_blas(left: DataFrame, right: DataFrame, k: int,
+                  left_vec: str = "embedding", right_vec: str = "embedding",
+                  left_id: str = "id", right_id: str = "id") -> DataFrame:
+    """BLAS path for the kNN join: per Arrow batch, one matrix product + argsort
+    by (-score, right_id) — ties break identically to the window form."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    r_ids, r_mat = _collect_matrix(right, right_id, right_vec)
+    spark = left.sparkSession
+    b = spark.sparkContext.broadcast((r_ids, r_mat))
+    out_schema = StructType([
+        StructField("left_id", left.schema[left_id].dataType),
+        StructField("right_id", right.schema[right_id].dataType),
+        StructField("score", DoubleType()),
+        StructField("rank", IntegerType()),
+    ])
+
+    def compute(batches):
+        import numpy as np
+
+        ids, mat = b.value
+        ids_arr = np.asarray(ids)
+        order_ids = np.argsort(ids_arr, kind="stable")  # for tie-break by id asc
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lmat = np.asarray([np.asarray(v, dtype="float64") for v in pdf[left_vec]])
+            lnorm = np.linalg.norm(lmat, axis=1, keepdims=True)
+            lnorm[lnorm == 0] = 1.0
+            scores = (lmat / lnorm) @ mat.T
+            rows = []
+            lids = pdf[left_id].to_numpy()
+            for i in range(len(pdf)):
+                mask = ids_arr != lids[i]
+                s = scores[i]
+                # sort by score desc then id asc: stable sort on -score over
+                # id-ascending order
+                cand = order_ids[mask[order_ids]]
+                top = cand[np.argsort(-s[cand], kind="stable")[:k]]
+                for rank, j in enumerate(top, 1):
+                    rows.append((lids[i], ids_arr[j], float(s[j]), rank))
+            if rows:
+                yield pd.DataFrame(rows, columns=["left_id", "right_id", "score", "rank"])
+
+    return left.select(left_id, left_vec).mapInPandas(compute, out_schema)
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding",
                bucket_col: str = "ivf_bucket") -> DataFrame:
     """IVF-style bucketing: assign each vector to its max-dot-product centroid.

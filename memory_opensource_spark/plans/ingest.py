@@ -69,7 +69,7 @@ def ingest(new_memories: DataFrame, existing_chunks: DataFrame,
     - ``reused``: {new_id, reuse_id, score} mappings (V4 hits)
     """
     chunked = chunk_text(new_memories)
-    embedded = hash_embed(chunked)
+    embedded = hash_embed(chunked, dim=dim)
     reused = ingest_dedup_reuse(
         embedded, existing_chunks, dedup_threshold,
         new_id="chunk_id", existing_id="chunk_id",

@@ -189,7 +189,7 @@ SELECT left_id, right_id, score, rank FROM ranked WHERE rank <= 5
 def v5_knn(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings")
     left = emb.filter(F.col("vec_id") < 50)
-    out = similarity.knn_join(left, emb, 5, left_id="vec_id", right_id="vec_id")
+    out = similarity.knn_join_blas(left, emb, 5, left_id="vec_id", right_id="vec_id")
     return out.select("left_id", "right_id", _r6(F.col("score")).alias("score"), "rank")
 
 
@@ -263,11 +263,9 @@ SELECT doc_id, u['band_idx'] AS band_idx, u['band_hash'] AS band_hash FROM (
 """)
 def dedup_minhash(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
-    sig = docs.select(
-        F.col("doc_id"),
-        T.minhash_bands(T.minhash_signature(F.col("text"))).alias("bands"),
+    return dedup.minhash_band_table(docs).select(
+        F.col("id").alias("doc_id"), "band_idx", "band_hash"
     )
-    return sig.select("doc_id", F.posexplode("bands").alias("band_idx", "band_hash"))
 
 
 @_register("dedup_jaccard_pairs", """

@@ -1,0 +1,81 @@
+"""Dedup family tests, incl. parity between the expression-form and the
+explode-form MinHash (same signatures bit-for-bit)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from memory_opensource_spark.functions import text as T
+from memory_opensource_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),          # near dup
+        (4, "dog lazy the over jumps fox brown quick the"),          # shuffled (same token set)
+        (5, "completely different content about spark engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_duplicates(docs):
+    out = dedup.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0].canonical_id == 1 and out[0].dup_count == 2
+
+
+def test_fingerprint_catches_shuffled(docs):
+    out = dedup.fingerprint_duplicates(docs).collect()
+    # 1, 2, 4 share the same token set
+    assert len(out) == 1 and out[0].dup_count == 3 and out[0].canonical_id == 1
+
+
+def test_minhash_explode_matches_expression_form(spark, docs):
+    fast = {r.id: r.sig for r in dedup.minhash_signatures(docs).collect()}
+    slow = {
+        r.doc_id: r.sig
+        for r in docs.select("doc_id", T.minhash_signature(F.col("text")).alias("sig")).collect()
+    }
+    assert fast == {k: list(v) for k, v in slow.items()}
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    cands = dedup.minhash_lsh_candidates(docs).collect()
+    pairs = {(r.left_id, r.right_id) for r in cands}
+    assert (1, 2) in pairs  # exact dups always collide on every band
+    refined = dedup.jaccard_pairs(docs, dedup.minhash_lsh_candidates(docs), threshold=0.5)
+    got = {(r.left_id, r.right_id) for r in refined.collect()}
+    assert (1, 2) in got and (1, 3) in got
+
+
+def test_simhash_identical_docs_equal(docs):
+    fp = {r.id: r.simhash for r in dedup.simhash_fingerprints(docs).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[5]
+    dups = dedup.simhash_duplicates(docs).collect()
+    assert any(r.canonical_id == 1 and r.dup_count >= 2 for r in dups)
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = dedup.embedding_near_duplicates(df, threshold=0.95).collect()
+    assert {(r.left_id, r.right_id) for r in out} == {(1, 2)}
+
+
+def test_ingest_dedup_reuse_threshold(spark):
+    existing = spark.createDataFrame(
+        [("e1", [1.0, 0.0]), ("e2", [0.0, 1.0])], "chunk_id string, embedding array<double>"
+    )
+    new = spark.createDataFrame(
+        [("n1", [0.9999, 0.01]), ("n2", [0.7, 0.7])], "chunk_id string, embedding array<double>"
+    )
+    out = dedup.ingest_dedup_reuse(new, existing, 0.97).collect()
+    # n1 reuses e1 (cosine > 0.97); n2 is genuinely new (cos ~= 0.707)
+    assert len(out) == 1 and out[0].new_id == "n1" and out[0].reuse_id == "e1"

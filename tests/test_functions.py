@@ -1,0 +1,81 @@
+"""Unit tests for column-level expression builders."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from memory_opensource_spark.functions import ids, text, vector
+
+
+def test_point_id_matches_python_twin(spark):
+    df = spark.createDataFrame([("m1_0",), ("m42_3",), ("abc",)], ["chunk_id"])
+    rows = df.select("chunk_id", ids.point_id(F.col("chunk_id")).alias("pid")).collect()
+    for r in rows:
+        assert r.pid == ids.point_id_py(r.chunk_id), r.chunk_id
+
+
+def test_chunk_id_algebra(spark):
+    df = spark.createDataFrame([("m1_0",), ("m1_12",), ("plain",)], ["cid"])
+    out = df.select(
+        ids.strip_chunk_suffix(F.col("cid")).alias("stripped"),
+        ids.base_id(F.col("cid")).alias("base"),
+    ).collect()
+    assert [r.stripped for r in out] == ["m1", "m1", "plain"]
+    assert [r.base for r in out] == ["m1", "m1", "plain"]
+
+
+def test_cosine_and_normalize(spark):
+    df = spark.createDataFrame([([3.0, 4.0], [4.0, 3.0])], ["a", "b"])
+    row = df.select(
+        vector.cosine(F.col("a"), F.col("b")).alias("cos"),
+        vector.norm(vector.l2_normalize(F.col("a"))).alias("unit_norm"),
+    ).first()
+    assert abs(row.cos - 24.0 / 25.0) < 1e-12
+    assert abs(row.unit_norm - 1.0) < 1e-12
+
+
+def test_quantize_int8_roundtrip(spark):
+    df = spark.createDataFrame([([0.5, -1.5, 1.0],)], ["v"])
+    row = df.select(
+        vector.quantize_int8(F.col("v")).alias("q"),
+        vector.dequantize_int8(vector.quantize_int8(F.col("v"))).alias("dq"),
+    ).first()
+    assert row.q == [64, -127, 127]  # clip(-1.5) -> -1 -> -127
+    assert abs(row.dq[0] - 0.5039370078740157) < 1e-9
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame([("The quick  brown fox",)], ["t"])
+    row = df.select(
+        text.token_count(F.col("t")).alias("n"),
+        text.avg_token_len(F.col("t")).alias("avg"),
+    ).first()
+    assert row.n == 4
+    assert abs(row.avg - (3 + 5 + 5 + 3) / 4.0) < 1e-12
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [("the cat is in the house",), ("der hund ist nicht das problem",),
+         ("xyzzy qwerty",)],
+        ["t"],
+    )
+    out = [r[0] for r in df.select(text.lang_id(F.col("t"))).collect()]
+    assert out == ["en", "de", "und"]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["t"])
+    out = [r[0] for r in df.select(text.shingles(F.col("t"))).collect()]
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == ["a b"]  # short doc -> single truncated shingle
+
+
+def test_decay_factor_half_life(spark):
+    from memory_opensource_spark.functions import decay
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-31 00:00:00")], ["prev", "now"]
+    ).select(F.to_timestamp("prev").alias("prev"), F.to_timestamp("now").alias("now"))
+    row = df.select(decay.decay_factor(F.col("prev"), F.col("now"), 30.0).alias("d")).first()
+    assert abs(row.d - 0.5) < 1e-12

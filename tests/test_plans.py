@@ -1,0 +1,75 @@
+"""End-to-end plan tests: ingest (chunk/embed/dedup) and the flagship search DAG."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from memory_opensource_spark.functions.ids import point_id_py
+from memory_opensource_spark.plans import ingest, search
+from memory_opensource_spark.operators.predicate import AclContext
+from memory_opensource_spark.sources import tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_chunk_text_splits_and_ids(spark):
+    long_text = " ".join(f"w{i}" for i in range(5000))
+    df = spark.createDataFrame([("m1", long_text), ("m2", "short doc")],
+                               "memory_id string, content string")
+    out = ingest.chunk_text(df, content_col="content", chunk_tokens=2048).collect()
+    by_mem = {}
+    for r in out:
+        by_mem.setdefault(r.memory_id, []).append(r)
+    assert len(by_mem["m1"]) == 3  # 5000 tokens / 2048 -> 3 chunks
+    assert [r.chunk_id for r in sorted(by_mem["m1"], key=lambda r: r.chunk_index)] == [
+        "m1_0", "m1_1", "m1_2"
+    ]
+    assert all(r.total_chunks == 3 for r in by_mem["m1"])
+    assert by_mem["m2"][0].point_id == point_id_py("m2_0")
+
+
+def test_hash_embed_is_unit_norm_and_deterministic(spark):
+    df = spark.createDataFrame([("m1", 0, "hello world hello")], "memory_id string, chunk_index int, chunk_content string")
+    out1 = ingest.hash_embed(df, dim=16).first().embedding
+    out2 = ingest.hash_embed(df, dim=16).first().embedding
+    assert out1 == out2
+    assert abs(sum(x * x for x in out1) - 1.0) < 1e-9
+
+
+def test_ingest_dedups_against_existing(spark):
+    mems = spark.createDataFrame([("mA", "alpha beta gamma"), ("mB", "totally new words here")],
+                                 "memory_id string, content string")
+    chunked = ingest.chunk_text(mems)
+    embedded = ingest.hash_embed(chunked, dim=32)
+    # existing store already contains mA's exact content under another id
+    existing = ingest.hash_embed(
+        ingest.chunk_text(
+            spark.createDataFrame([("mOld", "alpha beta gamma")], "memory_id string, content string")
+        ),
+        dim=32,
+    )
+    out = ingest.ingest(mems, existing, dim=32)
+    reused = out["reused"].collect()
+    new_chunks = out["chunks"].collect()
+    assert len(reused) == 1 and reused[0].reuse_id == "mOld_0"
+    assert {r.chunk_id for r in new_chunks} == {"mB_0"}
+
+
+def test_search_end_to_end_ranks_self_first(spark):
+    chunks = tables.build_chunks(tables.load(spark, SF, "embeddings"))
+    memories = tables.build_memories(tables.load(spark, SF, "documents"))
+    qvec = [float(x) for x in chunks.filter(F.col("chunk_id") == "m3_0").first().embedding]
+    # u3 owns m3 (doc_id 3 % 20 = u3)
+    out = search.search(chunks, memories, qvec, ctx=AclContext(user_id="u3"),
+                        top_k=5, score_threshold=0.0).collect()
+    assert out[0].memory_id == "m3" and abs(out[0].score - 1.0) < 1e-9
+    assert len(out) <= 5
+
+
+def test_search_respects_acl(spark):
+    chunks = tables.build_chunks(tables.load(spark, SF, "embeddings"))
+    memories = tables.build_memories(tables.load(spark, SF, "documents"))
+    qvec = [float(x) for x in chunks.filter(F.col("chunk_id") == "m3_0").first().embedding]
+    # u9 has no access to m3 (owner u3; readers u3,u4)
+    out = search.search(chunks, memories, qvec, ctx=AclContext(user_id="9zzz"),
+                        top_k=5, score_threshold=0.0).collect()
+    assert out == []

@@ -1,0 +1,79 @@
+"""Similarity operator tests: exact vs BLAS parity, top-k semantics, IVF recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from memory_opensource_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(40, 8))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id int, embedding array<double>")
+    return df, mat
+
+
+def test_topk_matches_numpy(vec_df):
+    df, mat = vec_df
+    q = mat[0]
+    out = similarity.topk_search(
+        df.filter(F.col("id") != 0), list(q), 5,
+        vec_col="embedding", id_col="id", score_threshold=None,
+    ).collect()
+    scores = mat @ q
+    scores[0] = -np.inf
+    expect = np.argsort(-scores, kind="stable")[:5]
+    assert [r.id for r in out] == [int(i) for i in expect]
+    for r in out:
+        assert abs(r.score - scores[r.id]) < 1e-9
+
+
+def test_blas_join_matches_expression_join(vec_df):
+    df, _ = vec_df
+    exact = similarity.cosine_join(df, df, 0.3, left_id="id", right_id="id")
+    blas = similarity.cosine_join_blas(df, df, 0.3, left_id="id", right_id="id")
+    e = {(r.left_id, r.right_id): r.score for r in exact.collect()}
+    b = {(r.left_id, r.right_id): r.score for r in blas.collect()}
+    assert set(e) == set(b)
+    for k in e:
+        assert abs(e[k] - b[k]) < 1e-9
+
+
+def test_blas_knn_matches_window_knn(vec_df):
+    df, _ = vec_df
+    left = df.filter(F.col("id") < 10)
+    w = similarity.knn_join(left, df, 3, left_id="id", right_id="id").collect()
+    b = similarity.knn_join_blas(left, df, 3, left_id="id", right_id="id").collect()
+    wset = {(r.left_id, r.rank): r.right_id for r in w}
+    bset = {(r.left_id, r.rank): r.right_id for r in b}
+    assert wset == bset
+
+
+def test_score_threshold_filter(vec_df):
+    df, mat = vec_df
+    q = mat[0]
+    out = similarity.topk_search(
+        df, list(q), 40, vec_col="embedding", id_col="id", score_threshold=0.15
+    ).collect()
+    assert all(r.score >= 0.15 for r in out)
+    assert any(r.id == 0 for r in out)  # self-match at 1.0 passes
+
+
+def test_ivf_assign_and_probe(vec_df):
+    df, mat = vec_df
+    centroids = [list(mat[i]) for i in range(4)]
+    bucketed = similarity.ivf_assign(df, centroids)
+    rows = bucketed.collect()
+    for r in rows:
+        sims = [float(np.dot(np.array(r.embedding), np.array(c))) for c in centroids]
+        assert r.ivf_bucket == int(np.argmax(sims))
+    # probing all buckets == exact search
+    out = similarity.ivf_topk_search(df, list(mat[0]), 5, centroids, nprobe=4,
+                                     vec_col="embedding", id_col="id")
+    exact = similarity.topk_search(df, list(mat[0]), 5, vec_col="embedding",
+                                  id_col="id", score_threshold=None)
+    assert [r.id for r in out.collect()] == [r.id for r in exact.collect()]

@@ -1,0 +1,89 @@
+"""Streaming pipeline tests: session windows + windowed counts via an
+availableNow file-stream micro-batch, and the replay-safe counter merge."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from memory_opensource_spark.streaming import pipelines
+
+
+@pytest.fixture(scope="module")
+def msg_dir(spark):
+    d = tempfile.mkdtemp()
+    df = spark.createDataFrame(
+        [
+            ("m1", "conv1", "2024-01-01 10:00:00"),
+            ("m2", "conv1", "2024-01-01 10:05:00"),
+            ("m3", "conv1", "2024-01-01 11:30:00"),  # > 30 min gap -> new session
+            ("m4", "conv2", "2024-01-01 10:00:00"),
+        ],
+        "message_id string, conversation_id string, event_time string",
+    ).select("message_id", "conversation_id", F.to_timestamp("event_time").alias("event_time"))
+    df.write.mode("overwrite").parquet(d + "/in")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sessionized_messages_stream(spark, msg_dir):
+    stream = spark.readStream.schema(
+        "message_id string, conversation_id string, event_time timestamp"
+    ).parquet(msg_dir + "/in")
+    sessions = pipelines.sessionized_messages(stream, gap="30 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select * from sess_out").collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r.conversation_id, []).append(r)
+    assert len(by_conv["conv1"]) == 2  # split by the >30min gap
+    assert sorted(r.message_count for r in by_conv["conv1"]) == [1, 2]
+    assert len(by_conv["conv2"]) == 1
+
+
+def test_decayed_counter_merge_replay_safe(spark):
+    counters = spark.createDataFrame(
+        [("k1", 2.0, 10.0, "2024-01-01 00:00:00")],
+        "key string, ema double, hit_total double, ema_updated_at string",
+    ).select("key", "ema", "hit_total", F.to_timestamp("ema_updated_at").alias("ema_updated_at"))
+    batch = spark.createDataFrame(
+        [("k1", "2024-01-31 00:00:00"), ("k2", "2024-01-31 00:00:00")], "key string, ts string"
+    ).select("key", F.to_timestamp("ts").alias("ts"))
+    out = {r.key: r for r in pipelines.decayed_counter_updates(batch, counters, "key").collect()}
+    # k1: old ema 2.0 decayed one half-life -> 1.0, plus 1 fresh hit -> 2.0
+    assert abs(out["k1"].ema - 2.0) < 1e-9
+    assert out["k1"].hit_total == 11.0
+    # k2: brand new key
+    assert abs(out["k2"].ema - 1.0) < 1e-9 and out["k2"].hit_total == 1.0
+
+
+def test_windowed_event_counts_stream(spark, msg_dir):
+    # reuse the message fixture as an event stream keyed by conversation
+    stream = (
+        spark.readStream.schema("message_id string, conversation_id string, event_time timestamp")
+        .parquet(msg_dir + "/in")
+        .select(
+            F.col("event_time").alias("ts"),
+            F.col("conversation_id").alias("event_type"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    counts = pipelines.windowed_event_counts(stream, width="1 hour")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select * from win_out").collect()
+    assert sum(r.event_count for r in out) == 4
