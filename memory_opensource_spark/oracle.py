@@ -45,8 +45,14 @@ chunks_d AS (
     label,
     TIMESTAMP '2024-01-01 00:00:00' + vec_id * INTERVAL 1 HOUR AS created_at,
     'u' || (vec_id % 20)::VARCHAR AS user_id,
+    'w' || (vec_id % 8)::VARCHAR AS workspace_id,
+    CASE WHEN vec_id % 10 = 7 THEN NULL ELSE 'o' || (vec_id % 3)::VARCHAR END AS organization_id,
+    CASE WHEN vec_id % 10 = 7 THEN NULL ELSE 'ns' || (vec_id % 5)::VARCHAR END AS namespace_id,
     ['u' || (vec_id % 20)::VARCHAR, 'u' || ((vec_id + 1) % 20)::VARCHAR] AS user_read_access,
-    ['w' || (vec_id % 8)::VARCHAR, 'w' || ((vec_id + 2) % 8)::VARCHAR] AS workspace_read_access
+    ['w' || (vec_id % 8)::VARCHAR, 'w' || ((vec_id + 2) % 8)::VARCHAR] AS workspace_read_access,
+    ['r' || (vec_id % 4)::VARCHAR] AS role_read_access,
+    CASE WHEN vec_id % 10 = 7 THEN [] ELSE ['o' || (vec_id % 3)::VARCHAR] END AS organization_read_access,
+    CASE WHEN vec_id % 10 = 7 THEN [] ELSE ['ns' || (vec_id % 5)::VARCHAR] END AS namespace_read_access
   FROM embeddings
 )
 """

@@ -721,6 +721,385 @@ def set_ops(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------------
+# Flagship: the full /v1/memory/search read path (SURVEY §3.1) with DuckDB oracle
+# ---------------------------------------------------------------------------------
+
+@_register("search_flagship", f"""
+WITH {CHUNKS_CTE.strip()}, {MEMORIES_CTE.strip()},
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+filtered AS (
+  -- F1 ACL OR-block for user u5 (workspaces w1,w3; role r2; org o1; ns ns3)
+  SELECT c.* FROM chunks_d c
+  WHERE c.user_id = 'u5'
+     OR list_contains(c.user_read_access, 'u5')
+     OR len(list_intersect(c.workspace_read_access, ['w1','w3'])) > 0
+     OR len(list_intersect(c.role_read_access, ['r2'])) > 0
+     OR list_contains(c.organization_read_access, 'o1')
+     OR list_contains(c.namespace_read_access, 'ns3')
+), scored AS (
+  SELECT f.chunk_id,
+         list_dot_product(list_transform(f.embedding, x -> x::DOUBLE),
+                          list_transform(q.embedding, x -> x::DOUBLE))
+         / (SQRT(list_dot_product(list_transform(f.embedding, x -> x::DOUBLE),
+                                  list_transform(f.embedding, x -> x::DOUBLE)))
+          * SQRT(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+                                  list_transform(q.embedding, x -> x::DOUBLE)))) AS score
+  FROM filtered f CROSS JOIN q
+), topk AS (
+  SELECT * FROM scored WHERE score >= 0.0
+  ORDER BY score DESC, chunk_id ASC LIMIT 60   -- overfetch = top_k * 3 (R5)
+), mem_hits AS (
+  SELECT regexp_replace(chunk_id, '_[0-9]+$', '') AS memory_id, MAX(score) AS score
+  FROM topk GROUP BY 1
+)
+SELECT m.memory_id, ROUND(h.score, 6)::DOUBLE AS score, m.user_id
+FROM memories_d m JOIN mem_hits h ON m.memory_id = h.memory_id
+ORDER BY h.score DESC, m.memory_id ASC
+LIMIT 20
+""")
+def search_flagship(spark, sf_dir):
+    from .operators.predicate import AclContext
+    from .plans.search import search as search_plan
+
+    chunks = tables.build_chunks(tables.load(spark, sf_dir, "embeddings"))
+    memories = tables.build_memories(tables.load(spark, sf_dir, "documents"))
+    qvec = [float(x) for x in
+            chunks.filter(F.col("chunk_id") == "m0_0").select("embedding").first()[0]]
+    ctx = AclContext(user_id="u5", workspace_ids=["w1", "w3"], role_ids=["r2"],
+                     organization_id="o1", namespace_id="ns3")
+    out = search_plan(chunks, memories, qvec, ctx=ctx, top_k=20, score_threshold=0.0)
+    return out.select("memory_id", _r6(F.col("score")).alias("score"), "user_id")
+
+
+# ---------------------------------------------------------------------------------
+# V3 scroll fallback, V6 entity resolution, V8 property indexing, V10/V11
+# ---------------------------------------------------------------------------------
+
+@_register("v3_scroll_fallback", f"""
+WITH {CHUNKS_CTE.strip()}
+SELECT chunk_id, created_at FROM chunks_d
+WHERE label >= 5
+ORDER BY created_at DESC, chunk_id ASC
+LIMIT 10
+""")
+def v3_scroll(spark, sf_dir):
+    chunks = tables.build_chunks(tables.load(spark, sf_dir, "embeddings"))
+    out = similarity.scroll_fallback(chunks, 10, pred=F.col("label") >= 5)
+    return out.select("chunk_id", "created_at")
+
+
+@_register("v6_entity_resolution", f"""
+WITH pairs AS (
+  SELECT a.vec_id AS candidate_id, b.vec_id AS canonical_id,
+         list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
+                          list_transform(b.embedding, x -> x::DOUBLE))
+         / (SQRT(list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
+                                  list_transform(a.embedding, x -> x::DOUBLE)))
+          * SQRT(list_dot_product(list_transform(b.embedding, x -> x::DOUBLE),
+                                  list_transform(b.embedding, x -> x::DOUBLE)))) AS score
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND b.vec_id < a.vec_id
+), best AS (
+  SELECT candidate_id, canonical_id, score,
+         ROW_NUMBER() OVER (PARTITION BY candidate_id
+                            ORDER BY ROUND(score, 6) DESC, canonical_id ASC) AS rn
+  FROM pairs WHERE score >= 0.2
+)
+SELECT candidate_id, canonical_id, ROUND(score, 6)::DOUBLE AS score
+FROM best WHERE rn = 1
+""")
+def v6_resolution(spark, sf_dir):
+    """V6/V7 entity-resolution shape (memory/memory_graph.py:10816-11036): for
+    each candidate, the best same-tenant (here: same label) earlier entity with
+    cosine >= threshold -> reuse its id.  Embeddings are pre-normalized so
+    cosine == dot (models/embedding_model.py:722-736)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_join_blas(
+        emb, emb, 0.2, left_id="vec_id", right_id="vec_id", anti_reflexive=False,
+    )
+    lab = emb.select(F.col("vec_id").alias("left_id"), F.col("label").alias("l_lab"))
+    lab2 = emb.select(F.col("vec_id").alias("right_id"), F.col("label").alias("r_lab"))
+    same = (
+        pairs.join(lab, "left_id").join(lab2, "right_id")
+        .filter((F.col("l_lab") == F.col("r_lab")) & (F.col("right_id") < F.col("left_id")))
+    )
+    # rank on the ROUNDED score (both engines): raw doubles from BLAS vs a
+    # sequential dot differ in the last ulp, which would flip argmax ties
+    w = Window.partitionBy("left_id").orderBy(_r6(F.col("score")).desc(), F.col("right_id").asc())
+    return (
+        same.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("left_id").alias("candidate_id"),
+            F.col("right_id").alias("canonical_id"),
+            _r6(F.col("score")).alias("score"),
+        )
+    )
+
+
+@_register("v8_property_index", f"""
+WITH {NODES_CTE.strip()}
+SELECT label || '.' || prop AS property_key, value, node_id
+FROM (
+  SELECT node_id, label, 'name' AS prop, prop_name AS value FROM nodes_d
+  UNION ALL
+  SELECT node_id, label, 'status' AS prop, prop_status AS value FROM nodes_d
+)
+WHERE value IS NOT NULL AND NOT regexp_matches(value, '^[0-9a-f]{{8}}-[0-9a-f]{{4}}')
+""")
+def v8_propindex(spark, sf_dir):
+    """V8 property indexing (services/property_indexing_service.py:16-838):
+    emit one '{label}.{prop}' row per indexable string property, skipping
+    deterministic UUID-like values (:407)."""
+    t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "region", "supplier"]}
+    nodes = tables.build_nodes(t["customer"], t["nation"], t["region"], t["supplier"])
+    props = nodes.select(
+        "node_id", "label", F.lit("name").alias("prop"), F.col("prop_name").alias("value")
+    ).unionByName(
+        nodes.select("node_id", "label", F.lit("status").alias("prop"),
+                     F.col("prop_status").alias("value"))
+    )
+    return (
+        props.filter(F.col("value").isNotNull()
+                     & ~F.col("value").rlike("^[0-9a-f]{8}-[0-9a-f]{4}"))
+        .select(F.concat_ws(".", "label", "prop").alias("property_key"), "value", "node_id")
+    )
+
+
+@_register("v10_query_cache_dedupe", """
+SELECT substr(md5(text), 1, 24) AS text_hash, MIN(doc_id) AS first_doc, COUNT(*) AS n_queries
+FROM documents
+GROUP BY 1
+""")
+def v10_cache(spark, sf_dir):
+    """V10 embedding cache (memory/memory_graph.py:6228-6242): queries keyed by
+    sha-prefix hash; duplicates embed once.  (md5 here — same dedupe algebra.)"""
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.substring(F.md5("text"), 1, 24).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("first_doc"), F.count("*").alias("n_queries"))
+    )
+
+
+@_register("v11_int8_quantize", """
+SELECT vec_id,
+       list_transform(embedding,
+         x -> CAST(round(least(greatest(x::DOUBLE, -1.0), 1.0) * 127) AS TINYINT)) AS qvec
+FROM embeddings
+WHERE vec_id < 100
+""")
+def v11_quant(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return emb.select("vec_id", V.quantize_int8(V.to_double(F.col("embedding"))).alias("qvec"))
+
+
+# ---------------------------------------------------------------------------------
+# G3 / G6 / G8 lookups and merges
+# ---------------------------------------------------------------------------------
+
+@_register("g3_node_by_property", f"""
+WITH {NODES_CTE.strip()}
+SELECT node_id, label, prop_name FROM nodes_d
+WHERE label = 'Nation' AND prop_name = 'NATION_7'
+ORDER BY node_id LIMIT 1
+""")
+def g3(spark, sf_dir):
+    t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "region", "supplier"]}
+    nodes = tables.build_nodes(t["customer"], t["nation"], t["region"], t["supplier"])
+    out = graph.find_node_by_property(nodes, "Nation", "prop_name", "NATION_7")
+    return out.select("node_id", "label", "prop_name")
+
+
+@_register("g6_via_relationship", f"""
+WITH {NODES_CTE.strip()}, {EDGES_CTE.strip()}
+SELECT n.node_id, n.label, n.prop_name
+FROM nodes_d n
+WHERE n.label = 'Customer'
+  AND EXISTS (SELECT 1 FROM edges_d e
+              WHERE e.rel_type = 'BELONGS_TO' AND e.src = n.node_id AND e.dst = 'n5')
+ORDER BY n.node_id LIMIT 1
+""")
+def g6(spark, sf_dir):
+    t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "region", "supplier"]}
+    nodes = tables.build_nodes(t["customer"], t["nation"], t["region"], t["supplier"])
+    edges = tables.build_edges(t["customer"], t["nation"], t["supplier"])
+    out = graph.find_node_via_relationship(nodes, edges, "Customer", "BELONGS_TO", "n5", "out")
+    return out.select("node_id", "label", "prop_name")
+
+
+@_register("g8_merge_upsert", f"""
+WITH {NODES_CTE.strip()},
+incoming AS (
+  SELECT 'n' || n_nationkey::VARCHAR AS node_id, 'Nation' AS label,
+         lower(n_name) AS prop_name, 'merged' AS prop_status
+  FROM nation WHERE n_nationkey < 5
+), merged AS (
+  SELECT node_id, label, prop_name, prop_status FROM nodes_d
+  WHERE node_id NOT IN (SELECT node_id FROM incoming)
+  UNION ALL
+  SELECT node_id, label, prop_name, prop_status FROM incoming
+)
+SELECT prop_status, COUNT(*) AS n, MIN(node_id) AS min_id
+FROM merged GROUP BY prop_status
+""")
+def g8(spark, sf_dir):
+    t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "region", "supplier"]}
+    nodes = tables.build_nodes(t["customer"], t["nation"], t["region"], t["supplier"]).select(
+        "node_id", "label", "prop_name", "prop_status"
+    )
+    incoming = t["nation"].filter(F.col("n_nationkey") < 5).select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("node_id"),
+        F.lit("Nation").alias("label"),
+        F.lower(F.col("n_name")).alias("prop_name"),
+        F.lit("merged").alias("prop_status"),
+    )
+    merged = graph.merge_nodes(nodes, incoming, ["node_id"])
+    return merged.groupBy("prop_status").agg(
+        F.count("*").alias("n"), F.min("node_id").alias("min_id")
+    )
+
+
+# ---------------------------------------------------------------------------------
+# R2 stratified merge, R12 watermark delta, R14 trim, F2 array filters
+# ---------------------------------------------------------------------------------
+
+@_register("r2_stratified_merge", f"""
+WITH {CHUNKS_CTE.strip()},
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+vec_src AS (
+  SELECT c.memory_id AS id,
+         list_dot_product(list_transform(c.embedding, x -> x::DOUBLE),
+                          list_transform(q.embedding, x -> x::DOUBLE)) AS score
+  FROM chunks_d c CROSS JOIN q
+  ORDER BY score DESC, id ASC LIMIT 30
+), neo_src AS (
+  SELECT 'm' || vec_id::VARCHAR AS id, NULL::DOUBLE AS score
+  FROM embeddings WHERE label = 3
+  ORDER BY id LIMIT 10
+), ranked AS (
+  SELECT id, coalesce(score, 0.7) AS score, 'neo' AS source,
+         ROW_NUMBER() OVER (ORDER BY coalesce(score, 0.7) DESC, id ASC) AS src_rank
+  FROM neo_src
+  UNION ALL
+  SELECT id, score, 'vector', ROW_NUMBER() OVER (ORDER BY score DESC, id ASC)
+  FROM vec_src
+), within AS (SELECT * FROM ranked WHERE src_rank <= 10),
+leftovers AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY source ASC, src_rank ASC, id ASC) AS fill_rank
+  FROM ranked WHERE src_rank > 10
+), merged AS (
+  SELECT id, score, source FROM within
+  UNION ALL
+  SELECT id, score, source FROM leftovers
+  WHERE fill_rank <= 20 - (SELECT COUNT(*) FROM within)
+), dedup AS (
+  SELECT id, score, source,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, source ASC) AS rn
+  FROM merged
+)
+SELECT id, ROUND(score, 6)::DOUBLE AS score, source FROM dedup WHERE rn = 1
+""")
+def r2_merge(spark, sf_dir):
+    chunks = tables.build_chunks(tables.load(spark, sf_dir, "embeddings"))
+    emb = tables.load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    vec_src = (
+        similarity.score_against(chunks, qvec, assume_normalized=True)
+        .select(F.col("memory_id").alias("id"), "score")
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(30)
+    )
+    neo_src = (
+        emb.filter(F.col("label") == 3)
+        .select(F.concat(F.lit("m"), F.col("vec_id").cast("string")).alias("id"),
+                F.lit(None).cast("double").alias("score"))
+        .orderBy("id")
+        .limit(10)
+    )
+    out = ranking.stratified_merge({"vector": vec_src, "neo": neo_src}, top_k=20)
+    return out.select("id", _r6(F.col("score")).alias("score"), "source")
+
+
+@_register("r12_delta_since_watermark", f"""
+WITH {MEMORIES_CTE.strip()}
+SELECT memory_id, created_at FROM memories_d
+WHERE created_at > TIMESTAMP '2024-01-15 00:00:00'
+""")
+def r12(spark, sf_dir):
+    mems = tables.build_memories(tables.load(spark, sf_dir, "documents"))
+    return mems.filter(
+        F.col("created_at") > F.lit("2024-01-15 00:00:00").cast("timestamp")
+    ).select("memory_id", "created_at")
+
+
+@_register("r14_trim_content", f"""
+WITH {MEMORIES_CTE.strip()}
+SELECT memory_id, substr(content, 1, 600) AS content, length(substr(content, 1, 600)) AS trimmed_len
+FROM memories_d WHERE length(content) > 300
+""")
+def r14(spark, sf_dir):
+    mems = tables.build_memories(tables.load(spark, sf_dir, "documents"))
+    out = ranking.trim_content(mems.filter(F.length("content") > 300))
+    return out.select("memory_id", "content", F.length("content").alias("trimmed_len"))
+
+
+@_register("f2_array_metadata_filter", f"""
+WITH {MEMORIES_CTE.strip()}
+SELECT memory_id, topics FROM memories_d
+WHERE len(list_intersect(topics, ['de', 'fr'])) > 0 AND source_type = 'src1'
+""")
+def f2_arrays(spark, sf_dir):
+    mems = tables.build_memories(tables.load(spark, sf_dir, "documents"))
+    return mems.filter(
+        F.arrays_overlap("topics", F.array(F.lit("de"), F.lit("fr")))
+        & (F.col("source_type") == "src1")
+    ).select("memory_id", "topics")
+
+
+# ---------------------------------------------------------------------------------
+# R6 deterministic rerank (pluggable scorer stage with deterministic default)
+# ---------------------------------------------------------------------------------
+
+@_register("r6_rerank", f"""
+WITH {MEMORIES_CTE.strip()},
+base AS (
+  SELECT memory_id, (id_num % 13) / 13.0 AS orig_score, content
+  FROM memories_d WHERE id_num < 100
+), rr AS (
+  SELECT memory_id, orig_score,
+         (('0x' || substr(md5(content), 1, 6))::BIGINT % 1000) / 1000.0 AS rerank_score
+  FROM base
+)
+SELECT memory_id,
+       ROUND(0.5 * orig_score + 0.5 * rerank_score, 6)::DOUBLE AS final_score
+FROM rr
+ORDER BY final_score DESC, memory_id ASC
+LIMIT 20
+""")
+def r6_rerank(spark, sf_dir):
+    """R6/R7 rerank stage (memory/memory_graph.py:6939-7105) with the
+    deterministic default scorer of SURVEY §2.10: pseudo-score from a content
+    hash, fused 50/50 with the original score, re-sorted."""
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    base = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("memory_id"),
+        ((F.col("doc_id") % 13) / 13.0).alias("orig_score"),
+        F.col("text").alias("content"),
+    )
+    rerank = (F.conv(F.substring(F.md5("content"), 1, 6), 16, 10).cast("bigint") % 1000) / 1000.0
+    return (
+        base.withColumn("rerank_score", rerank)
+        .select(
+            "memory_id",
+            _r6(0.5 * F.col("orig_score") + 0.5 * F.col("rerank_score")).alias("final_score"),
+        )
+        .orderBy(F.col("final_score").desc(), F.col("memory_id").asc())
+        .limit(20)
+    )
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 

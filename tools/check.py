@@ -26,7 +26,11 @@ def normalize(df):
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+            import numpy as np
+
+            df[c] = df[c].apply(
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
+            )
         if str(df[c].dtype).startswith("float"):
             df[c] = df[c].round(6)
         if "datetime" in str(df[c].dtype):
