@@ -15,6 +15,8 @@ memories_d AS (
     [lang, source] AS topics,
     lang,
     source AS source_type,
+    ['explicit','implicit','terms','none'][doc_id % 4 + 1] AS consent,
+    ['none','sensitive','flagged'][doc_id % 3 + 1] AS risk,
     TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 HOUR AS created_at,
     (doc_id % 17)::DOUBLE AS cache_hit_total,
     (doc_id % 11) / 3.0 AS cache_hit_ema_30d,

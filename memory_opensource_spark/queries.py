@@ -1100,6 +1100,284 @@ def r6_rerank(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------------
+# SimHash with a programmatically-generated oracle (bit arithmetic in SQL)
+# ---------------------------------------------------------------------------------
+
+def _simhash_oracle(bits: int = 32) -> str:
+    terms = []
+    for b in range(bits):
+        hp, sh = b // 4 + 1, 3 - (b % 4)
+        vote = (
+            f"list_sum(list_transform(tk, t -> CASE WHEN "
+            f"((strpos('0123456789abcdef', substr(md5(t), {hp}, 1)) - 1) >> {sh}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"CASE WHEN {vote} > 0 THEN (1::BIGINT << {b}) ELSE 0 END")
+    expr = " + ".join(terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id AS id, ({expr})::BIGINT AS simhash FROM toks
+"""
+
+
+@_register("dedup_simhash", _simhash_oracle(32))
+def dedup_simhash_q(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.simhash_fingerprints(docs, bits=32)
+
+
+# ---------------------------------------------------------------------------------
+# ANN: IVF-bucketed top-k with full-fidelity oracle (assignment + probe + rank)
+# ---------------------------------------------------------------------------------
+
+@_register("ann_ivf_topk", """
+WITH cents AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cemb
+  FROM embeddings WHERE vec_id < 8
+), assign AS (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(list_transform(e.embedding, x -> x::DOUBLE), c.cemb) DESC,
+                    c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+), bucketed AS (
+  SELECT vec_id, cid AS bucket FROM assign WHERE rn = 1
+), q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qemb FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM cents CROSS JOIN q
+  ORDER BY list_dot_product(cemb, qemb) DESC, cid ASC LIMIT 2
+), cand AS (
+  SELECT e.vec_id,
+         list_dot_product(list_transform(e.embedding, x -> x::DOUBLE), q.qemb)
+         / (SQRT(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                                  list_transform(e.embedding, x -> x::DOUBLE)))
+          * SQRT(list_dot_product(q.qemb, q.qemb))) AS score
+  FROM embeddings e
+  JOIN bucketed b ON b.vec_id = e.vec_id AND b.bucket IN (SELECT cid FROM probe)
+  CROSS JOIN q
+)
+SELECT vec_id, ROUND(score, 6)::DOUBLE AS score FROM cand
+ORDER BY score DESC, vec_id ASC LIMIT 10
+""")
+def ann_ivf(spark, sf_dir):
+    """IVF ANN (SURVEY §4 scale path for V2): coarse-quantize to 8 centroids,
+    probe the 2 nearest the query.  With the table partitioned by ivf_bucket the
+    probe becomes partition pruning: the scan reads nprobe/C of 100 TB."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    out = similarity.ivf_topk_search(emb, qvec, 10, cents, nprobe=2,
+                                     vec_col="embedding", id_col="vec_id")
+    return out.select("vec_id", _r6(F.col("score")).alias("score"))
+
+
+# ---------------------------------------------------------------------------------
+# S1 fetch-by-ids, S12 cascade delete, F7 OMO safety, G12 related edges,
+# R15 source annotation, R16 weighted EMA, ST8 sliding windows
+# ---------------------------------------------------------------------------------
+
+@_register("s1_fetch_by_ids", f"""
+WITH {MEMORIES_CTE.strip()}
+SELECT memory_id, content FROM memories_d
+WHERE memory_id IN ('m3', 'm7', 'm11', 'm404', 'm999999')
+""")
+def s1_fetch(spark, sf_dir):
+    mems = tables.build_memories(tables.load(spark, sf_dir, "documents"))
+    return mems.filter(
+        F.col("memory_id").isin("m3", "m7", "m11", "m404", "m999999")
+    ).select("memory_id", "content")
+
+
+@_register("s12_cascade_delete", f"""
+WITH {MEMORIES_CTE.strip()}, {CHUNKS_CTE.strip()},
+doomed AS (SELECT memory_id FROM memories_d WHERE user_id = 'u7')
+SELECT 'memories' AS tbl, COUNT(*) AS remaining FROM memories_d
+WHERE memory_id NOT IN (SELECT memory_id FROM doomed)
+UNION ALL
+SELECT 'chunks', COUNT(*) FROM chunks_d
+WHERE memory_id NOT IN (SELECT memory_id FROM doomed)
+""")
+def s12_cascade(spark, sf_dir):
+    """S12 cascade delete (memory/memory_graph.py:9200-9459) in batch form:
+    anti-join every table against the doomed-id set in one job."""
+    mems = tables.build_memories(tables.load(spark, sf_dir, "documents"))
+    chunks = tables.build_chunks(tables.load(spark, sf_dir, "embeddings"))
+    doomed = mems.filter(F.col("user_id") == "u7").select("memory_id")
+    mem_left = mems.join(doomed, "memory_id", "left_anti")
+    chk_left = chunks.join(doomed, "memory_id", "left_anti")
+    return mem_left.agg(F.count("*").alias("remaining")).select(
+        F.lit("memories").alias("tbl"), "remaining"
+    ).unionByName(
+        chk_left.agg(F.count("*").alias("remaining")).select(F.lit("chunks").alias("tbl"), "remaining")
+    )
+
+
+@_register("f7_omo_safety", f"""
+WITH {MEMORIES_CTE.strip()}
+SELECT memory_id, consent, risk FROM memories_d
+WHERE consent IN ('explicit', 'implicit') AND risk <> 'flagged'
+""")
+def f7_omo(spark, sf_dir):
+    """F7 OMO safety filter (services/omo_safety.py; enums
+    models/shared_types.py:974-994): consent whitelist AND risk blacklist."""
+    mems = tables.build_memories(tables.load(spark, sf_dir, "documents"))
+    return mems.filter(
+        F.col("consent").isin("explicit", "implicit") & (F.col("risk") != "flagged")
+    ).select("memory_id", "consent", "risk")
+
+
+@_register("g12_related_to_edges", """
+WITH pairs AS (
+  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+         list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
+                          list_transform(b.embedding, x -> x::DOUBLE))
+         / (SQRT(list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
+                                  list_transform(a.embedding, x -> x::DOUBLE)))
+          * SQRT(list_dot_product(list_transform(b.embedding, x -> x::DOUBLE),
+                                  list_transform(b.embedding, x -> x::DOUBLE)))) AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 50
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id
+                               ORDER BY ROUND(score, 6) DESC, right_id ASC) AS rn
+  FROM pairs
+)
+SELECT 'm' || left_id::VARCHAR AS src, 'm' || right_id::VARCHAR AS dst,
+       'RELATED_TO' AS rel_type, ROUND(score, 6)::DOUBLE AS similarity_score
+FROM ranked WHERE rn <= 3
+""")
+def g12_related(spark, sf_dir):
+    """G12 (memory/memory_graph.py:4414-4440): RELATED_TO edges to each memory's
+    top-3 most-similar, similarity kept as edge metadata."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 50)
+    sims = similarity.knn_join_blas(left, emb, 60, left_id="vec_id", right_id="vec_id")
+    # re-rank on the rounded score for cross-engine tie stability
+    w = Window.partitionBy("left_id").orderBy(_r6(F.col("score")).desc(), F.col("right_id").asc())
+    top = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return top.select(
+        F.concat(F.lit("m"), F.col("left_id").cast("string")).alias("src"),
+        F.concat(F.lit("m"), F.col("right_id").cast("string")).alias("dst"),
+        F.lit("RELATED_TO").alias("rel_type"),
+        _r6(F.col("score")).alias("similarity_score"),
+    )
+
+
+@_register("r15_source_annotation", f"""
+WITH {CHUNKS_CTE.strip()},
+ids AS (SELECT 'm' || vec_id::VARCHAR AS id FROM embeddings WHERE vec_id < 50)
+SELECT i.id,
+       EXISTS (SELECT 1 FROM chunks_d c WHERE c.memory_id = i.id) AS in_qdrant,
+       EXISTS (SELECT 1 FROM chunks_d c WHERE c.memory_id = i.id AND c.label = 3) AS in_qdrant_grouped,
+       EXISTS (SELECT 1 FROM chunks_d c WHERE c.memory_id = i.id AND c.label >= 7) AS in_neo
+FROM ids i
+""")
+def r15_annotation(spark, sf_dir):
+    chunks = tables.build_chunks(tables.load(spark, sf_dir, "embeddings"))
+    ids = (
+        tables.load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 50)
+        .select(F.concat(F.lit("m"), F.col("vec_id").cast("string")).alias("id"))
+    )
+    presence = {
+        "qdrant": chunks.select(F.col("memory_id").alias("id")),
+        "qdrant_grouped": chunks.filter(F.col("label") == 3).select(F.col("memory_id").alias("id")),
+        "neo": chunks.filter(F.col("label") >= 7).select(F.col("memory_id").alias("id")),
+    }
+    return ranking.source_annotation(ids, presence)
+
+
+@_register("r16_weighted_ema", """
+WITH {EVENTS}, ref AS (SELECT MAX(ts) AS ref_ts FROM events_us)
+SELECT user_id,
+       ROUND(SUM((value / 100.0) * POW(0.5, (floor(epoch(ref_ts)) - floor(epoch(ts))) / 86400.0 / 30.0)), 6)::DOUBLE AS ema_weighted,
+       COUNT(*) AS hit_total
+FROM events_us CROSS JOIN ref
+GROUP BY user_id
+""")
+def r16_weighted(spark, sf_dir):
+    """R16 feedback counters (services/memory_management.py:3369-3405): the
+    confidence-weighted EMA twin — same decay algebra, per-event weights."""
+    ev = tables.load(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("ref_ts"))
+    joined = ev.crossJoin(F.broadcast(ref))
+    return joined.groupBy("user_id").agg(
+        _r6(
+            F.sum(D.decayed_hit_sum(F.col("ts"), F.col("ref_ts"), F.col("value") / 100.0))
+        ).alias("ema_weighted"),
+        F.count("*").alias("hit_total"),
+    )
+
+
+@_register("st8_sliding_window", """
+WITH {EVENTS}
+SELECT to_timestamp(((floor(epoch(ts))::BIGINT - off * 300) // 600) * 600 + off * 300)::TIMESTAMP AS window_start,
+       COUNT(*) AS event_count,
+       ROUND(SUM(value), 6)::DOUBLE AS value_sum
+FROM events_us CROSS JOIN (SELECT UNNEST([0, 1]) AS off)
+GROUP BY 1
+""")
+def st8_sliding(spark, sf_dir):
+    """Sliding windows (width 10 min, slide 5 min) in batch-analog form: each
+    event lands in 2 buckets via an offset explode — same arithmetic as the
+    streaming window(ts, '10 minutes', '5 minutes')."""
+    ev = tables.load(spark, sf_dir, "events")
+    off = F.explode(F.array(F.lit(0), F.lit(1))).alias("off")
+    exploded = ev.select("ts", "value", off)
+    epoch = F.unix_timestamp("ts")
+    ws = ((epoch - F.col("off") * 300) / 600).cast("bigint") * 600 + F.col("off") * 300
+    return (
+        exploded.withColumn("window_start", F.to_timestamp(F.from_unixtime(ws)))
+        .groupBy("window_start")
+        .agg(F.count("*").alias("event_count"), _r6(F.sum("value")).alias("value_sum"))
+    )
+
+
+# ---------------------------------------------------------------------------------
+# Rows-only entries (no SQL oracle: Python-hash embedder / binary media payloads)
+# ---------------------------------------------------------------------------------
+
+@_register("v1_chunk_embed")
+def v1_chunk_embed(spark, sf_dir):
+    """V1 chunk+embed (models/embedding_model.py:693-1088) — deterministic
+    hash-ngram embedder; crc32 isn't available in DuckDB so this is a rows-only
+    check (unit-tested in tests/test_plans.py instead)."""
+    from .plans import ingest
+
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    mems = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("memory_id"),
+        F.col("text").alias("content"),
+    )
+    chunked = ingest.chunk_text(mems, chunk_tokens=64)
+    embedded = ingest.hash_embed(chunked, dim=32)
+    return embedded.select("memory_id", "chunk_id", "chunk_index", "total_chunks",
+                           F.size("embedding").alias("dim"))
+
+
+@_register("mm_feature_search")
+def mm_search(spark, sf_dir):
+    """Multimodal feature search (north-star op): decode-stub -> cosine top-k.
+    Binary payloads are not portable to the SQL oracle -> rows-only check
+    (full behavior tested in tests/test_multimodal.py)."""
+    from .sources import multimodal
+
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = multimodal.build_media_table(docs)
+    feats = multimodal.decode_features(media)
+    q = feats.filter((F.col("media_id") == "media0") & (F.col("frame_index") == 0)).first()
+    out = multimodal.media_feature_search(media, [float(x) for x in q.feature], 10)
+    return out.select("feat_id", _r6(F.col("score")).alias("score"))
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 

@@ -85,6 +85,15 @@ def build_memories(documents: DataFrame) -> DataFrame:
         F.array(F.col("lang"), F.col("source")).alias("topics"),
         F.col("lang"),
         F.col("source").alias("source_type"),
+        # OMO safety enums (models/shared_types.py:974-994)
+        F.element_at(
+            F.array(F.lit("explicit"), F.lit("implicit"), F.lit("terms"), F.lit("none")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("consent"),
+        F.element_at(
+            F.array(F.lit("none"), F.lit("sensitive"), F.lit("flagged")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("risk"),
         (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
          + F.make_interval(hours=F.col("doc_id").cast("int"))).alias("created_at"),
         # counters: deterministic arithmetic so ranking formulas are testable
