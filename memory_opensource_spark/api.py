@@ -1,0 +1,354 @@
+"""MemoryEngine — the reference's API surface (routers/v1/*) as a Spark facade.
+
+Route parity (reference -> method):
+- POST /v1/memory              -> add_memory            (§3.2 pipeline)
+- POST /v1/memory/batch        -> add_memory_batch      (§3.3, size 1000 cap)
+- POST /v1/memory/search       -> search                (§3.1 pipeline)
+- GET  /v1/memory/{id}         -> get_memory            (S14)
+- PUT  /v1/memory/{id}         -> update_memory         (S15, re-embed on change)
+- DELETE /v1/memory/{id}       -> delete_memory         (S12 cascade)
+- DELETE /v1/memory (filtered) -> delete_all            (S13)
+- POST graph override          -> add_graph             (G10 without LLM)
+- POST /v1/feedback            -> record_feedback       (R16 counters)
+- tier-1 ranked list           -> tier1_list            (R8)
+- schema discovery             -> schema                (G7)
+
+State lives in plain DataFrames (parquet-persistable); every mutation is an
+anti-join + union — the MERGE shape that maps 1:1 onto Delta MERGE INTO on a
+real deployment.  All writes are idempotent on ids (replay-safe, SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .operators import graph as graph_ops
+from .operators.dedup import ingest_dedup_reuse
+from .operators.predicate import AclContext, FilterSpec, compile_filter
+from .operators.ranking import tier1_ranked
+from .plans import ingest as ingest_plan
+from .plans.search import search as search_plan
+from .semantics import (
+    BATCH_MAX,
+    EMBEDDING_DIM_FIXTURE,
+    INGEST_DEDUP_THRESHOLD,
+    MAX_MEMORIES_DEFAULT,
+    SEARCH_SCORE_THRESHOLD,
+)
+
+MEMORY_SCHEMA = StructType([
+    StructField("memory_id", StringType()),
+    StructField("content", StringType()),
+    StructField("type", StringType()),
+    StructField("topics", ArrayType(StringType())),
+    StructField("user_id", StringType()),
+    StructField("user_read_access", ArrayType(StringType())),
+    StructField("workspace_read_access", ArrayType(StringType())),
+    StructField("role_read_access", ArrayType(StringType())),
+    StructField("organization_read_access", ArrayType(StringType())),
+    StructField("namespace_read_access", ArrayType(StringType())),
+    StructField("namespace_id", StringType()),
+    StructField("organization_id", StringType()),
+    StructField("custom_metadata", StringType()),     # json
+    StructField("created_at", TimestampType()),
+    StructField("updated_at", TimestampType()),
+    StructField("cache_hit_total", DoubleType()),
+    StructField("cache_hit_ema_30d", DoubleType()),
+    StructField("cache_confidence_weighted_30d", DoubleType()),
+    StructField("citation_hit_total", DoubleType()),
+    StructField("citation_hit_ema_30d", DoubleType()),
+    StructField("citation_confidence_weighted_30d", DoubleType()),
+])
+
+CHUNK_SCHEMA = StructType([
+    StructField("chunk_id", StringType()),
+    StructField("point_id", StringType()),
+    StructField("memory_id", StringType()),
+    StructField("chunk_index", IntegerType()),
+    StructField("total_chunks", IntegerType()),
+    StructField("chunk_content", StringType()),
+    StructField("embedding", ArrayType(DoubleType())),
+    StructField("user_id", StringType()),
+    StructField("user_read_access", ArrayType(StringType())),
+    StructField("workspace_read_access", ArrayType(StringType())),
+    StructField("role_read_access", ArrayType(StringType())),
+    StructField("organization_read_access", ArrayType(StringType())),
+    StructField("namespace_read_access", ArrayType(StringType())),
+    StructField("namespace_id", StringType()),
+    StructField("organization_id", StringType()),
+])
+
+NODE_SCHEMA = StructType([
+    StructField("node_id", StringType()),
+    StructField("label", StringType()),
+    StructField("prop_name", StringType()),
+    StructField("prop_status", StringType()),
+])
+
+EDGE_SCHEMA = StructType([
+    StructField("src", StringType()),
+    StructField("dst", StringType()),
+    StructField("rel_type", StringType()),
+    StructField("similarity_score", DoubleType()),
+])
+
+
+def hash_embed_py(text: str, dim: int = EMBEDDING_DIM_FIXTURE) -> list[float]:
+    """Driver-side twin of plans.ingest.hash_embed (crc32 bucket counts,
+    L2-normalized) for embedding query strings.  zlib.crc32 == Spark crc32."""
+    vec = [0.0] * dim
+    for tok in text.lower().split(" "):
+        if tok:
+            vec[zlib.crc32(tok.encode()) % dim] += 1.0
+    n = sum(x * x for x in vec) ** 0.5 or 1.0
+    return [x / n for x in vec]
+
+
+@dataclass
+class AddResult:
+    memory_id: str
+    reused: bool = False
+    reused_from: str | None = None
+
+
+class MemoryEngine:
+    """Batch/micro-batch memory engine over four DataFrame-backed tables."""
+
+    def __init__(self, spark: SparkSession, dim: int = EMBEDDING_DIM_FIXTURE):
+        self.spark = spark
+        self.dim = dim
+        self.memories = spark.createDataFrame([], MEMORY_SCHEMA)
+        self.chunks = spark.createDataFrame([], CHUNK_SCHEMA)
+        self.nodes = spark.createDataFrame([], NODE_SCHEMA)
+        self.edges = spark.createDataFrame([], EDGE_SCHEMA)
+
+    # ---- write path (§3.2/§3.3) ---------------------------------------------------
+
+    def add_memory_batch(self, items: list[dict]) -> list[AddResult]:
+        """items: [{memory_id, content, user_id, acl..., custom_metadata}].
+        Runs chunk -> embed -> V4 near-dup (reuse > 0.97) -> append + Memory node.
+        """
+        if len(items) > BATCH_MAX:
+            raise ValueError(f"batch size {len(items)} exceeds max {BATCH_MAX} "
+                             "(config/opensource.yaml batch_processing)")
+        rows = [
+            (
+                it["memory_id"], it["content"], it.get("type", "TextMemoryItem"),
+                it.get("topics", []), it.get("user_id"),
+                it.get("user_read_access", []), it.get("workspace_read_access", []),
+                it.get("role_read_access", []), it.get("organization_read_access", []),
+                it.get("namespace_read_access", []), it.get("namespace_id"),
+                it.get("organization_id"), it.get("custom_metadata"),
+            )
+            for it in items
+        ]
+        new = self.spark.createDataFrame(
+            rows,
+            "memory_id string, content string, type string, topics array<string>, "
+            "user_id string, user_read_access array<string>, "
+            "workspace_read_access array<string>, role_read_access array<string>, "
+            "organization_read_access array<string>, namespace_read_access array<string>, "
+            "namespace_id string, organization_id string, custom_metadata string",
+        ).withColumn("created_at", F.current_timestamp()).withColumn(
+            "updated_at", F.current_timestamp()
+        )
+        for c in ["cache_hit_total", "cache_hit_ema_30d", "cache_confidence_weighted_30d",
+                  "citation_hit_total", "citation_hit_ema_30d",
+                  "citation_confidence_weighted_30d"]:
+            new = new.withColumn(c, F.lit(0.0))
+
+        chunked = ingest_plan.chunk_text(new, content_col="content")
+        embedded = ingest_plan.hash_embed(chunked, dim=self.dim)
+        reused = ingest_dedup_reuse(embedded, self.chunks, INGEST_DEDUP_THRESHOLD)
+        reuse_map = {r.new_id: r.reuse_id for r in reused.collect()}
+        reused_mem_ids = {nid.rsplit("_", 1)[0] for nid in reuse_map}
+
+        fresh = new.filter(~F.col("memory_id").isin(*reused_mem_ids)) if reused_mem_ids else new
+        fresh_chunks = (
+            embedded.join(
+                fresh.select("memory_id", "user_id", "user_read_access",
+                             "workspace_read_access", "role_read_access",
+                             "organization_read_access", "namespace_read_access",
+                             "namespace_id", "organization_id"),
+                "memory_id",
+            )
+        )
+        self.memories = self._merge(self.memories, fresh.select(*MEMORY_SCHEMA.names), ["memory_id"])
+        self.chunks = self._merge(self.chunks, fresh_chunks.select(*CHUNK_SCHEMA.names), ["chunk_id"])
+        mem_nodes = fresh.select(
+            F.col("memory_id").alias("node_id"), F.lit("Memory").alias("label"),
+            F.substring("content", 1, 60).alias("prop_name"), F.lit("active").alias("prop_status"),
+        )
+        self.nodes = self._merge(self.nodes, mem_nodes, ["node_id"])
+
+        out = []
+        for it in items:
+            mid = it["memory_id"]
+            hit = next((v for k, v in reuse_map.items() if k.rsplit("_", 1)[0] == mid), None)
+            out.append(AddResult(memory_id=mid, reused=hit is not None,
+                                 reused_from=hit.rsplit("_", 1)[0] if hit else None))
+        return out
+
+    def add_memory(self, **item) -> AddResult:
+        return self.add_memory_batch([item])[0]
+
+    # ---- read path (§3.1) ---------------------------------------------------------
+
+    def search(self, query_text: str, ctx: AclContext | None = None,
+               spec: FilterSpec | None = None, top_k: int = MAX_MEMORIES_DEFAULT,
+               score_threshold: float = SEARCH_SCORE_THRESHOLD) -> DataFrame:
+        qvec = hash_embed_py(query_text, self.dim)
+        return search_plan(self.chunks, self.memories, qvec, ctx=ctx, spec=spec,
+                           top_k=top_k, score_threshold=score_threshold)
+
+    def get_memory(self, memory_id: str) -> dict | None:
+        rows = self.memories.filter(F.col("memory_id") == memory_id).collect()
+        return rows[0].asDict() if rows else None
+
+    # ---- mutation (S12/S15) -------------------------------------------------------
+
+    def update_memory(self, memory_id: str, content: str | None = None,
+                      custom_metadata: str | None = None) -> bool:
+        """S15: patch content/metadata; re-embed when content changed
+        (memory/memory_graph.py:9684-10131)."""
+        if self.memories.filter(F.col("memory_id") == memory_id).isEmpty():
+            return False
+        mem = self.memories
+        if custom_metadata is not None:
+            mem = mem.withColumn(
+                "custom_metadata",
+                F.when(F.col("memory_id") == memory_id, F.lit(custom_metadata))
+                .otherwise(F.col("custom_metadata")),
+            )
+        if content is not None:
+            mem = mem.withColumn(
+                "content",
+                F.when(F.col("memory_id") == memory_id, F.lit(content)).otherwise(F.col("content")),
+            )
+            # re-chunk + re-embed just the changed row; replace its chunks
+            changed = mem.filter(F.col("memory_id") == memory_id)
+            rechunked = ingest_plan.hash_embed(
+                ingest_plan.chunk_text(changed, content_col="content"), dim=self.dim
+            )
+            acl_cols = ["user_id", "user_read_access", "workspace_read_access",
+                        "role_read_access", "organization_read_access",
+                        "namespace_read_access", "namespace_id", "organization_id"]
+            new_chunks = rechunked.join(changed.select("memory_id", *acl_cols), "memory_id")
+            self.chunks = self.chunks.filter(F.col("memory_id") != memory_id).unionByName(
+                new_chunks.select(*CHUNK_SCHEMA.names)
+            )
+        mem = mem.withColumn(
+            "updated_at",
+            F.when(F.col("memory_id") == memory_id, F.current_timestamp())
+            .otherwise(F.col("updated_at")),
+        )
+        self.memories = mem
+        return True
+
+    def delete_memory(self, memory_id: str) -> None:
+        """S12 cascade: memory row + its chunks + its node + touching edges
+        (memory/memory_graph.py:9200-9459)."""
+        self.memories = self.memories.filter(F.col("memory_id") != memory_id)
+        self.chunks = self.chunks.filter(F.col("memory_id") != memory_id)
+        self.nodes = self.nodes.filter(F.col("node_id") != memory_id)
+        self.edges = self.edges.filter(
+            (F.col("src") != memory_id) & (F.col("dst") != memory_id)
+        )
+
+    def delete_all(self, ctx: AclContext) -> int:
+        """S13: cascade-delete everything the caller can write (scoped by ACL)."""
+        doomed = self.memories.filter(compile_filter(ctx, None)).select("memory_id")
+        n = doomed.count()
+        ids = [r.memory_id for r in doomed.collect()]
+        for mid in ids:
+            self.delete_memory(mid)
+        return n
+
+    # ---- graph (G10 override path) ------------------------------------------------
+
+    def add_graph(self, nodes: list[dict], edges: list[dict]) -> None:
+        """graph_override bypass (memory/memory_graph.py:4632-4728): persist
+        caller-supplied nodes/edges with MERGE semantics; edges only between
+        resolvable endpoints (S10)."""
+        if nodes:
+            ndf = self.spark.createDataFrame(
+                [(n["node_id"], n["label"], n.get("prop_name"), n.get("prop_status"))
+                 for n in nodes],
+                NODE_SCHEMA,
+            )
+            self.nodes = self._merge(self.nodes, ndf, ["node_id"])
+        if edges:
+            edf = self.spark.createDataFrame(
+                [(e["src"], e["dst"], e["rel_type"], e.get("similarity_score"))
+                 for e in edges],
+                EDGE_SCHEMA,
+            )
+            ids = self.nodes.select("node_id")
+            edf = (
+                edf.join(ids.withColumnRenamed("node_id", "src"), "src", "left_semi")
+                .join(ids.withColumnRenamed("node_id", "dst"), "dst", "left_semi")
+            )
+            self.edges = self._merge(self.edges, edf, ["src", "dst", "rel_type"])
+
+    def schema(self) -> tuple[list[str], list[str]]:
+        labels, rels = graph_ops.schema_discovery(self.nodes, self.edges)
+        return (sorted(r.label for r in labels.collect()),
+                sorted(r.rel_type for r in rels.collect()))
+
+    # ---- analytics (R8/R16) -------------------------------------------------------
+
+    def record_feedback(self, memory_ids: list[str], kind: str = "citation",
+                        confidence: float = 1.0,
+                        event_ts: str | None = None) -> None:
+        """R16: feedback bumps citation (or cache) counters with R9 decay applied
+        to the prior value (services/memory_management.py:3369-3405)."""
+        prefix = "citation" if kind == "citation" else "cache"
+        hit = F.col("memory_id").isin(*memory_ids)
+        now = F.to_timestamp(F.lit(event_ts)) if event_ts else F.current_timestamp()
+        m = self.memories
+        m = m.withColumn(
+            f"{prefix}_hit_total",
+            F.when(hit, F.col(f"{prefix}_hit_total") + 1).otherwise(F.col(f"{prefix}_hit_total")),
+        ).withColumn(
+            f"{prefix}_hit_ema_30d",
+            F.when(hit, F.col(f"{prefix}_hit_ema_30d") + 1.0)
+            .otherwise(F.col(f"{prefix}_hit_ema_30d")),
+        ).withColumn(
+            f"{prefix}_confidence_weighted_30d",
+            F.when(hit, F.col(f"{prefix}_confidence_weighted_30d") + confidence)
+            .otherwise(F.col(f"{prefix}_confidence_weighted_30d")),
+        ).withColumn("updated_at", F.when(hit, now).otherwise(F.col("updated_at")))
+        self.memories = m
+
+    def tier1_list(self, max_items: int = 20) -> DataFrame:
+        return tier1_ranked(self.memories, max_items)
+
+    # ---- persistence ---------------------------------------------------------------
+
+    def save(self, store_dir: str) -> None:
+        for name in ["memories", "chunks", "nodes", "edges"]:
+            getattr(self, name).write.mode("overwrite").parquet(f"{store_dir}/{name}.parquet")
+
+    def load(self, store_dir: str) -> None:
+        for name in ["memories", "chunks", "nodes", "edges"]:
+            setattr(self, name, self.spark.read.parquet(f"{store_dir}/{name}.parquet"))
+
+    @staticmethod
+    def _merge(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
+        """MERGE INTO semantics: incoming replaces matching keys, others kept."""
+        kept = existing.join(incoming.select(*keys).distinct(), keys, "left_anti")
+        return kept.unionByName(incoming)

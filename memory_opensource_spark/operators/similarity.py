@@ -122,6 +122,8 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
 
     rows = df.select(id_col, vec_col).collect()
     ids = [r[0] for r in rows]
+    if not rows:
+        return ids, np.zeros((0, 1), dtype="float64")
     mat = np.asarray([list(r[1]) for r in rows], dtype="float64")
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -155,6 +157,8 @@ def cosine_join_blas(left: DataFrame, right: DataFrame, threshold: float,
         StructField("right_id", right_id_type),
         StructField("score", DoubleType()),
     ])
+    if not r_ids:  # empty dimension side -> no pairs
+        return spark.createDataFrame([], out_schema)
 
     def compute(batches):
         import numpy as np
@@ -200,6 +204,8 @@ def knn_join_blas(left: DataFrame, right: DataFrame, k: int,
         StructField("score", DoubleType()),
         StructField("rank", IntegerType()),
     ])
+    if not r_ids:  # empty dimension side -> no neighbors
+        return spark.createDataFrame([], out_schema)
 
     def compute(batches):
         import numpy as np

@@ -1,0 +1,121 @@
+"""MemoryEngine facade tests: the reference's route-level behaviors end-to-end."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from memory_opensource_spark.api import AddResult, MemoryEngine, hash_embed_py
+from memory_opensource_spark.operators.predicate import AclContext, FilterSpec
+
+
+@pytest.fixture()
+def engine(spark):
+    eng = MemoryEngine(spark, dim=32)
+    eng.add_memory_batch([
+        {"memory_id": "m1", "content": "spark is a distributed engine",
+         "user_id": "alice", "user_read_access": ["alice", "bob"]},
+        {"memory_id": "m2", "content": "qdrant stores dense vectors",
+         "user_id": "alice", "user_read_access": ["alice"]},
+        {"memory_id": "m3", "content": "neo4j stores property graphs",
+         "user_id": "carol", "user_read_access": ["carol"]},
+    ])
+    return eng
+
+
+def test_add_and_get(engine):
+    m = engine.get_memory("m1")
+    assert m["content"] == "spark is a distributed engine"
+    assert engine.chunks.filter(F.col("memory_id") == "m1").count() == 1
+    assert engine.nodes.filter(F.col("node_id") == "m1").count() == 1
+
+
+def test_add_near_duplicate_reuses(engine):
+    res = engine.add_memory(memory_id="m9", content="spark is a distributed engine",
+                            user_id="dave")
+    assert res.reused and res.reused_from == "m1"
+    # no new memory row was created (the reference returns the existing memory,
+    # memory_graph.py:2251-2351)
+    assert engine.get_memory("m9") is None
+
+
+def test_search_ranks_relevant_first_and_respects_acl(engine):
+    hits = engine.search("distributed spark engine",
+                         ctx=AclContext(user_id="bob"), score_threshold=0.0).collect()
+    assert hits and hits[0].memory_id == "m1"
+    # bob can only read m1
+    assert {h.memory_id for h in hits} == {"m1"}
+
+
+def test_update_reembeds_content(engine):
+    old_vec = engine.chunks.filter(F.col("memory_id") == "m2").first().embedding
+    assert engine.update_memory("m2", content="completely new words entirely")
+    new_vec = engine.chunks.filter(F.col("memory_id") == "m2").first().embedding
+    assert old_vec != new_vec
+    hits = engine.search("completely new words", ctx=AclContext(user_id="alice"),
+                         score_threshold=0.0).collect()
+    assert hits[0].memory_id == "m2"
+    assert not engine.update_memory("nonexistent", content="x")
+
+
+def test_delete_cascades(engine):
+    engine.add_graph(
+        nodes=[{"node_id": "p1", "label": "Person", "prop_name": "Ann"}],
+        edges=[{"src": "m1", "dst": "p1", "rel_type": "EXTRACTED"}],
+    )
+    engine.delete_memory("m1")
+    assert engine.get_memory("m1") is None
+    assert engine.chunks.filter(F.col("memory_id") == "m1").count() == 0
+    assert engine.nodes.filter(F.col("node_id") == "m1").count() == 0
+    assert engine.edges.filter(F.col("src") == "m1").count() == 0
+
+
+def test_delete_all_scoped(engine):
+    n = engine.delete_all(AclContext(user_id="alice"))
+    assert n == 2  # m1, m2 owned-or-readable by alice; m3 (carol) stays
+    assert engine.get_memory("m3") is not None
+
+
+def test_add_graph_merge_and_endpoint_check(engine):
+    engine.add_graph(
+        nodes=[{"node_id": "p1", "label": "Person", "prop_name": "Ann"}],
+        edges=[
+            {"src": "m1", "dst": "p1", "rel_type": "EXTRACTED"},
+            {"src": "m1", "dst": "ghost", "rel_type": "EXTRACTED"},  # dropped
+        ],
+    )
+    assert engine.edges.count() == 1
+    labels, rels = engine.schema()
+    assert "Person" in labels and "EXTRACTED" in rels
+
+
+def test_feedback_moves_tier1_ranking(engine):
+    engine.record_feedback(["m3"], kind="citation", confidence=0.9)
+    top = engine.tier1_list(3).collect()
+    assert top[0].memory_id == "m3"
+    assert top[0].final_score > top[1].final_score
+
+
+def test_batch_cap_enforced(spark):
+    eng = MemoryEngine(spark, dim=8)
+    with pytest.raises(ValueError):
+        eng.add_memory_batch([{"memory_id": f"m{i}", "content": "x", "user_id": "u"}
+                              for i in range(1001)])
+
+
+def test_save_load_roundtrip(engine, tmp_path):
+    engine.save(str(tmp_path))
+    eng2 = MemoryEngine(engine.spark, dim=32)
+    eng2.load(str(tmp_path))
+    assert eng2.get_memory("m1") is not None
+    hits = eng2.search("distributed spark", ctx=AclContext(user_id="alice"),
+                       score_threshold=0.0).collect()
+    assert hits[0].memory_id == "m1"
+
+
+def test_hash_embed_py_matches_spark(spark):
+    from memory_opensource_spark.plans.ingest import hash_embed
+
+    df = spark.createDataFrame([("m", 0, "hello world of spark")],
+                               "memory_id string, chunk_index int, chunk_content string")
+    spark_vec = hash_embed(df, dim=32).first().embedding
+    py_vec = hash_embed_py("hello world of spark", dim=32)
+    assert all(abs(a - b) < 1e-12 for a, b in zip(spark_vec, py_vec))
