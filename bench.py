@@ -16,25 +16,34 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "search_flagship",
     "q1_pricing_summary",
     "q3_top_orders",
     "v2_cosine_topk",
+    "ann_ivf_topk",
     "v5_near_dup_pairs",
     "v5_knn_join",
+    "v6_entity_resolution",
     "dedup_exact_hash",
     "dedup_minhash_bands",
     "dedup_jaccard_pairs",
+    "dedup_simhash",
     "text_stats",
     "text_lang_id",
+    "r2_stratified_merge",
+    "r6_rerank",
     "r8_tier1_ranking",
     "r9_ema_decay",
     "r11_windowed_counts",
     "f1_acl_filter",
     "g1_pattern_match",
     "g2_two_hop_paths",
+    "g12_related_to_edges",
     "st8_tumbling_window",
+    "st8_sliding_window",
     "st2_session_windows",
     "st3_context_window",
+    "mm_feature_search",
 ]
 
 
