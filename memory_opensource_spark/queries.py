@@ -1378,6 +1378,132 @@ def mm_search(spark, sf_dir):
     return out.select("feat_id", _r6(F.col("score")).alias("score"))
 
 
+# ---------------------------------------------------------------------------------
+# G13 link_to lookup, G14 when-compiler, F10 scalar functions, relevance formula
+# ---------------------------------------------------------------------------------
+
+@_register("g13_link_to_lookup", f"""
+WITH {NODES_CTE.strip()}
+SELECT node_id, label, prop_name FROM nodes_d
+WHERE label = 'Customer' AND prop_name = 'Customer#000000042'
+ORDER BY node_id LIMIT 1
+""")
+def g13_lookup(spark, sf_dir):
+    """G13: parse a link_to expression and compile it to its lookup join."""
+    from .operators import link_to
+
+    t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "region", "supplier"]}
+    nodes = tables.build_nodes(t["customer"], t["nation"], t["region"], t["supplier"])
+    spec = link_to.parse("Customer:name=Customer#000000042")
+    out = link_to.compile_lookup(spec, nodes, prop_col="prop_name")
+    return out.select("node_id", "label", "prop_name")
+
+
+@_register("g14_constraint_when", """
+SELECT event_id, event_type, value FROM events
+WHERE value >= 150 AND NOT (event_type = 'error') AND (event_type = 'purchase' OR event_type = 'signup')
+""")
+def g14_when(spark, sf_dir):
+    """G14: the when-condition tree compiler driving a filter stage."""
+    from .operators.constraints import compile_when
+
+    ev = tables.load(spark, sf_dir, "events")
+    cond = {
+        "_and": [
+            {"value": {"gte": 150}},
+            {"_not": {"event_type": "error"}},
+            {"_or": [{"event_type": "purchase"}, {"event_type": "signup"}]},
+        ]
+    }
+    return ev.filter(compile_when(cond)).select("event_id", "event_type", "value")
+
+
+@_register("f10_scalar_functions", """
+SELECT doc_id,
+       list_transform(string_split(lang || ',' || source || ' , ' || 'extra', ','), t -> trim(t)) AS parts,
+       strftime(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 HOUR, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
+       upper(substr(source, 1, 3)) AS src_prefix,
+       length(text) AS content_len
+FROM documents WHERE doc_id < 100
+""")
+def f10_scalars(spark, sf_dir):
+    """§2.7 scalar battery: comma-string -> trimmed list
+    (services/memory_management.py:801-811), ISO datetime format
+    (:1527-1538), case/substring/length fns."""
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+        hours=F.col("doc_id").cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        F.transform(
+            F.split(F.concat_ws(",", "lang", F.concat_ws(" , ", "source", F.lit("extra"))), ","),
+            lambda t: F.trim(t),
+        ).alias("parts"),
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
+        F.upper(F.substring("source", 1, 3)).alias("src_prefix"),
+        F.length("text").alias("content_len"),
+    )
+
+
+@_register("rel_relevance_score", f"""
+WITH {CHUNKS_CTE.strip()}, {MEMORIES_CTE.strip()},
+q AS (SELECT embedding, 'm' || vec_id::VARCHAR AS qmem FROM embeddings WHERE vec_id = 0),
+qm AS (SELECT m.topics AS qtopics FROM memories_d m JOIN q ON m.memory_id = q.qmem),
+scored AS (
+  SELECT c.memory_id,
+         list_dot_product(list_transform(c.embedding, x -> x::DOUBLE),
+                          list_transform(q.embedding, x -> x::DOUBLE))
+         / (SQRT(list_dot_product(list_transform(c.embedding, x -> x::DOUBLE),
+                                  list_transform(c.embedding, x -> x::DOUBLE)))
+          * SQRT(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+                                  list_transform(q.embedding, x -> x::DOUBLE)))) AS cos_sim
+  FROM chunks_d c CROSS JOIN q WHERE c.id_num < 200
+)
+SELECT s.memory_id,
+       ROUND(0.7 * s.cos_sim +
+             0.3 * CASE WHEN len(list_intersect(m.topics, qm.qtopics)) > 0 THEN 1.0 ELSE 0.0 END,
+             6)::DOUBLE AS relevance
+FROM scored s JOIN memories_d m ON s.memory_id = m.memory_id CROSS JOIN qm
+""")
+def rel_relevance(spark, sf_dir):
+    """Relevance fn (memory/memory_item_relevance.py:20-27):
+    0.7*cosine + 0.3*context_topic_match."""
+    from .functions.decay import relevance
+
+    chunks = tables.build_chunks(tables.load(spark, sf_dir, "embeddings"))
+    mems = tables.build_memories(tables.load(spark, sf_dir, "documents"))
+    emb = tables.load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    qtopics = mems.filter(F.col("memory_id") == "m0").select(
+        F.col("topics").alias("qtopics")
+    )
+    scored = similarity.score_against(
+        chunks.filter(F.col("vec_id") < 200) if "vec_id" in chunks.columns
+        else chunks.join(
+            emb.filter(F.col("vec_id") < 200).select(
+                F.concat(F.lit("m"), F.col("vec_id").cast("string"), F.lit("_0")).alias("chunk_id")
+            ),
+            "chunk_id",
+            "left_semi",
+        ),
+        qvec,
+        score_col="cos_sim",
+    )
+    joined = (
+        scored.select("memory_id", "cos_sim")
+        .join(mems.select("memory_id", "topics"), "memory_id")
+        .crossJoin(F.broadcast(qtopics))
+    )
+    topic_match = F.when(
+        F.size(F.array_intersect("topics", "qtopics")) > 0, F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "memory_id",
+        _r6(relevance(F.col("cos_sim"), topic_match)).alias("relevance"),
+    )
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
