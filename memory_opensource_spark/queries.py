@@ -1504,6 +1504,70 @@ def rel_relevance(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------------
+# Aggregation families: rollup / grouping sets, per-group window rank
+# ---------------------------------------------------------------------------------
+
+@_register("agg_rollup", """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       ROUND(SUM(l_extendedprice), 6)::DOUBLE AS total_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def agg_rollup(spark, sf_dir):
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_r6(F.sum("l_extendedprice")).alias("total_price"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "total_price", "n",
+        )
+    )
+
+
+@_register("agg_cube_events", """
+WITH {EVENTS}
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(user_id::VARCHAR, 'ALL') AS user_bucket,
+       COUNT(*) AS n, ROUND(AVG(value), 6)::DOUBLE AS avg_value
+FROM events_us
+GROUP BY CUBE (event_type, user_id)
+""")
+def agg_cube(spark, sf_dir):
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", "user_id")
+        .agg(F.count("*").alias("n"), _r6(F.avg("value")).alias("avg_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("ALL")).alias("user_bucket"),
+            "n", "avg_value",
+        )
+    )
+
+
+@_register("window_rank_per_group", """
+SELECT * FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+  FROM customer
+) WHERE rank <= 5
+""")
+def window_rank(spark, sf_dir):
+    c = tables.load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rank")
+    )
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
