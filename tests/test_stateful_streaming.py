@@ -18,7 +18,9 @@ def _write_batch(spark, d, rows, name):
     df = spark.createDataFrame(rows, "user_id string, ts string").select(
         "user_id", F.to_timestamp("ts").alias("ts")
     )
-    df.write.mode("overwrite").parquet(f"{d}/in/{name}")
+    # one part-file per logical batch: with maxFilesPerTrigger=1 each FILE is a
+    # micro-batch, and multi-file batches would arrive in arbitrary order
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/in/{name}")
 
 
 def test_streaming_ema_matches_sequential_twin(spark):
