@@ -337,6 +337,18 @@ class MemoryEngine:
     def tier1_list(self, max_items: int = 20) -> DataFrame:
         return tier1_ranked(self.memories, max_items)
 
+    # ---- SQL surface ----------------------------------------------------------------
+
+    def register_views(self, prefix: str = "") -> None:
+        """Expose the four tables as temp views so users can drive the engine
+        through plain Spark SQL (the DataFrame/SQL parity surface)."""
+        for name in ["memories", "chunks", "nodes", "edges"]:
+            getattr(self, name).createOrReplaceTempView(prefix + name)
+
+    def sql(self, statement: str) -> DataFrame:
+        """Run Spark SQL against the registered views (register_views first)."""
+        return self.spark.sql(statement)
+
     # ---- persistence ---------------------------------------------------------------
 
     def save(self, store_dir: str) -> None:

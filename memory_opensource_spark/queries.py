@@ -1568,6 +1568,89 @@ def window_rank(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------------
+# S11 hierarchical chunking, V9 grouped memory points
+# ---------------------------------------------------------------------------------
+
+@_register("s11_hierarchical_chunks", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents WHERE doc_id < 50
+), pages AS (
+  SELECT doc_id, p.page_idx,
+         list_slice(tk, p.page_idx * 50 + 1, p.page_idx * 50 + 50) AS page_toks
+  FROM toks, LATERAL (SELECT UNNEST(range(0, greatest((len(tk) + 49) // 50, 1))) AS page_idx) p
+), chunks AS (
+  SELECT doc_id, page_idx, c.chunk_idx,
+         array_to_string(list_slice(page_toks, c.chunk_idx * 20 + 1, c.chunk_idx * 20 + 20), ' ') AS chunk_text
+  FROM pages, LATERAL (SELECT UNNEST(range(0, greatest((len(page_toks) + 19) // 20, 1))) AS chunk_idx) c
+)
+SELECT 'm' || doc_id::VARCHAR || '_p' || page_idx::VARCHAR || '_c' || chunk_idx::VARCHAR AS chunk_id,
+       'm' || doc_id::VARCHAR AS memory_id,
+       'm' || doc_id::VARCHAR || '_p' || page_idx::VARCHAR AS parent_id,
+       page_idx, chunk_idx, chunk_text,
+       length(chunk_text) AS chunk_len
+FROM chunks WHERE chunk_text <> ''
+""")
+def s11_hierarchical(spark, sf_dir):
+    """S11 hierarchical chunker (core/document_processing/hierarchical_chunker.py
+    :176-998 semantics): document -> pages (50 tokens) -> chunks (20 tokens),
+    each chunk carrying its parent page id — the two-level id scheme the
+    reference's document ingestion produces."""
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = T.tokens(F.col("text"))
+    n_pages = F.greatest(F.ceil(F.size(toks) / 50), F.lit(1)).cast("int")
+    paged = docs.select(
+        "doc_id", toks.alias("tk"),
+        F.explode(F.sequence(F.lit(0), n_pages - 1)).alias("page_idx"),
+    ).withColumn("page_toks", F.slice(F.col("tk"), F.col("page_idx") * 50 + 1, 50))
+    n_chunks = F.greatest(F.ceil(F.size("page_toks") / 20), F.lit(1)).cast("int")
+    chunked = paged.select(
+        "doc_id", "page_idx", "page_toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).withColumn(
+        "chunk_text",
+        F.concat_ws(" ", F.slice(F.col("page_toks"), F.col("chunk_idx") * 20 + 1, 20)),
+    ).filter(F.col("chunk_text") != "")
+    d = F.col("doc_id").cast("string")
+    return chunked.select(
+        F.concat(F.lit("m"), d, F.lit("_p"), F.col("page_idx").cast("string"),
+                 F.lit("_c"), F.col("chunk_idx").cast("string")).alias("chunk_id"),
+        F.concat(F.lit("m"), d).alias("memory_id"),
+        F.concat(F.lit("m"), d, F.lit("_p"), F.col("page_idx").cast("string")).alias("parent_id"),
+        "page_idx", "chunk_idx", "chunk_text",
+        F.length("chunk_text").alias("chunk_len"),
+    )
+
+
+@_register("v9_grouped_points", """
+SELECT 'm' || vec_id::VARCHAR || '_0' AS chunk_id,
+       TRUE AS is_grouped_memories,
+       ['m' || ((vec_id + 1) % 100)::VARCHAR, 'm' || ((vec_id + 2) % 100)::VARCHAR] AS related_memory_ids,
+       g.related_id
+FROM embeddings,
+     LATERAL (SELECT UNNEST(['m' || ((vec_id + 1) % 100)::VARCHAR,
+                             'm' || ((vec_id + 2) % 100)::VARCHAR]) AS related_id) g
+WHERE vec_id % 20 = 0 AND vec_id < 100
+""")
+def v9_grouped(spark, sf_dir):
+    """V9 grouped-memory point (memory/memory_graph.py:3457-3591): one point per
+    memory + its predicted related set; membership exploded for joins."""
+    emb = tables.load(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 100)
+    )
+    related = F.array(
+        F.concat(F.lit("m"), ((F.col("vec_id") + 1) % 100).cast("string")),
+        F.concat(F.lit("m"), ((F.col("vec_id") + 2) % 100).cast("string")),
+    )
+    grouped = emb.select(
+        F.concat(F.lit("m"), F.col("vec_id").cast("string"), F.lit("_0")).alias("chunk_id"),
+        F.lit(True).alias("is_grouped_memories"),
+        related.alias("related_memory_ids"),
+    )
+    return grouped.select("*", F.explode("related_memory_ids").alias("related_id"))
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 

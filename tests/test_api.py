@@ -111,6 +111,17 @@ def test_save_load_roundtrip(engine, tmp_path):
     assert hits[0].memory_id == "m1"
 
 
+def test_sql_surface(engine):
+    engine.register_views()
+    out = engine.sql(
+        "SELECT m.memory_id, count(c.chunk_id) AS n_chunks "
+        "FROM memories m JOIN chunks c ON m.memory_id = c.memory_id "
+        "WHERE array_contains(m.user_read_access, 'alice') "
+        "GROUP BY m.memory_id ORDER BY m.memory_id"
+    ).collect()
+    assert [(r.memory_id, r.n_chunks) for r in out] == [("m1", 1), ("m2", 1)]
+
+
 def test_hash_embed_py_matches_spark(spark):
     from memory_opensource_spark.plans.ingest import hash_embed
 
