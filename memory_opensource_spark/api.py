@@ -215,9 +215,22 @@ class MemoryEngine:
         return search_plan(self.chunks, self.memories, qvec, ctx=ctx, spec=spec,
                            top_k=top_k, score_threshold=score_threshold)
 
-    def get_memory(self, memory_id: str) -> dict | None:
+    def get_memory(self, memory_id: str, include_related: bool = False) -> dict | None:
+        """S14 point lookup (memory/memory_graph.py:9459-9684); with
+        include_related also returns the memory's chunks and graph node."""
         rows = self.memories.filter(F.col("memory_id") == memory_id).collect()
-        return rows[0].asDict() if rows else None
+        if not rows:
+            return None
+        out = rows[0].asDict()
+        if include_related:
+            out["chunks"] = [
+                r.asDict() for r in
+                self.chunks.filter(F.col("memory_id") == memory_id)
+                .orderBy("chunk_index").collect()
+            ]
+            node = self.nodes.filter(F.col("node_id") == memory_id).collect()
+            out["node"] = node[0].asDict() if node else None
+        return out
 
     # ---- mutation (S12/S15) -------------------------------------------------------
 

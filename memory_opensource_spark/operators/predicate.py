@@ -128,7 +128,12 @@ def _custom_metadata_cond(key: str, value: Any, map_col: str = "custom_metadata"
         if "lt" in value:
             cond = cond & (num < float(value["lt"]))
         return cond
-    return v_col == F.lit(str(value))
+    # F4 forgiving string semantics (memory_graph.py:6855-6897): a string filter
+    # matches scalar equality OR membership in a list-valued entry (lists are
+    # stored comma-joined in the string map).
+    return (v_col == F.lit(str(value))) | F.array_contains(
+        F.split(v_col, r",\s*"), str(value)
+    )
 
 
 def metadata_predicate(spec: FilterSpec, map_col: str = "custom_metadata") -> Column:

@@ -1651,6 +1651,128 @@ def v9_grouped(spark, sf_dir):
     return grouped.select("*", F.explode("related_memory_ids").alias("related_id"))
 
 
+# ---------------------------------------------------------------------------------
+# Batch graph analytics (north-star: GraphX-style jobs as DataFrame iterations)
+# ---------------------------------------------------------------------------------
+
+@_register("graph_degree_centrality", f"""
+WITH {EDGES_CTE.strip()},
+und AS (
+  SELECT src AS node_id, dst AS peer FROM edges_d
+  UNION
+  SELECT dst, src FROM edges_d
+)
+SELECT node_id, COUNT(DISTINCT peer) AS degree
+FROM und GROUP BY node_id
+ORDER BY degree DESC, node_id ASC
+LIMIT 50
+""")
+def graph_degree(spark, sf_dir):
+    t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "supplier"]}
+    edges = tables.build_edges(t["customer"], t["nation"], t["supplier"])
+    und = edges.select(F.col("src").alias("node_id"), F.col("dst").alias("peer")).unionByName(
+        edges.select(F.col("dst").alias("node_id"), F.col("src").alias("peer"))
+    ).distinct()
+    return (
+        und.groupBy("node_id")
+        .agg(F.countDistinct("peer").alias("degree"))
+        .orderBy(F.col("degree").desc(), F.col("node_id").asc())
+        .limit(50)
+    )
+
+
+@_register("graph_connected_components", f"""
+WITH RECURSIVE {EDGES_CTE.strip()},
+und AS (
+  SELECT src, dst FROM edges_d UNION SELECT dst, src FROM edges_d
+),
+nodes_all AS (SELECT DISTINCT src AS node_id FROM und),
+reach(node_id, peer) AS (
+  SELECT node_id, node_id FROM nodes_all
+  UNION
+  SELECT r.node_id, u.dst FROM reach r JOIN und u ON r.peer = u.src
+)
+SELECT node_id, MIN(peer) AS component
+FROM reach GROUP BY node_id
+""")
+def graph_cc(spark, sf_dir):
+    """Connected components by iterative min-label propagation — the GraphX
+    algorithm expressed as a bounded DataFrame loop.  Each iteration is one
+    shuffle (join + groupBy-min); converges in O(graph diameter) rounds (the
+    fixture graph's diameter is 4).  Oracle: transitive closure via a recursive
+    CTE, component = min reachable id — identical fixpoint."""
+    t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "supplier"]}
+    edges = tables.build_edges(t["customer"], t["nation"], t["supplier"])
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = und.select(F.col("src").alias("node_id")).distinct().withColumn(
+        "component", F.col("node_id")
+    )
+    for _ in range(8):  # >= diameter; fixed bound keeps the plan finite
+        neighbor_min = (
+            und.join(labels, und.dst == labels.node_id)
+            .select(F.col("src").alias("node_id"), F.col("component"))
+            .groupBy("node_id")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node_id", "left")
+            .select(
+                "node_id",
+                F.least(F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))).alias("component"),
+            )
+        )
+        labels = new_labels.localCheckpoint(eager=False)
+    return labels
+
+
+@_register("r17_query_classification", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents WHERE doc_id < 200
+), scores AS (
+  SELECT doc_id,
+    len(list_filter(tk, t -> list_contains(['query','filter','sort','scan'], t))) AS s_search,
+    len(list_filter(tk, t -> list_contains(['table','row','column','data'], t))) AS s_storage,
+    len(list_filter(tk, t -> list_contains(['stream','window','batch','fast'], t))) AS s_streaming
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_search, s_storage, s_streaming) = 0 THEN 'other'
+       WHEN s_search >= s_storage AND s_search >= s_streaming THEN 'search'
+       WHEN s_storage >= s_streaming THEN 'storage'
+       ELSE 'streaming' END AS category,
+  greatest(s_search, s_storage, s_streaming) AS score
+FROM scores
+""")
+def r17_classify(spark, sf_dir):
+    """R17 query classification (services/query_log_service.py:262-828) with the
+    deterministic default classifier of SURVEY §2.10: keyword-count argmax over
+    category vocabularies (same shape as the LLM scorer it stubs)."""
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = T.tokens(F.col("text"))
+    cats = {
+        "search": ["query", "filter", "sort", "scan"],
+        "storage": ["table", "row", "column", "data"],
+        "streaming": ["stream", "window", "batch", "fast"],
+    }
+    scored = docs.select("doc_id", toks.alias("tk"))
+    for cat, words in cats.items():
+        vocab = F.array(*[F.lit(w) for w in words])
+        scored = scored.withColumn(
+            f"s_{cat}", F.size(F.filter(F.col("tk"), lambda t: F.array_contains(vocab, t)))
+        )
+    best = F.greatest(*[F.col(f"s_{c}") for c in cats])
+    category = (
+        F.when(best == 0, "other")
+        .when((F.col("s_search") >= F.col("s_storage")) & (F.col("s_search") >= F.col("s_streaming")), "search")
+        .when(F.col("s_storage") >= F.col("s_streaming"), "storage")
+        .otherwise("streaming")
+    )
+    return scored.select("doc_id", category.alias("category"), best.alias("score"))
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 

@@ -101,3 +101,14 @@ def test_custom_metadata_list_match_any(meta_df):
 
 def test_custom_metadata_string_eq(meta_df):
     assert _match(meta_df, FilterSpec(custom_metadata={"tag": "beta"})) == ["m2"]
+
+
+def test_custom_metadata_string_matches_list_membership(spark):
+    # F4 (memory_graph.py:6855-6897): string filter also matches membership in a
+    # list-valued entry
+    df = spark.createDataFrame(
+        [("m1", {"labels": "red, green, blue"}), ("m2", {"labels": "yellow"})],
+        "memory_id string, custom_metadata map<string,string>",
+    )
+    assert _match(df, FilterSpec(custom_metadata={"labels": "green"})) == ["m1"]
+    assert _match(df, FilterSpec(custom_metadata={"labels": "yellow"})) == ["m2"]
