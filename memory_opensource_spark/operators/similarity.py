@@ -237,6 +237,58 @@ def knn_join_blas(left: DataFrame, right: DataFrame, k: int,
     return left.select(left_id, left_vec).mapInPandas(compute, out_schema)
 
 
+def lsh_approx_join(left: DataFrame, right: DataFrame, cosine_threshold: float,
+                    left_vec: str = "embedding", right_vec: str = "embedding",
+                    left_id: str = "id", right_id: str = "id",
+                    bucket_length: float = 0.5, num_hash_tables: int = 4) -> DataFrame:
+    """Approximate cosine-threshold join via MLlib BucketedRandomProjectionLSH.
+
+    Vectors are L2-normalized first so Euclidean distance maps monotonically to
+    cosine: ||a-b||^2 = 2 - 2cos(a,b)  =>  dist threshold = sqrt(2 - 2*tau).
+    Returns {left_id, right_id, score(cosine, exact on candidates)}.
+
+    This is the scale path when NEITHER side fits in a broadcast: candidate
+    generation is an equi-join on hash buckets (shuffle on short keys), then the
+    exact cosine refine runs only on candidates.  Recall < 1 by construction —
+    tune num_hash_tables up / bucket_length down for higher recall.  The exact
+    paths (cosine_join / cosine_join_blas) remain the correctness oracle.
+    """
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from ..functions.vector import cosine, l2_normalize, to_double
+
+    dist_threshold = math.sqrt(max(2.0 - 2.0 * cosine_threshold, 0.0))
+
+    def prep(df, vec, idc, alias):
+        return df.select(
+            F.col(idc).alias(f"{alias}_id"),
+            array_to_vector(l2_normalize(to_double(F.col(vec)))).alias("features"),
+        )
+
+    l = prep(left, left_vec, left_id, "left")
+    r = prep(right, right_vec, right_id, "right")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=42,
+    )
+    model = lsh.fit(l)
+    pairs = model.approxSimilarityJoin(l, r, dist_threshold, distCol="dist")
+    out = pairs.select(
+        F.col("datasetA.left_id").alias("left_id"),
+        F.col("datasetB.right_id").alias("right_id"),
+        cosine(
+            to_double(vector_to_array(F.col("datasetA.features"))),
+            to_double(vector_to_array(F.col("datasetB.features"))),
+        ).alias("score"),
+    )
+    return out.filter(
+        (F.col("left_id") != F.col("right_id")) & (F.col("score") >= cosine_threshold)
+    )
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding",
                bucket_col: str = "ivf_bucket") -> DataFrame:
     """IVF-style bucketing: assign each vector to its max-dot-product centroid.
@@ -248,16 +300,13 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embe
     and the bucket column doubles as a partition key for the parquet layout.
     """
     v = to_double(F.col(vec_col))
-    best_idx, best_score = F.lit(0), None
-    for i, c in enumerate(centroids):
-        s = dot(v, lit_vector(c))
-        if best_score is None:
-            best_idx, best_score = F.lit(0), s
-        else:
-            gt = s > best_score
-            best_idx = F.when(gt, F.lit(i)).otherwise(best_idx)
-            best_score = F.when(gt, s).otherwise(best_score)
-    return df.withColumn(bucket_col, best_idx)
+    # linear argmax: one dot per centroid into an array, then
+    # array_position(scores, max) — first occurrence == lowest index tie-break.
+    # (A when-chain would nest the whole prior tree at each step: exponential
+    # expression growth, ~2^C interpreted evaluations.)
+    scores = F.array(*[dot(v, lit_vector(c)) for c in centroids])
+    bucket = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return df.withColumn(bucket_col, bucket)
 
 
 def ivf_topk_search(df: DataFrame, query_vec: list[float], k: int,

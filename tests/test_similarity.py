@@ -63,6 +63,19 @@ def test_score_threshold_filter(vec_df):
     assert any(r.id == 0 for r in out)  # self-match at 1.0 passes
 
 
+def test_lsh_approx_join_recall(vec_df):
+    df, _ = vec_df
+    exact = similarity.cosine_join(df, df, 0.3, left_id="id", right_id="id")
+    approx = similarity.lsh_approx_join(df, df, 0.3, left_id="id", right_id="id",
+                                        bucket_length=2.0, num_hash_tables=6)
+    e = {(r.left_id, r.right_id) for r in exact.collect()}
+    a = {(r.left_id, r.right_id) for r in approx.collect()}
+    assert a <= e or not e  # no false positives after exact refine
+    if e:
+        recall = len(a & e) / len(e)
+        assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
 def test_ivf_assign_and_probe(vec_df):
     df, mat = vec_df
     centroids = [list(mat[i]) for i in range(4)]
