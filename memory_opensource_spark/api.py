@@ -145,6 +145,10 @@ class MemoryEngine:
         if len(items) > BATCH_MAX:
             raise ValueError(f"batch size {len(items)} exceeds max {BATCH_MAX} "
                              "(config/opensource.yaml batch_processing)")
+        ids = [it["memory_id"] for it in items]
+        if len(set(ids)) != len(ids):
+            dupes = sorted({i for i in ids if ids.count(i) > 1})
+            raise ValueError(f"duplicate memory_id(s) in batch: {dupes}")
         rows = [
             (
                 it["memory_id"], it["content"], it.get("type", "TextMemoryItem"),

@@ -1773,6 +1773,95 @@ def r17_classify(spark, sf_dir):
     return scored.select("doc_id", category.alias("category"), best.alias("score"))
 
 
+# ---------------------------------------------------------------------------------
+# More relational shapes (5-way join, having-subquery) + term frequencies
+# ---------------------------------------------------------------------------------
+
+@_register("q5_local_supplier_volume", """
+SELECT n.n_name AS nation,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6)::DOUBLE AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation ASC
+""")
+def q5(spark, sf_dir):
+    t = {n: tables.load(spark, sf_dir, n)
+         for n in ["customer", "orders", "lineitem", "supplier", "nation", "region"]}
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(_r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("nation").asc())
+    )
+
+
+@_register("q18_large_orders", """
+SELECT o.o_orderkey, o.o_totalprice, ROUND(SUM(l.l_quantity), 6)::DOUBLE AS total_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+)
+GROUP BY o.o_orderkey, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 20
+""")
+def q18(spark, sf_dir):
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250).select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(_r6(F.sum("l_quantity")).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+@_register("text_top_terms", """
+SELECT tok, COUNT(*) AS freq
+FROM (SELECT UNNEST(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+      FROM documents)
+GROUP BY tok
+ORDER BY freq DESC, tok ASC
+LIMIT 50
+""")
+def text_top_terms(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok").asc())
+        .limit(50)
+    )
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 

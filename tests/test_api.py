@@ -94,6 +94,15 @@ def test_feedback_moves_tier1_ranking(engine):
     assert top[0].final_score > top[1].final_score
 
 
+def test_batch_rejects_duplicate_ids(spark):
+    eng = MemoryEngine(spark, dim=8)
+    with pytest.raises(ValueError, match="duplicate"):
+        eng.add_memory_batch([
+            {"memory_id": "m1", "content": "a", "user_id": "u"},
+            {"memory_id": "m1", "content": "b", "user_id": "u"},
+        ])
+
+
 def test_batch_cap_enforced(spark):
     eng = MemoryEngine(spark, dim=8)
     with pytest.raises(ValueError):
