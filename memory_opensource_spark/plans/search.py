@@ -68,3 +68,70 @@ def search(
         fetched = fetched.filter(post_pred)
 
     return fetched.orderBy(F.col("score").desc(), F.col("memory_id").asc()).limit(top_k)
+
+
+def search_with_graph(
+    chunks: DataFrame,
+    memories: DataFrame,
+    nodes: DataFrame,
+    edges: DataFrame,
+    query_vec: list[float],
+    ctx: AclContext | None = None,
+    spec: FilterSpec | None = None,
+    graph_spec=None,
+    top_k: int = MAX_MEMORIES_DEFAULT,
+    score_threshold: float = SEARCH_SCORE_THRESHOLD,
+    rerank_scorer=None,
+) -> DataFrame:
+    """The complete §3.1 read: vector leg + agentic-graph leg -> stratified
+    merge (R2) with source annotation (R15) -> fetch -> optional rerank (R6).
+
+    - graph leg: a G1 pattern match (``graph_spec`` is a PatternSpec); matched
+      Memory-side ids become a second id source with NULL scores (the merge
+      assigns the 0.7 default, memory_graph.py:6599-6603);
+    - ``rerank_scorer``: optional fn(DataFrame) -> DataFrame adding
+      ``rerank_score``; fused 50/50 and re-sorted (the R6 stage shape).
+    """
+    from ..operators.graph import match_pattern
+    from ..operators.ranking import stratified_merge
+
+    acl_pred = compile_filter(ctx, None) if ctx else None
+
+    vec_hits = (
+        topk_search(chunks, query_vec, overfetch_k(top_k), pred=acl_pred,
+                    vec_col="embedding", id_col="chunk_id",
+                    score_threshold=score_threshold)
+        .withColumn("id", strip_chunk_suffix(F.col("chunk_id")))
+        .groupBy("id")
+        .agg(F.max("score").alias("score"))
+    )
+
+    sources = {"vector": vec_hits}
+    if graph_spec is not None:
+        g = match_pattern(nodes, edges, graph_spec)
+        graph_hits = (
+            g.select(F.col("m_id").alias("id"))
+            .distinct()
+            .withColumn("score", F.lit(None).cast("double"))
+        )
+        sources["neo"] = graph_hits
+
+    merged = stratified_merge(sources, top_k, id_col="id", score_col="score")
+    fetched = memories.join(
+        F.broadcast(merged.withColumnRenamed("id", "memory_id")), "memory_id"
+    )
+    post_pred = compile_filter(None, spec) if spec else None
+    if post_pred is not None:
+        fetched = fetched.filter(post_pred)
+
+    if rerank_scorer is not None:
+        fetched = rerank_scorer(fetched)
+        fetched = fetched.withColumn(
+            "final_score", 0.5 * F.col("score") + 0.5 * F.col("rerank_score")
+        )
+    else:
+        fetched = fetched.withColumn("final_score", F.col("score"))
+
+    return fetched.orderBy(
+        F.col("final_score").desc(), F.col("memory_id").asc()
+    ).limit(top_k)

@@ -50,15 +50,22 @@ def _r6(col):
     return F.round(col.cast("double"), 6)
 
 
+def _r2(col):
+    """round to 2 decimals: for large-magnitude SUMs (money, bulk quantities)
+    where partial-sum ordering differs between engines by ~1e-4 absolute —
+    6-decimal rounding is not stable there, 2-decimal is."""
+    return F.round(col.cast("double"), 2)
+
+
 # ---------------------------------------------------------------------------------
 # Relational baseline (scan → filter → agg; proves pushdown + partial aggregation)
 # ---------------------------------------------------------------------------------
 
 @_register("q1_pricing_summary", """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 6)::DOUBLE AS sum_qty,
-       ROUND(SUM(l_extendedprice), 6)::DOUBLE AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)::DOUBLE AS sum_disc_price,
+       ROUND(SUM(l_quantity), 2)::DOUBLE AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)::DOUBLE AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS sum_disc_price,
        ROUND(AVG(l_quantity), 6)::DOUBLE AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem
@@ -71,9 +78,9 @@ def q1(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r6(F.sum("l_quantity")).alias("sum_qty"),
-            _r6(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
             _r6(F.avg("l_quantity")).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
@@ -81,7 +88,7 @@ def q1(spark, sf_dir):
 
 
 @_register("q3_top_orders", """
-SELECT o.o_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6)::DOUBLE AS revenue,
+SELECT o.o_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)::DOUBLE AS revenue,
        o.o_orderdate
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -100,7 +107,7 @@ def q3(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(_r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
@@ -622,7 +629,7 @@ WITH {EVENTS}
 SELECT to_timestamp((floor(epoch(ts))::BIGINT // 300) * 300)::TIMESTAMP AS window_start,
        event_type,
        COUNT(*) AS event_count,
-       ROUND(SUM(value), 6)::DOUBLE AS value_sum
+       ROUND(SUM(value), 2)::DOUBLE AS value_sum
 FROM events_us
 GROUP BY 1, 2
 """)
@@ -630,7 +637,7 @@ def st8(spark, sf_dir):
     ev = tables.load(spark, sf_dir, "events")
     out = windows.tumbling(ev, "ts", 300)
     return out.groupBy("window_start", "event_type").agg(
-        F.count("*").alias("event_count"), _r6(F.sum("value")).alias("value_sum")
+        F.count("*").alias("event_count"), _r2(F.sum("value")).alias("value_sum")
     )
 
 
@@ -1321,7 +1328,7 @@ def r16_weighted(spark, sf_dir):
 WITH {EVENTS}
 SELECT to_timestamp(((floor(epoch(ts))::BIGINT - off * 300) // 600) * 600 + off * 300)::TIMESTAMP AS window_start,
        COUNT(*) AS event_count,
-       ROUND(SUM(value), 6)::DOUBLE AS value_sum
+       ROUND(SUM(value), 2)::DOUBLE AS value_sum
 FROM events_us CROSS JOIN (SELECT UNNEST([0, 1]) AS off)
 GROUP BY 1
 """)
@@ -1337,7 +1344,7 @@ def st8_sliding(spark, sf_dir):
     return (
         exploded.withColumn("window_start", F.to_timestamp(F.from_unixtime(ws)))
         .groupBy("window_start")
-        .agg(F.count("*").alias("event_count"), _r6(F.sum("value")).alias("value_sum"))
+        .agg(F.count("*").alias("event_count"), _r2(F.sum("value")).alias("value_sum"))
     )
 
 
@@ -1511,7 +1518,7 @@ def rel_relevance(spark, sf_dir):
 @_register("agg_rollup", """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       ROUND(SUM(l_extendedprice), 6)::DOUBLE AS total_price,
+       ROUND(SUM(l_extendedprice), 2)::DOUBLE AS total_price,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -1520,7 +1527,7 @@ def agg_rollup(spark, sf_dir):
     li = tables.load(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(_r6(F.sum("l_extendedprice")).alias("total_price"), F.count("*").alias("n"))
+        .agg(_r2(F.sum("l_extendedprice")).alias("total_price"), F.count("*").alias("n"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -1779,7 +1786,7 @@ def r17_classify(spark, sf_dir):
 
 @_register("q5_local_supplier_volume", """
 SELECT n.n_name AS nation,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6)::DOUBLE AS revenue
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)::DOUBLE AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1811,13 +1818,13 @@ def q5(spark, sf_dir):
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(_r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("nation").asc())
     )
 
 
 @_register("q18_large_orders", """
-SELECT o.o_orderkey, o.o_totalprice, ROUND(SUM(l.l_quantity), 6)::DOUBLE AS total_qty
+SELECT o.o_orderkey, o.o_totalprice, ROUND(SUM(l.l_quantity), 2)::DOUBLE AS total_qty
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE o.o_orderkey IN (
   SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
@@ -1837,7 +1844,7 @@ def q18(spark, sf_dir):
         li.join(big, "l_orderkey", "left_semi")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_totalprice")
-        .agg(_r6(F.sum("l_quantity")).alias("total_qty"))
+        .agg(_r2(F.sum("l_quantity")).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
     )

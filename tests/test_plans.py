@@ -65,6 +65,61 @@ def test_search_end_to_end_ranks_self_first(spark):
     assert len(out) <= 5
 
 
+def test_search_with_graph_merges_sources(spark):
+    from pyspark.sql import functions as FF
+
+    from memory_opensource_spark.operators.graph import PatternSpec
+    from memory_opensource_spark.plans.search import search_with_graph
+
+    chunks = tables.build_chunks(tables.load(spark, SF, "embeddings"))
+    memories = tables.build_memories(tables.load(spark, SF, "documents"))
+    # graph: Memory m7 linked to an entity; pattern matches it regardless of
+    # vector score
+    nodes = spark.createDataFrame(
+        [("m7", "Memory", "mem"), ("p1", "Person", "Ann")],
+        "node_id string, label string, prop_name string",
+    )
+    edges = spark.createDataFrame(
+        [("m7", "p1", "EXTRACTED")], "src string, dst string, rel_type string"
+    )
+    qvec = [float(x) for x in chunks.filter(FF.col("chunk_id") == "m3_0").first().embedding]
+    out = search_with_graph(
+        chunks, memories, nodes, edges, qvec,
+        graph_spec=PatternSpec(source_label="Memory", relationship_type="EXTRACTED",
+                               target_label="Person", direction="any"),
+        top_k=10, score_threshold=0.0,
+    ).collect()
+    got = {r.memory_id: r for r in out}
+    assert out[0].memory_id == "m3"            # vector self-match leads
+    assert "m7" in got and got["m7"].source == "neo"
+    assert abs(got["m7"].score - 0.7) < 1e-12  # NEO_DEFAULT_SCORE applied
+
+
+def test_search_with_graph_rerank_stage(spark):
+    from pyspark.sql import functions as FF
+
+    from memory_opensource_spark.plans.search import search_with_graph
+
+    chunks = tables.build_chunks(tables.load(spark, SF, "embeddings"))
+    memories = tables.build_memories(tables.load(spark, SF, "documents"))
+    nodes = spark.createDataFrame([], "node_id string, label string, prop_name string")
+    edges = spark.createDataFrame([], "src string, dst string, rel_type string")
+    qvec = [float(x) for x in chunks.filter(FF.col("chunk_id") == "m3_0").first().embedding]
+
+    def scorer(df):  # deterministic: favor higher doc ids
+        return df.withColumn(
+            "rerank_score",
+            FF.substring("memory_id", 2, 10).cast("double") / 1000.0,
+        )
+
+    out = search_with_graph(chunks, memories, nodes, edges, qvec, top_k=5,
+                            score_threshold=0.0, rerank_scorer=scorer).collect()
+    assert all(hasattr(r, "final_score") for r in out)
+    # final order is by fused score, not raw cosine
+    fused = [r.final_score for r in out]
+    assert fused == sorted(fused, reverse=True)
+
+
 def test_search_respects_acl(spark):
     chunks = tables.build_chunks(tables.load(spark, SF, "embeddings"))
     memories = tables.build_memories(tables.load(spark, SF, "documents"))
