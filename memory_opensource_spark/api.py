@@ -219,6 +219,24 @@ class MemoryEngine:
         return search_plan(self.chunks, self.memories, qvec, ctx=ctx, spec=spec,
                            top_k=top_k, score_threshold=score_threshold)
 
+    def search_agentic(self, query_text: str, graph_spec,
+                       ctx: AclContext | None = None,
+                       spec: FilterSpec | None = None,
+                       top_k: int = MAX_MEMORIES_DEFAULT,
+                       score_threshold: float = SEARCH_SCORE_THRESHOLD,
+                       rerank_scorer=None) -> DataFrame:
+        """enable_agentic_graph=true form (§3.1 step d): vector + graph-pattern
+        sources, stratified-merged; graph_spec is a PatternSpec (G15 search
+        override — the deterministic query surface)."""
+        from .plans.search import search_with_graph
+
+        qvec = hash_embed_py(query_text, self.dim)
+        return search_with_graph(
+            self.chunks, self.memories, self.nodes, self.edges, qvec,
+            ctx=ctx, spec=spec, graph_spec=graph_spec, top_k=top_k,
+            score_threshold=score_threshold, rerank_scorer=rerank_scorer,
+        )
+
     def get_memory(self, memory_id: str, include_related: bool = False) -> dict | None:
         """S14 point lookup (memory/memory_graph.py:9459-9684); with
         include_related also returns the memory's chunks and graph node."""

@@ -120,6 +120,24 @@ def test_save_load_roundtrip(engine, tmp_path):
     assert hits[0].memory_id == "m1"
 
 
+def test_search_agentic_merges_graph_source(engine):
+    from memory_opensource_spark.operators.graph import PatternSpec
+
+    engine.add_graph(
+        nodes=[{"node_id": "p1", "label": "Person", "prop_name": "Ann"}],
+        edges=[{"src": "m3", "dst": "p1", "rel_type": "EXTRACTED"}],
+    )
+    out = engine.search_agentic(
+        "vectors dense storage",
+        graph_spec=PatternSpec(source_label="Memory", relationship_type="EXTRACTED",
+                               target_label="Person", direction="any"),
+        score_threshold=0.0,
+    ).collect()
+    got = {r.memory_id: r for r in out}
+    # m3 (carol's memory) arrives via the graph leg with the 0.7 default score
+    assert "m3" in got and got["m3"].source == "neo"
+
+
 def test_sql_surface(engine):
     engine.register_views()
     out = engine.sql(
