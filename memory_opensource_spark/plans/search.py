@@ -37,9 +37,15 @@ def search(
     spec: FilterSpec | None = None,
     top_k: int = MAX_MEMORIES_DEFAULT,
     score_threshold: float = SEARCH_SCORE_THRESHOLD,
+    fallback_relax: bool = False,
 ) -> DataFrame:
     """Returns the top_k memories for a query vector: {memory_id, score, content,
-    ...memory cols}, ordered by score desc, memory_id asc."""
+    ...memory cols}, ordered by score desc, memory_id asc.
+
+    fallback_relax: when the filtered result is empty, retry without the
+    metadata spec (never without ACL) — the reference's property-filter-free
+    retry (memory/memory_graph.py:8582-8718, :9130-9141).
+    """
     acl_pred = compile_filter(ctx, None) if ctx else None
 
     hits = topk_search(
@@ -64,10 +70,13 @@ def search(
     fetched = memories.join(F.broadcast(mem_hits), "memory_id")
 
     post_pred = compile_filter(None, spec) if spec else None
-    if post_pred is not None:
-        fetched = fetched.filter(post_pred)
+    filtered = fetched.filter(post_pred) if post_pred is not None else fetched
 
-    return fetched.orderBy(F.col("score").desc(), F.col("memory_id").asc()).limit(top_k)
+    out = filtered.orderBy(F.col("score").desc(), F.col("memory_id").asc()).limit(top_k)
+    if fallback_relax and post_pred is not None and out.isEmpty():
+        # semantic retry: relax property filters, keep ACL (memory_graph.py:9130-9141)
+        out = fetched.orderBy(F.col("score").desc(), F.col("memory_id").asc()).limit(top_k)
+    return out
 
 
 def search_with_graph(

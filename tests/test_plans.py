@@ -120,6 +120,25 @@ def test_search_with_graph_rerank_stage(spark):
     assert fused == sorted(fused, reverse=True)
 
 
+def test_search_fallback_relaxes_property_filters_not_acl(spark):
+    from memory_opensource_spark.operators.predicate import FilterSpec
+
+    chunks = tables.build_chunks(tables.load(spark, SF, "embeddings"))
+    memories = tables.build_memories(tables.load(spark, SF, "documents"))
+    qvec = [float(x) for x in chunks.filter(F.col("chunk_id") == "m3_0").first().embedding]
+    impossible = FilterSpec(topics=["zz-no-such-topic"])
+    ctx = AclContext(user_id="u3")
+    # impossible spec, no fallback -> empty
+    strict = search.search(chunks, memories, qvec, ctx=ctx, spec=impossible,
+                           top_k=5, score_threshold=0.0).collect()
+    assert strict == []
+    # with fallback: property filters relaxed, ACL retained
+    relaxed = search.search(chunks, memories, qvec, ctx=ctx, spec=impossible,
+                            top_k=5, score_threshold=0.0, fallback_relax=True).collect()
+    assert relaxed and relaxed[0].memory_id == "m3"
+    assert all("u3" in (r.user_read_access or []) or r.user_id == "u3" for r in relaxed)
+
+
 def test_search_respects_acl(spark):
     chunks = tables.build_chunks(tables.load(spark, SF, "embeddings"))
     memories = tables.build_memories(tables.load(spark, SF, "documents"))
