@@ -20,7 +20,6 @@ real deployment.  All writes are idempotent on ids (replay-safe, SURVEY §7.3).
 
 from __future__ import annotations
 
-import zlib
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -108,12 +107,14 @@ EDGE_SCHEMA = StructType([
 
 
 def hash_embed_py(text: str, dim: int = EMBEDDING_DIM_FIXTURE) -> list[float]:
-    """Driver-side twin of plans.ingest.hash_embed (crc32 bucket counts,
-    L2-normalized) for embedding query strings.  zlib.crc32 == Spark crc32."""
+    """Driver-side twin of plans.ingest.hash_embed (md5-bucket counts,
+    L2-normalized) for embedding query strings."""
+    import hashlib
+
     vec = [0.0] * dim
     for tok in text.lower().split(" "):
         if tok:
-            vec[zlib.crc32(tok.encode()) % dim] += 1.0
+            vec[int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim] += 1.0
     n = sum(x * x for x in vec) ** 0.5 or 1.0
     return [x / n for x in vec]
 

@@ -48,12 +48,16 @@ def chunk_text(df: DataFrame, content_col: str = "content",
 def hash_embed(df: DataFrame, text_col: str = "chunk_content",
                dim: int = EMBEDDING_DIM_FIXTURE) -> DataFrame:
     """Deterministic hash-ngram embedder (the pluggable default of SURVEY §2.10):
-    bucket = crc32(token) % dim, value = count in bucket, L2-normalized.
-    JVM-side only — a real model would slot in as a pandas_udf with the same
-    signature (text -> array<float>).
+    bucket = int(md5(token)[:8], 16) % dim, value = count in bucket,
+    L2-normalized.  JVM-side only — a real model would slot in as a pandas_udf
+    with the same signature (text -> array<float>).  md5 (not crc32) so the
+    DuckDB oracle can reproduce the exact vectors.
     """
     toks = tokens(F.col(text_col))
-    buckets = F.transform(toks, lambda t: F.crc32(t) % dim)
+    buckets = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint") % dim,
+    )
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.size(F.filter(buckets, lambda b: b == i.cast("bigint"))).cast("double"),

@@ -1352,11 +1352,34 @@ def st8_sliding(spark, sf_dir):
 # Rows-only entries (no SQL oracle: Python-hash embedder / binary media payloads)
 # ---------------------------------------------------------------------------------
 
-@_register("v1_chunk_embed")
+@_register("v1_chunk_embed", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents WHERE doc_id < 50
+), chunked AS (
+  SELECT doc_id, c.chunk_index,
+         greatest((len(tk) + 63) // 64, 1) AS total_chunks,
+         list_slice(tk, c.chunk_index * 64 + 1, c.chunk_index * 64 + 64) AS ctoks
+  FROM toks, LATERAL (SELECT UNNEST(range(0, greatest((len(tk) + 63) // 64, 1))) AS chunk_index) c
+), bucketed AS (
+  SELECT doc_id, chunk_index, total_chunks,
+         list_transform(ctoks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 32) AS buckets
+  FROM chunked
+), vecs AS (
+  SELECT doc_id, chunk_index, total_chunks,
+         list_transform(range(0, 32), i -> len(list_filter(buckets, b -> b = i))::DOUBLE) AS raw
+  FROM bucketed
+)
+SELECT 'm' || doc_id::VARCHAR AS memory_id,
+       'm' || doc_id::VARCHAR || '_' || chunk_index::VARCHAR AS chunk_id,
+       chunk_index, total_chunks::INT AS total_chunks,
+       list_transform(raw, x -> round(x / sqrt(list_sum(list_transform(raw, y -> y * y))), 6)) AS embedding
+FROM vecs
+""")
 def v1_chunk_embed(spark, sf_dir):
     """V1 chunk+embed (models/embedding_model.py:693-1088) — deterministic
-    hash-ngram embedder; crc32 isn't available in DuckDB so this is a rows-only
-    check (unit-tested in tests/test_plans.py instead)."""
+    md5-bucket embedder, fully oracle-checked (chunking + bucketing + L2
+    normalization reproduced in SQL)."""
     from .plans import ingest
 
     docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
@@ -1366,8 +1389,10 @@ def v1_chunk_embed(spark, sf_dir):
     )
     chunked = ingest.chunk_text(mems, chunk_tokens=64)
     embedded = ingest.hash_embed(chunked, dim=32)
-    return embedded.select("memory_id", "chunk_id", "chunk_index", "total_chunks",
-                           F.size("embedding").alias("dim"))
+    return embedded.select(
+        "memory_id", "chunk_id", "chunk_index", "total_chunks",
+        F.transform("embedding", lambda x: F.round(x, 6)).alias("embedding"),
+    )
 
 
 @_register("mm_feature_search")
