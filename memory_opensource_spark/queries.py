@@ -1894,6 +1894,58 @@ def text_top_terms(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------------
+# ST2 full pipeline: session windows -> synthesized session-summary memories
+# ---------------------------------------------------------------------------------
+
+@_register("st2_session_memories", """
+WITH {EVENTS}, ordered AS (
+  SELECT user_id, ts, event_type, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events_us
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, event_type, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT 'sess_' || user_id::VARCHAR || '_' || session_id::VARCHAR AS memory_id,
+       user_id, session_id,
+       COUNT(*) AS message_count,
+       ROUND(SUM(value), 2)::DOUBLE AS value_sum,
+       floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS duration_s,
+       MAX(event_type) AS dominant_type
+FROM sess
+GROUP BY user_id, session_id
+HAVING COUNT(*) >= 3
+""")
+def st2_memories(spark, sf_dir):
+    """ST2 full pipeline (services/message_batch_analysis.py:122-872): group the
+    message stream into per-user session windows, then synthesize one summary
+    memory row per session (>= 3 messages, as the analyzer requires a minimum
+    batch)."""
+    ev = tables.load(spark, sf_dir, "events")
+    sess = windows.session_ids(ev, "user_id", "ts", 1800)
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("message_count"),
+            _r2(F.sum("value")).alias("value_sum"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("duration_s"),
+            F.max("event_type").alias("dominant_type"),
+        )
+        .filter(F.col("message_count") >= 3)
+        .select(
+            F.concat(F.lit("sess_"), F.col("user_id").cast("string"), F.lit("_"),
+                     F.col("session_id").cast("string")).alias("memory_id"),
+            "user_id", "session_id", "message_count", "value_sum", "duration_s",
+            "dominant_type",
+        )
+    )
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 

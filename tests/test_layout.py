@@ -49,6 +49,17 @@ def test_salted_count_matches_plain(spark):
     assert salted == plain
 
 
+def test_salted_join_on_skewed_key(spark):
+    # 90% of rows share one hot key — the exact shape AQE skew-join or salting
+    # must handle; equivalence with the plain join proves salting is lossless
+    rows = [(i, 7 if i % 10 else int(i)) for i in range(5000)]
+    big = spark.createDataFrame(rows, "row_id long, user_id long")
+    dim = spark.createDataFrame([(i, f"u{i}") for i in range(5000)], "user_id long, name string")
+    plain = big.join(dim, "user_id").count()
+    salted = skew.salted_join(big, dim, "user_id", buckets=8).count()
+    assert salted == plain == 5000
+
+
 def test_salted_join_matches_plain(spark):
     ev = tables.load(spark, "/root/testdata/sf0.001", "events").select("event_id", "user_id")
     dim = spark.createDataFrame([(i, f"name{i}") for i in range(20)], "user_id long, name string")
