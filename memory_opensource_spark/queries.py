@@ -1946,6 +1946,64 @@ def st2_memories(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------------
+# S11b: contextual chunk extraction (400-char neighbor context windows)
+# ---------------------------------------------------------------------------------
+
+@_register("s11_context_extraction", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents WHERE doc_id < 30
+), chunked AS (
+  SELECT doc_id, c.chunk_idx,
+         array_to_string(list_slice(tk, c.chunk_idx * 20 + 1, c.chunk_idx * 20 + 20), ' ') AS chunk_text
+  FROM toks, LATERAL (SELECT UNNEST(range(0, greatest((len(tk) + 19) // 20, 1))) AS chunk_idx) c
+), ctx AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+         lag(chunk_text) OVER w AS prev_text,
+         lead(chunk_text) OVER w AS next_text
+  FROM chunked
+  WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx)
+)
+SELECT 'm' || doc_id::VARCHAR || '_' || chunk_idx::VARCHAR AS chunk_id,
+       chunk_text,
+       coalesce(CASE WHEN length(prev_text) > 400
+                     THEN substr(prev_text, length(prev_text) - 399, 400)
+                     ELSE prev_text END, '') AS context_before,
+       coalesce(substr(next_text, 1, 400), '') AS context_after
+FROM ctx
+""")
+def s11_context(spark, sf_dir):
+    """Contextual chunk extraction (core/document_processing/
+    hierarchical_chunker.py:28-60 extract_element_with_context): each chunk
+    carries up to 400 chars of trailing-previous and leading-next neighbor text
+    — the contextual-retrieval enrichment, as lag/lead window expressions."""
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    toks = T.tokens(F.col("text"))
+    n_chunks = F.greatest(F.ceil(F.size(toks) / 20), F.lit(1)).cast("int")
+    chunked = docs.select(
+        "doc_id", toks.alias("tk"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).withColumn(
+        "chunk_text", F.concat_ws(" ", F.slice(F.col("tk"), F.col("chunk_idx") * 20 + 1, 20))
+    )
+    w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    prev_t, next_t = F.lag("chunk_text").over(w), F.lead("chunk_text").over(w)
+    ctx_before = F.coalesce(
+        F.when(F.length(prev_t) > 400,
+               F.substring(prev_t, F.length(prev_t) - 399, 400))
+        .otherwise(prev_t),
+        F.lit(""),
+    )
+    return chunked.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string"), F.lit("_"),
+                 F.col("chunk_idx").cast("string")).alias("chunk_id"),
+        "chunk_text",
+        ctx_before.alias("context_before"),
+        F.coalesce(F.substring(next_t, 1, 400), F.lit("")).alias("context_after"),
+    )
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
