@@ -2004,6 +2004,30 @@ def s11_context(spark, sf_dir):
     )
 
 
+@_register("text_quality_score", """
+WITH toks AS (
+  SELECT doc_id, text, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+    least(len(tk)::DOUBLE / 100.0, 1.0) AS length_part,
+    greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+                         / greatest(length(text), 1)) * 5.0) AS punct_part,
+    least((len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is','it','that','for'], t)))::DOUBLE
+           / greatest(len(tk), 1)) * 4.0, 1.0) AS sw_part
+  FROM toks
+)
+SELECT doc_id,
+       ROUND(0.4 * length_part + 0.3 * punct_part + 0.3 * sw_part, 6)::DOUBLE AS quality
+FROM parts
+""")
+def text_quality_q(spark, sf_dir):
+    """Document quality scoring (north-star op): the functions.text.quality_score
+    formula — 0.4*length + 0.3*punctuation + 0.3*stopword components."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select("doc_id", _r6(T.quality_score(F.col("text"))).alias("quality"))
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
