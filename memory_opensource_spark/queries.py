@@ -140,11 +140,14 @@ LIMIT 20
 def v2_topk(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
-    out = similarity.topk_search(
-        emb.filter(F.col("vec_id") != 0), qvec, 20,
-        vec_col="embedding", id_col="vec_id", score_threshold=None,
+    scored = similarity.score_against(emb.filter(F.col("vec_id") != 0), qvec)
+    # order on the ROUNDED score (the oracle's ORDER BY uses its rounded alias,
+    # so a raw-order could pick different rows at the LIMIT boundary)
+    return (
+        scored.select("vec_id", _r6(F.col("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(20)
     )
-    return out.select("vec_id", _r6(F.col("score")).alias("score"))
 
 
 @_register("v2_filtered_topk", f"""
@@ -158,12 +161,14 @@ LIMIT 15
 def v2_filtered(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
-    out = similarity.topk_search(
-        emb.filter(F.col("vec_id") != 0), qvec, 15,
-        pred=F.col("label").isin(1, 3, 5),
-        vec_col="embedding", id_col="vec_id", score_threshold=None,
+    scored = similarity.score_against(
+        emb.filter(F.col("vec_id") != 0).filter(F.col("label").isin(1, 3, 5)), qvec
     )
-    return out.select("vec_id", "label", _r6(F.col("score")).alias("score"))
+    return (
+        scored.select("vec_id", "label", _r6(F.col("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(15)
+    )
 
 
 # ---------------------------------------------------------------------------------
@@ -196,8 +201,15 @@ SELECT left_id, right_id, score, rank FROM ranked WHERE rank <= 5
 def v5_knn(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings")
     left = emb.filter(F.col("vec_id") < 50)
-    out = similarity.knn_join_blas(left, emb, 5, left_id="vec_id", right_id="vec_id")
-    return out.select("left_id", "right_id", _r6(F.col("score")).alias("score"), "rank")
+    # over-fetch x3, then re-rank on the ROUNDED score so ranks match the
+    # oracle's ROW_NUMBER over its rounded alias even at ties
+    cand = similarity.knn_join_blas(left, emb, 15, left_id="vec_id", right_id="vec_id")
+    w = Window.partitionBy("left_id").orderBy(_r6(F.col("score")).desc(), F.col("right_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("left_id", "right_id", _r6(F.col("score")).alias("score"), "rank")
+    )
 
 
 # ---------------------------------------------------------------------------------
