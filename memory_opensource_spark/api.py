@@ -136,6 +136,10 @@ class MemoryEngine:
         self.chunks = spark.createDataFrame([], CHUNK_SCHEMA)
         self.nodes = spark.createDataFrame([], NODE_SCHEMA)
         self.edges = spark.createDataFrame([], EDGE_SCHEMA)
+        self.query_logs = spark.createDataFrame(
+            [], "query_log_id string, user_id string, query_text string, "
+                "retrieved_memory_ids array<string>, created_at timestamp"
+        )
 
     # ---- write path (§3.2/§3.3) ---------------------------------------------------
 
@@ -215,10 +219,31 @@ class MemoryEngine:
 
     def search(self, query_text: str, ctx: AclContext | None = None,
                spec: FilterSpec | None = None, top_k: int = MAX_MEMORIES_DEFAULT,
-               score_threshold: float = SEARCH_SCORE_THRESHOLD) -> DataFrame:
+               score_threshold: float = SEARCH_SCORE_THRESHOLD,
+               log_query: bool = False) -> DataFrame:
+        """§3.1 read path.  log_query=True also performs the background work:
+        append a query-log row and bump cache-hit counters for the returned
+        memories (services/query_log_service.py:1023 + R9,
+        services/memory_management.py:3192-3364)."""
         qvec = hash_embed_py(query_text, self.dim)
-        return search_plan(self.chunks, self.memories, qvec, ctx=ctx, spec=spec,
-                           top_k=top_k, score_threshold=score_threshold)
+        out = search_plan(self.chunks, self.memories, qvec, ctx=ctx, spec=spec,
+                          top_k=top_k, score_threshold=score_threshold)
+        if log_query:
+            hit_ids = [r.memory_id for r in out.select("memory_id").collect()]
+            import hashlib
+
+            qid = hashlib.sha256(
+                f"{query_text}|{ctx.user_id if ctx else ''}".encode()
+            ).hexdigest()[:24]
+            log_row = self.spark.createDataFrame(
+                [(qid, ctx.user_id if ctx else None, query_text, hit_ids)],
+                "query_log_id string, user_id string, query_text string, "
+                "retrieved_memory_ids array<string>",
+            ).withColumn("created_at", F.current_timestamp())
+            self.query_logs = self.query_logs.unionByName(log_row)
+            if hit_ids:
+                self.record_feedback(hit_ids, kind="cache")
+        return out
 
     def search_agentic(self, query_text: str, graph_spec,
                        ctx: AclContext | None = None,

@@ -49,6 +49,38 @@ def upsert_parquet(spark: SparkSession, path: str, incoming: DataFrame,
     writer.parquet(path)
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_col: str, n_buckets: int,
+                   sort_col: str | None = None, mode: str = "overwrite") -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_col) at WRITE
+    time, so equi-joins/aggregations on that column need NO shuffle at read
+    time — the 'pre-partitioning for co-located joins' strategy.  At 100 TB
+    this converts every chunk->memory join from a 2-sided shuffle into a
+    zip of pre-sorted buckets."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def join_is_shuffle_free(left_table: str, right_table: str, on: str,
+                         spark: SparkSession) -> bool:
+    """True when joining the two (bucketed) tables on `on` produces a plan with
+    no Exchange — the bucketing proof used by tests/PERF."""
+    df = spark.table(left_table).join(spark.table(right_table), on)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange" not in plan
+
+
+def compact(spark: SparkSession, path: str, target_files: int) -> int:
+    """Small-file compaction: rewrite a parquet dir into ``target_files`` files.
+    (At scale: run per partition after streaming ingest; file counts in the
+    thousands per partition destroy scan planning time.)  Returns row count."""
+    df = spark.read.parquet(path)
+    out = df.coalesce(target_files).localCheckpoint(eager=True)
+    out.write.mode("overwrite").parquet(path)
+    return out.count()
+
+
 def partition_pruning_evidence(spark: SparkSession, path: str,
                                pred_col: str, pred_val) -> tuple[DataFrame, bool]:
     """Return (filtered df, whether the physical plan shows PartitionFilters

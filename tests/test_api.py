@@ -120,6 +120,17 @@ def test_save_load_roundtrip(engine, tmp_path):
     assert hits[0].memory_id == "m1"
 
 
+def test_search_logging_bumps_counters(engine):
+    before = engine.get_memory("m1")["cache_hit_total"]
+    hits = engine.search("distributed spark engine", ctx=AclContext(user_id="alice"),
+                         score_threshold=0.0, log_query=True).collect()
+    assert hits
+    logs = engine.query_logs.collect()
+    assert len(logs) == 1 and "m1" in logs[0].retrieved_memory_ids
+    after = engine.get_memory("m1")["cache_hit_total"]
+    assert after == before + 1
+
+
 def test_search_agentic_merges_graph_source(engine):
     from memory_opensource_spark.operators.graph import PatternSpec
 

@@ -41,6 +41,36 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
     assert got == {"a": 1, "b": 20, "c": 30}
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        chunks = tables.build_chunks(tables.load(spark, "/root/testdata/sf0.001", "embeddings"))
+        mems = tables.build_memories(tables.load(spark, "/root/testdata/sf0.001", "documents"))
+        writers.write_bucketed(chunks.select("chunk_id", "memory_id", "label"),
+                               "b_chunks", "memory_id", 8, sort_col="memory_id")
+        writers.write_bucketed(mems.select("memory_id", "content"),
+                               "b_mems", "memory_id", 8, sort_col="memory_id")
+        assert writers.join_is_shuffle_free("b_chunks", "b_mems", "memory_id", spark)
+        joined = spark.table("b_chunks").join(spark.table("b_mems"), "memory_id")
+        assert joined.count() == 500
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_chunks")
+        spark.sql("DROP TABLE IF EXISTS b_mems")
+
+
+def test_compaction(spark, tmp_path):
+    path = str(tmp_path / "many")
+    spark.range(1000).repartition(20).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(path + "/*.parquet")) == 20
+    n = writers.compact(spark, path, 2)
+    assert n == 1000
+    assert len(glob.glob(path + "/*.parquet")) <= 2
+    assert spark.read.parquet(path).count() == 1000
+
+
 def test_salted_count_matches_plain(spark):
     ev = tables.load(spark, "/root/testdata/sf0.001", "events")
     plain = {r.user_id: r["count"] for r in

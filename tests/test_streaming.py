@@ -49,6 +49,54 @@ def test_sessionized_messages_stream(spark, msg_dir):
     assert len(by_conv["conv2"]) == 1
 
 
+def test_watermark_drops_too_late_data(spark):
+    """Late data inside the 1h watermark merges; data later than the watermark
+    is dropped once the window has been finalized (ST2 late-data policy)."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    try:
+        def write(name, rows):
+            df = spark.createDataFrame(rows, "message_id string, conversation_id string, event_time string").select(
+                "message_id", "conversation_id", F.to_timestamp("event_time").alias("event_time")
+            )
+            df.coalesce(1).write.parquet(f"{d}/in/{name}")
+
+        # batch 1 advances the watermark far ahead; batch 2 arrives 10h late
+        write("b0", [("m1", "c1", "2024-01-01 10:00:00"),
+                     ("m2", "c1", "2024-01-01 20:00:00")])
+
+        from memory_opensource_spark.streaming import pipelines
+
+        emitted = []
+
+        def sink(batch_df, batch_id):
+            emitted.extend(batch_df.collect())
+
+        def run():
+            stream = spark.readStream.schema(
+                "message_id string, conversation_id string, event_time timestamp"
+            ).option("maxFilesPerTrigger", "1").parquet(f"{d}/in/*")
+            q = (
+                pipelines.sessionized_messages(stream, gap="30 minutes", watermark="1 hour")
+                .writeStream.foreachBatch(sink)
+                .outputMode("append").trigger(availableNow=True)
+                .option("checkpointLocation", f"{d}/ckpt").start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        write("b1", [("m3", "c1", "2024-01-01 10:05:00")])  # 10h behind max ts
+        run()
+        # the finalized 10:00 session did NOT gain the too-late message
+        assert emitted, "expected finalized sessions"
+        for r in emitted:
+            assert r.message_count == 1  # m3 never merged into m1's session
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_decayed_counter_merge_replay_safe(spark):
     counters = spark.createDataFrame(
         [("k1", 2.0, 10.0, "2024-01-01 00:00:00")],
