@@ -44,6 +44,14 @@ HEADLINE = [
     "st2_session_windows",
     "st3_context_window",
     "mm_feature_search",
+    "search_agentic_flagship",
+    "q5_local_supplier_volume",
+    "s11_hierarchical_chunks",
+    "v1_chunk_embed",
+    "text_quality_score",
+    "r17_query_classification",
+    "dedup_fingerprint",
+    "st2_session_memories",
 ]
 
 

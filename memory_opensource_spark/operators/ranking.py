@@ -55,6 +55,10 @@ def stratified_merge(sources: dict[str, DataFrame], top_k: int,
     all_ranked = ranked[0]
     for r in ranked[1:]:
         all_ranked = all_ranked.unionByName(r)
+    # materialize the already-reduced candidate set (<= top_k * overfetch rows):
+    # the adaptive-fill count below would otherwise re-execute every source's
+    # full upstream DAG a second time
+    all_ranked = all_ranked.localCheckpoint(eager=True)
 
     within = all_ranked.filter(F.col("src_rank") <= quota)
     # adaptive fill: order leftovers by (source, rank) and take remaining slots
