@@ -2161,6 +2161,98 @@ def search_agentic_flagship(spark, sf_dir):
     return out.select("memory_id", _r6(F.col("score")).alias("score"), "source", "user_id")
 
 
+@_register("v5_dup_clusters", """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS l, b.vec_id AS r
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
+                         list_transform(b.embedding, x -> x::DOUBLE))
+        / (SQRT(list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
+                                 list_transform(a.embedding, x -> x::DOUBLE)))
+         * SQRT(list_dot_product(list_transform(b.embedding, x -> x::DOUBLE),
+                                 list_transform(b.embedding, x -> x::DOUBLE)))) >= 0.4
+), und AS (
+  SELECT l AS src, r AS dst FROM pairs UNION SELECT r, l FROM pairs
+), members AS (SELECT DISTINCT src AS node_id FROM und),
+reach(node_id, peer) AS (
+  SELECT node_id, node_id FROM members
+  UNION
+  SELECT re.node_id, u.dst FROM reach re JOIN und u ON re.peer = u.src
+)
+SELECT node_id AS vec_id, MIN(peer) AS cluster_id
+FROM reach GROUP BY node_id
+""")
+def v5_clusters(spark, sf_dir):
+    """Duplicate clustering: near-dup pairs -> connected components -> one
+    canonical (min-id) per cluster — the identify_duplicates downstream
+    (memory/memory_graph.py:10333-10390 keeps one of each duplicate set)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_duplicates(emb, id_col="vec_id", threshold=0.4)
+    und = pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst")).unionByName(
+        pairs.select(F.col("right_id").alias("src"), F.col("left_id").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = und.select(F.col("src").alias("node_id")).distinct().withColumn(
+        "cluster_id", F.col("node_id")
+    )
+    for _ in range(10):  # min-label propagation; dup components are tiny
+        neighbor_min = (
+            und.join(labels, und.dst == labels.node_id)
+            .select(F.col("src").alias("node_id"), F.col("cluster_id"))
+            .groupBy("node_id").agg(F.min("cluster_id").alias("n_min"))
+        )
+        labels = labels.join(neighbor_min, "node_id", "left").select(
+            "node_id",
+            F.least(F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))).alias("cluster_id"),
+        ).localCheckpoint(eager=False)
+    return labels.select(F.col("node_id").alias("vec_id"), "cluster_id")
+
+
+@_register("events_value_quantiles", """
+WITH {EVENTS}
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6)::DOUBLE AS p25,
+       ROUND(quantile_cont(value, 0.5), 6)::DOUBLE AS p50,
+       ROUND(quantile_cont(value, 0.9), 6)::DOUBLE AS p90,
+       ROUND(MIN(value), 6)::DOUBLE AS vmin,
+       ROUND(MAX(value), 6)::DOUBLE AS vmax
+FROM events_us GROUP BY event_type
+""")
+def events_quantiles(spark, sf_dir):
+    """Exact distribution analytics per key (exact percentile, linear
+    interpolation — matches quantile_cont)."""
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _r6(F.percentile(F.col("value"), F.lit(0.25))).alias("p25"),
+        _r6(F.percentile(F.col("value"), F.lit(0.5))).alias("p50"),
+        _r6(F.percentile(F.col("value"), F.lit(0.9))).alias("p90"),
+        _r6(F.min("value")).alias("vmin"),
+        _r6(F.max("value")).alias("vmax"),
+    )
+
+
+@_register("asof_latest_event", """
+WITH {EVENTS}, ranked AS (
+  SELECT user_id, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events_us
+  WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+)
+SELECT user_id, event_id, ts, value FROM ranked WHERE rn = 1
+""")
+def asof_latest(spark, sf_dir):
+    """As-of lookup: each user's latest event at-or-before a point in time —
+    the temporal-join primitive (window top-1 per key)."""
+    ev = tables.load(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
