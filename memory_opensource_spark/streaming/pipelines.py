@@ -63,6 +63,48 @@ def foreach_batch_ingest(stream: DataFrame, sink: Callable[[DataFrame, int], Non
     )
 
 
+class BatchCompletionListener:
+    """ST7 webhook analog (services/webhook_service.py): observe micro-batch
+    completions and invoke a callback with {batch_id, numInputRows, timestamp}.
+
+    Wraps a StreamingQueryListener; the callback is where a real deployment
+    posts the webhook.  Attach with ``spark.streams.addListener(listener)``.
+    """
+
+    def __init__(self, callback):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                outer.callback({
+                    "batch_id": p.batchId,
+                    "num_input_rows": p.numInputRows,
+                    "timestamp": p.timestamp,
+                })
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self.callback = callback
+        self.listener = _L()
+
+    def attach(self, spark):
+        spark.streams.addListener(self.listener)
+        return self
+
+    def detach(self, spark):
+        spark.streams.removeListener(self.listener)
+
+
 def decayed_counter_updates(batch: DataFrame, counters: DataFrame, key_col: str,
                             ts_col: str = "ts",
                             half_life_days: float = EMA_HALF_LIFE_DAYS) -> DataFrame:

@@ -49,6 +49,34 @@ def test_sessionized_messages_stream(spark, msg_dir):
     assert len(by_conv["conv2"]) == 1
 
 
+def test_batch_completion_listener(spark, msg_dir):
+    """ST7: the webhook-analog listener observes micro-batch completions."""
+    events = []
+    from memory_opensource_spark.streaming.pipelines import BatchCompletionListener
+
+    listener = BatchCompletionListener(events.append).attach(spark)
+    try:
+        stream = spark.readStream.schema(
+            "message_id string, conversation_id string, event_time timestamp"
+        ).parquet(msg_dir + "/in")
+        q = (
+            stream.groupBy("conversation_id").count()
+            .writeStream.format("memory").queryName("listener_out")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        import time
+
+        for _ in range(20):  # listener events arrive asynchronously
+            if any(e["num_input_rows"] > 0 for e in events):
+                break
+            time.sleep(0.5)
+        assert any(e["num_input_rows"] > 0 for e in events)
+        assert all("batch_id" in e and "timestamp" in e for e in events)
+    finally:
+        listener.detach(spark)
+
+
 def test_watermark_drops_too_late_data(spark):
     """Late data inside the 1h watermark merges; data later than the watermark
     is dropped once the window has been finalized (ST2 late-data policy)."""
