@@ -173,6 +173,55 @@ def schema_discovery(nodes: DataFrame, edges: DataFrame,
     return labels, rels
 
 
+def connected_components(und_edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Connected components via min-label propagation WITH pointer jumping,
+    iterated to convergence (checked each round) — the GraphX CC algorithm as a
+    DataFrame loop.
+
+    ``und_edges``: {src, dst} already containing both orientations.
+    Returns {node_id, component} where component = min node id in the component.
+
+    Plain neighbor-min needs O(diameter) rounds (a 2000-node chain would need
+    2000); adding the pointer-jump step (label <- label-of-label) makes it
+    O(log diameter).  Each round materializes via localCheckpoint so the plan
+    stays finite and the convergence count is cheap.
+    """
+    und = und_edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    labels = und.select(F.col("src").alias("node_id")).distinct().withColumn(
+        "component", F.col("node_id")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_rounds):
+        neighbor_min = (
+            und.join(labels, und.dst == labels.node_id)
+            .select(F.col("src").alias("node_id"), F.col("component"))
+            .groupBy("node_id")
+            .agg(F.min("component").alias("n_min"))
+        )
+        stepped = labels.join(neighbor_min, "node_id", "left").select(
+            "node_id",
+            F.least(F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))).alias("component"),
+        )
+        # pointer jump: component <- component's own component
+        parent = stepped.select(
+            F.col("node_id").alias("component"), F.col("component").alias("grand"),
+        )
+        jumped = stepped.join(parent, "component", "left").select(
+            "node_id",
+            F.least(F.col("component"), F.coalesce(F.col("grand"), F.col("component"))).alias("component"),
+        ).localCheckpoint(eager=True)
+        changed = (
+            jumped.alias("new")
+            .join(labels.alias("old"), "node_id")
+            .filter(F.col("new.component") != F.col("old.component"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
 def merge_nodes(existing: DataFrame, incoming: DataFrame,
                 key_cols: list[str]) -> DataFrame:
     """G8 MERGE-by-unique-props semantics (memory/memory_graph.py:11109-11270) in

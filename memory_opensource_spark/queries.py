@@ -1740,35 +1740,16 @@ SELECT node_id, MIN(peer) AS component
 FROM reach GROUP BY node_id
 """)
 def graph_cc(spark, sf_dir):
-    """Connected components by iterative min-label propagation — the GraphX
-    algorithm expressed as a bounded DataFrame loop.  Each iteration is one
-    shuffle (join + groupBy-min); converges in O(graph diameter) rounds (the
-    fixture graph's diameter is 4).  Oracle: transitive closure via a recursive
-    CTE, component = min reachable id — identical fixpoint."""
+    """Connected components by convergent min-label propagation + pointer
+    jumping (operators.graph.connected_components) — the GraphX algorithm as a
+    bounded DataFrame loop.  Oracle: transitive closure via a recursive CTE,
+    component = min reachable id — identical fixpoint."""
     t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "supplier"]}
     edges = tables.build_edges(t["customer"], t["nation"], t["supplier"])
     und = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    labels = und.select(F.col("src").alias("node_id")).distinct().withColumn(
-        "component", F.col("node_id")
     )
-    for _ in range(8):  # >= diameter; fixed bound keeps the plan finite
-        neighbor_min = (
-            und.join(labels, und.dst == labels.node_id)
-            .select(F.col("src").alias("node_id"), F.col("component"))
-            .groupBy("node_id")
-            .agg(F.min("component").alias("n_comp"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node_id", "left")
-            .select(
-                "node_id",
-                F.least(F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))).alias("component"),
-            )
-        )
-        labels = new_labels.localCheckpoint(eager=False)
-    return labels
+    return graph.connected_components(und)
 
 
 @_register("r17_query_classification", """
@@ -2185,26 +2166,16 @@ FROM reach GROUP BY node_id
 def v5_clusters(spark, sf_dir):
     """Duplicate clustering: near-dup pairs -> connected components -> one
     canonical (min-id) per cluster — the identify_duplicates downstream
-    (memory/memory_graph.py:10333-10390 keeps one of each duplicate set)."""
+    (memory/memory_graph.py:10333-10390 keeps one of each duplicate set).
+    Uses the convergent CC loop (fixed-round propagation diverged on the
+    larger sf0.1 components)."""
     emb = tables.load(spark, sf_dir, "embeddings")
     pairs = dedup.embedding_near_duplicates(emb, id_col="vec_id", threshold=0.4)
     und = pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst")).unionByName(
         pairs.select(F.col("right_id").alias("src"), F.col("left_id").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
-    labels = und.select(F.col("src").alias("node_id")).distinct().withColumn(
-        "cluster_id", F.col("node_id")
     )
-    for _ in range(10):  # min-label propagation; dup components are tiny
-        neighbor_min = (
-            und.join(labels, und.dst == labels.node_id)
-            .select(F.col("src").alias("node_id"), F.col("cluster_id"))
-            .groupBy("node_id").agg(F.min("cluster_id").alias("n_min"))
-        )
-        labels = labels.join(neighbor_min, "node_id", "left").select(
-            "node_id",
-            F.least(F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))).alias("cluster_id"),
-        ).localCheckpoint(eager=False)
-    return labels.select(F.col("node_id").alias("vec_id"), "cluster_id")
+    labels = graph.connected_components(und)
+    return labels.select(F.col("node_id").alias("vec_id"), F.col("component").alias("cluster_id"))
 
 
 @_register("events_value_quantiles", """
