@@ -237,6 +237,64 @@ def knn_join_blas(left: DataFrame, right: DataFrame, k: int,
     return left.select(left_id, left_vec).mapInPandas(compute, out_schema)
 
 
+def batch_topk_search(queries: DataFrame, corpus: DataFrame, k: int,
+                      query_id: str = "query_id", query_vec: str = "embedding",
+                      corpus_id: str = "chunk_id", corpus_vec: str = "embedding",
+                      pred: Column | None = None) -> DataFrame:
+    """Batched V2: top-k corpus rows for EVERY query in one job.
+
+    The serving analog at batch scale — one request per row instead of one job
+    per request.  Queries (the small side) broadcast through the BLAS stage:
+    each corpus partition computes a (batch x queries) score matrix, emits its
+    local per-query top-k, and a window reduces to the global top-k.  Driver
+    transfer is O(queries * k * partitions), never the corpus.
+    Returns {query_id, corpus_id(=right_id), score, rank}.
+    """
+    c = corpus.filter(pred) if pred is not None else corpus
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q_ids, q_mat = _collect_matrix(queries, query_id, query_vec)
+    spark = c.sparkSession
+    b = spark.sparkContext.broadcast((q_ids, q_mat))
+    out_schema = StructType([
+        StructField("query_id", queries.schema[query_id].dataType),
+        StructField("corpus_id", c.schema[corpus_id].dataType),
+        StructField("score", DoubleType()),
+    ])
+    if not q_ids:
+        return spark.createDataFrame([], out_schema)
+
+    def compute(batches):
+        import numpy as np
+
+        ids, mat = b.value
+        ids_arr = np.asarray(ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.asarray([np.asarray(v, dtype="float64") for v in pdf[corpus_vec]])
+            cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+            cnorm[cnorm == 0] = 1.0
+            scores = (cmat / cnorm) @ mat.T          # (batch, n_queries)
+            # local per-query top-k: keep only candidate rows that can matter
+            n_keep = min(k, scores.shape[0])
+            keep_rows = np.argpartition(-scores, n_keep - 1, axis=0)[:n_keep]
+            rows = []
+            cids = pdf[corpus_id].to_numpy()
+            for qi in range(scores.shape[1]):
+                for ci in keep_rows[:, qi]:
+                    rows.append((ids_arr[qi], cids[ci], float(scores[ci, qi])))
+            yield pd.DataFrame(rows, columns=["query_id", "corpus_id", "score"])
+
+    local_topk = c.select(corpus_id, corpus_vec).mapInPandas(compute, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id").asc())
+    return (
+        local_topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_approx_join(left: DataFrame, right: DataFrame, cosine_threshold: float,
                     left_vec: str = "embedding", right_vec: str = "embedding",
                     left_id: str = "id", right_id: str = "id",

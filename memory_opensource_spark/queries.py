@@ -2224,6 +2224,43 @@ def asof_latest(spark, sf_dir):
     )
 
 
+@_register("v2_batch_multi_query", """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qemb FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS corpus_id,
+         list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                          list_transform(q.qemb, x -> x::DOUBLE))
+         / (SQRT(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                                  list_transform(e.embedding, x -> x::DOUBLE)))
+          * SQRT(list_dot_product(list_transform(q.qemb, x -> x::DOUBLE),
+                                  list_transform(q.qemb, x -> x::DOUBLE)))) AS score
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, corpus_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(score, 6) DESC, corpus_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, ROUND(score, 6)::DOUBLE AS score, rank
+FROM ranked WHERE rank <= 5
+""")
+def v2_batch(spark, sf_dir):
+    """Batched multi-query top-k (the batch-serving V2): 10 queries answered in
+    one job — per-partition BLAS score matrix + local top-k, window reduce."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = similarity.batch_topk_search(queries_df, emb, 15,
+                                        corpus_id="vec_id")
+    w = Window.partitionBy("query_id").orderBy(_r6(F.col("score")).desc(), F.col("corpus_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "corpus_id", _r6(F.col("score")).alias("score"), "rank")
+    )
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
