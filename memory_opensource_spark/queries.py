@@ -2261,6 +2261,20 @@ def v2_batch(spark, sf_dir):
     )
 
 
+@_register("skew_salted_count", """
+WITH {EVENTS}
+SELECT user_id, COUNT(*) AS count FROM events_us GROUP BY user_id
+""")
+def skew_salted(spark, sf_dir):
+    """Skew-proof two-phase count (operators.skew.salted_count): per-(key,salt)
+    partial then per-key final — oracle-identical to the plain aggregate, which
+    is exactly the point (salting must be lossless)."""
+    from .operators.skew import salted_count
+
+    ev = tables.load(spark, sf_dir, "events")
+    return salted_count(ev, "user_id")
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
