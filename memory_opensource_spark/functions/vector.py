@@ -38,15 +38,20 @@ def norm(vec: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """cos(a,b) = dot/(|a||b|); mirrors memory/memory_graph.py:1626-1628."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """cos(a,b) = dot/(|a||b|); mirrors memory/memory_graph.py:1626-1628.
+    Zero vectors score 0.0 (ANSI mode would raise on the 0 denominator)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
 def l2_normalize(vec: Column) -> Column:
     """Normalize so cosine becomes a plain dot product (the reference stores
-    normalized embeddings: models/embedding_model.py:722-736)."""
+    normalized embeddings: models/embedding_model.py:722-736).  A zero vector
+    (empty content) stays zero instead of raising DIVIDE_BY_ZERO under ANSI
+    mode — matching the driver-side twin (api.hash_embed_py)."""
     n = norm(vec)
-    return F.transform(vec, lambda x: x / n)
+    denom = F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+    return F.transform(vec, lambda x: x / denom)
 
 
 def quantize_int8(vec: Column) -> Column:
