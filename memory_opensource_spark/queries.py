@@ -50,6 +50,19 @@ def _r6(col):
     return F.round(col.cast("double"), 6)
 
 
+def _qvec(sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Query vector via a direct pyarrow read — avoids spending a whole Spark
+    job on a 1-row collect in every vector query (the embeddings file is tiny;
+    a real deployment would pass the query vector in the request)."""
+    import pyarrow.parquet as pqt
+
+    t = pqt.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    d = t.to_pydict()
+    idx = d["vec_id"].index(vec_id)
+    return [float(x) for x in d["embedding"][idx]]
+
+
 def _r2(col):
     """round to 2 decimals: for large-magnitude SUMs (money, bulk quantities)
     where partial-sum ordering differs between engines by ~1e-4 absolute —
@@ -139,7 +152,7 @@ LIMIT 20
 """)
 def v2_topk(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    qvec = _qvec(sf_dir)
     scored = similarity.score_against(emb.filter(F.col("vec_id") != 0), qvec)
     # order on the ROUNDED score (the oracle's ORDER BY uses its rounded alias,
     # so a raw-order could pick different rows at the LIMIT boundary)
@@ -160,7 +173,7 @@ LIMIT 15
 """)
 def v2_filtered(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    qvec = _qvec(sf_dir)
     scored = similarity.score_against(
         emb.filter(F.col("vec_id") != 0).filter(F.col("label").isin(1, 3, 5)), qvec
     )
@@ -783,8 +796,7 @@ def search_flagship(spark, sf_dir):
 
     chunks = tables.build_chunks(tables.load(spark, sf_dir, "embeddings"))
     memories = tables.build_memories(tables.load(spark, sf_dir, "documents"))
-    qvec = [float(x) for x in
-            chunks.filter(F.col("chunk_id") == "m0_0").select("embedding").first()[0]]
+    qvec = _qvec(sf_dir)  # == chunk m0_0's embedding
     ctx = AclContext(user_id="u5", workspace_ids=["w1", "w3"], role_ids=["r2"],
                      organization_id="o1", namespace_id="ns3")
     out = search_plan(chunks, memories, qvec, ctx=ctx, top_k=20, score_threshold=0.0)
@@ -1023,7 +1035,7 @@ SELECT id, ROUND(score, 6)::DOUBLE AS score, source FROM dedup WHERE rn = 1
 def r2_merge(spark, sf_dir):
     chunks = tables.build_chunks(tables.load(spark, sf_dir, "embeddings"))
     emb = tables.load(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    qvec = _qvec(sf_dir)
     vec_src = (
         similarity.score_against(chunks, qvec, assume_normalized=True)
         .select(F.col("memory_id").alias("id"), "score")
@@ -1188,11 +1200,8 @@ def ann_ivf(spark, sf_dir):
     probe the 2 nearest the query.  With the table partitioned by ivf_bucket the
     probe becomes partition pruning: the scan reads nprobe/C of 100 TB."""
     emb = tables.load(spark, sf_dir, "embeddings")
-    cents = [
-        [float(x) for x in r.embedding]
-        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
-    ]
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    cents = [_qvec(sf_dir, i) for i in range(8)]
+    qvec = cents[0]
     out = similarity.ivf_topk_search(emb, qvec, 10, cents, nprobe=2,
                                      vec_col="embedding", id_col="vec_id")
     return out.select("vec_id", _r6(F.col("score")).alias("score"))
@@ -1518,7 +1527,7 @@ def rel_relevance(spark, sf_dir):
     chunks = tables.build_chunks(tables.load(spark, sf_dir, "embeddings"))
     mems = tables.build_memories(tables.load(spark, sf_dir, "documents"))
     emb = tables.load(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    qvec = _qvec(sf_dir)
     qtopics = mems.filter(F.col("memory_id") == "m0").select(
         F.col("topics").alias("qtopics")
     )
@@ -2126,7 +2135,7 @@ def search_agentic_flagship(spark, sf_dir):
         F.concat(F.lit("m"), ((F.col("vec_id") + 1) % 500).cast("string")).alias("dst"),
         F.lit("RELATED_TO").alias("rel_type"),
     )
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    qvec = _qvec(sf_dir)
     ctx = AclContext(user_id="u5")
     spec = PatternSpec(source_label="Memory", relationship_type="RELATED_TO",
                        target_label="Memory", direction="any")
