@@ -2284,6 +2284,79 @@ def skew_salted(spark, sf_dir):
     return salted_count(ev, "user_id")
 
 
+@_register("st2_session_analysis", """
+WITH {EVENTS}, base AS (
+  SELECT user_id, ts, event_type FROM events_us WHERE event_id < 1000
+), ordered AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 3600 THEN 1 ELSE 0 END AS is_new
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+), tok_counts AS (
+  SELECT user_id, session_id, event_type, COUNT(*) AS c
+  FROM sess GROUP BY user_id, session_id, event_type
+), dominant AS (
+  SELECT user_id, session_id, event_type AS dominant_type
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                     ORDER BY c DESC, event_type ASC) AS rn
+        FROM tok_counts)
+  WHERE rn = 1
+)
+SELECT s.user_id, s.session_id,
+       COUNT(*) AS message_count,
+       COUNT(DISTINCT s.event_type) AS vocab_size,
+       MIN(d.dominant_type) AS dominant_type
+FROM sess s JOIN dominant d USING (user_id, session_id)
+GROUP BY s.user_id, s.session_id
+HAVING COUNT(*) >= 3
+""")
+def st2_analysis(spark, sf_dir):
+    """ST2 per-session analysis via applyInPandas grouped-map (the deterministic
+    stand-in for message_batch_analysis's LLM analyzer): each session group is
+    processed as one pandas frame -> one analysis row (count, vocabulary size,
+    dominant type with max-count/lexicographic tie-break)."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    ev = tables.load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    sess = windows.session_ids(ev, "user_id", "ts", 3600)
+
+    out_schema = StructType([
+        StructField("user_id", ev.schema["user_id"].dataType),
+        StructField("session_id", LongType()),
+        StructField("message_count", LongType()),
+        StructField("vocab_size", LongType()),
+        StructField("dominant_type", StringType()),
+    ])
+
+    def analyze(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts = pdf["event_type"].value_counts()
+        top = counts[counts == counts.max()]
+        dominant = sorted(top.index)[0]
+        return pd.DataFrame([{
+            "user_id": pdf["user_id"].iloc[0],
+            "session_id": int(pdf["session_id"].iloc[0]),
+            "message_count": len(pdf),
+            "vocab_size": pdf["event_type"].nunique(),
+            "dominant_type": dominant,
+        }])
+
+    return (
+        sess.groupBy("user_id", "session_id")
+        .applyInPandas(analyze, out_schema)
+        .filter(F.col("message_count") >= 3)
+    )
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
