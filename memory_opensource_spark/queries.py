@@ -2357,6 +2357,94 @@ def st2_analysis(spark, sf_dir):
     )
 
 
+@_register("agg_pivot_events", """
+WITH {EVENTS}
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events_us GROUP BY user_id
+""")
+def agg_pivot(spark, sf_dir):
+    """Pivot/crosstab: events per (user, type) as one wide row per user.
+    Explicit pivot values keep the output schema deterministic."""
+    ev = tables.load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    for t in types:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)))
+    return out
+
+
+@_register("f10_map_functions", """
+WITH m AS (
+  SELECT doc_id,
+         MAP {'lang': lang, 'source': source, 'len': n_chars::VARCHAR} AS meta
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       cardinality(meta) AS n_keys,
+       list_sort(map_keys(meta)) AS keys,
+       meta['lang'][1] AS lang_val
+FROM m
+""")
+def f10_maps(spark, sf_dir):
+    """Map-typed metadata handling (F10 flatten/inspect algebra): cardinality,
+    sorted key set, point lookup."""
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    m = docs.select(
+        "doc_id",
+        F.create_map(
+            F.lit("lang"), F.col("lang"),
+            F.lit("source"), F.col("source"),
+            F.lit("len"), F.col("n_chars").cast("string"),
+        ).alias("meta"),
+    )
+    return m.select(
+        "doc_id",
+        F.size("meta").alias("n_keys"),
+        F.array_sort(F.map_keys("meta")).alias("keys"),
+        F.col("meta").getItem("lang").alias("lang_val"),
+    )
+
+
+@_register("full_outer_counter_merge", """
+WITH {EVENTS},
+counters AS (
+  SELECT user_id, (user_id * 2)::DOUBLE AS ema, (user_id * 10)::DOUBLE AS hit_total
+  FROM (SELECT DISTINCT user_id FROM events_us WHERE user_id < 100)
+), hits AS (
+  SELECT user_id, COUNT(*)::DOUBLE AS fresh FROM events_us WHERE user_id >= 50
+  GROUP BY user_id
+)
+SELECT coalesce(c.user_id, h.user_id) AS user_id,
+       coalesce(c.ema, 0.0) + coalesce(h.fresh, 0.0) AS ema,
+       coalesce(c.hit_total, 0.0) + coalesce(h.fresh, 0.0) AS hit_total
+FROM counters c FULL OUTER JOIN hits h ON c.user_id = h.user_id
+""")
+def full_outer_merge(spark, sf_dir):
+    """The R9/ST5 counter-merge join shape: existing counters FULL OUTER JOIN a
+    batch of fresh hits, coalescing both sides (new keys appear, stale keys
+    persist) — the MERGE INTO WHEN MATCHED/NOT MATCHED equivalent."""
+    ev = tables.load(spark, sf_dir, "events")
+    counters = ev.filter(F.col("user_id") < 100).select("user_id").distinct().select(
+        "user_id",
+        (F.col("user_id") * 2.0).alias("ema"),
+        (F.col("user_id") * 10.0).alias("hit_total"),
+    )
+    hits = ev.filter(F.col("user_id") >= 50).groupBy("user_id").agg(
+        F.count("*").cast("double").alias("fresh")
+    )
+    j = counters.alias("c").join(hits.alias("h"), "user_id", "full_outer")
+    return j.select(
+        F.col("user_id"),
+        (F.coalesce(F.col("ema"), F.lit(0.0)) + F.coalesce(F.col("fresh"), F.lit(0.0))).alias("ema"),
+        (F.coalesce(F.col("hit_total"), F.lit(0.0)) + F.coalesce(F.col("fresh"), F.lit(0.0))).alias("hit_total"),
+    )
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
