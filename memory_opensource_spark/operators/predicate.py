@@ -59,6 +59,9 @@ class FilterSpec:
     category: str | None = None
     custom_metadata: dict[str, Any] | None = None
     exclude_memory_id: str | None = None
+    # F7 OMO safety (services/omo_safety.py; enums shared_types.py:974-994)
+    consent_allowed: list[str] | None = None   # e.g. ["explicit", "implicit"]
+    risk_blocked: list[str] | None = None      # e.g. ["flagged"]
 
 
 def _lit_array(values: list[str]) -> Column:
@@ -160,6 +163,10 @@ def metadata_predicate(spec: FilterSpec, map_col: str = "custom_metadata") -> Co
             pred = pred & _custom_metadata_cond(key, value, map_col)
     if spec.exclude_memory_id:
         pred = pred & (F.col("memory_id") != F.lit(spec.exclude_memory_id))
+    if spec.consent_allowed:
+        pred = pred & F.col("consent").isin(*spec.consent_allowed)
+    if spec.risk_blocked:
+        pred = pred & ~F.col("risk").isin(*spec.risk_blocked)
     return pred
 
 

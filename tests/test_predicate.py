@@ -103,6 +103,17 @@ def test_custom_metadata_string_eq(meta_df):
     assert _match(meta_df, FilterSpec(custom_metadata={"tag": "beta"})) == ["m2"]
 
 
+def test_omo_safety_filter_in_spec(spark):
+    # F7 (services/omo_safety.py): consent whitelist AND risk blacklist
+    df = spark.createDataFrame(
+        [("m1", "explicit", "none"), ("m2", "none", "none"),
+         ("m3", "explicit", "flagged")],
+        "memory_id string, consent string, risk string",
+    )
+    spec = FilterSpec(consent_allowed=["explicit", "implicit"], risk_blocked=["flagged"])
+    assert _match(df, spec) == ["m1"]
+
+
 def test_custom_metadata_string_matches_list_membership(spark):
     # F4 (memory_graph.py:6855-6897): string filter also matches membership in a
     # list-valued entry
