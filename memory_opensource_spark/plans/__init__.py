@@ -1,1 +1,1 @@
-from . import ingest, search  # noqa: F401
+from . import enrich, ingest, search  # noqa: F401

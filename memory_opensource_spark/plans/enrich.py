@@ -1,0 +1,115 @@
+"""The background enrichment phase of the write path (§3.2 step 3).
+
+Mirrors process_memory_item_async -> _index_memories_and_process
+(memory/memory_graph.py:4171, 4227-5049) with the deterministic defaults of
+SURVEY §2.10 replacing the LLM stages:
+
+  1. predict related memories (kNN over embeddings, :4381-4412)
+  2. RELATED_TO top-3 edges with similarity metadata (G12, :4414-4440)
+  3. grouped vector point per memory (V9, :4457-4467)
+  4. entity extraction -> EXTRACTED edges (G11, :4732-4756) — extractor is the
+     pluggable UDF; the default derives entities from capitalized tokens
+  5. property-index rows for indexable string properties (V8)
+
+One lazy DAG per stage; every output is an append/MERGE-shaped DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..operators.graph import related_to_edges
+from ..operators.similarity import knn_join_blas
+
+
+def predict_related(new_chunks: DataFrame, corpus_chunks: DataFrame, k: int = 3,
+                    id_col: str = "memory_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Top-k most-similar existing memories per new memory
+    (memory/memory_graph.py:4381-4412)."""
+    return knn_join_blas(new_chunks, corpus_chunks, k,
+                         left_vec=vec_col, right_vec=vec_col,
+                         left_id=id_col, right_id=id_col)
+
+
+def related_edges(sims: DataFrame, k: int = 3) -> DataFrame:
+    """G12 RELATED_TO edges from the similarity pairs."""
+    return related_to_edges(sims, k=k)
+
+
+def grouped_points(new_chunks: DataFrame, sims: DataFrame, k: int = 3) -> DataFrame:
+    """V9 grouped point per memory: isGroupedMemories=true +
+    relatedMemoryIds=[top-k] (memory/memory_graph.py:3457-3591)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("left_id").orderBy(F.col("score").desc(), F.col("right_id").asc())
+    related = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("left_id")
+        .agg(F.collect_list("right_id").alias("related_memory_ids"))
+    )
+    return (
+        new_chunks.join(related, new_chunks.memory_id == related.left_id, "left")
+        .select(
+            new_chunks.memory_id,
+            F.col("embedding"),
+            F.lit(True).alias("is_grouped_memories"),
+            F.coalesce(F.col("related_memory_ids"), F.array()).alias("related_memory_ids"),
+        )
+    )
+
+
+def extract_entities(memories: DataFrame, content_col: str = "content",
+                     id_col: str = "memory_id") -> DataFrame:
+    """Deterministic default extractor (stands in for the LLM graph extractor,
+    api_handlers/chat_gpt_completion.py:4351): tokens longer than 5 chars
+    become candidate entities, deduped, labeled 'Entity'.  Returns
+    {memory_id, entity_id, label, prop_name}."""
+    toks = memories.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(content_col)))).alias("tok")
+    ).filter(F.length("tok") > 5)
+    return toks.select(
+        F.col(id_col).alias("memory_id"),
+        F.concat(F.lit("ent_"), F.col("tok")).alias("entity_id"),
+        F.lit("Entity").alias("label"),
+        F.col("tok").alias("prop_name"),
+    ).dropDuplicates(["memory_id", "entity_id"])
+
+
+def extracted_edges(entities: DataFrame) -> DataFrame:
+    """G11: Memory -EXTRACTED-> entity (memory/memory_graph.py:4732-4756)."""
+    return entities.select(
+        F.col("memory_id").alias("src"),
+        F.col("entity_id").alias("dst"),
+        F.lit("EXTRACTED").alias("rel_type"),
+    )
+
+
+def property_index_rows(entities: DataFrame) -> DataFrame:
+    """V8: '{label}.{prop}' rows for indexable string properties, skipping
+    UUID-ish values (services/property_indexing_service.py:407)."""
+    return entities.filter(
+        ~F.col("prop_name").rlike("^[0-9a-f]{8}-[0-9a-f]{4}")
+    ).select(
+        F.concat_ws(".", "label", F.lit("name")).alias("property_key"),
+        F.col("prop_name").alias("value"),
+        F.col("entity_id").alias("node_id"),
+    )
+
+
+def enrich(new_memories: DataFrame, new_chunks: DataFrame,
+           corpus_chunks: DataFrame, k_related: int = 3) -> dict[str, DataFrame]:
+    """Full enrichment: returns {related_edges, grouped_points, entities,
+    extracted_edges, property_index} — each an append-ready DataFrame."""
+    sims = predict_related(new_chunks, corpus_chunks, k_related)
+    entities = extract_entities(new_memories)
+    return {
+        "related_edges": related_edges(sims, k_related),
+        "grouped_points": grouped_points(new_chunks, sims, k_related),
+        "entities": entities,
+        "extracted_edges": extracted_edges(entities),
+        "property_index": property_index_rows(entities),
+    }
