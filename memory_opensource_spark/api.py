@@ -215,6 +215,38 @@ class MemoryEngine:
     def add_memory(self, **item) -> AddResult:
         return self.add_memory_batch([item])[0]
 
+    def enrich_memories(self, memory_ids: list[str] | None = None,
+                        k_related: int = 3) -> dict[str, int]:
+        """§3.2 background phase for the given (default: all) memories:
+        RELATED_TO edges, entity extraction + EXTRACTED edges, property-index
+        nodes — merged into the graph tables.  Returns per-output row counts."""
+        from .plans.enrich import enrich as enrich_plan
+
+        mems = self.memories
+        chunks = self.chunks.select("memory_id", "embedding")
+        if memory_ids:
+            mems = mems.filter(F.col("memory_id").isin(*memory_ids))
+            new_chunks = chunks.filter(F.col("memory_id").isin(*memory_ids))
+        else:
+            new_chunks = chunks
+        out = enrich_plan(mems, new_chunks, chunks, k_related=k_related)
+
+        ent_nodes = out["entities"].select(
+            F.col("entity_id").alias("node_id"), "label", "prop_name",
+            F.lit("active").alias("prop_status"),
+        ).dropDuplicates(["node_id"])
+        self.nodes = self._merge(self.nodes, ent_nodes, ["node_id"])
+        new_edges = out["related_edges"].unionByName(
+            out["extracted_edges"].withColumn("similarity_score", F.lit(None).cast("double"))
+        )
+        self.edges = self._merge(self.edges, new_edges, ["src", "dst", "rel_type"])
+        return {
+            "related_edges": out["related_edges"].count(),
+            "entities": ent_nodes.count(),
+            "extracted_edges": out["extracted_edges"].count(),
+            "property_index": out["property_index"].count(),
+        }
+
     # ---- read path (§3.1) ---------------------------------------------------------
 
     def search(self, query_text: str, ctx: AclContext | None = None,

@@ -120,6 +120,23 @@ def test_save_load_roundtrip(engine, tmp_path):
     assert hits[0].memory_id == "m1"
 
 
+def test_enrich_memories_builds_graph(engine):
+    counts = engine.enrich_memories()
+    assert counts["entities"] > 0 and counts["extracted_edges"] > 0
+    labels, rels = engine.schema()
+    assert "Entity" in labels
+    assert "EXTRACTED" in rels and "RELATED_TO" in rels
+    # the extracted entity for 'distributed' is reachable via the graph
+    from memory_opensource_spark.operators.graph import PatternSpec, match_pattern
+
+    out = match_pattern(
+        engine.nodes, engine.edges,
+        PatternSpec(source_label="Memory", relationship_type="EXTRACTED",
+                    target_label="Entity", direction="any"),
+    ).collect()
+    assert any(r.n_id == "ent_distributed" for r in out)
+
+
 def test_search_logging_bumps_counters(engine):
     before = engine.get_memory("m1")["cache_hit_total"]
     hits = engine.search("distributed spark engine", ctx=AclContext(user_id="alice"),
