@@ -1,1 +1,1 @@
-from . import dedup, graph, predicate, ranking, similarity, windows  # noqa: F401
+from . import dedup, graph, predicate, ranking, rerank, similarity, windows  # noqa: F401

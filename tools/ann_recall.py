@@ -1,0 +1,87 @@
+"""Measure ANN recall@k vs exact search at a given scale factor.
+
+Quantifies the accuracy/cost trade of the two approximate paths:
+- IVF (coarse quantization + nprobe)  — recall rises with nprobe
+- LSH (random projections)            — recall rises with hash tables
+
+Usage: python tools/ann_recall.py [sf_dir] [k]
+Prints one line per configuration: name, recall@k, candidate fraction scanned.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import numpy as np
+
+    from memory_opensource_spark.session import get_spark
+    from memory_opensource_spark.sources import tables
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    n_queries = 50
+
+    spark = get_spark("ann-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = tables.load(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([list(r.embedding) for r in rows], dtype="float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+
+    rng = np.random.default_rng(42)
+    q_idx = rng.choice(len(ids), size=n_queries, replace=False)
+
+    # exact ground truth
+    truth = {}
+    for qi in q_idx:
+        s = mat @ mat[qi]
+        s[qi] = -np.inf
+        truth[qi] = set(ids[np.argsort(-s)[:k]])
+
+    # IVF: centroids = first C vectors; assignment by max dot
+    for n_cents, nprobe in [(16, 1), (16, 2), (16, 4), (32, 4)]:
+        cents = mat[:n_cents]
+        assign = np.argmax(mat @ cents.T, axis=1)
+        hits, frac = 0, 0.0
+        for qi in q_idx:
+            order = np.argsort(-(cents @ mat[qi]))[:nprobe]
+            cand_mask = np.isin(assign, order)
+            frac += cand_mask.mean()
+            cand = np.where(cand_mask)[0]
+            s = mat[cand] @ mat[qi]
+            keep = cand[np.argsort(-s)]
+            keep = [c for c in keep if c != qi][:k]
+            hits += len(truth[qi] & set(ids[keep]))
+        print(f"ivf C={n_cents} nprobe={nprobe}: recall@{k}={hits/(k*n_queries):.3f} "
+              f"scan_frac={frac/n_queries:.3f}")
+
+    # LSH: random hyperplane signatures, candidates = same bucket in any table
+    dim = mat.shape[1]
+    for n_tables, n_bits in [(4, 8), (8, 8), (8, 6)]:
+        planes = rng.normal(size=(n_tables, n_bits, dim))
+        codes = np.stack([(mat @ planes[t].T > 0) @ (1 << np.arange(n_bits))
+                          for t in range(n_tables)], axis=1)  # (n, tables)
+        hits, frac = 0, 0.0
+        for qi in q_idx:
+            cand_mask = (codes == codes[qi]).any(axis=1)
+            cand_mask[qi] = False
+            frac += cand_mask.mean()
+            cand = np.where(cand_mask)[0]
+            if len(cand) == 0:
+                continue
+            s = mat[cand] @ mat[qi]
+            keep = cand[np.argsort(-s)][:k]
+            hits += len(truth[qi] & set(ids[keep]))
+        print(f"lsh tables={n_tables} bits={n_bits}: recall@{k}={hits/(k*n_queries):.3f} "
+              f"scan_frac={frac/n_queries:.3f}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
