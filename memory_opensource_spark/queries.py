@@ -2445,6 +2445,45 @@ def full_outer_merge(spark, sf_dir):
     )
 
 
+@_register("compress_sessions", """
+WITH {EVENTS}, base AS (
+  SELECT user_id, event_id, ts, event_type FROM events_us WHERE event_id < 2000
+), recency AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM base
+), tier AS (
+  SELECT 'short_term' AS tier, user_id, event_type, COUNT(*) AS c
+  FROM recency WHERE rn <= 5 GROUP BY user_id, event_type
+  UNION ALL
+  SELECT 'long_term', user_id, event_type, COUNT(*) FROM recency GROUP BY user_id, event_type
+), topt AS (
+  SELECT tier, user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY tier, user_id ORDER BY c DESC, event_type ASC) AS trn
+  FROM tier
+), joined AS (
+  SELECT tier, user_id, string_agg(event_type, ', ' ORDER BY trn) AS summary
+  FROM topt WHERE trn <= 3 GROUP BY tier, user_id
+)
+SELECT b.user_id,
+       COUNT(DISTINCT b.event_id) AS message_count,
+       MIN(s.summary) AS short_term,
+       MIN(l.summary) AS long_term
+FROM base b
+LEFT JOIN joined s ON s.user_id = b.user_id AND s.tier = 'short_term'
+LEFT JOIN joined l ON l.user_id = b.user_id AND l.tier = 'long_term'
+GROUP BY b.user_id
+""")
+def compress_q(spark, sf_dir):
+    """Session compression (COMPRESS_ENDPOINT_GUIDE.md): tiered top-term
+    summaries per session — here sessions keyed by user over the event stream;
+    the deterministic summarizer stands in for the LLM."""
+    from .operators.compress import compress_sessions
+
+    ev = tables.load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    out = compress_sessions(ev, ["user_id"], short_n=5, medium_n=20, top_k=3)
+    return out.select("user_id", "message_count", "short_term", "long_term")
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
