@@ -54,15 +54,28 @@ def l2_normalize(vec: Column) -> Column:
     return F.transform(vec, lambda x: x / denom)
 
 
-def quantize_int8(vec: Column) -> Column:
-    """int8 quantization: round(clip(v,-1,1)*127)
-    (services/memory_management.py:3957-4025)."""
-    clipped = F.transform(vec, lambda x: F.least(F.greatest(x, F.lit(-1.0)), F.lit(1.0)))
-    return F.transform(clipped, lambda x: F.round(x * INT8_SCALE).cast("tinyint"))
+def int8_scale(vec: Column) -> Column:
+    """Per-vector quantization scale 127/max_abs (services/memory_management.py:
+    3957-4025 uses dynamic per-vector scaling, not a fixed clip-to-[-1,1]).
+    The 1e-8 floor guards zero vectors."""
+    max_abs = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    return F.lit(float(INT8_SCALE)) / F.greatest(max_abs, F.lit(1e-8))
 
 
-def dequantize_int8(vec: Column) -> Column:
-    return F.transform(vec, lambda x: x.cast("double") / INT8_SCALE)
+def quantize_int8(vec: Column, scale: Column | None = None) -> Column:
+    """int8 quantization with per-vector max-abs scaling, clamped to [-128,127]
+    (services/memory_management.py:3957-4025).  Pass ``scale`` to reuse a
+    precomputed ``int8_scale`` column; store it alongside for dequantization."""
+    s = int8_scale(vec) if scale is None else scale
+    return F.transform(
+        vec,
+        lambda x: F.least(F.greatest(F.round(x * s), F.lit(-128.0)), F.lit(127.0)).cast("tinyint"),
+    )
+
+
+def dequantize_int8(vec: Column, scale: Column) -> Column:
+    """Inverse of quantize_int8 given the stored per-vector scale."""
+    return F.transform(vec, lambda x: x.cast("double") / scale)
 
 
 def lit_vector(values: list[float]) -> Column:

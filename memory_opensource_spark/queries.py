@@ -680,16 +680,21 @@ WITH {EVENTS}, ordered AS (
   FROM ordered
 )
 SELECT user_id, session_id, COUNT(*) AS message_count,
-       MIN(ts) AS session_start, MAX(ts) AS session_end
+       date_trunc('second', MIN(ts)) AS session_start,
+       date_trunc('second', MAX(ts)) AS session_end
 FROM sess GROUP BY user_id, session_id
 """)
 def st2(spark, sf_dir):
+    # session bounds truncated to whole seconds on both sides: the fixture
+    # events carry microseconds and the driver's value hash is sensitive to the
+    # last-µs disagreement between Spark's parquet reader and DuckDB's
+    # TIMESTAMP_NS truncation (round-1 hash mismatch).
     ev = tables.load(spark, sf_dir, "events")
     sess = windows.session_ids(ev, "user_id", "ts", 1800)
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("message_count"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.date_trunc("second", F.min("ts")).alias("session_start"),
+        F.date_trunc("second", F.max("ts")).alias("session_end"),
     )
 
 
@@ -915,15 +920,29 @@ def v10_cache(spark, sf_dir):
 
 
 @_register("v11_int8_quantize", """
+WITH scaled AS (
+  SELECT vec_id, embedding,
+         127.0 / greatest(list_max(list_transform(embedding, y -> abs(y::DOUBLE))), 1e-8) AS scale
+  FROM embeddings WHERE vec_id < 100
+)
 SELECT vec_id,
-       list_transform(embedding,
-         x -> CAST(round(least(greatest(x::DOUBLE, -1.0), 1.0) * 127) AS TINYINT)) AS qvec
-FROM embeddings
-WHERE vec_id < 100
+       ROUND(scale, 6)::DOUBLE AS scale,
+       array_to_string(list_transform(embedding,
+         x -> CAST(least(greatest(round(x::DOUBLE * scale), -128), 127) AS BIGINT)), ',') AS qvec
+FROM scaled
 """)
 def v11_quant(spark, sf_dir):
+    # Per-vector max-abs scaling (services/memory_management.py:3957-4025), and
+    # the int8 array is projected to a CSV string — the driver canonicalizer
+    # cannot hash array cells (round-1 red row).
     emb = tables.load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    return emb.select("vec_id", V.quantize_int8(V.to_double(F.col("embedding"))).alias("qvec"))
+    vec = V.to_double(F.col("embedding"))
+    q = V.quantize_int8(vec)
+    return emb.select(
+        "vec_id",
+        _r6(V.int8_scale(vec)).alias("scale"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("qvec"),
+    )
 
 
 # ---------------------------------------------------------------------------------
@@ -1078,15 +1097,18 @@ def r14(spark, sf_dir):
 
 @_register("f2_array_metadata_filter", f"""
 WITH {MEMORIES_CTE.strip()}
-SELECT memory_id, topics FROM memories_d
+SELECT memory_id, array_to_string(topics, ',') AS topics_csv FROM memories_d
 WHERE len(list_intersect(topics, ['de', 'fr'])) > 0 AND source_type = 'src1'
 """)
 def f2_arrays(spark, sf_dir):
+    # topics is projected to a CSV string: the driver's canonicalizer cannot
+    # hash array-typed cells (round-1 red row), and the filter semantics are
+    # unchanged — arrays_overlap still runs on the native array column.
     mems = tables.build_memories(tables.load(spark, sf_dir, "documents"))
     return mems.filter(
         F.arrays_overlap("topics", F.array(F.lit("de"), F.lit("fr")))
         & (F.col("source_type") == "src1")
-    ).select("memory_id", "topics")
+    ).select("memory_id", F.array_join("topics", ",").alias("topics_csv"))
 
 
 # ---------------------------------------------------------------------------------
@@ -1394,7 +1416,9 @@ WITH toks AS (
 SELECT 'm' || doc_id::VARCHAR AS memory_id,
        'm' || doc_id::VARCHAR || '_' || chunk_index::VARCHAR AS chunk_id,
        chunk_index, total_chunks::INT AS total_chunks,
-       list_transform(raw, x -> round(x / sqrt(list_sum(list_transform(raw, y -> y * y))), 6)) AS embedding
+       array_to_string(list_transform(raw,
+         x -> CAST(round(x / sqrt(list_sum(list_transform(raw, y -> y * y))) * 1000000) AS BIGINT)),
+         ',') AS emb_q6
 FROM vecs
 """)
 def v1_chunk_embed(spark, sf_dir):
@@ -1410,9 +1434,13 @@ def v1_chunk_embed(spark, sf_dir):
     )
     chunked = ingest.chunk_text(mems, chunk_tokens=64)
     embedded = ingest.hash_embed(chunked, dim=32)
+    # embedding is checked as a CSV of micro-quantized BIGINTs: raw float arrays
+    # crash the driver canonicalizer, and integer CSV sidesteps cross-engine
+    # float-to-string formatting drift.
+    q6 = F.transform("embedding", lambda x: F.round(x * 1e6).cast("bigint").cast("string"))
     return embedded.select(
         "memory_id", "chunk_id", "chunk_index", "total_chunks",
-        F.transform("embedding", lambda x: F.round(x, 6)).alias("embedding"),
+        F.array_join(q6, ",").alias("emb_q6"),
     )
 
 
@@ -1473,7 +1501,7 @@ def g14_when(spark, sf_dir):
 
 @_register("f10_scalar_functions", """
 SELECT doc_id,
-       list_transform(string_split(lang || ',' || source || ' , ' || 'extra', ','), t -> trim(t)) AS parts,
+       array_to_string(list_transform(string_split(lang || ',' || source || ' , ' || 'extra', ','), t -> trim(t)), '|') AS parts,
        strftime(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 HOUR, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
        upper(substr(source, 1, 3)) AS src_prefix,
        length(text) AS content_len
@@ -1489,9 +1517,12 @@ def f10_scalars(spark, sf_dir):
     )
     return docs.select(
         "doc_id",
-        F.transform(
-            F.split(F.concat_ws(",", "lang", F.concat_ws(" , ", "source", F.lit("extra"))), ","),
-            lambda t: F.trim(t),
+        F.array_join(
+            F.transform(
+                F.split(F.concat_ws(",", "lang", F.concat_ws(" , ", "source", F.lit("extra"))), ","),
+                lambda t: F.trim(t),
+            ),
+            "|",
         ).alias("parts"),
         F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
         F.upper(F.substring("source", 1, 3)).alias("src_prefix"),
@@ -1679,7 +1710,8 @@ def s11_hierarchical(spark, sf_dir):
 @_register("v9_grouped_points", """
 SELECT 'm' || vec_id::VARCHAR || '_0' AS chunk_id,
        TRUE AS is_grouped_memories,
-       ['m' || ((vec_id + 1) % 100)::VARCHAR, 'm' || ((vec_id + 2) % 100)::VARCHAR] AS related_memory_ids,
+       array_to_string(['m' || ((vec_id + 1) % 100)::VARCHAR,
+                        'm' || ((vec_id + 2) % 100)::VARCHAR], ',') AS related_memory_ids,
        g.related_id
 FROM embeddings,
      LATERAL (SELECT UNNEST(['m' || ((vec_id + 1) % 100)::VARCHAR,
@@ -1699,9 +1731,14 @@ def v9_grouped(spark, sf_dir):
     grouped = emb.select(
         F.concat(F.lit("m"), F.col("vec_id").cast("string"), F.lit("_0")).alias("chunk_id"),
         F.lit(True).alias("is_grouped_memories"),
-        related.alias("related_memory_ids"),
+        related.alias("_related"),
     )
-    return grouped.select("*", F.explode("related_memory_ids").alias("related_id"))
+    return grouped.select(
+        "chunk_id",
+        "is_grouped_memories",
+        F.array_join("_related", ",").alias("related_memory_ids"),
+        F.explode("_related").alias("related_id"),
+    )
 
 
 # ---------------------------------------------------------------------------------
@@ -2217,11 +2254,13 @@ WITH {EVENTS}, ranked AS (
   FROM events_us
   WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
 )
-SELECT user_id, event_id, ts, value FROM ranked WHERE rn = 1
+SELECT user_id, event_id, date_trunc('second', ts) AS ts, value FROM ranked WHERE rn = 1
 """)
 def asof_latest(spark, sf_dir):
     """As-of lookup: each user's latest event at-or-before a point in time —
-    the temporal-join primitive (window top-1 per key)."""
+    the temporal-join primitive (window top-1 per key).  Ordering uses the raw
+    µs timestamp; only the projected ts is truncated to whole seconds (driver
+    hash is sensitive to last-µs reader disagreement)."""
     ev = tables.load(spark, sf_dir, "events").filter(
         F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp")
     )
@@ -2229,7 +2268,7 @@ def asof_latest(spark, sf_dir):
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "ts", "value")
+        .select("user_id", "event_id", F.date_trunc("second", "ts").alias("ts"), "value")
     )
 
 
@@ -2386,7 +2425,7 @@ WITH m AS (
 )
 SELECT doc_id,
        cardinality(meta) AS n_keys,
-       list_sort(map_keys(meta)) AS keys,
+       array_to_string(list_sort(map_keys(meta)), ',') AS keys,
        meta['lang'][1] AS lang_val
 FROM m
 """)
@@ -2405,7 +2444,7 @@ def f10_maps(spark, sf_dir):
     return m.select(
         "doc_id",
         F.size("meta").alias("n_keys"),
-        F.array_sort(F.map_keys("meta")).alias("keys"),
+        F.array_join(F.array_sort(F.map_keys("meta")), ",").alias("keys"),
         F.col("meta").getItem("lang").alias("lang_val"),
     )
 

@@ -69,7 +69,8 @@ RELEVANCE_COSINE_WEIGHT, RELEVANCE_TOPIC_WEIGHT = 0.7, 0.3
 RELATED_CONTENT_TRIM_CHARS = 600
 
 # --- misc ---------------------------------------------------------------------------
-# int8 quantization: round(clip(v,-1,1)*127) (services/memory_management.py:3957-4025).
+# int8 quantization: per-vector max-abs scaling scale=127/max_abs, clamp [-128,127]
+# (services/memory_management.py:3957-4025 uses dynamic scaling, not a fixed clip).
 INT8_SCALE = 127
 # Batch limits (config/opensource.yaml `batch_processing`).
 BATCH_MAX, BATCH_WORKFLOW_THRESHOLD, BATCH_CONCURRENCY = 1000, 100, 100

@@ -36,12 +36,17 @@ def test_cosine_and_normalize(spark):
 
 def test_quantize_int8_roundtrip(spark):
     df = spark.createDataFrame([([0.5, -1.5, 1.0],)], ["v"])
+    s = vector.int8_scale(F.col("v"))
     row = df.select(
+        s.alias("scale"),
         vector.quantize_int8(F.col("v")).alias("q"),
-        vector.dequantize_int8(vector.quantize_int8(F.col("v"))).alias("dq"),
+        vector.dequantize_int8(vector.quantize_int8(F.col("v"), s), s).alias("dq"),
     ).first()
-    assert row.q == [64, -127, 127]  # clip(-1.5) -> -1 -> -127
-    assert abs(row.dq[0] - 0.5039370078740157) < 1e-9
+    # per-vector scaling: max_abs=1.5 -> scale=127/1.5; the max element maps to ±127
+    assert abs(row.scale - 127.0 / 1.5) < 1e-12
+    assert row.q == [42, -127, 85]
+    assert abs(row.dq[0] - 42 / (127.0 / 1.5)) < 1e-9
+    assert abs(row.dq[1] - -1.5) < 1e-2
 
 
 def test_tokens_and_counts(spark):

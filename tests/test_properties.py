@@ -111,8 +111,13 @@ def test_minhash_band_collision_for_equal_docs(tokens):
     assert bands1 == bands2
 
 
-@given(st.floats(min_value=-2.0, max_value=2.0, allow_nan=False))
+@given(st.lists(st.floats(min_value=-10.0, max_value=10.0, allow_nan=False),
+                min_size=1, max_size=8))
 @settings(max_examples=200, deadline=None)
-def test_int8_quantize_bounds(v):
-    q = round(max(-1.0, min(1.0, v)) * 127)
-    assert -127 <= q <= 127
+def test_int8_quantize_bounds(vs):
+    # python twin of vector.quantize_int8 per-vector max-abs scaling
+    scale = 127.0 / max(max(abs(v) for v in vs), 1e-8)
+    qs = [min(max(round(v * scale), -128), 127) for v in vs]
+    assert all(-128 <= q <= 127 for q in qs)
+    if any(v != 0 for v in vs):
+        assert max(abs(q) for q in qs) == 127  # max element saturates exactly

@@ -19,21 +19,46 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineite
           "events", "documents", "embeddings"]
 
 
-def normalize(df):
-    """pandas DF -> canonical sorted record list for order-insensitive compare."""
-    import pandas as pd
+class CanonicalizerHazard(Exception):
+    """Raised when an output column would crash or flake the driver's
+    precision-sensitive canonicalizer (arrays -> unhashable; sub-second
+    timestamps -> hash drift between Spark's parquet reader and DuckDB)."""
+
+
+def normalize(df, strict=True):
+    """pandas DF -> canonical sorted record list for order-insensitive compare.
+
+    ``strict`` replicates the DRIVER's canonicalizer, which does NOT tuple-ize
+    list cells (it crashes on them: ``unhashable type: 'list'``) and whose value
+    hash is sensitive to sub-second timestamp components.  Any query output
+    violating either rule fails here so it can never reach the driver red.
+    """
+    import numpy as np
 
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            import numpy as np
-
-            df[c] = df[c].apply(
-                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
-            )
+            has_seq = df[c].apply(lambda v: isinstance(v, (list, tuple, np.ndarray, dict))).any()
+            if has_seq and strict:
+                raise CanonicalizerHazard(
+                    f"column {c!r} contains array/map values — the driver "
+                    "canonicalizer crashes on these; project with array_join/to_json"
+                )
+            if has_seq:
+                df[c] = df[c].apply(
+                    lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
+                )
         if str(df[c].dtype).startswith("float"):
             df[c] = df[c].round(6)
         if "datetime" in str(df[c].dtype):
+            vals = df[c].dropna()
+            if strict and len(vals) and not (
+                vals.dt.microsecond.eq(0).all() and vals.dt.nanosecond.eq(0).all()
+            ):
+                raise CanonicalizerHazard(
+                    f"column {c!r} has sub-second timestamp components — driver "
+                    "hash is precision-sensitive; date_trunc('second', ...) both sides"
+                )
             df[c] = df[c].astype("datetime64[us]")
     recs = [tuple(r) for r in df.itertuples(index=False)]
     return sorted(recs, key=repr)
@@ -68,7 +93,12 @@ def main():
             failed += 1
             continue
         if name not in oracles:
-            print(f"OK?  {name}: rows-only check, {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            try:
+                normalize(sdf.copy())
+                note = ""
+            except CanonicalizerHazard as e:
+                note = f" [hazard if oracle added: {e}]"
+            print(f"OK?  {name}: rows-only check, {len(sdf)} rows ({time.time()-t0:.1f}s){note}")
             passed += 1
             continue
         try:
@@ -86,7 +116,12 @@ def main():
             print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
             failed += 1
             continue
-        s, o = normalize(sdf), normalize(odf)
+        try:
+            s, o = normalize(sdf), normalize(odf)
+        except CanonicalizerHazard as e:
+            print(f"FAIL {name}: canonicalizer hazard: {e}")
+            failed += 1
+            continue
         if s != o:
             ndiff = sum(1 for a, b in zip(s, o) if a != b)
             print(f"FAIL {name}: values differ ({ndiff}/{len(s)} rows)")
