@@ -408,21 +408,30 @@ class MemoryEngine:
                         confidence: float = 1.0,
                         event_ts: str | None = None) -> None:
         """R16: feedback bumps citation (or cache) counters with R9 decay applied
-        to the prior value (services/memory_management.py:3369-3405)."""
+        to the prior value (services/memory_management.py:3369-3405): the stored
+        EMA / confidence-weighted columns are first decayed by
+        0.5 ** (delta_days / half_life) using the stored updated_at vs the event
+        time (negative deltas clamp to 0 days, i.e. no decay — mirroring
+        _apply_time_decay, services/memory_management.py:3177-3342), THEN the
+        increment is added.  Totals are undecayed counts."""
+        from .functions.decay import decay_factor
+
         prefix = "citation" if kind == "citation" else "cache"
         hit = F.col("memory_id").isin(*memory_ids)
         now = F.to_timestamp(F.lit(event_ts)) if event_ts else F.current_timestamp()
+        # clamp negative deltas: factor = min(0.5^(delta/half_life), 1.0)
+        decay = F.least(decay_factor(F.col("updated_at"), now), F.lit(1.0))
         m = self.memories
         m = m.withColumn(
             f"{prefix}_hit_total",
             F.when(hit, F.col(f"{prefix}_hit_total") + 1).otherwise(F.col(f"{prefix}_hit_total")),
         ).withColumn(
             f"{prefix}_hit_ema_30d",
-            F.when(hit, F.col(f"{prefix}_hit_ema_30d") + 1.0)
+            F.when(hit, F.col(f"{prefix}_hit_ema_30d") * decay + 1.0)
             .otherwise(F.col(f"{prefix}_hit_ema_30d")),
         ).withColumn(
             f"{prefix}_confidence_weighted_30d",
-            F.when(hit, F.col(f"{prefix}_confidence_weighted_30d") + confidence)
+            F.when(hit, F.col(f"{prefix}_confidence_weighted_30d") * decay + confidence)
             .otherwise(F.col(f"{prefix}_confidence_weighted_30d")),
         ).withColumn("updated_at", F.when(hit, now).otherwise(F.col("updated_at")))
         self.memories = m

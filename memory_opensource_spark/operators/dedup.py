@@ -189,13 +189,15 @@ def embedding_near_duplicates(vectors: DataFrame, id_col: str = "vec_id",
                               threshold: float = DUPLICATE_SWEEP_THRESHOLD,
                               use_blas: bool = True) -> DataFrame:
     """Reference V5 duplicate sweep (memory/memory_graph.py:10333-10390):
-    pairs with cosine > threshold, left < right ordering.
+    pairs with cosine STRICTLY > threshold (memory_graph.py:10378 compares with
+    >, not >=), left < right ordering.
 
     use_blas streams left partitions against a broadcast right matrix (the fast
     path); the expression form remains as the oracle-shaped fallback for a right
     side too big to broadcast un-bucketed."""
     join = cosine_join_blas if use_blas else cosine_join
-    pairs = join(vectors, vectors, threshold, vec_col, vec_col, id_col, id_col)
+    pairs = join(vectors, vectors, threshold, vec_col, vec_col, id_col, id_col,
+                 inclusive=False)
     return pairs.filter(F.col("left_id") < F.col("right_id"))
 
 

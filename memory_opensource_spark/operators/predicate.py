@@ -166,7 +166,9 @@ def metadata_predicate(spec: FilterSpec, map_col: str = "custom_metadata") -> Co
     if spec.consent_allowed:
         pred = pred & F.col("consent").isin(*spec.consent_allowed)
     if spec.risk_blocked:
-        pred = pred & ~F.col("risk").isin(*spec.risk_blocked)
+        # blacklist semantics: a NULL (legacy/unlabeled) risk must PASS —
+        # a bare ~isin() is NULL for NULL input and would silently drop the row
+        pred = pred & (F.col("risk").isNull() | ~F.col("risk").isin(*spec.risk_blocked))
     return pred
 
 

@@ -64,8 +64,11 @@ def cosine_join(left: DataFrame, right: DataFrame, threshold: float,
                 left_vec: str = "embedding", right_vec: str = "embedding",
                 left_id: str = "id", right_id: str = "id",
                 block_cols: list[str] | None = None,
-                anti_reflexive: bool = True) -> DataFrame:
+                anti_reflexive: bool = True,
+                inclusive: bool = True) -> DataFrame:
     """Threshold theta-join: pairs with cosine >= threshold (V4/V5/V6/V7 core).
+    ``inclusive=False`` gives the strict > form (the reference duplicate sweep
+    compares strictly, memory/memory_graph.py:10378).
 
     Exact form.  ``block_cols`` restricts candidate pairs to equal blocking keys
     (tenant / IVF bucket / LSH band) turning the cross join into an equi-join —
@@ -86,8 +89,9 @@ def cosine_join(left: DataFrame, right: DataFrame, threshold: float,
     if anti_reflexive:
         joined = joined.filter(F.col("_lid") != F.col("_rid"))
     scored = joined.withColumn("score", cosine(F.col("_lvec"), F.col("_rvec")))
+    keep = F.col("score") >= threshold if inclusive else F.col("score") > threshold
     return (
-        scored.filter(F.col("score") >= threshold)
+        scored.filter(keep)
         .select(F.col("_lid").alias("left_id"), F.col("_rid").alias("right_id"), "score")
     )
 
@@ -133,7 +137,8 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
 def cosine_join_blas(left: DataFrame, right: DataFrame, threshold: float,
                      left_vec: str = "embedding", right_vec: str = "embedding",
                      left_id: str = "id", right_id: str = "id",
-                     anti_reflexive: bool = True) -> DataFrame:
+                     anti_reflexive: bool = True,
+                     inclusive: bool = True) -> DataFrame:
     """BLAS path for the cosine threshold join: broadcast the right side as a
     numpy matrix, stream left partitions through mapInPandas, and emit only
     pairs >= threshold from a single matrix product per Arrow batch.
@@ -172,7 +177,7 @@ def cosine_join_blas(left: DataFrame, right: DataFrame, threshold: float,
             lnorm = np.linalg.norm(lmat, axis=1, keepdims=True)
             lnorm[lnorm == 0] = 1.0
             scores = (lmat / lnorm) @ mat.T          # (B, R) cosine matrix
-            li, ri = np.nonzero(scores >= threshold)
+            li, ri = np.nonzero(scores >= threshold if inclusive else scores > threshold)
             if len(li) == 0:
                 continue
             out = pd.DataFrame({
@@ -277,13 +282,16 @@ def batch_topk_search(queries: DataFrame, corpus: DataFrame, k: int,
             cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
             cnorm[cnorm == 0] = 1.0
             scores = (cmat / cnorm) @ mat.T          # (batch, n_queries)
-            # local per-query top-k: keep only candidate rows that can matter
+            # local per-query top-k with the SAME tie-break as the global window
+            # ((score desc, corpus_id asc)): a plain argpartition keeps arbitrary
+            # rows among k-th-boundary ties, which can drop the candidate the
+            # global stage would have ranked — lexsort makes both stages agree.
             n_keep = min(k, scores.shape[0])
-            keep_rows = np.argpartition(-scores, n_keep - 1, axis=0)[:n_keep]
             rows = []
             cids = pdf[corpus_id].to_numpy()
             for qi in range(scores.shape[1]):
-                for ci in keep_rows[:, qi]:
+                order = np.lexsort((cids, -scores[:, qi]))[:n_keep]
+                for ci in order:
                     rows.append((ids_arr[qi], cids[ci], float(scores[ci, qi])))
             yield pd.DataFrame(rows, columns=["query_id", "corpus_id", "score"])
 

@@ -3,7 +3,7 @@
 Mirrors find_related_memory_items_async (memory/memory_graph.py:5721-7118, traced
 in SURVEY §3.1):
 
-  1. compile ACL + metadata filter (F1-F4)          -> one Column, pushed to scan
+  1. compile ACL (pushed to scan) + metadata spec (pre-top-k semi-join, F1-F4)
   2. embed query (deterministic hash embedder here) -> literal vector
   3. filtered cosine top-k over chunks, k*3 overfetch (V2/R5), threshold 0.15 (F6)
   4. chunk -> memory dedup via base-id algebra       (regexp strip _N)
@@ -47,35 +47,53 @@ def search(
     retry (memory/memory_graph.py:8582-8718, :9130-9141).
     """
     acl_pred = compile_filter(ctx, None) if ctx else None
+    spec_pred = compile_filter(None, spec) if spec else None
 
-    hits = topk_search(
-        chunks,
-        query_vec,
-        overfetch_k(top_k),
-        pred=acl_pred,
-        vec_col="embedding",
-        id_col="chunk_id",
-        score_threshold=score_threshold,
-    )
+    # metadata spec is applied PRE-top-k, like the reference's Qdrant pre-filter
+    # (memory/memory_graph.py:5905-6034): top-k must be computed over MATCHING
+    # points, or a selective spec starves the overfetch window and returns
+    # few/zero rows while matches exist past it.  Chunks carry no metadata
+    # columns, so the pre-filter is a semi-join on the memory id derived from
+    # the chunk id (AQE broadcasts the allowed-id side when it is small; at
+    # real scale, denormalize the spec columns onto chunks so this predicate
+    # pushes to the scan instead).
+    candidate_chunks = chunks
+    if spec_pred is not None:
+        allowed = memories.filter(spec_pred).select("memory_id")
+        candidate_chunks = (
+            chunks.withColumn("_spec_mem", strip_chunk_suffix(F.col("chunk_id")))
+            .join(allowed.withColumnRenamed("memory_id", "_spec_mem"), "_spec_mem", "left_semi")
+            .drop("_spec_mem")
+        )
 
-    # chunk -> memory: strip the _N suffix, keep best chunk score per memory
-    # (memory/memory_graph.py:6064-6066 + dict-by-id dedup :9111-9112)
-    mem_hits = (
-        hits.withColumn("memory_id", strip_chunk_suffix(F.col("chunk_id")))
-        .groupBy("memory_id")
-        .agg(F.max("score").alias("score"))
-    )
+    def run(cand: DataFrame, post_pred) -> DataFrame:
+        hits = topk_search(
+            cand,
+            query_vec,
+            overfetch_k(top_k),
+            pred=acl_pred,
+            vec_col="embedding",
+            id_col="chunk_id",
+            score_threshold=score_threshold,
+        )
+        # chunk -> memory: strip the _N suffix, keep best chunk score per memory
+        # (memory/memory_graph.py:6064-6066 + dict-by-id dedup :9111-9112)
+        mem_hits = (
+            hits.withColumn("memory_id", strip_chunk_suffix(F.col("chunk_id")))
+            .groupBy("memory_id")
+            .agg(F.max("score").alias("score"))
+        )
+        # S1 fetch: the hit set is tiny (<= 3k ids) -> broadcast semi-join
+        fetched = memories.join(F.broadcast(mem_hits), "memory_id")
+        # post-fetch re-check (F4): cheap on <= 3k rows, guards spec drift
+        if post_pred is not None:
+            fetched = fetched.filter(post_pred)
+        return fetched.orderBy(F.col("score").desc(), F.col("memory_id").asc()).limit(top_k)
 
-    # S1 fetch: the hit set is tiny (<= 3k ids) -> broadcast semi-join into memories
-    fetched = memories.join(F.broadcast(mem_hits), "memory_id")
-
-    post_pred = compile_filter(None, spec) if spec else None
-    filtered = fetched.filter(post_pred) if post_pred is not None else fetched
-
-    out = filtered.orderBy(F.col("score").desc(), F.col("memory_id").asc()).limit(top_k)
-    if fallback_relax and post_pred is not None and out.isEmpty():
+    out = run(candidate_chunks, spec_pred)
+    if fallback_relax and spec_pred is not None and out.isEmpty():
         # semantic retry: relax property filters, keep ACL (memory_graph.py:9130-9141)
-        out = fetched.orderBy(F.col("score").desc(), F.col("memory_id").asc()).limit(top_k)
+        out = run(chunks, None)
     return out
 
 

@@ -191,7 +191,7 @@ def v2_filtered(spark, sf_dir):
 @_register("v5_near_dup_pairs", f"""
 SELECT a.vec_id AS left_id, b.vec_id AS right_id, {_COSINE_SQL.replace('e.embedding', 'a.embedding').replace('q.embedding', 'b.embedding')} AS score
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_COSINE_SQL.replace('e.embedding', 'a.embedding').replace('q.embedding', 'b.embedding')} >= 0.35
+WHERE {_COSINE_SQL.replace('e.embedding', 'a.embedding').replace('q.embedding', 'b.embedding')} > 0.35
 """)
 def v5_pairs(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings")
@@ -2197,7 +2197,7 @@ WITH RECURSIVE pairs AS (
         / (SQRT(list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
                                  list_transform(a.embedding, x -> x::DOUBLE)))
          * SQRT(list_dot_product(list_transform(b.embedding, x -> x::DOUBLE),
-                                 list_transform(b.embedding, x -> x::DOUBLE)))) >= 0.4
+                                 list_transform(b.embedding, x -> x::DOUBLE)))) > 0.4
 ), und AS (
   SELECT l AS src, r AS dst FROM pairs UNION SELECT r, l FROM pairs
 ), members AS (SELECT DISTINCT src AS node_id FROM und),

@@ -185,3 +185,47 @@ def test_hash_embed_py_matches_spark(spark):
     spark_vec = hash_embed(df, dim=32).first().embedding
     py_vec = hash_embed_py("hello world of spark", dim=32)
     assert all(abs(a - b) < 1e-12 for a, b in zip(spark_vec, py_vec))
+
+
+def test_feedback_ema_time_decays(engine):
+    # two citations one 30d half-life apart: prior EMA halves before the bump
+    # (services/memory_management.py _apply_time_decay, ~3177-3342)
+    engine.record_feedback(["m2"], kind="citation", confidence=1.0,
+                           event_ts="2024-06-01 00:00:00")
+    engine.record_feedback(["m2"], kind="citation", confidence=1.0,
+                           event_ts="2024-07-01 00:00:00")
+    row = engine.get_memory("m2")
+    assert row["citation_hit_total"] == 2            # totals stay undecayed
+    assert abs(row["citation_hit_ema_30d"] - 1.5) < 1e-9   # 1*0.5 + 1
+    assert abs(row["citation_confidence_weighted_30d"] - 1.5) < 1e-9
+
+
+def test_feedback_negative_delta_clamps(engine):
+    # event older than updated_at: clamp to no decay, never amplification
+    engine.record_feedback(["m2"], kind="citation", event_ts="2024-06-01 00:00:00")
+    engine.record_feedback(["m2"], kind="citation", event_ts="2024-05-01 00:00:00")
+    row = engine.get_memory("m2")
+    assert abs(row["citation_hit_ema_30d"] - 2.0) < 1e-9   # 1*min(decay,1)=1, +1
+
+
+def test_search_spec_filters_pre_topk(spark):
+    # 6 decoys match the query better than the one spec-matching memory; with a
+    # post-fetch-only filter the k*3 overfetch window (top_k=1 -> 3) holds only
+    # decoys and the result would be empty — the pre-top-k semi-join must find it
+    # (reference puts the spec in the vector-store pre-filter,
+    # memory/memory_graph.py:5905-6034).
+    eng = MemoryEngine(spark, dim=32)
+    decoys = [
+        {"memory_id": f"d{i}", "content": "spark distributed engine cluster",
+         "user_id": "alice", "user_read_access": ["alice"], "topics": ["other"]}
+        for i in range(6)
+    ]
+    eng.add_memory_batch(decoys + [
+        {"memory_id": "target", "content": "graphs and property stores",
+         "user_id": "alice", "user_read_access": ["alice"], "topics": ["wanted"]},
+    ])
+    out = eng.search("spark distributed engine cluster",
+                     ctx=AclContext(user_id="alice"),
+                     spec=FilterSpec(topics=["wanted"]),
+                     top_k=1, score_threshold=None).collect()
+    assert [r.memory_id for r in out] == ["target"]

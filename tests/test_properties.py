@@ -119,5 +119,5 @@ def test_int8_quantize_bounds(vs):
     scale = 127.0 / max(max(abs(v) for v in vs), 1e-8)
     qs = [min(max(round(v * scale), -128), 127) for v in vs]
     assert all(-128 <= q <= 127 for q in qs)
-    if any(v != 0 for v in vs):
+    if max(abs(v) for v in vs) >= 1e-8:  # below the floor, scale caps instead
         assert max(abs(q) for q in qs) == 127  # max element saturates exactly
