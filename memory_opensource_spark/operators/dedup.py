@@ -29,7 +29,19 @@ from ..semantics import (
     MINHASH_NUM_HASHES,
     NEAR_DUP_JACCARD,
 )
-from .similarity import cosine_join, cosine_join_blas, knn_join, knn_join_blas
+from .similarity import (
+    cosine_join,
+    cosine_join_blas,
+    grid_knn_join,
+    grid_near_duplicates,
+    knn_join,
+    knn_join_blas,
+)
+
+# Broadcast budget for the BLAS similarity paths: past this many dimension-side
+# rows (~500k x 64 dims x 8 B = 256 MB driver matrix) the driver-collect
+# broadcast is unsafe and the grid (no-collect) path takes over.
+BLAS_BROADCAST_BUDGET_ROWS = 500_000
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -192,10 +204,18 @@ def embedding_near_duplicates(vectors: DataFrame, id_col: str = "vec_id",
     pairs with cosine STRICTLY > threshold (memory_graph.py:10378 compares with
     >, not >=), left < right ordering.
 
-    use_blas streams left partitions against a broadcast right matrix (the fast
-    path); the expression form remains as the oracle-shaped fallback for a right
-    side too big to broadcast un-bucketed."""
-    join = cosine_join_blas if use_blas else cosine_join
+    Scale routing: while the corpus fits the broadcast budget, the BLAS path
+    streams left partitions against a broadcast matrix; past the budget it
+    switches to :func:`grid_near_duplicates` — the exact grid sweep with no
+    driver-side collect (bit-identical results, bounded memory everywhere).
+    ``use_blas=False`` forces the oracle-shaped expression form."""
+    if use_blas:
+        if vectors.count() > BLAS_BROADCAST_BUDGET_ROWS:
+            return grid_near_duplicates(vectors, threshold, id_col, vec_col,
+                                        inclusive=False)
+        join = cosine_join_blas
+    else:
+        join = cosine_join
     pairs = join(vectors, vectors, threshold, vec_col, vec_col, id_col, id_col,
                  inclusive=False)
     return pairs.filter(F.col("left_id") < F.col("right_id"))
@@ -209,8 +229,17 @@ def ingest_dedup_reuse(new_chunks: DataFrame, existing: DataFrame,
     """Reference V4 near-duplicate check at ingest
     (memory/memory_graph.py:14214-14442): for each new chunk, its best existing
     match with cosine > threshold -> {new_id, reuse_id, score}; rows absent =
-    genuinely new.  1-NN via knn_join(k=1) then threshold."""
-    join = knn_join_blas if use_blas else knn_join
+    genuinely new.  1-NN via knn_join(k=1) then threshold.
+
+    Scale routing: the BLAS path collects the EXISTING side to a broadcast
+    matrix — safe only within the broadcast budget.  A corpus past it routes to
+    :func:`grid_knn_join` (no driver collect), so add_memory_batch can never
+    OOM the driver on a large store."""
+    if use_blas:
+        join = (grid_knn_join
+                if existing.count() > BLAS_BROADCAST_BUDGET_ROWS else knn_join_blas)
+    else:
+        join = knn_join
     nn = join(new_chunks, existing, 1, vec_col, vec_col, new_id, existing_id)
     return (
         nn.filter(F.col("score") > threshold)

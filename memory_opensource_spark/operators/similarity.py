@@ -396,3 +396,169 @@ def ivf_topk_search(df: DataFrame, query_vec: list[float], k: int,
         out = out.filter(pred)
     return topk_search(out, query_vec, k, None, vec_col, id_col,
                        score_threshold=None).drop("ivf_bucket")
+
+
+# --- grid-partitioned exact similarity joins (the no-driver-collect scale path) ---
+
+def _grid_cells(spark, n_blocks: int, triangular: bool):
+    """The (ci, cj) cell table for a B x B block grid (upper triangle only when
+    triangular — self-join sweeps need each unordered block pair once)."""
+    cells = [(i, j) for i in range(n_blocks) for j in range(i if triangular else 0, n_blocks)]
+    return spark.createDataFrame(cells, "ci int, cj int")
+
+
+def grid_near_duplicates(vectors: DataFrame, threshold: float,
+                         id_col: str = "id", vec_col: str = "embedding",
+                         n_blocks: int = 8,
+                         inclusive: bool = False) -> DataFrame:
+    """EXACT self-join duplicate sweep with NO driver-side collect — the 100 TB
+    form of the V5 sweep (memory/memory_graph.py:10333-10390).
+
+    Block-nested-loop over a B x B grid: rows hash into B blocks; every
+    unordered block pair (i <= j) becomes one applyInPandas group that computes
+    its sub-matrix cosine product with BLAS.  Each row is replicated to B cells,
+    so shuffle volume is N*B rows (pick B ~ sqrt(cluster cores)); per-cell work
+    is (N/B)^2 dot products; the driver never sees a vector.  Exact — every
+    candidate pair lands in exactly one cell — so results are bit-identical to
+    cosine_join_blas, without its corpus-sized broadcast.
+
+    Returns {left_id, right_id, score} with left_id < right_id, cosine compared
+    strictly > threshold by default (the reference sweep comparator).
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = vectors.sparkSession
+    id_type = vectors.schema[id_col].dataType
+    out_schema = StructType([
+        StructField("left_id", id_type),
+        StructField("right_id", id_type),
+        StructField("score", DoubleType()),
+    ])
+
+    tagged = vectors.select(
+        F.col(id_col).alias("_id"), to_double(F.col(vec_col)).alias("_vec"),
+        (F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks))).alias("_blk"),
+    )
+    cells = _grid_cells(spark, n_blocks, triangular=True)
+    # side a = rows of block ci; side b = rows of block cj (skip the diagonal
+    # duplicate: a cell with ci == cj reuses its single row set for both sides)
+    a = tagged.join(cells, tagged["_blk"] == cells["ci"]).withColumn("_side", F.lit("a"))
+    bb = tagged.join(cells.filter(F.col("ci") != F.col("cj")),
+                     tagged["_blk"] == cells["cj"]).withColumn("_side", F.lit("b"))
+    staged = a.unionByName(bb).drop("_blk")
+
+    def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ci, cj = key
+        pa = pdf[pdf["_side"] == "a"]
+        ids_a = pa["_id"].to_numpy()
+        mat_a = np.asarray([np.asarray(v, dtype="float64") for v in pa["_vec"]])
+        if len(pa) == 0:
+            return pd.DataFrame(columns=["left_id", "right_id", "score"])
+
+        def unit(m):
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            return m / n
+
+        mat_a = unit(mat_a)
+        if ci == cj:
+            scores = mat_a @ mat_a.T
+            li, ri = np.nonzero(np.triu(scores >= threshold if inclusive
+                                        else scores > threshold, k=1))
+            lid, rid = ids_a[li], ids_a[ri]
+        else:
+            pb = pdf[pdf["_side"] == "b"]
+            if len(pb) == 0:
+                return pd.DataFrame(columns=["left_id", "right_id", "score"])
+            ids_b = pb["_id"].to_numpy()
+            mat_b = unit(np.asarray([np.asarray(v, dtype="float64") for v in pb["_vec"]]))
+            scores = mat_a @ mat_b.T
+            li, ri = np.nonzero(scores >= threshold if inclusive else scores > threshold)
+            lid, rid = ids_a[li], ids_b[ri]
+        if len(lid) == 0:
+            return pd.DataFrame(columns=["left_id", "right_id", "score"])
+        sc = scores[li, ri]
+        # orient each pair so left_id < right_id (block hashing ignores id order)
+        flip = lid > rid
+        out = pd.DataFrame({
+            "left_id": np.where(flip, rid, lid),
+            "right_id": np.where(flip, lid, rid),
+            "score": sc,
+        })
+        return out[out.left_id != out.right_id]
+
+    return staged.groupBy("ci", "cj").applyInPandas(compute, out_schema)
+
+
+def grid_knn_join(left: DataFrame, right: DataFrame, k: int,
+                  left_vec: str = "embedding", right_vec: str = "embedding",
+                  left_id: str = "id", right_id: str = "id",
+                  n_blocks: int = 8) -> DataFrame:
+    """EXACT kNN join with NO driver-side collect — the scale form of
+    knn_join_blas for a right side past any broadcast budget (V4 ingest dedup
+    against a 100 TB corpus, memory/memory_graph.py:14214-14442).
+
+    Full B x B grid: left rows replicate across right blocks, right rows across
+    left blocks; each cell emits its local per-left-row top-k (tie-broken on
+    (score desc, right_id asc) like the global stage), then one window reduces
+    B candidates per row to the global top-k.  Shuffle = (|L|+|R|)*B rows.
+    Returns {left_id, right_id, score, rank}.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = left.sparkSession
+    out_schema = StructType([
+        StructField("left_id", left.schema[left_id].dataType),
+        StructField("right_id", right.schema[right_id].dataType),
+        StructField("score", DoubleType()),
+    ])
+
+    l = left.select(F.col(left_id).alias("_id"), to_double(F.col(left_vec)).alias("_vec"),
+                    F.pmod(F.hash(F.col(left_id)), F.lit(n_blocks)).alias("_blk"),
+                    F.lit("a").alias("_side"))
+    r = right.select(F.col(right_id).alias("_id"), to_double(F.col(right_vec)).alias("_vec"),
+                     F.pmod(F.hash(F.col(right_id)), F.lit(n_blocks)).alias("_blk"),
+                     F.lit("b").alias("_side"))
+    cells = _grid_cells(spark, n_blocks, triangular=False)
+    # each (left row, right row) meets in exactly one cell: (blk_l, blk_r)
+    a = l.join(cells, l["_blk"] == cells["ci"]).drop("_blk")
+    bb = r.join(cells, r["_blk"] == cells["cj"]).drop("_blk")
+    staged = a.unionByName(bb)
+
+    def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pa = pdf[pdf["_side"] == "a"]
+        pb = pdf[pdf["_side"] == "b"]
+        if len(pa) == 0 or len(pb) == 0:
+            return pd.DataFrame(columns=["left_id", "right_id", "score"])
+
+        def unit(m):
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            return m / n
+
+        ids_a = pa["_id"].to_numpy()
+        ids_b = pb["_id"].to_numpy()
+        mat_a = unit(np.asarray([np.asarray(v, dtype="float64") for v in pa["_vec"]]))
+        mat_b = unit(np.asarray([np.asarray(v, dtype="float64") for v in pb["_vec"]]))
+        scores = mat_a @ mat_b.T                      # (|a|, |b|)
+        n_keep = min(k + 1, scores.shape[1])          # +1 absorbs the self pair
+        rows = []
+        for ai in range(scores.shape[0]):
+            order = np.lexsort((ids_b, -scores[ai]))[:n_keep]
+            for bi in order:
+                if ids_a[ai] != ids_b[bi]:
+                    rows.append((ids_a[ai], ids_b[bi], float(scores[ai, bi])))
+        return pd.DataFrame(rows, columns=["left_id", "right_id", "score"])
+
+    local = staged.groupBy("ci", "cj").applyInPandas(compute, out_schema)
+    w = Window.partitionBy("left_id").orderBy(F.col("score").desc(), F.col("right_id").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -199,6 +199,47 @@ def v5_pairs(spark, sf_dir):
     return pairs.select("left_id", "right_id", _r6(F.col("score")).alias("score"))
 
 
+@_register("v5_bucketed_pairs", f"""
+SELECT a.vec_id AS left_id, b.vec_id AS right_id, {_COSINE_SQL.replace('e.embedding', 'a.embedding').replace('q.embedding', 'b.embedding')} AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COSINE_SQL.replace('e.embedding', 'a.embedding').replace('q.embedding', 'b.embedding')} > 0.35
+""")
+def v5_bucketed(spark, sf_dir):
+    """The 100 TB sweep: grid-partitioned block-nested-loop BLAS with no
+    driver-side collect (memory/memory_graph.py:10333-10390 semantics).  Same
+    oracle as v5_near_dup_pairs — the grid path must be bit-identical to the
+    broadcast path."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    pairs = similarity.grid_near_duplicates(emb, 0.35, id_col="vec_id", n_blocks=8)
+    return pairs.select("left_id", "right_id", _r6(F.col("score")).alias("score"))
+
+
+@_register("v4_ingest_reuse", f"""
+WITH newv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 400),
+oldv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+scored AS (
+  SELECT a.vec_id AS new_id, b.vec_id AS reuse_id,
+         {_COSINE_SQL.replace('e.embedding', 'a.embedding').replace('q.embedding', 'b.embedding')} AS score
+  FROM newv a CROSS JOIN oldv b
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY new_id ORDER BY score DESC, reuse_id ASC) AS rn
+  FROM scored
+)
+SELECT new_id, reuse_id, score FROM ranked WHERE rn = 1 AND score > 0.3
+""")
+def v4_reuse(spark, sf_dir):
+    """V4 write-path near-dup check (memory/memory_graph.py:14214-14442): each
+    incoming chunk's best existing match, kept when strictly above threshold —
+    the add_memory_batch reuse gate, as a driver-checked query.  (Fixture
+    threshold 0.3 stands in for the semantic 0.97 so rows exist at sf0.01.)"""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") >= 400)
+    old = emb.filter(F.col("vec_id") < 400)
+    out = dedup.ingest_dedup_reuse(new, old, threshold=0.3,
+                                   new_id="vec_id", existing_id="vec_id")
+    return out.select("new_id", "reuse_id", _r6(F.col("score")).alias("score"))
+
+
 @_register("v5_knn_join", f"""
 WITH scored AS (
   SELECT a.vec_id AS left_id, b.vec_id AS right_id,

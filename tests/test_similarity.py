@@ -90,3 +90,48 @@ def test_ivf_assign_and_probe(vec_df):
     exact = similarity.topk_search(df, list(mat[0]), 5, vec_col="embedding",
                                   id_col="id", score_threshold=None)
     assert [r.id for r in out.collect()] == [r.id for r in exact.collect()]
+
+
+def test_grid_sweep_bit_identical_to_blas(vec_df):
+    """grid_near_duplicates (no driver collect) must reproduce the broadcast
+    sweep exactly — every pair, same scores, left < right orientation."""
+    df, _ = vec_df
+    from memory_opensource_spark.operators import dedup
+
+    blas = dedup.embedding_near_duplicates(df, id_col="id", threshold=0.3)
+    grid = similarity.grid_near_duplicates(df, 0.3, id_col="id", n_blocks=4)
+    b = {(r.left_id, r.right_id): r.score for r in blas.collect()}
+    g = {(r.left_id, r.right_id): r.score for r in grid.collect()}
+    assert set(b) == set(g) and len(b) > 0
+    for k in b:
+        assert abs(b[k] - g[k]) < 1e-12
+    assert all(l < r for l, r in g)
+
+
+def test_grid_knn_matches_blas_knn(vec_df):
+    df, _ = vec_df
+    blas = similarity.knn_join_blas(df, df, 3, left_id="id", right_id="id")
+    grid = similarity.grid_knn_join(df, df, 3, left_id="id", right_id="id", n_blocks=4)
+    b = {(r.left_id, r.rank): (r.right_id, round(r.score, 12)) for r in blas.collect()}
+    g = {(r.left_id, r.rank): (r.right_id, round(r.score, 12)) for r in grid.collect()}
+    assert b == g and len(b) == 40 * 3
+
+
+def test_ingest_reuse_routes_to_grid_past_budget(vec_df, monkeypatch):
+    """Past the broadcast budget the V4 ingest check must take the grid path."""
+    df, _ = vec_df
+    from memory_opensource_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "BLAS_BROADCAST_BUDGET_ROWS", 10)
+    called = {}
+    real = dedup.grid_knn_join
+
+    def spy(*a, **kw):
+        called["grid"] = True
+        return real(*a, **kw)
+
+    monkeypatch.setattr(dedup, "grid_knn_join", spy)
+    out = dedup.ingest_dedup_reuse(df.limit(5), df, threshold=0.99,
+                                   new_id="id", existing_id="id")
+    out.collect()
+    assert called.get("grid")
