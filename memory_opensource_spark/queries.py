@@ -1228,7 +1228,7 @@ def dedup_simhash_q(spark, sf_dir):
 # ANN: IVF-bucketed top-k with full-fidelity oracle (assignment + probe + rank)
 # ---------------------------------------------------------------------------------
 
-@_register("ann_ivf_topk", """
+_ANN_IVF_ORACLE = """
 WITH cents AS (
   SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cemb
   FROM embeddings WHERE vec_id < 8
@@ -1257,7 +1257,10 @@ probe AS (
 )
 SELECT vec_id, ROUND(score, 6)::DOUBLE AS score FROM cand
 ORDER BY score DESC, vec_id ASC LIMIT 10
-""")
+"""
+
+
+@_register("ann_ivf_topk", _ANN_IVF_ORACLE)
 def ann_ivf(spark, sf_dir):
     """IVF ANN (SURVEY §4 scale path for V2): coarse-quantize to 8 centroids,
     probe the 2 nearest the query.  With the table partitioned by ivf_bucket the
@@ -1267,6 +1270,31 @@ def ann_ivf(spark, sf_dir):
     qvec = cents[0]
     out = similarity.ivf_topk_search(emb, qvec, 10, cents, nprobe=2,
                                      vec_col="embedding", id_col="vec_id")
+    return out.select("vec_id", _r6(F.col("score")).alias("score"))
+
+
+@_register("ann_ivf_persisted", _ANN_IVF_ORACLE)
+def ann_ivf_persisted(spark, sf_dir):
+    """Same ANN semantics served from the PERSISTED layout
+    (sources/ann_index.py): vectors written once, partitioned by ivf_bucket;
+    the probe is an IN-filter that lands in PartitionFilters — the scan reads
+    2/8 of the files instead of assigning buckets per query.  Deterministic
+    first-8 centroids here so the identical DuckDB oracle grades both paths;
+    production trains k-means (train_centroids) the same way.
+    """
+    import os
+    import tempfile
+
+    from .sources import ann_index
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cents = [_qvec(sf_dir, i) for i in range(8)]
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ann_index.build_ivf_index(emb, path, centroids=cents)
+    out = ann_index.ann_query(spark, path, cents[0], k=10, nprobe=2,
+                              centroids=cents, id_col="vec_id")
     return out.select("vec_id", _r6(F.col("score")).alias("score"))
 
 

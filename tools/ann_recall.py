@@ -43,9 +43,16 @@ def main():
         s[qi] = -np.inf
         truth[qi] = set(ids[np.argsort(-s)[:k]])
 
-    # IVF: centroids = first C vectors; assignment by max dot
-    for n_cents, nprobe in [(16, 1), (16, 2), (16, 4), (32, 4)]:
-        cents = mat[:n_cents]
+    # IVF: sampled (first-C) vs k-means centroids, assignment by max dot
+    from memory_opensource_spark.sources.ann_index import train_centroids
+
+    trained = {c: np.asarray(train_centroids(emb, c)) for c in (16, 32)}
+    for trainer, n_cents, nprobe in [
+        ("sampled", 16, 1), ("sampled", 16, 2), ("sampled", 16, 4), ("sampled", 32, 4),
+        ("kmeans", 16, 1), ("kmeans", 16, 2), ("kmeans", 16, 4),
+        ("kmeans", 32, 4), ("kmeans", 32, 8),
+    ]:
+        cents = trained[n_cents] if trainer == "kmeans" else mat[:n_cents]
         assign = np.argmax(mat @ cents.T, axis=1)
         hits, frac = 0, 0.0
         for qi in q_idx:
@@ -57,8 +64,8 @@ def main():
             keep = cand[np.argsort(-s)]
             keep = [c for c in keep if c != qi][:k]
             hits += len(truth[qi] & set(ids[keep]))
-        print(f"ivf C={n_cents} nprobe={nprobe}: recall@{k}={hits/(k*n_queries):.3f} "
-              f"scan_frac={frac/n_queries:.3f}")
+        print(f"ivf[{trainer}] C={n_cents} nprobe={nprobe}: "
+              f"recall@{k}={hits/(k*n_queries):.3f} scan_frac={frac/n_queries:.3f}")
 
     # LSH: random hyperplane signatures, candidates = same bucket in any table
     dim = mat.shape[1]
