@@ -140,6 +140,21 @@ class MemoryEngine:
             [], "query_log_id string, user_id string, query_text string, "
                 "retrieved_memory_ids array<string>, created_at timestamp"
         )
+        from .operators.schema_registry import SchemaRegistry
+
+        self.schemas = SchemaRegistry(spark)
+
+    # ---- dynamic schemas (POST /v1/schemas analog) ----------------------------------
+
+    #: schema property name -> physical node column (the engine's node table
+    #: predates dynamic schemas; custom props map onto its prop_* columns)
+    _SCHEMA_PROP_COLS = {"name": "prop_name", "status": "prop_status"}
+
+    def register_schema(self, schema_id: str, node_types: list) -> None:
+        """Register user-defined node types (models/user_schemas.py:64-180);
+        subsequent add_graph calls validate against them and MERGE on their
+        unique_identifiers (memory/memory_graph.py:10542-10615)."""
+        self.schemas.register(schema_id, node_types)
 
     # ---- write path (§3.2/§3.3) ---------------------------------------------------
 
@@ -376,14 +391,33 @@ class MemoryEngine:
     def add_graph(self, nodes: list[dict], edges: list[dict]) -> None:
         """graph_override bypass (memory/memory_graph.py:4632-4728): persist
         caller-supplied nodes/edges with MERGE semantics; edges only between
-        resolvable endpoints (S10)."""
+        resolvable endpoints (S10).  Labels with a REGISTERED schema validate
+        first and merge on their schema-selected unique_identifiers instead of
+        node_id (memory/memory_graph.py:10542-10615); unregistered labels keep
+        the node_id merge."""
         if nodes:
             ndf = self.spark.createDataFrame(
                 [(n["node_id"], n["label"], n.get("prop_name"), n.get("prop_status"))
                  for n in nodes],
                 NODE_SCHEMA,
             )
-            self.nodes = self._merge(self.nodes, ndf, ["node_id"])
+            for label in sorted({n["label"] for n in nodes}):
+                part = ndf.filter(F.col("label") == label)
+                keys = self.schemas.merge_keys(label)
+                if keys:
+                    from .operators.schema_registry import props_from_columns
+
+                    colmap = {k: self._SCHEMA_PROP_COLS.get(k, k) for k in keys}
+                    self.schemas.reject_invalid(
+                        props_from_columns(part, {
+                            p: c for p, c in self._SCHEMA_PROP_COLS.items()
+                        }), label)
+                    mine = self.nodes.filter(F.col("label") == label)
+                    others = self.nodes.filter(F.col("label") != label)
+                    merged = self._merge(mine, part, [colmap[k] for k in keys])
+                    self.nodes = others.unionByName(merged)
+                else:
+                    self.nodes = self._merge(self.nodes, part, ["node_id"])
         if edges:
             edf = self.spark.createDataFrame(
                 [(e["src"], e["dst"], e["rel_type"], e.get("similarity_score"))

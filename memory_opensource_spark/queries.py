@@ -1052,6 +1052,106 @@ def g8(spark, sf_dir):
     )
 
 
+@_register("g8_schema_driven_merge", f"""
+WITH {NODES_CTE.strip()},
+cust AS (SELECT node_id, prop_name, prop_status, id_num FROM nodes_d WHERE label = 'Customer'),
+incoming AS (
+  SELECT 'u' || id_num::VARCHAR AS node_id, prop_name, 'updated' AS prop_status, id_num
+  FROM cust WHERE id_num % 10 = 0
+), merged AS (
+  SELECT node_id, prop_name, prop_status FROM cust
+  WHERE prop_name NOT IN (SELECT prop_name FROM incoming)
+  UNION ALL
+  SELECT node_id, prop_name, prop_status FROM incoming
+)
+SELECT prop_status AS status, COUNT(*) AS n, MIN(node_id) AS min_id
+FROM merged GROUP BY 1
+""")
+def g8_schema_merge(spark, sf_dir):
+    """G8 MERGE with SCHEMA-SELECTED keys: the registry's unique_identifiers
+    (not a hand-passed key list) drive the match columns — the dynamic-schema
+    merge path (memory/memory_graph.py:10542-10615 via :10692-10712; schema
+    model models/user_schemas.py:64-180).  Customer declares
+    unique_identifiers=['name'], so incoming rows with brand-new node_ids
+    still replace their name-matched existing rows."""
+    from .operators.schema_registry import (
+        NodeTypeDef, SchemaRegistry, props_from_columns, schema_merge_nodes,
+    )
+
+    t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "region", "supplier"]}
+    nodes = tables.build_nodes(t["customer"], t["nation"], t["region"], t["supplier"])
+    cust = props_from_columns(
+        nodes.filter(F.col("label") == "Customer")
+             .withColumn("id_num", F.regexp_replace("node_id", "^c", "").cast("bigint")),
+        {"name": "prop_name", "status": "prop_status"},
+    ).select("node_id", "props", "id_num")
+
+    incoming = cust.filter(F.col("id_num") % 10 == 0).select(
+        F.concat(F.lit("u"), F.col("id_num").cast("string")).alias("node_id"),
+        F.map_from_arrays(
+            F.array(F.lit("name"), F.lit("status")),
+            F.array(F.element_at("props", "name"), F.lit("updated")),
+        ).alias("props"),
+        "id_num",
+    )
+
+    reg = SchemaRegistry(spark)
+    reg.register("s1", [NodeTypeDef(
+        name="Customer", properties={"name": "string", "status": "string"},
+        required=["name"], unique_identifiers=["name"],
+    )])
+    merged = schema_merge_nodes(cust.drop("id_num"), incoming.drop("id_num"), reg, "Customer")
+    return merged.select(
+        "node_id", F.element_at("props", "status").alias("status")
+    ).groupBy("status").agg(F.count("*").alias("n"), F.min("node_id").alias("min_id"))
+
+
+@_register("schema_validation_report", """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 OR doc_id % 5 = 0 OR doc_id % 7 = 0
+            THEN FALSE ELSE TRUE END AS is_valid,
+       COALESCE(array_to_string(list_filter([
+         CASE WHEN doc_id % 3 = 0 THEN 'missing required property: email' END,
+         CASE WHEN doc_id % 5 = 0 THEN 'type violation: age' END,
+         CASE WHEN doc_id % 7 = 0 THEN 'undeclared properties: x' END
+       ], v -> v IS NOT NULL), ';'), '') AS violations
+FROM documents WHERE doc_id < 200
+""")
+def schema_validation(spark, sf_dir):
+    """The compiled validation surface (models/cipher_ast.py:66-280 semantics:
+    required properties, type conformance, extra='forbid') as ONE Catalyst
+    Column over a props map — schema checks run at scan parallelism.  The
+    fixture synthesizes each violation class on a residue of doc_id."""
+    from .operators.schema_registry import NodeTypeDef, SchemaRegistry
+
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    with_props = docs.withColumn(
+        "props",
+        F.map_filter(
+            F.create_map(
+                F.lit("name"), F.col("source"),
+                F.lit("email"),
+                F.when(F.col("doc_id") % 3 != 0, F.concat(F.col("lang"), F.lit("@x.io"))),
+                F.lit("age"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit("not-a-number"))
+                 .otherwise(F.col("n_chars").cast("string")),
+                F.lit("x"), F.when(F.col("doc_id") % 7 == 0, F.lit("extra")),
+            ),
+            lambda _, v: v.isNotNull(),
+        ),
+    )
+    reg = SchemaRegistry(spark)
+    reg.register("s1", [NodeTypeDef(
+        name="Customer",
+        properties={"name": "string", "email": "string", "age": "integer"},
+        required=["name", "email"],
+    )])
+    out = reg.validate(with_props, "Customer")
+    return out.select(
+        "doc_id", "is_valid", F.array_join("violations", ";").alias("violations")
+    )
+
+
 # ---------------------------------------------------------------------------------
 # R2 stratified merge, R12 watermark delta, R14 trim, F2 array filters
 # ---------------------------------------------------------------------------------
