@@ -1845,6 +1845,140 @@ SELECT 'm' || doc_id::VARCHAR || '_p' || page_idx::VARCHAR || '_c' || chunk_idx:
        length(chunk_text) AS chunk_len
 FROM chunks WHERE chunk_text <> ''
 """)
+@_register("s11_section_hierarchy", """
+WITH docs AS (
+  SELECT 'm' || doc_id::VARCHAR AS memory_id,
+         '1. Overview' || chr(10) || substr(text,1,50) || chr(10) ||
+         '1.1 Detail Notes' || chr(10) || substr(text,51,50) || chr(10) ||
+         'SUMMARY FINDINGS' || chr(10) || substr(text,101,30) ||
+         chr(12) ||
+         'intro ' || substr(text,131,40) || chr(10) ||
+         'A. Appendix' || chr(10) || substr(text,1,50) || chr(10) || chr(10) ||
+         'Closing Remarks' || chr(10) || substr(text,51,50) AS content
+  FROM documents WHERE doc_id < 40
+), pg AS (
+  SELECT memory_id, parts, p.i::INT AS page_num
+  FROM (SELECT memory_id, string_split(content, chr(12)) AS parts FROM docs),
+       LATERAL (SELECT UNNEST(range(1, len(parts)+1)) AS i) p
+), rawlines AS (
+  SELECT memory_id, page_num, l.i AS lpos, trim(ls[l.i]) AS line
+  FROM (SELECT memory_id, page_num, string_split(parts[page_num], chr(10)) AS ls FROM pg),
+       LATERAL (SELECT UNNEST(range(1, len(ls)+1)) AS i) l
+), nbr AS (
+  SELECT *, lag(line) OVER w AS prev_line, lead(line) OVER w AS next_line
+  FROM rawlines WINDOW w AS (PARTITION BY memory_id, page_num ORDER BY lpos)
+), lv AS (
+  SELECT *, CASE
+    WHEN length(line) < 3 OR length(line) > 200 THEN 0
+    WHEN regexp_matches(line, '^[0-9]+\\.\\s*[A-Z]') THEN 1
+    WHEN regexp_matches(line, '^[0-9]+\\.[0-9]+\\s*[A-Z]') THEN 2
+    WHEN regexp_matches(line, '^[A-Z]\\.\\s*[A-Z]') THEN 3
+    WHEN regexp_matches(line, '^[IVX]+\\.\\s*[A-Z]') THEN 4
+    WHEN line = upper(line) AND regexp_matches(line, '[A-Z]')
+         AND len(regexp_split_to_array(line, '\\s+')) <= 8 THEN 1
+    WHEN regexp_matches(line, '^[A-Z]\\S*(\\s+[A-Z]\\S*){0,7}$')
+         AND len(regexp_split_to_array(line, '\\s+')) <= 8
+         AND prev_line IS NOT NULL AND next_line IS NOT NULL
+         AND (prev_line = '' OR next_line = '') THEN 2
+    ELSE 0 END AS level
+  FROM nbr
+), lines3 AS (
+  SELECT *,
+    SUM(CASE WHEN level > 0 THEN 1 ELSE 0 END) OVER (
+      PARTITION BY memory_id, page_num ORDER BY lpos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sec_ord
+  FROM lv WHERE line <> ''
+), lines4 AS (
+  SELECT *, memory_id || '_p' || page_num::VARCHAR || '_s' || sec_ord::VARCHAR AS section_id,
+         memory_id || '_p' || page_num::VARCHAR AS page_id
+  FROM lines3
+), headers AS (
+  SELECT memory_id, page_num, sec_ord, section_id, page_id,
+         line AS section_title, level, lpos
+  FROM lines4 WHERE level > 0
+), implicit AS (
+  SELECT memory_id, page_num, sec_ord, section_id, page_id,
+         'Page ' || page_num::VARCHAR AS section_title, 1 AS level, MIN(lpos) AS lpos
+  FROM lines4 WHERE level = 0 AND sec_ord = 0
+  GROUP BY 1, 2, 3, 4, 5
+), secpos AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY memory_id ORDER BY page_num, sec_ord) AS gpos
+  FROM (SELECT * FROM headers UNION ALL SELECT * FROM implicit)
+), withlast AS (
+  SELECT *,
+    MAX(CASE WHEN level = 1 THEN gpos END) OVER wp AS l1,
+    MAX(CASE WHEN level = 2 THEN gpos END) OVER wp AS l2,
+    MAX(CASE WHEN level = 3 THEN gpos END) OVER wp AS l3
+  FROM secpos
+  WINDOW wp AS (PARTITION BY memory_id ORDER BY page_num, sec_ord
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), sec AS (
+  SELECT w.memory_id, w.page_num, w.sec_ord, w.section_id, w.section_title, w.level,
+         COALESCE(p.section_id, w.page_id) AS parent_id
+  FROM (SELECT *, CASE WHEN level = 2 THEN l1
+                       WHEN level = 3 THEN greatest(l1, l2)
+                       WHEN level = 4 THEN greatest(l1, l2, l3) END AS parent_pos
+        FROM withlast) w
+  LEFT JOIN secpos p ON p.memory_id = w.memory_id AND p.gpos = w.parent_pos
+), content AS (
+  SELECT *, SUM(length(line) + 1) OVER (
+      PARTITION BY memory_id, page_num, sec_ord ORDER BY lpos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM lines4 WHERE level = 0
+), chunks AS (
+  SELECT memory_id, page_num, sec_ord,
+         CAST(floor((cum - (length(line) + 1)) / 60.0) AS INT) AS chunk_index,
+         line, lpos
+  FROM content
+), agged AS (
+  SELECT memory_id, page_num, sec_ord, chunk_index,
+         string_agg(line, chr(10) ORDER BY lpos) AS chunk_content
+  FROM chunks GROUP BY 1, 2, 3, 4
+), joined AS (
+  SELECT c.memory_id, c.page_num, c.sec_ord, c.chunk_index, c.chunk_content,
+         s.section_id, s.section_title, s.level, s.parent_id
+  FROM agged c JOIN sec s USING (memory_id, page_num, sec_ord)
+), ctx AS (
+  SELECT *, lag(chunk_content) OVER wd AS prev_c, lead(chunk_content) OVER wd AS next_c
+  FROM joined
+  WINDOW wd AS (PARTITION BY memory_id ORDER BY page_num, sec_ord, chunk_index)
+)
+SELECT memory_id, page_num, section_id, parent_id, level, section_title,
+       section_id || '_c' || chunk_index::VARCHAR AS chunk_id,
+       chunk_index, chunk_content,
+       COALESCE(CASE WHEN length(prev_c) > 400
+                     THEN substr(prev_c, length(prev_c) - 399, 400)
+                     ELSE prev_c END, '') AS context_before,
+       COALESCE(substr(next_c, 1, 400), '') AS context_after
+FROM ctx
+""")
+def s11_sections(spark, sf_dir):
+    """S11 at the reference's full hierarchy depth
+    (core/document_processing/hierarchical_chunker.py:176-998): page ->
+    header-detected sections (numbered/ALL-CAPS/title-case levels 1-4) ->
+    size-bucketed chunks, with stack-rule parent ids and 400-char neighbor
+    context.  The fixture synthesizes two structured pages per document so
+    every header class and the cross-page parent rule are exercised; the
+    oracle re-derives the ENTIRE pipeline (detection included) in SQL."""
+    from .sources.documents import hierarchical_chunk
+
+    nl, ff = "\n", "\f"
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    synth = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("memory_id"),
+        F.concat(
+            F.lit("1. Overview" + nl), F.substring("text", 1, 50), F.lit(nl),
+            F.lit("1.1 Detail Notes" + nl), F.substring("text", 51, 50), F.lit(nl),
+            F.lit("SUMMARY FINDINGS" + nl), F.substring("text", 101, 30),
+            F.lit(ff),
+            F.lit("intro "), F.substring("text", 131, 40), F.lit(nl),
+            F.lit("A. Appendix" + nl), F.substring("text", 1, 50), F.lit(nl + nl),
+            F.lit("Closing Remarks" + nl), F.substring("text", 51, 50),
+        ).alias("content"),
+    )
+    return hierarchical_chunk(synth, target_chars=60)
+
+
 def s11_hierarchical(spark, sf_dir):
     """S11 hierarchical chunker (core/document_processing/hierarchical_chunker.py
     :176-998 semantics): document -> pages (50 tokens) -> chunks (20 tokens),

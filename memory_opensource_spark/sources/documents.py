@@ -19,7 +19,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -73,3 +73,167 @@ def ingest_documents(spark: SparkSession, path: str, existing_chunks: DataFrame,
     files = read_binary_documents(spark, path, glob)
     parsed = parse_documents(files)
     return ingest(parsed.select("memory_id", "content"), existing_chunks, dim=dim)
+
+
+# --- hierarchical chunker (page -> section -> chunk, reference-parity depth) -------
+
+#: header patterns checked in the reference's order; first match wins
+#: (core/document_processing/hierarchical_chunker.py:346-388 _detect_header_level)
+_HEADER_PATTERNS = [
+    (r"^[0-9]+\.\s*[A-Z]", 1),        # 1. Title
+    (r"^[0-9]+\.[0-9]+\s*[A-Z]", 2),  # 1.1 Subtitle
+    (r"^[A-Z]\.\s*[A-Z]", 3),         # A. Title
+    (r"^[IVX]+\.\s*[A-Z]", 4),        # Roman numerals
+]
+_TITLECASE = r"^[A-Z]\S*(\s+[A-Z]\S*){0,7}$"
+
+
+def _header_level(line, prev_line, next_line):
+    """Column expression mirror of _detect_header_level (:346-388): length
+    guard, numbered patterns (first match), ALL-CAPS -> 1, title-case with a
+    blank interior neighbor -> 2."""
+    n_words = F.size(F.split(line, r"\s+"))
+    guard = (F.length(line) >= 3) & (F.length(line) <= 200)
+    numbered = F.lit(0)
+    for pat, lvl in reversed(_HEADER_PATTERNS):
+        numbered = F.when(line.rlike(pat), F.lit(lvl)).otherwise(numbered)
+    caps = (line == F.upper(line)) & line.rlike("[A-Z]") & (n_words <= 8)
+    title = (
+        line.rlike(_TITLECASE) & (n_words <= 8)
+        & prev_line.isNotNull() & next_line.isNotNull()
+        & ((prev_line == "") | (next_line == ""))
+    )
+    return (
+        F.when(~guard, F.lit(0))
+        .when(numbered > 0, numbered)
+        .when(caps, F.lit(1))
+        .when(title, F.lit(2))
+        .otherwise(F.lit(0))
+    )
+
+
+def hierarchical_chunk(docs: DataFrame, id_col: str = "memory_id",
+                       content_col: str = "content",
+                       target_chars: int = 120,
+                       context_chars: int = 400) -> DataFrame:
+    """Page -> section -> chunk hierarchy with parent ids and per-level context
+    (core/document_processing/hierarchical_chunker.py:176-998), as one
+    DataFrame DAG — per-document windows, no Python in the row path.
+
+    - pages split on form-feed; lines on newline (``_identify_sections_in_page``)
+    - header levels via ``_header_level``; each header starts a section, content
+      before the first header lands in the implicit level-1 "Page N" section
+    - parent = the most recent preceding section (any page) with a LOWER level,
+      else the page pseudo-node — provably equal to the reference's
+      section-stack rule (:243-294: a level-L push pops depth >= L, leaving the
+      most recent lower-level section on top)
+    - chunks: section-preserving size buckets — a chunk closes when the running
+      character count crosses ``target_chars`` (the distributed, order-stable
+      form of the greedy packer at :718-808; boundaries differ only in that the
+      greedy form resets its accumulator mid-element)
+    - context: up to ``context_chars`` trailing chars of the previous chunk and
+      leading chars of the next (extract_element_with_context, :37-135), plus
+      the owning section title
+
+    Returns one row per chunk: {memory_id, page_num, section_id, parent_id,
+    level, section_title, chunk_id, chunk_index, chunk_content,
+    context_before, context_after}.
+    """
+    mid = F.col(id_col)
+
+    pages = docs.select(
+        mid.alias("memory_id"),
+        F.posexplode(F.split(F.col(content_col), "\f")).alias("pg", "page_content"),
+    ).withColumn("page_num", F.col("pg") + 1)
+
+    wl = Window.partitionBy("memory_id", "page_num").orderBy("lpos")
+    lines = (
+        pages.select(
+            "memory_id", "page_num",
+            F.posexplode(F.split("page_content", "\n")).alias("lpos", "raw"),
+        )
+        .withColumn("line", F.trim("raw"))
+        .withColumn("level", _header_level(
+            F.col("line"), F.lag("line").over(wl), F.lead("line").over(wl)))
+        .filter(F.col("line") != "")
+        .withColumn("sec_ord", F.sum((F.col("level") > 0).cast("int")).over(
+            wl.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    lines = lines.withColumn(
+        "section_id",
+        F.concat("memory_id", F.lit("_p"), F.col("page_num").cast("string"),
+                 F.lit("_s"), F.col("sec_ord").cast("string")),
+    ).withColumn("page_id", F.concat("memory_id", F.lit("_p"),
+                                     F.col("page_num").cast("string")))
+
+    # section frame: explicit header sections + implicit "Page N" level-1 roots
+    headers = lines.filter(F.col("level") > 0).select(
+        "memory_id", "page_num", "sec_ord", "section_id", "page_id",
+        F.col("line").alias("section_title"), "level", "lpos",
+    )
+    implicit = (
+        lines.filter((F.col("level") == 0) & (F.col("sec_ord") == 0))
+        .groupBy("memory_id", "page_num", "sec_ord", "section_id", "page_id")
+        .agg(F.min("lpos").alias("lpos"))
+        .withColumn("section_title",
+                    F.concat(F.lit("Page "), F.col("page_num").cast("string")))
+        .withColumn("level", F.lit(1))
+        .select("memory_id", "page_num", "sec_ord", "section_id", "page_id",
+                "section_title", "level", "lpos")
+    )
+    sections = headers.unionByName(implicit)
+
+    # parent: most recent PRECEDING section with a strictly lower level
+    ws = Window.partitionBy("memory_id").orderBy("page_num", "sec_ord")
+    wprev = ws.rowsBetween(Window.unboundedPreceding, -1)
+    sec = sections.withColumn("gpos", F.row_number().over(ws))
+    for l in (1, 2, 3):
+        sec = sec.withColumn(
+            f"_last{l}",
+            F.max(F.when(F.col("level") == l, F.col("gpos"))).over(wprev))
+    parent_pos = F.when(F.col("level") == 2, F.col("_last1")) \
+        .when(F.col("level") == 3, F.greatest("_last1", "_last2")) \
+        .when(F.col("level") == 4, F.greatest("_last1", "_last2", "_last3"))
+    sec = sec.withColumn("parent_pos", parent_pos)
+    by_pos = sec.select("memory_id", F.col("gpos").alias("parent_pos"),
+                        F.col("section_id").alias("parent_section_id"))
+    sec = sec.join(by_pos, ["memory_id", "parent_pos"], "left").withColumn(
+        "parent_id", F.coalesce("parent_section_id", "page_id")
+    ).select("memory_id", "page_num", "sec_ord", "section_id",
+             "section_title", "level", "parent_id")
+
+    # chunks: running-length buckets inside each section, order-stable assembly
+    wc = Window.partitionBy("memory_id", "page_num", "sec_ord").orderBy("lpos")
+    content = (
+        lines.filter(F.col("level") == 0)
+        .withColumn("cum", F.sum(F.length("line") + 1).over(
+            wc.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("chunk_index",
+                    F.floor((F.col("cum") - (F.length("line") + 1))
+                            / target_chars).cast("int"))
+    )
+    chunks = (
+        content.groupBy("memory_id", "page_num", "sec_ord", "chunk_index")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lpos", "line"))),
+                lambda s: s["line"],
+            ), "\n").alias("chunk_content"))
+    )
+    out = chunks.join(sec, ["memory_id", "page_num", "sec_ord"])
+
+    wd = Window.partitionBy("memory_id").orderBy("page_num", "sec_ord", "chunk_index")
+    prev_c, next_c = F.lag("chunk_content").over(wd), F.lead("chunk_content").over(wd)
+    ctx_before = F.coalesce(
+        F.when(F.length(prev_c) > context_chars,
+               F.substring(prev_c, -context_chars, context_chars)).otherwise(prev_c),
+        F.lit(""))
+    ctx_after = F.coalesce(F.substring(next_c, 1, context_chars), F.lit(""))
+    return out.select(
+        "memory_id", "page_num", "section_id", "parent_id", "level",
+        "section_title",
+        F.concat("section_id", F.lit("_c"), F.col("chunk_index").cast("string")
+                 ).alias("chunk_id"),
+        "chunk_index", "chunk_content",
+        ctx_before.alias("context_before"), ctx_after.alias("context_after"),
+    )

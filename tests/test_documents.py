@@ -51,3 +51,62 @@ def test_ingest_documents_end_to_end(spark, doc_dir):
     assert len(reused) == 1 and reused[0].new_id == "doc_c_0" \
         and reused[0].reuse_id == "doc_a_0"
     assert {r.chunk_id for r in again["chunks"].collect()} == {"doc_d_0"}
+
+
+def test_hierarchical_chunk_structure(spark):
+    """Full hierarchy: header patterns, stack-parent rule, size buckets, context."""
+    from memory_opensource_spark.sources.documents import hierarchical_chunk
+
+    page1 = ("1. Overview\n"
+             "alpha beta gamma\n"
+             "1.1 Detail Notes\n"
+             "delta epsilon\n"
+             "SUMMARY FINDINGS\n"
+             "zeta eta theta")
+    page2 = ("intro line before any header\n"
+             "A. Appendix\n"
+             "appendix body text\n"
+             "\n"
+             "Closing Remarks\n"
+             "iota kappa")
+    df = spark.createDataFrame([("m1", page1 + "\f" + page2)],
+                               "memory_id string, content string")
+    rows = {r.chunk_id: r for r in hierarchical_chunk(df, target_chars=1000).collect()}
+
+    # page1: three header sections at levels 1/2/1
+    s1 = rows["m1_p1_s1_c0"]
+    assert (s1.level, s1.section_title, s1.chunk_content) == (1, "1. Overview", "alpha beta gamma")
+    assert s1.parent_id == "m1_p1"                     # level-1 -> page root
+    s2 = rows["m1_p1_s2_c0"]
+    assert (s2.level, s2.section_title) == (2, "1.1 Detail Notes")
+    assert s2.parent_id == "m1_p1_s1"                  # nested under 1.
+    s3 = rows["m1_p1_s3_c0"]
+    assert (s3.level, s3.section_title) == (1, "SUMMARY FINDINGS")  # ALL-CAPS
+    # page2: implicit Page-2 root section for pre-header content
+    s0 = rows["m1_p2_s0_c0"]
+    assert (s0.level, s0.section_title) == (1, "Page 2")
+    # A. Appendix is level 3; the most recent preceding lower-level section is
+    # the implicit Page-2 root (level 1), not page-1's SUMMARY -> stack parity
+    appendix = [r for r in rows.values() if r.section_title == "A. Appendix"]
+    assert appendix and appendix[0].level == 3
+    assert appendix[0].parent_id == "m1_p2_s0"
+    closing = [r for r in rows.values() if r.section_title == "Closing Remarks"]
+    assert closing and closing[0].level == 2           # title case + blank neighbor
+    assert closing[0].chunk_content == "iota kappa"
+    # context: chunk after s1 sees its text as context_before
+    assert s2.context_before.endswith("alpha beta gamma")
+    assert s1.context_after.startswith("delta")
+
+
+def test_hierarchical_chunk_size_buckets(spark):
+    from memory_opensource_spark.sources.documents import hierarchical_chunk
+
+    body = "\n".join(f"line {i:02d} padding padding" for i in range(10))  # 10 x ~23 chars
+    df = spark.createDataFrame([("m1", "1. Sec\n" + body)],
+                               "memory_id string, content string")
+    out = hierarchical_chunk(df, target_chars=60).collect()
+    by_idx = sorted((r.chunk_index, len(r.chunk_content)) for r in out)
+    assert len(by_idx) > 2                              # split into several chunks
+    assert all(n <= 60 + 24 for _, n in by_idx)         # bucket ~target + one line
+    joined = "\n".join(r.chunk_content for r in sorted(out, key=lambda r: r.chunk_index))
+    assert joined == body                               # lossless, order preserved
