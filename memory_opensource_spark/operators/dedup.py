@@ -196,6 +196,51 @@ def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def simhash_hamming_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text", bits: int = 32,
+                               n_bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs within ``max_hamming`` bits of SimHash — the banding form
+    exact-fingerprint grouping misses.
+
+    Pigeonhole: a pair differing in < n_bands bits shares at least one of the
+    n_bands fingerprint chunks untouched, so candidates come from an EQUI-JOIN
+    on (band_index, band_value) — shuffle on 2 short ints, never all-pairs;
+    recall is exactly 1 for max_hamming <= n_bands - 1.  The popcount(xor)
+    refine then runs only on candidates.  Returns {left_id, right_id, hamming}.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError("banding guarantees recall only for max_hamming <= n_bands-1")
+    fp = simhash_fingerprints(docs, id_col, text_col, bits)
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = fp.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+            for b in range(n_bands)
+        ])).alias("bv"),
+    ).select("id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    l = bands.select(F.col("id").alias("left_id"), F.col("simhash").alias("lfp"),
+                     "band", "val")
+    r = bands.select(F.col("id").alias("right_id"), F.col("simhash").alias("rfp"),
+                     "band", "val")
+    cand = (
+        l.join(r, ["band", "val"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "lfp", "rfp")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("lfp").bitwiseXOR(F.col("rfp"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("left_id", "right_id", "hamming")
+    )
+
+
 def embedding_near_duplicates(vectors: DataFrame, id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               threshold: float = DUPLICATE_SWEEP_THRESHOLD,

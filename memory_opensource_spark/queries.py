@@ -1324,6 +1324,32 @@ def dedup_simhash_q(spark, sf_dir):
     return dedup.simhash_fingerprints(docs, bits=32)
 
 
+def _simhash_fp_cte(bits: int = 32) -> str:
+    """The fingerprint derivation of _simhash_oracle as a reusable CTE body."""
+    body = _simhash_oracle(bits)
+    return body.replace(")\nSELECT doc_id AS id,",
+                        "), fp AS (SELECT doc_id AS id,").rstrip() + ")"
+
+
+@_register("dedup_simhash_hamming", _simhash_fp_cte(32).replace("WITH toks", "WITH toks", 1) + """
+, bands AS (
+  SELECT id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS val
+  FROM fp, LATERAL (SELECT UNNEST([0, 1, 2, 3]) AS band) b
+), cand AS (
+  SELECT DISTINCT l.id AS left_id, r.id AS right_id, l.simhash AS lfp, r.simhash AS rfp
+  FROM bands l JOIN bands r ON l.band = r.band AND l.val = r.val AND l.id < r.id
+)
+SELECT left_id, right_id, bit_count(xor(lfp, rfp))::INT AS hamming
+FROM cand WHERE bit_count(xor(lfp, rfp)) <= 3
+""")
+def dedup_simhash_hamming_q(spark, sf_dir):
+    """SimHash near-dups within Hamming distance 3 via 4-chunk banding
+    (pigeonhole-complete candidates from a band equi-join, popcount refine) —
+    the banding the plain fingerprint groupBy misses."""
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.simhash_hamming_duplicates(docs, bits=32, n_bands=4, max_hamming=3)
+
+
 # ---------------------------------------------------------------------------------
 # ANN: IVF-bucketed top-k with full-fidelity oracle (assignment + probe + rank)
 # ---------------------------------------------------------------------------------

@@ -79,3 +79,19 @@ def test_ingest_dedup_reuse_threshold(spark):
     out = dedup.ingest_dedup_reuse(new, existing, 0.97).collect()
     # n1 reuses e1 (cosine > 0.97); n2 is genuinely new (cos ~= 0.707)
     assert len(out) == 1 and out[0].new_id == "n1" and out[0].reuse_id == "e1"
+
+
+def test_simhash_hamming_banding(spark):
+    from memory_opensource_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame([
+        (1, "spark engine for big data processing at scale"),
+        (2, "spark engine for big data processing at scale"),   # identical -> d=0
+        (3, "completely different text about gardening tulips"),
+    ], "doc_id bigint, text string")
+    out = {(r.left_id, r.right_id): r.hamming
+           for r in dd.simhash_hamming_duplicates(docs).collect()}
+    assert out.get((1, 2)) == 0
+    assert not any(3 in k for k in out)  # unrelated doc not within 3 bits
+    with pytest.raises(ValueError, match="recall"):
+        dd.simhash_hamming_duplicates(docs, n_bands=4, max_hamming=4)
