@@ -292,6 +292,18 @@ class MemoryEngine:
                 self.record_feedback(hit_ids, kind="cache")
         return out
 
+    def search_formatted(self, query_text: str, response_format: str = "toon",
+                         columns: list[str] | None = None, **kwargs) -> str:
+        """``response_format=toon`` route option (memory_routes_v1.py:2232-2239,
+        :3161-3189): run search, render the top-k rows as TOON plain text (or
+        JSON) — presentation only, the plan is unchanged."""
+        from .functions.toon import format_search_response
+
+        out = self.search(query_text, **kwargs)
+        cols = columns or ["memory_id", "score", "content"]
+        rows = [{c: r[c] for c in cols} for r in out.select(*cols).collect()]
+        return format_search_response(rows, query_text, response_format)
+
     def search_agentic(self, query_text: str, graph_spec,
                        ctx: AclContext | None = None,
                        spec: FilterSpec | None = None,
