@@ -1871,6 +1871,37 @@ SELECT 'm' || doc_id::VARCHAR || '_p' || page_idx::VARCHAR || '_c' || chunk_idx:
        length(chunk_text) AS chunk_len
 FROM chunks WHERE chunk_text <> ''
 """)
+def s11_hierarchical(spark, sf_dir):
+    """S11 hierarchical chunker (core/document_processing/hierarchical_chunker.py
+    :176-998 semantics): document -> pages (50 tokens) -> chunks (20 tokens),
+    each chunk carrying its parent page id — the two-level id scheme the
+    reference's document ingestion produces."""
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = T.tokens(F.col("text"))
+    n_pages = F.greatest(F.ceil(F.size(toks) / 50), F.lit(1)).cast("int")
+    paged = docs.select(
+        "doc_id", toks.alias("tk"),
+        F.explode(F.sequence(F.lit(0), n_pages - 1)).alias("page_idx"),
+    ).withColumn("page_toks", F.slice(F.col("tk"), F.col("page_idx") * 50 + 1, 50))
+    n_chunks = F.greatest(F.ceil(F.size("page_toks") / 20), F.lit(1)).cast("int")
+    chunked = paged.select(
+        "doc_id", "page_idx", "page_toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).withColumn(
+        "chunk_text",
+        F.concat_ws(" ", F.slice(F.col("page_toks"), F.col("chunk_idx") * 20 + 1, 20)),
+    ).filter(F.col("chunk_text") != "")
+    d = F.col("doc_id").cast("string")
+    return chunked.select(
+        F.concat(F.lit("m"), d, F.lit("_p"), F.col("page_idx").cast("string"),
+                 F.lit("_c"), F.col("chunk_idx").cast("string")).alias("chunk_id"),
+        F.concat(F.lit("m"), d).alias("memory_id"),
+        F.concat(F.lit("m"), d, F.lit("_p"), F.col("page_idx").cast("string")).alias("parent_id"),
+        "page_idx", "chunk_idx", "chunk_text",
+        F.length("chunk_text").alias("chunk_len"),
+    )
+
+
 @_register("s11_section_hierarchy", """
 WITH docs AS (
   SELECT 'm' || doc_id::VARCHAR AS memory_id,
@@ -2003,37 +2034,6 @@ def s11_sections(spark, sf_dir):
         ).alias("content"),
     )
     return hierarchical_chunk(synth, target_chars=60)
-
-
-def s11_hierarchical(spark, sf_dir):
-    """S11 hierarchical chunker (core/document_processing/hierarchical_chunker.py
-    :176-998 semantics): document -> pages (50 tokens) -> chunks (20 tokens),
-    each chunk carrying its parent page id — the two-level id scheme the
-    reference's document ingestion produces."""
-    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    toks = T.tokens(F.col("text"))
-    n_pages = F.greatest(F.ceil(F.size(toks) / 50), F.lit(1)).cast("int")
-    paged = docs.select(
-        "doc_id", toks.alias("tk"),
-        F.explode(F.sequence(F.lit(0), n_pages - 1)).alias("page_idx"),
-    ).withColumn("page_toks", F.slice(F.col("tk"), F.col("page_idx") * 50 + 1, 50))
-    n_chunks = F.greatest(F.ceil(F.size("page_toks") / 20), F.lit(1)).cast("int")
-    chunked = paged.select(
-        "doc_id", "page_idx", "page_toks",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
-    ).withColumn(
-        "chunk_text",
-        F.concat_ws(" ", F.slice(F.col("page_toks"), F.col("chunk_idx") * 20 + 1, 20)),
-    ).filter(F.col("chunk_text") != "")
-    d = F.col("doc_id").cast("string")
-    return chunked.select(
-        F.concat(F.lit("m"), d, F.lit("_p"), F.col("page_idx").cast("string"),
-                 F.lit("_c"), F.col("chunk_idx").cast("string")).alias("chunk_id"),
-        F.concat(F.lit("m"), d).alias("memory_id"),
-        F.concat(F.lit("m"), d, F.lit("_p"), F.col("page_idx").cast("string")).alias("parent_id"),
-        "page_idx", "chunk_idx", "chunk_text",
-        F.length("chunk_text").alias("chunk_len"),
-    )
 
 
 @_register("v9_grouped_points", """
