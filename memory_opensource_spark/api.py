@@ -465,8 +465,12 @@ class MemoryEngine:
         prefix = "citation" if kind == "citation" else "cache"
         hit = F.col("memory_id").isin(*memory_ids)
         now = F.to_timestamp(F.lit(event_ts)) if event_ts else F.current_timestamp()
-        # clamp negative deltas: factor = min(0.5^(delta/half_life), 1.0)
-        decay = F.least(decay_factor(F.col("updated_at"), now), F.lit(1.0))
+        # clamp negative deltas: factor = min(0.5^(delta/half_life), 1.0);
+        # a NULL updated_at (externally loaded rows) means no prior timestamp
+        # -> no decay, never a NULL-poisoned counter
+        decay = F.coalesce(
+            F.least(decay_factor(F.col("updated_at"), now), F.lit(1.0)), F.lit(1.0)
+        )
         m = self.memories
         m = m.withColumn(
             f"{prefix}_hit_total",

@@ -453,10 +453,10 @@ def grid_near_duplicates(vectors: DataFrame, threshold: float,
 
         ci, cj = key
         pa = pdf[pdf["_side"] == "a"]
-        ids_a = pa["_id"].to_numpy()
-        mat_a = np.asarray([np.asarray(v, dtype="float64") for v in pa["_vec"]])
         if len(pa) == 0:
             return pd.DataFrame(columns=["left_id", "right_id", "score"])
+        ids_a = pa["_id"].to_numpy()
+        mat_a = np.asarray([np.asarray(v, dtype="float64") for v in pa["_vec"]])
 
         def unit(m):
             n = np.linalg.norm(m, axis=1, keepdims=True)
