@@ -562,3 +562,52 @@ def grid_knn_join(left: DataFrame, right: DataFrame, k: int,
         local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_join_auto(left: DataFrame, right: DataFrame, k: int,
+                  left_vec: str = "embedding", right_vec: str = "embedding",
+                  left_id: str = "id", right_id: str = "id",
+                  broadcast_budget_rows: int = 500_000,
+                  n_blocks: int = 8) -> DataFrame:
+    """Budget-routed exact kNN join: broadcast-BLAS while the RIGHT side fits
+    the budget, grid (no driver collect) past it.  Both paths are bit-identical
+    (tested); callers never need to know the corpus size."""
+    if right.count() > broadcast_budget_rows:
+        return grid_knn_join(left, right, k, left_vec, right_vec,
+                             left_id, right_id, n_blocks)
+    return knn_join_blas(left, right, k, left_vec, right_vec, left_id, right_id)
+
+
+def cosine_join_auto(left: DataFrame, right: DataFrame, threshold: float,
+                     left_vec: str = "embedding", right_vec: str = "embedding",
+                     left_id: str = "id", right_id: str = "id",
+                     anti_reflexive: bool = True, inclusive: bool = True,
+                     broadcast_budget_rows: int = 500_000,
+                     n_blocks: int = 8) -> DataFrame:
+    """Budget-routed exact cosine threshold join (self-join form routes through
+    the grid when the right side is past the broadcast budget).  For the
+    non-self-join grid case both sides hash into the same block space, which is
+    exactly the grid_knn cell layout with a threshold emit."""
+    if right.count() > broadcast_budget_rows:
+        if left is not right and left.schema != right.schema:
+            raise ValueError("grid routing for asymmetric joins: use grid_knn_join "
+                             "with a threshold filter")
+        pairs = grid_near_duplicates(right, threshold, right_id, right_vec,
+                                     n_blocks, inclusive=inclusive)
+        # grid sweep emits each unordered pair once (left<right); mirror to
+        # both orientations to match the blas join's directed contract
+        both = pairs.unionByName(pairs.select(
+            F.col("right_id").alias("left_id"),
+            F.col("left_id").alias("right_id"), "score"))
+        if anti_reflexive:
+            return both
+        # self pairs computed exactly (cosine(v,v) is 1, or 0 for zero vectors)
+        v = to_double(F.col(right_vec))
+        selfs = right.select(
+            F.col(right_id).alias("left_id"), F.col(right_id).alias("right_id"),
+            cosine(v, v).alias("score"),
+        )
+        keep = F.col("score") >= threshold if inclusive else F.col("score") > threshold
+        return both.unionByName(selfs.filter(keep))
+    return cosine_join_blas(left, right, threshold, left_vec, right_vec,
+                            left_id, right_id, anti_reflexive, inclusive)

@@ -257,7 +257,7 @@ def v5_knn(spark, sf_dir):
     left = emb.filter(F.col("vec_id") < 50)
     # over-fetch x3, then re-rank on the ROUNDED score so ranks match the
     # oracle's ROW_NUMBER over its rounded alias even at ties
-    cand = similarity.knn_join_blas(left, emb, 15, left_id="vec_id", right_id="vec_id")
+    cand = similarity.knn_join_auto(left, emb, 15, left_id="vec_id", right_id="vec_id")
     w = Window.partitionBy("left_id").orderBy(_r6(F.col("score")).desc(), F.col("right_id").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -892,7 +892,7 @@ def v6_resolution(spark, sf_dir):
     cosine >= threshold -> reuse its id.  Embeddings are pre-normalized so
     cosine == dot (models/embedding_model.py:722-736)."""
     emb = tables.load(spark, sf_dir, "embeddings")
-    pairs = similarity.cosine_join_blas(
+    pairs = similarity.cosine_join_auto(
         emb, emb, 0.2, left_id="vec_id", right_id="vec_id", anti_reflexive=False,
     )
     lab = emb.select(F.col("vec_id").alias("left_id"), F.col("label").alias("l_lab"))
@@ -1504,7 +1504,7 @@ def g12_related(spark, sf_dir):
     top-3 most-similar, similarity kept as edge metadata."""
     emb = tables.load(spark, sf_dir, "embeddings")
     left = emb.filter(F.col("vec_id") < 50)
-    sims = similarity.knn_join_blas(left, emb, 60, left_id="vec_id", right_id="vec_id")
+    sims = similarity.knn_join_auto(left, emb, 60, left_id="vec_id", right_id="vec_id")
     # re-rank on the rounded score for cross-engine tie stability
     w = Window.partitionBy("left_id").orderBy(_r6(F.col("score")).desc(), F.col("right_id").asc())
     top = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)

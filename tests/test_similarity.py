@@ -135,3 +135,25 @@ def test_ingest_reuse_routes_to_grid_past_budget(vec_df, monkeypatch):
                                    new_id="id", existing_id="id")
     out.collect()
     assert called.get("grid")
+
+
+def test_auto_wrappers_route_and_match(vec_df):
+    """Past the budget both auto wrappers take the grid path and reproduce the
+    blas results exactly — including the anti_reflexive=False self pairs."""
+    df, _ = vec_df
+    blas_knn = similarity.knn_join_blas(df, df, 3, left_id="id", right_id="id")
+    auto_knn = similarity.knn_join_auto(df, df, 3, left_id="id", right_id="id",
+                                        broadcast_budget_rows=10)
+    b = {(r.left_id, r.rank): r.right_id for r in blas_knn.collect()}
+    a = {(r.left_id, r.rank): r.right_id for r in auto_knn.collect()}
+    assert a == b
+
+    blas_cos = similarity.cosine_join_blas(df, df, 0.3, left_id="id",
+                                           right_id="id", anti_reflexive=False)
+    auto_cos = similarity.cosine_join_auto(df, df, 0.3, left_id="id",
+                                           right_id="id", anti_reflexive=False,
+                                           broadcast_budget_rows=10)
+    bset = {(r.left_id, r.right_id): round(r.score, 10) for r in blas_cos.collect()}
+    aset = {(r.left_id, r.right_id): round(r.score, 10) for r in auto_cos.collect()}
+    assert aset == bset
+    assert any(l == r for l, r in aset)  # self pairs present
