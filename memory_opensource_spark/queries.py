@@ -2896,10 +2896,10 @@ _EVIDENCE_PRIORITY = [
 
 
 def _reorder_registry() -> None:
-    assert set(_EVIDENCE_PRIORITY) <= set(QUERIES), (
-        sorted(set(_EVIDENCE_PRIORITY) - set(QUERIES)))
+    # tolerate renames: a stale priority name must never break the module
+    prio = [n for n in _EVIDENCE_PRIORITY if n in QUERIES]
     rest = [n for n in QUERIES if n not in _EVIDENCE_PRIORITY]
-    ordered = _EVIDENCE_PRIORITY + rest
+    ordered = prio + rest
     for d in (QUERIES, ORACLE):
         items = {n: d[n] for n in ordered if n in d}
         d.clear()
