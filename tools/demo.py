@@ -3,7 +3,8 @@
     python tools/demo.py
 
 add (with near-dup reuse) -> enrich (graph extraction) -> search (ACL) ->
-agentic search (graph leg) -> rerank -> feedback -> tier-1 list -> SQL surface.
+agentic search (graph leg) -> rerank -> feedback -> tier-1 list -> SQL surface
+-> custom schemas (validation + schema-keyed MERGE) -> TOON response format.
 """
 
 from __future__ import annotations
@@ -71,6 +72,31 @@ def main():
     eng.register_views()
     n = eng.sql("SELECT count(*) AS n FROM memories m JOIN chunks c USING (memory_id)").first().n
     print(f"   memories x chunks join via SQL: {n} rows")
+
+    print("== 8. dynamic schema: validation + schema-keyed MERGE ==")
+    from memory_opensource_spark.operators.schema_registry import NodeTypeDef
+
+    eng.register_schema("crm", [NodeTypeDef(
+        name="Person", properties={"name": "string", "status": "string"},
+        required=["name"], unique_identifiers=["name"],
+    )])
+    eng.add_graph([{"node_id": "p1", "label": "Person", "prop_name": "Ada",
+                    "prop_status": "active"}], [])
+    eng.add_graph([{"node_id": "p2", "label": "Person", "prop_name": "Ada",
+                    "prop_status": "promoted"}], [])  # same name -> replaces
+    person = eng.nodes.filter("label = 'Person'").collect()
+    print("   Person rows after name-keyed merge:",
+          [(r.node_id, r.prop_status) for r in person])
+    try:
+        eng.add_graph([{"node_id": "p3", "label": "Person"}], [])
+    except ValueError as exc:
+        print("   required-property violation rejected:", exc)
+
+    print("== 9. TOON response format (response_format=toon) ==")
+    toon = eng.search_formatted("streaming watermarks", response_format="toon",
+                                ctx=AclContext(user_id="alice"),
+                                score_threshold=None)
+    print("   " + "\n   ".join(toon.splitlines()[:4]))
 
     print("== done ==")
     spark.stop()
