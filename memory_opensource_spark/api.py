@@ -63,6 +63,10 @@ MEMORY_SCHEMA = StructType([
     StructField("namespace_id", StringType()),
     StructField("organization_id", StringType()),
     StructField("custom_metadata", StringType()),     # json
+    # OMO safety fields stamped from the resolved MemoryPolicy
+    # (models/shared_types.py:2200-2237, services/memory_policy_resolver.py:399-413)
+    StructField("consent", StringType()),
+    StructField("risk", StringType()),
     StructField("created_at", TimestampType()),
     StructField("updated_at", TimestampType()),
     StructField("cache_hit_total", DoubleType()),
@@ -150,11 +154,16 @@ class MemoryEngine:
     #: predates dynamic schemas; custom props map onto its prop_* columns)
     _SCHEMA_PROP_COLS = {"name": "prop_name", "status": "prop_status"}
 
-    def register_schema(self, schema_id: str, node_types: list) -> None:
+    def register_schema(self, schema_id: str, node_types: list,
+                        memory_policy: dict | None = None,
+                        relationship_types: dict | None = None) -> None:
         """Register user-defined node types (models/user_schemas.py:64-180);
         subsequent add_graph calls validate against them and MERGE on their
-        unique_identifiers (memory/memory_graph.py:10542-10615)."""
-        self.schemas.register(schema_id, node_types)
+        unique_identifiers (memory/memory_graph.py:10542-10615).  An optional
+        schema-level ``memory_policy`` becomes the default layer for memories
+        citing this schema_id (models/shared_types.py:2124-2126)."""
+        self.schemas.register(schema_id, node_types, memory_policy=memory_policy,
+                              relationship_types=relationship_types)
 
     # ---- write path (§3.2/§3.3) ---------------------------------------------------
 
@@ -169,6 +178,13 @@ class MemoryEngine:
         if len(set(ids)) != len(ids):
             dupes = sorted({i for i in ids if ids.count(i) > 1})
             raise ValueError(f"duplicate memory_id(s) in batch: {dupes}")
+        from .operators import memory_policy as mp
+
+        policies: dict[str, dict] = {}
+        for it in items:
+            schema = self.schemas.schema_dict(it["schema_id"]) if it.get("schema_id") else None
+            policies[it["memory_id"]] = mp.resolve_memory_policy(
+                schema, it.get("memory_policy"))
         rows = [
             (
                 it["memory_id"], it["content"], it.get("type", "TextMemoryItem"),
@@ -177,6 +193,7 @@ class MemoryEngine:
                 it.get("role_read_access", []), it.get("organization_read_access", []),
                 it.get("namespace_read_access", []), it.get("namespace_id"),
                 it.get("organization_id"), it.get("custom_metadata"),
+                policies[it["memory_id"]]["consent"], policies[it["memory_id"]]["risk"],
             )
             for it in items
         ]
@@ -186,7 +203,8 @@ class MemoryEngine:
             "user_id string, user_read_access array<string>, "
             "workspace_read_access array<string>, role_read_access array<string>, "
             "organization_read_access array<string>, namespace_read_access array<string>, "
-            "namespace_id string, organization_id string, custom_metadata string",
+            "namespace_id string, organization_id string, custom_metadata string, "
+            "consent string, risk string",
         ).withColumn("created_at", F.current_timestamp()).withColumn(
             "updated_at", F.current_timestamp()
         )
@@ -211,6 +229,29 @@ class MemoryEngine:
                 "memory_id",
             )
         )
+        # $previous resolution for manual-mode relationships must see the store
+        # as it was BEFORE this batch (shared_types.py:2152-2155)
+        manual_items = [
+            it for it in items
+            if policies[it["memory_id"]]["mode"] == "manual"
+            and (policies[it["memory_id"]]["nodes"] or policies[it["memory_id"]]["relationships"])
+        ]
+        prev_by_user: dict[str, str] = {}
+        if any("$previous" in str(policies[it["memory_id"]].get("relationships"))
+               for it in manual_items):
+            users = [it.get("user_id") for it in manual_items if it.get("user_id")]
+            if users:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy("user_id").orderBy(
+                    F.col("created_at").desc(), F.col("memory_id").desc())
+                prev_by_user = {
+                    r.user_id: r.memory_id
+                    for r in self.memories.filter(F.col("user_id").isin(*users))
+                    .withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+                    .select("user_id", "memory_id").collect()
+                }
+
         self.memories = self._merge(self.memories, fresh.select(*MEMORY_SCHEMA.names), ["memory_id"])
         self.chunks = self._merge(self.chunks, fresh_chunks.select(*CHUNK_SCHEMA.names), ["chunk_id"])
         mem_nodes = fresh.select(
@@ -218,6 +259,10 @@ class MemoryEngine:
             F.substring("content", 1, 60).alias("prop_name"), F.lit("active").alias("prop_status"),
         )
         self.nodes = self._merge(self.nodes, mem_nodes, ["node_id"])
+
+        for it in manual_items:
+            self._apply_manual_graph(it["memory_id"], it.get("user_id"),
+                                     policies[it["memory_id"]], prev_by_user)
 
         out = []
         for it in items:
@@ -230,6 +275,35 @@ class MemoryEngine:
     def add_memory(self, **item) -> AddResult:
         return self.add_memory_batch([item])[0]
 
+    def _apply_manual_graph(self, memory_id: str, user_id: str | None,
+                            policy: dict, prev_by_user: dict[str, str]) -> None:
+        """Manual-mode graph specification (models/shared_types.py:2140-2155):
+        NodeSpec {id, type, properties} and RelationshipSpec {source, target,
+        type} with ``$this`` -> this memory and ``$previous`` -> the user's
+        most recent prior memory (edge skipped when there is none)."""
+        def resolve(ref: str) -> str | None:
+            if ref == "$this":
+                return memory_id
+            if ref == "$previous":
+                return prev_by_user.get(user_id)
+            return ref
+
+        nodes = [
+            {
+                "node_id": n["id"], "label": n["type"],
+                "prop_name": (n.get("properties") or {}).get("name"),
+                "prop_status": (n.get("properties") or {}).get("status"),
+            }
+            for n in (policy.get("nodes") or [])
+        ]
+        edges = []
+        for r in (policy.get("relationships") or []):
+            src, dst = resolve(r["source"]), resolve(r["target"])
+            if src is not None and dst is not None:
+                edges.append({"src": src, "dst": dst, "rel_type": r["type"]})
+        if nodes or edges:
+            self.add_graph(nodes, edges)
+
     def enrich_memories(self, memory_ids: list[str] | None = None,
                         k_related: int = 3) -> dict[str, int]:
         """§3.2 background phase for the given (default: all) memories:
@@ -238,7 +312,12 @@ class MemoryEngine:
         from .plans.enrich import enrich as enrich_plan
 
         mems = self.memories
-        chunks = self.chunks.select("memory_id", "embedding")
+        # OMO consent standard: consent='none' memories are excluded from graph
+        # extraction entirely (services/omo_safety.py:44-48,
+        # memory_policy_resolver.py:416-425); NULL/legacy rows extract normally.
+        mems = mems.filter(F.col("consent").isNull() | (F.col("consent") != "none"))
+        chunks = self.chunks.select("memory_id", "embedding").join(
+            mems.select("memory_id"), "memory_id", "left_semi")
         if memory_ids:
             mems = mems.filter(F.col("memory_id").isin(*memory_ids))
             new_chunks = chunks.filter(F.col("memory_id").isin(*memory_ids))

@@ -49,6 +49,9 @@ class NodeTypeDef:
     required: list[str] = field(default_factory=list)
     unique_identifiers: list[str] = field(default_factory=list)
     resolution_policy: str = "upsert"                           # upsert | lookup
+    #: optional per-type default NodeConstraint dict (models/user_schemas.py
+    #: UserNodeType.constraint) — feeds memory_policy.extract_type_level_constraints
+    constraint: dict | None = None
 
     def __post_init__(self) -> None:
         if len(self.properties) > 10:
@@ -74,13 +77,39 @@ class SchemaRegistry:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._types: dict[tuple[str, str], NodeTypeDef] = {}
+        self._policies: dict[str, dict] = {}          # schema-level memory_policy
+        self._rel_types: dict[str, dict] = {}         # schema_id -> {rel_type: def dict}
 
     # -- registration ---------------------------------------------------------
 
-    def register(self, schema_id: str, node_types: list[NodeTypeDef]) -> None:
-        """POST /v1/schemas analog: idempotent by (schema_id, node_type)."""
+    def register(self, schema_id: str, node_types: list[NodeTypeDef],
+                 memory_policy: dict | None = None,
+                 relationship_types: dict[str, dict] | None = None) -> None:
+        """POST /v1/schemas analog: idempotent by (schema_id, node_type).
+        ``memory_policy`` is the schema-level default policy
+        (models/shared_types.py:2124-2126); ``relationship_types`` mirrors
+        UserRelationshipType dicts ({constraint, allowed_source_types, ...})."""
         for nt in node_types:
             self._types[(schema_id, nt.name)] = nt
+        if memory_policy is not None:
+            self._policies[schema_id] = memory_policy
+        if relationship_types is not None:
+            self._rel_types[schema_id] = relationship_types
+
+    def schema_dict(self, schema_id: str) -> dict | None:
+        """The registered schema in the resolver's dict form
+        (memory_policy.resolve_memory_policy input); None if unknown."""
+        node_types = {
+            name: {"constraint": nt.constraint}
+            for (sid, name), nt in self._types.items() if sid == schema_id
+        }
+        if not node_types and schema_id not in self._policies:
+            return None
+        return {
+            "node_types": node_types,
+            "relationship_types": self._rel_types.get(schema_id, {}),
+            "memory_policy": self._policies.get(schema_id),
+        }
 
     def to_df(self) -> DataFrame:
         """The normalized ``schemas`` table — one row per property.  Tiny by

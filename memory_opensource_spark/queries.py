@@ -2852,6 +2852,51 @@ def compress_q(spark, sf_dir):
     return out.select("user_id", "message_count", "short_term", "long_term")
 
 
+@_register("omo_enforce_nodes", f"""
+WITH {MEMORIES_CTE.strip()},
+ents AS (
+  SELECT memory_id, user_id, consent, risk, user_read_access, 'ent_' || tok AS entity_id
+  FROM (
+    SELECT m.*,
+           unnest(list_distinct(list_filter(string_split(lower(content), ' '),
+                                            t -> t <> ''))) AS tok
+    FROM memories_d m
+  )
+  WHERE length(tok) > 5
+)
+SELECT memory_id, entity_id,
+       consent AS omo_consent,
+       risk AS omo_risk,
+       CASE WHEN risk = 'flagged' THEN 1 ELSE 0 END AS requires_review,
+       CASE WHEN risk = 'flagged' THEN user_id
+            ELSE COALESCE(array_to_string(user_read_access, ','), '') END AS acl_read_csv,
+       user_id AS acl_write_csv
+FROM ents
+WHERE consent <> 'none'
+""")
+def omo_enforce_q(spark, sf_dir):
+    """OMO write-path enforcement over extracted nodes
+    (services/omo_safety.py:26-130): consent='none' memories contribute NO
+    graph nodes; survivors are annotated with consent/risk provenance;
+    risk='flagged' nodes get requires_review and an owner-only ACL.  Pure
+    Column expressions over an extracted-nodes x memories join — scan-parallel
+    at any corpus size.  ACLs project to CSV (canonicalizer: no array outputs);
+    the fixture's user_write_access is always [owner], so its CSV is user_id on
+    both sides."""
+    from .operators.memory_policy import enforce_omo
+    from .plans.enrich import extract_entities
+
+    mems = tables.build_memories(tables.load(spark, sf_dir, "documents"))
+    out = enforce_omo(extract_entities(mems), mems)
+    return out.select(
+        "memory_id", "entity_id",
+        "omo_consent", "omo_risk",
+        F.col("requires_review").cast("int").alias("requires_review"),
+        F.array_join("acl_read", ",").alias("acl_read_csv"),
+        F.array_join("acl_write", ",").alias("acl_write_csv"),
+    )
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
