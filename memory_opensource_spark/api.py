@@ -178,6 +178,13 @@ class MemoryEngine:
         if len(set(ids)) != len(ids):
             dupes = sorted({i for i in ids if ids.count(i) > 1})
             raise ValueError(f"duplicate memory_id(s) in batch: {dupes}")
+        from .functions.validation import validate_user_identification
+
+        for it in items:
+            err = validate_user_identification(it.get("user_id"))
+            if err:
+                raise ValueError(f"{err.error} for memory_id={it['memory_id']}: "
+                                 f"{err.reason} {err.suggestion}")
         from .operators import memory_policy as mp
 
         policies: dict[str, dict] = {}

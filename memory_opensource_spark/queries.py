@@ -2897,6 +2897,65 @@ def omo_enforce_q(spark, sf_dir):
     )
 
 
+@_register("user_id_validation", """
+WITH base AS (SELECT DISTINCT user_id::VARCHAR AS user_id FROM events),
+cands AS (
+  SELECT user_id, 'raw' AS variant, user_id AS candidate FROM base
+  UNION ALL SELECT user_id, 'prefixed', 'user_' || user_id FROM base
+  UNION ALL SELECT user_id, 'email', user_id || '@example.com' FROM base
+  UNION ALL SELECT user_id, 'uuid',
+    substr(md5(user_id), 1, 8) || '-' || substr(md5(user_id), 9, 4) || '-' ||
+    substr(md5(user_id), 13, 4) || '-' || substr(md5(user_id), 17, 4) || '-' ||
+    substr(md5(user_id), 21, 12) FROM base
+  UNION ALL SELECT user_id, 'hyphenated', user_id || '-' || user_id FROM base
+  UNION ALL SELECT user_id, 'long_alnum', rpad(user_id, 25, 'x') FROM base
+  UNION ALL SELECT user_id, 'long_mixed', rpad(user_id, 25, '_') FROM base
+)
+SELECT user_id, variant, candidate,
+       CASE WHEN candidate IS NULL OR candidate = '' THEN 0
+            WHEN regexp_matches(candidate,
+                 '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')
+              OR regexp_matches(candidate,
+                 '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$')
+              OR regexp_matches(lower(candidate),
+                 '^(user_|ext_|external_|usr_|u_|customer_|cust_|cus_|client_|acct_|sub_|org_)')
+              OR (position('-' IN candidate) > 0 AND length(candidate) > 10)
+              OR (length(candidate) > 20 AND NOT regexp_matches(candidate, '^[a-zA-Z0-9]+$'))
+            THEN 1 ELSE 0 END AS is_external
+FROM cands
+""")
+def user_id_validation_q(spark, sf_dir):
+    """External-id heuristic (services/auth_utils.py:59-118) applied as ONE
+    codegen'd scan pass over synthesized candidate forms of every event user:
+    raw internal ids, prefixed/email/UUID/hyphenated external forms, and the
+    two long-id ambiguity branches.  Bulk request validation at table scale —
+    the per-request twin is functions.validation.looks_like_external_id_py."""
+    from .functions.validation import looks_like_external_id
+
+    base = (tables.load(spark, sf_dir, "events")
+            .select(F.col("user_id").cast("string").alias("user_id")).distinct())
+    u = F.col("user_id")
+    h = F.md5(u)
+    variants = [
+        ("raw", u),
+        ("prefixed", F.concat(F.lit("user_"), u)),
+        ("email", F.concat(u, F.lit("@example.com"))),
+        ("uuid", F.concat_ws("-", F.substring(h, 1, 8), F.substring(h, 9, 4),
+                             F.substring(h, 13, 4), F.substring(h, 17, 4),
+                             F.substring(h, 21, 12))),
+        ("hyphenated", F.concat(u, F.lit("-"), u)),
+        ("long_alnum", F.rpad(u, 25, "x")),
+        ("long_mixed", F.rpad(u, 25, "_")),
+    ]
+    out = None
+    for name, expr in variants:
+        part = base.select(u.alias("user_id"), F.lit(name).alias("variant"),
+                           expr.alias("candidate"))
+        out = part if out is None else out.unionByName(part)
+    return out.withColumn(
+        "is_external", looks_like_external_id(F.col("candidate")).cast("int"))
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
