@@ -2956,6 +2956,112 @@ def user_id_validation_q(spark, sf_dir):
         "is_external", looks_like_external_id(F.col("candidate")).cast("int"))
 
 
+@_register("feedback_confidence_scores", """
+WITH fb AS (
+  SELECT user_id, CAST(props->>'k' AS INT) AS memory_k,
+         CASE event_type WHEN 'purchase' THEN 2 WHEN 'signup' THEN 2
+              WHEN 'click' THEN 1 WHEN 'view' THEN 1 ELSE 0 END AS w
+  FROM events
+),
+agg AS (
+  SELECT user_id, memory_k, SUM(w)::BIGINT AS weight
+  FROM fb WHERE w > 0 GROUP BY user_id, memory_k
+)
+SELECT user_id, memory_k, weight,
+       ROUND(weight / SUM(weight) OVER (PARTITION BY user_id), 6)::DOUBLE AS confidence
+FROM agg
+""")
+def feedback_confidence_q(spark, sf_dir):
+    """Cited-memory confidence scores
+    (tests/test_feedback_analytics_end_to_end.py:38-84): positive feedback
+    events weight the memories they cite (user-actions double), normalized to
+    a per-scope share.  Event stream stands in for UserFeedbackLog; the cited
+    memory is the ``k`` bucket in props.  One shuffle on (user, memory); the
+    normalizing window reuses the user partitioning."""
+    from .operators import feedback as FB
+
+    ev = tables.load(spark, sf_dir, "events")
+    fb = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("memory_k"),
+        FB.citation_weight_col(
+            FB.feedback_type_col(F.col("event_type"))).alias("w"),
+    ).filter(F.col("w") > 0)
+    return FB.cited_confidence_scores(fb, "user_id", "memory_k", "w")
+
+
+@_register("feedback_engagement_rollup", f"""
+WITH {{EVENTS}}, fb AS (
+  SELECT ts, value,
+         CASE event_type WHEN 'click' THEN 'thumbs_up' WHEN 'view' THEN 'rating'
+              WHEN 'purchase' THEN 'copy_action' WHEN 'signup' THEN 'save_action'
+              WHEN 'error' THEN 'report' END AS feedback_type
+  FROM events_us
+)
+SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+       CASE WHEN feedback_type IN ('thumbs_up','thumbs_down') THEN 'thumbs_feedback'
+            WHEN feedback_type = 'rating' THEN 'rating_feedback'
+            WHEN feedback_type IN ('copy_action','save_action','create_document') THEN 'user_action'
+            WHEN feedback_type = 'correction' THEN 'correction_feedback'
+            WHEN feedback_type = 'report' THEN 'report_feedback'
+            ELSE 'general_feedback' END AS engagement_signal,
+       COUNT(*) AS feedback_count,
+       ROUND(AVG(value), 6)::DOUBLE AS mean_score
+FROM fb
+GROUP BY 1, 2
+""")
+def feedback_rollup_q(spark, sf_dir):
+    """Daily engagement-signal rollup — the QueryLog engagement-update mapping
+    (routers/v1/feedback_routes.py:1042-1064) applied as an analytics groupBy:
+    thumbs/rating/user-action/report signals per day with mean score."""
+    from .operators import feedback as FB
+
+    ev = tables.load(spark, sf_dir, "events")
+    fb = ev.select(
+        "ts", "value",
+        FB.feedback_type_col(F.col("event_type")).alias("feedback_type"))
+    return FB.engagement_rollup(fb)
+
+
+@_register("msg_batch_triggers", """
+WITH {EVENTS}, ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events_us
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+), counts AS (
+  SELECT user_id, session_id, COUNT(*) AS message_count
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, session_id, message_count,
+       (message_count // 15)::BIGINT AS full_batches,
+       (message_count % 15)::BIGINT AS leftover,
+       CASE WHEN message_count % 15 = 0 THEN 'in_session'
+            WHEN session_id < MAX(session_id) OVER (PARTITION BY user_id) THEN 'next_session'
+            ELSE 'pending' END AS flush_path
+FROM counts
+""")
+def msg_batch_triggers_q(spark, sf_dir):
+    """Cross-session batch-trigger audit (services/message_service.py:678-712 +
+    tests/test_cross_session_analysis.py): sessions analyze messages in batches
+    of 15; a new session flushes the previous session's leftover, so only a
+    user's final session can be 'pending'.  Sessionization is the ST2
+    gaps-and-islands pass; the report is one groupBy + a per-user max window."""
+    from .operators import feedback as FB
+
+    ev = tables.load(spark, sf_dir, "events")
+    sess = windows.session_ids(ev, "user_id", "ts", 1800)
+    counts = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("message_count"))
+    return FB.batch_trigger_report(counts)
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
@@ -2981,6 +3087,8 @@ _EVIDENCE_PRIORITY = [
     "v5_bucketed_pairs", "v4_ingest_reuse", "ann_ivf_persisted",
     "g8_schema_driven_merge", "schema_validation_report",
     "s11_section_hierarchy", "dedup_simhash_hamming",
+    "feedback_confidence_scores", "feedback_engagement_rollup",
+    "msg_batch_triggers",
     # components with no driver row in round 1
     "st8_sliding_window", "v1_chunk_embed", "mm_feature_search",
     "g13_link_to_lookup", "g14_constraint_when", "f10_scalar_functions",
