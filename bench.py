@@ -59,6 +59,10 @@ HEADLINE = [
     "g8_schema_driven_merge",
     "schema_validation_report",
     "s11_section_hierarchy",
+    "feedback_confidence_scores",
+    "feedback_engagement_rollup",
+    "msg_batch_triggers",
+    "g_property_overrides",
 ]
 
 

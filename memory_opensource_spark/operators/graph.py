@@ -258,3 +258,59 @@ def related_to_edges(similarities: DataFrame, k: int = 3) -> DataFrame:
             F.col("score").alias("similarity_score"),
         )
     )
+
+
+def apply_property_overrides(nodes: DataFrame, rules: list[dict],
+                             label_col: str = "label",
+                             props_col: str = "props") -> DataFrame:
+    """Auto-mode property overrides (api_handlers/chat_gpt_completion.py:
+    4246-4348, models/shared_types.py:249-263): each rule
+    ``{"nodeLabel": L, "match": {...}, "set": {...}}`` applies in list order to
+    nodes of label L whose ORIGINAL properties equal every match condition
+    (missing key = no match); later rules overwrite earlier ones per key.
+
+    Rules are request payload — a handful of literals — so they compile
+    straight into codegen'd CASE expressions on the scan: no join, no shuffle,
+    no UDF, scan-parallel at any node count.  Adds ``applied_rules`` (count of
+    rules that fired per node).
+    """
+    props = F.col(props_col)
+    preds = []
+    for rule in rules:
+        pred = F.col(label_col) == F.lit(rule["nodeLabel"])
+        for k, v in (rule.get("match") or {}).items():
+            # element_at -> NULL on a missing key; NULL comparisons are falsy
+            # under when(), reproducing the reference's key-not-found FAIL
+            pred = pred & (F.element_at(props, F.lit(k)) == F.lit(str(v)))
+        preds.append(pred)
+
+    keys: list[str] = []
+    for rule in rules:
+        for k in rule.get("set", {}):
+            if k not in keys:
+                keys.append(k)
+    applied = sum((F.when(p, 1).otherwise(0) for p in preds), F.lit(0))
+    if not keys:
+        return nodes.withColumn("applied_rules", applied.cast("int"))
+    # NB: merged props and the applied count must land in ONE projection —
+    # chained withColumn would re-evaluate the match predicates against the
+    # already-merged map instead of the original properties
+
+    entries = []
+    for k in keys:
+        val = F.lit(None).cast("string")
+        for pred, rule in zip(preds, rules):
+            if k in rule.get("set", {}):
+                # forward iteration with otherwise(prior) leaves the LAST
+                # applicable rule outermost — dict.update() order semantics
+                val = F.when(pred, F.lit(str(rule["set"][k]))).otherwise(val)
+        entries.append(F.struct(F.lit(k).alias("key"), val.alias("value")))
+
+    ov_entries = F.filter(F.array(*entries), lambda e: e["value"].isNotNull())
+    ov_keys = F.transform(ov_entries, lambda e: e["key"])
+    merged = F.map_concat(
+        F.map_filter(props, lambda k, _: ~F.array_contains(ov_keys, k)),
+        F.map_from_entries(ov_entries),
+    )
+    return nodes.withColumns({props_col: merged,
+                              "applied_rules": applied.cast("int")})

@@ -3062,6 +3062,53 @@ def msg_batch_triggers_q(spark, sf_dir):
     return FB.batch_trigger_report(counts)
 
 
+@_register("g_property_overrides", f"""
+WITH {NODES_CTE.strip()}
+SELECT node_id, label,
+  CASE WHEN label = 'Customer' AND prop_status = 'BUILDING' THEN 'segment_building'
+       WHEN label = 'Supplier' AND prop_status = 'active' THEN 'verified'
+       ELSE prop_status END AS status,
+  CASE WHEN label = 'Customer' AND prop_status = 'BUILDING' THEN 'gold' ELSE '' END AS tier,
+  CASE WHEN label = 'Customer' THEN 'true' ELSE '' END AS reviewed,
+  (CASE WHEN label = 'Customer' AND prop_status = 'BUILDING' THEN 2 ELSE 0 END
+   + CASE WHEN label = 'Customer' THEN 1 ELSE 0 END
+   + CASE WHEN label = 'Supplier' AND prop_status = 'active' THEN 1 ELSE 0 END)::INT AS applied_rules
+FROM nodes_d
+""")
+def g_property_overrides_q(spark, sf_dir):
+    """Auto-mode PropertyOverrideRule application
+    (api_handlers/chat_gpt_completion.py:4246-4348): ordered rules with exact
+    match conditions against ORIGINAL properties; later rules overwrite per
+    key.  Rule 1 re-labels BUILDING customers and sets tier premium; rule 2
+    stamps every customer reviewed; rule 3 verifies active suppliers; rule 4
+    (same match as rule 1) overwrites tier to gold — proving both
+    original-props matching and last-rule-wins.  Map-typed props stay internal;
+    the output projects scalars."""
+    t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "region", "supplier"]}
+    nodes = tables.build_nodes(t["customer"], t["nation"], t["region"], t["supplier"])
+    with_props = nodes.withColumn(
+        "props", F.create_map(F.lit("name"), F.col("prop_name"),
+                              F.lit("status"), F.col("prop_status")))
+    rules = [
+        {"nodeLabel": "Customer", "match": {"status": "BUILDING"},
+         "set": {"status": "segment_building", "tier": "premium"}},
+        {"nodeLabel": "Customer", "set": {"reviewed": "true"}},
+        {"nodeLabel": "Supplier", "match": {"status": "active"},
+         "set": {"status": "verified"}},
+        {"nodeLabel": "Customer", "match": {"status": "BUILDING"},
+         "set": {"tier": "gold"}},
+    ]
+    out = graph.apply_property_overrides(with_props, rules)
+    p = F.col("props")
+    return out.select(
+        "node_id", "label",
+        F.element_at(p, F.lit("status")).alias("status"),
+        F.coalesce(F.element_at(p, F.lit("tier")), F.lit("")).alias("tier"),
+        F.coalesce(F.element_at(p, F.lit("reviewed")), F.lit("")).alias("reviewed"),
+        "applied_rules",
+    )
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
@@ -3088,7 +3135,7 @@ _EVIDENCE_PRIORITY = [
     "g8_schema_driven_merge", "schema_validation_report",
     "s11_section_hierarchy", "dedup_simhash_hamming",
     "feedback_confidence_scores", "feedback_engagement_rollup",
-    "msg_batch_triggers",
+    "msg_batch_triggers", "g_property_overrides",
     # components with no driver row in round 1
     "st8_sliding_window", "v1_chunk_embed", "mm_feature_search",
     "g13_link_to_lookup", "g14_constraint_when", "f10_scalar_functions",
