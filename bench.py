@@ -63,6 +63,7 @@ HEADLINE = [
     "feedback_engagement_rollup",
     "msg_batch_triggers",
     "g_property_overrides",
+    "eval_retrieval_scores",
 ]
 
 

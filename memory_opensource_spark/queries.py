@@ -3109,6 +3109,92 @@ def g_property_overrides_q(spark, sf_dir):
     )
 
 
+# Expected-answer specs for the retrieval-quality eval harness
+# (tests/calculate_query_scores.py EXPECTED_ANSWERS analog over the fixture
+# vocabulary).  Shared literals between the Spark query and the SQL oracle.
+_EVAL_SPECS = [
+    {"spec_id": "joins", "must_include": ["join", "merge"],
+     "keywords": ["join", "merge", "hash", "sort", "key", "table"],
+     "expected_content": "hash join merge sort key table scan"},
+    {"spec_id": "streaming", "must_include": ["stream", "window"],
+     "keywords": ["stream", "window", "batch", "spark", "state"],
+     "expected_content": "stream window batch spark state"},
+    {"spec_id": "aggregation", "must_include": ["group", "agg"],
+     "keywords": ["group", "agg", "filter", "count", "partial"],
+     "expected_content": "group agg filter partial count"},
+]
+
+
+def _evalscore_sql_leg(spec: dict) -> str:
+    def found(kws):
+        return " + ".join(
+            f"CASE WHEN contains(lower(text), '{k.lower()}') THEN 1 ELSE 0 END"
+            for k in kws)
+
+    must, kws = spec["must_include"], spec["keywords"]
+    exp = sorted({t for t in spec["expected_content"].lower().split(" ") if t})
+    exp_lit = "[" + ", ".join(f"'{t}'" for t in exp) + "]"
+    return f"""
+  SELECT doc_id, '{spec["spec_id"]}' AS spec_id,
+         LEAST(4.0, ({found(must)}) / {float(len(must))} * 4.0) AS must_pts,
+         LEAST(3.0, ({found(kws)}) / {float(len(kws))} * 3.0) AS kw_pts,
+         (CASE WHEN len(list_distinct(list_concat(toks, {exp_lit}))) > 0
+               THEN len(list_intersect(toks, {exp_lit}))
+                    / len(list_distinct(list_concat(toks, {exp_lit})))
+               ELSE 0.0 END) * 3.0 AS sim_pts
+  FROM dtoks"""
+
+
+@_register("eval_retrieval_scores", f"""
+WITH dtoks AS (
+  SELECT doc_id, text,
+         list_distinct(list_filter(
+           string_split(lower(substr(text, 1, 500)), ' '), x -> x <> '')) AS toks
+  FROM documents
+), legs AS ({" UNION ALL ".join(_evalscore_sql_leg(s) for s in _EVAL_SPECS)}
+), scored AS (
+  SELECT doc_id, spec_id,
+         ROUND(must_pts, 6)::DOUBLE AS must_pts,
+         ROUND(kw_pts, 6)::DOUBLE AS kw_pts,
+         ROUND(sim_pts, 6)::DOUBLE AS sim_pts,
+         ROUND(LEAST(10.0, GREATEST(0.0, must_pts + kw_pts + sim_pts)), 1)::DOUBLE AS score
+  FROM legs
+)
+SELECT doc_id, spec_id, must_pts, kw_pts, sim_pts, score
+FROM (SELECT *, row_number() OVER (PARTITION BY spec_id
+                                   ORDER BY score DESC, doc_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 20
+""")
+def eval_retrieval_scores_q(spark, sf_dir):
+    """Retrieval-quality eval harness (tests/calculate_query_scores.py:78-185):
+    the 0-10 accuracy score (must-include x4 + keyword coverage x3 + similarity
+    x3, Jaccard substituting SequenceMatcher — see functions/evalscore.py) for
+    every document against three expected-answer specs, top-20 per spec.  ONE
+    scan scores all specs via an exploded struct array — at corpus scale this
+    is a single codegen map pass plus the per-spec top-k window."""
+    from .functions import evalscore as E
+
+    docs = tables.load(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    legs = []
+    for spec in _EVAL_SPECS:
+        must = E.coverage_points(lower, spec["must_include"], 4.0)
+        kw = E.coverage_points(lower, spec["keywords"], 3.0)
+        sim = E.jaccard_similarity(F.col("text"), spec["expected_content"]) * 3.0
+        score = F.round(F.least(F.lit(10.0), F.greatest(F.lit(0.0), must + kw + sim)), 1)
+        legs.append(F.struct(
+            F.lit(spec["spec_id"]).alias("spec_id"),
+            _r6(must).alias("must_pts"), _r6(kw).alias("kw_pts"),
+            _r6(sim).alias("sim_pts"), score.cast("double").alias("score")))
+    exploded = (docs.select("doc_id", F.explode(F.array(*legs)).alias("s"))
+                .select("doc_id", "s.*"))
+    w = Window.partitionBy("spec_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (exploded.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 20)
+            .select("doc_id", "spec_id", "must_pts", "kw_pts", "sim_pts", "score"))
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
@@ -3135,7 +3221,7 @@ _EVIDENCE_PRIORITY = [
     "g8_schema_driven_merge", "schema_validation_report",
     "s11_section_hierarchy", "dedup_simhash_hamming",
     "feedback_confidence_scores", "feedback_engagement_rollup",
-    "msg_batch_triggers", "g_property_overrides",
+    "msg_batch_triggers", "g_property_overrides", "eval_retrieval_scores",
     # components with no driver row in round 1
     "st8_sliding_window", "v1_chunk_embed", "mm_feature_search",
     "g13_link_to_lookup", "g14_constraint_when", "f10_scalar_functions",
