@@ -56,3 +56,47 @@ def test_no_set_keys_only_counts(spark):
     out = apply_property_overrides(nodes, [{"nodeLabel": "User", "set": {}}])
     r = out.collect()[0]
     assert r["applied_rules"] == 1 and dict(r["props"]) == {"name": "Alice", "status": "active"}
+
+
+def test_randomized_parity_with_python_twin(spark):
+    """Randomized nodes x rules vs a direct transcription of the reference's
+    in-place loop (chat_gpt_completion.py:4267-4310)."""
+    import random
+
+    rng = random.Random(42)
+    labels = ["User", "Note", "Task"]
+    statuses = ["new", "active", "done"]
+    names = ["a", "b", "c", "d"]
+
+    rows = [(f"n{i}", rng.choice(labels), rng.choice(names), rng.choice(statuses))
+            for i in range(40)]
+    rules = []
+    for _ in range(6):
+        rule = {"nodeLabel": rng.choice(labels),
+                "set": {rng.choice(["tier", "status", "flag"]): rng.choice(["x", "y", "z"])}}
+        if rng.random() < 0.6:
+            key = rng.choice(["name", "status", "missing_key"])
+            rule["match"] = {key: rng.choice(names + statuses)}
+        rules.append(rule)
+
+    def twin(label, props):
+        final = dict(props)
+        applied = 0
+        for r in rules:
+            if r["nodeLabel"] != label:
+                continue
+            ok = True
+            for k, v in (r.get("match") or {}).items():
+                if props.get(k) != v:   # ORIGINAL props, reference semantics
+                    ok = False
+                    break
+            if not ok:
+                continue
+            applied += 1
+            final.update(r["set"])
+        return final, applied
+
+    expected = {nid: twin(lbl, {"name": nm, "status": st})
+                for nid, lbl, nm, st in rows}
+    got = _props(apply_property_overrides(_nodes(spark, rows), rules))
+    assert got == expected
