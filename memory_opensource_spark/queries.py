@@ -3222,6 +3222,7 @@ _EVIDENCE_PRIORITY = [
     "s11_section_hierarchy", "dedup_simhash_hamming",
     "feedback_confidence_scores", "feedback_engagement_rollup",
     "msg_batch_triggers", "g_property_overrides", "eval_retrieval_scores",
+    "omo_enforce_nodes", "user_id_validation",
     # components with no driver row in round 1
     "st8_sliding_window", "v1_chunk_embed", "mm_feature_search",
     "g13_link_to_lookup", "g14_constraint_when", "f10_scalar_functions",
