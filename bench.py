@@ -64,6 +64,8 @@ HEADLINE = [
     "msg_batch_triggers",
     "g_property_overrides",
     "eval_retrieval_scores",
+    "text_repetition_stats",
+    "sample_stratified",
 ]
 
 

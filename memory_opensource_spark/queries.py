@@ -3195,6 +3195,105 @@ def eval_retrieval_scores_q(spark, sf_dir):
             .select("doc_id", "spec_id", "must_pts", "kw_pts", "sim_pts", "score"))
 
 
+@_register("text_repetition_stats", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, len(tk) AS token_count,
+         list_transform(generate_series(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i + 1]) AS bg,
+         list_transform(generate_series(1, len(tk) - 2),
+                        i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]) AS tg
+  FROM toks
+)
+SELECT doc_id, token_count,
+  ROUND(CASE WHEN token_count > 0
+             THEN len(list_distinct(tk)) * 1.0 / token_count ELSE 0.0 END,
+        6)::DOUBLE AS distinct_token_ratio,
+  ROUND(CASE WHEN len(bg) > 0
+             THEN 1.0 - len(list_distinct(bg)) * 1.0 / len(bg) ELSE 0.0 END,
+        6)::DOUBLE AS repeated_bigram_frac,
+  ROUND(CASE WHEN len(tg) > 0
+             THEN 1.0 - len(list_distinct(tg)) * 1.0 / len(tg) ELSE 0.0 END,
+        6)::DOUBLE AS repeated_trigram_frac,
+  CASE WHEN len(tg) > 0
+            AND 1.0 - len(list_distinct(tg)) * 1.0 / len(tg) < 0.8
+       THEN 1 ELSE 0 END AS quality_pass
+FROM grams JOIN toks USING (doc_id)
+""")
+def text_repetition_q(spark, sf_dir):
+    """Repetition-based quality filtering (Gopher/C4-family heuristics, public
+    training-data practice): distinct-token ratio and repeated bi/tri-gram
+    fractions per document, with a trigram-repetition pass flag.  All
+    collection expressions over one scan — no shuffle, no UDF; scoring 100 TB
+    is a pure map pass.  Complements text_quality_score (length/punct/stopword
+    arms)."""
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("tk"))
+    n = F.size(F.col("tk"))
+
+    def grams(width):
+        idx = F.sequence(F.lit(1), n - width + 1)
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(F.col("tk"), i + off) for off in range(width)])
+        return F.when(n >= width, F.transform(idx, gram)) \
+                .otherwise(F.array().cast("array<string>"))
+
+    g = docs.select("doc_id", n.alias("token_count"),
+                    F.col("tk"), grams(2).alias("bg"), grams(3).alias("tg"))
+
+    def rep_frac(col):
+        total = F.size(col)
+        return F.when(total > 0,
+                      1.0 - F.size(F.array_distinct(col)).cast("double") / total
+                      ).otherwise(0.0)
+
+    rep_tg = rep_frac(F.col("tg"))
+    return g.select(
+        "doc_id", "token_count",
+        _r6(F.when(F.col("token_count") > 0,
+                   F.size(F.array_distinct("tk")).cast("double") / F.col("token_count"))
+            .otherwise(0.0)).alias("distinct_token_ratio"),
+        _r6(rep_frac(F.col("bg"))).alias("repeated_bigram_frac"),
+        _r6(rep_tg).alias("repeated_trigram_frac"),
+        F.when((F.size("tg") > 0) & (rep_tg < 0.8), 1).otherwise(0)
+        .cast("int").alias("quality_pass"),
+    )
+
+
+@_register("sample_stratified", """
+WITH rated AS (
+  SELECT doc_id, source,
+         CASE substr(source, 4)::INT % 4
+              WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.1 END AS rate,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, source, ROUND(rate, 6)::DOUBLE AS rate, ROUND(u, 6)::DOUBLE AS u
+FROM rated WHERE u < rate
+""")
+def sample_stratified_q(spark, sf_dir):
+    """Deterministic stratified sampling for dataset mixing (training-data
+    pipelines down-weight sources to hit a target domain mix): per-source keep
+    rates, membership decided by an md5-derived uniform on the doc id — NEVER
+    rand() (replays must be idempotent, and resampling a 100 TB corpus must
+    not depend on partition layout).  Pure scan-side filter: the predicate
+    pushes to the reader, no shuffle, and the kept fraction per stratum
+    converges to the rate."""
+    docs = tables.load(spark, sf_dir, "documents")
+    rate = (F.substring("source", 4, 10).cast("int") % 4)
+    rate = (F.when(rate == 0, 1.0).when(rate == 1, 0.5)
+            .when(rate == 2, 0.25).otherwise(0.1))
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+         .cast("bigint") / F.lit(4294967296.0))
+    return (docs.select("doc_id", "source", _r6(rate).alias("rate"),
+                        _r6(u).alias("u"), u.alias("_u"), rate.alias("_r"))
+            .filter(F.col("_u") < F.col("_r"))
+            .drop("_u", "_r"))
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
@@ -3223,6 +3322,7 @@ _EVIDENCE_PRIORITY = [
     "feedback_confidence_scores", "feedback_engagement_rollup",
     "msg_batch_triggers", "g_property_overrides", "eval_retrieval_scores",
     "omo_enforce_nodes", "user_id_validation",
+    "text_repetition_stats", "sample_stratified",
     # components with no driver row in round 1
     "st8_sliding_window", "v1_chunk_embed", "mm_feature_search",
     "g13_link_to_lookup", "g14_constraint_when", "f10_scalar_functions",
