@@ -66,6 +66,7 @@ HEADLINE = [
     "eval_retrieval_scores",
     "text_repetition_stats",
     "sample_stratified",
+    "dedup_keep_list",
 ]
 
 

@@ -3294,6 +3294,83 @@ def sample_stratified_q(spark, sf_dir):
             .drop("_u", "_r"))
 
 
+@_register("dedup_keep_list", """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(tk) - 2, 1) + 1),
+      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
+  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        FROM documents)
+), ex AS (
+  SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
+), cand AS (
+  SELECT x.doc_id AS l, y.doc_id AS r, COUNT(*) AS inter
+  FROM ex x JOIN ex y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+), pairs AS (
+  SELECT l, r FROM cand
+  JOIN sizes sl ON cand.l = sl.doc_id
+  JOIN sizes sr ON cand.r = sr.doc_id
+  WHERE inter::DOUBLE / greatest(sl.n_sh + sr.n_sh - inter, 1) >= 0.5
+), und AS (
+  SELECT l AS src, r AS dst FROM pairs UNION SELECT r, l FROM pairs
+), members AS (SELECT DISTINCT src AS node_id FROM und),
+reach(node_id, peer) AS (
+  SELECT node_id, node_id FROM members
+  UNION
+  SELECT re.node_id, u.dst FROM reach re JOIN und u ON re.peer = u.src
+), labels AS (
+  SELECT node_id AS doc_id, MIN(peer) AS cluster_id FROM reach GROUP BY node_id
+)
+SELECT labels.doc_id, cluster_id, n_chars,
+       CASE WHEN row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY n_chars DESC, labels.doc_id ASC) = 1
+            THEN 1 ELSE 0 END AS is_keep
+FROM labels JOIN documents ON labels.doc_id = documents.doc_id
+""")
+def dedup_keep_list_q(spark, sf_dir):
+    """The dedup pipeline's FINAL artifact: near-dup pairs (3-shingle Jaccard
+    >= 0.5) -> connected components -> one representative per duplicate
+    cluster (longest document, id-asc tie-break), everything else marked for
+    purge.  Mirrors the reference sweep's keep-one semantics
+    (memory/memory_graph.py:10333-10390) with the standard corpus-dedup
+    representative rule.  At scale the pair stage is the LSH-banded path
+    (dedup_minhash_bands); the fixture uses the exact pairs for oracle
+    parity."""
+    docs = tables.load(spark, sf_dir, "documents")
+    sh = docs.select(F.col("doc_id"), T.shingles(F.col("text")).alias("sh"))
+    # sparse inverted-index pair generation: explode on shingle, count
+    # co-occurrences, union from per-doc sizes — only pairs sharing a shingle
+    # materialize (the dense all-pairs array_intersect is quadratic in docs
+    # and interpreted per pair; this is the shape that survives corpus scale)
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    cand = (ex.alias("x").join(ex.alias("y"), "shingle")
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .groupBy(F.col("x.doc_id").alias("l"), F.col("y.doc_id").alias("r"))
+            .agg(F.count("*").alias("inter")))
+    pairs = (cand
+             .join(sizes.select(F.col("doc_id").alias("l"), F.col("n_sh").alias("nl")), "l")
+             .join(sizes.select(F.col("doc_id").alias("r"), F.col("n_sh").alias("nr")), "r")
+             .filter(F.col("inter").cast("double")
+                     / F.greatest(F.col("nl") + F.col("nr") - F.col("inter"), F.lit(1)) >= 0.5)
+             .select("l", "r"))
+    und = pairs.select(F.col("l").alias("src"), F.col("r").alias("dst")).unionByName(
+        pairs.select(F.col("r").alias("src"), F.col("l").alias("dst")))
+    labels = graph.connected_components(und).select(
+        F.col("node_id").alias("doc_id"), F.col("component").alias("cluster_id"))
+    j = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc())
+    return j.select(
+        "doc_id", "cluster_id", "n_chars",
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).cast("int").alias("is_keep"))
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
@@ -3322,7 +3399,7 @@ _EVIDENCE_PRIORITY = [
     "feedback_confidence_scores", "feedback_engagement_rollup",
     "msg_batch_triggers", "g_property_overrides", "eval_retrieval_scores",
     "omo_enforce_nodes", "user_id_validation",
-    "text_repetition_stats", "sample_stratified",
+    "text_repetition_stats", "sample_stratified", "dedup_keep_list",
     # components with no driver row in round 1
     "st8_sliding_window", "v1_chunk_embed", "mm_feature_search",
     "g13_link_to_lookup", "g14_constraint_when", "f10_scalar_functions",
