@@ -66,7 +66,6 @@ HEADLINE = [
     "eval_retrieval_scores",
     "text_repetition_stats",
     "sample_stratified",
-    "dedup_keep_list",
 ]
 
 

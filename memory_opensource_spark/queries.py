@@ -3301,7 +3301,7 @@ WITH RECURSIVE sh AS (
       range(1, greatest(len(tk) - 2, 1) + 1),
       i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
   FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
-        FROM documents)
+        FROM documents WHERE doc_id < 2000)
 ), ex AS (
   SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
 ), sizes AS (
@@ -3340,8 +3340,8 @@ def dedup_keep_list_q(spark, sf_dir):
     (memory/memory_graph.py:10333-10390) with the standard corpus-dedup
     representative rule.  At scale the pair stage is the LSH-banded path
     (dedup_minhash_bands); the fixture uses the exact pairs for oracle
-    parity."""
-    docs = tables.load(spark, sf_dir, "documents")
+    parity (doc_id < 2000 — the battery's standard dedup slice)."""
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     sh = docs.select(F.col("doc_id"), T.shingles(F.col("text")).alias("sh"))
     # sparse inverted-index pair generation: explode on shingle, count
     # co-occurrences, union from per-doc sizes — only pairs sharing a shingle
