@@ -3371,6 +3371,198 @@ def dedup_keep_list_q(spark, sf_dir):
         F.when(F.row_number().over(w) == 1, 1).otherwise(0).cast("int").alias("is_keep"))
 
 
+# ---------------------------------------------------------------------------------
+# Training-pipeline ops, continued: PII redaction, benchmark decontamination,
+# sequence packing (public corpus-prep practice: C4/Gopher/GPT-3 appendices)
+# ---------------------------------------------------------------------------------
+
+# Shared PII patterns — restricted to the Java-regex ∩ RE2 common subset so the
+# Spark side (Java) and the DuckDB oracle (RE2) match byte-identically.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{1,2}-\d{3}-\d{3,6}"
+
+
+@_register("pii_redaction", r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id::VARCHAR || '@example.com'
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' cc admin' || doc_id::VARCHAR || '@corp.example.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 <> 2
+                 THEN ' ip 10.' || (doc_id % 256)::VARCHAR || '.0.'
+                      || ((doc_id * 7) % 256)::VARCHAR
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' call +1-555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                 ELSE '' END AS t
+  FROM documents
+), red AS (
+  SELECT doc_id, t,
+    regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\+\d{1,2}-\d{3}-\d{3,6}', '<PHONE>', 'g') AS redacted
+  FROM aug
+)
+SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_emails,
+  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ips,
+  len(regexp_extract_all(t, '\+\d{1,2}-\d{3}-\d{3,6}'))::INT AS n_phones,
+  md5(redacted) AS redacted_md5,
+  length(redacted)::INT AS redacted_chars
+FROM red
+""")
+def pii_redaction_q(spark, sf_dir):
+    """PII detection + redaction over documents — a standard pre-training
+    scrub pass (emails, IPv4s, phone numbers -> typed placeholder tokens).
+    The synthetic fixture text carries no PII, so the query first derives a
+    deterministic PII suffix from ``doc_id`` (augment -> detect -> redact);
+    the detection/redaction machinery is the real artifact and is exercised
+    against non-trivially varying positives (0-2 emails, 0-1 ips/phones per
+    row).  Pure codegen expressions over one scan: counting and redaction are
+    ``regexp_count``/``regexp_replace`` (JVM, no UDF), so a 100 TB scrub is a
+    map-only pass with no shuffle; the md5 of the redacted text makes the
+    byte-level output oracle-checkable without emitting full documents."""
+    d = F.col("doc_id")
+    s = d.cast("string")
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"), s, F.lit("@example.com"),
+        F.when(d % 5 == 0,
+               F.concat(F.lit(" cc admin"), s, F.lit("@corp.example.org"))
+               ).otherwise(""),
+        F.when(d % 3 != 2,
+               F.concat(F.lit(" ip 10."), (d % 256).cast("string"),
+                        F.lit(".0."), ((d * 7) % 256).cast("string"))
+               ).otherwise(""),
+        F.when(d % 4 == 0,
+               F.concat(F.lit(" call +1-555-"),
+                        F.lpad((d % 1000).cast("string"), 3, "0"))
+               ).otherwise(""),
+    )
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", aug.alias("t"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP, "<IP>"),
+        _PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PII_IP)).cast("int").alias("n_ips"),
+        F.regexp_count(F.col("t"), F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("int").alias("redacted_chars"),
+    )
+
+
+@_register("contamination_ngram", r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents WHERE doc_id < 2000
+), grams AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) >= 8
+         THEN list_distinct(list_transform(
+                generate_series(1, len(tk) - 7),
+                i -> array_to_string(list_slice(tk, i, i + 7), ' ')))
+         ELSE [] END AS gs
+  FROM toks
+), ex AS (
+  SELECT doc_id, UNNEST(gs) AS gram FROM grams
+), eval_g AS (
+  SELECT DISTINCT gram FROM ex WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT ex.doc_id, COUNT(DISTINCT ex.gram) AS n_hits
+  FROM ex JOIN eval_g USING (gram)
+  WHERE ex.doc_id % 97 <> 0
+  GROUP BY ex.doc_id
+)
+SELECT g.doc_id,
+       COALESCE(n_hits, 0)::INT AS n_shared_8grams,
+       CASE WHEN COALESCE(n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM grams g LEFT JOIN hits ON g.doc_id = hits.doc_id
+WHERE g.doc_id % 97 <> 0
+""")
+def contamination_ngram_q(spark, sf_dir):
+    """Benchmark-decontamination check (GPT-3 appendix C / PaLM practice): flag
+    training documents sharing any 8-gram with a held-out eval slice
+    (``doc_id % 97 == 0`` stands in for the benchmark set).  Shape is an
+    inverted-index join — explode distinct 8-grams, broadcast the tiny eval
+    gram set, count distinct hits per train doc — so shuffle volume is
+    bounded by the eval set's gram count, not the corpus: at 100 TB the eval
+    grams (a few MB for real benchmarks) broadcast to every executor and the
+    scan stays map-side.  Fixture slice doc_id < 2000 (the battery's standard
+    dedup slice; the tiny synthetic vocabulary makes gram joins adversarially
+    hot at full width)."""
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    tk = T.tokens(F.col("text"))
+    n = F.size(tk)
+    grams = F.when(
+        n >= 8,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n - 7),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, 8)),
+        ))).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", grams.alias("gs"))
+    ex = g.select("doc_id", F.explode("gs").alias("gram"))
+    eval_g = ex.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    hits = (ex.filter(F.col("doc_id") % 97 != 0)
+            .join(F.broadcast(eval_g), "gram")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("gram").alias("n_hits")))
+    train = g.filter(F.col("doc_id") % 97 != 0).select("doc_id")
+    return (train.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("int")
+                     .alias("n_shared_8grams"),
+                    F.when(F.coalesce(F.col("n_hits"), F.lit(0)) > 0, 1)
+                     .otherwise(0).cast("int").alias("contaminated")))
+
+
+@_register("pack_sequences", r"""
+WITH sized AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(lower(text), ' '), t -> t <> ''))::INT AS n_tok
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sized
+)
+SELECT doc_id, source, n_tok,
+       ((cum - n_tok) // 512)::BIGINT AS seq_id,
+       ((cum - n_tok) % 512)::BIGINT AS seq_offset
+FROM packed
+""")
+def pack_sequences_q(spark, sf_dir):
+    """Sequence packing for training-batch assembly: greedily pack documents
+    into fixed 512-token sequences per source stream (contiguous fill in
+    doc_id order; a doc straddling a boundary starts in its cumulative bin —
+    the standard concat-then-chunk packing, not bin-packing).  Assignment is
+    a running-sum window partitioned by source, so every source stream packs
+    in parallel and the output (seq_id, seq_offset) is replay-deterministic —
+    never dependent on partition layout.  At 100 TB a single source would be
+    one window partition; the documented scale path sub-shards the stream
+    (source, doc_id bucket) to bound partition size, packing each shard
+    independently — same semantics per shard, no global sort."""
+    docs = tables.load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source",
+        F.size(T.tokens(F.col("text"))).cast("int").alias("n_tok"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tok").over(w)
+    start = cum - F.col("n_tok")
+    return sized.select(
+        "doc_id", "source", "n_tok",
+        F.floor(start / 512).cast("bigint").alias("seq_id"),
+        (start % 512).cast("bigint").alias("seq_offset"),
+    )
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
@@ -3400,6 +3592,7 @@ _EVIDENCE_PRIORITY = [
     "msg_batch_triggers", "g_property_overrides", "eval_retrieval_scores",
     "omo_enforce_nodes", "user_id_validation",
     "text_repetition_stats", "sample_stratified", "dedup_keep_list",
+    "pii_redaction", "contamination_ngram", "pack_sequences",
     # components with no driver row in round 1
     "st8_sliding_window", "v1_chunk_embed", "mm_feature_search",
     "g13_link_to_lookup", "g14_constraint_when", "f10_scalar_functions",
