@@ -3563,6 +3563,75 @@ def pack_sequences_q(spark, sf_dir):
     )
 
 
+@_register("prediction_validation", """
+WITH {EVENTS}, pairs AS (
+  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+         list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
+                          list_transform(b.embedding, x -> x::DOUBLE))
+         / (SQRT(list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
+                                  list_transform(a.embedding, x -> x::DOUBLE)))
+          * SQRT(list_dot_product(list_transform(b.embedding, x -> x::DOUBLE),
+                                  list_transform(b.embedding, x -> x::DOUBLE)))) AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 50
+), pred AS (
+  SELECT left_id, right_id,
+         ROW_NUMBER() OVER (PARTITION BY left_id
+                            ORDER BY ROUND(score, 6) DESC, right_id ASC) AS rn
+  FROM pairs
+), t0 AS (SELECT MIN(ts) AS t0_ts FROM events_us
+), first_hit AS (
+  SELECT event_id % 200 AS rid, MIN(ts) AS first_ts FROM events_us GROUP BY rid
+)
+SELECT 'm' || left_id::VARCHAR AS memory_id,
+       'cosine_similarity' AS prediction_method,
+       COUNT(*)::INT AS n_predicted,
+       SUM(CASE WHEN first_ts IS NOT NULL THEN 1 ELSE 0 END)::INT AS n_hit,
+       ROUND(SUM(CASE WHEN first_ts IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6)::DOUBLE AS prediction_hit_rate,
+       ROUND(COALESCE(MIN((floor(epoch(first_ts)) - floor(epoch(t0_ts))) / 3600.0),
+                      -1.0), 6)::DOUBLE AS time_to_first_hit_hours
+FROM pred CROSS JOIN t0
+LEFT JOIN first_hit ON pred.right_id = first_hit.rid
+WHERE rn <= 3
+GROUP BY left_id
+""")
+def prediction_validation_q(spark, sf_dir):
+    """MemoryPredictionLog validation phase (models/parse_server.py:2478-2520
+    predictionHitRate/timeToFirstHit, stored by services/memory_management.py:
+    6754-6820): at index time each memory predicts its top-3 related memories
+    (the G12 RELATED_TO edges, method 'cosine_similarity'); validation later
+    joins the retrieval log and scores each prediction set — fraction of
+    predicted memories actually retrieved, and hours from corpus start to the
+    first hit (-1 when never retrieved).  The retrieval log is the events
+    stream (event -> retrieved memory via event_id % 200, the fixture's
+    deterministic mapping).  Shape: the prediction side is the bounded top-3
+    edge set; first-retrieval times aggregate map-side off the scan and the
+    validation join is a broadcast of the tiny first-hit table — no
+    corpus-scale shuffle at 100 TB."""
+    edges = QUERIES["g12_related_to_edges"](spark, sf_dir).select(
+        F.col("src").alias("memory_id"),
+        F.substring("dst", 2, 20).cast("bigint").alias("target"))
+    ev = tables.load(spark, sf_dir, "events")
+    t0 = ev.agg(F.min("ts").alias("t0_ts"))
+    first_hit = (ev.groupBy((F.col("event_id") % 200).alias("rid"))
+                 .agg(F.min("ts").alias("first_ts")))
+    hours = ((F.unix_timestamp("first_ts") - F.unix_timestamp("t0_ts"))
+             / F.lit(3600.0))
+    j = (edges.crossJoin(F.broadcast(t0))
+         .join(F.broadcast(first_hit), edges.target == first_hit.rid, "left"))
+    out = j.groupBy("memory_id").agg(
+        F.count("*").cast("int").alias("n_predicted"),
+        F.sum(F.when(F.col("first_ts").isNotNull(), 1).otherwise(0))
+         .cast("int").alias("n_hit"),
+        _r6(F.sum(F.when(F.col("first_ts").isNotNull(), 1).otherwise(0))
+            / F.count("*")).alias("prediction_hit_rate"),
+        _r6(F.coalesce(F.min(hours), F.lit(-1.0)))
+        .alias("time_to_first_hit_hours"),
+    )
+    return out.withColumn("prediction_method", F.lit("cosine_similarity"))
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
@@ -3593,6 +3662,7 @@ _EVIDENCE_PRIORITY = [
     "omo_enforce_nodes", "user_id_validation",
     "text_repetition_stats", "sample_stratified", "dedup_keep_list",
     "pii_redaction", "contamination_ngram", "pack_sequences",
+    "prediction_validation",
     # components with no driver row in round 1
     "st8_sliding_window", "v1_chunk_embed", "mm_feature_search",
     "g13_link_to_lookup", "g14_constraint_when", "f10_scalar_functions",

@@ -101,3 +101,15 @@ def test_pack_sequences_invariants(spark):
             assert r["seq_id"] * 512 + r["seq_offset"] == cum, (source, r)
             assert 0 <= r["seq_offset"] < 512
             cum += r["n_tok"]
+
+
+def test_prediction_validation_invariants(spark):
+    rows = QUERIES["prediction_validation"](spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r["n_predicted"] == 3 for r in rows)
+    for r in rows:
+        assert 0 <= r["n_hit"] <= 3
+        assert abs(r["prediction_hit_rate"] - r["n_hit"] / 3) < 1e-6
+        if r["n_hit"] == 0:
+            assert r["time_to_first_hit_hours"] == -1.0
+        else:
+            assert r["time_to_first_hit_hours"] >= 0.0
