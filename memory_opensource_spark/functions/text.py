@@ -94,12 +94,17 @@ def lang_id(text: Column) -> Column:
     return best_lang
 
 
-def shingles(text: Column, n: int = SHINGLE_SIZE) -> Column:
-    """Word n-gram shingles as strings ('w1 w2 w3'), distinct."""
+def shingle_grams(text: Column, n: int = SHINGLE_SIZE) -> Column:
+    """Word n-gram shingles as strings ('w1 w2 w3'), multiset (duplicates kept).
+    Short docs yield one truncated gram; an empty doc yields ['']."""
     toks = tokens(text)
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.array_distinct(grams)
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def shingles(text: Column, n: int = SHINGLE_SIZE) -> Column:
+    """Word n-gram shingles as strings ('w1 w2 w3'), distinct."""
+    return F.array_distinct(shingle_grams(text, n))
 
 
 def minhash_signature(text: Column, num_hashes: int = MINHASH_NUM_HASHES) -> Column:

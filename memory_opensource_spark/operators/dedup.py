@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, shingles, simhash
+from ..functions.text import fingerprint, shingle_grams, shingles, tokens
 from ..semantics import (
     DUPLICATE_SWEEP_THRESHOLD,
     MINHASH_BANDS,
@@ -79,29 +79,21 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
     The pure-expression form (functions.text.minhash_signature) re-evaluates the
     shingle array once per hash seed because Catalyst doesn't CSE across lambda
-    scopes — O(num_hashes * n^2) interpreted work per doc.  This shape computes
-    shingles once, explodes to (id, shingle), derives the ``num_hashes`` md5s as
-    plain scalar columns inside whole-stage codegen, and reduces with min()
-    aggregates — one shuffle on id, signature math fully JVM-compiled.  This is
-    the 100 TB-shaped plan: shuffle rows are (id, 16x32B hashes), independent of
-    document length.
+    scopes — O(num_hashes * n^2) interpreted work per doc.  This shape builds
+    the shingle multiset row-side (one O(n) array pass), explodes to
+    (id, shingle), derives the ``num_hashes`` md5s as plain scalar columns
+    inside whole-stage codegen, and reduces with map-side-partial min()
+    aggregates.  The ONLY shuffle is the groupBy on id carrying (id, 16x32B
+    hashes) rows, independent of document length — an earlier variant built
+    shingles with lead()-over-Window, which shuffled and sorted every token
+    row first; at 100 TB that sort is pure waste since shingles are a
+    row-local construction.
     """
-    from pyspark.sql import Window
+    from ..sources.tables import fan_out
 
-    toks = docs.select(
+    sh = fan_out(docs).select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")).alias(
-            "pos", "tok"
-        ),
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    # shingle = tok + next two tokens; concat_ws skips trailing NULLs, which
-    # reproduces functions.text.shingles' truncated final gram for short docs.
-    sh = (
-        toks.withColumn("shingle", F.concat_ws(" ", "tok", F.lead("tok", 1).over(w),
-                                               F.lead("tok", 2).over(w)))
-        .withColumn("ntok", F.count("*").over(Window.partitionBy("id")))
-        .filter(F.col("pos") <= F.greatest(F.col("ntok") - 3, F.lit(0)))
+        F.explode(shingle_grams(F.col(text_col))).alias("shingle"),
     )
     # no distinct needed: min() over the shingle multiset == min() over the set
     hash_cols = [
@@ -182,8 +174,41 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
 def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", bits: int = 32) -> DataFrame:
     """Per-doc SimHash fingerprint {id, simhash}; equal fingerprints are near-dups.
-    (Hamming-distance banding: split fingerprint into 4 chunks; dups share >=1.)"""
-    return docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("simhash"))
+    (Hamming-distance banding: split fingerprint into 4 chunks; dups share >=1.)
+
+    Explode shape, not the per-row expression (functions.text.simhash): the
+    expression form runs ``bits`` interpreted aggregate() passes with one md5
+    per token PER BIT.  Here each token row computes ONE md5 and reads all
+    ``bits`` vote columns from its hex chars in whole-stage codegen; the
+    groupBy on id partial-aggregates the vote sums map-side, so the shuffle
+    carries (id, 32 ints) regardless of document length.  Bit-for-bit equal to
+    the expression form (parity test) — votes sum over the token MULTISET in
+    both.  Docs with no tokens keep fingerprint 0 via the left join, matching
+    the expression form's zero-vote accumulator."""
+    from ..sources.tables import fan_out
+
+    ids = docs.select(F.col(id_col).alias("id"))
+    toks = fan_out(docs).select(F.col(id_col).alias("id"),
+                                F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.md5(F.col("tok"))
+    vote_cols = []
+    for b in range(bits):
+        # same arithmetic as functions.text.simhash.bit_of: hex char b//4,
+        # bit 3-(b%4) of its value
+        v = F.instr(F.lit("0123456789abcdef"), F.substring(h, b // 4 + 1, 1)) - 1
+        bit = F.shiftright(v, 3 - (b % 4)) % 2
+        vote_cols.append(F.when(bit == 1, 1).otherwise(-1).alias(f"v{b}"))
+    voted = toks.select("id", *vote_cols)
+    agg = voted.groupBy("id").agg(
+        *[F.sum(f"v{b}").alias(f"v{b}") for b in range(bits)])
+    acc = F.lit(0).cast("bigint")
+    for b in range(bits):
+        acc = acc + F.when(F.col(f"v{b}") > 0,
+                           F.shiftleft(F.lit(1).cast("bigint"), b)
+                           ).otherwise(F.lit(0).cast("bigint"))
+    sig = agg.select("id", acc.alias("simhash"))
+    return ids.join(sig, "id", "left").select(
+        "id", F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash"))
 
 
 def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id",

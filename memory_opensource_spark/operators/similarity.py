@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, dot, lit_vector, to_double
 from ..semantics import SEARCH_SCORE_THRESHOLD
+from ..sources.tables import fan_out
 
 
 def score_against(df: DataFrame, query_vec: list[float], vec_col: str = "embedding",
@@ -189,7 +190,9 @@ def cosine_join_blas(left: DataFrame, right: DataFrame, threshold: float,
                 out = out[out.left_id != out.right_id]
             yield out
 
-    return left.select(left_id, left_vec).mapInPandas(compute, out_schema)
+    # fan_out: a single-split input would stream through ONE Python worker;
+    # the BLAS product parallelizes per Arrow batch, so spread the rows first
+    return fan_out(left.select(left_id, left_vec)).mapInPandas(compute, out_schema)
 
 
 def knn_join_blas(left: DataFrame, right: DataFrame, k: int,
@@ -239,7 +242,7 @@ def knn_join_blas(left: DataFrame, right: DataFrame, k: int,
             if rows:
                 yield pd.DataFrame(rows, columns=["left_id", "right_id", "score", "rank"])
 
-    return left.select(left_id, left_vec).mapInPandas(compute, out_schema)
+    return fan_out(left.select(left_id, left_vec)).mapInPandas(compute, out_schema)
 
 
 def batch_topk_search(queries: DataFrame, corpus: DataFrame, k: int,
@@ -295,7 +298,7 @@ def batch_topk_search(queries: DataFrame, corpus: DataFrame, k: int,
                     rows.append((ids_arr[qi], cids[ci], float(scores[ci, qi])))
             yield pd.DataFrame(rows, columns=["query_id", "corpus_id", "score"])
 
-    local_topk = c.select(corpus_id, corpus_vec).mapInPandas(compute, out_schema)
+    local_topk = fan_out(c.select(corpus_id, corpus_vec)).mapInPandas(compute, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id").asc())
     return (
         local_topk.withColumn("rank", F.row_number().over(w))

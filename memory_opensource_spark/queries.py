@@ -3175,7 +3175,9 @@ def eval_retrieval_scores_q(spark, sf_dir):
     is a single codegen map pass plus the per-spec top-k window."""
     from .functions import evalscore as E
 
-    docs = tables.load(spark, sf_dir, "documents")
+    # fan_out: the per-spec scoring expressions are the cost; a single-split
+    # fixture scan would evaluate them all on one core
+    docs = tables.fan_out(tables.load(spark, sf_dir, "documents"))
     lower = F.lower(F.col("text"))
     legs = []
     for spec in _EVAL_SPECS:
@@ -3230,7 +3232,7 @@ def text_repetition_q(spark, sf_dir):
     is a pure map pass.  Complements text_quality_score (length/punct/stopword
     arms)."""
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
-    docs = tables.load(spark, sf_dir, "documents").select(
+    docs = tables.fan_out(tables.load(spark, sf_dir, "documents")).select(
         "doc_id", toks.alias("tk"))
     n = F.size(F.col("tk"))
 

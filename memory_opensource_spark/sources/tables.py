@@ -43,6 +43,25 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in ALL_TABLES}
 
 
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Adaptive repartition before CPU-heavy narrow transforms.
+
+    Parquet cannot split below row-group granularity, and the sf fixtures are
+    single-row-group files — a scan yields ONE task no matter how many cores
+    exist, serializing any expensive per-row compute that follows it.  On a
+    real multi-file corpus the scan already has more splits than cores and
+    this returns the input unchanged (the partition-count check ensures it can
+    never introduce a corpus-wide shuffle at scale); on an under-split input
+    it round-robins the raw rows across the executor threads so the expensive
+    stage runs at full parallelism.  Only worth calling when the downstream
+    per-row cost dwarfs a shuffle of the raw rows."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _acl_cols(df: DataFrame, id_num: str) -> DataFrame:
     """Deterministic ACL block from an integer id column (FIXTURES.md shared block).
 

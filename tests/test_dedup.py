@@ -95,3 +95,12 @@ def test_simhash_hamming_banding(spark):
     assert not any(3 in k for k in out)  # unrelated doc not within 3 bits
     with pytest.raises(ValueError, match="recall"):
         dd.simhash_hamming_duplicates(docs, n_bands=4, max_hamming=4)
+
+
+def test_simhash_explode_matches_expression_form(spark, docs):
+    fast = {r.id: r.simhash for r in dedup.simhash_fingerprints(docs).collect()}
+    slow = {
+        r.doc_id: r.fp
+        for r in docs.select("doc_id", T.simhash(F.col("text")).alias("fp")).collect()
+    }
+    assert fast == slow
