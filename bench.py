@@ -66,6 +66,10 @@ HEADLINE = [
     "eval_retrieval_scores",
     "text_repetition_stats",
     "sample_stratified",
+    "pii_redaction",
+    "contamination_ngram",
+    "pack_sequences",
+    "prediction_validation",
 ]
 
 

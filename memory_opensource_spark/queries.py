@@ -3634,6 +3634,101 @@ def prediction_validation_q(spark, sf_dir):
     return out.withColumn("prediction_method", F.lit("cosine_similarity"))
 
 
+@_register("session_summaries", """
+WITH {EVENTS}, sess0 AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 3600
+              THEN 1 ELSE 0 END AS is_new
+  FROM events_us
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM sess0
+), bounds AS (
+  SELECT user_id, session_id,
+         COUNT(*) AS message_count,
+         MAX(CASE WHEN rn_a = 1 THEN event_type END) AS session_intent,
+         MAX(CASE WHEN rn_d = 1 THEN event_type END) AS recent_type,
+         (floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))))::BIGINT AS duration_s
+  FROM (SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                             ORDER BY ts ASC, event_id ASC) AS rn_a,
+          ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                             ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM sess)
+  GROUP BY user_id, session_id
+), tc AS (
+  SELECT user_id, session_id, event_type, COUNT(*) AS c
+  FROM sess GROUP BY user_id, session_id, event_type
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                               ORDER BY c DESC, event_type ASC) AS rt
+  FROM tc
+), tops AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, ',' ORDER BY rt) AS topics,
+         MAX(CASE WHEN rt = 1 THEN event_type END) AS dominant_type
+  FROM ranked WHERE rt <= 3
+  GROUP BY user_id, session_id
+)
+SELECT b.user_id, b.session_id::BIGINT AS session_id, b.message_count,
+       b.session_intent,
+       'recent: ' || b.recent_type AS short_term,
+       'dominant: ' || t.dominant_type AS medium_term,
+       'total ' || b.message_count::VARCHAR || ' events in '
+                || b.duration_s::VARCHAR || 's' AS long_term,
+       t.topics, b.duration_s::BIGINT AS duration_s
+FROM bounds b JOIN tops t USING (user_id, session_id)
+WHERE b.message_count >= 3
+""")
+def session_summaries_q(spark, sf_dir):
+    """Enhanced per-session ConversationSummaries, the deterministic analog of
+    the reference's message-batch summary schema (ENHANCED_SUMMARIES_
+    IMPLEMENTATION.md; services/message_batch_analysis.py): short_term (most
+    recent activity), medium_term (dominant activity), long_term (volume over
+    duration), topics (top-3 activity types), session_intent (opening
+    activity).  The LLM summarizer slot is replaced by rank-deterministic
+    text so the whole pipeline is oracle-checkable; a real deployment swaps
+    the formatting stage for the model call and keeps the sessionize/rank
+    plan.  Two shuffles over the events scan (sessionize window + per-session
+    aggs) — both keyed on user/session, skew-safe at 100 TB."""
+    ev = tables.load(spark, sf_dir, "events")
+    s = windows.session_ids(ev, "user_id", "ts", 3600)
+    ordkey = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+    bounds = s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("message_count"),
+        F.min(ordkey).getField("event_type").alias("session_intent"),
+        F.max(ordkey).getField("event_type").alias("recent_type"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("bigint").alias("duration_s"),
+    )
+    tc = s.groupBy("user_id", "session_id", "event_type").agg(F.count("*").alias("c"))
+    wr = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("c").desc(), F.col("event_type").asc())
+    ranked = tc.withColumn("rt", F.row_number().over(wr)).filter(F.col("rt") <= 3)
+    tops = ranked.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("rt", "event_type"))),
+                        lambda x: x.getField("event_type")), ",").alias("topics"),
+        F.max(F.when(F.col("rt") == 1, F.col("event_type"))).alias("dominant_type"),
+    )
+    j = bounds.join(tops, ["user_id", "session_id"]).filter(
+        F.col("message_count") >= 3)
+    return j.select(
+        "user_id", F.col("session_id").cast("bigint").alias("session_id"),
+        "message_count", "session_intent",
+        F.concat(F.lit("recent: "), F.col("recent_type")).alias("short_term"),
+        F.concat(F.lit("dominant: "), F.col("dominant_type")).alias("medium_term"),
+        F.concat(F.lit("total "), F.col("message_count").cast("string"),
+                 F.lit(" events in "), F.col("duration_s").cast("string"),
+                 F.lit("s")).alias("long_term"),
+        "topics", "duration_s",
+    )
+
+
 # Resolve the shared events-truncation CTE placeholder in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
@@ -3664,7 +3759,7 @@ _EVIDENCE_PRIORITY = [
     "omo_enforce_nodes", "user_id_validation",
     "text_repetition_stats", "sample_stratified", "dedup_keep_list",
     "pii_redaction", "contamination_ngram", "pack_sequences",
-    "prediction_validation",
+    "prediction_validation", "session_summaries",
     # components with no driver row in round 1
     "st8_sliding_window", "v1_chunk_embed", "mm_feature_search",
     "g13_link_to_lookup", "g14_constraint_when", "f10_scalar_functions",

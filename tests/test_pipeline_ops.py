@@ -113,3 +113,16 @@ def test_prediction_validation_invariants(spark):
             assert r["time_to_first_hit_hours"] == -1.0
         else:
             assert r["time_to_first_hit_hours"] >= 0.0
+
+
+def test_session_summaries_consistency(spark):
+    rows = QUERIES["session_summaries"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["message_count"] >= 3
+        # dominant type leads the topics ranking and the medium_term text
+        assert r["medium_term"] == "dominant: " + r["topics"].split(",")[0]
+        assert r["short_term"].startswith("recent: ")
+        assert r["long_term"] == (
+            f"total {r['message_count']} events in {r['duration_s']}s")
+        assert 1 <= len(r["topics"].split(",")) <= 3
