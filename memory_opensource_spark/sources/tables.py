@@ -30,12 +30,21 @@ N_WORKSPACES = 8
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
-        # rejects; read ns-as-long and truncate to microseconds.  The oracle
-        # truncates identically (ts::TIMESTAMP) so both engines see equal values.
+        # events.parquet has shipped as TIMESTAMP(NANOS) in some fixture
+        # generations (Spark's vectorized reader rejects it) and TIMESTAMP(US)
+        # in others — adapt to whichever is on disk.  nanosAsLong makes the
+        # NANOS variant readable as BIGINT; the US variant arrives as
+        # TIMESTAMP_NTZ (inferTimestampNTZ).  Both normalize to the session
+        # TIMESTAMP type (UTC) at microsecond precision, matching the oracle's
+        # ``ts::TIMESTAMP`` (oracle.py EVENTS_CTE).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type in ("bigint", "long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
