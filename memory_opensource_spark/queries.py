@@ -3746,36 +3746,76 @@ for _k in list(ORACLE):
 # sf0.1 regardless of position (tools/check.py).
 # ---------------------------------------------------------------------------------
 
+# The 50-slot prefix is packed so every SURVEY §2 component family and every
+# LLM-pipeline op has at least one driver-verified row per round: suites
+# (suites.py) bundle several components into one row; singles cover the rest.
+# Components per slot are listed in each suite's docstring.
 _EVIDENCE_PRIORITY = [
-    # flagships + round-1 failures, now canonicalizer-proof
+    # 1-2: flagship read paths (R1/R3/R4/R5, F1, F6, V2, V12, G15)
     "search_flagship", "search_agentic_flagship",
-    "f2_array_metadata_filter", "v11_int8_quantize", "st2_session_windows",
-    # round-2 operators
-    "v5_bucketed_pairs", "v4_ingest_reuse", "ann_ivf_persisted",
-    "g8_schema_driven_merge", "schema_validation_report",
-    "s11_section_hierarchy", "dedup_simhash_hamming",
-    "feedback_confidence_scores", "feedback_engagement_rollup",
-    "msg_batch_triggers", "g_property_overrides", "eval_retrieval_scores",
-    "omo_enforce_nodes", "user_id_validation",
-    "text_repetition_stats", "sample_stratified", "dedup_keep_list",
-    "pii_redaction", "contamination_ngram", "pack_sequences",
-    "prediction_validation", "session_summaries",
-    # components with no driver row in round 1
-    "st8_sliding_window", "v1_chunk_embed", "mm_feature_search",
-    "g13_link_to_lookup", "g14_constraint_when", "f10_scalar_functions",
-    "rel_relevance_score", "agg_rollup", "agg_cube_events",
-    "window_rank_per_group", "s11_hierarchical_chunks", "v9_grouped_points",
-    "graph_degree_centrality", "graph_connected_components",
-    "r17_query_classification", "q5_local_supplier_volume", "q18_large_orders",
-    "text_top_terms", "st2_session_memories", "s11_context_extraction",
-    "text_quality_score", "f3_map_metadata_filter", "v5_dup_clusters",
-    "events_value_quantiles", "asof_latest_event", "v2_batch_multi_query",
-    "skew_salted_count", "st2_session_analysis", "agg_pivot_events",
-    "f10_map_functions", "full_outer_counter_merge", "compress_sessions",
-    # one anchor per long-green family
-    "v2_cosine_topk", "v5_near_dup_pairs", "dedup_minhash_bands",
-    "g1_pattern_match", "r8_tier1_ranking", "f1_acl_filter",
+    # 3-8: storage/sources S1..S15
+    "s1_fetch_by_ids",            # S1/S2
+    "suite_storage_lifecycle",    # S3/S4/S5/S7/S8/S13/S14/S15
+    "suite_graph_sinks",          # S9/S10
+    "s11_section_hierarchy",      # S11 (page->section->chunk depth)
+    "s11_hierarchical_chunks",    # S11 (chunk windows + context)
+    "s12_cascade_delete",         # S12
+    # 9-12: filters/predicates F2..F10
+    "suite_filters",              # F2/F3/F4/F5/F7
+    "f9_fallback_relax",          # F9
+    "f10_scalar_functions",       # F10
+    "f2_array_metadata_filter",   # F2 standalone (round-1 red, kept visible)
+    # 13-22: vector/similarity V1..V12
+    "v1_chunk_embed",             # V1
+    "v2_cosine_topk",             # V2/F6
+    "v3_scroll_fallback",         # V3/S6
+    "v4_ingest_reuse",            # V4
+    "v5_bucketed_pairs",          # V5 (scale path)
+    "v6_entity_resolution",       # V6/V7
+    "v8_property_index",          # V8
+    "v9_grouped_points",          # V9
+    "v10_query_cache_dedupe",     # V10
+    "v11_int8_quantize",          # V11
+    # 23-32: graph G1..G16
+    "g1_pattern_match",           # G1/G16
+    "g2_two_hop_paths",           # G2
+    "suite_graph_lookup",         # G3/G4/G6
+    "g5_semantic_lookup",         # G5
+    "g7_schema_discovery",        # G7
+    "g8_schema_driven_merge",     # G8 + dynamic schema registry
+    "suite_graph_store",          # G9/G10/G11
+    "g12_related_to_edges",       # G12
+    "g13_link_to_lookup",         # G13
+    "g14_constraint_when",        # G14
+    # 33-37: ranking/aggregation R2..R17
+    "r2_stratified_merge",        # R2
+    "r6_rerank",                  # R6/R7
+    "r12_delta_since_watermark",  # R12/ST4
+    "r17_query_classification",   # R17
+    "suite_ranking_formulas",     # R8/R9/R10/R11/R13/R14/R15/R16
+    # 38-40: streaming analogs ST1..ST8
+    "suite_stream_windows",       # ST2/ST3/ST8 + ST1/ST6/ST7
+    "st5_decayed_counter_replay", # ST5
+    "st2_session_windows",        # ST2 standalone (round-1 red, kept visible)
+    # 41-44: set ops / id algebra / scalar fns / UDF surface
+    "ids_chunk_algebra",
+    "set_ops_semi_anti",
+    "suite_text_analysis",        # scalar fns + lang-ID + quality + top terms
+    "rel_relevance_score",
+    # 45-50: LLM-data-pipeline first-class ops
+    "suite_dedup_family",         # exact/fingerprint/simhash/hamming/jaccard/minhash
+    "ann_ivf_persisted",          # ANN with persisted pruned layout
+    "v2_batch_multi_query",       # batched multi-query search
+    "mm_feature_search",          # multimodal columns (rows-only by design)
+    "suite_graph_analytics",      # degree + connected components
+    "compress_sessions",          # session compression (/compress analog)
 ]
+
+
+def _register_suites() -> None:
+    from . import suites
+
+    suites.register(QUERIES, ORACLE)
 
 
 def _reorder_registry() -> None:
@@ -3789,4 +3829,5 @@ def _reorder_registry() -> None:
         d.update(items)
 
 
+_register_suites()
 _reorder_registry()

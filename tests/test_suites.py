@@ -1,0 +1,123 @@
+"""Evidence suites (suites.py): uniform-schema projections bundling several
+SURVEY §2 components into one driver correctness row."""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+UNIFORM_COLS = ["component", "id", "num"]
+
+
+def _components(df):
+    return {r[0] for r in df.select("component").distinct().collect()}
+
+
+def test_registry_prefix_covers_component_families():
+    """The driver verifies the first 50 registrations; that prefix must keep
+    one row per component family (the whole point of the suites)."""
+    from memory_opensource_spark.queries import QUERIES
+
+    top50 = list(QUERIES)[:50]
+    required = [
+        "search_flagship", "s1_fetch_by_ids", "suite_storage_lifecycle",
+        "suite_graph_sinks", "s12_cascade_delete", "suite_filters",
+        "f9_fallback_relax", "v1_chunk_embed", "v2_cosine_topk",
+        "v3_scroll_fallback", "v4_ingest_reuse", "v5_bucketed_pairs",
+        "v6_entity_resolution", "v8_property_index", "v9_grouped_points",
+        "v10_query_cache_dedupe", "v11_int8_quantize", "g1_pattern_match",
+        "g2_two_hop_paths", "suite_graph_lookup", "g5_semantic_lookup",
+        "g7_schema_discovery", "g8_schema_driven_merge", "suite_graph_store",
+        "g12_related_to_edges", "g13_link_to_lookup", "g14_constraint_when",
+        "r2_stratified_merge", "r6_rerank", "r12_delta_since_watermark",
+        "r17_query_classification", "suite_ranking_formulas",
+        "suite_stream_windows", "st5_decayed_counter_replay",
+        "ids_chunk_algebra", "set_ops_semi_anti", "suite_text_analysis",
+        "rel_relevance_score", "suite_dedup_family", "ann_ivf_persisted",
+        "v2_batch_multi_query", "mm_feature_search", "suite_graph_analytics",
+        "compress_sessions",
+    ]
+    missing = [q for q in required if q not in top50]
+    assert not missing, f"top-50 evidence window lost: {missing}"
+
+
+def test_suite_filters_components(spark):
+    from memory_opensource_spark.queries import QUERIES
+
+    df = QUERIES["suite_filters"](spark, SF_DIR)
+    assert df.columns == UNIFORM_COLS
+    assert _components(df) == {
+        "F2_array_filter", "F3_custom_metadata_numeric", "F3_map_metadata",
+        "F7_omo_safety", "F4_post_fetch", "F5_exclusion",
+    }
+    # F5: the exclusion list must actually be excluded
+    excluded = (df.filter((F.col("component") == "F5_exclusion")
+                          & F.col("id").isin("m1", "m5", "m9", "m13")).count())
+    assert excluded == 0
+
+
+def test_suite_storage_lifecycle_facts(spark):
+    from memory_opensource_spark.queries import QUERIES
+
+    df = QUERIES["suite_storage_lifecycle"](spark, SF_DIR).cache()
+    comps = _components(df)
+    assert {"S3_S4_upsert", "S5_point_delete", "S7_S8_batch_store",
+            "S13_delete_all", "S14_get", "S15_update_reembed"} <= comps
+    # upsert replaced content: every S3/S4 row carries the UPPER(substr) form
+    up = df.filter((F.col("component") == "S3_S4_upsert")
+                   & (F.col("id") != "__total__"))
+    bad = up.filter(~F.split("id", r"\|")[1].rlike("^[A-Z0-9 .,;:!?'\"-]*$")).count()
+    assert bad == 0
+    # point delete leaves zero copies of m7
+    m7 = df.filter((F.col("component") == "S5_point_delete")
+                   & (F.col("id") == "m7_present")).select("num").first()[0]
+    assert m7 == 0.0
+    df.unpersist()
+
+
+def test_f9_fallback_relax_gating(spark):
+    """Strict leg has < 5 hits on the fixture, so the relaxed leg must fire
+    and return exactly 5 rows (top-5 recent for the ACL user)."""
+    from memory_opensource_spark.queries import QUERIES
+
+    rows = QUERIES["f9_fallback_relax"](spark, SF_DIR).collect()
+    stages = {}
+    for r in rows:
+        stages.setdefault(r["stage"], []).append(r["memory_id"])
+    if len(stages.get("strict", [])) < 5:
+        assert len(stages.get("relaxed", [])) == 5
+    else:
+        assert "relaxed" not in stages
+
+
+def test_suite_wrapped_value_parity(spark):
+    """A wrapped member must carry exactly the standalone query's rows —
+    spot-check G3 via suite_graph_lookup."""
+    from memory_opensource_spark.queries import QUERIES
+
+    suite = QUERIES["suite_graph_lookup"](spark, SF_DIR)
+    g3 = QUERIES["g3_node_by_property"](spark, SF_DIR)
+    suite_ids = {r[0] for r in
+                 suite.filter(F.col("component") == "G3_node_by_property")
+                 .select("id").collect()}
+    g3_ids = {"|".join([r["node_id"], r["label"], r["prop_name"]])
+              for r in g3.collect()}
+    assert suite_ids == g3_ids
+
+
+def test_st5_replay_matches_streaming_fold(spark):
+    """The registered batch replay and a sequential per-user Python fold agree
+    (same decay the stateful streaming operator applies)."""
+    from memory_opensource_spark.queries import QUERIES
+    from memory_opensource_spark.sources import tables
+
+    got = {r["user_id"]: (r["ema"], r["n_events"])
+           for r in QUERIES["st5_decayed_counter_replay"](spark, SF_DIR).collect()}
+    ev = (tables.load(spark, SF_DIR, "events")
+          .select("user_id", "ts", "event_id", "value")
+          .orderBy("user_id", "ts", "event_id").collect())
+    state: dict = {}
+    for r in ev:
+        s = state.get(r["user_id"], 0.0)
+        state[r["user_id"]] = s * 0.9 + r["value"]
+    for uid, (ema, _n) in got.items():
+        assert abs(state[uid] - ema) < 1e-4, uid
