@@ -189,31 +189,35 @@ def _s_lifecycle(spark, sf_dir):
         F.lit("S3_S4_upsert").alias("component"),
         F.concat_ws("|", "memory_id", "content").alias("id"),
         F.lit(-1.0).alias("num")))
-    parts.append(_scalar_row(merged.agg(F.count("*").alias("n")),
-                             "S3_S4_upsert", "__total__", F.col("n")))
 
-    # S5: point delete of m7 (cascade semantics are s12_cascade_delete's row)
-    deleted = mems.filter(F.col("memory_id") != "m7")
-    parts.append(_scalar_row(deleted.agg(F.count("*").alias("n")),
-                             "S5_point_delete", "__remaining__", F.col("n")))
-    parts.append(_scalar_row(
-        deleted.filter(F.col("memory_id") == "m7").agg(F.count("*").alias("n")),
-        "S5_point_delete", "m7_present", F.col("n")))
+    # Scalar facts for S3/S4 (merge row-conservation), S5 point delete,
+    # S7/S8 batch cap, S13 filtered delete-all — ONE map-side-combined pass
+    # over documents instead of a job per fact (the derivations are 1:1:
+    # user 'u3' <=> doc_id%20=3, memory 'm7' <=> doc_id=7).
+    counts = docs.agg(
+        F.count("*").alias("n_total"),
+        F.sum((F.col("doc_id") % 20 == 3).cast("long")).alias("n_u3"),
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("n_even"),
+        F.sum((F.col("doc_id") == 7).cast("long")).alias("n_m7"),
+    )
 
-    # S7/S8: batch store with the 1000-item cap (config batch_processing)
-    batch = docs.filter(F.col("doc_id") % 2 == 0).agg(F.count("*").alias("n"))
-    parts.append(_scalar_row(batch, "S7_S8_batch_store", "accepted",
-                             F.least(F.col("n"), F.lit(1000))))
-    parts.append(_scalar_row(batch, "S7_S8_batch_store", "deferred",
-                             F.greatest(F.col("n") - 1000, F.lit(0))))
+    def srow(comp, rid, num):
+        return F.struct(F.lit(comp).alias("component"), F.lit(rid).alias("id"),
+                        num.cast("double").alias("num"))
 
-    # S13: delete-all under an ACL context (user u3's memories)
-    parts.append(_scalar_row(
-        mems.filter(F.col("user_id") == "u3").agg(F.count("*").alias("n")),
-        "S13_delete_all", "deleted", F.col("n")))
-    parts.append(_scalar_row(
-        mems.filter(F.col("user_id") != "u3").agg(F.count("*").alias("n")),
-        "S13_delete_all", "remaining", F.col("n")))
+    parts.append(counts.select(F.explode(F.array(
+        srow("S3_S4_upsert", "__total__", F.col("n_total")),
+        srow("S5_point_delete", "__remaining__", F.col("n_total") - F.col("n_m7")),
+        # count of m7 after the delete — identically zero by construction
+        srow("S5_point_delete", "m7_present", F.col("n_m7") - F.col("n_m7")),
+        srow("S7_S8_batch_store", "accepted", F.least(F.col("n_even"), F.lit(1000))),
+        srow("S7_S8_batch_store", "deferred",
+             F.greatest(F.col("n_even") - 1000, F.lit(0))),
+        srow("S13_delete_all", "deleted", F.col("n_u3")),
+        srow("S13_delete_all", "remaining", F.col("n_total") - F.col("n_u3")),
+    )).alias("s")).select(
+        F.col("s.component").alias("component"), F.col("s.id").alias("id"),
+        _r6(F.col("s.num")).alias("num")))
 
     # S14: get memory by id
     parts.append(mems.filter(F.col("memory_id") == "m42").select(
