@@ -2262,6 +2262,48 @@ def text_top_terms(spark, sf_dir):
     )
 
 
+@_register("corpus_profile", """
+WITH tok AS (
+  SELECT source, UNNEST(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS t
+  FROM documents
+), tok_stats AS (
+  SELECT source, COUNT(DISTINCT t) AS distinct_tokens, COUNT(*) AS total_tokens
+  FROM tok GROUP BY source
+), base AS (
+  SELECT source, COUNT(*) AS n_docs,
+         ROUND(avg(n_chars), 2)::DOUBLE AS avg_chars,
+         ROUND(quantile_cont(n_chars, 0.5), 2)::DOUBLE AS p50_chars,
+         ROUND(quantile_cont(n_chars, 0.9), 2)::DOUBLE AS p90_chars
+  FROM documents GROUP BY source
+)
+SELECT b.source, b.n_docs, b.avg_chars, b.p50_chars, b.p90_chars,
+       t.distinct_tokens, t.total_tokens
+FROM base b JOIN tok_stats t ON b.source = t.source
+""")
+def corpus_profile(spark, sf_dir):
+    """Per-source corpus profile — the standard first pass over a training
+    corpus: doc counts, length moments + exact quantiles, token volume,
+    vocabulary size.  Oracle-checked with EXACT countDistinct; at 100 TB the
+    drop-in scale path is approx_count_distinct (HyperLogLog++, map-side
+    mergeable sketch, no token-level shuffle) — the test suite asserts the
+    sketch lands within 5%% of exact on the fixture.  Reference analog: corpus
+    stats the reference computes per-upload in services/memory_management.py
+    size estimation (:1804-1827), generalized to corpus scale."""
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("t"))
+    tok_stats = toks.groupBy("source").agg(
+        F.countDistinct("t").alias("distinct_tokens"),
+        F.count("*").alias("total_tokens"))
+    base = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        _r2(F.avg("n_chars")).alias("avg_chars"),
+        _r2(F.expr("percentile(n_chars, 0.5)")).alias("p50_chars"),
+        _r2(F.expr("percentile(n_chars, 0.9)")).alias("p90_chars"))
+    return base.join(tok_stats, "source").select(
+        "source", "n_docs", "avg_chars", "p50_chars", "p90_chars",
+        "distinct_tokens", "total_tokens")
+
+
 # ---------------------------------------------------------------------------------
 # ST2 full pipeline: session windows -> synthesized session-summary memories
 # ---------------------------------------------------------------------------------

@@ -121,3 +121,22 @@ def test_st5_replay_matches_streaming_fold(spark):
         state[r["user_id"]] = s * 0.9 + r["value"]
     for uid, (ema, _n) in got.items():
         assert abs(state[uid] - ema) < 1e-4, uid
+
+
+def test_corpus_profile_hll_within_5pct(spark):
+    """The 100 TB path for vocabulary size is approx_count_distinct (HLL++,
+    map-side mergeable); it must land within 5% of the exact count the oracle
+    checks."""
+    from memory_opensource_spark.sources import tables
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    from memory_opensource_spark.functions.text import tokens
+
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    rows = (toks.groupBy("source")
+            .agg(F.countDistinct("t").alias("exact"),
+                 F.approx_count_distinct("t", 0.01).alias("approx"))
+            .collect())
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) / r["exact"] <= 0.05, r
