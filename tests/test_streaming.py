@@ -163,3 +163,48 @@ def test_windowed_event_counts_stream(spark, msg_dir):
     q.awaitTermination(60)
     out = spark.sql("select * from win_out").collect()
     assert sum(r.event_count for r in out) == 4
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """Exactly-once ingest analog (ST1): duplicate message ids arriving across
+    micro-batches within the watermark are dropped by
+    dropDuplicatesWithinWatermark — the streaming twin of the batch
+    dedup_exact_hash / api idempotent-MERGE path."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    try:
+        def write(name, rows):
+            df = spark.createDataFrame(
+                rows, "message_id string, conversation_id string, event_time string"
+            ).select("message_id", "conversation_id",
+                     F.to_timestamp("event_time").alias("event_time"))
+            df.coalesce(1).write.parquet(f"{d}/in/{name}")
+
+        write("b0", [("m1", "c1", "2024-01-01 10:00:00"),
+                     ("m2", "c1", "2024-01-01 10:01:00")])
+        write("b1", [("m1", "c1", "2024-01-01 10:02:00"),   # duplicate id, in-watermark
+                     ("m3", "c1", "2024-01-01 10:03:00")])
+
+        emitted = []
+
+        def sink(batch_df, batch_id):
+            emitted.extend(batch_df.collect())
+
+        stream = spark.readStream.schema(
+            "message_id string, conversation_id string, event_time timestamp"
+        ).option("maxFilesPerTrigger", "1").parquet(f"{d}/in/*")
+        q = (
+            stream.withWatermark("event_time", "1 hour")
+            .dropDuplicatesWithinWatermark(["message_id"])
+            .writeStream.foreachBatch(sink)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", f"{d}/ckpt").start()
+        )
+        q.awaitTermination(120)
+
+        ids = sorted(r.message_id for r in emitted)
+        assert ids == ["m1", "m2", "m3"], ids
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
