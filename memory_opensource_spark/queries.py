@@ -2304,6 +2304,92 @@ def corpus_profile(spark, sf_dir):
         "distinct_tokens", "total_tokens")
 
 
+@_register("text_collocations_pmi", """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents
+), uni AS (
+  SELECT t AS tok, COUNT(*) AS c
+  FROM (SELECT UNNEST(tk) AS t FROM tok) GROUP BY t
+), bi AS (
+  SELECT a || ' ' || b AS bigram, a, b, COUNT(*) AS c
+  FROM (SELECT tk[i] AS a, tk[i + 1] AS b
+        FROM tok, LATERAL (SELECT UNNEST(range(1, len(tk))) AS i))
+  GROUP BY 1, 2, 3
+), tot AS (
+  SELECT (SELECT SUM(c) FROM uni) AS n_uni, (SELECT SUM(c) FROM bi) AS n_bi
+)
+SELECT bigram, bi.c AS pair_count,
+       ROUND(ln((bi.c / n_bi) / ((ua.c / n_uni) * (ub.c / n_uni))), 6)::DOUBLE AS pmi
+FROM bi, tot
+JOIN uni ua ON bi.a = ua.tok
+JOIN uni ub ON bi.b = ub.tok
+WHERE bi.c >= 20
+ORDER BY pmi DESC, bigram ASC
+LIMIT 50
+""")
+def text_collocations_pmi(spark, sf_dir):
+    """Collocation mining by pointwise mutual information — the standard
+    phrase-discovery pass of a corpus pipeline: pmi(a,b) =
+    ln(p(ab) / (p(a)p(b))) over adjacent token pairs, minimum support 20.
+    Two scan-side explodes + two lightweight aggregations; the unigram table
+    broadcasts into the bigram join (vocabulary << corpus), so the only
+    corpus-sized shuffle is the bigram count's map-side-combined groupBy."""
+    docs = tables.load(spark, sf_dir, "documents")
+    tk = docs.select(T.tokens(F.col("text")).alias("tk"))
+    uni = (tk.select(F.explode("tk").alias("tok"))
+           .groupBy("tok").agg(F.count("*").alias("c")))
+    pairs = tk.select(F.explode(
+        F.zip_with(F.slice("tk", 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                   F.slice("tk", 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+                   lambda a, b: F.struct(a.alias("a"), b.alias("b")))).alias("p"))
+    bi = (pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+          .groupBy("a", "b").agg(F.count("*").alias("c"))
+          .filter(F.col("c") >= 20))
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_bi_all = (pairs.agg(F.count("*").alias("n_bi")))
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    out = (bi.join(F.broadcast(ua), "a").join(F.broadcast(ub), "b")
+           .crossJoin(F.broadcast(n_uni)).crossJoin(F.broadcast(n_bi_all))
+           .select(
+               F.concat_ws(" ", "a", "b").alias("bigram"),
+               F.col("c").alias("pair_count"),
+               _r6(F.log((F.col("c") / F.col("n_bi"))
+                         / ((F.col("ca") / F.col("n_uni"))
+                            * (F.col("cb") / F.col("n_uni"))))).alias("pmi")))
+    return out.orderBy(F.col("pmi").desc(), F.col("bigram").asc()).limit(50)
+
+
+@_register("mixture_weights", """
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), tot AS (SELECT SUM(n_docs) AS n_total FROM per_source)
+SELECT source, n_docs,
+       ROUND(n_docs / n_total, 6)::DOUBLE AS actual_share,
+       ROUND(1.0 / (SELECT COUNT(*) FROM per_source), 6)::DOUBLE AS target_share,
+       ROUND(least((n_total / (SELECT COUNT(*) FROM per_source)) / n_docs, 1.0), 6)::DOUBLE
+         AS keep_rate
+FROM per_source, tot
+""")
+def mixture_weights(spark, sf_dir):
+    """Dataset-mixing weights: given a target mixture (uniform across sources
+    here), compute each source's keep-rate = min(target_docs / available, 1).
+    This is the planning step in front of sample_stratified (which applies
+    keep-rates via deterministic md5-uniform membership).  Pure aggregate
+    arithmetic — one count per source + broadcast totals."""
+    docs = tables.load(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per_source.agg(F.sum("n_docs").alias("n_total"),
+                         F.count("*").alias("n_sources"))
+    return (per_source.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs",
+        _r6(F.col("n_docs") / F.col("n_total")).alias("actual_share"),
+        _r6(F.lit(1.0) / F.col("n_sources")).alias("target_share"),
+        _r6(F.least((F.col("n_total") / F.col("n_sources")) / F.col("n_docs"),
+                    F.lit(1.0))).alias("keep_rate")))
+
+
 # ---------------------------------------------------------------------------------
 # ST2 full pipeline: session windows -> synthesized session-summary memories
 # ---------------------------------------------------------------------------------
