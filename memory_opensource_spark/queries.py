@@ -374,6 +374,46 @@ def dedup_jaccard(spark, sf_dir):
     return out.select("left_id", "right_id", "jaccard")
 
 
+@_register("dedup_repeated_spans", """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents
+), spans AS (
+  SELECT doc_id, md5(array_to_string(list_slice(tk, i, i + 7), ' ')) AS h
+  FROM tok, LATERAL (SELECT UNNEST(range(1, greatest(len(tk) - 7, 1) + 1)) AS i)
+), span_docs AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM spans GROUP BY h
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_spans,
+       SUM(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END) AS n_shared_spans,
+       ROUND(SUM(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6)::DOUBLE AS shared_frac
+FROM spans s JOIN span_docs d ON s.h = d.h
+GROUP BY s.doc_id
+""")
+def dedup_repeated_spans(spark, sf_dir):
+    """Cross-document repeated-span analysis (the span-level dedup signal of
+    'Deduplicating Training Data Makes Language Models Better': spans
+    appearing verbatim in more than one document are memorization fuel).
+    8-token spans hashed row-side; one groupBy(h) counts distinct docs per
+    span (map-side combined, 32-byte keys); the join back is span-hash
+    equi-join.  Shuffle volume is O(total spans x 32 B), independent of
+    document length — the same shape as the MinHash band table, so it holds
+    at corpus scale.  Per-doc output: span counts + shared fraction."""
+    docs = tables.load(spark, sf_dir, "documents")
+    sh = tables.fan_out(docs).select(
+        "doc_id", F.explode(T.shingle_grams(F.col("text"), n=8)).alias("g"),
+    ).select("doc_id", F.md5("g").alias("h"))
+    span_docs = sh.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
+    return (sh.join(span_docs, "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_spans"),
+                 F.sum((F.col("ndocs") > 1).cast("long")).alias("n_shared_spans"),
+                 _r6(F.sum((F.col("ndocs") > 1).cast("long"))
+                     / F.count("*")).alias("shared_frac")))
+
+
 # ---------------------------------------------------------------------------------
 # Text analysis (token counts, quality, language-ID)
 # ---------------------------------------------------------------------------------
@@ -2125,6 +2165,64 @@ def graph_cc(spark, sf_dir):
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return graph.connected_components(und)
+
+
+def _pagerank_sql(iters: int) -> str:
+    """Unrolled PageRank oracle: r_{t+1} = 0.15/n + 0.85 * sum_in(r_t/outdeg).
+    Fixed iteration count, so the recursion unrolls to chained CTEs."""
+    parts = [f"""
+e AS (SELECT src, dst FROM edges_d),
+v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)),
+nn AS (SELECT COUNT(*) AS c FROM v),
+od AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT id, 1.0 / (SELECT c FROM nn) AS r FROM v)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+r{i} AS (
+  SELECT v.id, 0.15 / (SELECT c FROM nn) + 0.85 * COALESCE(s.m, 0.0) AS r
+  FROM v LEFT JOIN (
+    SELECT e.dst, SUM(r{i-1}.r / od.d) AS m
+    FROM e JOIN r{i-1} ON e.src = r{i-1}.id JOIN od ON e.src = od.src
+    GROUP BY e.dst
+  ) s ON v.id = s.dst
+)""")
+    return ",".join(parts) + f"""
+SELECT id AS node_id, ROUND(r, 6)::DOUBLE AS pagerank FROM r{iters}
+"""
+
+
+@_register("graph_pagerank", f"""
+WITH {EDGES_CTE.strip().rstrip(',')},
+{_pagerank_sql(5)}
+""")
+def graph_pagerank(spark, sf_dir):
+    """Bounded-iteration PageRank (damping 0.85, 5 iterations) over the entity
+    graph — the influence-ranking analog of the reference's RELATED_TO
+    strength ordering (memory/memory_graph.py:4414-4440), and the standard
+    graph-quality signal of a training-data pipeline.  Each iteration is one
+    equi-join edges⋈ranks (shuffle on src) + one groupBy(dst) with map-side
+    partial sums; the vertex and outdegree tables are computed once and
+    reused.  At cluster scale the same loop runs under GraphFrames/Pregel with
+    vertex-cut partitioning; 5 chained jobs is the honest local form.  Oracle:
+    the recursion unrolled to 5 chained CTEs."""
+    t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "supplier"]}
+    edges = tables.build_edges(t["customer"], t["nation"], t["supplier"]).select("src", "dst")
+    verts = (edges.select(F.col("src").alias("id"))
+             .unionByName(edges.select(F.col("dst").alias("id"))).distinct())
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    n_df = verts.agg(F.count("*").alias("c"))
+    ranks = verts.crossJoin(F.broadcast(n_df)).select(
+        "id", (F.lit(1.0) / F.col("c")).alias("r"))
+    for _ in range(5):
+        contribs = (edges.join(ranks, edges.src == ranks.id)
+                    .join(outdeg, "src")
+                    .groupBy("dst").agg(F.sum(F.col("r") / F.col("d")).alias("m")))
+        ranks = (verts.join(contribs, verts.id == contribs.dst, "left")
+                 .crossJoin(F.broadcast(n_df))
+                 .select(verts.id,
+                         (F.lit(0.15) / F.col("c")
+                          + F.lit(0.85) * F.coalesce(F.col("m"), F.lit(0.0))).alias("r")))
+    return ranks.select(F.col("id").alias("node_id"), _r6(F.col("r")).alias("pagerank"))
 
 
 @_register("r17_query_classification", """

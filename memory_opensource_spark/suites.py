@@ -697,11 +697,14 @@ def register(QUERIES: dict, ORACLE: dict) -> None:
          [("left_id", "s"), ("right_id", "s"), ("jaccard", "d")]),
         ("DD_minhash_bands", "dedup_minhash_bands",
          [("doc_id", "s"), ("band_idx", "s"), ("band_hash", "s")]),
+        ("DD_repeated_spans", "dedup_repeated_spans",
+         [("doc_id", "s"), ("n_spans", "s"), ("n_shared_spans", "s"),
+          ("shared_frac", "d")]),
     ]
     fn, sql = _suite(QUERIES, ORACLE, dd_members)
     fn.__doc__ = ("Dedup-family suite: exact hash, token-set fingerprint, SimHash "
                   "(+Hamming banding), n-gram Jaccard refine, MinHash+LSH band "
-                  "table — operators/dedup.py.")
+                  "table, cross-doc repeated spans — operators/dedup.py.")
     reg("suite_dedup_family", fn, sql)
 
     gl_members = [
@@ -721,10 +724,12 @@ def register(QUERIES: dict, ORACLE: dict) -> None:
         ("GA_degree", "graph_degree_centrality", [("node_id", "s"), ("degree", "s")]),
         ("GA_connected_components", "graph_connected_components",
          [("node_id", "s"), ("component", "s")]),
+        ("GA_pagerank", "graph_pagerank", [("node_id", "s"), ("pagerank", "d")]),
     ]
     fn, sql = _suite(QUERIES, ORACLE, ga_members)
-    fn.__doc__ = ("Graph-analytics suite: degree centrality + bounded-iteration "
-                  "connected components (label propagation) — graph.py:176.")
+    fn.__doc__ = ("Graph-analytics suite: degree centrality, bounded-iteration "
+                  "connected components (label propagation), 5-iteration "
+                  "PageRank — graph.py:176, queries.graph_pagerank.")
     reg("suite_graph_analytics", fn, sql)
 
     # --- fresh suites -------------------------------------------------------------
