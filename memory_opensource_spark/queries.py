@@ -2225,6 +2225,55 @@ def graph_pagerank(spark, sf_dir):
     return ranks.select(F.col("id").alias("node_id"), _r6(F.col("r")).alias("pagerank"))
 
 
+@_register("events_in_sessions", """
+WITH events_us AS (
+  SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events
+), ordered AS (
+  SELECT user_id, ts, floor(epoch(ts)) AS t,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events_us
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, t,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+), bounds AS (
+  SELECT user_id, session_id, MIN(t) AS start_s, MAX(t) AS end_s
+  FROM sess GROUP BY 1, 2
+)
+SELECT b.user_id, b.session_id, COUNT(*) AS n_events,
+       (b.end_s - b.start_s)::BIGINT AS span_s
+FROM (SELECT user_id, floor(epoch(ts)) AS t FROM events_us) e
+JOIN bounds b ON e.user_id = b.user_id AND e.t BETWEEN b.start_s AND b.end_s
+GROUP BY b.user_id, b.session_id, b.end_s, b.start_s
+""")
+def events_in_sessions(spark, sf_dir):
+    """Interval (range) join: point-in-time events joined into session
+    intervals — the join family SURVEY §2.8 notes the reference lacks, needed
+    whenever a log stream must be attributed to sessions/windows computed
+    elsewhere.  Executes as a hash join on the user key with the range
+    predicate applied in the probe (intervals per user are few); at corpus
+    scale the interval side stays the small build side per user-bucket, so no
+    all-pairs blowup.  Self-consistency: n_events per session equals the
+    session's own message count."""
+    from .operators import windows as W
+
+    ev = tables.load(spark, sf_dir, "events")
+    sess = W.session_ids(ev.select("user_id", "ts", "event_id"), "user_id", "ts", 1800)
+    bounds = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_timestamp("ts")).alias("start_s"),
+        F.max(F.unix_timestamp("ts")).alias("end_s"))
+    pts = ev.select("user_id", F.unix_timestamp("ts").alias("t"))
+    return (pts.join(bounds, "user_id")
+            .filter((F.col("t") >= F.col("start_s")) & (F.col("t") <= F.col("end_s")))
+            .groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.max(F.col("end_s") - F.col("start_s")).alias("span_s")))
+
+
 @_register("r17_query_classification", """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk

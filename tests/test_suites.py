@@ -140,3 +140,27 @@ def test_corpus_profile_hll_within_5pct(spark):
     assert rows
     for r in rows:
         assert abs(r["approx"] - r["exact"]) / r["exact"] <= 0.05, r
+
+
+def test_percentile_sketch_within_tolerance(spark):
+    """t-digest-style percentile_approx (mergeable sketch, the 100 TB path)
+    must land within 2% of the exact percentile the oracle checks."""
+    from memory_opensource_spark.sources import tables
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    r = docs.agg(
+        F.expr("percentile(n_chars, 0.5)").alias("exact"),
+        F.percentile_approx("n_chars", 0.5, 10000).alias("approx")).first()
+    assert abs(r["approx"] - r["exact"]) / r["exact"] <= 0.02, r
+
+
+def test_events_in_sessions_matches_session_counts(spark):
+    """The range join's per-session event count must equal the session
+    window's own message count (every event lands in exactly one interval)."""
+    from memory_opensource_spark.queries import QUERIES
+
+    got = {(r["user_id"], r["session_id"]): r["n_events"]
+           for r in QUERIES["events_in_sessions"](spark, SF_DIR).collect()}
+    want = {(r["user_id"], r["session_id"]): r["message_count"]
+            for r in QUERIES["st2_session_windows"](spark, SF_DIR).collect()}
+    assert got == want
