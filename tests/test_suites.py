@@ -164,3 +164,21 @@ def test_events_in_sessions_matches_session_counts(spark):
     want = {(r["user_id"], r["session_id"]): r["message_count"]
             for r in QUERIES["st2_session_windows"](spark, SF_DIR).collect()}
     assert got == want
+
+
+def test_suite_member_rowcount_parity(spark):
+    """Each wrapped member must contribute exactly its standalone row count —
+    guards against a suite projection silently dropping or duplicating rows."""
+    from memory_opensource_spark.queries import QUERIES
+
+    pairs = [
+        ("suite_ranking_formulas", "R8_tier1", "r8_tier1_ranking"),
+        ("suite_dedup_family", "DD_minhash_bands", "dedup_minhash_bands"),
+        ("suite_text_analysis", "TXT_lang_id", "text_lang_id"),
+        ("suite_graph_analytics", "GA_pagerank", "graph_pagerank"),
+    ]
+    for suite, comp, member in pairs:
+        got = (QUERIES[suite](spark, SF_DIR)
+               .filter(F.col("component") == comp).count())
+        want = QUERIES[member](spark, SF_DIR).count()
+        assert got == want, (suite, comp, got, want)
