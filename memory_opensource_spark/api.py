@@ -130,6 +130,54 @@ class AddResult:
     reused_from: str | None = None
 
 
+@dataclass
+class RerankDecision:
+    """Resolved reranking request (models/memory_models.py:549-562 defaults)."""
+    enabled: bool
+    provider: str = "openai"
+    model: str = "gpt-5-nano"
+    warnings: list[str] = field(default_factory=list)
+
+
+def resolve_reranking(rank_results: bool = False,
+                      reranking_config: dict | None = None) -> RerankDecision:
+    """The SearchRequest rank_results/reranking_config reconciliation
+    (models/memory_models.py:860-898):
+
+    1. only reranking_config set -> use it
+    2. only (deprecated) rank_results set -> use it, deprecation warning
+    3. both set -> reranking_config wins; conflict warning when they disagree
+    4. neither -> disabled
+    """
+    warns: list[str] = []
+    if reranking_config is not None:
+        enabled = bool(reranking_config.get("reranking_enabled", False))
+        if rank_results and rank_results != enabled:
+            warns.append(
+                "Conflict between deprecated 'rank_results' and "
+                "'reranking_config.reranking_enabled'; using 'reranking_config'.")
+        return RerankDecision(
+            enabled=enabled,
+            provider=reranking_config.get("reranking_provider", "openai"),
+            model=reranking_config.get("reranking_model", "gpt-5-nano"),
+            warnings=warns)
+    if rank_results:
+        warns.append("'rank_results' is deprecated; use 'reranking_config'.")
+        return RerankDecision(enabled=True, warnings=warns)
+    return RerankDecision(enabled=False)
+
+
+def clamp_search_caps(max_memories: int = MAX_MEMORIES_DEFAULT,
+                      max_nodes: int = 15) -> tuple[int, int]:
+    """Request-cap validation (routers/v1/memory_routes_v1.py:2309-2310:
+    both ge=10, le=50; defaults 20/15).  Mirrors FastAPI's 422 on violation
+    by raising ValueError."""
+    for name, v in (("max_memories", max_memories), ("max_nodes", max_nodes)):
+        if not 10 <= v <= 50:
+            raise ValueError(f"{name} must be between 10 and 50, got {v}")
+    return max_memories, max_nodes
+
+
 class MemoryEngine:
     """Batch/micro-batch memory engine over four DataFrame-backed tables."""
 

@@ -229,3 +229,48 @@ def test_search_spec_filters_pre_topk(spark):
                      spec=FilterSpec(topics=["wanted"]),
                      top_k=1, score_threshold=None).collect()
     assert [r.memory_id for r in out] == ["target"]
+
+
+class TestSearchRequestResolution:
+    """Request-shape twins of models/memory_models.py:860-898 and
+    routers/v1/memory_routes_v1.py:2309-2310."""
+
+    def test_only_reranking_config(self):
+        from memory_opensource_spark.api import resolve_reranking
+
+        d = resolve_reranking(False, {"reranking_enabled": True,
+                                      "reranking_provider": "cohere",
+                                      "reranking_model": "rerank-v3.5"})
+        assert d.enabled and d.provider == "cohere" and d.model == "rerank-v3.5"
+        assert not d.warnings
+
+    def test_only_deprecated_rank_results(self):
+        from memory_opensource_spark.api import resolve_reranking
+
+        d = resolve_reranking(True, None)
+        assert d.enabled and d.provider == "openai" and d.model == "gpt-5-nano"
+        assert any("deprecated" in w for w in d.warnings)
+
+    def test_conflict_config_wins(self):
+        from memory_opensource_spark.api import resolve_reranking
+
+        d = resolve_reranking(True, {"reranking_enabled": False})
+        assert not d.enabled
+        assert any("Conflict" in w for w in d.warnings)
+
+    def test_neither_disabled(self):
+        from memory_opensource_spark.api import resolve_reranking
+
+        assert not resolve_reranking().enabled
+
+    def test_caps_clamp(self):
+        import pytest
+
+        from memory_opensource_spark.api import clamp_search_caps
+
+        assert clamp_search_caps() == (20, 15)
+        assert clamp_search_caps(50, 10) == (50, 10)
+        with pytest.raises(ValueError):
+            clamp_search_caps(5, 15)
+        with pytest.raises(ValueError):
+            clamp_search_caps(20, 51)
