@@ -3571,6 +3571,43 @@ def sample_stratified_q(spark, sf_dir):
             .drop("_u", "_r"))
 
 
+@_register("sample_quality_weighted", """
+WITH toks AS (
+  SELECT doc_id, text, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents
+), q AS (
+  SELECT doc_id,
+    0.4 * least(len(tk)::DOUBLE / 100.0, 1.0)
+    + 0.3 * greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+                                 / greatest(length(text), 1)) * 5.0)
+    + 0.3 * least((len(list_filter(tk, t -> list_contains(
+          ['the','a','and','of','to','in','is','it','that','for'], t)))::DOUBLE
+          / greatest(len(tk), 1)) * 4.0, 1.0) AS quality,
+    ('0x' || substr(md5('q:' || doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u
+  FROM toks
+)
+SELECT doc_id, ROUND(quality, 6)::DOUBLE AS quality, ROUND(u, 6)::DOUBLE AS u
+FROM q WHERE u < quality * quality
+""")
+def sample_quality_weighted(spark, sf_dir):
+    """Quality-weighted curation sampling: keep probability = quality^2
+    (sharpens toward high-quality documents, the standard curation move when
+    down-sizing a corpus), membership by a salted md5-uniform on the doc id —
+    deterministic and partition-layout-independent like sample_stratified.
+    Scan-side filter only: quality and the uniform are both row-local
+    expressions, so the keep decision pushes into the scan projection with
+    zero shuffle at any corpus size."""
+    docs = tables.load(spark, sf_dir, "documents")
+    q = T.quality_score(F.col("text"))
+    u = (F.conv(F.substring(F.md5(F.concat(F.lit("q:"),
+                                           F.col("doc_id").cast("string"))), 1, 8),
+                16, 10).cast("bigint") / F.lit(4294967296.0))
+    return (docs.select("doc_id", _r6(q).alias("quality"), _r6(u).alias("u"),
+                        q.alias("_q"), u.alias("_u"))
+            .filter(F.col("_u") < F.col("_q") * F.col("_q"))
+            .drop("_q", "_u"))
+
+
 @_register("dedup_keep_list", """
 WITH RECURSIVE sh AS (
   SELECT doc_id,
