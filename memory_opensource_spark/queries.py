@@ -2225,6 +2225,60 @@ def graph_pagerank(spark, sf_dir):
     return ranks.select(F.col("id").alias("node_id"), _r6(F.col("r")).alias("pagerank"))
 
 
+@_register("text_cms_frequency", """
+WITH tok AS (
+  SELECT UNNEST(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS t
+  FROM documents
+), hashed AS (
+  SELECT t, i, ('0x' || substr(md5(i::VARCHAR || ':' || t), 1, 8))::BIGINT % 256 AS bucket
+  FROM tok, LATERAL (SELECT UNNEST(range(0, 4)) AS i)
+), cms AS (
+  SELECT i, bucket, COUNT(*) AS c FROM hashed GROUP BY i, bucket
+), top AS (
+  SELECT t, COUNT(*) AS exact_freq FROM tok GROUP BY t
+  ORDER BY exact_freq DESC, t ASC LIMIT 50
+), melted AS (
+  SELECT top.t, top.exact_freq, h.i,
+         ('0x' || substr(md5(h.i::VARCHAR || ':' || top.t), 1, 8))::BIGINT % 256 AS bucket
+  FROM top, (SELECT UNNEST(range(0, 4)) AS i) h
+)
+SELECT m.t AS tok, m.exact_freq, MIN(cms.c) AS cms_estimate
+FROM melted m JOIN cms ON m.i = cms.i AND m.bucket = cms.bucket
+GROUP BY m.t, m.exact_freq
+""")
+def text_cms_frequency(spark, sf_dir):
+    """Count-min sketch frequency estimation (d=4 rows x w=256 buckets,
+    md5-derived hashes): the mergeable-sketch path for term frequencies when
+    an exact token groupBy would shuffle the whole vocabulary — CMS buckets
+    are a FIXED 1024-cell table regardless of corpus size, built with
+    map-side partial counts, and sketches from different partitions/days
+    merge by cell-wise addition.  Output compares the estimate against the
+    exact count for the top-50 terms; CMS never underestimates
+    (min over rows >= true count), asserted in tests."""
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("t"))
+
+    def bucket(i, col="t"):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{i}:"), F.col(col))), 1, 8), 16, 10)
+            .cast("bigint") % 256)
+
+    cms = (toks.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("i"), bucket(i).alias("bucket"))
+        for i in range(4)])).alias("s"))
+        .groupBy(F.col("s.i").alias("i"), F.col("s.bucket").alias("bucket"))
+        .agg(F.count("*").alias("c")))
+    top = (toks.groupBy("t").agg(F.count("*").alias("exact_freq"))
+           .orderBy(F.col("exact_freq").desc(), F.col("t").asc()).limit(50))
+    melted = top.select("t", "exact_freq", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("i"), bucket(i).alias("bucket"))
+        for i in range(4)])).alias("h")).select(
+        "t", "exact_freq", F.col("h.i").alias("i"), F.col("h.bucket").alias("bucket"))
+    return (melted.join(F.broadcast(cms), ["i", "bucket"])
+            .groupBy(F.col("t").alias("tok"), "exact_freq")
+            .agg(F.min("c").alias("cms_estimate")))
+
+
 @_register("events_in_sessions", """
 WITH events_us AS (
   SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events

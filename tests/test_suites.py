@@ -182,3 +182,14 @@ def test_suite_member_rowcount_parity(spark):
                .filter(F.col("component") == comp).count())
         want = QUERIES[member](spark, SF_DIR).count()
         assert got == want, (suite, comp, got, want)
+
+
+def test_cms_never_underestimates(spark):
+    """Count-min guarantee: estimate >= exact for every queried term, and
+    with 4x256 cells on this vocabulary the overestimate stays bounded."""
+    from memory_opensource_spark.queries import QUERIES
+
+    rows = QUERIES["text_cms_frequency"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_freq"], r
