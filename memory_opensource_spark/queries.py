@@ -2225,6 +2225,27 @@ def graph_pagerank(spark, sf_dir):
     return ranks.select(F.col("id").alias("node_id"), _r6(F.col("r")).alias("pagerank"))
 
 
+@_register("sample_fixed_k", """
+SELECT doc_id, source, md5('s:' || doc_id::VARCHAR) AS sort_key
+FROM documents
+ORDER BY sort_key ASC, doc_id ASC
+LIMIT 200
+""")
+def sample_fixed_k(spark, sf_dir):
+    """Deterministic fixed-size sample (reservoir-sampling analog): order by a
+    salted hash of the id, take k — a uniform exactly-k sample that is
+    replay-idempotent and partition-layout-independent, unlike rand() or
+    RDD takeSample.  Executes as TakeOrderedAndProject: per-partition top-k
+    heaps, k rows to the driver, no global sort — the same O(k) plan at any
+    corpus size."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return (docs.select("doc_id", "source",
+                        F.md5(F.concat(F.lit("s:"),
+                                       F.col("doc_id").cast("string"))).alias("sort_key"))
+            .orderBy(F.col("sort_key").asc(), F.col("doc_id").asc())
+            .limit(200))
+
+
 @_register("text_cms_frequency", """
 WITH tok AS (
   SELECT UNNEST(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS t
