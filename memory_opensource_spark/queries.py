@@ -2225,6 +2225,64 @@ def graph_pagerank(spark, sf_dir):
     return ranks.select(F.col("id").alias("node_id"), _r6(F.col("r")).alias("pagerank"))
 
 
+@_register("retention_sweep", """
+WITH {MEMS}
+SELECT COALESCE(namespace_id, '__legacy__') AS namespace_id,
+       SUM(CASE WHEN created_at < TIMESTAMP '2024-01-01 00:00:00'
+                     + ((CASE WHEN namespace_id IS NULL THEN 30
+                              ELSE 30 + (substr(namespace_id, 3)::INT % 3) * 30 END))
+                       * INTERVAL 1 DAY
+                THEN 0 ELSE 1 END) AS retained,
+       SUM(CASE WHEN created_at < TIMESTAMP '2024-01-01 00:00:00'
+                     + ((CASE WHEN namespace_id IS NULL THEN 30
+                              ELSE 30 + (substr(namespace_id, 3)::INT % 3) * 30 END))
+                       * INTERVAL 1 DAY
+                THEN 1 ELSE 0 END) AS expired
+FROM memories_d
+GROUP BY 1
+""")
+def retention_sweep(spark, sf_dir):
+    """Retention/TTL sweep (data governance): each namespace carries a
+    retention policy (30/60/90 days, derived deterministically here; in the
+    reference this is the per-tenant config the S13 delete-all route
+    enforces); the sweep partitions every memory into retained vs expired
+    against the policy cutoff.  One scan + one groupBy on namespace — at
+    scale this IS the daily compaction-delete job, and with created_at as a
+    partition column the expired set prunes to whole partitions."""
+    mems = tables.build_memories(tables.load(spark, sf_dir, "documents"))
+    days = F.when(F.col("namespace_id").isNull(), F.lit(30)).otherwise(
+        30 + (F.substring("namespace_id", 3, 10).cast("int") % 3) * 30)
+    cutoff = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(days=days)
+    expired = (F.col("created_at") < cutoff).cast("long")
+    return (mems.groupBy(F.coalesce("namespace_id", F.lit("__legacy__"))
+                         .alias("namespace_id"))
+            .agg(F.sum(F.lit(1) - expired).alias("retained"),
+                 F.sum(expired).alias("expired")))
+
+
+@_register("acl_audit", """
+WITH {MEMS}
+SELECT reader, COUNT(*) AS readable_memories,
+       COUNT(DISTINCT COALESCE(namespace_id, '__legacy__')) AS namespaces
+FROM (SELECT memory_id, namespace_id, UNNEST(user_read_access) AS reader
+      FROM memories_d)
+GROUP BY reader
+""")
+def acl_audit(spark, sf_dir):
+    """ACL audit report (governance twin of F1): for every principal, how
+    many memories they can read and across how many namespaces — the
+    entitlement review a multi-tenant deployment runs periodically.  Explode
+    of the read-access array + one groupBy on the principal; reader
+    cardinality is users, not memories, so the shuffle is tiny."""
+    mems = tables.build_memories(tables.load(spark, sf_dir, "documents"))
+    return (mems.select("memory_id",
+                        F.coalesce("namespace_id", F.lit("__legacy__")).alias("ns"),
+                        F.explode("user_read_access").alias("reader"))
+            .groupBy("reader")
+            .agg(F.count("*").alias("readable_memories"),
+                 F.countDistinct("ns").alias("namespaces")))
+
+
 @_register("sample_fixed_k", """
 SELECT doc_id, source, md5('s:' || doc_id::VARCHAR) AS sort_key
 FROM documents
@@ -4116,11 +4174,13 @@ def session_summaries_q(spark, sf_dir):
     )
 
 
-# Resolve the shared events-truncation CTE placeholder in all oracle statements.
+# Resolve the shared CTE placeholders in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
 for _k in list(ORACLE):
-    ORACLE[_k] = ORACLE[_k].replace("{EVENTS}", _EV.strip())
+    ORACLE[_k] = (ORACLE[_k]
+                  .replace("{EVENTS}", _EV.strip())
+                  .replace("{MEMS}", MEMORIES_CTE.strip().removeprefix("\n")))
 
 
 # ---------------------------------------------------------------------------------
