@@ -2225,6 +2225,57 @@ def graph_pagerank(spark, sf_dir):
     return ranks.select(F.col("id").alias("node_id"), _r6(F.col("r")).alias("pagerank"))
 
 
+@_register("text_tfidf_top_terms", """
+WITH tok AS (
+  SELECT doc_id, source, UNNEST(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS t
+  FROM documents
+), tf AS (
+  SELECT doc_id, source, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3
+), df AS (
+  SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.source, tf.t,
+         SUM(tf.tf * ln(n.n_docs::DOUBLE / df.df)) AS score
+  FROM tf JOIN df ON tf.t = df.t, n
+  GROUP BY tf.source, tf.t
+), ranked AS (
+  SELECT source, t, ROUND(score, 6)::DOUBLE AS score6,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY ROUND(score, 6)::DOUBLE DESC, t ASC) AS rk
+  FROM scored
+)
+SELECT source, t AS tok, score6 AS tfidf, rk
+FROM ranked WHERE rk <= 3
+""")
+def text_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF distinctive terms per source — the IR-classic signature pass
+    (what distinguishes each corpus slice): tf per (doc, term), idf =
+    ln(N/df), per-source top-3 by summed tf-idf.  Three map-side-combined
+    aggregations; the document-frequency table is vocabulary-sized and
+    broadcasts into the score join; the final rank partitions by source so no
+    global sort exists at any scale."""
+    from pyspark.sql import Window as W
+
+    docs = tables.load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.explode(T.tokens(F.col("text"))).alias("t"))
+    tf = tok.groupBy("doc_id", "source", "t").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(F.broadcast(df_), "t").crossJoin(F.broadcast(n))
+              .groupBy("source", "t")
+              .agg(F.sum(F.col("tf") * F.log(F.col("n_docs").cast("double")
+                                             / F.col("df"))).alias("score")))
+    scored = scored.withColumn("score6", _r6(F.col("score")))
+    # rank on the ROUNDED score (house rule: ulp-level sum-order differences
+    # between engines must never flip a rank)
+    w = W.partitionBy("source").orderBy(F.col("score6").desc(), F.col("t").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("source", F.col("t").alias("tok"),
+                    F.col("score6").alias("tfidf"), "rk"))
+
+
 @_register("retention_sweep", """
 WITH {MEMS}
 SELECT COALESCE(namespace_id, '__legacy__') AS namespace_id,
