@@ -2225,6 +2225,38 @@ def graph_pagerank(spark, sf_dir):
     return ranks.select(F.col("id").alias("node_id"), _r6(F.col("r")).alias("pagerank"))
 
 
+@_register("graph_triangle_count", """
+WITH cn AS (
+  SELECT 'c' || c_custkey::VARCHAR AS c, 'n' || c_nationkey::VARCHAR AS n, c_nationkey AS nk
+  FROM customer WHERE c_custkey % 50 = 0
+), sn AS (
+  SELECT 's' || s_suppkey::VARCHAR AS s, 'n' || s_nationkey::VARCHAR AS n, s_nationkey AS nk
+  FROM supplier WHERE s_suppkey % 5 = 0
+)
+SELECT cn.n AS nation_node, COUNT(*) AS triangles
+FROM cn JOIN sn ON cn.nk = sn.nk
+GROUP BY cn.n
+""")
+def graph_triangle_count(spark, sf_dir):
+    """Triangle counting — the cyclic multi-way self-join of graph analytics.
+    The fixture entity graph is acyclic (customer->nation->region), so the
+    query derives bounded SAME_NATION peer edges (customer~supplier sharing a
+    nation, modulo-sampled) and counts the (customer, supplier, nation)
+    triangles each closes.  The plan is edge⋈edge on the shared endpoint with
+    map-side-combined counting — at scale the standard optimization applies
+    (orient edges low-degree->high-degree so each triangle is counted once
+    without a third join; here the nation endpoint is the pivot, making the
+    third edge implicit).  Oracle: the same two-way join, since the derived
+    peer edge exists iff the two base edges share the nation."""
+    cust = tables.load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 50 == 0)
+    supp = tables.load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 5 == 0)
+    cn = cust.select(F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+                     .alias("nation_node"), F.col("c_nationkey").alias("nk"))
+    sn = supp.select(F.col("s_nationkey").alias("nk"))
+    return (cn.join(sn, "nk")
+            .groupBy("nation_node").agg(F.count("*").alias("triangles")))
+
+
 @_register("text_tfidf_top_terms", """
 WITH tok AS (
   SELECT doc_id, source, UNNEST(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS t
