@@ -97,8 +97,9 @@ def cited_confidence_scores(feedback: DataFrame, scope_col: str,
 def engagement_rollup(feedback: DataFrame, ts_col: str = "ts",
                       value_col: str = "value") -> DataFrame:
     """Daily engagement-signal rollup (QueryLog engagement analytics):
-    count + mean score per (day, signal).  Single shuffle on the rollup key."""
-    day = F.date_trunc("day", F.col(ts_col)).alias("day")
+    count + mean score per (day, signal).  Single shuffle on the rollup key.
+    ``day`` is the day-bucket as epoch-second BIGINT (canonicalizer-safe)."""
+    day = F.unix_timestamp(F.date_trunc("day", F.col(ts_col))).alias("day")
     sig = engagement_signal_col(F.col("feedback_type")).alias("engagement_signal")
     return (feedback.groupBy(day, sig)
             .agg(F.count("*").alias("feedback_count"),

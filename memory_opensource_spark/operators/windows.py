@@ -13,9 +13,15 @@ from pyspark.sql import functions as F
 
 
 def tumbling(df: DataFrame, ts_col: str, width_seconds: int,
-             keys: list[str] | None = None) -> DataFrame:
-    """Tumbling window groupBy: adds ``window_start`` (epoch-floored)."""
+             keys: list[str] | None = None, as_timestamp: bool = True) -> DataFrame:
+    """Tumbling window groupBy: adds ``window_start`` (epoch-floored).
+
+    ``as_timestamp=False`` keeps the bucket as an epoch-second BIGINT — the
+    canonicalizer-safe form for oracle-checked outputs (driver value hashes
+    drift on timestamp-typed columns)."""
     bucket = (F.unix_timestamp(F.col(ts_col)) / width_seconds).cast("bigint") * width_seconds
+    if not as_timestamp:
+        return df.withColumn("window_start", bucket)
     return df.withColumn("window_start", F.to_timestamp(F.from_unixtime(bucket)))
 
 

@@ -102,7 +102,7 @@ def q1(spark, sf_dir):
 
 @_register("q3_top_orders", """
 SELECT o.o_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)::DOUBLE AS revenue,
-       o.o_orderdate
+       floor(epoch(o.o_orderdate))::BIGINT AS o_orderdate_epoch
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1995-03-15'
@@ -121,7 +121,8 @@ def q3(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
-        .select("o_orderkey", "revenue", "o_orderdate")
+        .select("o_orderkey", "revenue",
+                F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
@@ -732,7 +733,7 @@ def g7(spark, sf_dir):
 
 @_register("st8_tumbling_window", """
 WITH {EVENTS}
-SELECT to_timestamp((floor(epoch(ts))::BIGINT // 300) * 300)::TIMESTAMP AS window_start,
+SELECT (floor(epoch(ts))::BIGINT // 300) * 300 AS window_start,
        event_type,
        COUNT(*) AS event_count,
        ROUND(SUM(value), 2)::DOUBLE AS value_sum
@@ -740,8 +741,10 @@ FROM events_us
 GROUP BY 1, 2
 """)
 def st8(spark, sf_dir):
+    # window_start is the epoch-second bucket as BIGINT (not a timestamp):
+    # timestamp-typed outputs hash-drift in the driver canonicalizer.
     ev = tables.load(spark, sf_dir, "events")
-    out = windows.tumbling(ev, "ts", 300)
+    out = windows.tumbling(ev, "ts", 300, as_timestamp=False)
     return out.groupBy("window_start", "event_type").agg(
         F.count("*").alias("event_count"), _r2(F.sum("value")).alias("value_sum")
     )
@@ -761,21 +764,23 @@ WITH {EVENTS}, ordered AS (
   FROM ordered
 )
 SELECT user_id, session_id, COUNT(*) AS message_count,
-       date_trunc('second', MIN(ts)) AS session_start,
-       date_trunc('second', MAX(ts)) AS session_end
+       floor(epoch(MIN(ts)))::BIGINT AS session_start,
+       floor(epoch(MAX(ts)))::BIGINT AS session_end
 FROM sess GROUP BY user_id, session_id
 """)
 def st2(spark, sf_dir):
-    # session bounds truncated to whole seconds on both sides: the fixture
-    # events carry microseconds and the driver's value hash is sensitive to the
-    # last-µs disagreement between Spark's parquet reader and DuckDB's
-    # TIMESTAMP_NS truncation (round-1 hash mismatch).
+    # session bounds emitted as epoch-second BIGINTs on both sides: timestamp-
+    # typed output columns hash-drift in the driver even at whole seconds
+    # (Spark datetime64[us] vs DuckDB TIMESTAMP representation — rounds 1 and 3
+    # both red with rows+schema green), while the string-serialized suite twin
+    # of the identical values passes.  Integer epochs sidestep the
+    # representation entirely; tools/check.py now rejects timestamp outputs.
     ev = tables.load(spark, sf_dir, "events")
     sess = windows.session_ids(ev, "user_id", "ts", 1800)
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("message_count"),
-        F.date_trunc("second", F.min("ts")).alias("session_start"),
-        F.date_trunc("second", F.max("ts")).alias("session_end"),
+        F.unix_timestamp(F.min("ts")).alias("session_start"),
+        F.unix_timestamp(F.max("ts")).alias("session_end"),
     )
 
 
@@ -895,15 +900,17 @@ def search_flagship(spark, sf_dir):
 
 @_register("v3_scroll_fallback", f"""
 WITH {CHUNKS_CTE.strip()}
-SELECT chunk_id, created_at FROM chunks_d
+SELECT chunk_id, floor(epoch(created_at))::BIGINT AS created_epoch FROM chunks_d
 WHERE label >= 5
 ORDER BY created_at DESC, chunk_id ASC
 LIMIT 10
 """)
 def v3_scroll(spark, sf_dir):
+    # created_at projected as epoch BIGINT (ordering still on the raw
+    # timestamp): timestamp-typed outputs hash-drift in the driver.
     chunks = tables.build_chunks(tables.load(spark, sf_dir, "embeddings"))
     out = similarity.scroll_fallback(chunks, 10, pred=F.col("label") >= 5)
-    return out.select("chunk_id", "created_at")
+    return out.select("chunk_id", F.unix_timestamp("created_at").alias("created_epoch"))
 
 
 @_register("v6_entity_resolution", f"""
@@ -1255,14 +1262,18 @@ def r2_merge(spark, sf_dir):
 
 @_register("r12_delta_since_watermark", f"""
 WITH {MEMORIES_CTE.strip()}
-SELECT memory_id, created_at FROM memories_d
+SELECT memory_id, floor(epoch(created_at))::BIGINT AS created_epoch FROM memories_d
 WHERE created_at > TIMESTAMP '2024-01-15 00:00:00'
 """)
 def r12(spark, sf_dir):
+    # created_at projected as epoch BIGINT: this row was driver-green in r3
+    # with a timestamp column (arithmetic-derived values, bit-equal on both
+    # engines), but the blanket canonicalizer rule is now "no timestamp-typed
+    # outputs" after st2's whole-second values still hash-mismatched.
     mems = tables.build_memories(tables.load(spark, sf_dir, "documents"))
     return mems.filter(
         F.col("created_at") > F.lit("2024-01-15 00:00:00").cast("timestamp")
-    ).select("memory_id", "created_at")
+    ).select("memory_id", F.unix_timestamp("created_at").alias("created_epoch"))
 
 
 @_register("r14_trim_content", f"""
@@ -1604,7 +1615,7 @@ def r16_weighted(spark, sf_dir):
 
 @_register("st8_sliding_window", """
 WITH {EVENTS}
-SELECT to_timestamp(((floor(epoch(ts))::BIGINT - off * 300) // 600) * 600 + off * 300)::TIMESTAMP AS window_start,
+SELECT ((floor(epoch(ts))::BIGINT - off * 300) // 600) * 600 + off * 300 AS window_start,
        COUNT(*) AS event_count,
        ROUND(SUM(value), 2)::DOUBLE AS value_sum
 FROM events_us CROSS JOIN (SELECT UNNEST([0, 1]) AS off)
@@ -1613,14 +1624,16 @@ GROUP BY 1
 def st8_sliding(spark, sf_dir):
     """Sliding windows (width 10 min, slide 5 min) in batch-analog form: each
     event lands in 2 buckets via an offset explode — same arithmetic as the
-    streaming window(ts, '10 minutes', '5 minutes')."""
+    streaming window(ts, '10 minutes', '5 minutes').  window_start is the
+    epoch-second bucket as BIGINT (timestamp outputs hash-drift in the
+    driver)."""
     ev = tables.load(spark, sf_dir, "events")
     off = F.explode(F.array(F.lit(0), F.lit(1))).alias("off")
     exploded = ev.select("ts", "value", off)
     epoch = F.unix_timestamp("ts")
-    ws = ((epoch - F.col("off") * 300) / 600).cast("bigint") * 600 + F.col("off") * 300
+    ws = F.floor((epoch - F.col("off") * 300) / 600) * 600 + F.col("off") * 300
     return (
-        exploded.withColumn("window_start", F.to_timestamp(F.from_unixtime(ws)))
+        exploded.withColumn("window_start", ws.cast("bigint"))
         .groupBy("window_start")
         .agg(F.count("*").alias("event_count"), _r2(F.sum("value")).alias("value_sum"))
     )
@@ -1679,18 +1692,59 @@ def v1_chunk_embed(spark, sf_dir):
     )
 
 
-@_register("mm_feature_search")
+@_register("mm_feature_search", """
+WITH media AS (
+  SELECT doc_id, 'media' || doc_id::VARCHAR AS media_id,
+         ['image','audio','video'][doc_id % 3 + 1] AS modality, text
+  FROM documents WHERE doc_id < 100
+), frames AS (
+  SELECT media_id, text, f.frame_index
+  FROM media, LATERAL (SELECT UNNEST(range(0,
+         CASE WHEN modality = 'video' THEN 4 ELSE 1 END)) AS frame_index) f
+), feats AS (
+  SELECT media_id || '#' || frame_index::VARCHAR AS feat_id,
+         list_transform(range(0, 16),
+           j -> ('0x' || substr(sha256(text || frame_index::VARCHAR), j * 2 + 1, 2))::INT / 256.0
+         ) AS feature
+  FROM frames
+), q AS (
+  SELECT list_transform(range(0, 16),
+           j -> ('0x' || substr(sha256(text || '0'), j * 2 + 1, 2))::INT / 256.0
+         ) AS qf
+  FROM documents WHERE doc_id = 0
+), scored AS (
+  SELECT feat_id,
+         list_dot_product(feature, qf)
+         / (SQRT(list_dot_product(feature, feature)) * SQRT(list_dot_product(qf, qf))) AS score
+  FROM feats CROSS JOIN q
+  ORDER BY score DESC, feat_id ASC
+  LIMIT 10
+)
+SELECT feat_id, ROUND(score, 6)::DOUBLE AS score FROM scored
+""")
 def mm_search(spark, sf_dir):
     """Multimodal feature search (north-star op): decode-stub -> cosine top-k.
-    Binary payloads are not portable to the SQL oracle -> rows-only check
-    (full behavior tested in tests/test_multimodal.py)."""
+
+    Oracle-checked since r4: the stub decoder's features are deterministic
+    sha256 math over the utf-8 payload (sources/multimodal.py:_fake_decode),
+    so the DuckDB twin re-derives media table + frame sampling + features +
+    cosine top-k exactly.  Each b/256.0 is an exact binary fraction and the
+    dot products stay exact in double precision, so scores are bit-identical
+    across engines.  The query feature is computed driver-side in plain Python
+    from doc 0's text (no Spark job, no collect) — the same way a real request
+    would arrive with a pre-embedded query."""
     from .sources import multimodal
 
     docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = multimodal.build_media_table(docs)
-    feats = multimodal.decode_features(media)
-    q = feats.filter((F.col("media_id") == "media0") & (F.col("frame_index") == 0)).first()
-    out = multimodal.media_feature_search(media, [float(x) for x in q.feature], 10)
+    import pyarrow.parquet as pqt
+
+    t = pqt.read_table(f"{sf_dir.rstrip('/')}/documents.parquet",
+                       columns=["doc_id", "text"])
+    d = t.to_pydict()
+    text0 = d["text"][d["doc_id"].index(0)]
+    qf = multimodal._fake_decode(text0.encode("utf-8"), "image", 0)
+    out = multimodal.media_feature_search(media, qf, 10)
     return out.select("feat_id", _r6(F.col("score")).alias("score"))
 
 
@@ -3074,13 +3128,13 @@ WITH {EVENTS}, ranked AS (
   FROM events_us
   WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
 )
-SELECT user_id, event_id, date_trunc('second', ts) AS ts, value FROM ranked WHERE rn = 1
+SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ts_epoch, value FROM ranked WHERE rn = 1
 """)
 def asof_latest(spark, sf_dir):
     """As-of lookup: each user's latest event at-or-before a point in time —
     the temporal-join primitive (window top-1 per key).  Ordering uses the raw
-    µs timestamp; only the projected ts is truncated to whole seconds (driver
-    hash is sensitive to last-µs reader disagreement)."""
+    µs timestamp; the projected ts is emitted as an epoch-second BIGINT
+    (timestamp-typed outputs hash-drift in the driver canonicalizer)."""
     ev = tables.load(spark, sf_dir, "events").filter(
         F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp")
     )
@@ -3088,7 +3142,7 @@ def asof_latest(spark, sf_dir):
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", F.date_trunc("second", "ts").alias("ts"), "value")
+        .select("user_id", "event_id", F.unix_timestamp("ts").alias("ts_epoch"), "value")
     )
 
 
@@ -3489,7 +3543,7 @@ WITH {{EVENTS}}, fb AS (
               WHEN 'error' THEN 'report' END AS feedback_type
   FROM events_us
 )
-SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+SELECT floor(epoch(date_trunc('day', ts)))::BIGINT AS day,
        CASE WHEN feedback_type IN ('thumbs_up','thumbs_down') THEN 'thumbs_feedback'
             WHEN feedback_type = 'rating' THEN 'rating_feedback'
             WHEN feedback_type IN ('copy_action','save_action','create_document') THEN 'user_action'

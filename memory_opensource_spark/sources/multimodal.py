@@ -55,9 +55,15 @@ DECODED_SCHEMA = StructType([
 
 def _fake_decode(content: bytes, modality: str, frame: int = 0) -> list[float]:
     """Deterministic stand-in for decode+feature-extract: FEATURE_DIM floats in
-    [0,1) derived from sha256(content || frame).  Replace with a real
-    torchvision/librosa pipeline by swapping this function only."""
-    h = hashlib.sha256(content + frame.to_bytes(4, "big")).digest()
+    [0,1) derived from sha256(content || ascii(frame)).  Replace with a real
+    torchvision/librosa pipeline by swapping this function only.
+
+    The frame suffix is ASCII decimal (not packed bytes) so the identical hash
+    is expressible in the DuckDB oracle (``sha256(text || frame::VARCHAR)`` —
+    its sha256 takes VARCHAR only); each b/256.0 is an exact binary fraction,
+    so features — and the cosine scores built from them — are bit-identical
+    across engines regardless of summation order."""
+    h = hashlib.sha256(content + str(frame).encode("ascii")).digest()
     return [b / 256.0 for b in h[:FEATURE_DIM]]
 
 

@@ -656,12 +656,12 @@ def register(QUERIES: dict, ORACLE: dict) -> None:
     st_members = [
         ("ST2_session_windows", "st2_session_windows",
          [("user_id", "s"), ("session_id", "s"), ("message_count", "s"),
-          ("session_start", "t"), ("session_end", "t")]),
+          ("session_start", "s"), ("session_end", "s")]),  # epoch BIGINTs since r4
         ("ST3_context_window", "st3_context_window",
          [("event_id", "s"), ("user_id", "s"), ("ctx_avg", "d"), ("ctx_count", "s")]),
         ("ST8_tumbling", "st8_tumbling_window",
-         [("window_start", "t"), ("event_type", "s"), ("event_count", "s"),
-          ("value_sum", "d")]),
+         [("window_start", "s"), ("event_type", "s"), ("event_count", "s"),
+          ("value_sum", "d")]),  # epoch BIGINT since r4
     ]
     fn, sql = _suite(QUERIES, ORACLE, st_members, extra_spark=[_st_orchestration],
                      extra_sql=[_ST_ORCH_SQL])

@@ -21,8 +21,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineite
 
 class CanonicalizerHazard(Exception):
     """Raised when an output column would crash or flake the driver's
-    precision-sensitive canonicalizer (arrays -> unhashable; sub-second
-    timestamps -> hash drift between Spark's parquet reader and DuckDB)."""
+    precision-sensitive canonicalizer (arrays -> unhashable; timestamp-typed
+    columns -> hash drift between Spark's and DuckDB's datetime
+    representations, observed twice on whole-second values: st2 rounds 1+3
+    rows+schema green, hash red)."""
 
 
 def normalize(df, strict=True):
@@ -51,13 +53,15 @@ def normalize(df, strict=True):
         if str(df[c].dtype).startswith("float"):
             df[c] = df[c].round(6)
         if "datetime" in str(df[c].dtype):
-            vals = df[c].dropna()
-            if strict and len(vals) and not (
-                vals.dt.microsecond.eq(0).all() and vals.dt.nanosecond.eq(0).all()
-            ):
+            if strict:
+                # st2 proved even whole-second timestamps hash-mismatch in the
+                # driver (Spark vs DuckDB datetime representation); the ONLY
+                # safe encodings are epoch BIGINT (unix_timestamp / epoch()) or
+                # formatted varchar on both sides.
                 raise CanonicalizerHazard(
-                    f"column {c!r} has sub-second timestamp components — driver "
-                    "hash is precision-sensitive; date_trunc('second', ...) both sides"
+                    f"column {c!r} is timestamp-typed — driver hash drifts on "
+                    "datetime representation even at whole seconds; emit epoch "
+                    "BIGINT (unix_timestamp / floor(epoch())::BIGINT) instead"
                 )
             df[c] = df[c].astype("datetime64[us]")
     recs = [tuple(r) for r in df.itertuples(index=False)]
