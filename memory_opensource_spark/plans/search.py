@@ -29,6 +29,35 @@ from ..operators.similarity import topk_search
 from ..semantics import MAX_MEMORIES_DEFAULT, SEARCH_SCORE_THRESHOLD
 
 
+def _spec_columns_on_chunks(chunks: DataFrame, spec: FilterSpec) -> bool:
+    """True when every column the metadata spec references exists on the chunk
+    rows themselves (the denormalized point-payload layout,
+    sources/tables.py:build_chunks_denormalized) — then the spec filters at
+    the chunk scan with no pre-top-k join."""
+    need: set[str] = set()
+    for arr_field, values in (("topics", spec.topics),
+                              ("emoji_tags", spec.emoji_tags),
+                              ("emotion_tags", spec.emotion_tags)):
+        if values:
+            need.add(arr_field)
+    for eq_field, value in (("hierarchical_structures", spec.hierarchical_structures),
+                            ("location", spec.location),
+                            ("conversation_id", spec.conversation_id),
+                            ("role", spec.role),
+                            ("category", spec.category)):
+        if value is not None:
+            need.add(eq_field)
+    if spec.custom_metadata:
+        need.add("custom_metadata")
+    if spec.exclude_memory_id:
+        need.add("memory_id")
+    if spec.consent_allowed:
+        need.add("consent")
+    if spec.risk_blocked:
+        need.add("risk")
+    return need <= set(chunks.columns)
+
+
 def search(
     chunks: DataFrame,
     memories: DataFrame,
@@ -52,19 +81,26 @@ def search(
     # metadata spec is applied PRE-top-k, like the reference's Qdrant pre-filter
     # (memory/memory_graph.py:5905-6034): top-k must be computed over MATCHING
     # points, or a selective spec starves the overfetch window and returns
-    # few/zero rows while matches exist past it.  Chunks carry no metadata
-    # columns, so the pre-filter is a semi-join on the memory id derived from
-    # the chunk id (AQE broadcasts the allowed-id side when it is small; at
-    # real scale, denormalize the spec columns onto chunks so this predicate
-    # pushes to the scan instead).
+    # few/zero rows while matches exist past it.  Two physical strategies:
+    # 1. DENORMALIZED (preferred, = the reference's point-payload design,
+    #    memory_graph.py:5919-6026): chunks carry the spec columns
+    #    (build_chunks_denormalized), so the predicate filters AT THE CHUNK
+    #    SCAN — atomic columns land in PushedFilters, zero joins before top-k.
+    # 2. fallback for bare chunk layouts: semi-join against the filtered
+    #    memories table on the id derived from the chunk id (AQE broadcasts
+    #    the allowed-id side when small) — correct, but at 100 TB it puts a
+    #    memories join in front of every spec'd top-k.
     candidate_chunks = chunks
     if spec_pred is not None:
-        allowed = memories.filter(spec_pred).select("memory_id")
-        candidate_chunks = (
-            chunks.withColumn("_spec_mem", strip_chunk_suffix(F.col("chunk_id")))
-            .join(allowed.withColumnRenamed("memory_id", "_spec_mem"), "_spec_mem", "left_semi")
-            .drop("_spec_mem")
-        )
+        if _spec_columns_on_chunks(chunks, spec):
+            candidate_chunks = chunks.filter(compile_filter(None, spec))
+        else:
+            allowed = memories.filter(spec_pred).select("memory_id")
+            candidate_chunks = (
+                chunks.withColumn("_spec_mem", strip_chunk_suffix(F.col("chunk_id")))
+                .join(allowed.withColumnRenamed("memory_id", "_spec_mem"), "_spec_mem", "left_semi")
+                .drop("_spec_mem")
+            )
 
     def run(cand: DataFrame, post_pred) -> DataFrame:
         hits = topk_search(
@@ -90,7 +126,12 @@ def search(
             fetched = fetched.filter(post_pred)
         return fetched.orderBy(F.col("score").desc(), F.col("memory_id").asc()).limit(top_k)
 
-    out = run(candidate_chunks, spec_pred)
+    # post-fetch re-check (F4) only when the memories rows carry every column
+    # the spec references — e.g. a custom_metadata map filtered on the chunk
+    # payload may not exist memory-side.
+    post_pred = spec_pred if (spec is not None
+                              and _spec_columns_on_chunks(memories, spec)) else None
+    out = run(candidate_chunks, post_pred)
     if fallback_relax and spec_pred is not None and out.isEmpty():
         # semantic retry: relax property filters, keep ACL (memory_graph.py:9130-9141)
         out = run(chunks, None)

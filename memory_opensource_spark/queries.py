@@ -894,6 +894,98 @@ def search_flagship(spark, sf_dir):
     return out.select("memory_id", _r6(F.col("score")).alias("score"), "user_id")
 
 
+def denorm_chunks_path(sf_dir: str) -> str:
+    """Materialization path for the denormalized chunk layout (built once per
+    sf, reused across queries/rounds like the persisted IVF index)."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_chunks_denorm_{tag}")
+
+
+def load_denorm_chunks(spark, sf_dir):
+    """Read the materialized denormalized chunks, building them on first use.
+    Serving queries scan THIS parquet, so spec predicates on atomic columns
+    (consent/risk/custom scalars) reach PushedFilters."""
+    import os
+
+    path = denorm_chunks_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        den = tables.build_chunks_denormalized(
+            tables.load(spark, sf_dir, "embeddings"),
+            tables.load(spark, sf_dir, "documents"))
+        den.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@_register("search_spec_pushdown", f"""
+WITH {CHUNKS_CTE.strip()}, {MEMORIES_CTE.strip()},
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+chunks_den AS (
+  -- the denormalized point-payload layout: spec columns live ON the chunk row
+  SELECT c.*, [d.lang, d.source] AS topics,
+         ['explicit','implicit','terms','none'][c.id_num % 4 + 1] AS consent,
+         ['none','sensitive','flagged'][c.id_num % 3 + 1] AS risk,
+         (c.id_num % 20) AS cm_priority,
+         (c.id_num % 2 = 0) AS cm_archived
+  FROM chunks_d c LEFT JOIN documents d ON c.id_num = d.doc_id
+), filtered AS (
+  SELECT * FROM chunks_den c
+  WHERE (c.user_id = 'u5'
+     OR list_contains(c.user_read_access, 'u5')
+     OR len(list_intersect(c.workspace_read_access, ['w1','w3'])) > 0
+     OR len(list_intersect(c.role_read_access, ['r2'])) > 0
+     OR list_contains(c.organization_read_access, 'o1')
+     OR list_contains(c.namespace_read_access, 'ns3'))
+    AND len(list_intersect(c.topics, ['de', 'fr'])) > 0       -- F2
+    AND c.cm_priority >= 5 AND c.cm_archived                  -- F3 (numeric >= / bool eq)
+    AND c.consent IN ('explicit', 'implicit', 'terms')        -- F7 consent
+    AND (c.risk IS NULL OR c.risk NOT IN ('flagged'))         -- F7 risk blacklist
+), scored AS (
+  SELECT f.chunk_id,
+         list_dot_product(list_transform(f.embedding, x -> x::DOUBLE),
+                          list_transform(q.embedding, x -> x::DOUBLE))
+         / (SQRT(list_dot_product(list_transform(f.embedding, x -> x::DOUBLE),
+                                  list_transform(f.embedding, x -> x::DOUBLE)))
+          * SQRT(list_dot_product(list_transform(q.embedding, x -> x::DOUBLE),
+                                  list_transform(q.embedding, x -> x::DOUBLE)))) AS score
+  FROM filtered f CROSS JOIN q
+), topk AS (
+  SELECT * FROM scored WHERE score >= 0.0
+  ORDER BY score DESC, chunk_id ASC LIMIT 60
+), mem_hits AS (
+  SELECT regexp_replace(chunk_id, '_[0-9]+$', '') AS memory_id, MAX(score) AS score
+  FROM topk GROUP BY 1
+)
+SELECT m.memory_id, ROUND(h.score, 6)::DOUBLE AS score, m.user_id
+FROM memories_d m JOIN mem_hits h ON m.memory_id = h.memory_id
+ORDER BY h.score DESC, m.memory_id ASC
+LIMIT 20
+""")
+def search_spec_pushdown(spark, sf_dir):
+    """Spec'd search over the DENORMALIZED chunk layout: F2 topics + F3 custom
+    metadata + F7 consent/risk filter at the chunk scan (PushedFilters for the
+    atomic columns, plan-asserted in tests/test_plan_shapes.py) with ZERO joins
+    before top-k — the reference's point-payload pushdown
+    (memory/memory_graph.py:5919-6026).  Contrast: the same spec through
+    search() on bare chunks pays a memories semi-join pre-top-k."""
+    from .operators.predicate import AclContext, FilterSpec
+    from .plans.search import search as search_plan
+
+    chunks = load_denorm_chunks(spark, sf_dir)
+    memories = tables.build_memories(tables.load(spark, sf_dir, "documents"))
+    ctx = AclContext(user_id="u5", workspace_ids=["w1", "w3"], role_ids=["r2"],
+                     organization_id="o1", namespace_id="ns3")
+    spec = FilterSpec(topics=["de", "fr"],
+                      custom_metadata={"priority": 5, "archived": True},
+                      consent_allowed=["explicit", "implicit", "terms"],
+                      risk_blocked=["flagged"])
+    out = search_plan(chunks, memories, _qvec(sf_dir), ctx=ctx, spec=spec,
+                      top_k=20, score_threshold=0.0)
+    return out.select("memory_id", _r6(F.col("score")).alias("score"), "user_id")
+
+
 # ---------------------------------------------------------------------------------
 # V3 scroll fallback, V6 entity resolution, V8 property indexing, V10/V11
 # ---------------------------------------------------------------------------------

@@ -151,6 +151,44 @@ def build_chunks(embeddings: DataFrame) -> DataFrame:
     return _acl_cols(base, "_id_num").drop("_id_num")
 
 
+def build_chunks_denormalized(embeddings: DataFrame, documents: DataFrame) -> DataFrame:
+    """chunks carrying the searchable metadata spec columns DENORMALIZED onto
+    each chunk row — the reference's point-payload design
+    (memory/memory_graph.py:5919-6026 pushes topics/customMetadata/consent/risk
+    filters into the Qdrant point scan rather than joining back to the memory
+    store).
+
+    The documents join happens HERE, once, at ingest/build time; every
+    subsequent spec'd search then filters at the chunk scan with zero joins
+    before top-k.  At 100 TB that trades a few duplicated string columns per
+    chunk for eliminating a memories-table shuffle from every search.
+    consent/risk/custom_metadata are arithmetic on the id (no join needed);
+    topics/lang/source ride the one-time left join."""
+    chunks = build_chunks(embeddings)
+    idn = F.regexp_extract("chunk_id", r"^m(\d+)_", 1).cast("bigint")
+    doc_side = documents.select(
+        F.col("doc_id").alias("_doc_id"),
+        F.array(F.col("lang"), F.col("source")).alias("topics"),
+        F.col("lang"),
+        F.col("source").alias("source_type"),
+    )
+    return (
+        chunks.withColumn("_doc_id", idn)
+        .join(doc_side, "_doc_id", "left")
+        .withColumn("consent", F.element_at(
+            F.array(F.lit("explicit"), F.lit("implicit"), F.lit("terms"), F.lit("none")),
+            (F.col("_doc_id") % 4 + 1).cast("int")))
+        .withColumn("risk", F.element_at(
+            F.array(F.lit("none"), F.lit("sensitive"), F.lit("flagged")),
+            (F.col("_doc_id") % 3 + 1).cast("int")))
+        .withColumn("custom_metadata", F.create_map(
+            F.lit("priority"), (F.col("_doc_id") % 20).cast("string"),
+            F.lit("archived"),
+            F.when(F.col("_doc_id") % 2 == 0, F.lit("true")).otherwise(F.lit("false"))))
+        .drop("_doc_id")
+    )
+
+
 def build_nodes(customer: DataFrame, nation: DataFrame, region: DataFrame,
                 supplier: DataFrame) -> DataFrame:
     """nodes table (FIXTURES.md §3): Customer/Nation/Region/Supplier entities."""

@@ -45,3 +45,23 @@ def test_acl_filter_pushes_to_scan(spark):
     p = _plan(spark, "q1_pricing_summary")
     pushed = re.findall(r"PushedFilters: \[[^\]]*\w", p)
     assert pushed, "expected non-empty PushedFilters at the parquet scan"
+
+
+def test_spec_pushdown_filters_at_chunk_scan(spark):
+    """search_spec_pushdown (denormalized point-payload layout): the F3/F7
+    atomic-column predicates must reach PushedFilters on the chunk parquet
+    scan, and the pre-top-k pipeline must contain NO join — the only join in
+    the whole plan is the post-top-k broadcast fetch of memory rows."""
+    import re
+
+    p = _plan(spark, "search_spec_pushdown")
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
+    assert any("consent" in s for s in pushed), pushed
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+    # everything upstream of the chunk top-k is join-free: the plan prints
+    # root-first, so the LAST TakeOrderedAndProject is the pre-fetch chunk
+    # top-k (limit=60 overfetch); nothing below it may be a join
+    below_topk = p.rsplit("TakeOrderedAndProject", 1)[1]
+    assert "(limit=60" in below_topk[:40], below_topk[:200]
+    assert "Join" not in below_topk, below_topk[:2000]
