@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -70,6 +71,10 @@ HEADLINE = [
     "contamination_ngram",
     "pack_sequences",
     "prediction_validation",
+    # round 4 additions
+    "search_spec_pushdown",
+    "g15_acl_both_endpoints",
+    "graph_triangle_count",
 ]
 
 
@@ -93,23 +98,33 @@ def main():
     # the timed run below then measures what serving measures — the pruned read
     QUERIES["ann_ivf_persisted"](spark, sf_dir).count()
 
-    # min-of-2 per query: single-shot timings on this container vary up to
+    # min-of-N per query: single-shot timings on this container vary up to
     # ~2x with GC/page-cache state (PERF.md round-3 variance measurements);
     # the min is the reproducible cost of the plan, which is what the
-    # round-over-round comparison needs.
+    # round-over-round comparison needs.  EVERY raw run is kept in the JSON
+    # (queries_raw) so totals can be recomputed under any methodology —
+    # single-shot (first run), min, or median — when comparing rounds whose
+    # methods differ.  ``--medians N`` (or SPARK_GRAFT_BENCH_RUNS=N) raises
+    # the run count; medians are reported alongside the min.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    if "--medians" in sys.argv:
+        runs = max(runs, int(sys.argv[sys.argv.index("--medians") + 1]))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best, n = None, 0
+        samples, n = [], 0
         for _ in range(runs):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()  # forces full execution without driver-side row transfer
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+            samples.append(round(time.time() - t0, 3))
+        timings[name] = min(samples)
+        medians[name] = round(statistics.median(samples), 3)
+        raw[name] = samples
+        print(f"# {name}: min {timings[name]:.2f}s median {medians[name]:.2f}s "
+              f"({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -117,7 +132,11 @@ def main():
         "value": total,
         "unit": "sec",
         "method": f"min_of_{runs}_runs_per_query",
+        "total_median": round(sum(medians.values()), 3),
+        "total_first_run": round(sum(v[0] for v in raw.values()), 3),
         "queries": timings,
+        "queries_median": medians,
+        "queries_raw": raw,
         "sf": float(sf),
     }))
     spark.stop()

@@ -1880,6 +1880,61 @@ def g14_when(spark, sf_dir):
     return ev.filter(compile_when(cond)).select("event_id", "event_type", "value")
 
 
+_ACL_ARM_SQL = """({a}.user_id = 'u5'
+     OR list_contains({a}.user_read_access, 'u5')
+     OR len(list_intersect({a}.workspace_read_access, ['w1'])) > 0
+     OR len(list_intersect({a}.role_read_access, ['r2'])) > 0
+     OR list_contains({a}.organization_read_access, 'o1')
+     OR list_contains({a}.namespace_read_access, 'ns3'))
+    AND ({a}.namespace_id IS NULL OR {a}.namespace_id = 'ns3')"""
+
+
+@_register("g15_acl_both_endpoints", f"""
+WITH {MEMORIES_CTE.strip()}, edges_m AS (
+  SELECT 'm' || doc_id::VARCHAR AS src, 'm' || (doc_id + 1)::VARCHAR AS dst,
+         'RELATED_TO' AS rel_type
+  FROM documents
+), und AS (
+  SELECT src, dst, rel_type FROM edges_m
+  UNION ALL
+  SELECT dst, src, rel_type FROM edges_m
+)
+SELECT DISTINCT e.src AS m_id, e.rel_type, e.dst AS n_id
+FROM und e
+JOIN memories_d m ON e.src = m.memory_id
+ AND {_ACL_ARM_SQL.format(a='m')}
+JOIN memories_d n ON e.dst = n.memory_id
+ AND {_ACL_ARM_SQL.format(a='n')}
+""")
+def g15_acl_both(spark, sf_dir):
+    """ACL enforced on BOTH pattern endpoints: the reference's Cypher AST
+    injects the identical ACL OR-block for m AND n (models/cipher_ast.py:
+    860-883) — here the same compiled predicate is passed to match_pattern as
+    ``m_pred`` and ``n_pred`` over Memory nodes that carry the ACL arrays.
+    The oracle repeats the OR-block (+ namespace scoping) on both join arms."""
+    from .operators.graph import PatternSpec, match_pattern
+
+    docs = tables.load(spark, sf_dir, "documents")
+    mems = tables.build_memories(docs)
+    acl_cols = ["user_id", "user_read_access", "workspace_read_access",
+                "role_read_access", "organization_read_access",
+                "namespace_read_access", "organization_id", "namespace_id"]
+    nodes = mems.select(
+        F.col("memory_id").alias("node_id"), F.lit("Memory").alias("label"), *acl_cols)
+    edges = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("m"), (F.col("doc_id") + 1).cast("string")).alias("dst"),
+        F.lit("RELATED_TO").alias("rel_type"))
+    ctx = AclContext(user_id="u5", workspace_ids=["w1"], role_ids=["r2"],
+                     organization_id="o1", namespace_id="ns3", scope_namespace=True)
+    spec = PatternSpec(source_label="Memory", relationship_type="RELATED_TO",
+                       target_label="Memory")
+    out = match_pattern(nodes, edges, spec,
+                        m_pred=acl_predicate(ctx), n_pred=acl_predicate(ctx),
+                        node_cols=acl_cols)
+    return out.select("m_id", "rel_type", "n_id")
+
+
 @_register("f10_scalar_functions", """
 SELECT doc_id,
        array_to_string(list_transform(string_split(lang || ',' || source || ' , ' || 'extra', ','), t -> trim(t)), '|') AS parts,
@@ -2384,22 +2439,40 @@ FROM cn JOIN sn ON cn.nk = sn.nk
 GROUP BY cn.n
 """)
 def graph_triangle_count(spark, sf_dir):
-    """Triangle counting — the cyclic multi-way self-join of graph analytics.
-    The fixture entity graph is acyclic (customer->nation->region), so the
-    query derives bounded SAME_NATION peer edges (customer~supplier sharing a
-    nation, modulo-sampled) and counts the (customer, supplier, nation)
-    triangles each closes.  The plan is edge⋈edge on the shared endpoint with
-    map-side-combined counting — at scale the standard optimization applies
-    (orient edges low-degree->high-degree so each triangle is counted once
-    without a third join; here the nation endpoint is the pivot, making the
-    third edge implicit).  Oracle: the same two-way join, since the derived
-    peer edge exists iff the two base edges share the nation."""
+    """Triangle counting via GENUINE edge⨝edge⨝edge enumeration.  The fixture
+    entity graph is acyclic (customer->nation->region), so SAME_NATION peer
+    edges (customer~supplier sharing a nation, modulo-sampled) are derived
+    first; the edge set {c-n, s-n, c-s} then actually contains triangles.
+    The enumeration is the canonical-orientation algorithm: orient every
+    undirected edge a<b (total order on node id), build wedges x<y<z with
+    e(x,y)⨝e(y,z), close with a third join on e(x,z) — each triangle counted
+    exactly once, no double counting, no degree heuristics needed at fixture
+    scale (at 100 TB, orient by degree instead of id to bound wedge skew).
+    The oracle uses the closed-form equivalence: every triangle here contains
+    exactly one nation node and one c-s peer edge, and each same-nation (c,s)
+    pair closes exactly one triangle — so per-nation triangle counts equal
+    the two-way peer-pair counts."""
     cust = tables.load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 50 == 0)
     supp = tables.load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 5 == 0)
-    cn = cust.select(F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
-                     .alias("nation_node"), F.col("c_nationkey").alias("nk"))
-    sn = supp.select(F.col("s_nationkey").alias("nk"))
-    return (cn.join(sn, "nk")
+    c_id = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    s_id = F.concat(F.lit("s"), F.col("s_suppkey").cast("string"))
+    e_cn = cust.select(c_id.alias("u"),
+                       F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("v"))
+    e_sn = supp.select(s_id.alias("u"),
+                       F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("v"))
+    e_cs = (cust.join(supp, cust.c_nationkey == supp.s_nationkey)
+            .select(c_id.alias("u"), s_id.alias("v")))
+    edges = e_cn.unionByName(e_sn).unionByName(e_cs)
+    e = edges.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")).distinct()
+    w = (e.alias("e1").join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+         .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                 F.col("e2.b").alias("z")))
+    tri = w.join(e.alias("e3"),
+                 (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")))
+    nation = (F.when(F.col("x").startswith("n"), F.col("x"))
+              .when(F.col("y").startswith("n"), F.col("y"))
+              .otherwise(F.col("z")))
+    return (tri.select(nation.alias("nation_node"))
             .groupBy("nation_node").agg(F.count("*").alias("triangles")))
 
 

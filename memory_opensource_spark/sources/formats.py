@@ -13,6 +13,8 @@ compaction (writers.compact) remains the recommended first hop.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -42,6 +44,17 @@ def read_table(spark: SparkSession, path: str, name: str,
     """Read one logical table from ``path`` in the given format, normalized to
     the canonical column order/types regardless of on-disk format."""
     if fmt == "parquet":
+        if name == "events":
+            # delegate to tables.load: events.parquet may carry
+            # TIMESTAMP(NANOS), and once nanosAsLong is set anywhere in the
+            # session a raw read surfaces ts as BIGINT nanoseconds — the
+            # blind TimestampType cast below would interpret those as seconds
+            # (silent corruption).  tables.load sniffs the dtype and
+            # normalizes either variant to microsecond TIMESTAMP.
+            from . import tables
+
+            sf_dir = os.path.dirname(path.rstrip("/"))
+            return tables.load(spark, sf_dir, "events")
         df = spark.read.parquet(path)
     elif fmt == "json":
         df = spark.read.schema(SCHEMAS[name]).json(path)

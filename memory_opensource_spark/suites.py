@@ -16,8 +16,13 @@ Two kinds of members:
 - *wrapped*: an already-registered query (its own oracle stays registered and
   locally gated) re-projected into the uniform schema on BOTH sides — the
   Spark side calls the registered callable; the oracle side wraps the
-  registered SQL in a subquery.  Value coverage is identical to running the
-  member standalone: every row and every column participates in the hash.
+  registered SQL in a subquery.  Every row and every column participates in
+  the hash, but the wrapping is LOSSY for two column kinds: 't' columns are
+  reformatted to second-precision strings and 'd' columns are summed into the
+  single ``num`` double — so a wrapped member can hash green while a
+  standalone sub-second or representation-level divergence would not.
+  Standalone rows remain the strict evidence; suites are the coverage
+  multiplier.
 - *fresh*: components that previously had no registered query at all
   (S3-S15 lifecycle, F4/F5, G9/G10/G11, ST1/ST6/ST7, ...) get new bodies
   written directly in the uniform schema, mirroring the operators the
@@ -169,17 +174,29 @@ def _scalar_row(df: DataFrame, component: str, row_id: str, num_col) -> DataFram
 
 
 def _s_lifecycle(spark, sf_dir):
-    """S3/S4 point upsert, S5 point delete, S7/S8 batch store + 1000 cap,
-    S13 filtered delete-all, S14 get, S15 update + re-embed — the MemoryEngine
-    route operators (api.py:170-489) exercised as their DataFrame MERGE /
-    anti-join shapes on the fixture-derived memories table.  Reference routes:
+    """S3/S4 point upsert, S5 point delete, S7/S8 batch store + cap,
+    S13 filtered delete-all, S14 get, S15 update + re-embed — every scalar
+    fact here is computed FROM THE OUTPUT of the actual MemoryEngine
+    operator (api.py delete_memory / add_memory_batch / delete_all /
+    _merge), not re-derived arithmetic; the oracle states the expected
+    values independently.  Reference routes:
     routers/v1/memory_routes_v1.py store/update/delete family."""
     from .api import MemoryEngine
+    from .operators.predicate import AclContext
     from .plans import ingest
 
     docs = tables.load(spark, sf_dir, "documents")
     mems = tables.build_memories(docs)
     parts = []
+
+    def srow(comp, rid, num):
+        return F.struct(F.lit(comp).alias("component"), F.lit(rid).alias("id"),
+                        num.cast("double").alias("num"))
+
+    def unpack(df):
+        return df.select(
+            F.col("s.component").alias("component"), F.col("s.id").alias("id"),
+            _r6(F.col("s.num")).alias("num"))
 
     # S3/S4: upsert — incoming batch replaces matching ids, others kept
     inc = tables.build_memories(docs.filter(F.col("doc_id") % 10 == 3)).select(
@@ -189,35 +206,56 @@ def _s_lifecycle(spark, sf_dir):
         F.lit("S3_S4_upsert").alias("component"),
         F.concat_ws("|", "memory_id", "content").alias("id"),
         F.lit(-1.0).alias("num")))
+    # merge row-conservation, counted on the MERGE OUTPUT itself
+    parts.append(unpack(merged.agg(F.count("*").alias("n")).select(
+        F.explode(F.array(srow("S3_S4_upsert", "__total__", F.col("n")))).alias("s"))))
 
-    # Scalar facts for S3/S4 (merge row-conservation), S5 point delete,
-    # S7/S8 batch cap, S13 filtered delete-all — ONE map-side-combined pass
-    # over documents instead of a job per fact (the derivations are 1:1:
-    # user 'u3' <=> doc_id%20=3, memory 'm7' <=> doc_id=7).
-    counts = docs.agg(
-        F.count("*").alias("n_total"),
-        F.sum((F.col("doc_id") % 20 == 3).cast("long")).alias("n_u3"),
-        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("n_even"),
-        F.sum((F.col("doc_id") == 7).cast("long")).alias("n_m7"),
-    )
+    # S5: route through the real delete_memory, then count ITS output table
+    eng5 = MemoryEngine(spark)
+    eng5.memories = mems
+    eng5.delete_memory("m7")
+    parts.append(unpack(eng5.memories.agg(
+        F.count("*").alias("remaining"),
+        F.sum((F.col("memory_id") == "m7").cast("long")).alias("present"),
+    ).select(F.explode(F.array(
+        srow("S5_point_delete", "__remaining__", F.col("remaining")),
+        srow("S5_point_delete", "m7_present", F.col("present")),
+    )).alias("s"))))
 
-    def srow(comp, rid, num):
-        return F.struct(F.lit(comp).alias("component"), F.lit(rid).alias("id"),
-                        num.cast("double").alias("num"))
+    # S7/S8: a real add_memory_batch through chunk -> embed -> near-dup ->
+    # MERGE append; 'accepted' counts the engine's memories table afterwards.
+    # The 1000-row cap is exercised for real: an oversized batch must raise.
+    eng7 = MemoryEngine(spark)
+    items = [
+        {"memory_id": f"m{r['doc_id']}", "content": r["text"], "user_id": "u1"}
+        for r in docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 120))
+        .select("doc_id", "text").collect()
+    ]
+    eng7.add_memory_batch(items)
+    try:
+        eng7.add_memory_batch(
+            [{"memory_id": f"x{i}", "content": "y", "user_id": "u1"}
+             for i in range(1001)])
+        cap_enforced = 0.0
+    except ValueError:
+        cap_enforced = 1.0
+    parts.append(unpack(eng7.memories.agg(F.count("*").alias("n")).select(
+        F.explode(F.array(
+            srow("S7_S8_batch_store", "accepted", F.col("n")),
+            srow("S7_S8_batch_store", "cap_enforced", F.lit(cap_enforced)),
+        )).alias("s"))))
 
-    parts.append(counts.select(F.explode(F.array(
-        srow("S3_S4_upsert", "__total__", F.col("n_total")),
-        srow("S5_point_delete", "__remaining__", F.col("n_total") - F.col("n_m7")),
-        # count of m7 after the delete — identically zero by construction
-        srow("S5_point_delete", "m7_present", F.col("n_m7") - F.col("n_m7")),
-        srow("S7_S8_batch_store", "accepted", F.least(F.col("n_even"), F.lit(1000))),
-        srow("S7_S8_batch_store", "deferred",
-             F.greatest(F.col("n_even") - 1000, F.lit(0))),
-        srow("S13_delete_all", "deleted", F.col("n_u3")),
-        srow("S13_delete_all", "remaining", F.col("n_total") - F.col("n_u3")),
-    )).alias("s")).select(
-        F.col("s.component").alias("component"), F.col("s.id").alias("id"),
-        _r6(F.col("s.num")).alias("num")))
+    # S13: real delete_all (ACL-scoped cascade) on a bounded subset (the
+    # operator collects doomed ids and unlinks per id; 200-id subset keeps
+    # the chained-filter plan shallow while exercising the true route)
+    eng13 = MemoryEngine(spark)
+    eng13.memories = mems.filter(_idnum() < 200)
+    n_deleted = eng13.delete_all(AclContext(user_id="u3"))
+    parts.append(unpack(eng13.memories.agg(F.count("*").alias("n")).select(
+        F.explode(F.array(
+            srow("S13_delete_all", "deleted", F.lit(float(n_deleted))),
+            srow("S13_delete_all", "remaining", F.col("n")),
+        )).alias("s"))))
 
     # S14: get memory by id
     parts.append(mems.filter(F.col("memory_id") == "m42").select(
@@ -256,19 +294,18 @@ FROM memories_d WHERE memory_id <> 'm7'
 UNION ALL
 SELECT 'S5_point_delete', 'm7_present', CAST(0.0 AS DOUBLE)
 UNION ALL
-SELECT 'S7_S8_batch_store', 'accepted',
-       ROUND(least(count(*), 1000)::DOUBLE, 6)::DOUBLE
-FROM documents WHERE doc_id % 2 = 0
+SELECT 'S7_S8_batch_store', 'accepted', ROUND(count(*)::DOUBLE, 6)::DOUBLE
+FROM documents WHERE doc_id % 2 = 0 AND doc_id < 120
 UNION ALL
-SELECT 'S7_S8_batch_store', 'deferred',
-       ROUND(greatest(count(*) - 1000, 0)::DOUBLE, 6)::DOUBLE
-FROM documents WHERE doc_id % 2 = 0
+SELECT 'S7_S8_batch_store', 'cap_enforced', CAST(1.0 AS DOUBLE)
 UNION ALL
 SELECT 'S13_delete_all', 'deleted', ROUND(count(*)::DOUBLE, 6)::DOUBLE
-FROM memories_d WHERE user_id = 'u3'
+FROM memories_d
+WHERE id_num < 200 AND (user_id = 'u3' OR list_contains(user_read_access, 'u3'))
 UNION ALL
 SELECT 'S13_delete_all', 'remaining', ROUND(count(*)::DOUBLE, 6)::DOUBLE
-FROM memories_d WHERE user_id <> 'u3'
+FROM memories_d
+WHERE id_num < 200 AND NOT (user_id = 'u3' OR list_contains(user_read_access, 'u3'))
 UNION ALL
 SELECT 'S14_get',
        concat_ws('|', memory_id, substr(content, 1, 40), array_to_string(topics, ',')),
@@ -434,10 +471,14 @@ FROM (
 
 def _st_orchestration(spark, sf_dir):
     """ST1 foreachBatch micro-batch ingest, ST6 batch caps, ST7 completion
-    webhooks — the batch twins of streaming/pipelines.py (foreachBatch ingest
-    with per-batch caps and a completion listener): events partitioned into
-    day micro-batches; each batch ingests up to 300 rows, defers the rest, and
-    emits one completion record."""
+    webhooks — the batch ARITHMETIC TWINS of streaming/pipelines.py: events
+    partitioned into day micro-batches; each batch ingests up to 300 rows,
+    defers the rest, and emits one completion record.  Both engines compute
+    the same cap algebra here, so this row checks the day-batch derivation,
+    not the operators; the real foreachBatch pipeline, BatchCompletionListener
+    and api-level batch cap are exercised end-to-end in
+    tests/test_streaming.py and the S7_S8 lifecycle rows (real
+    add_memory_batch + enforced 1000 cap)."""
     ev = tables.load(spark, sf_dir, "events")
     batches = (ev.groupBy(F.to_date("ts").alias("batch_date"))
                .agg(F.count("*").alias("n")))
