@@ -65,15 +65,53 @@ def hash_embed(df: DataFrame, text_col: str = "chunk_content",
     return df.withColumn("embedding", l2_normalize(vec))
 
 
+def model_embed(df: DataFrame, embed_fn, text_col: str = "chunk_content",
+                dim: int = EMBEDDING_DIM_FIXTURE,
+                batch_size: int | None = None) -> DataFrame:
+    """The REAL-MODEL embedder seam (SURVEY §2.10 extension point): wrap any
+    ``list[str] -> list[list[float]]`` model callable as an Arrow-batched
+    pandas_udf with the same contract as :func:`hash_embed` (adds
+    ``embedding`` array<float>, L2-normalized upstream models permitted to
+    skip normalization — callers that need unit vectors compose
+    ``l2_normalize``).
+
+    ``embed_fn`` runs once per Arrow batch on the executors (serialized with
+    the UDF closure) — exactly where a sentence-transformers ``encode`` call
+    would sit; models too big to pickle should be lazily constructed inside
+    ``embed_fn`` per worker (the standard pattern).  ``batch_size`` caps rows
+    per Arrow batch via maxRecordsPerBatch at session level when set by the
+    caller; GPU-backed models want a few thousand, CPU models are
+    indifferent."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _embed(texts: "pd.Series") -> "pd.Series":  # noqa: F821 — Series->Series scalar UDF
+        vecs = embed_fn(texts.tolist())
+        return pd.Series([[float(x) for x in v] for v in vecs])
+
+    # plain-call form (not decorator): with `from __future__ import annotations`
+    # the string hints aren't resolvable by the UDF type-hint inspector, and a
+    # hintless callable defaults to the scalar Series->Series eval type.
+    _embed.__annotations__ = {}
+    udf = pandas_udf(_embed, "array<float>")
+    return df.withColumn("embedding", udf(F.col(text_col)))
+
+
 def ingest(new_memories: DataFrame, existing_chunks: DataFrame,
            dedup_threshold: float = INGEST_DEDUP_THRESHOLD,
-           dim: int = EMBEDDING_DIM_FIXTURE) -> dict[str, DataFrame]:
+           dim: int = EMBEDDING_DIM_FIXTURE,
+           embedder=None) -> dict[str, DataFrame]:
     """Full §3.2 foreground path.  Returns dict of:
     - ``chunks``: new chunk rows to append (near-dups excluded)
     - ``reused``: {new_id, reuse_id, score} mappings (V4 hits)
+
+    ``embedder``: optional ``list[str] -> list[list[float]]`` model callable
+    driven through the :func:`model_embed` pandas_udf seam; None keeps the
+    deterministic hash embedder (oracle-checkable default).
     """
     chunked = chunk_text(new_memories)
-    embedded = hash_embed(chunked, dim=dim)
+    embedded = (model_embed(chunked, embedder, dim=dim) if embedder is not None
+                else hash_embed(chunked, dim=dim))
     reused = ingest_dedup_reuse(
         embedded, existing_chunks, dedup_threshold,
         new_id="chunk_id", existing_id="chunk_id",

@@ -4500,21 +4500,21 @@ for _k in list(ORACLE):
 # (suites.py) bundle several components into one row; singles cover the rest.
 # Components per slot are listed in each suite's docstring.
 _EVIDENCE_PRIORITY = [
-    # 1-2: flagship read paths (R1/R3/R4/R5, F1, F6, V2, V12, G15)
-    "search_flagship", "search_agentic_flagship",
-    # 3-8: storage/sources S1..S15
+    # 1-3: flagship read paths (R1/R3/R4/R5, F1, F6, V2, V12, G15) + the
+    # denormalized spec-pushdown variant (F2/F3/F7 at the chunk scan)
+    "search_flagship", "search_agentic_flagship", "search_spec_pushdown",
+    # 4-8: storage/sources S1..S15
     "s1_fetch_by_ids",            # S1/S2
-    "suite_storage_lifecycle",    # S3/S4/S5/S7/S8/S13/S14/S15
+    "suite_storage_lifecycle",    # S3/S4/S5/S7/S8/S13/S14/S15 (real api ops)
     "suite_graph_sinks",          # S9/S10
-    "s11_section_hierarchy",      # S11 (page->section->chunk depth)
-    "s11_hierarchical_chunks",    # S11 (chunk windows + context)
+    "s11_section_hierarchy",      # S11 (page->section->chunk depth; chunk
+                                  # windows variant below fold)
     "s12_cascade_delete",         # S12
-    # 9-12: filters/predicates F2..F10
+    # 9-11: filters/predicates F2..F10
     "suite_filters",              # F2/F3/F4/F5/F7
     "f9_fallback_relax",          # F9
     "f10_scalar_functions",       # F10
-    "f2_array_metadata_filter",   # F2 standalone (round-1 red, kept visible)
-    # 13-22: vector/similarity V1..V12
+    # 12-21: vector/similarity V1..V12
     "v1_chunk_embed",             # V1
     "v2_cosine_topk",             # V2/F6
     "v3_scroll_fallback",         # V3/S6
@@ -4525,7 +4525,7 @@ _EVIDENCE_PRIORITY = [
     "v9_grouped_points",          # V9
     "v10_query_cache_dedupe",     # V10
     "v11_int8_quantize",          # V11
-    # 23-32: graph G1..G16
+    # 22-32: graph G1..G16 + both-endpoint ACL
     "g1_pattern_match",           # G1/G16
     "g2_two_hop_paths",           # G2
     "suite_graph_lookup",         # G3/G4/G6
@@ -4536,6 +4536,7 @@ _EVIDENCE_PRIORITY = [
     "g12_related_to_edges",       # G12
     "g13_link_to_lookup",         # G13
     "g14_constraint_when",        # G14
+    "g15_acl_both_endpoints",     # ACL OR-block on BOTH pattern endpoints
     # 33-37: ranking/aggregation R2..R17
     "r2_stratified_merge",        # R2
     "r6_rerank",                  # R6/R7
@@ -4545,7 +4546,7 @@ _EVIDENCE_PRIORITY = [
     # 38-40: streaming analogs ST1..ST8
     "suite_stream_windows",       # ST2/ST3/ST8 + ST1/ST6/ST7
     "st5_decayed_counter_replay", # ST5
-    "st2_session_windows",        # ST2 standalone (round-1 red, kept visible)
+    "st2_session_windows",        # ST2 standalone (epoch BIGINT bounds since r4)
     # 41-44: set ops / id algebra / scalar fns / UDF surface
     "ids_chunk_algebra",
     "set_ops_semi_anti",
@@ -4554,9 +4555,9 @@ _EVIDENCE_PRIORITY = [
     # 45-50: LLM-data-pipeline first-class ops
     "suite_dedup_family",         # exact/fingerprint/simhash/hamming/jaccard/minhash
     "ann_ivf_persisted",          # ANN with persisted pruned layout
-    "v2_batch_multi_query",       # batched multi-query search
-    "mm_feature_search",          # multimodal columns (rows-only by design)
-    "suite_graph_analytics",      # degree + connected components
+    "suite_pipeline_ops",         # pii/contamination/packing/sampling/mixture/profile
+    "mm_feature_search",          # multimodal columns (sha256-oracle since r4)
+    "suite_graph_analytics",      # degree + CC + pagerank + triangles + spans
     "compress_sessions",          # session compression (/compress analog)
 ]
 

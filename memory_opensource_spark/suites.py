@@ -766,12 +766,52 @@ def register(QUERIES: dict, ORACLE: dict) -> None:
         ("GA_connected_components", "graph_connected_components",
          [("node_id", "s"), ("component", "s")]),
         ("GA_pagerank", "graph_pagerank", [("node_id", "s"), ("pagerank", "d")]),
+        ("GA_triangles", "graph_triangle_count",
+         [("nation_node", "s"), ("triangles", "s")]),
+        ("GA_repeated_spans", "dedup_repeated_spans",
+         [("doc_id", "s"), ("n_spans", "s"), ("n_shared_spans", "d"),
+          ("shared_frac", "d")]),
     ]
     fn, sql = _suite(QUERIES, ORACLE, ga_members)
     fn.__doc__ = ("Graph-analytics suite: degree centrality, bounded-iteration "
                   "connected components (label propagation), 5-iteration "
-                  "PageRank — graph.py:176, queries.graph_pagerank.")
+                  "PageRank, canonical-orientation triangle enumeration, "
+                  "repeated 8-gram span mining — graph.py:176, "
+                  "queries.graph_pagerank/_triangle_count/dedup_repeated_spans.")
     reg("suite_graph_analytics", fn, sql)
+
+    pipe_members = [
+        ("PIPE_pii_redaction", "pii_redaction",
+         [("doc_id", "s"), ("n_emails", "s"), ("n_ips", "s"), ("n_phones", "s"),
+          ("redacted_md5", "s"), ("redacted_chars", "s")]),
+        ("PIPE_contamination", "contamination_ngram",
+         [("doc_id", "s"), ("n_shared_8grams", "s"), ("contaminated", "s")]),
+        ("PIPE_packing", "pack_sequences",
+         [("doc_id", "s"), ("source", "s"), ("n_tok", "s"), ("seq_id", "s"),
+          ("seq_offset", "s")]),
+        ("PIPE_sample_stratified", "sample_stratified",
+         [("doc_id", "s"), ("source", "s"), ("rate", "d"), ("u", "d")]),
+        ("PIPE_sample_fixed_k", "sample_fixed_k",
+         [("doc_id", "s"), ("source", "s"), ("sort_key", "s")]),
+        ("PIPE_sample_quality", "sample_quality_weighted",
+         [("doc_id", "s"), ("quality", "d"), ("u", "d")]),
+        ("PIPE_mixture_weights", "mixture_weights",
+         [("source", "s"), ("n_docs", "s"), ("actual_share", "d"),
+          ("target_share", "d"), ("keep_rate", "d")]),
+        ("PIPE_corpus_profile", "corpus_profile",
+         [("source", "s"), ("n_docs", "s"), ("avg_chars", "d"), ("p50_chars", "d"),
+          ("p90_chars", "d"), ("distinct_tokens", "s"), ("total_tokens", "s")]),
+        ("PIPE_dedup_keep_list", "dedup_keep_list",
+         [("doc_id", "s"), ("cluster_id", "s"), ("n_chars", "s"), ("is_keep", "s")]),
+    ]
+    fn, sql = _suite(QUERIES, ORACLE, pipe_members)
+    fn.__doc__ = ("Training-data-pipeline suite: PII redaction (md5-verified "
+                  "redacted bytes), 8-gram benchmark decontamination, sequence "
+                  "packing, stratified / fixed-k / quality-weighted sampling, "
+                  "mixture-weight planning, corpus profiling, duplicate-cluster "
+                  "keep lists — queries.py pipeline family, every member also "
+                  "standalone below the fold.")
+    reg("suite_pipeline_ops", fn, sql)
 
     # --- fresh suites -------------------------------------------------------------
     reg("suite_storage_lifecycle", _s_lifecycle,
