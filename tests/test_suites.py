@@ -33,8 +33,12 @@ def test_registry_prefix_covers_component_families():
         "suite_stream_windows", "st5_decayed_counter_replay",
         "ids_chunk_algebra", "set_ops_semi_anti", "suite_text_analysis",
         "rel_relevance_score", "suite_dedup_family", "ann_ivf_persisted",
-        "v2_batch_multi_query", "mm_feature_search", "suite_graph_analytics",
+        "mm_feature_search", "suite_graph_analytics",
         "compress_sessions",
+        # round-4 additions (V2-batch moved below fold in their favor:
+        # still locally gated, V2 covered by v2_cosine_topk + flagships)
+        "search_spec_pushdown", "g15_acl_both_endpoints", "suite_pipeline_ops",
+        "st2_session_windows",
     ]
     missing = [q for q in required if q not in top50]
     assert not missing, f"top-50 evidence window lost: {missing}"
