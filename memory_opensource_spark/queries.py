@@ -904,18 +904,40 @@ def denorm_chunks_path(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"spark_graft_chunks_denorm_{tag}")
 
 
+def _source_fingerprint(sf_dir: str, names: tuple[str, ...]) -> str:
+    """(size, mtime) fingerprint of the source parquet files — guards every
+    /tmp materialization against silent fixture drift (the round-2 incident:
+    regenerated fixtures under the same path invalidated derived state)."""
+    import os
+
+    parts = []
+    for n in names:
+        p = f"{sf_dir.rstrip('/')}/{n}.parquet"
+        st = os.stat(p)
+        parts.append(f"{n}:{st.st_size}:{int(st.st_mtime)}")
+    return "|".join(parts)
+
+
 def load_denorm_chunks(spark, sf_dir):
-    """Read the materialized denormalized chunks, building them on first use.
-    Serving queries scan THIS parquet, so spec predicates on atomic columns
-    (consent/risk/custom scalars) reach PushedFilters."""
+    """Read the materialized denormalized chunks, (re)building on first use or
+    when the source fixtures changed (fingerprint sidecar).  Serving queries
+    scan THIS parquet, so spec predicates on atomic columns (consent/risk/
+    custom scalars) reach PushedFilters."""
     import os
 
     path = denorm_chunks_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    fp = _source_fingerprint(sf_dir, ("embeddings", "documents"))
+    fp_file = path + ".fingerprint"
+    fresh = (os.path.exists(os.path.join(path, "_SUCCESS"))
+             and os.path.exists(fp_file)
+             and open(fp_file).read() == fp)
+    if not fresh:
         den = tables.build_chunks_denormalized(
             tables.load(spark, sf_dir, "embeddings"),
             tables.load(spark, sf_dir, "documents"))
         den.write.mode("overwrite").parquet(path)
+        with open(fp_file, "w") as f:
+            f.write(fp)
     return spark.read.parquet(path)
 
 
@@ -1560,8 +1582,14 @@ def ann_ivf_persisted(spark, sf_dir):
     cents = [_qvec(sf_dir, i) for i in range(8)]
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    fp = _source_fingerprint(sf_dir, ("embeddings",))
+    fp_file = path + ".fingerprint"
+    fresh = (os.path.exists(os.path.join(path, "_SUCCESS"))
+             and os.path.exists(fp_file) and open(fp_file).read() == fp)
+    if not fresh:
         ann_index.build_ivf_index(emb, path, centroids=cents)
+        with open(fp_file, "w") as f:
+            f.write(fp)
     out = ann_index.ann_query(spark, path, cents[0], k=10, nprobe=2,
                               centroids=cents, id_col="vec_id")
     return out.select("vec_id", _r6(F.col("score")).alias("score"))
