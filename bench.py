@@ -75,6 +75,7 @@ HEADLINE = [
     "search_spec_pushdown",
     "g15_acl_both_endpoints",
     "graph_triangle_count",
+    "v7_content_resolution",
 ]
 
 

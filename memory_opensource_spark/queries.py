@@ -241,6 +241,49 @@ def v4_reuse(spark, sf_dir):
     return out.select("new_id", "reuse_id", _r6(F.col("score")).alias("score"))
 
 
+@_register("v7_content_resolution", f"""
+WITH newv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+oldv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+scored AS (
+  SELECT a.vec_id AS new_id, b.vec_id AS reuse_id,
+         {_COSINE_SQL.replace('e.embedding', 'a.embedding').replace('q.embedding', 'b.embedding')} AS score
+  FROM newv a CROSS JOIN oldv b
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY new_id ORDER BY score DESC, reuse_id ASC) AS rn
+  FROM scored
+), hits AS (
+  SELECT new_id, reuse_id, score FROM ranked WHERE rn = 1 AND score > 0.95
+)
+SELECT n.vec_id AS candidate_id,
+       COALESCE(h.reuse_id, n.vec_id) AS canonical_id,
+       CASE WHEN h.reuse_id IS NULL THEN 'create' ELSE 'merge' END AS action,
+       ROUND(COALESCE(h.score, -1.0), 6)::DOUBLE AS score
+FROM newv n LEFT JOIN hits h ON n.vec_id = h.new_id
+""")
+def v7_content(spark, sf_dir):
+    """V7 entity resolution by content (_search_qdrant_for_similar_content,
+    memory/memory_graph.py:11392-11656): embed the candidate's content, find
+    the best existing node with cosine STRICTLY > 0.95 (:11557) -> merge onto
+    its canonical id, else create (canonical = own id, score sentinel -1).
+    The single-key variant of V6 with the merge-else-create decision made
+    explicit — the 1-NN + threshold core is the same ingest_dedup_reuse
+    operator the write path uses (routing: BLAS under budget, grid past it)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    hits = dedup.ingest_dedup_reuse(new, old, threshold=0.95,
+                                    new_id="vec_id", existing_id="vec_id")
+    cand = new.select(F.col("vec_id").alias("candidate_id"))
+    joined = cand.join(hits.withColumnRenamed("new_id", "candidate_id"),
+                       "candidate_id", "left")
+    return joined.select(
+        "candidate_id",
+        F.coalesce("reuse_id", "candidate_id").alias("canonical_id"),
+        F.when(F.col("reuse_id").isNull(), "create").otherwise("merge").alias("action"),
+        _r6(F.coalesce(F.col("score"), F.lit(-1.0))).alias("score"),
+    )
+
+
 @_register("v5_knn_join", f"""
 WITH scored AS (
   SELECT a.vec_id AS left_id, b.vec_id AS right_id,
