@@ -93,6 +93,13 @@ CHUNK_SCHEMA = StructType([
     StructField("namespace_read_access", ArrayType(StringType())),
     StructField("namespace_id", StringType()),
     StructField("organization_id", StringType()),
+    # denormalized searchable payload (the reference's Qdrant point-payload
+    # columns, memory/memory_graph.py:5919-6026): carried on every chunk so
+    # spec'd searches filter AT THE CHUNK SCAN with no pre-top-k join
+    # (plans/search._spec_columns_on_chunks routes automatically)
+    StructField("topics", ArrayType(StringType())),
+    StructField("consent", StringType()),
+    StructField("risk", StringType()),
 ])
 
 NODE_SCHEMA = StructType([
@@ -280,7 +287,9 @@ class MemoryEngine:
                 fresh.select("memory_id", "user_id", "user_read_access",
                              "workspace_read_access", "role_read_access",
                              "organization_read_access", "namespace_read_access",
-                             "namespace_id", "organization_id"),
+                             "namespace_id", "organization_id",
+                             # denormalized point payload (F2/F7 at chunk scan)
+                             "topics", "consent", "risk"),
                 "memory_id",
             )
         )
@@ -500,7 +509,8 @@ class MemoryEngine:
             )
             acl_cols = ["user_id", "user_read_access", "workspace_read_access",
                         "role_read_access", "organization_read_access",
-                        "namespace_read_access", "namespace_id", "organization_id"]
+                        "namespace_read_access", "namespace_id", "organization_id",
+                        "topics", "consent", "risk"]
             new_chunks = rechunked.join(changed.select("memory_id", *acl_cols), "memory_id")
             self.chunks = self.chunks.filter(F.col("memory_id") != memory_id).unionByName(
                 new_chunks.select(*CHUNK_SCHEMA.names)

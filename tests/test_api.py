@@ -274,3 +274,51 @@ class TestSearchRequestResolution:
             clamp_search_caps(5, 15)
         with pytest.raises(ValueError):
             clamp_search_caps(20, 51)
+
+
+def test_chunks_carry_denormalized_payload_and_search_pushes_spec(spark):
+    """The write path denormalizes topics/consent/risk onto chunk rows (the
+    reference's Qdrant point payload), so a spec'd engine search filters at
+    the chunk scan — no join upstream of the overfetch top-k."""
+    eng = MemoryEngine(spark, dim=16)
+    eng.add_memory_batch([
+        {"memory_id": "m1", "content": "berlin travel notes",
+         "user_id": "alice", "topics": ["travel", "de"]},
+        {"memory_id": "m2", "content": "paris travel notes",
+         "user_id": "alice", "topics": ["travel", "fr"]},
+        {"memory_id": "m3", "content": "berlin finance notes",
+         "user_id": "alice", "topics": ["finance", "de"]},
+    ])
+    for c in ("topics", "consent", "risk"):
+        assert c in eng.chunks.columns
+
+    spec = FilterSpec(topics=["travel"])
+    out = eng.search("travel notes", ctx=AclContext(user_id="alice"),
+                     spec=spec, score_threshold=None)
+    assert {r.memory_id for r in out.collect()} == {"m1", "m2"}
+    # plan shape: the spec adds ZERO joins over the unspec'd search (it
+    # filters the chunk rows directly instead of semi-joining memories;
+    # the engine's in-memory chunk table already contains MERGE anti-joins
+    # in its lineage, so compare join counts, not absolute absence)
+    base = eng.search("travel notes", ctx=AclContext(user_id="alice"),
+                      score_threshold=None)
+    def njoins(plan):
+        return sum(plan.count(op) for op in
+                   ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"))
+
+    # fresh (uncollected) frames: an executed AQE plan prints Final+Initial
+    # sections and would double-count operators
+    fresh = eng.search("travel notes", ctx=AclContext(user_id="alice"),
+                       spec=spec, score_threshold=None)
+    plan_spec = fresh._jdf.queryExecution().executedPlan().toString()
+    plan_base = base._jdf.queryExecution().executedPlan().toString()
+    assert njoins(plan_spec) == njoins(plan_base), "spec added a join"
+    # and the topics predicate runs below the overfetch top-k (chunk side)
+    below_topk = plan_spec.rsplit("TakeOrderedAndProject", 1)[1]
+    assert "arrays_overlap" in below_topk
+
+    # update path keeps the payload columns intact on re-embedded chunks
+    assert eng.update_memory("m1", content="berlin travel diary updated")
+    row = eng.chunks.filter(F.col("memory_id") == "m1").first()
+    assert row.topics == ["travel", "de"] and row.consent is not None
