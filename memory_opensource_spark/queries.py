@@ -1911,6 +1911,32 @@ def mm_search(spark, sf_dir):
     return out.select("feat_id", _r6(F.col("score")).alias("score"))
 
 
+@_register("mm_metadata_pruning", """
+SELECT 'media' || doc_id::VARCHAR AS media_id,
+       CASE (doc_id % 3) WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime_type,
+       (doc_id % 1920)::INT AS meta_width,
+       (doc_id % 1080)::INT AS meta_height
+FROM documents
+WHERE (doc_id % 3) = 0 AND (doc_id % 1920) > 100
+""")
+def mm_metadata_pruning(spark, sf_dir):
+    """Multimodal metadata-only filter: select wide images WITHOUT touching the
+    binary payload.  The media table keeps typed metadata in sibling columns
+    precisely so queries like this prune the opaque bytes at the scan
+    (multimodal.py design note) — the physical plan's ReadSchema excludes both
+    `content` and the `text` column it derives from
+    (tests/test_plan_shapes.py asserts this).  At 100 TB of media this is the
+    difference between scanning kilobytes of metadata and petabytes of
+    blobs."""
+    from .sources import multimodal
+
+    docs = tables.load(spark, sf_dir, "documents")
+    media = multimodal.build_media_table(docs)
+    return (media.filter((F.col("modality") == "image") & (F.col("meta_width") > 100))
+            .select("media_id", "mime_type", "meta_width", "meta_height"))
+
+
 # ---------------------------------------------------------------------------------
 # G13 link_to lookup, G14 when-compiler, F10 scalar functions, relevance formula
 # ---------------------------------------------------------------------------------

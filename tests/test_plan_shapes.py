@@ -65,3 +65,15 @@ def test_spec_pushdown_filters_at_chunk_scan(spark):
     below_topk = p.rsplit("TakeOrderedAndProject", 1)[1]
     assert "(limit=60" in below_topk[:40], below_topk[:200]
     assert "Join" not in below_topk, below_topk[:2000]
+
+
+def test_mm_metadata_filter_never_reads_blobs(spark):
+    """mm_metadata_pruning: filtering media on typed metadata must not read
+    the binary payload — ReadSchema on the documents scan excludes `text`
+    (which the content bytes derive from), proving blob-column pruning."""
+    import re
+
+    p = _plan(spark, "mm_metadata_pruning")
+    schemas = re.findall(r"ReadSchema: (\S+)", p)
+    assert schemas, p[:500]
+    assert all("text" not in s for s in schemas), schemas
