@@ -109,7 +109,10 @@ def main():
     # the run count; medians are reported alongside the min.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     if "--medians" in sys.argv:
-        runs = max(runs, int(sys.argv[sys.argv.index("--medians") + 1]))
+        try:
+            runs = max(runs, int(sys.argv[sys.argv.index("--medians") + 1]))
+        except (IndexError, ValueError):
+            print(f"# --medians needs an integer; using {runs} runs", file=sys.stderr)
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
@@ -128,18 +131,42 @@ def main():
               f"({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # Raw samples + medians go to a SIDECAR file, not the final stdout line:
+    # inlining them in round 4 pushed the line past the driver's ~2000-char
+    # tail capture (BENCH_r04.json parsed: null).  The LAST stdout line must
+    # stay compact and parseable — headline totals + 2-decimal per-query mins.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump({
+            "metric": "headline_query_wall_clock_total",
+            "value": total,
+            "unit": "sec",
+            "method": f"min_of_{runs}_runs_per_query",
+            "total_median": round(sum(medians.values()), 3),
+            "total_first_run": round(sum(v[0] for v in raw.values()), 3),
+            "queries": timings,
+            "queries_median": medians,
+            "queries_raw": raw,
+            "sf": float(sf),
+        }, f, indent=1)
+    print(f"# full raw/median detail written to {detail_path}", file=sys.stderr)
+
+    final = {
         "metric": "headline_query_wall_clock_total",
         "value": total,
         "unit": "sec",
         "method": f"min_of_{runs}_runs_per_query",
         "total_median": round(sum(medians.values()), 3),
-        "total_first_run": round(sum(v[0] for v in raw.values()), 3),
-        "queries": timings,
-        "queries_median": medians,
-        "queries_raw": raw,
+        "n_queries": len(timings),
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": float(sf),
-    }))
+    }
+    line = json.dumps(final, separators=(",", ":"))
+    if len(line) > 1800:  # never risk tail-capture truncation again
+        final.pop("queries")
+        line = json.dumps(final, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -534,12 +534,27 @@ class MemoryEngine:
         )
 
     def delete_all(self, ctx: AclContext) -> int:
-        """S13: cascade-delete everything the caller can write (scoped by ACL)."""
+        """S13: cascade-delete everything the caller can write (scoped by ACL;
+        routers/v1/memory_routes_v1.py:1270-1303 is a filtered cascade, not a
+        per-id loop).  One LEFT ANTI join per table against the doomed-id set
+        — no driver-side id collection, plan depth O(1) regardless of how many
+        memories match.  The doomed set is bounded by the ACL scope of one
+        caller, so Catalyst/AQE can broadcast it under every realistic
+        workload; `delete_memory` stays as the 1-row special case."""
         doomed = self.memories.filter(compile_filter(ctx, None)).select("memory_id")
         n = doomed.count()
-        ids = [r.memory_id for r in doomed.collect()]
-        for mid in ids:
-            self.delete_memory(mid)
+        if n == 0:
+            return 0
+        self.memories = self.memories.join(doomed, "memory_id", "left_anti")
+        self.chunks = self.chunks.join(doomed, "memory_id", "left_anti")
+        self.nodes = self.nodes.join(
+            doomed.withColumnRenamed("memory_id", "node_id"), "node_id", "left_anti"
+        )
+        self.edges = (
+            self.edges
+            .join(doomed.withColumnRenamed("memory_id", "src"), "src", "left_anti")
+            .join(doomed.withColumnRenamed("memory_id", "dst"), "dst", "left_anti")
+        )
         return n
 
     # ---- graph (G10 override path) ------------------------------------------------

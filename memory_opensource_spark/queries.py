@@ -430,7 +430,7 @@ WITH tok AS (
 )
 SELECT s.doc_id,
        COUNT(*) AS n_spans,
-       SUM(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END) AS n_shared_spans,
+       SUM(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared_spans,
        ROUND(SUM(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE
              / COUNT(*), 6)::DOUBLE AS shared_frac
 FROM spans s JOIN span_docs d ON s.h = d.h
@@ -803,7 +803,7 @@ WITH {EVENTS}, ordered AS (
 ), sess AS (
   SELECT user_id, ts,
          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
   FROM ordered
 )
 SELECT user_id, session_id, COUNT(*) AS message_count,
@@ -812,12 +812,13 @@ SELECT user_id, session_id, COUNT(*) AS message_count,
 FROM sess GROUP BY user_id, session_id
 """)
 def st2(spark, sf_dir):
-    # session bounds emitted as epoch-second BIGINTs on both sides: timestamp-
-    # typed output columns hash-drift in the driver even at whole seconds
-    # (Spark datetime64[us] vs DuckDB TIMESTAMP representation — rounds 1 and 3
-    # both red with rows+schema green), while the string-serialized suite twin
-    # of the identical values passes.  Integer epochs sidestep the
-    # representation entirely; tools/check.py now rejects timestamp outputs.
+    # The rounds-1/3/4 driver hash-red was DTYPE drift on session_id, not the
+    # timestamps: DuckDB types windowed SUM(integer) as HUGEINT, pandas
+    # materializes HUGEINT as float64 (3.0), Spark emits int64 (3); Python
+    # equality hid it locally until tools/check.py became dtype-tagged.  The
+    # oracle now casts session_id::BIGINT; session bounds stay epoch BIGINT
+    # on both sides per house rule (timestamp outputs are representation-
+    # sensitive in the driver canonicalizer).
     ev = tables.load(spark, sf_dir, "events")
     sess = windows.session_ids(ev, "user_id", "ts", 1800)
     return sess.groupBy("user_id", "session_id").agg(
@@ -2631,12 +2632,12 @@ SELECT COALESCE(namespace_id, '__legacy__') AS namespace_id,
                      + ((CASE WHEN namespace_id IS NULL THEN 30
                               ELSE 30 + (substr(namespace_id, 3)::INT % 3) * 30 END))
                        * INTERVAL 1 DAY
-                THEN 0 ELSE 1 END) AS retained,
+                THEN 0 ELSE 1 END)::BIGINT AS retained,
        SUM(CASE WHEN created_at < TIMESTAMP '2024-01-01 00:00:00'
                      + ((CASE WHEN namespace_id IS NULL THEN 30
                               ELSE 30 + (substr(namespace_id, 3)::INT % 3) * 30 END))
                        * INTERVAL 1 DAY
-                THEN 1 ELSE 0 END) AS expired
+                THEN 1 ELSE 0 END)::BIGINT AS expired
 FROM memories_d
 GROUP BY 1
 """)
@@ -2770,7 +2771,7 @@ WITH events_us AS (
 ), sess AS (
   SELECT user_id, t,
          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
   FROM ordered
 ), bounds AS (
   SELECT user_id, session_id, MIN(t) AS start_s, MAX(t) AS end_s
@@ -3083,14 +3084,14 @@ WITH {EVENTS}, ordered AS (
 ), sess AS (
   SELECT user_id, ts, event_type, value,
          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
   FROM ordered
 )
 SELECT 'sess_' || user_id::VARCHAR || '_' || session_id::VARCHAR AS memory_id,
        user_id, session_id,
        COUNT(*) AS message_count,
        ROUND(SUM(value), 2)::DOUBLE AS value_sum,
-       floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS duration_s,
+       (floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))))::BIGINT AS duration_s,
        MAX(event_type) AS dominant_type
 FROM sess
 GROUP BY user_id, session_id
@@ -3471,7 +3472,7 @@ WITH {EVENTS}, base AS (
 ), sess AS (
   SELECT user_id, ts, event_type,
          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
   FROM ordered
 ), tok_counts AS (
   SELECT user_id, session_id, event_type, COUNT(*) AS c
@@ -3840,7 +3841,7 @@ WITH {EVENTS}, ordered AS (
 ), sess AS (
   SELECT user_id, ts,
          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
   FROM ordered
 ), counts AS (
   SELECT user_id, session_id, COUNT(*) AS message_count
@@ -4489,7 +4490,7 @@ WITH {EVENTS}, sess0 AS (
 ), sess AS (
   SELECT user_id, ts, event_id, event_type,
          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
   FROM sess0
 ), bounds AS (
   SELECT user_id, session_id,
@@ -4643,7 +4644,9 @@ _EVIDENCE_PRIORITY = [
     # 38-40: streaming analogs ST1..ST8
     "suite_stream_windows",       # ST2/ST3/ST8 + ST1/ST6/ST7
     "st5_decayed_counter_replay", # ST5
-    "st2_session_windows",        # ST2 standalone (epoch BIGINT bounds since r4)
+    "st2_session_windows",        # ST2 standalone (r5: session_id::BIGINT —
+                                  # the r1/r3/r4 red was HUGEINT->float64 SUM
+                                  # dtype drift, not timestamps)
     # 41-44: set ops / id algebra / scalar fns / UDF surface
     "ids_chunk_algebra",
     "set_ops_semi_anti",

@@ -72,6 +72,21 @@ def test_delete_all_scoped(engine):
     n = engine.delete_all(AclContext(user_id="alice"))
     assert n == 2  # m1, m2 owned-or-readable by alice; m3 (carol) stays
     assert engine.get_memory("m3") is not None
+    assert engine.get_memory("m1") is None
+    assert engine.chunks.filter(F.col("memory_id").isin("m1", "m2")).count() == 0
+
+
+def test_delete_all_is_set_based(engine):
+    # S13 must be one anti-join per table, not a driver-side per-id loop of
+    # chained filters: plan depth stays O(1) in the number of doomed ids.
+    engine.delete_all(AclContext(user_id="alice"))
+    plan = engine.memories._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan
+    # no per-id NOT-equal chain survived the rewrite
+    assert "NOT (memory_id" not in plan.replace("= m", "= <id>")
+    for df, col in [(engine.chunks, "memory_id"), (engine.nodes, "node_id"),
+                    (engine.edges, "src")]:
+        assert "LeftAnti" in df._jdf.queryExecution().optimizedPlan().toString()
 
 
 def test_add_graph_merge_and_endpoint_check(engine):

@@ -22,9 +22,35 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineite
 class CanonicalizerHazard(Exception):
     """Raised when an output column would crash or flake the driver's
     precision-sensitive canonicalizer (arrays -> unhashable; timestamp-typed
-    columns -> hash drift between Spark's and DuckDB's datetime
-    representations, observed twice on whole-second values: st2 rounds 1+3
-    rows+schema green, hash red)."""
+    columns -> representation-sensitive; int64-vs-float64 dtype drift ->
+    hash-distinct even when numerically equal).  The st2 rounds-1/3/4 red was
+    the third class: DuckDB types SUM(integer) — windowed OR grouped — as
+    HUGEINT, which pandas materializes as float64 (verified on this
+    container's duckdb 1.0.0), while Spark emits int64; Python's 3.0 == 3
+    hid it here until normalize became dtype-tagged."""
+
+
+def _tag_cell(v):
+    """Canonical per-cell encoding that keeps int and float DISTINCT (the
+    driver's value hash distinguishes 3 from 3.0; a plain tuple compare does
+    not).  Floats are rounded to 6 places before tagging; NaN/None collapse
+    to one null sentinel per kind so ordering stays total."""
+    import math
+
+    import numpy as np
+
+    if v is None:
+        return ("_", "null")
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return ("f", "nan")
+        return ("f", round(f, 6))
+    return ("s", str(v))
 
 
 def normalize(df, strict=True):
@@ -54,17 +80,22 @@ def normalize(df, strict=True):
             df[c] = df[c].round(6)
         if "datetime" in str(df[c].dtype):
             if strict:
-                # st2 proved even whole-second timestamps hash-mismatch in the
-                # driver (Spark vs DuckDB datetime representation); the ONLY
-                # safe encodings are epoch BIGINT (unix_timestamp / epoch()) or
-                # formatted varchar on both sides.
+                # Timestamp-typed outputs are representation-sensitive in the
+                # driver's canonicalizer (Spark datetime64 vs DuckDB TIMESTAMP
+                # materialization details), and the r4 st2 diagnosis showed how
+                # easily a dtype mismatch hides behind Python equality.  House
+                # rule stays: emit epoch BIGINT (unix_timestamp /
+                # floor(epoch())::BIGINT) or formatted varchar on BOTH sides.
+                # (NB: the proven hash-red class is int64-vs-float64 dtype
+                # drift — see _tag_cell — not whole-second timestamps; r12 was
+                # driver-green with a timestamp column in r3.)
                 raise CanonicalizerHazard(
-                    f"column {c!r} is timestamp-typed — driver hash drifts on "
-                    "datetime representation even at whole seconds; emit epoch "
-                    "BIGINT (unix_timestamp / floor(epoch())::BIGINT) instead"
+                    f"column {c!r} is timestamp-typed — emit epoch BIGINT "
+                    "(unix_timestamp / floor(epoch())::BIGINT) or varchar on "
+                    "both sides instead"
                 )
             df[c] = df[c].astype("datetime64[us]")
-    recs = [tuple(r) for r in df.itertuples(index=False)]
+    recs = [tuple(_tag_cell(v) for v in r) for r in df.itertuples(index=False)]
     return sorted(recs, key=repr)
 
 
