@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vector import l2_normalize, to_double
-from ..operators.similarity import ivf_assign, topk_search
+from ..operators.similarity import ivf_assign_multi, topk_search
 from .writers import write_partitioned
 
 BUCKET_COL = "ivf_bucket"
@@ -59,16 +59,23 @@ def train_centroids(df: DataFrame, n_centroids: int, vec_col: str = "embedding",
 def build_ivf_index(df: DataFrame, index_path: str,
                     centroids: list[list[float]] | None = None,
                     n_centroids: int = 32, vec_col: str = "embedding",
-                    mode: str = "overwrite") -> list[list[float]]:
+                    mode: str = "overwrite", assign_k: int = 1) -> list[list[float]]:
     """Assign every vector to its centroid and persist partitioned by bucket.
     Centroids are stored alongside (``<path>.centroids``) so query time needs
-    no re-training.  Returns the centroid list."""
+    no re-training.  Returns the centroid list.
+
+    ``assign_k`` > 1 enables multi-assignment (spill): each vector is
+    replicated into its top-``assign_k`` buckets — storage x``assign_k``,
+    same per-bucket probe cost, higher recall on boundary vectors
+    (``ann_query`` de-duplicates ids).  Recall/scan trade measured in
+    PERF.md's round-5 table."""
     cents = centroids if centroids is not None else train_centroids(df, n_centroids, vec_col)
-    bucketed = ivf_assign(df, cents, vec_col, bucket_col=BUCKET_COL)
+    bucketed = ivf_assign_multi(df, cents, assign_k, vec_col, bucket_col=BUCKET_COL)
     write_partitioned(bucketed, index_path, [BUCKET_COL], mode=mode)
     spark = df.sparkSession
     cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cid int, centroid array<double>"
+        [(i, c, assign_k) for i, c in enumerate(cents)],
+        "cid int, centroid array<double>, assign_k int",
     )
     cdf.coalesce(1).write.mode("overwrite").parquet(_centroids_path(index_path))
     return cents
@@ -77,6 +84,15 @@ def build_ivf_index(df: DataFrame, index_path: str,
 def load_centroids(spark: SparkSession, index_path: str) -> list[list[float]]:
     rows = spark.read.parquet(_centroids_path(index_path)).orderBy("cid").collect()
     return [[float(x) for x in r.centroid] for r in rows]
+
+
+def _index_assign_k(spark: SparkSession, index_path: str) -> int:
+    """assign_k recorded at build time; pre-round-5 sidecars lack the column
+    (always single-assignment)."""
+    sdf = spark.read.parquet(_centroids_path(index_path))
+    if "assign_k" not in sdf.columns:
+        return 1
+    return int(sdf.select(F.max("assign_k")).first()[0] or 1)
 
 
 def probe_buckets(query_vec: list[float], centroids: list[list[float]],
@@ -104,6 +120,18 @@ def ann_query(spark: SparkSession, index_path: str, query_vec: list[float],
     df = spark.read.parquet(index_path).filter(F.col(BUCKET_COL).isin(probe))
     if pred is not None:
         df = df.filter(pred)
+    # Multi-assigned (spill) layouts replicate a vector across buckets; when
+    # two of its buckets are probed the same id reaches the candidate set
+    # twice with an identical score and could occupy two top-k slots.  Dedup
+    # the candidates — bounded by the probed nprobe/C subset.  Gated on the
+    # build-time assign_k so the common single-assignment read path keeps its
+    # zero-shuffle TakeOrdered plan.
+    try:
+        multi = _index_assign_k(spark, index_path) > 1
+    except Exception:  # caller-supplied centroids, no sidecar on disk
+        multi = False
+    if multi:
+        df = df.dropDuplicates([id_col])
     return topk_search(df, query_vec, k, None, vec_col, id_col,
                        score_threshold=None).drop(BUCKET_COL)
 

@@ -13,7 +13,6 @@ compaction (writers.compact) remains the recommended first hop.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,16 +44,15 @@ def read_table(spark: SparkSession, path: str, name: str,
     the canonical column order/types regardless of on-disk format."""
     if fmt == "parquet":
         if name == "events":
-            # delegate to tables.load: events.parquet may carry
-            # TIMESTAMP(NANOS), and once nanosAsLong is set anywhere in the
-            # session a raw read surfaces ts as BIGINT nanoseconds — the
-            # blind TimestampType cast below would interpret those as seconds
-            # (silent corruption).  tables.load sniffs the dtype and
-            # normalizes either variant to microsecond TIMESTAMP.
-            from . import tables
+            # events parquet may carry TIMESTAMP(NANOS), and once nanosAsLong
+            # is set anywhere in the session a raw read surfaces ts as BIGINT
+            # nanoseconds — the blind TimestampType cast below would interpret
+            # those as seconds (silent corruption).  The shared sniff reads
+            # the CALLER'S path (not the canonical fixture path) and
+            # normalizes either on-disk variant to microsecond TIMESTAMP.
+            from .tables import read_events_parquet
 
-            sf_dir = os.path.dirname(path.rstrip("/"))
-            return tables.load(spark, sf_dir, "events")
+            return read_events_parquet(spark, path)
         df = spark.read.parquet(path)
     elif fmt == "json":
         df = spark.read.schema(SCHEMAS[name]).json(path)

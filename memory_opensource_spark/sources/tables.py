@@ -28,23 +28,30 @@ N_USERS = 20          # synthetic tenant population for ACL derivation
 N_WORKSPACES = 8
 
 
+def read_events_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read an events-shaped parquet AT THE GIVEN PATH with the ts-dtype
+    sniff: events.parquet has shipped as TIMESTAMP(NANOS) in some fixture
+    generations (Spark's vectorized reader rejects it) and TIMESTAMP(US) in
+    others — adapt to whichever is on disk.  nanosAsLong makes the NANOS
+    variant readable as BIGINT; the US variant arrives as TIMESTAMP_NTZ
+    (inferTimestampNTZ).  Both normalize to the session TIMESTAMP type (UTC)
+    at microsecond precision, matching the oracle's ``ts::TIMESTAMP``
+    (oracle.py EVENTS_CTE).  Factored out of :func:`load` so non-canonical
+    paths (compacted/round-tripped copies via formats.read_table) get the
+    same normalization instead of being rerouted to the fixture path."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    ts_type = dict(df.dtypes).get("ts", "")
+    if ts_type in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet has shipped as TIMESTAMP(NANOS) in some fixture
-        # generations (Spark's vectorized reader rejects it) and TIMESTAMP(US)
-        # in others — adapt to whichever is on disk.  nanosAsLong makes the
-        # NANOS variant readable as BIGINT; the US variant arrives as
-        # TIMESTAMP_NTZ (inferTimestampNTZ).  Both normalize to the session
-        # TIMESTAMP type (UTC) at microsecond precision, matching the oracle's
-        # ``ts::TIMESTAMP`` (oracle.py EVENTS_CTE).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_type = dict(df.dtypes).get("ts", "")
-        if ts_type in ("bigint", "long"):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        else:
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return read_events_parquet(spark, f"{sf_dir}/{name}.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

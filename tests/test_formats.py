@@ -54,3 +54,25 @@ def test_schema_is_explicit_not_inferred(spark):
             "bigint", "timestamp", "bigint", "string", "double", "string"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_parquet_events_read_from_noncanonical_path(spark):
+    """ADVICE r4: read_table(fmt='parquet') must honor the CALLER'S path — a
+    round-tripped/compacted events parquet at a non-fixture basename reads
+    correctly (ts normalized), instead of silently rerouting to
+    {dir}/events.parquet."""
+    from memory_opensource_spark.sources import formats, tables
+
+    ev = tables.load(spark, SF_DIR, "events")
+    d = tempfile.mkdtemp()
+    try:
+        # round-trip writes TIMESTAMP(US) parquet under a non-canonical name;
+        # no file named events.parquet exists in d
+        ev.limit(500).coalesce(1).write.mode("overwrite").parquet(f"{d}/ev_compacted")
+        got = formats.read_table(spark, f"{d}/ev_compacted", "events", "parquet")
+        assert got.count() == 500
+        assert dict(got.dtypes)["ts"] == "timestamp"
+        want = _canon(ev.limit(500))
+        assert _canon(got) == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -170,3 +170,64 @@ def test_ivf_kmeans_recall_beats_sampled(spark):
     sampled_cents = [list(mat[i]) for i in range(16)]
     r_km, r_sm = recall(kmeans_cents), recall(sampled_cents)
     assert r_km > r_sm, (r_km, r_sm)
+
+
+def test_ivf_multi_assign_index(spark, tmp_path):
+    """assign_k=2 (spill) layout: every vector lands in exactly its top-2
+    buckets, the query path de-duplicates replicated candidates, pruning
+    still holds, and recall at matched nprobe can only go up vs
+    single-assignment (boundary vectors reachable from both sides)."""
+    import numpy as np
+
+    from memory_opensource_spark.sources import ann_index
+
+    emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    p1 = str(tmp_path / "ivf_a1")
+    p2 = str(tmp_path / "ivf_a2")
+    cents = ann_index.build_ivf_index(emb, p1, n_centroids=8)
+    ann_index.build_ivf_index(emb, p2, centroids=cents, assign_k=2)
+
+    # replication factor is exactly assign_k, and each (vec, bucket) is unique
+    idx2 = spark.read.parquet(p2)
+    assert idx2.count() == 2 * n
+    assert idx2.select("vec_id", "ivf_bucket").distinct().count() == 2 * n
+    assert ann_index._index_assign_k(spark, p2) == 2
+    assert ann_index._index_assign_k(spark, p1) == 1
+
+    # spill bucket = second-best centroid: spot-check against numpy argsort
+    cmat = np.asarray(cents)
+    row = emb.filter(F.col("vec_id") == 1).first()
+    v = np.asarray(list(row.embedding), dtype="float64")
+    v /= np.linalg.norm(v)
+    want = set(np.argsort(-(cmat @ v))[:2])
+    got = {r.ivf_bucket for r in idx2.filter(F.col("vec_id") == 1).collect()}
+    assert got == want
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    out = ann_index.ann_query(spark, p2, qvec, k=10, nprobe=3,
+                              id_col="vec_id").collect()
+    assert len(out) == 10
+    assert len({r.vec_id for r in out}) == 10  # dedup: no replicated ids
+    assert ann_index.pruning_evidence(spark, p2, qvec, nprobe=3)
+
+    # recall vs exact, matched nprobe: spill >= single assignment
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([list(r.embedding) for r in rows], dtype="float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.default_rng(7)
+    recs = {p: 0 for p in (p1, p2)}
+    queries = rng.choice(len(ids), size=10, replace=False)
+    for qi in queries:
+        s = mat @ mat[qi]
+        s[qi] = -np.inf
+        true = set(ids[np.argsort(-s)[:5]])
+        q = [float(x) for x in mat[qi]]
+        for p in (p1, p2):
+            got5 = {r.vec_id for r in
+                    ann_index.ann_query(spark, p, q, k=6, nprobe=2,
+                                        id_col="vec_id").collect()
+                    if r.vec_id != ids[qi]}
+            recs[p] += len(true & got5)
+    assert recs[p2] >= recs[p1]

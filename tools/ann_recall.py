@@ -46,25 +46,34 @@ def main():
     # IVF: sampled (first-C) vs k-means centroids, assignment by max dot
     from memory_opensource_spark.sources.ann_index import train_centroids
 
-    trained = {c: np.asarray(train_centroids(emb, c)) for c in (16, 32)}
-    for trainer, n_cents, nprobe in [
-        ("sampled", 16, 1), ("sampled", 16, 2), ("sampled", 16, 4), ("sampled", 32, 4),
-        ("kmeans", 16, 1), ("kmeans", 16, 2), ("kmeans", 16, 4),
-        ("kmeans", 32, 4), ("kmeans", 32, 8),
+    trained = {c: np.asarray(train_centroids(emb, c)) for c in (16, 32, 64, 128, 256)}
+    for trainer, n_cents, nprobe, assign_k in [
+        ("sampled", 16, 2, 1), ("sampled", 32, 4, 1),
+        ("kmeans", 16, 2, 1), ("kmeans", 16, 4, 1),
+        ("kmeans", 32, 4, 1), ("kmeans", 32, 8, 1),
+        # round-5: the C scaling law at ~matched scan fraction (~12.5%)
+        ("kmeans", 64, 8, 1), ("kmeans", 128, 16, 1), ("kmeans", 256, 32, 1),
+        # round-5: multi-assignment (spill) — replicated rows counted in scan
+        ("kmeans", 128, 12, 2), ("kmeans", 256, 24, 2), ("kmeans", 256, 32, 2),
     ]:
         cents = trained[n_cents] if trainer == "kmeans" else mat[:n_cents]
-        assign = np.argmax(mat @ cents.T, axis=1)
+        sims_all = mat @ cents.T
+        assign = np.argsort(-sims_all, axis=1)[:, :assign_k]  # (n, assign_k)
         hits, frac = 0, 0.0
         for qi in q_idx:
             order = np.argsort(-(cents @ mat[qi]))[:nprobe]
-            cand_mask = np.isin(assign, order)
-            frac += cand_mask.mean()
+            in_probe = np.isin(assign, order)
+            cand_mask = in_probe.any(axis=1)
+            # scanned rows include replicas: a spill layout stores assign_k
+            # copies, so cost = rows-in-probed-buckets, not distinct vectors
+            frac += in_probe.sum() / len(mat)
             cand = np.where(cand_mask)[0]
             s = mat[cand] @ mat[qi]
             keep = cand[np.argsort(-s)]
             keep = [c for c in keep if c != qi][:k]
             hits += len(truth[qi] & set(ids[keep]))
-        print(f"ivf[{trainer}] C={n_cents} nprobe={nprobe}: "
+        tag = f" assign={assign_k}" if assign_k > 1 else ""
+        print(f"ivf[{trainer}] C={n_cents} nprobe={nprobe}{tag}: "
               f"recall@{k}={hits/(k*n_queries):.3f} scan_frac={frac/n_queries:.3f}")
 
     # LSH: random hyperplane signatures, candidates = same bucket in any table
