@@ -1,0 +1,125 @@
+"""TxnTable: snapshot isolation, optimistic concurrency, MERGE file skipping,
+time travel, change feed — the flag-gated transactional tier of SURVEY §1.5
+(the reference's point-write transactions; at production scale this protocol
+is Delta/Iceberg, see PERF.md round-5 section)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from memory_opensource_spark.sources.txn import ConcurrentWriteError, TxnTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"), keys=["memory_id"])
+    base = spark.createDataFrame(
+        [(f"m{i:04d}", i, "base") for i in range(100)],
+        "memory_id string, n int, tag string",
+    )
+    # two files with DISJOINT key ranges so merge can prove skipping
+    lo = base.filter(F.col("memory_id") < "m0050").coalesce(1)
+    hi = base.filter(F.col("memory_id") >= "m0050").coalesce(1)
+    t.overwrite(lo)
+    t.append(hi)
+    return t
+
+
+def test_read_reflects_both_commits(table):
+    assert table.read().count() == 100
+    assert table.current_version() == 1
+
+
+def test_merge_replaces_and_inserts(table):
+    inc = table.spark.createDataFrame(
+        [("m0007", 700, "patched"), ("m9999", 1, "new")],
+        "memory_id string, n int, tag string",
+    )
+    table.merge(inc)
+    out = {r.memory_id: (r.n, r.tag) for r in table.read().collect()}
+    assert len(out) == 101
+    assert out["m0007"] == (700, "patched")
+    assert out["m9999"] == (1, "new")
+    assert out["m0008"] == (8, "base")
+
+
+def test_merge_skips_files_outside_key_range(table):
+    # incoming touches only the low file's range -> the high file must be
+    # carried by reference, not rewritten
+    inc = table.spark.createDataFrame(
+        [("m0001", -1, "x")], "memory_id string, n int, tag string"
+    )
+    hit, miss = table.matched_files(inc)
+    assert len(hit) == 1 and len(miss) == 1
+    before = table._read_manifest(table.current_version())["files"]
+    untouched_rel = miss[0]
+    table.merge(inc)
+    after = table._read_manifest(table.current_version())["files"]
+    assert untouched_rel in after  # same physical file, moved by reference
+    assert after[untouched_rel] == before[untouched_rel]
+    assert table.read().filter(F.col("memory_id") == "m0001").first().n == -1
+    assert table.read().count() == 100
+
+
+def test_optimistic_concurrency_one_writer_wins(table):
+    v = table.current_version()
+    inc_a = table.spark.createDataFrame(
+        [("m0001", 1, "a")], "memory_id string, n int, tag string"
+    )
+    inc_b = table.spark.createDataFrame(
+        [("m0002", 2, "b")], "memory_id string, n int, tag string"
+    )
+    # simulate a race: prepare B's files against snapshot v, commit A first
+    files_b = table._write_data_files(inc_b)
+    table.merge(inc_a)  # A wins v+1
+    with pytest.raises(ConcurrentWriteError):
+        table._commit(v, files_b, added=sorted(files_b))
+    # loser retries on the fresh snapshot and succeeds
+    table.merge(inc_b)
+    out = {r.memory_id: r.tag for r in table.read().collect()}
+    assert out["m0001"] == "a" and out["m0002"] == "b"
+
+
+def test_snapshot_isolation_and_time_travel(table):
+    v1 = table.current_version()
+    pinned = table.read(v1)  # reader pins the old snapshot
+    inc = table.spark.createDataFrame(
+        [("m0000", 999, "v2")], "memory_id string, n int, tag string"
+    )
+    table.merge(inc)
+    # the pinned plan still reads v1's files (immutable, never deleted)
+    assert pinned.filter(F.col("memory_id") == "m0000").first().n == 0
+    assert table.read(v1).filter(F.col("memory_id") == "m0000").first().n == 0
+    assert table.read().filter(F.col("memory_id") == "m0000").first().n == 999
+
+
+def test_uncommitted_files_invisible(table, spark):
+    n0 = table.read().count()
+    orphan = spark.createDataFrame(
+        [("zzz", 0, "orphan")], "memory_id string, n int, tag string"
+    )
+    table._write_data_files(orphan)  # written but never committed
+    assert table.read().count() == n0  # manifest-listed reads only
+
+
+def test_change_feed_reads_only_added_files(table):
+    v = table.current_version()
+    # both incoming keys inside the low file's range, so range-skipping
+    # leaves the high file out of the rewrite AND out of the feed
+    inc = table.spark.createDataFrame(
+        [("m0003", 33, "cdf"), ("m0049x", 1, "cdf")],
+        "memory_id string, n int, tag string",
+    )
+    table.merge(inc)
+    ch = table.changes(v)
+    got = {r.memory_id for r in ch.collect()}
+    assert {"m0003", "m0049x"} <= got
+    assert not any(m >= "m0050" for m in got)
+    full_delta = ch.filter(F.col("tag") == "cdf").count()
+    assert full_delta == 2
+
+
+def test_delete_where(table):
+    table.delete_where(F.col("memory_id") < "m0010")
+    assert table.read().count() == 90
