@@ -81,18 +81,23 @@ def build_ivf_index(df: DataFrame, index_path: str,
     return cents
 
 
+def _load_sidecar(spark: SparkSession, index_path: str) -> tuple[list[list[float]], int]:
+    """One read of the centroid sidecar -> (centroids, assign_k).  Pre-round-5
+    sidecars lack the assign_k column (always single-assignment)."""
+    sdf = spark.read.parquet(_centroids_path(index_path))
+    rows = sdf.orderBy("cid").collect()
+    cents = [[float(x) for x in r.centroid] for r in rows]
+    if "assign_k" not in sdf.columns:
+        return cents, 1
+    return cents, max((int(r.assign_k or 1) for r in rows), default=1)
+
+
 def load_centroids(spark: SparkSession, index_path: str) -> list[list[float]]:
-    rows = spark.read.parquet(_centroids_path(index_path)).orderBy("cid").collect()
-    return [[float(x) for x in r.centroid] for r in rows]
+    return _load_sidecar(spark, index_path)[0]
 
 
 def _index_assign_k(spark: SparkSession, index_path: str) -> int:
-    """assign_k recorded at build time; pre-round-5 sidecars lack the column
-    (always single-assignment)."""
-    sdf = spark.read.parquet(_centroids_path(index_path))
-    if "assign_k" not in sdf.columns:
-        return 1
-    return int(sdf.select(F.max("assign_k")).first()[0] or 1)
+    return _load_sidecar(spark, index_path)[1]
 
 
 def probe_buckets(query_vec: list[float], centroids: list[list[float]],
@@ -115,7 +120,15 @@ def ann_query(spark: SparkSession, index_path: str, query_vec: list[float],
     """ANN top-k against the persisted layout.  The bucket IN-filter lands in
     ``PartitionFilters`` (directory pruning), so the scan touches nprobe/C of
     the index files — this is what makes it ANN at scale, not a full scan."""
-    cents = centroids if centroids is not None else load_centroids(spark, index_path)
+    if centroids is not None:
+        cents = centroids
+        try:
+            multi = _index_assign_k(spark, index_path) > 1
+        except Exception:  # caller-supplied centroids, no sidecar on disk
+            multi = False
+    else:
+        cents, assign_k = _load_sidecar(spark, index_path)
+        multi = assign_k > 1
     probe = probe_buckets(query_vec, cents, nprobe)
     df = spark.read.parquet(index_path).filter(F.col(BUCKET_COL).isin(probe))
     if pred is not None:
@@ -126,10 +139,6 @@ def ann_query(spark: SparkSession, index_path: str, query_vec: list[float],
     # the candidates — bounded by the probed nprobe/C subset.  Gated on the
     # build-time assign_k so the common single-assignment read path keeps its
     # zero-shuffle TakeOrdered plan.
-    try:
-        multi = _index_assign_k(spark, index_path) > 1
-    except Exception:  # caller-supplied centroids, no sidecar on disk
-        multi = False
     if multi:
         df = df.dropDuplicates([id_col])
     return topk_search(df, query_vec, k, None, vec_col, id_col,
