@@ -81,6 +81,29 @@ def build_ivf_index(df: DataFrame, index_path: str,
     return cents
 
 
+def append_to_index(df: DataFrame, index_path: str,
+                    vec_col: str = "embedding") -> int:
+    """Incremental maintenance: assign NEW vectors against the existing
+    centroids (no retraining) and append them into the partitioned layout —
+    the steady-state ingest path at scale (rebuilds are for drift, appends
+    are for arrival).  Dynamic partition append only touches the bucket
+    directories the new batch lands in; existing files are never rewritten.
+    Respects the index's recorded assign_k (spill indexes keep spilling).
+    Returns the number of rows appended (post-replication).
+
+    Centroid drift note: appended vectors can sit farther from their
+    centroid than build-time ones; recall degrades gradually with append
+    volume, which is why production IVF systems retrain/rebalance when the
+    appended fraction passes ~30% — at that point call build_ivf_index again.
+    """
+    spark = df.sparkSession
+    cents, assign_k = _load_sidecar(spark, index_path)
+    bucketed = ivf_assign_multi(df, cents, assign_k, vec_col, bucket_col=BUCKET_COL)
+    n = bucketed.count()
+    bucketed.write.mode("append").partitionBy(BUCKET_COL).parquet(index_path)
+    return n
+
+
 def _load_sidecar(spark: SparkSession, index_path: str) -> tuple[list[list[float]], int]:
     """One read of the centroid sidecar -> (centroids, assign_k).  Pre-round-5
     sidecars lack the assign_k column (always single-assignment)."""

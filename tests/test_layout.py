@@ -231,3 +231,52 @@ def test_ivf_multi_assign_index(spark, tmp_path):
                     if r.vec_id != ids[qi]}
             recs[p] += len(true & got5)
     assert recs[p2] >= recs[p1]
+
+
+def test_ivf_append_to_index(spark, tmp_path):
+    """Incremental maintenance: appended vectors are assigned to the existing
+    centroids (no retrain), land only in their bucket partitions, become
+    immediately queryable, and pre-existing files are untouched."""
+    import os
+
+    from memory_opensource_spark.sources import ann_index
+
+    emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    old = emb.filter(F.col("vec_id") < 150)
+    new = emb.filter(F.col("vec_id") >= 150).limit(20)
+    path = str(tmp_path / "ivf_app")
+    cents = ann_index.build_ivf_index(old, path, n_centroids=8)
+
+    def files():
+        out = {}
+        for root, _, fns in os.walk(path):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = files()
+    n = ann_index.append_to_index(new, path)
+    assert n == new.count()
+    after = files()
+    for p, mtime in before.items():  # append never rewrites existing files
+        assert after[p] == mtime
+    assert len(after) > len(before)
+
+    idx = spark.read.parquet(path)
+    assert idx.count() == old.count() + n
+    # appended rows sit in their true nearest-centroid bucket
+    import numpy as np
+
+    cmat = np.asarray(cents)
+    row = new.first()
+    v = np.asarray(list(row.embedding), dtype="float64")
+    v /= np.linalg.norm(v)
+    want = int(np.argmax(cmat @ v))
+    got = idx.filter(F.col("vec_id") == row.vec_id).first().ivf_bucket
+    assert got == want
+    # and are reachable through the query path (probe their own bucket)
+    q = [float(x) for x in row.embedding]
+    res = ann_index.ann_query(spark, path, q, k=5, nprobe=2, id_col="vec_id")
+    assert row.vec_id in {r.vec_id for r in res.collect()}
