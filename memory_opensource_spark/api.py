@@ -407,16 +407,54 @@ class MemoryEngine:
 
     # ---- read path (§3.1) ---------------------------------------------------------
 
+    def build_search_index(self, path: str, n_centroids: int = 32,
+                           assign_k: int = 1) -> None:
+        """Persist the chunk table in the IVF-partitioned layout
+        (sources/ann_index) and attach it to this engine — the V2-at-scale
+        serving path (the reference serves this from Qdrant HNSW,
+        memory/memory_graph.py:8103-8238; here the index IS the directory
+        tree).  Rebuild after bulk ingest; incremental arrivals go through
+        ``ann_index.append_to_index``."""
+        from .sources import ann_index
+
+        ann_index.build_ivf_index(self.chunks, path, n_centroids=n_centroids,
+                                  assign_k=assign_k)
+        self._ann_index_path = path
+
+    def _ann_candidates(self, qvec: list[float], nprobe: int) -> DataFrame:
+        """Chunk candidates from the attached IVF layout: bucket IN-filter
+        lands in PartitionFilters, so only nprobe/C of the files are read.
+        Approximate by construction — recall/scan trade measured in PERF.md."""
+        from .sources import ann_index
+
+        cents, assign_k = ann_index._load_sidecar(self.spark, self._ann_index_path)
+        probe = ann_index.probe_buckets(qvec, cents, nprobe)
+        cand = (self.spark.read.parquet(self._ann_index_path)
+                .filter(F.col(ann_index.BUCKET_COL).isin(probe)))
+        if assign_k > 1:
+            cand = cand.dropDuplicates(["chunk_id"])
+        return cand.drop(ann_index.BUCKET_COL)
+
     def search(self, query_text: str, ctx: AclContext | None = None,
                spec: FilterSpec | None = None, top_k: int = MAX_MEMORIES_DEFAULT,
                score_threshold: float = SEARCH_SCORE_THRESHOLD,
-               log_query: bool = False) -> DataFrame:
+               log_query: bool = False, ann_nprobe: int | None = None) -> DataFrame:
         """§3.1 read path.  log_query=True also performs the background work:
         append a query-log row and bump cache-hit counters for the returned
         memories (services/query_log_service.py:1023 + R9,
-        services/memory_management.py:3192-3364)."""
+        services/memory_management.py:3192-3364).
+
+        ``ann_nprobe``: serve the vector leg from the attached IVF index
+        (``build_search_index`` first) probing that many buckets instead of
+        scanning every chunk — same DAG from top-k onward (ACL and spec
+        filters still apply; they evaluate over the pruned candidate scan)."""
         qvec = hash_embed_py(query_text, self.dim)
-        out = search_plan(self.chunks, self.memories, qvec, ctx=ctx, spec=spec,
+        chunk_src = self.chunks
+        if ann_nprobe is not None:
+            if getattr(self, "_ann_index_path", None) is None:
+                raise ValueError("ann_nprobe requires build_search_index() first")
+            chunk_src = self._ann_candidates(qvec, ann_nprobe)
+        out = search_plan(chunk_src, self.memories, qvec, ctx=ctx, spec=spec,
                           top_k=top_k, score_threshold=score_threshold)
         if log_query:
             hit_ids = [r.memory_id for r in out.select("memory_id").collect()]

@@ -48,6 +48,9 @@ def train_centroids(df: DataFrame, n_centroids: int, vec_col: str = "embedding",
     feats = df.select(
         array_to_vector(l2_normalize(to_double(F.col(vec_col)))).alias("features")
     )
+    # MLlib KMeans crashes with k > n; clamp at build time (a count on the
+    # write path is fine — tiny tables are the only case where it binds)
+    n_centroids = max(1, min(n_centroids, feats.count()))
     model = KMeans(k=n_centroids, maxIter=max_iter, seed=seed).fit(feats)
     cents = []
     for c in model.clusterCenters():

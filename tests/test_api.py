@@ -337,3 +337,34 @@ def test_chunks_carry_denormalized_payload_and_search_pushes_spec(spark):
     assert eng.update_memory("m1", content="berlin travel diary updated")
     row = eng.chunks.filter(F.col("memory_id") == "m1").first()
     assert row.topics == ["travel", "de"] and row.consent is not None
+
+
+def test_ann_accelerated_search(engine, tmp_path):
+    """ann_nprobe serves the vector leg from the attached IVF layout: the
+    candidate scan prunes on ivf_bucket partitions, ACL still applies, and
+    probing ALL buckets reproduces the exact path's results."""
+    with pytest.raises(ValueError):
+        engine.search("anything", ann_nprobe=2)
+
+    path = str(tmp_path / "search_ivf")
+    engine.build_search_index(path, n_centroids=4)
+
+    exact = [(r.memory_id, round(r.score, 9))
+             for r in engine.search("alpha beta", ctx=AclContext(user_id="alice")).collect()]
+    # probe EVERY bucket -> candidate set == full set -> identical answer
+    full = [(r.memory_id, round(r.score, 9))
+            for r in engine.search("alpha beta", ctx=AclContext(user_id="alice"),
+                                   ann_nprobe=4).collect()]
+    assert full == exact and exact  # non-empty on the fixture engine
+
+    # nprobe=1 is a strict subset of the exact answer (approximate, never wrong rows)
+    sub = {(r.memory_id, round(r.score, 9))
+           for r in engine.search("alpha beta", ctx=AclContext(user_id="alice"),
+                                  ann_nprobe=1).collect()}
+    assert sub <= set(exact)
+
+    # plan evidence: the pruned candidate scan partition-filters on ivf_bucket
+    qvec = [0.0] * engine.dim
+    cand = engine._ann_candidates(qvec, 1)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_bucket" in plan.split("PartitionFilters")[1][:300]
