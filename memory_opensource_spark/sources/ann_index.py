@@ -109,13 +109,27 @@ def append_to_index(df: DataFrame, index_path: str,
 
 def _load_sidecar(spark: SparkSession, index_path: str) -> tuple[list[list[float]], int]:
     """One read of the centroid sidecar -> (centroids, assign_k).  Pre-round-5
-    sidecars lack the assign_k column (always single-assignment)."""
-    sdf = spark.read.parquet(_centroids_path(index_path))
-    rows = sdf.orderBy("cid").collect()
-    cents = [[float(x) for x in r.centroid] for r in rows]
-    if "assign_k" not in sdf.columns:
-        return cents, 1
-    return cents, max((int(r.assign_k or 1) for r in rows), default=1)
+    sidecars lack the assign_k column (always single-assignment).
+
+    Fast path reads the (single-file, C-row) sidecar with pyarrow directly —
+    no Spark job on the serving path; a per-query Spark collect for C rows of
+    metadata costs ~0.5 s of scheduler overhead that pyarrow does in ~1 ms.
+    Falls back to a Spark read for filesystems pyarrow can't reach."""
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(_centroids_path(index_path)).to_pydict()
+        order = sorted(range(len(t["cid"])), key=lambda i: t["cid"][i])
+        cents = [[float(x) for x in t["centroid"][i]] for i in order]
+        ks = t.get("assign_k")
+        return cents, (max(int(k or 1) for k in ks) if ks else 1)
+    except (ImportError, OSError):
+        sdf = spark.read.parquet(_centroids_path(index_path))
+        rows = sdf.orderBy("cid").collect()
+        cents = [[float(x) for x in r.centroid] for r in rows]
+        if "assign_k" not in sdf.columns:
+            return cents, 1
+        return cents, max((int(r.assign_k or 1) for r in rows), default=1)
 
 
 def load_centroids(spark: SparkSession, index_path: str) -> list[list[float]]:
