@@ -700,12 +700,38 @@ class MemoryEngine:
 
     # ---- persistence ---------------------------------------------------------------
 
-    def save(self, store_dir: str) -> None:
-        for name in ["memories", "chunks", "nodes", "edges"]:
+    _TABLE_KEYS = {"memories": ["memory_id"], "chunks": ["chunk_id"],
+                   "nodes": ["node_id"], "edges": ["src", "dst", "rel_type"]}
+
+    def save(self, store_dir: str, txn: bool = False) -> None:
+        """Persist all four tables.  ``txn=True`` routes through the
+        transactional tier (sources/txn.TxnTable): every save commits a new
+        snapshot version per table — concurrent writers conflict cleanly
+        instead of clobbering, and ``load(version=...)`` can time-travel.
+        Default stays plain parquet (the oracle-facing layout)."""
+        if txn:
+            from .sources.txn import TxnTable
+
+            for name, keys in self._TABLE_KEYS.items():
+                TxnTable(self.spark, f"{store_dir}/{name}", keys).overwrite(
+                    getattr(self, name)
+                )
+            return
+        for name in self._TABLE_KEYS:
             getattr(self, name).write.mode("overwrite").parquet(f"{store_dir}/{name}.parquet")
 
-    def load(self, store_dir: str) -> None:
-        for name in ["memories", "chunks", "nodes", "edges"]:
+    def load(self, store_dir: str, txn: bool = False,
+             version: int | None = None) -> None:
+        """Load all four tables; with ``txn=True`` reads the given (or
+        latest) committed snapshot version of each table."""
+        if txn:
+            from .sources.txn import TxnTable
+
+            for name, keys in self._TABLE_KEYS.items():
+                setattr(self, name, TxnTable(
+                    self.spark, f"{store_dir}/{name}", keys).read(version))
+            return
+        for name in self._TABLE_KEYS:
             setattr(self, name, self.spark.read.parquet(f"{store_dir}/{name}.parquet"))
 
     @staticmethod

@@ -123,3 +123,31 @@ def test_change_feed_reads_only_added_files(table):
 def test_delete_where(table):
     table.delete_where(F.col("memory_id") < "m0010")
     assert table.read().count() == 90
+
+
+def test_engine_versioned_save_load(spark, tmp_path):
+    """save(txn=True) commits a snapshot per table; a later save makes a new
+    version; load(version=0) time-travels the whole engine state back."""
+    from memory_opensource_spark.api import MemoryEngine
+    from memory_opensource_spark.operators.predicate import AclContext
+
+    eng = MemoryEngine(spark, dim=16)
+    eng.add_memory_batch([
+        {"memory_id": "m1", "content": "first snapshot content", "user_id": "u"},
+        {"memory_id": "m2", "content": "totally different words", "user_id": "u"},
+    ])
+    d = str(tmp_path / "store")
+    eng.save(d, txn=True)
+    eng.delete_memory("m1")
+    eng.save(d, txn=True)
+
+    cur = MemoryEngine(spark, dim=16)
+    cur.load(d, txn=True)
+    assert cur.get_memory("m1") is None and cur.get_memory("m2") is not None
+
+    old = MemoryEngine(spark, dim=16)
+    old.load(d, txn=True, version=0)
+    assert old.get_memory("m1") is not None
+    hits = old.search("first snapshot", ctx=AclContext(user_id="u"),
+                      score_threshold=0.0).collect()
+    assert hits and hits[0].memory_id == "m1"
