@@ -89,3 +89,90 @@ def partition_pruning_evidence(spark: SparkSession, path: str,
     plan = df._jdf.queryExecution().executedPlan().toString()
     pruned = "PartitionFilters: [" in plan and pred_col in plan.split("PartitionFilters:")[1][:400]
     return df, pruned
+
+
+def _zvalue(df: DataFrame, cols: list[str], bits: int = 12):
+    """Morton (Z-order) key as a Column: each column is quantized to
+    ``bits`` levels between its min and max, then the bit planes are
+    interleaved.  Pure codegen arithmetic (shift/or over 64-bit longs) — no
+    UDF, no shuffle of its own.  Quantization bounds come from one tiny
+    agg (2 scalars per column, driver-broadcast literals)."""
+    bounds = df.agg(*[f for c in cols
+                      for f in (F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
+                                F.max(F.col(c).cast("double")).alias(f"hi_{c}"))]
+                    ).first()
+    levels = (1 << bits) - 1
+    quantized = []
+    for c in cols:
+        lo, hi = float(bounds[f"lo_{c}"]), float(bounds[f"hi_{c}"])
+        span = (hi - lo) or 1.0
+        q = F.least(
+            F.lit(levels),
+            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * levels)
+            .cast("long"),
+        )
+        quantized.append(F.greatest(F.lit(0).cast("long"), q))
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for bit in range(bits):
+        for j, q in enumerate(quantized):
+            plane = F.shiftleft(
+                F.shiftright(q, bit).bitwiseAND(F.lit(1)), bit * n + j
+            )
+            z = z.bitwiseOR(plane)
+    return z
+
+
+def zorder_write(df: DataFrame, path: str, cols: list[str],
+                 n_files: int = 8, bits: int = 12,
+                 mode: str = "overwrite") -> None:
+    """Z-order clustering for MULTI-column data skipping (the SURVEY §7.1
+    step-9 'Z-order' pass; Delta exposes the same thing as OPTIMIZE ZORDER
+    BY).  Rows are range-partitioned and sorted by their Morton key, so each
+    parquet file covers a small hyper-rectangle of the (col1, col2, ...)
+    space — the footer MIN/MAX stats of EVERY clustered column become tight
+    per file, and a predicate on ANY of the columns (not just the leading
+    sort key, which is all a plain ORDER BY gives) skips most files/row
+    groups at scan time.  Numeric columns only (strings hash first if
+    needed).  The cost is one range-shuffle at write time; reads pay
+    nothing."""
+    z = _zvalue(df, cols, bits).alias("__z")
+    out = (df.select("*", z)
+           .repartitionByRange(n_files, F.col("__z"))
+           .sortWithinPartitions("__z")
+           .drop("__z"))
+    out.write.mode(mode).parquet(path)
+
+
+def file_stats_ranges(path: str, col: str) -> list[tuple]:
+    """Per-file (min, max) of ``col`` from parquet footers — the skipping
+    index a stats-aware reader uses; exposed for tests/PERF evidence."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for fn in sorted(os.listdir(path)):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, fn)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx).statistics
+            if s is None or not s.has_min_max:
+                continue
+            lo = s.min if lo is None else min(lo, s.min)
+            hi = s.max if hi is None else max(hi, s.max)
+        out.append((lo, hi))
+    return out
+
+
+def files_matching(path: str, col: str, lo, hi) -> int:
+    """How many files a [lo, hi] predicate on ``col`` must read, by footer
+    stats — the measurable skipping win of zorder_write."""
+    n = 0
+    for flo, fhi in file_stats_ranges(path, col):
+        if flo is None or not (hi < flo or lo > fhi):
+            n += 1
+    return n

@@ -280,3 +280,37 @@ def test_ivf_append_to_index(spark, tmp_path):
     q = [float(x) for x in row.embedding]
     res = ann_index.ann_query(spark, path, q, k=5, nprobe=2, id_col="vec_id")
     assert row.vec_id in {r.vec_id for r in res.collect()}
+
+
+def test_zorder_write_skips_on_both_columns(spark, tmp_path):
+    """Z-order clustering must make footer-stats skipping effective on BOTH
+    clustered columns simultaneously — a single-column sort only tightens
+    stats for its leading key.  Measured on a 2-D uniform grid: a narrow
+    range predicate on either axis must touch well under half the files
+    z-ordered, vs (nearly) all files when sorted by the OTHER axis alone."""
+    from memory_opensource_spark.sources import writers
+
+    n = 20000
+    df = (spark.range(n)
+          .select((F.col("id") % 141).cast("long").alias("x"),
+                  ((F.col("id") * 7919) % 139).cast("long").alias("y")))
+
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "xsorted")
+    writers.zorder_write(df, zpath, ["x", "y"], n_files=16)
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+     .write.mode("overwrite").parquet(spath))
+
+    # predicate on y (the NON-sort axis for the comparison layout)
+    z_hits = writers.files_matching(zpath, "y", 10, 20)
+    s_hits = writers.files_matching(spath, "y", 10, 20)
+    assert s_hits == 16          # x-sorted files all span the full y range
+    assert z_hits <= 8           # z-ordered: most files skipped on y too
+    # and x-skipping still works on the z-ordered layout
+    assert writers.files_matching(zpath, "x", 10, 20) <= 8
+
+    # clustering is a layout change only: the data is intact
+    assert spark.read.parquet(zpath).count() == n
+    got = spark.read.parquet(zpath).groupBy().sum("x", "y").first()
+    want = df.groupBy().sum("x", "y").first()
+    assert got == want
