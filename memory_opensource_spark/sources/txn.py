@@ -230,6 +230,29 @@ class TxnTable:
         new_files = self._write_data_files(remaining)
         return self._commit(expected, new_files, added=sorted(new_files))
 
+    def compact(self, target_files: int = 8, zorder: list[str] | None = None) -> int:
+        """OPTIMIZE analog: rewrite the current snapshot into ``target_files``
+        files (optionally Z-ordered — ``OPTIMIZE ZORDER BY``), committed as a
+        new version under the same CAS, so readers of older snapshots are
+        untouched and a concurrent writer conflicts cleanly instead of
+        racing the rewrite.  Run after streaming ingest has accumulated
+        small files; returns the new version."""
+        expected = self.current_version()
+        cur = self.read(expected)
+        if zorder:
+            from .writers import _zvalue
+
+            cur = (cur.select("*", _zvalue(cur, zorder).alias("__z"))
+                   .repartitionByRange(target_files, F.col("__z"))
+                   .sortWithinPartitions("__z")
+                   .drop("__z"))
+        else:
+            cur = cur.coalesce(target_files)
+        new_files = self._write_data_files(cur)
+        # a compaction adds no logical rows: 'added' stays empty so the
+        # change feed does not replay the whole table
+        return self._commit(expected, new_files, added=[])
+
     def changes(self, since_version: int) -> DataFrame:
         """Change feed: rows ADDED after ``since_version`` (files referenced
         by later manifests' ``added`` lists).  R12's delta-since-watermark

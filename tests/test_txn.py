@@ -151,3 +151,24 @@ def test_engine_versioned_save_load(spark, tmp_path):
     hits = old.search("first snapshot", ctx=AclContext(user_id="u"),
                       score_threshold=0.0).collect()
     assert hits and hits[0].memory_id == "m1"
+
+
+def test_compact_preserves_data_and_history(table):
+    v_before = table.current_version()
+    n_before = table.read().count()
+    v_new = table.compact(target_files=1)
+    assert v_new == v_before + 1
+    assert table.read().count() == n_before
+    manifest = table._read_manifest(v_new)
+    assert len(manifest["files"]) == 1
+    assert manifest["added"] == []          # no logical change -> empty feed
+    assert table.changes(v_before).count() == 0
+    # old snapshot still readable (files immutable)
+    assert table.read(v_before).count() == n_before
+    # a writer who prepared against the pre-compaction snapshot conflicts
+    inc = table.spark.createDataFrame(
+        [("m0000", 5, "late")], "memory_id string, n int, tag string"
+    )
+    files = table._write_data_files(inc)
+    with pytest.raises(ConcurrentWriteError):
+        table._commit(v_before, files, added=sorted(files))
