@@ -110,8 +110,13 @@ def _custom_metadata_cond(key: str, value: Any, map_col: str = "custom_metadata"
     if isinstance(value, bool):  # bool before int: bool is an int subclass
         return v_col == F.lit(str(value).lower())
     if isinstance(value, (int, float)):
-        # bare numeric -> >= lower bound (memory_graph.py:5990-5997)
-        return v_col.cast("double") >= F.lit(float(value))
+        # bare numeric -> >= lower bound (memory_graph.py:5990-5997).
+        # try_cast, not cast: under ANSI mode (Spark 4 default) cast('red' AS
+        # double) THROWS mid-scan; the reference's row-wise value_matches
+        # returns False for unparseable values (memory_graph.py:6884-6891) —
+        # try_cast's NULL gives exactly that (found by the hypothesis model
+        # test, tests/test_properties.py).
+        return v_col.try_cast("double") >= F.lit(float(value))
     if isinstance(value, list):
         # match-any over list values
         cond = F.lit(False)
@@ -121,7 +126,7 @@ def _custom_metadata_cond(key: str, value: Any, map_col: str = "custom_metadata"
     if isinstance(value, dict):
         # range {gte,lte,gt,lt} (memory_graph.py:6005-6020)
         cond = F.lit(True)
-        num = v_col.cast("double")
+        num = v_col.try_cast("double")  # ANSI-safe: unparseable -> NULL -> no match
         if "gte" in value:
             cond = cond & (num >= float(value["gte"]))
         if "gt" in value:

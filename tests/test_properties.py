@@ -5,6 +5,7 @@ import re
 import zlib
 
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F  # noqa: F401 (property tests on Columns)
 
 from memory_opensource_spark.api import hash_embed_py
 from memory_opensource_spark.functions.ids import point_id_py
@@ -121,3 +122,146 @@ def test_int8_quantize_bounds(vs):
     assert all(-128 <= q <= 127 for q in qs)
     if max(abs(v) for v in vs) >= 1e-8:  # below the floor, scale caps instead
         assert max(abs(q) for q in qs) == 127  # max element saturates exactly
+
+
+# ---------------------------------------------------------------------------------
+# Predicate compiler vs a row-wise Python reference model (F1 + F3/F4).
+# One Spark evaluation per hypothesis example (a batch of random rows), so the
+# search space is explored without paying a job per row.
+# ---------------------------------------------------------------------------------
+
+principal_st = st.sampled_from(["u1", "u2", "u3", "w1", "w2", "r1", "o1", "o2", "n1", "n2"])
+arr_st = st.one_of(st.none(), st.lists(principal_st, max_size=3))
+opt_st = st.one_of(st.none(), st.sampled_from(["o1", "o2", "n1", "n2"]))
+
+acl_row_st = st.fixed_dictionaries({
+    "user_id": st.one_of(st.none(), principal_st),
+    "user_read_access": arr_st,
+    "workspace_read_access": arr_st,
+    "role_read_access": arr_st,
+    "organization_read_access": arr_st,
+    "namespace_read_access": arr_st,
+    "organization_id": opt_st,
+    "namespace_id": opt_st,
+})
+
+ctx_st = st.builds(
+    lambda ws, roles, org, ns, sn, so: dict(
+        user_id="u1", workspace_ids=ws, role_ids=roles, organization_id=org,
+        namespace_id=ns, scope_namespace=sn, scope_organization=so),
+    st.lists(st.sampled_from(["w1", "w2"]), max_size=2),
+    st.lists(st.sampled_from(["r1"]), max_size=1),
+    st.one_of(st.none(), st.sampled_from(["o1", "o2"])),
+    st.one_of(st.none(), st.sampled_from(["n1", "n2"])),
+    st.booleans(), st.booleans(),
+)
+
+
+def _acl_match_py(row, ctx):
+    """Row-wise reference model of memory_graph.py:5810-5904 (SURVEY §1.4)."""
+    def inarr(arr, v):
+        return v is not None and arr is not None and v in arr
+
+    ors = (row["user_id"] == ctx["user_id"]) or inarr(row["user_read_access"], ctx["user_id"])
+    if ctx["workspace_ids"]:
+        ors = ors or bool(set(ctx["workspace_ids"]) & set(row["workspace_read_access"] or []))
+    if ctx["role_ids"]:
+        ors = ors or bool(set(ctx["role_ids"]) & set(row["role_read_access"] or []))
+    if ctx["organization_id"]:
+        ors = ors or inarr(row["organization_read_access"], ctx["organization_id"])
+    if ctx["namespace_id"]:
+        ors = ors or inarr(row["namespace_read_access"], ctx["namespace_id"])
+    ok = bool(ors)
+    if ctx["scope_namespace"] and ctx["namespace_id"]:
+        ok = ok and (row["namespace_id"] is None or row["namespace_id"] == ctx["namespace_id"])
+    if ctx["scope_organization"] and ctx["organization_id"]:
+        ok = ok and (row["organization_id"] is None
+                     or row["organization_id"] == ctx["organization_id"])
+    return ok
+
+
+@given(st.lists(acl_row_st, min_size=1, max_size=25), ctx_st)
+@settings(max_examples=12, deadline=None)
+def test_acl_predicate_matches_python_model(spark, rows, ctx_kw):
+    from pyspark.sql import types as T
+
+    from memory_opensource_spark.operators.predicate import AclContext, acl_predicate
+
+    arr = T.ArrayType(T.StringType())
+    schema = T.StructType([
+        T.StructField("user_id", T.StringType()),
+        T.StructField("user_read_access", arr),
+        T.StructField("workspace_read_access", arr),
+        T.StructField("role_read_access", arr),
+        T.StructField("organization_read_access", arr),
+        T.StructField("namespace_read_access", arr),
+        T.StructField("organization_id", T.StringType()),
+        T.StructField("namespace_id", T.StringType()),
+    ])
+    schema = schema.add(T.StructField("_row", T.LongType()))
+    df = spark.createDataFrame(
+        [tuple(r[f.name] for f in schema.fields[:-1]) + (i,)
+         for i, r in enumerate(rows)], schema)
+    got = {r._row for r in df.filter(acl_predicate(AclContext(**ctx_kw))).collect()}
+    want = {i for i, r in enumerate(rows) if _acl_match_py(r, ctx_kw)}
+    assert got == want
+
+
+cm_value_st = st.one_of(
+    st.booleans(),
+    st.integers(min_value=-5, max_value=5),
+    st.sampled_from(["red", "blue", "7", "true"]),
+    st.lists(st.sampled_from(["red", "blue", "7"]), min_size=1, max_size=2),
+    st.fixed_dictionaries({"gte": st.integers(-3, 3), "lte": st.integers(-3, 3)}),
+)
+cm_map_st = st.dictionaries(
+    st.sampled_from(["color", "size", "flag"]),
+    st.sampled_from(["red", "blue", "7", "-2", "true", "false", "red,blue"]),
+    max_size=3,
+)
+
+
+def _cm_match_py(m, key, value):
+    """Row-wise reference of value_matches (memory_graph.py:6855-6897 + 5990-6020)."""
+    v = m.get(key)
+    if v is None:
+        return False
+    if isinstance(value, bool):
+        return v == str(value).lower()
+    if isinstance(value, (int, float)):
+        try:
+            return float(v) >= float(value)
+        except ValueError:
+            return False
+    if isinstance(value, list):
+        return any(v == str(i) for i in value)
+    if isinstance(value, dict):
+        try:
+            n = float(v)
+        except ValueError:
+            return False
+        ok = True
+        if "gte" in value:
+            ok = ok and n >= value["gte"]
+        if "lte" in value:
+            ok = ok and n <= value["lte"]
+        return ok
+    return v == str(value) or str(value) in [s.strip() for s in v.split(",")]
+
+
+@given(st.lists(cm_map_st, min_size=1, max_size=20),
+       st.sampled_from(["color", "size", "flag"]), cm_value_st)
+@settings(max_examples=12, deadline=None)
+def test_custom_metadata_algebra_matches_python_model(spark, maps, key, value):
+    from pyspark.sql import types as T
+
+    from memory_opensource_spark.operators.predicate import _custom_metadata_cond
+
+    schema = T.StructType([
+        T.StructField("custom_metadata", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("_row", T.LongType()),
+    ])
+    df = spark.createDataFrame([(m, i) for i, m in enumerate(maps)], schema)
+    got = {r._row for r in df.filter(_custom_metadata_cond(key, value)).collect()}
+    want = {i for i, m in enumerate(maps) if _cm_match_py(m, key, value)}
+    assert got == want
