@@ -220,6 +220,20 @@ class TxnTable:
         files.update(new_files)
         return self._commit(expected, files, added=sorted(new_files))
 
+    def merge_with_retry(self, incoming: DataFrame, max_attempts: int = 5) -> int:
+        """The standard OCC loop: on ConcurrentWriteError re-read the fresh
+        snapshot and re-apply the merge (idempotent: keyed replacement), up
+        to ``max_attempts``.  This is what every Delta writer does under the
+        hood; exposed so callers get last-writer-wins-per-key without
+        hand-rolling the loop."""
+        last: ConcurrentWriteError | None = None
+        for _ in range(max_attempts):
+            try:
+                return self.merge(incoming)
+            except ConcurrentWriteError as e:
+                last = e
+        raise last  # type: ignore[misc]
+
     def delete_where(self, pred) -> int:
         """Filtered delete (S13's shape at scale): rewrite only files that may
         contain matching rows — here conservatively all files, unless the

@@ -172,3 +172,29 @@ def test_compact_preserves_data_and_history(table):
     files = table._write_data_files(inc)
     with pytest.raises(ConcurrentWriteError):
         table._commit(v_before, files, added=sorted(files))
+
+
+def test_merge_with_retry_recovers_from_conflicts(table, monkeypatch):
+    """First two commit attempts collide (simulated); the OCC loop re-reads
+    the fresh snapshot each time and lands the merge."""
+    real_commit = table._commit
+    fails = {"n": 2}
+
+    def flaky_commit(expected, files, added):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise ConcurrentWriteError("simulated race")
+        return real_commit(expected, files, added)
+
+    monkeypatch.setattr(table, "_commit", flaky_commit)
+    inc = table.spark.createDataFrame(
+        [("m0001", 42, "retried")], "memory_id string, n int, tag string"
+    )
+    v = table.merge_with_retry(inc)
+    assert v == table.current_version()
+    assert table.read().filter(F.col("memory_id") == "m0001").first().n == 42
+
+    # exhausting attempts surfaces the error
+    fails["n"] = 99
+    with pytest.raises(ConcurrentWriteError):
+        table.merge_with_retry(inc, max_attempts=3)
