@@ -267,6 +267,46 @@ class TxnTable:
         # change feed does not replay the whole table
         return self._commit(expected, new_files, added=[])
 
+    def vacuum(self, keep_versions: int = 2) -> dict:
+        """GC (Delta VACUUM analog): delete data files referenced by NO
+        retained manifest — orphans from crashed writers (written, never
+        committed) and files only reachable from expired versions.  Keeps the
+        newest ``keep_versions`` manifests; time travel within the retention
+        window keeps working, older versions stop being readable (their
+        manifests are removed so a read fails loudly rather than reading a
+        half-GC'd file set).  Returns counts for observability."""
+        current = self.current_version()
+        keep_from = max(0, current - keep_versions + 1)
+        retained: set[str] = set()
+        for v in range(keep_from, current + 1):
+            retained.update(self._read_manifest(v)["files"])
+        dropped_files = dropped_manifests = 0
+        data_root = os.path.join(self.path, "data")
+        for sub in os.listdir(data_root):
+            subdir = os.path.join(data_root, sub)
+            if not any(rel.startswith(f"{sub}/") for rel in retained):
+                # whole staging dir unreferenced (crashed writer / expired
+                # version): remove it including _SUCCESS/.crc markers
+                import shutil
+
+                dropped_files += sum(1 for fn in os.listdir(subdir)
+                                     if fn.endswith(".parquet"))
+                shutil.rmtree(subdir)
+                continue
+            for fn in os.listdir(subdir):
+                rel = f"{sub}/{fn}"
+                if fn.endswith(".parquet") and rel not in retained:
+                    os.unlink(os.path.join(subdir, fn))
+                    dropped_files += 1
+        for v in range(0, keep_from):
+            p = self._manifest_path(v)
+            if os.path.exists(p):
+                os.unlink(p)
+                dropped_manifests += 1
+        return {"dropped_files": dropped_files,
+                "dropped_manifests": dropped_manifests,
+                "retained_files": len(retained)}
+
     def changes(self, since_version: int) -> DataFrame:
         """Change feed: rows ADDED after ``since_version`` (files referenced
         by later manifests' ``added`` lists).  R12's delta-since-watermark

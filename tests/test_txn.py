@@ -198,3 +198,32 @@ def test_merge_with_retry_recovers_from_conflicts(table, monkeypatch):
     fails["n"] = 99
     with pytest.raises(ConcurrentWriteError):
         table.merge_with_retry(inc, max_attempts=3)
+
+
+def test_vacuum_drops_orphans_and_expired_versions(table, spark):
+    # create an orphan (crashed writer: files written, never committed)
+    orphan = spark.createDataFrame(
+        [("zzz", 0, "orphan")], "memory_id string, n int, tag string"
+    )
+    table._write_data_files(orphan)
+    # advance a few versions
+    for i in range(3):
+        table.merge(spark.createDataFrame(
+            [(f"m{i:04d}", 1000 + i, "v")], "memory_id string, n int, tag string"))
+    current = table.current_version()
+    n_rows = table.read().count()
+
+    stats = table.vacuum(keep_versions=2)
+    assert stats["dropped_files"] > 0          # at least the orphan went away
+    assert stats["dropped_manifests"] > 0      # old versions expired
+
+    # current and previous snapshots still read clean
+    assert table.read().count() == n_rows
+    assert table.read(current - 1).count() > 0
+    # expired time travel fails loudly (manifest gone), not with a bad scan
+    with pytest.raises(FileNotFoundError):
+        table.read(0)
+    # every file the retained manifests reference still exists
+    for v in (current - 1, current):
+        for rel in table._read_manifest(v)["files"]:
+            assert os.path.exists(os.path.join(table.path, "data", rel))
