@@ -265,3 +265,54 @@ def test_custom_metadata_algebra_matches_python_model(spark, maps, key, value):
     got = {r._row for r in df.filter(_custom_metadata_cond(key, value)).collect()}
     want = {i for i, m in enumerate(maps) if _cm_match_py(m, key, value)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------------
+# Sessionization (ST2 — the operator behind the 3-round-red driver row) vs a
+# pure-Python gaps-and-islands twin, over random event streams with ties,
+# exact-gap boundaries, and multiple keys.
+# ---------------------------------------------------------------------------------
+
+events_st = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),                    # user key
+              st.integers(min_value=0, max_value=8000),       # epoch seconds
+              st.integers(min_value=0, max_value=999)),       # tiebreak id
+    min_size=1, max_size=40, unique_by=lambda t: (t[0], t[1], t[2]),
+)
+
+
+def _sessions_py(rows, gap):
+    """Reference model: per key ordered by ts (Spark's lag uses ts-only order;
+    for equal timestamps the gap is 0 <= gap, so ties NEVER split a session —
+    tie order cannot change the outcome)."""
+    out = {}
+    by_key = {}
+    for k, ts, i in rows:
+        by_key.setdefault(k, []).append((ts, i))
+    for k, evs in by_key.items():
+        evs.sort()
+        sid, prev = 0, None
+        for ts, i in evs:
+            if prev is None or ts - prev > gap:
+                sid += 1
+            out[(k, ts, i)] = sid
+            prev = ts
+    return out
+
+
+@given(events_st, st.sampled_from([1, 5, 1800]))
+@settings(max_examples=10, deadline=None)
+def test_session_ids_matches_python_model(spark, rows, gap):
+    from memory_opensource_spark.operators import windows
+
+    df = spark.createDataFrame(
+        [(k, ts, i) for k, ts, i in rows], "k string, epoch long, i int"
+    ).withColumn("ts", F.timestamp_seconds(F.col("epoch")))
+    got = {(r.k, r.epoch, r.i): r.session_id
+           for r in windows.session_ids(df, "k", "ts", gap).collect()}
+    want = _sessions_py(rows, gap)
+    assert got == want
+    # invariants: ids start at 1 and are contiguous per key
+    for k in {r[0] for r in rows}:
+        ids = sorted({v for (kk, _, _), v in got.items() if kk == k})
+        assert ids == list(range(1, len(ids) + 1))
