@@ -316,3 +316,35 @@ def test_session_ids_matches_python_model(spark, rows, gap):
     for k in {r[0] for r in rows}:
         ids = sorted({v for (kk, _, _), v in got.items() if kk == k})
         assert ids == list(range(1, len(ids) + 1))
+
+
+@given(st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=8),
+       st.sampled_from([4, 16, 2048]))
+@settings(max_examples=10, deadline=None)
+def test_chunk_text_partitions_tokens_exactly(spark, sizes, chunk_tokens):
+    """V1 chunker invariants for ANY document: rejoining the chunks in
+    chunk_index order reproduces the token stream exactly (no token lost,
+    duplicated, or reordered); every chunk except the last holds exactly
+    ``chunk_tokens`` tokens; chunk count = ceil(n/chunk_tokens) (min 1);
+    total_chunks is consistent on every row."""
+    import math
+
+    from memory_opensource_spark.plans import ingest
+
+    docs = [(f"m{j}", " ".join(f"t{j}_{i}" for i in range(n))) for j, n in enumerate(sizes)]
+    df = spark.createDataFrame(docs, "memory_id string, content string")
+    rows = ingest.chunk_text(df, chunk_tokens=chunk_tokens).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.memory_id, []).append(r)
+    for (mid, content), n in zip(docs, sizes):
+        chunks = sorted(by_doc[mid], key=lambda r: r.chunk_index)
+        want_count = max(1, math.ceil(n / chunk_tokens))
+        assert len(chunks) == want_count
+        assert [c.chunk_index for c in chunks] == list(range(want_count))
+        assert all(c.total_chunks == want_count for c in chunks)
+        toks = [t for c in chunks for t in c.chunk_content.split() if t]
+        assert toks == [t for t in content.split() if t]
+        for c in chunks[:-1]:
+            assert len(c.chunk_content.split()) == chunk_tokens
+        assert [c.chunk_id for c in chunks] == [f"{mid}_{i}" for i in range(want_count)]
