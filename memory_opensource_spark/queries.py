@@ -4574,6 +4574,54 @@ def session_summaries_q(spark, sf_dir):
     )
 
 
+@_register("zorder_layout_roundtrip", """
+WITH {EVENTS}
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2)::DOUBLE AS value_sum,
+       MIN(floor(epoch(ts)))::BIGINT AS first_s,
+       MAX(floor(epoch(ts)))::BIGINT AS last_s
+FROM events_us
+WHERE user_id BETWEEN 3 AND 7
+  AND floor(epoch(ts)) BETWEEN 1704070000 AND 1704080000
+GROUP BY user_id
+""")
+def zorder_roundtrip(spark, sf_dir):
+    """Z-order layout integrity (writers.zorder_write, round-5): events are
+    rewritten clustered by (user_id, epoch) — the layout whose per-file
+    footer stats prune on BOTH columns (PERF.md round-5 table) — then read
+    back through a 2-D range predicate and aggregated.  The oracle computes
+    the same aggregate from the RAW table, so any row lost, duplicated, or
+    corrupted by the Morton rewrite hash-fails.  Cached per fixture
+    fingerprint like the ANN layout."""
+    import os
+    import tempfile
+
+    from .sources import writers
+
+    ev = tables.load(spark, sf_dir, "events").withColumn(
+        "epoch", F.unix_timestamp("ts"))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_zorder_{tag}")
+    fp = _source_fingerprint(sf_dir, ("events",))
+    fp_file = path + ".fingerprint"
+    fresh = (os.path.exists(os.path.join(path, "_SUCCESS"))
+             and os.path.exists(fp_file) and open(fp_file).read() == fp)
+    if not fresh:
+        writers.zorder_write(ev, path, ["user_id", "epoch"], n_files=16)
+        with open(fp_file, "w") as f:
+            f.write(fp)
+    z = spark.read.parquet(path).filter(
+        F.col("user_id").between(3, 7)
+        & F.col("epoch").between(1704070000, 1704080000))
+    return z.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        _r2(F.sum("value")).alias("value_sum"),
+        F.min("epoch").alias("first_s"),
+        F.max("epoch").alias("last_s"),
+    )
+
+
 # Resolve the shared CTE placeholders in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
