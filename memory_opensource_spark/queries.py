@@ -4622,6 +4622,74 @@ def zorder_roundtrip(spark, sf_dir):
     )
 
 
+@_register("txn_merge_roundtrip", """
+WITH incoming AS (
+  SELECT doc_id, 'PATCHED:' || doc_id::VARCHAR AS text, source
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'NEW:' || doc_id::VARCHAR AS text, source
+  FROM documents WHERE doc_id % 101 = 0
+), merged AS (
+  SELECT d.doc_id, d.text, d.source
+  FROM documents d LEFT JOIN incoming i ON d.doc_id = i.doc_id
+  WHERE i.doc_id IS NULL
+  UNION ALL
+  SELECT doc_id, text, source FROM incoming
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN text LIKE 'PATCHED:%' THEN 1 ELSE 0 END)::BIGINT AS n_patched,
+       SUM(CASE WHEN text LIKE 'NEW:%' THEN 1 ELSE 0 END)::BIGINT AS n_inserted,
+       MAX(doc_id) AS max_id
+FROM merged GROUP BY source
+""")
+def txn_merge_roundtrip(spark, sf_dir):
+    """Transactional-tier MERGE under the oracle gate (sources/txn.TxnTable,
+    round-5): documents are committed to a versioned table, an incoming batch
+    (patches for doc_id%7, inserts past the key range) is MERGEd with
+    footer-stats file skipping, and the CURRENT SNAPSHOT is aggregated.  The
+    oracle derives the same merged state relationally (anti-join + union),
+    so a row lost by the rewrite, a file dropped from the manifest, or a
+    replaced row surviving the anti-join all hash-fail.  Built once per
+    fixture fingerprint; reruns read the committed snapshot."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.txn import TxnTable
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_txn_{tag}")
+    fp = _source_fingerprint(sf_dir, ("documents",))
+    fp_file = path + ".fingerprint"
+    t = TxnTable(spark, path, keys=["doc_id"])
+    fresh = (os.path.exists(fp_file) and open(fp_file).read() == fp
+             and t.current_version() >= 1)
+    if not fresh:
+        shutil.rmtree(path, ignore_errors=True)
+        t = TxnTable(spark, path, keys=["doc_id"])
+        t.overwrite(docs.repartitionByRange(8, "doc_id"))
+        incoming = (docs.filter(F.col("doc_id") % 7 == 0)
+                    .select("doc_id",
+                            F.concat(F.lit("PATCHED:"), F.col("doc_id").cast("string"))
+                            .alias("text"), "source")
+                    .unionByName(
+                        docs.filter(F.col("doc_id") % 101 == 0)
+                        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                                F.concat(F.lit("NEW:"), F.col("doc_id").cast("string"))
+                                .alias("text"), "source")))
+        t.merge(incoming)
+        with open(fp_file, "w") as f:
+            f.write(fp)
+    return t.read().groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("text").startswith("PATCHED:").cast("long")).alias("n_patched"),
+        F.sum(F.col("text").startswith("NEW:").cast("long")).alias("n_inserted"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 # Resolve the shared CTE placeholders in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
