@@ -4690,6 +4690,66 @@ def txn_merge_roundtrip(spark, sf_dir):
     )
 
 
+@_register("ann_ivf_spill", """
+WITH cents AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cemb
+  FROM embeddings WHERE vec_id < 8
+), assign AS (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(list_transform(e.embedding, x -> x::DOUBLE), c.cemb) DESC,
+                    c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cents c
+), bucketed AS (
+  SELECT vec_id, cid AS bucket FROM assign WHERE rn <= 2
+), q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qemb FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM cents CROSS JOIN q
+  ORDER BY list_dot_product(cemb, qemb) DESC, cid ASC LIMIT 2
+), cand AS (
+  SELECT DISTINCT e.vec_id,
+         list_dot_product(list_transform(e.embedding, x -> x::DOUBLE), q.qemb)
+         / (SQRT(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                                  list_transform(e.embedding, x -> x::DOUBLE)))
+          * SQRT(list_dot_product(q.qemb, q.qemb))) AS score
+  FROM embeddings e
+  JOIN bucketed b ON b.vec_id = e.vec_id AND b.bucket IN (SELECT cid FROM probe)
+  CROSS JOIN q
+)
+SELECT vec_id, ROUND(score, 6)::DOUBLE AS score FROM cand
+ORDER BY score DESC, vec_id ASC LIMIT 10
+""")
+def ann_ivf_spill(spark, sf_dir):
+    """Multi-assignment (spill) IVF under the oracle gate (round-5,
+    similarity.ivf_assign_multi + the assign_k-gated candidate dedup in
+    ann_query): every vector lives in its top-2 buckets, the probe reads 2/8
+    partitions, and replicated candidates must be de-duplicated before top-k
+    — the oracle's DISTINCT over the rn<=2 bucket join is exactly that
+    contract, so a missing dedup (duplicate rows in top-k) or a wrong spill
+    assignment hash-fails.  Layout cached per fixture fingerprint."""
+    import os
+    import tempfile
+
+    from .sources import ann_index
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cents = [_qvec(sf_dir, i) for i in range(8)]
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_spill_{tag}")
+    fp = _source_fingerprint(sf_dir, ("embeddings",))
+    fp_file = path + ".fingerprint"
+    fresh = (os.path.exists(os.path.join(path, "_SUCCESS"))
+             and os.path.exists(fp_file) and open(fp_file).read() == fp)
+    if not fresh:
+        ann_index.build_ivf_index(emb, path, centroids=cents, assign_k=2)
+        with open(fp_file, "w") as f:
+            f.write(fp)
+    out = ann_index.ann_query(spark, path, cents[0], k=10, nprobe=2,
+                              id_col="vec_id")
+    return out.select("vec_id", _r6(F.col("score")).alias("score"))
+
+
 # Resolve the shared CTE placeholders in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 
