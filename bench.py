@@ -76,6 +76,11 @@ HEADLINE = [
     "g15_acl_both_endpoints",
     "graph_triangle_count",
     "v7_content_resolution",
+    # round 5 additions (layout/transactional ops; first run builds the cached
+    # /tmp layout, so min-of-N times the steady-state read like ann_ivf_persisted)
+    "zorder_layout_roundtrip",
+    "txn_merge_roundtrip",
+    "ann_ivf_spill",
 ]
 
 
