@@ -4583,7 +4583,7 @@ SELECT user_id,
        MAX(floor(epoch(ts)))::BIGINT AS last_s
 FROM events_us
 WHERE user_id BETWEEN 3 AND 7
-  AND floor(epoch(ts)) BETWEEN 1704070000 AND 1704080000
+  AND floor(epoch(ts)) BETWEEN 1704500000 AND 1705500000
 GROUP BY user_id
 """)
 def zorder_roundtrip(spark, sf_dir):
@@ -4613,7 +4613,7 @@ def zorder_roundtrip(spark, sf_dir):
             f.write(fp)
     z = spark.read.parquet(path).filter(
         F.col("user_id").between(3, 7)
-        & F.col("epoch").between(1704070000, 1704080000))
+        & F.col("epoch").between(1704500000, 1705500000))
     return z.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         _r2(F.sum("value")).alias("value_sum"),
