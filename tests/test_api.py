@@ -368,3 +368,22 @@ def test_ann_accelerated_search(engine, tmp_path):
     cand = engine._ann_candidates(qvec, 1)
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ivf_bucket" in plan.split("PartitionFilters")[1][:300]
+
+
+def test_ann_search_composes_with_spec_filters(engine, tmp_path):
+    """ann_nprobe + metadata spec + ACL all compose: the spec filters the
+    pruned candidate scan, and probing every bucket reproduces the exact
+    spec'd answer."""
+    engine.build_search_index(str(tmp_path / "ivf_spec"), n_centroids=2)
+    spec = FilterSpec(exclude_memory_id="m1")
+    exact = [(r.memory_id, round(r.score, 9))
+             for r in engine.search("distributed spark engine",
+                                    ctx=AclContext(user_id="alice"), spec=spec,
+                                    score_threshold=0.0).collect()]
+    full = [(r.memory_id, round(r.score, 9))
+            for r in engine.search("distributed spark engine",
+                                   ctx=AclContext(user_id="alice"), spec=spec,
+                                   score_threshold=0.0, ann_nprobe=2).collect()]
+    assert full == exact
+    assert all(m != "m1" for m, _ in full)      # F5 exclusion applied
+    assert full                                  # m2 still reachable
