@@ -382,3 +382,69 @@ def test_decayed_hit_sum_equals_sequential_ema_replay(spark, events):
         prev2 = t
     sorted_online = ema2 * 0.5 ** ((ref - prev2) / 86400.0 / EMA_HALF_LIFE_DAYS)
     assert abs(batch - sorted_online) < 1e-6 * max(1.0, abs(batch))
+
+
+merge_sources_st = st.dictionaries(
+    st.sampled_from(["vec", "neo", "kw"]),
+    st.lists(st.tuples(st.integers(min_value=0, max_value=30),
+                       st.one_of(st.none(),
+                                 st.floats(min_value=0.0, max_value=1.0,
+                                           allow_nan=False, width=32))),
+             min_size=0, max_size=12),
+    min_size=1, max_size=3,
+)
+
+
+def _stratified_py(sources, top_k, quota_floor, neo_default):
+    """Reference model of R2 (memory_graph.py:6567-6727 as adopted): per-source
+    quota -> adaptive fill in (source, rank) order -> best-score dedup."""
+    quota = max(top_k // max(len(sources), 1), quota_floor)
+    ranked = {}
+    for name in sorted(sources):
+        # STRING ids: Spark's tie-break orders "id10" < "id2" lexicographically
+        rows = [(f"id{i}", neo_default if s is None else s) for i, s in sources[name]]
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        ranked[name] = [(i, s, name, r + 1) for r, (i, s) in enumerate(rows)]
+    within = [t for name in sorted(ranked) for t in ranked[name] if t[3] <= quota]
+    leftovers = [t for name in sorted(ranked) for t in ranked[name] if t[3] > quota]
+    leftovers.sort(key=lambda t: (t[2], t[3], t[0]))
+    merged = within + leftovers[:max(top_k - len(within), 0)]
+    best = {}
+    for i, s, name, _ in merged:
+        cur = best.get(i)
+        if cur is None or s > cur[0] or (s == cur[0] and name < cur[1]):
+            best[i] = (s, name)
+    return {(i, round(s, 6), name) for i, (s, name) in best.items()}
+
+
+@given(merge_sources_st, st.sampled_from([3, 8, 20]))
+@settings(max_examples=10, deadline=None)
+def test_stratified_merge_matches_python_model(spark, sources, top_k):
+    """R2 quotas, NULL->0.7 default, deterministic adaptive fill, and
+    best-score dedup — vs a pure-Python reference model, for ANY mix of
+    sources, duplicate ids across sources, and NULL scores."""
+    from memory_opensource_spark.operators.ranking import stratified_merge
+    from memory_opensource_spark.semantics import (NEO_DEFAULT_SCORE,
+                                                   STRATIFIED_QUOTA_FLOOR)
+
+    dfs = {}
+    for name, rows in sources.items():
+        dfs[name] = spark.createDataFrame(
+            [(f"id{i}", None if s is None else float(np_round6(s))) for i, s in rows]
+            or [("__none__", 0.0)], "id string, score double")
+        if not rows:
+            dfs[name] = dfs[name].limit(0)
+    got = {(r.id, round(r.score, 6), r.source)
+           for r in stratified_merge(dfs, top_k).collect()}
+    want = {(i, round(s, 6), n)
+            for i, s, n in _stratified_py(
+                {k: [(i, None if s is None else np_round6(s)) for i, s in v]
+                 for k, v in sources.items()},
+                top_k, STRATIFIED_QUOTA_FLOOR, NEO_DEFAULT_SCORE)}
+    assert got == want
+
+
+def np_round6(x):
+    import numpy as np
+
+    return float(np.float64(x))
