@@ -265,7 +265,11 @@ def enforce_omo(entities: DataFrame, memories: DataFrame,
     owner_only = F.when(F.col("_owner").isNotNull(), F.array(F.col("_owner"))).otherwise(F.array())
     return (
         entities.join(mem, "memory_id")
-        .filter(F.col("_consent") != "none")
+        # keep-on-NULL: the reference's gate is `if consent == "none"` —
+        # a missing/None consent does NOT equal "none" in Python, so legacy
+        # unlabeled memories still extract nodes (omo_safety.py:43-48).  A
+        # bare `!= 'none'` filter would silently drop them (NULL comparison).
+        .filter(F.col("_consent").isNull() | (F.col("_consent") != "none"))
         .withColumn("omo_consent", F.col("_consent"))
         .withColumn("omo_source_memory_id", F.col("memory_id"))
         .withColumn("omo_risk", F.coalesce(F.col("_risk"), F.lit(DEFAULT_RISK)))

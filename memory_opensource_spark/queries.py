@@ -3680,7 +3680,7 @@ SELECT memory_id, entity_id,
             ELSE COALESCE(array_to_string(user_read_access, ','), '') END AS acl_read_csv,
        user_id AS acl_write_csv
 FROM ents
-WHERE consent <> 'none'
+WHERE consent IS NULL OR consent <> 'none'
 """)
 def omo_enforce_q(spark, sf_dir):
     """OMO write-path enforcement over extracted nodes

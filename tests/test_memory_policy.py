@@ -191,18 +191,25 @@ def omo_frames(spark):
         [("m1", "implicit", "none", "alice", ["alice", "bob"], ["alice"]),
          ("m2", "none", "none", "bob", ["bob"], ["bob"]),
          ("m3", "explicit", "flagged", "carol", ["carol", "dave"], ["carol"]),
-         ("m4", "terms", "sensitive", "dave", ["dave"], ["dave"])],
+         ("m4", "terms", "sensitive", "dave", ["dave"], ["dave"]),
+         ("m5", None, "none", "eve", ["eve"], ["eve"])],  # legacy: unlabeled
         "memory_id string, consent string, risk string, user_id string, "
         "user_read_access array<string>, user_write_access array<string>")
     ents = spark.createDataFrame(
-        [("m1", "e1"), ("m2", "e2"), ("m3", "e3"), ("m4", "e4")],
+        [("m1", "e1"), ("m2", "e2"), ("m3", "e3"), ("m4", "e4"), ("m5", "e5")],
         "memory_id string, entity_id string")
     return ents, mems
 
 
 def test_enforce_omo_drops_consent_none(spark, omo_frames):
+    """Only the EXPLICIT 'none' level blocks extraction; a NULL (legacy,
+    unlabeled) consent passes — the reference's gate is `if consent ==
+    "none"` and Python's None != "none" (omo_safety.py:43-48).  A bare
+    SQL `<> 'none'` filter would silently drop m5."""
     out = enforce_omo(*omo_frames)
-    assert sorted(r.memory_id for r in out.collect()) == ["m1", "m3", "m4"]
+    assert sorted(r.memory_id for r in out.collect()) == ["m1", "m3", "m4", "m5"]
+    m5 = {r.memory_id: r for r in out.collect()}["m5"]
+    assert m5.omo_consent is None and m5.omo_risk == "none"
 
 
 def test_enforce_omo_annotations_and_flagged_acl(spark, omo_frames):
