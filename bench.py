@@ -171,8 +171,12 @@ def main():
         "sf": float(sf),
     }
     line = json.dumps(final, separators=(",", ":"))
-    if len(line) > 1800:  # never risk tail-capture truncation again
-        final.pop("queries")
+    while len(line) > 1800 and final["queries"]:
+        # never risk tail-capture truncation again: drop the FASTEST queries
+        # first (the slow ones are the information), note the cut
+        keep = sorted(final["queries"], key=final["queries"].get, reverse=True)[:-5]
+        final["queries"] = {k: final["queries"][k] for k in keep}
+        final["queries_truncated_to_slowest"] = len(keep)
         line = json.dumps(final, separators=(",", ":"))
     print(line)
     spark.stop()
