@@ -55,21 +55,33 @@ def stratified_merge(sources: dict[str, DataFrame], top_k: int,
     all_ranked = ranked[0]
     for r in ranked[1:]:
         all_ranked = all_ranked.unionByName(r)
-    # materialize the already-reduced candidate set (<= top_k * overfetch rows):
-    # the adaptive-fill count below would otherwise re-execute every source's
-    # full upstream DAG a second time
-    all_ranked = all_ranked.localCheckpoint(eager=True)
 
-    within = all_ranked.filter(F.col("src_rank") <= quota)
-    # adaptive fill: order leftovers by (source, rank) and take remaining slots
-    leftovers = all_ranked.filter(F.col("src_rank") > quota)
-    fill_w = Window.orderBy(F.col("source").asc(), F.col("src_rank").asc(), F.col("id").asc())
-    n_within = within.count()
-    remaining = max(top_k - n_within, 0)
-    filled = leftovers.withColumn("fill_rank", F.row_number().over(fill_w)).filter(
-        F.col("fill_rank") <= remaining
-    ).drop("fill_rank")
-    merged = within.unionByName(filled)
+    # adaptive fill in ONE lazy pass: the within-count and the leftover fill
+    # ranks are both window aggregates over the already-reduced candidate set
+    # (<= top_k * overfetch rows), so no eager count() action and no
+    # checkpoint — the whole merge stays part of the caller's single plan.
+    # The unpartitioned windows are fine BECAUSE the input is quota-bounded;
+    # this is not a pattern for unbounded inputs.
+    n_within = F.sum(
+        F.when(F.col("src_rank") <= quota, 1).otherwise(0)
+    ).over(Window.partitionBy())
+    # a leftover's fill rank = running count of leftovers in (source,
+    # src_rank, id) order — identical to the former row_number over the
+    # leftovers-only frame, computed without splitting the DataFrame
+    fill_w = (Window.partitionBy()
+              .orderBy(F.col("source").asc(), F.col("src_rank").asc(), F.col("id").asc())
+              .rowsBetween(Window.unboundedPreceding, 0))
+    leftover_rank = F.sum(
+        F.when(F.col("src_rank") > quota, 1).otherwise(0)
+    ).over(fill_w)
+    merged = (
+        all_ranked
+        .withColumn("_keep",
+                    (F.col("src_rank") <= quota)
+                    | (leftover_rank <= F.greatest(F.lit(top_k) - n_within, F.lit(0))))
+        .filter(F.col("_keep"))
+        .drop("_keep")
+    )
     # dedup by id keeping best score (R1), deterministic
     w_best = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("source").asc())
     return (
