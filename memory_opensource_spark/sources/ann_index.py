@@ -102,6 +102,10 @@ def append_to_index(df: DataFrame, index_path: str,
     spark = df.sparkSession
     cents, assign_k = _load_sidecar(spark, index_path)
     bucketed = ivf_assign_multi(df, cents, assign_k, vec_col, bucket_col=BUCKET_COL)
+    # materialize the (micro-batch-sized) assignment once: count() as a
+    # separate action would re-execute the whole upstream embed+assign DAG a
+    # second time for the write — doubling the hot ingest loop's cost
+    bucketed = bucketed.localCheckpoint(eager=True)
     n = bucketed.count()
     bucketed.write.mode("append").partitionBy(BUCKET_COL).parquet(index_path)
     return n
@@ -123,7 +127,10 @@ def _load_sidecar(spark: SparkSession, index_path: str) -> tuple[list[list[float
         cents = [[float(x) for x in t["centroid"][i]] for i in order]
         ks = t.get("assign_k")
         return cents, (max(int(k or 1) for k in ks) if ks else 1)
-    except (ImportError, OSError):
+    # ArrowInvalid ("unrecognized filesystem in URI", e.g. s3a://) subclasses
+    # ValueError, NOT OSError — without it the Spark fallback is dead code on
+    # every non-local filesystem
+    except (ImportError, OSError, ValueError):
         sdf = spark.read.parquet(_centroids_path(index_path))
         rows = sdf.orderBy("cid").collect()
         cents = [[float(x) for x in r.centroid] for r in rows]

@@ -267,26 +267,50 @@ class TxnTable:
         # change feed does not replay the whole table
         return self._commit(expected, new_files, added=[])
 
-    def vacuum(self, keep_versions: int = 2) -> dict:
+    def vacuum(self, keep_versions: int = 2,
+               retention_seconds: float = 3600.0) -> dict:
         """GC (Delta VACUUM analog): delete data files referenced by NO
         retained manifest — orphans from crashed writers (written, never
         committed) and files only reachable from expired versions.  Keeps the
         newest ``keep_versions`` manifests; time travel within the retention
         window keeps working, older versions stop being readable (their
         manifests are removed so a read fails loudly rather than reading a
-        half-GC'd file set).  Returns counts for observability."""
+        half-GC'd file set).  Returns counts for observability.
+
+        ``retention_seconds``: unreferenced files YOUNGER than this are
+        spared — they may belong to an IN-FLIGHT writer that has staged its
+        data but not yet committed (the same age guard as Delta's VACUUM
+        retention window; without it, a concurrent vacuum could delete files
+        whose commit then succeeds, publishing a manifest of dead paths)."""
+        import time
+
         current = self.current_version()
-        keep_from = max(0, current - keep_versions + 1)
+        # clamp to what actually exists: a previous vacuum may have removed
+        # older manifests already
+        existing = sorted(
+            int(f[1:-5]) for f in os.listdir(os.path.join(self.path, "_manifests"))
+            if f.startswith("v") and f.endswith(".json"))
+        earliest = existing[0] if existing else 0
+        keep_from = max(earliest, current - keep_versions + 1)
         retained: set[str] = set()
         for v in range(keep_from, current + 1):
             retained.update(self._read_manifest(v)["files"])
+        now = time.time()
+
+        def _expendable(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) >= retention_seconds
+            except OSError:
+                return False
+
         dropped_files = dropped_manifests = 0
         data_root = os.path.join(self.path, "data")
         for sub in os.listdir(data_root):
             subdir = os.path.join(data_root, sub)
-            if not any(rel.startswith(f"{sub}/") for rel in retained):
-                # whole staging dir unreferenced (crashed writer / expired
-                # version): remove it including _SUCCESS/.crc markers
+            referenced = any(rel.startswith(f"{sub}/") for rel in retained)
+            if not referenced and _expendable(subdir):
+                # whole staging dir unreferenced AND past retention (crashed
+                # writer / expired version): remove it incl. _SUCCESS markers
                 import shutil
 
                 dropped_files += sum(1 for fn in os.listdir(subdir)
@@ -295,10 +319,12 @@ class TxnTable:
                 continue
             for fn in os.listdir(subdir):
                 rel = f"{sub}/{fn}"
-                if fn.endswith(".parquet") and rel not in retained:
-                    os.unlink(os.path.join(subdir, fn))
+                full = os.path.join(subdir, fn)
+                if (fn.endswith(".parquet") and rel not in retained
+                        and _expendable(full)):
+                    os.unlink(full)
                     dropped_files += 1
-        for v in range(0, keep_from):
+        for v in range(earliest, keep_from):
             p = self._manifest_path(v)
             if os.path.exists(p):
                 os.unlink(p)
@@ -309,16 +335,34 @@ class TxnTable:
 
     def changes(self, since_version: int) -> DataFrame:
         """Change feed: rows ADDED after ``since_version`` (files referenced
-        by later manifests' ``added`` lists).  R12's delta-since-watermark
-        reads this instead of scanning the full table — I/O proportional to
-        the change volume, not the table."""
+        by later manifests' ``added`` lists; compactions record ``added=[]``
+        so layout rewrites never replay).  R12's delta-since-watermark reads
+        this instead of scanning the full table — I/O proportional to the
+        change volume, not the table.
+
+        Added files are read even when a LATER commit superseded them — a
+        CDC consumer must see every change as of its commit, including rows
+        later replaced (the earlier filter-to-live silently dropped all rows
+        added before a subsequent compaction).  A watermark older than the
+        vacuum retention raises ``ValueError`` (feed expired, resync) rather
+        than returning a silently incomplete feed."""
         current = self.current_version()
         added: list[str] = []
         for v in range(since_version + 1, current + 1):
-            added.extend(self._read_manifest(v)["added"])
-        live = set(self._read_manifest(current)["files"])
-        paths = [os.path.join(self.path, "data", rel)
-                 for rel in added if rel in live]
+            try:
+                added.extend(self._read_manifest(v)["added"])
+            except FileNotFoundError:
+                raise ValueError(
+                    f"change feed expired: version {v} was vacuumed; "
+                    "full resync required"
+                ) from None
+        paths = [os.path.join(self.path, "data", rel) for rel in added]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise ValueError(
+                f"change feed expired: {len(missing)} added file(s) were "
+                "vacuumed; full resync required"
+            )
         if not paths:
             return self.read(current).limit(0)
         return self.spark.read.parquet(*paths)

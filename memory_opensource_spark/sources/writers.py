@@ -104,7 +104,14 @@ def _zvalue(df: DataFrame, cols: list[str], bits: int = 12):
     levels = (1 << bits) - 1
     quantized = []
     for c in cols:
-        lo, hi = float(bounds[f"lo_{c}"]), float(bounds[f"hi_{c}"])
+        blo, bhi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+        if blo is None or bhi is None:
+            # empty input or all-NULL column: no meaningful clustering axis —
+            # degrade to a constant key (single bucket) instead of crashing,
+            # so compacting an emptied table stays a no-op
+            quantized.append(F.lit(0).cast("long"))
+            continue
+        lo, hi = float(blo), float(bhi)
         span = (hi - lo) or 1.0
         q = F.least(
             F.lit(levels),

@@ -213,9 +213,14 @@ def test_vacuum_drops_orphans_and_expired_versions(table, spark):
     current = table.current_version()
     n_rows = table.read().count()
 
-    stats = table.vacuum(keep_versions=2)
-    assert stats["dropped_files"] > 0          # at least the orphan went away
-    assert stats["dropped_manifests"] > 0      # old versions expired
+    # DEFAULT retention spares everything just written — an unreferenced
+    # staging dir may belong to an IN-FLIGHT writer whose commit is pending
+    # (the Delta VACUUM age guard); only manifests expire
+    fresh_stats = table.vacuum(keep_versions=2)
+    assert fresh_stats["dropped_files"] == 0
+
+    stats = table.vacuum(keep_versions=2, retention_seconds=0)
+    assert stats["dropped_files"] > 0          # now the orphan goes away
 
     # current and previous snapshots still read clean
     assert table.read().count() == n_rows
@@ -227,3 +232,39 @@ def test_vacuum_drops_orphans_and_expired_versions(table, spark):
     for v in (current - 1, current):
         for rel in table._read_manifest(v)["files"]:
             assert os.path.exists(os.path.join(table.path, "data", rel))
+    # a later vacuum with a WIDER window must clamp to what exists, not crash
+    # on the manifests the first vacuum already removed
+    again = table.vacuum(keep_versions=10, retention_seconds=0)
+    assert again["dropped_manifests"] == 0
+    assert table.read().count() == n_rows
+
+
+def test_changes_includes_pre_compaction_adds(table, spark):
+    """A CDC consumer must receive rows added at v+1 even when a LATER
+    compaction rewrote the layout — the feed delivers changes as of their
+    commit, not as of the current file set."""
+    v = table.current_version()
+    inc = spark.createDataFrame(
+        [("m0003", 33, "cdf")], "memory_id string, n int, tag string")
+    table.merge(inc)
+    table.compact(target_files=1)
+    got = {r.memory_id for r in table.changes(v).filter(F.col("tag") == "cdf").collect()}
+    assert got == {"m0003"}
+
+
+def test_changes_expired_by_vacuum_fails_loudly(table, spark):
+    v0 = 0
+    for i in range(3):
+        table.merge(spark.createDataFrame(
+            [(f"m{i:04d}", i, "w")], "memory_id string, n int, tag string"))
+    table.vacuum(keep_versions=1, retention_seconds=0)
+    with pytest.raises(ValueError, match="resync"):
+        table.changes(v0)
+
+
+def test_compact_zorder_of_emptied_table_is_noop(table):
+    table.delete_where(F.lit(True))
+    v = table.compact(target_files=1, zorder=["memory_id"])  # must not crash
+    assert v == table.current_version()
+    manifest = table._read_manifest(v)
+    assert sum(s["rows"] for s in manifest["files"].values()) == 0
