@@ -387,3 +387,28 @@ def test_ann_search_composes_with_spec_filters(engine, tmp_path):
     assert full == exact
     assert all(m != "m1" for m, _ in full)      # F5 exclusion applied
     assert full                                  # m2 still reachable
+
+
+def test_full_lifecycle_txn_ann(engine, tmp_path):
+    """A user's whole round trip: ingest -> versioned save -> reload into a
+    fresh engine -> build ANN index -> accelerated + filtered search ->
+    mutate -> save again -> time-travel back to the pre-mutation snapshot."""
+    store = str(tmp_path / "store")
+    engine.save(store, txn=True)
+
+    eng2 = MemoryEngine(engine.spark, dim=32)
+    eng2.load(store, txn=True)
+    eng2.build_search_index(str(tmp_path / "idx"), n_centroids=2)
+    hits = eng2.search("distributed spark engine", ctx=AclContext(user_id="bob"),
+                       score_threshold=0.0, ann_nprobe=2).collect()
+    assert hits and hits[0].memory_id == "m1"
+
+    eng2.delete_memory("m1")
+    eng2.save(store, txn=True)
+
+    cur = MemoryEngine(engine.spark, dim=32)
+    cur.load(store, txn=True)
+    assert cur.get_memory("m1") is None
+    old = MemoryEngine(engine.spark, dim=32)
+    old.load(store, txn=True, version=0)
+    assert old.get_memory("m1") is not None
