@@ -115,7 +115,22 @@ def batch_trigger_report(sessions: DataFrame, user_col: str = "user_id",
     (user, session) with ``count_col`` messages, how many full batches the
     15-message threshold triggered in-session, the leftover count, and which
     path flushes the leftover — the next session's start, or (for the user's
-    final session only) still pending."""
+    final session only) still pending.
+
+    The "last session" compare uses the ordering of ``session_col`` — correct
+    for this engine's session ids (windows.session_ids emits per-user BIGINT
+    ordinals, monotone in time).  String ids would compare lexicographically
+    ('sess_9' > 'sess_10'), so non-numeric callers must pass a
+    chronologically ordered key; enforced below rather than silently
+    misclassifying flush paths."""
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(sessions.schema[session_col].dataType, NumericType):
+        raise ValueError(
+            f"{session_col} must be numeric (chronologically ordered); "
+            "string session ids compare lexicographically and would "
+            "misclassify next_session/pending flush paths"
+        )
     full = F.floor(F.col(count_col) / batch_size).cast("bigint")
     leftover = (F.col(count_col) % batch_size).cast("bigint")
     last_sess = F.max(session_col).over(Window.partitionBy(user_col))

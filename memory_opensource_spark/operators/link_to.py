@@ -113,8 +113,22 @@ def compile_lookup(spec: NodeLink, nodes: DataFrame,
     G3/G4 shape).  `payload_value` supplies the value for match='payload'.
     Semantic matches degrade to case-insensitive containment here; a caller with
     an embedding column composes the V7 threshold join instead."""
+    if spec.match == "special":
+        # $this/$previous/$context:N resolve against the CALLER'S memory
+        # context, not the node table — compiling them here would link an
+        # arbitrary node (round-5 review finding; the reference rejects
+        # unresolvable links with a 422)
+        raise ValueError(
+            f"special reference ${spec.special} must be resolved by the "
+            "caller against its memory context, not compiled as a lookup"
+        )
     out = nodes.filter(F.col("label") == spec.label)
     value = spec.value if spec.value is not None else payload_value
+    if spec.prop and value is None:
+        # a property lookup with no value (missing payload) must not degrade
+        # to "first node of the label" — that silently links the wrong
+        # entity; empty result = unresolvable, caller decides (422 analog)
+        return out.limit(0)
     if spec.match in ("payload", "exact") and spec.prop and value is not None:
         out = out.filter(F.col(prop_col) == F.lit(value))
     elif spec.match == "semantic" and spec.prop and value is not None:

@@ -128,6 +128,11 @@ def _merge_node_constraints(schema_constraints: list[dict],
     merged, schema_types = [], set()
     for c in schema_constraints:
         node_type = c.get("node_type")
+        if not node_type:
+            # documented contract: constraints without a node_type are
+            # ignored — previously only the MEMORY layer enforced this and a
+            # typeless SCHEMA constraint leaked into the resolved policy
+            continue
         schema_types.add(node_type)
         merged.append(memory_by_type.get(node_type, c))
     for node_type, c in memory_by_type.items():

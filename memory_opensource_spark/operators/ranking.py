@@ -127,8 +127,13 @@ def ema_counters(events: DataFrame, key_col: str, ts_col: str = "ts",
                  half_life_days: float = 30.0) -> DataFrame:
     """R9 batch-replay EMA: per key, sum of 0.5^((ref-ts)/half_life) (+optional
     confidence weights) — services/memory_management.py:3177-3342.  One shuffle,
-    map-side partial aggregation."""
-    ref = ref_ts if ref_ts is not None else F.lit(None)
+    map-side partial aggregation.
+
+    ``ref_ts`` defaults to now(): the earlier ``F.lit(None)`` default made
+    delta_days NULL and silently returned NULL ema/ema_weighted for every
+    key (round-5 review finding).  Oracle-checked callers pass an explicit
+    literal reference time for determinism."""
+    ref = ref_ts if ref_ts is not None else F.current_timestamp()
     return events.groupBy(key_col).agg(
         F.sum(decayed_hit_sum(F.col(ts_col), ref, F.lit(1.0), half_life_days)).alias("ema"),
         F.sum(

@@ -21,17 +21,35 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 from ..operators.graph import related_to_edges
-from ..operators.similarity import knn_join_blas
+from ..operators.similarity import knn_join_auto
 
 
 def predict_related(new_chunks: DataFrame, corpus_chunks: DataFrame, k: int = 3,
                     id_col: str = "memory_id",
                     vec_col: str = "embedding") -> DataFrame:
-    """Top-k most-similar existing memories per new memory
-    (memory/memory_graph.py:4381-4412)."""
-    return knn_join_blas(new_chunks, corpus_chunks, k,
-                         left_vec=vec_col, right_vec=vec_col,
-                         left_id=id_col, right_id=id_col)
+    """Top-k most-similar existing MEMORIES per new memory
+    (memory/memory_graph.py:4381-4412).
+
+    Round-5 review fixes: (1) the join is budget-ROUTED (broadcast-BLAS under
+    500k corpus rows, grid past it) instead of hardcoding the driver-collect
+    BLAS path; (2) chunk-level hits aggregate to MEMORY level before the
+    top-k — a multi-chunk memory previously emitted duplicate (left, right)
+    pairs (one per chunk) that crowded distinct neighbors out of the top-3
+    and produced conflicting RELATED_TO scores.  Per-chunk overfetch (2k+2)
+    keeps k distinct memory neighbors reachable even when one neighbor
+    dominates several chunks; single-chunk memories (the fixture case) are
+    bit-identical to the old path."""
+    from pyspark.sql import Window
+
+    raw = knn_join_auto(new_chunks, corpus_chunks, 2 * k + 2,
+                        left_vec=vec_col, right_vec=vec_col,
+                        left_id=id_col, right_id=id_col)
+    agg = (raw.filter(F.col("left_id") != F.col("right_id"))
+           .groupBy("left_id", "right_id").agg(F.max("score").alias("score")))
+    w = Window.partitionBy("left_id").orderBy(F.col("score").desc(),
+                                              F.col("right_id").asc())
+    return (agg.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
 
 
 def related_edges(sims: DataFrame, k: int = 3) -> DataFrame:
@@ -41,7 +59,12 @@ def related_edges(sims: DataFrame, k: int = 3) -> DataFrame:
 
 def grouped_points(new_chunks: DataFrame, sims: DataFrame, k: int = 3) -> DataFrame:
     """V9 grouped point per memory: isGroupedMemories=true +
-    relatedMemoryIds=[top-k] (memory/memory_graph.py:3457-3591)."""
+    relatedMemoryIds=[top-k] (memory/memory_graph.py:3457-3591).
+
+    One output row per MEMORY (round-5 review fix: a multi-chunk memory
+    previously produced one grouped point per CHUNK); the point carries the
+    first chunk's embedding (chunk_index 0 when present, else lowest
+    chunk_id — deterministic)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("left_id").orderBy(F.col("score").desc(), F.col("right_id").asc())
@@ -51,10 +74,19 @@ def grouped_points(new_chunks: DataFrame, sims: DataFrame, k: int = 3) -> DataFr
         .groupBy("left_id")
         .agg(F.collect_list("right_id").alias("related_memory_ids"))
     )
+    order_col = ("chunk_index" if "chunk_index" in new_chunks.columns
+                 else "chunk_id" if "chunk_id" in new_chunks.columns
+                 else "memory_id")
+    one_per_mem = (
+        new_chunks.withColumn(
+            "_cr", F.row_number().over(
+                Window.partitionBy("memory_id").orderBy(F.col(order_col).asc())))
+        .filter(F.col("_cr") == 1).drop("_cr")
+    )
     return (
-        new_chunks.join(related, new_chunks.memory_id == related.left_id, "left")
+        one_per_mem.join(related, one_per_mem.memory_id == related.left_id, "left")
         .select(
-            new_chunks.memory_id,
+            one_per_mem.memory_id,
             F.col("embedding"),
             F.lit(True).alias("is_grouped_memories"),
             F.coalesce(F.col("related_memory_ids"), F.array()).alias("related_memory_ids"),

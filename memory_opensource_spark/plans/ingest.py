@@ -78,16 +78,28 @@ def model_embed(df: DataFrame, embed_fn, text_col: str = "chunk_content",
     ``embed_fn`` runs once per Arrow batch on the executors (serialized with
     the UDF closure) — exactly where a sentence-transformers ``encode`` call
     would sit; models too big to pickle should be lazily constructed inside
-    ``embed_fn`` per worker (the standard pattern).  ``batch_size`` caps rows
-    per Arrow batch via maxRecordsPerBatch at session level when set by the
-    caller; GPU-backed models want a few thousand, CPU models are
-    indifferent."""
+    ``embed_fn`` per worker (the standard pattern).  ``batch_size`` caps how
+    many texts reach ``embed_fn`` per call (chunked inside the UDF — no
+    session conf mutation); GPU-backed models want a few thousand, CPU models
+    are indifferent.  ``dim`` is validated against the model output."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     def _embed(texts: "pd.Series") -> "pd.Series":  # noqa: F821 — Series->Series scalar UDF
-        vecs = embed_fn(texts.tolist())
-        return pd.Series([[float(x) for x in v] for v in vecs])
+        out = []
+        items = texts.tolist()
+        # honor batch_size by chunking INSIDE the UDF (portable: no session
+        # conf mutation); round-5 review fix — the parameter previously did
+        # nothing, so a GPU-sized model saw full Arrow batches regardless
+        step = batch_size or len(items) or 1
+        for i in range(0, len(items), step):
+            vecs = embed_fn(items[i:i + step])
+            for v in vecs:
+                if dim and len(v) != dim:
+                    raise ValueError(
+                        f"embed_fn returned dim {len(v)}, expected {dim}")
+                out.append([float(x) for x in v])
+        return pd.Series(out)
 
     # plain-call form (not decorator): with `from __future__ import annotations`
     # the string hints aren't resolvable by the UDF type-hint inspector, and a

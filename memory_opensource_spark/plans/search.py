@@ -182,12 +182,28 @@ def search_with_graph(
             .distinct()
             .withColumn("score", F.lit(None).cast("double"))
         )
+        if acl_pred is not None:
+            # ACL the graph leg BEFORE the merge, like the reference (the
+            # Cypher query carries the user filters, so blocked ids never
+            # consume merge quota; memory_graph.py:8963-9143 + G15).  Engine
+            # nodes carry no ACL columns, so the gate is a semi-join against
+            # the caller-readable memories — the same OR-block the vector
+            # leg evaluates at its scan.
+            readable = memories.filter(acl_pred).select("memory_id")
+            graph_hits = graph_hits.join(
+                readable.withColumnRenamed("memory_id", "id"), "id", "left_semi"
+            )
         sources["neo"] = graph_hits
 
     merged = stratified_merge(sources, top_k, id_col="id", score_col="score")
     fetched = memories.join(
         F.broadcast(merged.withColumnRenamed("id", "memory_id")), "memory_id"
     )
+    # defense in depth: every returned row must satisfy the caller's ACL even
+    # if a future source forgets its own gate (both current legs already
+    # filter at source, so this is a no-op filter on correct plans)
+    if acl_pred is not None:
+        fetched = fetched.filter(acl_pred)
     post_pred = compile_filter(None, spec) if spec else None
     if post_pred is not None:
         fetched = fetched.filter(post_pred)

@@ -3255,12 +3255,16 @@ edges_m AS (
 ), und AS (
   SELECT src, dst FROM edges_m UNION SELECT dst, src FROM edges_m
 ), graph_hits AS (
-  -- both endpoints of every matched path (the pattern matcher returns m AND n)
+  -- both endpoints of every matched path (the pattern matcher returns m AND n),
+  -- ACL'd BEFORE the merge like the reference's Cypher-side user filters
+  -- (blocked ids never consume merge quota)
   SELECT DISTINCT id, NULL::DOUBLE AS score FROM (
     SELECT src AS id FROM und WHERE src = 'm0' OR dst = 'm0'
     UNION
     SELECT dst FROM und WHERE src = 'm0' OR dst = 'm0'
   )
+  WHERE id IN (SELECT memory_id FROM memories_d
+               WHERE user_id = 'u5' OR list_contains(user_read_access, 'u5'))
 ),
 -- R2 stratified merge: quota = max(20/2, 5) = 10 per source, adaptive fill
 ranked AS (

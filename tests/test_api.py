@@ -412,3 +412,29 @@ def test_full_lifecycle_txn_ann(engine, tmp_path):
     old = MemoryEngine(engine.spark, dim=32)
     old.load(store, txn=True, version=0)
     assert old.get_memory("m1") is not None
+
+
+def test_search_agentic_graph_leg_respects_acl(engine):
+    """A graph-reachable memory the caller cannot READ must never surface
+    through the agentic path (reference: ACL inside the graph query itself;
+    round-5 review finding — the graph leg previously bypassed the ACL that
+    the vector leg enforces at its scan)."""
+    from memory_opensource_spark.operators.graph import PatternSpec
+
+    engine.add_graph(
+        nodes=[{"node_id": "p1", "label": "Person", "prop_name": "Ann"}],
+        edges=[{"src": "m3", "dst": "p1", "rel_type": "EXTRACTED"}],
+    )
+    spec = PatternSpec(source_label="Memory", relationship_type="EXTRACTED",
+                       target_label="Person", direction="any")
+    # alice cannot read m3 (owner carol, readers [carol])
+    out = engine.search_agentic("vectors dense storage", graph_spec=spec,
+                                ctx=AclContext(user_id="alice"),
+                                score_threshold=0.0).collect()
+    assert out  # alice's own memories still return
+    assert all(r.memory_id != "m3" for r in out)
+    # carol DOES get m3 through the graph leg
+    out_c = engine.search_agentic("vectors dense storage", graph_spec=spec,
+                                  ctx=AclContext(user_id="carol"),
+                                  score_threshold=0.0).collect()
+    assert any(r.memory_id == "m3" and r.source == "neo" for r in out_c)

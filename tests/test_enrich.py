@@ -61,3 +61,38 @@ def test_enrich_deterministic(spark, fixtures):
     a = enrich.enrich(new_mems, new_chunks, corpus)["related_edges"].collect()
     b = enrich.enrich(new_mems, new_chunks, corpus)["related_edges"].collect()
     assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_predict_related_multichunk_memory_dedup(spark):
+    """A multi-chunk memory must get k DISTINCT memory neighbors with one
+    score per pair (max over chunks), one RELATED_TO edge per pair, and ONE
+    grouped point — not per-chunk duplicates (round-5 review finding)."""
+    from memory_opensource_spark.plans import enrich
+
+    def vec(*xs):
+        return [float(x) for x in xs]
+
+    # mA has 2 chunks pointing at the same nearest neighbor mX from both
+    new_chunks = spark.createDataFrame(
+        [("mA", "mA_0", 0, vec(1, 0, 0)), ("mA", "mA_1", 1, vec(0.9, 0.1, 0))],
+        "memory_id string, chunk_id string, chunk_index int, embedding array<double>")
+    corpus = spark.createDataFrame(
+        [("mX", "mX_0", 0, vec(1, 0.05, 0)),
+         ("mY", "mY_0", 0, vec(0, 1, 0)),
+         ("mZ", "mZ_0", 0, vec(0, 0, 1))],
+        "memory_id string, chunk_id string, chunk_index int, embedding array<double>")
+
+    sims = enrich.predict_related(new_chunks, corpus, k=3)
+    rows = sims.filter(F.col("left_id") == "mA").collect()
+    pairs = [(r.left_id, r.right_id) for r in rows]
+    assert len(pairs) == len(set(pairs)) == 3          # distinct neighbors
+    assert {p[1] for p in pairs} == {"mX", "mY", "mZ"}  # no slot crowded out
+
+    edges = enrich.related_edges(sims, k=3).filter(F.col("src") == "mA").collect()
+    assert len({(e.src, e.dst) for e in edges}) == len(edges) == 3
+
+    gp = enrich.grouped_points(new_chunks, sims, k=3)
+    mine = gp.filter(F.col("memory_id") == "mA").collect()
+    assert len(mine) == 1                               # one point per memory
+    assert mine[0].embedding == vec(1, 0, 0)            # first chunk's vector
+    assert len(set(mine[0].related_memory_ids)) == len(mine[0].related_memory_ids)
