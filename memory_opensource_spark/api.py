@@ -216,7 +216,23 @@ class MemoryEngine:
         subsequent add_graph calls validate against them and MERGE on their
         unique_identifiers (memory/memory_graph.py:10542-10615).  An optional
         schema-level ``memory_policy`` becomes the default layer for memories
-        citing this schema_id (models/shared_types.py:2124-2126)."""
+        citing this schema_id (models/shared_types.py:2124-2126).
+
+        unique_identifiers must map onto the node table's property columns
+        (currently {name, status} -> prop_name/prop_status): rejecting an
+        unmappable identifier HERE gives a clear configuration error instead
+        of an opaque unresolved-column AnalysisException at the first
+        add_graph (round-5 review finding)."""
+        for nt in node_types:
+            ids_ = getattr(nt, "unique_identifiers", None) or (
+                nt.get("unique_identifiers") if isinstance(nt, dict) else None) or []
+            bad = [k for k in ids_ if k not in self._SCHEMA_PROP_COLS]
+            if bad:
+                raise ValueError(
+                    f"unique_identifiers {bad} not supported as merge keys: "
+                    f"node rows carry only {sorted(self._SCHEMA_PROP_COLS)} "
+                    "properties (NODE_SCHEMA prop_* columns)"
+                )
         self.schemas.register(schema_id, node_types, memory_policy=memory_policy,
                               relationship_types=relationship_types)
 
@@ -294,10 +310,16 @@ class MemoryEngine:
             )
         )
         # $previous resolution for manual-mode relationships must see the store
-        # as it was BEFORE this batch (shared_types.py:2152-2155)
+        # as it was BEFORE this batch (shared_types.py:2152-2155).  Items whose
+        # memory was dropped as a near-dup reuse are SKIPPED entirely: the
+        # memory row never exists, so applying their policy would merge orphan
+        # nodes while the $this edges silently fail endpoint resolution
+        # (round-5 review finding) — the reference returns the existing memory
+        # and performs no graph work for the duplicate.
         manual_items = [
             it for it in items
-            if policies[it["memory_id"]]["mode"] == "manual"
+            if it["memory_id"] not in reused_mem_ids
+            and policies[it["memory_id"]]["mode"] == "manual"
             and (policies[it["memory_id"]]["nodes"] or policies[it["memory_id"]]["relationships"])
         ]
         prev_by_user: dict[str, str] = {}
@@ -389,20 +411,28 @@ class MemoryEngine:
             new_chunks = chunks
         out = enrich_plan(mems, new_chunks, chunks, k_related=k_related)
 
+        # materialize each enrichment output ONCE: the kNN RELATED_TO join and
+        # entity extraction are the heaviest plans in the engine, and without
+        # this they re-execute for the nodes merge, the edges merge, AND each
+        # returned count — ~6x the cost for identical results (round-5 review
+        # finding; same pattern as ann_index.append_to_index)
+        related = out["related_edges"].localCheckpoint(eager=True)
+        extracted = out["extracted_edges"].localCheckpoint(eager=True)
+        prop_index = out["property_index"].localCheckpoint(eager=True)
         ent_nodes = out["entities"].select(
             F.col("entity_id").alias("node_id"), "label", "prop_name",
             F.lit("active").alias("prop_status"),
-        ).dropDuplicates(["node_id"])
+        ).dropDuplicates(["node_id"]).localCheckpoint(eager=True)
         self.nodes = self._merge(self.nodes, ent_nodes, ["node_id"])
-        new_edges = out["related_edges"].unionByName(
-            out["extracted_edges"].withColumn("similarity_score", F.lit(None).cast("double"))
+        new_edges = related.unionByName(
+            extracted.withColumn("similarity_score", F.lit(None).cast("double"))
         )
         self.edges = self._merge(self.edges, new_edges, ["src", "dst", "rel_type"])
         return {
-            "related_edges": out["related_edges"].count(),
+            "related_edges": related.count(),
             "entities": ent_nodes.count(),
-            "extracted_edges": out["extracted_edges"].count(),
-            "property_index": out["property_index"].count(),
+            "extracted_edges": extracted.count(),
+            "property_index": prop_index.count(),
         }
 
     # ---- read path (§3.1) ---------------------------------------------------------
@@ -424,7 +454,14 @@ class MemoryEngine:
     def _ann_candidates(self, qvec: list[float], nprobe: int) -> DataFrame:
         """Chunk candidates from the attached IVF layout: bucket IN-filter
         lands in PartitionFilters, so only nprobe/C of the files are read.
-        Approximate by construction — recall/scan trade measured in PERF.md."""
+        Approximate by construction — recall/scan trade measured in PERF.md.
+
+        Staleness reconciliation: the candidate set is semi-joined against
+        the LIVE chunk table, so chunks of deleted memories never burn
+        overfetch slots or resurface (round-5 review finding).  UPDATED
+        memories still rank by the embedding persisted at index-build time
+        until the next build_search_index/append_to_index — the standard ANN
+        index-refresh trade; rebuild after bulk updates."""
         from .sources import ann_index
 
         cents, assign_k = ann_index._load_sidecar(self.spark, self._ann_index_path)
@@ -433,6 +470,7 @@ class MemoryEngine:
                 .filter(F.col(ann_index.BUCKET_COL).isin(probe)))
         if assign_k > 1:
             cand = cand.dropDuplicates(["chunk_id"])
+        cand = cand.join(self.chunks.select("chunk_id"), "chunk_id", "left_semi")
         return cand.drop(ann_index.BUCKET_COL)
 
     def search(self, query_text: str, ctx: AclContext | None = None,
@@ -572,14 +610,25 @@ class MemoryEngine:
         )
 
     def delete_all(self, ctx: AclContext) -> int:
-        """S13: cascade-delete everything the caller can write (scoped by ACL;
-        routers/v1/memory_routes_v1.py:1270-1303 is a filtered cascade, not a
-        per-id loop).  One LEFT ANTI join per table against the doomed-id set
+        """S13: cascade-delete every memory the resolved user OWNS
+        (routers/v1/memory_routes_v1.py:1270-1303 + the deletion loop below
+        it: 'delete all memories for user resolved_user_id' — ownership, NOT
+        the read OR-block; round-5 review finding: compiling the F1 read
+        predicate here turned any read grant into a destructive write grant).
+        Optional hard scoping (namespace/organization) narrows further.
+        One LEFT ANTI join per table against the doomed-id set
         — no driver-side id collection, plan depth O(1) regardless of how many
         memories match.  The doomed set is bounded by the ACL scope of one
         caller, so Catalyst/AQE can broadcast it under every realistic
         workload; `delete_memory` stays as the 1-row special case."""
-        doomed = self.memories.filter(compile_filter(ctx, None)).select("memory_id")
+        pred = F.col("user_id") == ctx.user_id
+        if ctx.scope_namespace and ctx.namespace_id:
+            pred = pred & (F.col("namespace_id").isNull()
+                           | (F.col("namespace_id") == ctx.namespace_id))
+        if ctx.scope_organization and ctx.organization_id:
+            pred = pred & (F.col("organization_id").isNull()
+                           | (F.col("organization_id") == ctx.organization_id))
+        doomed = self.memories.filter(pred).select("memory_id")
         n = doomed.count()
         if n == 0:
             return 0

@@ -178,12 +178,41 @@ def metadata_predicate(spec: FilterSpec, map_col: str = "custom_metadata") -> Co
 
 
 def compile_filter(ctx: AclContext | None, spec: FilterSpec | None,
-                   prefix: str = "") -> Column:
+                   prefix: str = "", map_col: str = "custom_metadata") -> Column:
     """Full search predicate: ACL AND metadata (the single filter stage that
-    subsumes the reference's pushdown/post-fetch split, SURVEY §4)."""
+    subsumes the reference's pushdown/post-fetch split, SURVEY §4).
+
+    ``map_col`` names the map<string,string> column the F3 customMetadata
+    algebra indexes — callers whose frame stores custom_metadata as a JSON
+    STRING (the engine's memories table) pass a ``from_json``-derived column
+    instead (see :func:`spec_filter`)."""
     pred = F.lit(True)
     if ctx is not None:
         pred = pred & acl_predicate(ctx, prefix)
     if spec is not None:
-        pred = pred & metadata_predicate(spec)
+        pred = pred & metadata_predicate(spec, map_col)
     return pred
+
+
+def spec_filter(df, spec: FilterSpec | None):
+    """Apply a metadata spec to ``df`` regardless of how custom_metadata is
+    stored: map columns filter directly; JSON-string columns (the engine's
+    MEMORY_SCHEMA) are parsed with ``from_json`` into a temporary map first
+    (round-5 review finding: ``getItem`` on a StringType column raises
+    INVALID_EXTRACT_BASE_FIELD_TYPE, making the documented F3 route crash on
+    the engine surface).  Returns the filtered DataFrame."""
+    from pyspark.sql.types import StringType
+
+    if spec is None:
+        return df
+    needs_parse = (
+        spec.custom_metadata
+        and "custom_metadata" in df.columns
+        and isinstance(df.schema["custom_metadata"].dataType, StringType)
+    )
+    if not needs_parse:
+        return df.filter(compile_filter(None, spec))
+    parsed = df.withColumn(
+        "__cm_map", F.from_json("custom_metadata", "map<string,string>"))
+    return (parsed.filter(compile_filter(None, spec, map_col="__cm_map"))
+            .drop("__cm_map"))

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.ids import strip_chunk_suffix
-from ..operators.predicate import AclContext, FilterSpec, compile_filter
+from ..operators.predicate import AclContext, FilterSpec, compile_filter, spec_filter
 from ..operators.ranking import overfetch_k
 from ..operators.similarity import topk_search
 from ..semantics import MAX_MEMORIES_DEFAULT, SEARCH_SCORE_THRESHOLD
@@ -93,16 +93,18 @@ def search(
     candidate_chunks = chunks
     if spec_pred is not None:
         if _spec_columns_on_chunks(chunks, spec):
-            candidate_chunks = chunks.filter(compile_filter(None, spec))
+            candidate_chunks = spec_filter(chunks, spec)
         else:
-            allowed = memories.filter(spec_pred).select("memory_id")
+            # spec_filter handles MEMORY_SCHEMA's JSON-string custom_metadata
+            # (from_json -> map) as well as genuinely map-typed frames
+            allowed = spec_filter(memories, spec).select("memory_id")
             candidate_chunks = (
                 chunks.withColumn("_spec_mem", strip_chunk_suffix(F.col("chunk_id")))
                 .join(allowed.withColumnRenamed("memory_id", "_spec_mem"), "_spec_mem", "left_semi")
                 .drop("_spec_mem")
             )
 
-    def run(cand: DataFrame, post_pred) -> DataFrame:
+    def run(cand: DataFrame, post_spec) -> DataFrame:
         hits = topk_search(
             cand,
             query_vec,
@@ -122,16 +124,16 @@ def search(
         # S1 fetch: the hit set is tiny (<= 3k ids) -> broadcast semi-join
         fetched = memories.join(F.broadcast(mem_hits), "memory_id")
         # post-fetch re-check (F4): cheap on <= 3k rows, guards spec drift
-        if post_pred is not None:
-            fetched = fetched.filter(post_pred)
+        if post_spec is not None:
+            fetched = spec_filter(fetched, post_spec)
         return fetched.orderBy(F.col("score").desc(), F.col("memory_id").asc()).limit(top_k)
 
     # post-fetch re-check (F4) only when the memories rows carry every column
     # the spec references — e.g. a custom_metadata map filtered on the chunk
     # payload may not exist memory-side.
-    post_pred = spec_pred if (spec is not None
-                              and _spec_columns_on_chunks(memories, spec)) else None
-    out = run(candidate_chunks, post_pred)
+    post_spec = spec if (spec is not None
+                         and _spec_columns_on_chunks(memories, spec)) else None
+    out = run(candidate_chunks, post_spec)
     if fallback_relax and spec_pred is not None and out.isEmpty():
         # semantic retry: relax property filters, keep ACL (memory_graph.py:9130-9141)
         out = run(chunks, None)
@@ -204,9 +206,8 @@ def search_with_graph(
     # filter at source, so this is a no-op filter on correct plans)
     if acl_pred is not None:
         fetched = fetched.filter(acl_pred)
-    post_pred = compile_filter(None, spec) if spec else None
-    if post_pred is not None:
-        fetched = fetched.filter(post_pred)
+    if spec is not None:
+        fetched = spec_filter(fetched, spec)
 
     if rerank_scorer is not None:
         fetched = rerank_scorer(fetched)

@@ -206,19 +206,21 @@ class TxnTable:
             return self.overwrite(incoming)
         manifest = self._read_manifest(expected)
         hit, miss = self.matched_files(incoming, expected)
+        files = {rel: manifest["files"][rel] for rel in miss}
+        # kept (unchanged) rows and incoming rows go to SEPARATE staging dirs
+        # so the change feed records only the incoming files as 'added' — a
+        # 1-row merge into a 1M-row file must not replay 1M rows to CDC
+        # consumers (round-5 review finding)
         if hit:
             hit_df = self.spark.read.parquet(
                 *[os.path.join(self.path, "data", rel) for rel in hit]
             )
             kept = hit_df.join(incoming.select(*self.keys).distinct(),
                                self.keys, "left_anti")
-            rewritten = kept.unionByName(incoming, allowMissingColumns=True)
-        else:
-            rewritten = incoming
-        new_files = self._write_data_files(rewritten)
-        files = {rel: manifest["files"][rel] for rel in miss}
-        files.update(new_files)
-        return self._commit(expected, files, added=sorted(new_files))
+            files.update(self._write_data_files(kept))
+        inc_files = self._write_data_files(incoming)
+        files.update(inc_files)
+        return self._commit(expected, files, added=sorted(inc_files))
 
     def merge_with_retry(self, incoming: DataFrame, max_attempts: int = 5) -> int:
         """The standard OCC loop: on ConcurrentWriteError re-read the fresh

@@ -33,8 +33,15 @@ def upsert_parquet(spark: SparkSession, path: str, incoming: DataFrame,
     logical result is identical.)"""
     try:
         existing = spark.read.parquet(path)
-    except Exception:
-        existing = None
+    except Exception as e:
+        # ONLY a missing path means "table does not exist".  Any other read
+        # failure (permissions, corrupt footer, transient storage error)
+        # must propagate — swallowing it here would silently OVERWRITE the
+        # whole table with just the incoming batch (round-5 review finding).
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            existing = None
+        else:
+            raise
     if existing is not None:
         kept = existing.join(incoming.select(*keys).distinct(), keys, "left_anti")
         out = kept.unionByName(incoming, allowMissingColumns=True)

@@ -122,14 +122,31 @@ def decayed_counter_updates(batch: DataFrame, counters: DataFrame, key_col: str,
         F.max("_ref").alias("ref_ts"),
     )
     joined = counters.join(hits, key_col, "full_outer")
+    # state advances to the NEWEST of (stored ts, batch ref): a replayed or
+    # late batch whose max ts predates the stored timestamp must not run the
+    # decay backwards (0.5^negative > 1 would INFLATE the ema and regress
+    # ema_updated_at — round-5 review finding, the same clamp
+    # api.record_feedback already applies).  Both terms decay forward to the
+    # common reference, so the result equals the order-free batch-sum
+    # identity regardless of arrival order.
+    eff_ref = F.greatest(
+        F.coalesce(F.col("ref_ts"), F.col("ema_updated_at")),
+        F.coalesce(F.col("ema_updated_at"), F.col("ref_ts")),
+    )
     old_decayed = F.coalesce(F.col("ema"), F.lit(0.0)) * F.pow(
         F.lit(0.5),
-        (F.unix_timestamp(F.coalesce(F.col("ref_ts"), F.col("ema_updated_at")))
+        (F.unix_timestamp(eff_ref)
          - F.unix_timestamp(F.col("ema_updated_at"))) / 86400.0 / half_life_days,
+    )
+    hits_decayed = F.coalesce(F.col("hit_ema"), F.lit(0.0)) * F.pow(
+        F.lit(0.5),
+        (F.unix_timestamp(eff_ref)
+         - F.unix_timestamp(F.coalesce(F.col("ref_ts"), eff_ref)))
+        / 86400.0 / half_life_days,
     )
     return joined.select(
         F.col(key_col),
-        (F.coalesce(old_decayed, F.lit(0.0)) + F.coalesce(F.col("hit_ema"), F.lit(0.0))).alias("ema"),
+        (F.coalesce(old_decayed, F.lit(0.0)) + hits_decayed).alias("ema"),
         (F.coalesce(F.col("hit_total"), F.lit(0.0)) + F.coalesce(F.col("hit_count"), F.lit(0.0))).alias("hit_total"),
-        F.coalesce(F.col("ref_ts"), F.col("ema_updated_at")).alias("ema_updated_at"),
+        eff_ref.alias("ema_updated_at"),
     )

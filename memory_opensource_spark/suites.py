@@ -245,9 +245,8 @@ def _s_lifecycle(spark, sf_dir):
             srow("S7_S8_batch_store", "cap_enforced", F.lit(cap_enforced)),
         )).alias("s"))))
 
-    # S13: real delete_all (ACL-scoped cascade) on a bounded subset (the
-    # operator collects doomed ids and unlinks per id; 200-id subset keeps
-    # the chained-filter plan shallow while exercising the true route)
+    # S13: real delete_all (OWNERSHIP-scoped cascade, matching the
+    # reference's delete-for-resolved-user route) on a bounded 200-id subset
     eng13 = MemoryEngine(spark)
     eng13.memories = mems.filter(_idnum() < 200)
     n_deleted = eng13.delete_all(AclContext(user_id="u3"))
@@ -301,11 +300,11 @@ SELECT 'S7_S8_batch_store', 'cap_enforced', CAST(1.0 AS DOUBLE)
 UNION ALL
 SELECT 'S13_delete_all', 'deleted', ROUND(count(*)::DOUBLE, 6)::DOUBLE
 FROM memories_d
-WHERE id_num < 200 AND (user_id = 'u3' OR list_contains(user_read_access, 'u3'))
+WHERE id_num < 200 AND user_id = 'u3'
 UNION ALL
 SELECT 'S13_delete_all', 'remaining', ROUND(count(*)::DOUBLE, 6)::DOUBLE
 FROM memories_d
-WHERE id_num < 200 AND NOT (user_id = 'u3' OR list_contains(user_read_access, 'u3'))
+WHERE id_num < 200 AND user_id <> 'u3'
 UNION ALL
 SELECT 'S14_get',
        concat_ws('|', memory_id, substr(content, 1, 40), array_to_string(topics, ',')),

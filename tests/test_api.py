@@ -70,10 +70,20 @@ def test_delete_cascades(engine):
 
 def test_delete_all_scoped(engine):
     n = engine.delete_all(AclContext(user_id="alice"))
-    assert n == 2  # m1, m2 owned-or-readable by alice; m3 (carol) stays
+    assert n == 2  # m1, m2 OWNED by alice; m3 (carol) stays
     assert engine.get_memory("m3") is not None
     assert engine.get_memory("m1") is None
     assert engine.chunks.filter(F.col("memory_id").isin("m1", "m2")).count() == 0
+
+
+def test_delete_all_requires_ownership_not_read_grant(engine):
+    """A READ grant must never become a destructive write grant: bob can read
+    m1 (user_read_access) but owns nothing, so delete_all removes nothing
+    (reference: delete-all-for-resolved-USER is ownership-scoped;
+    round-5 review finding)."""
+    n = engine.delete_all(AclContext(user_id="bob"))
+    assert n == 0
+    assert engine.get_memory("m1") is not None
 
 
 def test_delete_all_is_set_based(engine):
@@ -438,3 +448,30 @@ def test_search_agentic_graph_leg_respects_acl(engine):
                                   ctx=AclContext(user_id="carol"),
                                   score_threshold=0.0).collect()
     assert any(r.memory_id == "m3" and r.source == "neo" for r in out_c)
+
+
+def test_search_with_custom_metadata_spec(spark):
+    """F3 on the ENGINE surface: MEMORY_SCHEMA stores custom_metadata as a
+    JSON string; the spec route must parse it (from_json) instead of crashing
+    with INVALID_EXTRACT_BASE_FIELD_TYPE (round-5 review finding, verified
+    live by the reviewer)."""
+    eng = MemoryEngine(spark, dim=16)
+    eng.add_memory_batch([
+        {"memory_id": "p1", "content": "high priority task",
+         "user_id": "u", "custom_metadata": '{"priority": "5", "team": "core"}'},
+        {"memory_id": "p2", "content": "low priority chore",
+         "user_id": "u", "custom_metadata": '{"priority": "1"}'},
+        {"memory_id": "p3", "content": "untagged note about priority", "user_id": "u"},
+    ])
+    ctx = AclContext(user_id="u")
+    # bare numeric -> >= lower bound (F3)
+    hits = eng.search("priority", ctx=ctx, score_threshold=0.0,
+                      spec=FilterSpec(custom_metadata={"priority": 3})).collect()
+    assert {h.memory_id for h in hits} == {"p1"}
+    # string equality
+    hits = eng.search("priority", ctx=ctx, score_threshold=0.0,
+                      spec=FilterSpec(custom_metadata={"team": "core"})).collect()
+    assert {h.memory_id for h in hits} == {"p1"}
+    # no-match value returns empty, not an error
+    assert eng.search("priority", ctx=ctx, score_threshold=0.0,
+                      spec=FilterSpec(custom_metadata={"team": "nope"})).count() == 0

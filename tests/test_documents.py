@@ -20,8 +20,24 @@ def test_read_and_parse(spark, doc_dir):
     assert files.count() == 2  # glob excludes .bin
     parsed = documents.parse_documents(files)
     rows = {r.memory_id: r.content for r in parsed.collect()}
-    assert rows["doc_a"] == "alpha beta gamma delta epsilon"
-    assert rows["doc_b"].startswith("totally different")
+    by_name = {m.rsplit("_", 1)[0]: c for m, c in rows.items()}
+    assert by_name["doc_a"] == "alpha beta gamma delta epsilon"
+    assert by_name["doc_b"].startswith("totally different")
+    # ids carry a full-path hash suffix so same-named files in different
+    # directories never collide (round-5 review finding)
+    assert all(len(m.rsplit("_", 1)[1]) == 8 for m in rows)
+
+
+def test_same_basename_different_dirs_do_not_collide(spark, tmp_path):
+    (tmp_path / "x").mkdir(); (tmp_path / "y").mkdir()
+    (tmp_path / "x" / "notes.txt").write_text("content from directory x")
+    (tmp_path / "y" / "notes.txt").write_text("content from directory y")
+    files = documents.read_binary_documents(spark, str(tmp_path) + "/*")
+    parsed = documents.parse_documents(files).collect()
+    assert len(parsed) == 2
+    assert len({r.memory_id for r in parsed}) == 2  # distinct ids
+    assert {r.content for r in parsed} == {
+        "content from directory x", "content from directory y"}
 
 
 def test_binary_junk_degrades_not_fails(spark, doc_dir):
@@ -35,7 +51,7 @@ def test_ingest_documents_end_to_end(spark, doc_dir):
     existing = spark.createDataFrame([], "chunk_id string, embedding array<double>")
     out = documents.ingest_documents(spark, doc_dir, existing, dim=16)
     chunks = out["chunks"].collect()
-    assert {r.chunk_id for r in chunks} == {"doc_a_0", "doc_b_0"}
+    assert {r.chunk_id.rsplit("_", 2)[0] for r in chunks} == {"doc_a", "doc_b"}
     assert all(abs(sum(x * x for x in r.embedding) - 1.0) < 1e-9 for r in chunks)
     # a NEW file with duplicate content dedups against the stored chunks
     # (V4: same content under a new id -> reuse the existing memory)
@@ -48,9 +64,10 @@ def test_ingest_documents_end_to_end(spark, doc_dir):
     stored = out["chunks"].select("chunk_id", "embedding").localCheckpoint(eager=True)
     again = documents.ingest_documents(spark, str(dup_dir), stored, dim=16)
     reused = again["reused"].collect()
-    assert len(reused) == 1 and reused[0].new_id == "doc_c_0" \
-        and reused[0].reuse_id == "doc_a_0"
-    assert {r.chunk_id for r in again["chunks"].collect()} == {"doc_d_0"}
+    assert len(reused) == 1 and reused[0].new_id.startswith("doc_c_") \
+        and reused[0].reuse_id.startswith("doc_a_")
+    only = [r.chunk_id for r in again["chunks"].collect()]
+    assert len(only) == 1 and only[0].startswith("doc_d_")
 
 
 def test_hierarchical_chunk_structure(spark):

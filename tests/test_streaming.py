@@ -208,3 +208,26 @@ def test_streaming_dedup_within_watermark(spark):
         assert ids == ["m1", "m2", "m3"], ids
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_decayed_counter_updates_late_batch_never_inflates(spark):
+    """A replayed/late micro-batch whose max ts PRECEDES the stored
+    ema_updated_at must decay the batch hits forward — never run the stored
+    ema's decay backwards (0.5^negative > 1) or regress the timestamp
+    (round-5 review finding, verified live by the reviewer)."""
+    from memory_opensource_spark.streaming.pipelines import decayed_counter_updates
+
+    counters = spark.createDataFrame(
+        [("m1", 10.0, 100.0, "2024-02-01 00:00:00")],
+        "memory_id string, ema double, hit_total double, ema_updated_at string",
+    ).withColumn("ema_updated_at", F.to_timestamp("ema_updated_at"))
+    late = spark.createDataFrame(
+        [("m1", "2024-01-01 00:00:00")], "memory_id string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    out = decayed_counter_updates(late, counters, "memory_id").first()
+    # stored ema unchanged (decay to its own, newer, timestamp = x1.0);
+    # the late hit decays FORWARD 31 days: 0.5^(31/30)
+    assert abs(out.ema - (10.0 + 0.5 ** (31 / 30.0))) < 1e-9
+    assert out.hit_total == 101.0
+    assert str(out.ema_updated_at) == "2024-02-01 00:00:00"  # never regresses

@@ -114,10 +114,10 @@ def test_change_feed_reads_only_added_files(table):
     table.merge(inc)
     ch = table.changes(v)
     got = {r.memory_id for r in ch.collect()}
-    assert {"m0003", "m0049x"} <= got
-    assert not any(m >= "m0050" for m in got)
-    full_delta = ch.filter(F.col("tag") == "cdf").count()
-    assert full_delta == 2
+    # EXACTLY the incoming rows: kept rows of the rewritten file stage
+    # separately and are never recorded as 'added'
+    assert got == {"m0003", "m0049x"}
+    assert ch.count() == 2
 
 
 def test_delete_where(table):
