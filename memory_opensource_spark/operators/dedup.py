@@ -326,7 +326,8 @@ def ingest_dedup_reuse(new_chunks: DataFrame, existing: DataFrame,
                        existing_id: str = "chunk_id",
                        vec_col: str = "embedding",
                        use_blas: bool = True,
-                       approx_existing_rows: int | None = None) -> DataFrame:
+                       approx_existing_rows: int | None = None,
+                       inclusive: bool = False) -> DataFrame:
     """Reference V4 near-duplicate check at ingest
     (memory/memory_graph.py:14214-14442): for each new chunk, its best existing
     match with cosine > threshold -> {new_id, reuse_id, score}; rows absent =
@@ -337,7 +338,12 @@ def ingest_dedup_reuse(new_chunks: DataFrame, existing: DataFrame,
     :func:`grid_knn_join` (no driver collect), so add_memory_batch can never
     OOM the driver on a large store.  ``approx_existing_rows``: optional size
     hint; when absent, routing reads plan statistics instead of running a
-    count() scan (see :func:`_route_rows`)."""
+    count() scan (see :func:`_route_rows`).
+
+    ``inclusive``: V4's reference gate is STRICT (score > 0.97,
+    memory_graph.py:14421 — the default); V7 content resolution passes
+    score_threshold to Qdrant, whose semantics are INCLUSIVE (>= 0.95,
+    :11557-11570) — that caller sets inclusive=True."""
     if use_blas:
         join = (grid_knn_join
                 if _route_rows(existing, approx_existing_rows) > BLAS_BROADCAST_BUDGET_ROWS
@@ -345,7 +351,8 @@ def ingest_dedup_reuse(new_chunks: DataFrame, existing: DataFrame,
     else:
         join = knn_join
     nn = join(new_chunks, existing, 1, vec_col, vec_col, new_id, existing_id)
+    keep = (F.col("score") >= threshold) if inclusive else (F.col("score") > threshold)
     return (
-        nn.filter(F.col("score") > threshold)
+        nn.filter(keep)
         .select(F.col("left_id").alias("new_id"), F.col("right_id").alias("reuse_id"), "score")
     )

@@ -32,8 +32,14 @@ def stratified_merge(sources: dict[str, DataFrame], top_k: int,
     - per-source quota = max(top_k / num_sources, 5) (:6579-6596);
     - vector sources get chunk_factor x3 (:6103) — callers over-fetch upstream;
     - graph source rows with NULL score get default 0.7 (:6599-6603);
-    - adaptive fill: remaining slots go to sources with leftovers, in source-name
-      order (deterministic stand-in for the reference's round-robin) (:6608-6652);
+    - adaptive fill (:6608-6652): remaining slots DISTRIBUTE EVENLY across
+      sources that still have leftovers — slots_per_source = remaining //
+      n_sources_with_remaining, the first ``remaining %% n`` sources (name
+      order — the reference iterates its source list in fixed order) get one
+      extra, and a source's take is capped by what it has (surplus is NOT
+      redistributed, matching ``remaining_ids[:slots]``).  Round-5
+      mirrored-deviation review replaced the earlier exhaust-first-source
+      stand-in with the reference algorithm;
     - final dedup by id keeps the best (max) score.
     Returns {id, score, source}.
     """
@@ -65,22 +71,32 @@ def stratified_merge(sources: dict[str, DataFrame], top_k: int,
     n_within = F.sum(
         F.when(F.col("src_rank") <= quota, 1).otherwise(0)
     ).over(Window.partitionBy())
-    # a leftover's fill rank = running count of leftovers in (source,
-    # src_rank, id) order — identical to the former row_number over the
-    # leftovers-only frame, computed without splitting the DataFrame
-    fill_w = (Window.partitionBy()
-              .orderBy(F.col("source").asc(), F.col("src_rank").asc(), F.col("id").asc())
-              .rowsBetween(Window.unboundedPreceding, 0))
-    leftover_rank = F.sum(
+    remaining = F.greatest(F.lit(top_k) - n_within, F.lit(0))
+    # per-source leftover bookkeeping, all as window expressions (no split):
+    # has_leftover per source; dense_rank over (has_leftover desc, source asc)
+    # indexes the sources WITH leftovers 1..n in name order; the global max of
+    # that index over leftover sources is n_sources_with_remaining
+    src_w = Window.partitionBy("source")
+    has_leftover = F.max(
         F.when(F.col("src_rank") > quota, 1).otherwise(0)
-    ).over(fill_w)
+    ).over(src_w)
+    idx_w = Window.partitionBy().orderBy(
+        F.when(F.col("_has_lo") == 1, 0).otherwise(1), F.col("source").asc())
+    stage = (all_ranked.withColumn("_has_lo", has_leftover)
+             .withColumn("_src_i", F.dense_rank().over(idx_w)))
+    n_srcs = F.max(F.when(F.col("_has_lo") == 1, F.col("_src_i"))
+                   .otherwise(0)).over(Window.partitionBy())
+    slots = (F.floor(remaining / F.greatest(n_srcs, F.lit(1)))
+             + F.when(F.col("_src_i") <= remaining % F.greatest(n_srcs, F.lit(1)), 1)
+             .otherwise(0))
     merged = (
-        all_ranked
+        stage
         .withColumn("_keep",
                     (F.col("src_rank") <= quota)
-                    | (leftover_rank <= F.greatest(F.lit(top_k) - n_within, F.lit(0))))
+                    | ((F.col("_has_lo") == 1)
+                       & ((F.col("src_rank") - F.lit(quota)) <= slots)))
         .filter(F.col("_keep"))
-        .drop("_keep")
+        .drop("_keep", "_has_lo", "_src_i")
     )
     # dedup by id keeping best score (R1), deterministic
     w_best = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("source").asc())
@@ -112,7 +128,14 @@ def tier1_ranked(memories: DataFrame, max_items: int,
         F.col("citation_hit_total"), F.col("citation_hit_ema_30d"),
         F.col("citation_confidence_weighted_30d"),
     )
-    has_cite = F.coalesce(F.col("citation_hit_total"), F.lit(0.0)) > 0
+    # reference: has_cite = (z_tot > 0) or (z_ema > 0) or (z_cw > 0.0)
+    # (memory_management.py:4137) — a zero hit-total with nonzero EMA or
+    # confidence still routes through the citation-weighted fuse
+    has_cite = (
+        (F.coalesce(F.col("citation_hit_total"), F.lit(0.0)) > 0)
+        | (F.coalesce(F.col("citation_hit_ema_30d"), F.lit(0.0)) > 0)
+        | (F.coalesce(F.col("citation_confidence_weighted_30d"), F.lit(0.0)) > 0)
+    )
     return (
         memories.withColumn("score_cache", cache)
         .withColumn("score_cite", cite)
@@ -161,11 +184,16 @@ def windowed_counts(logs: DataFrame, key_col: str, ts_col: str, days: int,
 def temporal_coherence(pairs: DataFrame, key_col: str = "memory_id",
                        age_diff_col: str = "age_diff_hours") -> DataFrame:
     """R13 (memory/memory_graph.py:4546-4560): vs top-related set, abs age-diff
-    stats and coherence = 1 - spread/(max+1)."""
+    stats and coherence = 1 - spread/(max+1).  The median is the
+    reference's ELEMENT-SELECT form — sorted(diffs)[n//2], the upper-middle
+    element with no interpolation (:4557) — not percentile(0.5)
+    (round-5 mirrored-deviation review: even-cardinality groups differed)."""
+    med = F.element_at(F.sort_array(F.collect_list(age_diff_col)),
+                       (F.floor(F.count(age_diff_col) / 2) + 1).cast("int"))
     agg = pairs.groupBy(key_col).agg(
         F.max(age_diff_col).alias("max_diff"),
         F.min(age_diff_col).alias("min_diff"),
-        F.percentile(F.col(age_diff_col), F.lit(0.5)).alias("median_diff"),
+        med.alias("median_diff"),
     )
     spread = F.col("max_diff") - F.col("min_diff")
     return agg.withColumn("spread", spread).withColumn(

@@ -252,7 +252,7 @@ scored AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY new_id ORDER BY score DESC, reuse_id ASC) AS rn
   FROM scored
 ), hits AS (
-  SELECT new_id, reuse_id, score FROM ranked WHERE rn = 1 AND score > 0.95
+  SELECT new_id, reuse_id, score FROM ranked WHERE rn = 1 AND score >= 0.95
 )
 SELECT n.vec_id AS candidate_id,
        COALESCE(h.reuse_id, n.vec_id) AS canonical_id,
@@ -263,7 +263,8 @@ FROM newv n LEFT JOIN hits h ON n.vec_id = h.new_id
 def v7_content(spark, sf_dir):
     """V7 entity resolution by content (_search_qdrant_for_similar_content,
     memory/memory_graph.py:11392-11656): embed the candidate's content, find
-    the best existing node with cosine STRICTLY > 0.95 (:11557) -> merge onto
+    the best existing node with cosine >= 0.95 (Qdrant score_threshold is
+    INCLUSIVE, :11557-11570) -> merge onto
     its canonical id, else create (canonical = own id, score sentinel -1).
     The single-key variant of V6 with the merge-else-create decision made
     explicit — the 1-NN + threshold core is the same ingest_dedup_reuse
@@ -271,7 +272,7 @@ def v7_content(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings")
     new = emb.filter(F.col("vec_id") % 2 == 1)
     old = emb.filter(F.col("vec_id") % 2 == 0)
-    hits = dedup.ingest_dedup_reuse(new, old, threshold=0.95,
+    hits = dedup.ingest_dedup_reuse(new, old, threshold=0.95, inclusive=True,
                                     new_id="vec_id", existing_id="vec_id")
     cand = new.select(F.col("vec_id").alias("candidate_id"))
     joined = cand.join(hits.withColumnRenamed("new_id", "candidate_id"),
@@ -532,7 +533,8 @@ scored AS (
       + 0.2 * (cache_confidence_weighted_30d / greatest(cache_hit_ema_30d, 1.0)) AS score_cache,
     0.4 * ln(1 + citation_hit_total) + 0.3 * citation_hit_ema_30d
       + 0.3 * (citation_confidence_weighted_30d / greatest(citation_hit_ema_30d, 1.0)) AS score_cite,
-    citation_hit_total > 0 AS has_cite
+    (citation_hit_total > 0 OR citation_hit_ema_30d > 0
+     OR citation_confidence_weighted_30d > 0) AS has_cite
   FROM memories_d
 )
 SELECT memory_id,
@@ -619,7 +621,9 @@ WITH {EVENTS}, diffs AS (
 SELECT memory_id,
        ROUND(MAX(age_diff_hours), 6)::DOUBLE AS max_diff,
        ROUND(MIN(age_diff_hours), 6)::DOUBLE AS min_diff,
-       ROUND(quantile_cont(age_diff_hours, 0.5), 6)::DOUBLE AS median_diff,
+       -- reference median: sorted(diffs)[n//2] (element-select, :4557)
+       ROUND((array_agg(age_diff_hours ORDER BY age_diff_hours))[count(*) // 2 + 1],
+             6)::DOUBLE AS median_diff,
        ROUND(1.0 - (MAX(age_diff_hours) - MIN(age_diff_hours)) / (MAX(age_diff_hours) + 1.0), 6)::DOUBLE AS coherence
 FROM diffs
 GROUP BY memory_id
@@ -638,7 +642,9 @@ def r13(spark, sf_dir):
     agg = pairs.groupBy("memory_id").agg(
         _r6(F.max("age_diff_hours")).alias("max_diff"),
         _r6(F.min("age_diff_hours")).alias("min_diff"),
-        _r6(F.percentile(F.col("age_diff_hours"), F.lit(0.5))).alias("median_diff"),
+        _r6(F.element_at(F.sort_array(F.collect_list("age_diff_hours")),
+                         (F.floor(F.count("age_diff_hours") / 2) + 1).cast("int"))
+            ).alias("median_diff"),
         _r6(
             F.lit(1.0)
             - (F.max("age_diff_hours") - F.min("age_diff_hours"))
@@ -1382,14 +1388,23 @@ vec_src AS (
   SELECT id, score, 'vector', ROW_NUMBER() OVER (ORDER BY score DESC, id ASC)
   FROM vec_src
 ), within AS (SELECT * FROM ranked WHERE src_rank <= 10),
-leftovers AS (
-  SELECT *, ROW_NUMBER() OVER (ORDER BY source ASC, src_rank ASC, id ASC) AS fill_rank
-  FROM ranked WHERE src_rank > 10
+lo AS (SELECT *, src_rank - 10 AS lrank FROM ranked WHERE src_rank > 10),
+losrc AS (
+  SELECT source, ROW_NUMBER() OVER (ORDER BY source ASC) - 1 AS src_i
+  FROM (SELECT DISTINCT source FROM lo)
+), params AS (
+  SELECT (SELECT COUNT(*) FROM losrc) AS nsrc,
+         greatest(20 - (SELECT COUNT(*) FROM within), 0) AS remaining
 ), merged AS (
+  -- reference adaptive fill (memory_graph.py:6630-6645): remaining slots
+  -- split evenly across sources with leftovers, extras to the first sources
   SELECT id, score, source FROM within
   UNION ALL
-  SELECT id, score, source FROM leftovers
-  WHERE fill_rank <= 20 - (SELECT COUNT(*) FROM within)
+  SELECT l.id, l.score, l.source
+  FROM lo l JOIN losrc s USING (source) CROSS JOIN params p
+  WHERE l.lrank <= p.remaining // greatest(p.nsrc, 1)
+                   + CASE WHEN s.src_i < p.remaining % greatest(p.nsrc, 1)
+                          THEN 1 ELSE 0 END
 ), dedup AS (
   SELECT id, score, source,
          ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, source ASC) AS rn
@@ -3275,14 +3290,23 @@ ranked AS (
   SELECT id, score, 'vector', ROW_NUMBER() OVER (ORDER BY score DESC, id ASC)
   FROM vec_hits
 ), within AS (SELECT * FROM ranked WHERE src_rank <= 10),
-leftovers AS (
-  SELECT *, ROW_NUMBER() OVER (ORDER BY source ASC, src_rank ASC, id ASC) AS fill_rank
-  FROM ranked WHERE src_rank > 10
+lo AS (SELECT *, src_rank - 10 AS lrank FROM ranked WHERE src_rank > 10),
+losrc AS (
+  SELECT source, ROW_NUMBER() OVER (ORDER BY source ASC) - 1 AS src_i
+  FROM (SELECT DISTINCT source FROM lo)
+), params AS (
+  SELECT (SELECT COUNT(*) FROM losrc) AS nsrc,
+         greatest(20 - (SELECT COUNT(*) FROM within), 0) AS remaining
 ), merged AS (
+  -- reference adaptive fill (memory_graph.py:6630-6645): remaining slots
+  -- split evenly across sources with leftovers, extras to the first sources
   SELECT id, score, source FROM within
   UNION ALL
-  SELECT id, score, source FROM leftovers
-  WHERE fill_rank <= 20 - (SELECT COUNT(*) FROM within)
+  SELECT l.id, l.score, l.source
+  FROM lo l JOIN losrc s USING (source) CROSS JOIN params p
+  WHERE l.lrank <= p.remaining // greatest(p.nsrc, 1)
+                   + CASE WHEN s.src_i < p.remaining % greatest(p.nsrc, 1)
+                          THEN 1 ELSE 0 END
 ), dedup AS (
   SELECT id, score, source,
          ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, source ASC) AS rn

@@ -470,14 +470,18 @@ FROM (
 
 def _st_orchestration(spark, sf_dir):
     """ST1 foreachBatch micro-batch ingest, ST6 batch caps, ST7 completion
-    webhooks — the batch ARITHMETIC TWINS of streaming/pipelines.py: events
-    partitioned into day micro-batches; each batch ingests up to 300 rows,
-    defers the rest, and emits one completion record.  Both engines compute
-    the same cap algebra here, so this row checks the day-batch derivation,
-    not the operators; the real foreachBatch pipeline, BatchCompletionListener
-    and api-level batch cap are exercised end-to-end in
-    tests/test_streaming.py and the S7_S8 lifecycle rows (real
-    add_memory_batch + enforced 1000 cap)."""
+    webhooks — the batch arithmetic twins of streaming/pipelines.py over the
+    engine's REAL constants (semantics.BATCH_MAX cap per micro-batch,
+    BATCH_WORKFLOW_THRESHOLD routing — round-5 mirrored-deviation review:
+    the earlier rows used a hardcoded 300 that corresponds to no code path,
+    so cap regressions could never turn them red).  The cap literal is
+    injected into the SQL from semantics at registration time, so a drifted
+    constant shows up as a hash mismatch.  The real foreachBatch pipeline,
+    BatchCompletionListener and api-level batch cap are exercised end-to-end
+    in tests/test_streaming.py and the S7_S8 lifecycle rows (real
+    add_memory_batch + enforced cap)."""
+    from .semantics import BATCH_MAX, BATCH_WORKFLOW_THRESHOLD
+
     ev = tables.load(spark, sf_dir, "events")
     batches = (ev.groupBy(F.to_date("ts").alias("batch_date"))
                .agg(F.count("*").alias("n")))
@@ -486,17 +490,21 @@ def _st_orchestration(spark, sf_dir):
                          bid.alias("id"), _r6(F.col("n")).alias("num"))
     st6a = batches.select(F.lit("ST6_batch_cap").alias("component"),
                           F.concat_ws("|", bid, F.lit("accepted")).alias("id"),
-                          _r6(F.least(F.col("n"), F.lit(300))).alias("num"))
+                          _r6(F.least(F.col("n"), F.lit(BATCH_MAX))).alias("num"))
     st6d = batches.select(F.lit("ST6_batch_cap").alias("component"),
                           F.concat_ws("|", bid, F.lit("deferred")).alias("id"),
-                          _r6(F.greatest(F.col("n") - 300, F.lit(0))).alias("num"))
+                          _r6(F.greatest(F.col("n") - BATCH_MAX, F.lit(0))).alias("num"))
     st7 = batches.select(F.lit("ST7_completion").alias("component"),
-                         F.concat_ws("|", bid, F.lit("complete")).alias("id"),
-                         _r6(F.least(F.col("n"), F.lit(300))).alias("num"))
+                         F.concat_ws("|", bid, F.lit("workflow_routed")).alias("id"),
+                         _r6((F.least(F.col("n"), F.lit(BATCH_MAX))
+                              > BATCH_WORKFLOW_THRESHOLD).cast("int")).alias("num"))
     return st1.unionByName(st6a).unionByName(st6d).unionByName(st7)
 
 
-_ST_ORCH_SQL = """
+def _st_orch_sql() -> str:
+    from .semantics import BATCH_MAX, BATCH_WORKFLOW_THRESHOLD
+
+    return f"""
 WITH events_us AS (
   SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props FROM events
 ), batches AS (
@@ -506,14 +514,18 @@ SELECT 'ST1_micro_batch' AS component, batch_date::VARCHAR AS id,
        ROUND(n::DOUBLE, 6)::DOUBLE AS num FROM batches
 UNION ALL
 SELECT 'ST6_batch_cap', concat_ws('|', batch_date::VARCHAR, 'accepted'),
-       ROUND(least(n, 300)::DOUBLE, 6)::DOUBLE FROM batches
+       ROUND(least(n, {BATCH_MAX})::DOUBLE, 6)::DOUBLE FROM batches
 UNION ALL
 SELECT 'ST6_batch_cap', concat_ws('|', batch_date::VARCHAR, 'deferred'),
-       ROUND(greatest(n - 300, 0)::DOUBLE, 6)::DOUBLE FROM batches
+       ROUND(greatest(n - {BATCH_MAX}, 0)::DOUBLE, 6)::DOUBLE FROM batches
 UNION ALL
-SELECT 'ST7_completion', concat_ws('|', batch_date::VARCHAR, 'complete'),
-       ROUND(least(n, 300)::DOUBLE, 6)::DOUBLE FROM batches
+SELECT 'ST7_completion', concat_ws('|', batch_date::VARCHAR, 'workflow_routed'),
+       ROUND((CASE WHEN least(n, {BATCH_MAX}) > {BATCH_WORKFLOW_THRESHOLD}
+                   THEN 1 ELSE 0 END)::DOUBLE, 6)::DOUBLE FROM batches
 """
+
+
+_ST_ORCH_SQL = _st_orch_sql()
 
 
 # ---------------------------------------------------------------------------------
@@ -537,8 +549,13 @@ def f9_fallback_relax(spark, sf_dir):
                .orderBy(F.col("created_at").desc(), F.col("memory_id").asc())
                .limit(5)
                .select(F.lit("relaxed").alias("stage"), "memory_id"))
+    # relax fires only when the strict result is EMPTY — the reference's
+    # retry gate (memory_graph.py:9133 len(neo_nodes)==0) and the engine's
+    # own search() (out.isEmpty()); the earlier <5 gate emitted relaxed rows
+    # alongside non-empty strict results, semantics neither side has
+    # (round-5 mirrored-deviation review)
     gated = (relaxed.crossJoin(F.broadcast(n_strict))
-             .filter(F.col("n_strict") < 5).drop("n_strict"))
+             .filter(F.col("n_strict") == 0).drop("n_strict"))
     return strict.unionByName(gated)
 
 
@@ -555,7 +572,7 @@ UNION ALL
 SELECT 'relaxed' AS stage, memory_id
 FROM (SELECT memory_id FROM memories_d WHERE user_id = 'u1'
       ORDER BY created_at DESC, memory_id ASC LIMIT 5) r
-WHERE (SELECT count(*) FROM strict) < 5
+WHERE (SELECT count(*) FROM strict) = 0
 """
 
 
@@ -600,39 +617,49 @@ FROM ment m JOIN store s ON m.node_id = s.node_id
 
 
 def st5_decayed_counter_replay(spark, sf_dir):
-    """ST5 batch twin: the decayed-counter state fold of
-    streaming/stateful.py:70 (applyInPandasWithState) replayed as a batch
-    computation — final per-user EMA state after folding every event in ts
-    order with decay 0.9.  The streaming form (incl. checkpoint recovery) is
-    pytest-covered; this registers the same fold for the driver oracle."""
+    """ST5 batch twin: the ACTUAL decayed-counter state fold of
+    streaming/stateful.py (+1 per event, TIME decay 0.5^(dt/half_life)),
+    replayed via the order-free batch identity — final per-user EMA =
+    sum_i 0.5^((last_ts - t_i)/half_life).  Round-5 mirrored-deviation
+    review: the earlier row verified a 0.9^ordinal value-weighted sum that
+    exists nowhere in the code it cited; this row now shares the exact
+    algebra pytest pins against applyInPandasWithState, so a decay bug in
+    stateful.py turns the driver row red.  Half-life imported from
+    semantics so the oracle literal cannot drift."""
+    from .semantics import EMA_HALF_LIFE_DAYS
+
     from pyspark.sql import Window
 
-    ev = tables.load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ranked = ev.select("user_id", "value",
-                       F.row_number().over(w).alias("rn"),
-                       F.count("*").over(Window.partitionBy("user_id")).alias("cnt"))
-    return (ranked.groupBy("user_id")
-            .agg(_r6(F.sum(F.col("value") * F.pow(F.lit(0.9), F.col("cnt") - F.col("rn"))))
+    hl_s = EMA_HALF_LIFE_DAYS * 86400.0
+    ev = tables.load(spark, sf_dir, "events").withColumn(
+        "_ref", F.max(F.unix_timestamp("ts")).over(Window.partitionBy("user_id")))
+    return (ev.groupBy("user_id")
+            .agg(_r6(F.sum(F.pow(F.lit(0.5),
+                                 (F.col("_ref") - F.unix_timestamp(F.col("ts"))) / hl_s)))
                  .alias("ema"),
-                 F.count("*").alias("n_events"))
-            .select(F.col("user_id"), F.col("ema"), F.col("n_events")))
+                 F.count("*").alias("n_events")))
 
 
-_ST5_SQL = """
+def _st5_sql() -> str:
+    from .semantics import EMA_HALF_LIFE_DAYS
+
+    hl_s = EMA_HALF_LIFE_DAYS * 86400.0
+    return f"""
 WITH events_us AS (
-  SELECT event_id, ts::TIMESTAMP AS ts, user_id, value FROM events
-), ranked AS (
-  SELECT user_id, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-         count(*) OVER (PARTITION BY user_id) AS cnt
+  SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events
+), e AS (
+  SELECT user_id, floor(epoch(ts)) AS t,
+         MAX(floor(epoch(ts))) OVER (PARTITION BY user_id) AS ref
   FROM events_us
 )
 SELECT user_id,
-       ROUND(SUM(value * pow(0.9, cnt - rn))::DOUBLE, 6)::DOUBLE AS ema,
+       ROUND(SUM(pow(0.5, (ref - t) / {hl_s!r}))::DOUBLE, 6)::DOUBLE AS ema,
        count(*) AS n_events
-FROM ranked GROUP BY user_id
+FROM e GROUP BY user_id
 """
+
+
+_ST5_SQL = _st5_sql()
 
 
 # ---------------------------------------------------------------------------------

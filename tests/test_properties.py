@@ -396,8 +396,10 @@ merge_sources_st = st.dictionaries(
 
 
 def _stratified_py(sources, top_k, quota_floor, neo_default):
-    """Reference model of R2 (memory_graph.py:6567-6727 as adopted): per-source
-    quota -> adaptive fill in (source, rank) order -> best-score dedup."""
+    """Reference model of R2 (memory_graph.py:6567-6727): per-source quota ->
+    EVEN adaptive fill across sources-with-leftovers (remaining//n + extras
+    to the first sources in order, per-source take capped by availability,
+    surplus not redistributed — :6630-6645) -> best-score dedup."""
     quota = max(top_k // max(len(sources), 1), quota_floor)
     ranked = {}
     for name in sorted(sources):
@@ -406,9 +408,16 @@ def _stratified_py(sources, top_k, quota_floor, neo_default):
         rows.sort(key=lambda t: (-t[1], t[0]))
         ranked[name] = [(i, s, name, r + 1) for r, (i, s) in enumerate(rows)]
     within = [t for name in sorted(ranked) for t in ranked[name] if t[3] <= quota]
-    leftovers = [t for name in sorted(ranked) for t in ranked[name] if t[3] > quota]
-    leftovers.sort(key=lambda t: (t[2], t[3], t[0]))
-    merged = within + leftovers[:max(top_k - len(within), 0)]
+    lo_by_src = {name: [t for t in ranked[name] if t[3] > quota]
+                 for name in sorted(ranked) if any(t[3] > quota for t in ranked[name])}
+    remaining = max(top_k - len(within), 0)
+    merged = list(within)
+    if lo_by_src and remaining:
+        n = len(lo_by_src)
+        per, extra = divmod(remaining, n)
+        for i, name in enumerate(sorted(lo_by_src)):
+            take = per + (1 if i < extra else 0)
+            merged.extend(lo_by_src[name][:take])
     best = {}
     for i, s, name, _ in merged:
         cur = best.get(i)

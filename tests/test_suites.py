@@ -109,22 +109,24 @@ def test_suite_wrapped_value_parity(spark):
 
 
 def test_st5_replay_matches_streaming_fold(spark):
-    """The registered batch replay and a sequential per-user Python fold agree
-    (same decay the stateful streaming operator applies)."""
+    """The registered batch replay and the SEQUENTIAL per-user fold of the
+    actual streaming operator (stateful.ema_sequential_py: +1 per event,
+    time decay 0.5^(dt/half_life)) agree — the round-5 rewrite made the
+    driver row verify the real algebra instead of a 0.9^ordinal stand-in."""
     from memory_opensource_spark.queries import QUERIES
     from memory_opensource_spark.sources import tables
+    from memory_opensource_spark.streaming.stateful import ema_sequential_py
 
     got = {r["user_id"]: (r["ema"], r["n_events"])
            for r in QUERIES["st5_decayed_counter_replay"](spark, SF_DIR).collect()}
     ev = (tables.load(spark, SF_DIR, "events")
-          .select("user_id", "ts", "event_id", "value")
-          .orderBy("user_id", "ts", "event_id").collect())
-    state: dict = {}
+          .select("user_id", F.unix_timestamp("ts").alias("t")).collect())
+    ts_by_user: dict = {}
     for r in ev:
-        s = state.get(r["user_id"], 0.0)
-        state[r["user_id"]] = s * 0.9 + r["value"]
-    for uid, (ema, _n) in got.items():
-        assert abs(state[uid] - ema) < 1e-4, uid
+        ts_by_user.setdefault(r["user_id"], []).append(int(r["t"]) * 1_000_000)
+    for uid, (ema, n) in got.items():
+        assert n == len(ts_by_user[uid])
+        assert abs(ema_sequential_py(ts_by_user[uid]) - ema) < 1e-4, uid
 
 
 def test_corpus_profile_hll_within_5pct(spark):
