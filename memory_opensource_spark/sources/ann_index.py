@@ -168,11 +168,24 @@ def ann_query(spark: SparkSession, index_path: str, query_vec: list[float],
     ``PartitionFilters`` (directory pruning), so the scan touches nprobe/C of
     the index files — this is what makes it ANN at scale, not a full scan."""
     if centroids is not None:
+        # Caller-supplied centroids MUST be the build-time centroids: the
+        # on-disk layout is partitioned by build-time assignment, so probing
+        # buckets computed from different centroids silently returns
+        # wrong/low-recall candidates.  This arg only skips the sidecar read.
         cents = centroids
         try:
             multi = _index_assign_k(spark, index_path) > 1
-        except Exception:  # caller-supplied centroids, no sidecar on disk
-            multi = False
+        except Exception as e:
+            # ONLY "sidecar does not exist" (externally-built layout) may
+            # degrade to single-assignment; a genuine sidecar READ error must
+            # propagate — treating it as multi=False would silently skip the
+            # candidate dedup a spill index requires
+            msg = str(e)
+            if isinstance(e, FileNotFoundError) or "PATH_NOT_FOUND" in msg \
+                    or "Path does not exist" in msg:
+                multi = False
+            else:
+                raise
     else:
         cents, assign_k = _load_sidecar(spark, index_path)
         multi = assign_k > 1

@@ -70,11 +70,43 @@ def _stats_for_file(path: str, keys: list[str]) -> dict:
             lo = s.min if lo is None else min(lo, s.min)
             hi = s.max if hi is None else max(hi, s.max)
         if lo is not None:
-            stats["minmax"][k] = [
-                lo.decode() if isinstance(lo, bytes) else lo,
-                hi.decode() if isinstance(hi, bytes) else hi,
-            ]
+            lo_j, hi_j = _json_safe(lo), _json_safe(hi)
+            if lo_j is not None and hi_j is not None:
+                stats["minmax"][k] = [lo_j, hi_j]
+            # else: stats not JSON-representable for this key type -> omit,
+            # so the file is conservatively treated as unskippable rather
+            # than crashing the first commit deep inside json.dump
     return stats
+
+
+def _json_safe(v):
+    """Normalize a parquet-footer min/max value to a JSON-serializable type
+    that still compares correctly against incoming bounds: bytes->str,
+    datetime/date->isoformat string (lexicographic order == chronological),
+    Decimal->float.  Returns None for types with no order-preserving JSON
+    form (the caller then skips stats for that key — conservative, correct)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        # normalize to UTC-naive so footer stats (pyarrow: tz-aware UTC for
+        # TIMESTAMP_MICROS) and incoming bounds compare in ONE zone; a mixed
+        # "+00:00"-suffixed vs naive isoformat pair mis-orders at equality,
+        # which could wrongly SKIP a file containing the merge key
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return None
 
 
 class TxnTable:
@@ -103,13 +135,18 @@ class TxnTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
-    def _commit(self, expected_version: int, files: dict, added: list[str]) -> int:
+    def _commit(self, expected_version: int, files: dict, added: list[str],
+                schema_json: str | None = None) -> int:
         """Atomically publish ``expected_version + 1``.  Hard-link creation is
         the CAS: it fails with EEXIST when a racing writer already committed
         that version — no filesystem in POSIX overwrites an existing link."""
         new_version = expected_version + 1
+        if schema_json is None and expected_version >= 0:
+            # carry the schema forward so EVERY manifest can answer "what is
+            # this table's schema" even when its file list is empty
+            schema_json = self._read_manifest(expected_version).get("schema")
         manifest = {"version": new_version, "files": files, "added": added,
-                    "keys": self.keys}
+                    "keys": self.keys, "schema": schema_json}
         tmp = os.path.join(self.path, "_manifests", f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -137,6 +174,22 @@ class TxnTable:
             out[rel] = _stats_for_file(os.path.join(staging, fn), self.keys)
         return out
 
+    def _session_utc(self, v):
+        """Tag a naive datetime from a Spark collect with the session
+        timezone so _json_safe lands it in the same UTC-naive form the
+        parquet footer stats are stored in."""
+        import datetime
+
+        if isinstance(v, datetime.datetime) and v.tzinfo is None:
+            try:
+                from zoneinfo import ZoneInfo
+
+                tz = self.spark.conf.get("spark.sql.session.timeZone")
+                return v.replace(tzinfo=ZoneInfo(tz))
+            except Exception:
+                return v  # unknown zone: compare as-is (best effort)
+        return v
+
     # ---- public surface ---------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -145,9 +198,18 @@ class TxnTable:
         v = self.current_version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"{self.path}: no committed version")
+        manifest = self._read_manifest(v)
         files = [os.path.join(self.path, "data", rel)
-                 for rel in self._read_manifest(v)["files"]]
+                 for rel in manifest["files"]]
         if not files:
+            # a fully-deleted table is EMPTY, not missing: return zero rows
+            # with the recorded schema (manifests carry the schema forward)
+            schema_json = manifest.get("schema")
+            if schema_json:
+                from pyspark.sql.types import StructType
+
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(schema_json)))
             raise FileNotFoundError(f"{self.path}: version {v} is empty")
         return self.spark.read.parquet(*files)
 
@@ -155,7 +217,8 @@ class TxnTable:
         """Replace the table contents (CREATE OR REPLACE)."""
         expected = self.current_version()
         new_files = self._write_data_files(df)
-        return self._commit(expected, new_files, added=sorted(new_files))
+        return self._commit(expected, new_files, added=sorted(new_files),
+                            schema_json=df.schema.json())
 
     def append(self, df: DataFrame) -> int:
         expected = self.current_version()
@@ -164,7 +227,8 @@ class TxnTable:
             files = {**self._read_manifest(expected)["files"], **new_files}
         else:
             files = new_files
-        return self._commit(expected, files, added=sorted(new_files))
+        return self._commit(expected, files, added=sorted(new_files),
+                            schema_json=df.schema.json() if expected < 0 else None)
 
     def matched_files(self, incoming: DataFrame,
                       version: int | None = None) -> tuple[list[str], list[str]]:
@@ -184,7 +248,15 @@ class TxnTable:
             for k in self.keys:
                 if k not in mm:
                     continue  # no stats -> cannot skip this file on k
-                lo, hi = bounds[f"lo_{k}"], bounds[f"hi_{k}"]
+                # stats are stored JSON-safe (datetime -> UTC-naive isoformat
+                # etc.); normalize the incoming bounds the same way so the
+                # range comparison stays apples-to-apples.  Spark returns
+                # timestamp aggregates as naive datetimes in the SESSION
+                # timezone — localize before the UTC normalization.
+                lo = _json_safe(self._session_utc(bounds[f"lo_{k}"]))
+                hi = _json_safe(self._session_utc(bounds[f"hi_{k}"]))
+                if (lo is None) != (bounds[f"lo_{k}"] is None):
+                    continue  # un-normalizable type: cannot skip on k
                 if lo is None:
                     possible = False  # empty incoming matches nothing
                     break
@@ -239,10 +311,14 @@ class TxnTable:
     def delete_where(self, pred) -> int:
         """Filtered delete (S13's shape at scale): rewrite only files that may
         contain matching rows — here conservatively all files, unless the
-        predicate is key-range expressible; kept simple on purpose."""
+        predicate is key-range expressible; kept simple on purpose.
+
+        SQL/Delta DELETE semantics: only rows where the predicate evaluates
+        TRUE are deleted — rows where it evaluates NULL (e.g. ``n > 5`` on a
+        NULL ``n``) are KEPT.  A bare ``filter(~pred)`` would drop them."""
         expected = self.current_version()
         cur = self.read(expected)
-        remaining = cur.filter(~pred)
+        remaining = cur.filter(~F.coalesce(pred, F.lit(False)))
         new_files = self._write_data_files(remaining)
         return self._commit(expected, new_files, added=sorted(new_files))
 
@@ -366,5 +442,17 @@ class TxnTable:
                 "vacuumed; full resync required"
             )
         if not paths:
-            return self.read(current).limit(0)
+            return self._empty_df(current)
         return self.spark.read.parquet(*paths)
+
+    def _empty_df(self, version: int) -> DataFrame:
+        """Zero-row DataFrame with the table's schema — works even when the
+        snapshot's file list is empty (e.g. after ``delete_where(lit(True))``),
+        where delegating to ``read()`` would raise FileNotFoundError."""
+        schema_json = self._read_manifest(version).get("schema")
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json)))
+        return self.read(version).limit(0)  # pre-schema manifest: best effort

@@ -104,6 +104,15 @@ def _zvalue(df: DataFrame, cols: list[str], bits: int = 12):
     interleaved.  Pure codegen arithmetic (shift/or over 64-bit longs) — no
     UDF, no shuffle of its own.  Quantization bounds come from one tiny
     agg (2 scalars per column, driver-broadcast literals)."""
+    # Every interleaved bit position must fit a signed 64-bit long: Spark's
+    # shiftleft wraps the shift amount mod 64, so bits*len(cols) > 63 would
+    # SILENTLY fold high bit planes onto low positions and destroy the Morton
+    # ordering (clustering quality collapses with no error).  Auto-reduce.
+    if bits * len(cols) > 63:
+        bits = 63 // len(cols)
+        if bits < 1:
+            raise ValueError(f"zorder: too many columns ({len(cols)}) — "
+                             "cannot give each at least 1 bit in a 64-bit key")
     bounds = df.agg(*[f for c in cols
                       for f in (F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
                                 F.max(F.col(c).cast("double")).alias(f"hi_{c}"))]

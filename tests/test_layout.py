@@ -314,3 +314,21 @@ def test_zorder_write_skips_on_both_columns(spark, tmp_path):
     got = spark.read.parquet(zpath).groupBy().sum("x", "y").first()
     want = df.groupBy().sum("x", "y").first()
     assert got == want
+
+
+def test_zvalue_many_columns_auto_reduces_bits(spark, tmp_path):
+    """bits*len(cols) must fit 63 bits: Spark shiftleft wraps shifts mod 64,
+    which would silently fold bit planes.  With 6 columns the default 12 bits
+    auto-reduces (63//6 = 10) and ordering stays monotone per column."""
+    from memory_opensource_spark.sources.writers import _zvalue
+
+    cols = [f"c{i}" for i in range(6)]
+    df = spark.createDataFrame(
+        [tuple(float(i * 10 + j) for j in range(6)) for i in range(50)],
+        ", ".join(f"{c} double" for c in cols))
+    z = df.select(*cols, _zvalue(df, cols).alias("z")).orderBy("c0").collect()
+    zs = [r.z for r in z]
+    assert all(v >= 0 for v in zs)
+    # rows are jointly increasing in every column -> Morton keys must be
+    # strictly increasing; plane-folding would break this monotonicity
+    assert zs == sorted(zs) and len(set(zs)) == len(zs)

@@ -268,3 +268,59 @@ def test_compact_zorder_of_emptied_table_is_noop(table):
     assert v == table.current_version()
     manifest = table._read_manifest(v)
     assert sum(s["rows"] for s in manifest["files"].values()) == 0
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL/Delta DELETE only removes rows where the predicate is TRUE; rows
+    where it evaluates NULL (n IS NULL under ``n > 5``) must be KEPT."""
+    t = TxnTable(spark, str(tmp_path / "nulls"), keys=["memory_id"])
+    t.overwrite(spark.createDataFrame(
+        [("a", 1), ("b", 10), ("c", None)], "memory_id string, n int"))
+    t.delete_where(F.col("n") > 5)
+    got = {r.memory_id for r in t.read().collect()}
+    assert got == {"a", "c"}  # b deleted; NULL-n row c survives
+
+
+def test_changes_on_fully_deleted_table_is_empty_feed(table):
+    """delete_where(lit(True)) leaves an empty snapshot; changes() must
+    return an empty feed with the table schema, not FileNotFoundError."""
+    v = table.current_version()
+    table.delete_where(F.lit(True))
+    ch = table.changes(v)
+    assert ch.count() == 0
+    assert set(ch.columns) == {"memory_id", "n", "tag"}
+    # and a plain read of the emptied table is EMPTY, not missing
+    cur = table.read()
+    assert cur.count() == 0 and set(cur.columns) == {"memory_id", "n", "tag"}
+
+
+def test_timestamp_merge_keys_commit_and_skip(spark, tmp_path):
+    """Footer min/max for timestamp keys are datetime objects — the manifest
+    must store them JSON-safe (isoformat) and range-skipping must still work
+    (lexicographic isoformat order == chronological order)."""
+    import datetime
+
+    # Spark's default INT96 timestamps carry no footer stats (conservative
+    # no-skip, no crash); TIMESTAMP_MICROS produces real datetime min/max —
+    # the exact objects that used to blow up json.dump in _commit
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        t = TxnTable(spark, str(tmp_path / "ts"), keys=["ts"])
+        mk = lambda d: datetime.datetime(2026, 1, d, 12, 0, 0)
+        lo = spark.createDataFrame([(mk(d), f"r{d}") for d in range(1, 10)],
+                                   "ts timestamp, v string").coalesce(1)
+        hi = spark.createDataFrame([(mk(d), f"r{d}") for d in range(20, 28)],
+                                   "ts timestamp, v string").coalesce(1)
+        t.overwrite(lo)  # first commit on a timestamp key must not TypeError
+        t.append(hi)
+        manifest = t._read_manifest(t.current_version())
+        assert any(s["minmax"].get("ts") for s in manifest["files"].values())
+        inc = spark.createDataFrame([(mk(2), "patched")],
+                                    "ts timestamp, v string")
+        hit, miss = t.matched_files(inc)
+        assert len(hit) == 1 and len(miss) == 1  # high file skipped by range
+        t.merge(inc)
+        out = {r.v for r in t.read().collect()}
+        assert "patched" in out and "r2" not in out and len(out) == 17
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
