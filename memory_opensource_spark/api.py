@@ -622,9 +622,11 @@ class MemoryEngine:
         caller, so Catalyst/AQE can broadcast it under every realistic
         workload; `delete_memory` stays as the 1-row special case."""
         pred = F.col("user_id") == ctx.user_id
-        if ctx.scope_namespace and ctx.namespace_id:
-            pred = pred & (F.col("namespace_id").isNull()
-                           | (F.col("namespace_id") == ctx.namespace_id))
+        if ctx.namespace_id:
+            # namespace scoping is strict everywhere (memory_graph.py:
+            # 5861-5871): a namespaced request never touches NULL-namespace
+            # rows — for a destructive op, the conservative direction too
+            pred = pred & (F.col("namespace_id") == ctx.namespace_id)
         if ctx.scope_organization and ctx.organization_id:
             pred = pred & (F.col("organization_id").isNull()
                            | (F.col("organization_id") == ctx.organization_id))

@@ -12,9 +12,11 @@ into the parquet scan (PushedFilters) — but the *semantics* must match exactly
     OR any(my roles) IN role_read_access
     OR my org IN organization_read_access
     OR my ns IN namespace_read_access
-  AND hard scoping equalities (namespace_id == X when requested, :5861-5871),
-  where legacy rows with NULL organization_id / namespace_id still match
-  (:5834-5844).
+  AND the namespace hard-scoping equality: whenever the request carries a
+  namespace, a strict ``MatchValue(namespace_id=ns)`` MUST applies
+  (:5861-5871) — NULL-namespace rows are EXCLUDED.  Organization gets NO
+  MUST condition ("to allow legacy memories without organization_id",
+  :5834-5844) — only the organization_read_access OR arm.
 - Metadata filters (F2, :5919-5960): topics/emoji_tags/emotion_tags match-any;
   hierarchical_structures/location/conversation_id/role/category equality.
 - customMetadata (F3, :5961-6026): list -> match-any; bool -> eq;
@@ -39,9 +41,12 @@ class AclContext:
     workspace_ids: list[str] = field(default_factory=list)
     role_ids: list[str] = field(default_factory=list)
     organization_id: str | None = None
+    # namespace_id set => STRICT hard scoping applies automatically
+    # (memory_graph.py:5861-5871: an unconditional Qdrant MUST
+    # MatchValue(namespace_id=ns) whenever the request carries a namespace)
     namespace_id: str | None = None
-    # hard scoping: require namespace_id equality (memory_graph.py:5861-5871)
-    scope_namespace: bool = False
+    # optional org narrowing (an extension — the reference deliberately has
+    # NO org MUST, :5834-5844; when enabled, legacy NULL-org rows still match)
     scope_organization: bool = False
 
 
@@ -88,9 +93,14 @@ def acl_predicate(ctx: AclContext, prefix: str = "") -> Column:
         pred = pred | o
     # Coalesce each arm's NULL (null arrays on legacy rows) to false.
     pred = F.coalesce(pred, F.lit(False))
-    # Hard scoping equalities; legacy rows (NULL ids) still match (:5834-5844).
-    if ctx.scope_namespace and ctx.namespace_id:
-        pred = pred & (c("namespace_id").isNull() | (c("namespace_id") == ctx.namespace_id))
+    # Namespace hard scoping is STRICT and unconditional (memory_graph.py:
+    # 5861-5871): MatchValue(namespace_id=ns) excludes NULL-namespace rows —
+    # tenant isolation, no legacy allowance.  (The == comparison is NULL for
+    # NULL namespace_id, which a filter treats as false — exactly MatchValue.)
+    if ctx.namespace_id:
+        pred = pred & (c("namespace_id") == ctx.namespace_id)
+    # Org narrowing stays opt-in with the legacy-NULL allowance; the
+    # reference has no org MUST at all (:5834-5844).
     if ctx.scope_organization and ctx.organization_id:
         pred = pred & (
             c("organization_id").isNull() | (c("organization_id") == ctx.organization_id)

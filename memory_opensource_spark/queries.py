@@ -668,13 +668,16 @@ WHERE (user_id = 'u5'
        OR len(list_intersect(role_read_access, ['r2'])) > 0
        OR list_contains(organization_read_access, 'o1')
        OR list_contains(namespace_read_access, 'ns3'))
-  AND (namespace_id IS NULL OR namespace_id = 'ns3')
+  AND namespace_id = 'ns3'
 """)
 def f1_acl(spark, sf_dir):
+    # namespace scoping is STRICT (memory_graph.py:5861-5871): the namespaced
+    # request EXCLUDES legacy NULL-namespace rows — no flag, applies whenever
+    # ctx carries a namespace
     mems = tables.build_memories(tables.load(spark, sf_dir, "documents"))
     ctx = AclContext(
         user_id="u5", workspace_ids=["w1"], role_ids=["r2"],
-        organization_id="o1", namespace_id="ns3", scope_namespace=True,
+        organization_id="o1", namespace_id="ns3",
     )
     return mems.filter(acl_predicate(ctx)).select("memory_id", "user_id")
 
@@ -903,13 +906,16 @@ WITH {CHUNKS_CTE.strip()}, {MEMORIES_CTE.strip()},
 q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
 filtered AS (
   -- F1 ACL OR-block for user u5 (workspaces w1,w3; role r2; org o1; ns ns3)
+  -- + the STRICT namespace MUST (memory_graph.py:5861-5871): the namespaced
+  -- request excludes NULL-namespace chunks
   SELECT c.* FROM chunks_d c
-  WHERE c.user_id = 'u5'
+  WHERE (c.user_id = 'u5'
      OR list_contains(c.user_read_access, 'u5')
      OR len(list_intersect(c.workspace_read_access, ['w1','w3'])) > 0
      OR len(list_intersect(c.role_read_access, ['r2'])) > 0
      OR list_contains(c.organization_read_access, 'o1')
-     OR list_contains(c.namespace_read_access, 'ns3')
+     OR list_contains(c.namespace_read_access, 'ns3'))
+    AND c.namespace_id = 'ns3'
 ), scored AS (
   SELECT f.chunk_id,
          list_dot_product(list_transform(f.embedding, x -> x::DOUBLE),
@@ -1010,6 +1016,7 @@ chunks_den AS (
      OR len(list_intersect(c.role_read_access, ['r2'])) > 0
      OR list_contains(c.organization_read_access, 'o1')
      OR list_contains(c.namespace_read_access, 'ns3'))
+    AND c.namespace_id = 'ns3'                                -- strict ns MUST
     AND len(list_intersect(c.topics, ['de', 'fr'])) > 0       -- F2
     AND c.cm_priority >= 5 AND c.cm_archived                  -- F3 (numeric >= / bool eq)
     AND c.consent IN ('explicit', 'implicit', 'terms')        -- F7 consent
@@ -1999,13 +2006,19 @@ _ACL_ARM_SQL = """({a}.user_id = 'u5'
      OR len(list_intersect({a}.role_read_access, ['r2'])) > 0
      OR list_contains({a}.organization_read_access, 'o1')
      OR list_contains({a}.namespace_read_access, 'ns3'))
-    AND ({a}.namespace_id IS NULL OR {a}.namespace_id = 'ns3')"""
+    AND {a}.namespace_id = 'ns3'"""
 
 
 @_register("g15_acl_both_endpoints", f"""
 WITH {MEMORIES_CTE.strip()}, edges_m AS (
+  -- +1 edges: endpoints NEVER share a namespace (consecutive doc_ids differ
+  -- mod 5) -> the strict namespace MUST excludes every one of them;
+  -- +5 edges: endpoints share the namespace bucket -> the surviving matches
   SELECT 'm' || doc_id::VARCHAR AS src, 'm' || (doc_id + 1)::VARCHAR AS dst,
          'RELATED_TO' AS rel_type
+  FROM documents
+  UNION ALL
+  SELECT 'm' || doc_id::VARCHAR, 'm' || (doc_id + 5)::VARCHAR, 'RELATED_TO'
   FROM documents
 ), und AS (
   SELECT src, dst, rel_type FROM edges_m
@@ -2037,9 +2050,14 @@ def g15_acl_both(spark, sf_dir):
     edges = docs.select(
         F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("src"),
         F.concat(F.lit("m"), (F.col("doc_id") + 1).cast("string")).alias("dst"),
-        F.lit("RELATED_TO").alias("rel_type"))
+        F.lit("RELATED_TO").alias("rel_type"),
+    ).unionByName(docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("m"), (F.col("doc_id") + 5).cast("string")).alias("dst"),
+        F.lit("RELATED_TO").alias("rel_type"),
+    ))
     ctx = AclContext(user_id="u5", workspace_ids=["w1"], role_ids=["r2"],
-                     organization_id="o1", namespace_id="ns3", scope_namespace=True)
+                     organization_id="o1", namespace_id="ns3")
     spec = PatternSpec(source_label="Memory", relationship_type="RELATED_TO",
                        target_label="Memory")
     out = match_pattern(nodes, edges, spec,
@@ -4825,8 +4843,11 @@ _EVIDENCE_PRIORITY = [
     "v6_entity_resolution",       # V6/V7
     "v8_property_index",          # V8
     "v9_grouped_points",          # V9
-    "v10_query_cache_dedupe",     # V10
-    "v11_int8_quantize",          # V11
+    # round-6 rotation (VERDICT r5 task 9): the newest/reworked semantics move
+    # into the driver-checked prefix; the displaced long-green singles
+    # (v10/v11/r17/rel) stay hash-verified by the local gate every round
+    "f1_acl_filter",              # F1 with the STRICT namespace MUST (r6 fix)
+    "txn_merge_roundtrip",        # transactional MERGE (r5 new)
     # 22-32: graph G1..G16 + both-endpoint ACL
     "g1_pattern_match",           # G1/G16
     "g2_two_hop_paths",           # G2
@@ -4843,7 +4864,7 @@ _EVIDENCE_PRIORITY = [
     "r2_stratified_merge",        # R2
     "r6_rerank",                  # R6/R7
     "r12_delta_since_watermark",  # R12/ST4
-    "r17_query_classification",   # R17
+    "zorder_layout_roundtrip",    # Z-order rewrite preserves data (r5 new)
     "suite_ranking_formulas",     # R8/R9/R10/R11/R13/R14/R15/R16
     # 38-40: streaming analogs ST1..ST8
     "suite_stream_windows",       # ST2/ST3/ST8 + ST1/ST6/ST7
@@ -4855,7 +4876,7 @@ _EVIDENCE_PRIORITY = [
     "ids_chunk_algebra",
     "set_ops_semi_anti",
     "suite_text_analysis",        # scalar fns + lang-ID + quality + top terms
-    "rel_relevance_score",
+    "ann_ivf_spill",              # IVF multi-assignment + candidate dedup (r5 new)
     # 45-50: LLM-data-pipeline first-class ops
     "suite_dedup_family",         # exact/fingerprint/simhash/hamming/jaccard/minhash
     "ann_ivf_persisted",          # ANN with persisted pruned layout

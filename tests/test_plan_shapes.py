@@ -9,8 +9,14 @@ SF_DIR = "/root/testdata/sf0.001"
 def _plan(spark, name):
     from memory_opensource_spark.queries import QUERIES
 
-    df = QUERIES[name](spark, SF_DIR)
-    return df._jdf.queryExecution().executedPlan().toString()
+    # long conjunct lists truncate scan metadata at the default 100 chars,
+    # silently cutting the PushedFilters field out of toString() output
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        df = QUERIES[name](spark, SF_DIR)
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
 
 
 def test_flagship_is_takeordered_no_sortmerge(spark):

@@ -41,23 +41,29 @@ def _visible(df, ctx):
 
 
 def test_acl_or_block_all_arms(acl_df):
+    # a namespaced request hard-scopes: legacy (NULL ns) and other_ns rows are
+    # EXCLUDED even though their OR-block arms match (memory_graph.py:5861-5871)
     ctx = AclContext(user_id="me", workspace_ids=["w1"], role_ids=["r1"],
                      organization_id="o1", namespace_id="ns1")
     assert _visible(acl_df, ctx) == sorted(
-        ["owner", "direct", "via_ws", "via_role", "via_org", "via_ns", "legacy", "other_ns"]
+        ["owner", "direct", "via_ws", "via_role", "via_org", "via_ns"]
     )
 
 
 def test_acl_owner_only(acl_df):
+    # no namespace on the request -> no scoping; NULL-ns legacy rows visible
     assert _visible(acl_df, AclContext(user_id="me")) == sorted(
         ["owner", "direct", "legacy", "other_ns"]
     )
 
 
-def test_acl_namespace_scoping_with_legacy_allowance(acl_df):
-    ctx = AclContext(user_id="me", namespace_id="ns1", scope_namespace=True)
-    # other_ns is scoped out; legacy (NULL ns) still matches (memory_graph.py:5834-5844)
-    assert _visible(acl_df, ctx) == sorted(["owner", "direct", "legacy", "via_ns"])
+def test_acl_namespace_scoping_is_strict(acl_df):
+    """The one reference read-path semantic r5 got wrong: namespace scoping is
+    an unconditional Qdrant MUST MatchValue(namespace_id=ns) — NULL-namespace
+    rows are excluded under a namespaced request (memory_graph.py:5861-5871;
+    the legacy-NULL allowance exists for organization_id ONLY, :5834-5844)."""
+    ctx = AclContext(user_id="me", namespace_id="ns1")
+    assert _visible(acl_df, ctx) == sorted(["owner", "direct", "via_ns"])
 
 
 def test_acl_no_access(acl_df):

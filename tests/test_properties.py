@@ -146,14 +146,14 @@ acl_row_st = st.fixed_dictionaries({
 })
 
 ctx_st = st.builds(
-    lambda ws, roles, org, ns, sn, so: dict(
+    lambda ws, roles, org, ns, so: dict(
         user_id="u1", workspace_ids=ws, role_ids=roles, organization_id=org,
-        namespace_id=ns, scope_namespace=sn, scope_organization=so),
+        namespace_id=ns, scope_organization=so),
     st.lists(st.sampled_from(["w1", "w2"]), max_size=2),
     st.lists(st.sampled_from(["r1"]), max_size=1),
     st.one_of(st.none(), st.sampled_from(["o1", "o2"])),
     st.one_of(st.none(), st.sampled_from(["n1", "n2"])),
-    st.booleans(), st.booleans(),
+    st.booleans(),
 )
 
 
@@ -172,8 +172,10 @@ def _acl_match_py(row, ctx):
     if ctx["namespace_id"]:
         ors = ors or inarr(row["namespace_read_access"], ctx["namespace_id"])
     ok = bool(ors)
-    if ctx["scope_namespace"] and ctx["namespace_id"]:
-        ok = ok and (row["namespace_id"] is None or row["namespace_id"] == ctx["namespace_id"])
+    # STRICT namespace MUST whenever the ctx carries a namespace
+    # (memory_graph.py:5861-5871): NULL-namespace rows excluded, no flag
+    if ctx["namespace_id"]:
+        ok = ok and row["namespace_id"] == ctx["namespace_id"]
     if ctx["scope_organization"] and ctx["organization_id"]:
         ok = ok and (row["organization_id"] is None
                      or row["organization_id"] == ctx["organization_id"])
