@@ -144,6 +144,55 @@ def find_node_by_fuzzy_match(nodes: DataFrame, label: str, prop_col: str, query:
     return out.orderBy("node_id").limit(1)
 
 
+def find_node_by_semantic_match(mentions: DataFrame, prop_index: DataFrame,
+                                nodes: DataFrame, threshold: float | None = None,
+                                mention_id: str = "mention_id",
+                                index_id: str = "node_id",
+                                vec_col: str = "embedding",
+                                k_overfetch: int = 5) -> DataFrame:
+    """G5 (memory/memory_graph.py:3050-3089, find_node_by_semantic_match):
+    resolve each mention by EMBEDDING similarity against the property index —
+    the best hit with cosine >= threshold (Qdrant ``score_threshold`` is
+    inclusive, :11557-11570) supplies the canonical node id, which then
+    fetches the node row by id (the G3 lookup, :3083-3089).  Mentions whose
+    best hit falls below the threshold resolve to NULL (the caller creates a
+    new node), mirroring the reference's ``return None``.
+
+    Batch form of the reference's one-mention call: ``mentions`` is
+    {mention_id, embedding}; ``prop_index`` is the V8 property index
+    {node_id, embedding}; ``nodes`` is the node store keyed by ``node_id``.
+    Returns one row per mention: {mention_id, canonical_id (nullable), score
+    (6dp, NULL for creates)} joined with the canonical node's columns.
+
+    Determinism: candidates rank on the 6-dp-rounded score with an id
+    tie-break — the reference delegates tie order to Qdrant's internals; a
+    distributed engine must pin it or identical inputs could resolve to
+    different canonical nodes across runs.  The kNN is budget-routed
+    (broadcast-BLAS under 500k index rows, grid join past it) so the plan
+    never materializes an all-pairs product."""
+    from pyspark.sql import Window
+
+    from ..semantics import SEMANTIC_MATCH_THRESHOLD
+    from .similarity import knn_join_auto
+
+    thr = SEMANTIC_MATCH_THRESHOLD if threshold is None else threshold
+    cand = knn_join_auto(mentions, prop_index, k_overfetch,
+                         left_vec=vec_col, right_vec=vec_col,
+                         left_id=mention_id, right_id=index_id)
+    r6 = F.round(F.col("score"), 6)
+    w = Window.partitionBy("left_id").orderBy(r6.desc(), F.col("right_id").asc())
+    best = (cand.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (r6 >= thr))
+            .select(F.col("left_id").alias(mention_id),
+                    F.col("right_id").alias("canonical_id"),
+                    r6.alias("score")))
+    out = mentions.select(mention_id).join(best, mention_id, "left")
+    node_cols = [c for c in nodes.columns if c not in (index_id, vec_col)]
+    canon = nodes.select(F.col(index_id).alias("canonical_id"), *node_cols)
+    return out.join(canon, "canonical_id", "left").select(
+        mention_id, "canonical_id", "score", *node_cols)
+
+
 def find_node_via_relationship(nodes: DataFrame, edges: DataFrame, label: str,
                                rel_type: str, target_id: str,
                                direction: str = "out") -> DataFrame:

@@ -577,43 +577,106 @@ WHERE (SELECT count(*) FROM strict) = 0
 
 
 def g5_semantic_lookup(spark, sf_dir):
-    """G5: semantic lookup = content-based resolution (V7) composed with
-    node-by-property (G3) — operators/link_to.py:109.  Query memories
-    (doc_id < 20) resolve their extracted entity mentions against the entity
-    node store built from the wider corpus (doc_id 20..100); output is the
-    (memory, entity-node) lookup table."""
-    from .plans import enrich
+    """G5: find_node_by_semantic_match (memory/memory_graph.py:3050-3089) —
+    each mention resolves by EMBEDDING similarity against the property index:
+    best hit with cosine >= 0.85 (Qdrant score_threshold, inclusive) supplies
+    the canonical node id, fetched by id (G3); below-threshold mentions
+    resolve to 'create' (the reference returns None and the caller creates).
+    Even embeddings are the indexed entity properties; mentions derive from
+    the odd rows BLENDED with their even neighbor (deterministic double
+    arithmetic, identical in both engines): vec_id % 4 == 1 mentions are
+    0.9·neighbor + 0.1·own (cosine ≈ 0.99 -> resolve), the rest are
+    0.3·neighbor + 0.7·own (cosine < 0.75 -> create) — the raw fixture has
+    no cross-parity pair above 0.48, so without blending the threshold
+    branch would never fire."""
+    from .operators.graph import find_node_by_semantic_match
+    from .semantics import SEMANTIC_MATCH_THRESHOLD
 
-    docs = tables.load(spark, sf_dir, "documents")
-    queries = tables.build_memories(docs.filter(F.col("doc_id") < 20))
-    corpus = tables.build_memories(
-        docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 100)))
-    mentions = enrich.extract_entities(queries).select("memory_id", "entity_id", "prop_name")
-    store = (enrich.extract_entities(corpus)
-             .select("entity_id").distinct())
-    return (mentions.join(F.broadcast(store), "entity_id", "left_semi")
-            .select("memory_id", F.col("entity_id").alias("node_id"), "prop_name"))
+    emb = tables.load(spark, sf_dir, "embeddings")
+    odd = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", F.col("embedding").alias("o"))
+    prev = emb.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 1).alias("vec_id"), F.col("embedding").alias("p"))
+    a = F.when(F.col("vec_id") % 4 == 1, F.lit(0.9)).otherwise(F.lit(0.3))
+    b = F.when(F.col("vec_id") % 4 == 1, F.lit(0.1)).otherwise(F.lit(0.7))
+    mentions = odd.join(prev, "vec_id").select(
+        F.concat(F.lit("m"), F.col("vec_id").cast("string")).alias("memory_id"),
+        F.zip_with(
+            F.transform("p", lambda x: x.cast("double")),
+            F.transform("o", lambda x: x.cast("double")),
+            lambda pp, oo: a * pp + b * oo,
+        ).alias("embedding"))
+    idx = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.concat(F.lit("ent_"), F.col("vec_id").cast("string")).alias("node_id"),
+        "embedding")
+    nodes = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.concat(F.lit("ent_"), F.col("vec_id").cast("string")).alias("node_id"),
+        F.concat(F.lit("p"), F.col("vec_id").cast("string")).alias("prop_name"))
+    out = find_node_by_semantic_match(
+        mentions, idx, nodes, threshold=SEMANTIC_MATCH_THRESHOLD,
+        mention_id="memory_id", index_id="node_id")
+    return out.select(
+        "memory_id",
+        F.coalesce("canonical_id", F.lit("create")).alias("node_id"),
+        F.when(F.col("canonical_id").isNull(), "create")
+        .otherwise("resolve").alias("action"),
+        F.coalesce(F.col("score"), F.lit(-1.0)).alias("score"),
+        "prop_name")
 
 
-_G5_SQL = """
+def _g5_sql() -> str:
+    from .semantics import SEMANTIC_MATCH_THRESHOLD
+
+    return f"""
 WITH ment AS (
-  SELECT DISTINCT 'm' || doc_id::VARCHAR AS memory_id, 'ent_' || tok AS node_id,
-         tok AS prop_name
-  FROM (SELECT doc_id,
-               UNNEST(list_distinct(list_filter(string_split(lower(text), ' '),
-                                                t -> t <> ''))) AS tok
-        FROM documents WHERE doc_id < 20) t
-  WHERE len(tok) > 5
-), store AS (
-  SELECT DISTINCT 'ent_' || tok AS node_id
-  FROM (SELECT UNNEST(list_distinct(list_filter(string_split(lower(text), ' '),
-                                                t -> t <> ''))) AS tok
-        FROM documents WHERE doc_id >= 20 AND doc_id < 100) t
-  WHERE len(tok) > 5
+  -- mention embedding = a*even-neighbor + b*own (doubles, same op order as
+  -- the Spark zip_with -> bit-identical)
+  SELECT 'm' || o.vec_id::VARCHAR AS memory_id,
+         list_transform(
+           list_zip(list_transform(p.embedding, x -> x::DOUBLE),
+                    list_transform(o.embedding, x -> x::DOUBLE)),
+           x -> a * x[1] + b * x[2]) AS embedding
+  FROM (SELECT vec_id, embedding,
+               (CASE WHEN vec_id % 4 = 1 THEN 0.9 ELSE 0.3 END)::DOUBLE AS a,
+               (CASE WHEN vec_id % 4 = 1 THEN 0.1 ELSE 0.7 END)::DOUBLE AS b
+        FROM embeddings WHERE vec_id % 2 = 1) o
+  JOIN embeddings p ON p.vec_id = o.vec_id - 1
+), idx AS (
+  SELECT 'ent_' || vec_id::VARCHAR AS node_id, 'p' || vec_id::VARCHAR AS prop_name,
+         embedding
+  FROM embeddings WHERE vec_id % 2 = 0
+), scored AS (
+  SELECT m.memory_id, i.node_id,
+         ROUND(
+           list_dot_product(list_transform(m.embedding, x -> x::DOUBLE),
+                            list_transform(i.embedding, x -> x::DOUBLE))
+           / (SQRT(list_dot_product(list_transform(m.embedding, x -> x::DOUBLE),
+                                    list_transform(m.embedding, x -> x::DOUBLE)))
+            * SQRT(list_dot_product(list_transform(i.embedding, x -> x::DOUBLE),
+                                    list_transform(i.embedding, x -> x::DOUBLE)))),
+           6) AS score
+  FROM ment m CROSS JOIN idx i
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY memory_id
+                               ORDER BY score DESC, node_id ASC) AS rn
+  FROM scored
+), hits AS (
+  -- inclusive threshold: Qdrant score_threshold semantics (>= {SEMANTIC_MATCH_THRESHOLD!r})
+  SELECT memory_id, node_id, score FROM ranked
+  WHERE rn = 1 AND score >= {SEMANTIC_MATCH_THRESHOLD!r}
 )
-SELECT m.memory_id, m.node_id, m.prop_name
-FROM ment m JOIN store s ON m.node_id = s.node_id
+SELECT m.memory_id,
+       COALESCE(h.node_id, 'create') AS node_id,
+       CASE WHEN h.node_id IS NULL THEN 'create' ELSE 'resolve' END AS action,
+       ROUND(COALESCE(h.score, -1.0), 6)::DOUBLE AS score,
+       n.prop_name
+FROM ment m
+LEFT JOIN hits h USING (memory_id)
+LEFT JOIN idx n ON h.node_id = n.node_id
 """
+
+
+_G5_SQL = _g5_sql()
 
 
 def st5_decayed_counter_replay(spark, sf_dir):

@@ -111,3 +111,31 @@ def test_related_to_edges_topk(spark):
     out = graph.related_to_edges(sims, k=3).collect()
     assert [r.dst for r in out] == ["b", "c", "d"]
     assert all(r.rel_type == "RELATED_TO" for r in out)
+
+
+def test_semantic_match_resolves_similar_and_creates_below_threshold(spark):
+    """G5 (memory/memory_graph.py:3050-3089): a non-identical-but-similar
+    mention resolves to the indexed node's canonical id (inclusive >= 0.85,
+    Qdrant score_threshold semantics) and the G3 fetch returns the node's
+    properties; a below-threshold mention resolves to NULL (caller creates)."""
+    from memory_opensource_spark.operators.graph import find_node_by_semantic_match
+
+    idx = spark.createDataFrame(
+        [("ent_a", [1.0, 0.0]), ("ent_b", [0.0, 1.0])],
+        "node_id string, embedding array<double>")
+    nodes = spark.createDataFrame(
+        [("ent_a", "Entity", "alpha"), ("ent_b", "Entity", "beta")],
+        "node_id string, label string, prop_name string")
+    mentions = spark.createDataFrame(
+        [("m_similar", [0.97, 0.24]),   # cos vs ent_a ~= 0.971 -> resolves
+         ("m_far", [0.7, 0.714]),       # cos ~= 0.70 with both -> creates
+         ("m_exactly", [0.85, float((1 - 0.85**2) ** 0.5)])],  # cos == 0.85 inclusive
+        "mention_id string, embedding array<double>")
+    out = {r.mention_id: r for r in find_node_by_semantic_match(
+        mentions, idx, nodes, threshold=0.85).collect()}
+    assert out["m_similar"].canonical_id == "ent_a"
+    assert out["m_similar"].prop_name == "alpha"       # the G3 fetch
+    assert out["m_similar"].score >= 0.85
+    assert out["m_far"].canonical_id is None           # reference returns None
+    assert out["m_far"].score is None
+    assert out["m_exactly"].canonical_id == "ent_a"    # >= is inclusive
