@@ -74,7 +74,17 @@ def cosine_join(left: DataFrame, right: DataFrame, threshold: float,
     Exact form.  ``block_cols`` restricts candidate pairs to equal blocking keys
     (tenant / IVF bucket / LSH band) turning the cross join into an equi-join —
     the scale path.  Columns come back as ``{left_id, right_id, score}``.
+
+    Scale guard: the UNBLOCKED form is an all-pairs CartesianProduct — safe
+    only under the broadcast budget.  A right side past it raises loudly
+    (use :func:`cosine_join_auto`, which routes to the grid sweep) instead of
+    silently materializing an O(N*M) plan on a large corpus.
     """
+    if not block_cols and route_rows(right) > BLAS_BROADCAST_BUDGET_ROWS:
+        raise ValueError(
+            "cosine_join without block_cols is an all-pairs cross join; the "
+            f"right side exceeds the {BLAS_BROADCAST_BUDGET_ROWS}-row budget "
+            "— call cosine_join_auto (budget-routed) instead")
     l = left.select(F.col(left_id).alias("_lid"), to_double(F.col(left_vec)).alias("_lvec"),
                     *[F.col(c).alias(f"_lb_{c}") for c in (block_cols or [])])
     r = right.select(F.col(right_id).alias("_rid"), to_double(F.col(right_vec)).alias("_rvec"),
@@ -104,7 +114,16 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
 
     Exact: cross-join + per-left-id window top-k.  At scale, pre-prune with
     :func:`ivf_assign` blocking before calling this.
+
+    Scale guard: a right side past the broadcast budget raises loudly (use
+    :func:`knn_join_auto`, which routes to the grid join) instead of
+    silently materializing the all-pairs plan.
     """
+    if route_rows(right) > BLAS_BROADCAST_BUDGET_ROWS:
+        raise ValueError(
+            "knn_join is an all-pairs cross join; the right side exceeds the "
+            f"{BLAS_BROADCAST_BUDGET_ROWS}-row budget — call knn_join_auto "
+            "(budget-routed) instead")
     l = left.select(F.col(left_id).alias("left_id"), to_double(F.col(left_vec)).alias("_lvec"))
     r = right.select(F.col(right_id).alias("right_id"), to_double(F.col(right_vec)).alias("_rvec"))
     scored = (

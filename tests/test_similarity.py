@@ -157,3 +157,44 @@ def test_auto_wrappers_route_and_match(vec_df):
     aset = {(r.left_id, r.right_id): round(r.score, 10) for r in auto_cos.collect()}
     assert aset == bset
     assert any(l == r for l, r in aset)  # self pairs present
+
+
+def test_exact_joins_raise_past_broadcast_budget(spark):
+    """The exact all-pairs forms are oracle/small-scale tools: a right side
+    past the broadcast budget must raise loudly (pointing at the _auto
+    wrappers) instead of silently building a CartesianProduct that would
+    melt a large cluster."""
+    import pytest
+
+    # plan-stats routing bounds rows as sizeInBytes/64 (a conservative
+    # UNDER-estimate for skinny range rows), so make the frame big enough
+    # that even the bound exceeds the budget; everything stays lazy
+    big = spark.range(40_000_001).select(
+        F.col("id"), F.array(F.lit(0.1), F.lit(0.2)).alias("embedding"))
+    small = spark.createDataFrame([(1, [0.1, 0.2])], "id long, embedding array<double>")
+    with pytest.raises(ValueError, match="auto"):
+        similarity.knn_join(small, big, 3, left_id="id", right_id="id")
+    with pytest.raises(ValueError, match="auto"):
+        similarity.cosine_join(small, big, 0.5, left_id="id", right_id="id")
+    # the BLOCKED form is the scale path (equi-join on the block key): allowed
+    bb = big.withColumn("blk", F.pmod(F.col("id"), F.lit(8)))
+    sb = small.withColumn("blk", F.lit(0))
+    similarity.cosine_join(sb, bb, 0.5, left_id="id", right_id="id",
+                           block_cols=["blk"])  # plan builds, no raise
+
+
+def test_auto_wrappers_never_cartesian(spark):
+    """Budget-routed wrappers must produce NO CartesianProduct on either
+    route: BLAS broadcasts a matrix (no join at all), grid is an equi-join
+    on cell keys + applyInPandas."""
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(40)], "id long, embedding array<double>")
+    for route_hint in (None, 10**9):  # None -> BLAS; huge hint -> grid
+        out = similarity.knn_join_auto(df, df, 3, left_id="id", right_id="id",
+                                       approx_right_rows=route_hint)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, (route_hint, plan[:500])
+    out = similarity.cosine_join_auto(df, df, 0.5, left_id="id", right_id="id",
+                                      approx_right_rows=10**9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -46,15 +46,17 @@ def main():
     # IVF: sampled (first-C) vs k-means centroids, assignment by max dot
     from memory_opensource_spark.sources.ann_index import train_centroids
 
-    trained = {c: np.asarray(train_centroids(emb, c)) for c in (16, 32, 64, 128, 256)}
+    trained = {c: np.asarray(train_centroids(emb, c))
+               for c in (32, 128, 256, 512, 1024)}
     for trainer, n_cents, nprobe, assign_k in [
-        ("sampled", 16, 2, 1), ("sampled", 32, 4, 1),
-        ("kmeans", 16, 2, 1), ("kmeans", 16, 4, 1),
-        ("kmeans", 32, 4, 1), ("kmeans", 32, 8, 1),
-        # round-5: the C scaling law at ~matched scan fraction (~12.5%)
-        ("kmeans", 64, 8, 1), ("kmeans", 128, 16, 1), ("kmeans", 256, 32, 1),
-        # round-5: multi-assignment (spill) — replicated rows counted in scan
-        ("kmeans", 128, 12, 2), ("kmeans", 256, 24, 2), ("kmeans", 256, 32, 2),
+        ("kmeans", 32, 4, 1),
+        # the C scaling law at ~matched scan fraction (~12.5%)
+        ("kmeans", 128, 16, 1), ("kmeans", 256, 32, 1),
+        # round-6: keep scaling C — recall at fixed scan keeps rising
+        ("kmeans", 512, 64, 1), ("kmeans", 512, 77, 1),
+        ("kmeans", 1024, 100, 1), ("kmeans", 1024, 150, 1),
+        # multi-assignment (spill) — replicated rows counted in scan
+        ("kmeans", 256, 24, 2), ("kmeans", 1024, 75, 2),
     ]:
         cents = trained[n_cents] if trainer == "kmeans" else mat[:n_cents]
         sims_all = mat @ cents.T
