@@ -188,9 +188,19 @@ def clamp_search_caps(max_memories: int = MAX_MEMORIES_DEFAULT,
 class MemoryEngine:
     """Batch/micro-batch memory engine over four DataFrame-backed tables."""
 
-    def __init__(self, spark: SparkSession, dim: int = EMBEDDING_DIM_FIXTURE):
+    def __init__(self, spark: SparkSession, dim: int = EMBEDDING_DIM_FIXTURE,
+                 embedder=None):
+        """``embedder``: optional real embedding model, a
+        ``list[str] -> list[list[float]]`` callable (sentence-transformers
+        ``encode``, an ONNX session, a broadcast word-vector table, ...).
+        It drives BOTH sides of the engine — ingestion through the
+        :func:`plans.ingest.model_embed` Arrow-batched pandas_udf seam and
+        query embedding driver-side — replacing the deterministic hash
+        embedder (the oracle-checkable default, reference default model:
+        models/embedding_model.py:693-1088)."""
         self.spark = spark
         self.dim = dim
+        self.embedder = embedder
         self.memories = spark.createDataFrame([], MEMORY_SCHEMA)
         self.chunks = spark.createDataFrame([], CHUNK_SCHEMA)
         self.nodes = spark.createDataFrame([], NODE_SCHEMA)
@@ -292,7 +302,7 @@ class MemoryEngine:
             new = new.withColumn(c, F.lit(0.0))
 
         chunked = ingest_plan.chunk_text(new, content_col="content")
-        embedded = ingest_plan.hash_embed(chunked, dim=self.dim)
+        embedded = self._embed_df(chunked)
         reused = ingest_dedup_reuse(embedded, self.chunks, INGEST_DEDUP_THRESHOLD)
         reuse_map = {r.new_id: r.reuse_id for r in reused.collect()}
         reused_mem_ids = {nid.rsplit("_", 1)[0] for nid in reuse_map}
@@ -360,6 +370,22 @@ class MemoryEngine:
 
     def add_memory(self, **item) -> AddResult:
         return self.add_memory_batch([item])[0]
+
+    # ---- embedding seam -------------------------------------------------------------
+
+    def _embed_df(self, chunked):
+        """Chunk rows -> +embedding column: the configured real model through
+        the Arrow-batched pandas_udf seam, else the deterministic default."""
+        if self.embedder is not None:
+            return ingest_plan.model_embed(chunked, self.embedder, dim=self.dim)
+        return ingest_plan.hash_embed(chunked, dim=self.dim)
+
+    def _embed_query(self, text: str) -> list[float]:
+        """Query text -> vector, with the SAME model as ingestion (a
+        query/ingest embedder mismatch silently zeroes recall)."""
+        if self.embedder is not None:
+            return [float(x) for x in self.embedder([text])[0]]
+        return hash_embed_py(text, self.dim)
 
     def _apply_manual_graph(self, memory_id: str, user_id: str | None,
                             policy: dict, prev_by_user: dict[str, str]) -> None:
@@ -486,7 +512,7 @@ class MemoryEngine:
         (``build_search_index`` first) probing that many buckets instead of
         scanning every chunk — same DAG from top-k onward (ACL and spec
         filters still apply; they evaluate over the pruned candidate scan)."""
-        qvec = hash_embed_py(query_text, self.dim)
+        qvec = self._embed_query(query_text)
         chunk_src = self.chunks
         if ann_nprobe is not None:
             if getattr(self, "_ann_index_path", None) is None:
@@ -534,7 +560,7 @@ class MemoryEngine:
         override — the deterministic query surface)."""
         from .plans.search import search_with_graph
 
-        qvec = hash_embed_py(query_text, self.dim)
+        qvec = self._embed_query(query_text)
         return search_with_graph(
             self.chunks, self.memories, self.nodes, self.edges, qvec,
             ctx=ctx, spec=spec, graph_spec=graph_spec, top_k=top_k,
@@ -580,8 +606,8 @@ class MemoryEngine:
             )
             # re-chunk + re-embed just the changed row; replace its chunks
             changed = mem.filter(F.col("memory_id") == memory_id)
-            rechunked = ingest_plan.hash_embed(
-                ingest_plan.chunk_text(changed, content_col="content"), dim=self.dim
+            rechunked = self._embed_df(
+                ingest_plan.chunk_text(changed, content_col="content")
             )
             acl_cols = ["user_id", "user_read_access", "workspace_read_access",
                         "role_read_access", "organization_read_access",
