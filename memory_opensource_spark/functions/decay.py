@@ -25,10 +25,15 @@ from ..semantics import (
 
 def decay_factor(prev_ts: Column, now_ts: Column,
                  half_life_days: float = EMA_HALF_LIFE_DAYS) -> Column:
-    """0.5 ** (delta_days / half_life) — services/memory_management.py:3177-3190.
-    delta in fractional days from timestamps (replay-safe: computed from stored
-    timestamps, not arrival order)."""
-    delta_days = (F.unix_timestamp(now_ts) - F.unix_timestamp(prev_ts)) / 86400.0
+    """0.5 ** (max(0, delta_days) / half_life) — services/memory_management.py
+    :3177-3190.  delta in fractional days from timestamps (replay-safe:
+    computed from stored timestamps, not arrival order).  The reference clamps
+    ``dt_days = max(0.0, ...)`` — a NEGATIVE elapsed time (clock skew, a late
+    row carrying an older now_ts) must mean NO decay, never 0.5^negative > 1
+    silently inflating the counter (round-6 review pass)."""
+    delta_days = F.greatest(
+        (F.unix_timestamp(now_ts) - F.unix_timestamp(prev_ts)) / 86400.0,
+        F.lit(0.0))
     return F.pow(F.lit(0.5), delta_days / half_life_days)
 
 
@@ -72,18 +77,25 @@ def tier1_final_score(cache_score: Column, cite_score: Column, has_cite: Column)
     ).otherwise(cache_score)
 
 
+def _clip01(c: Column) -> Column:
+    return F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
+
+
 def fused_confidence(sim: Column, conf: Column, latency_ms: Column, tier: Column,
                      engagement: Column, tokens: Column) -> Column:
-    """c = clip01(sim) * conf * exp(-lat/500) * (tier/2) * engagement * min(tok/512,1)
-    — services/memory_management.py:3266-3289."""
-    clip_sim = F.least(F.greatest(sim, F.lit(0.0)), F.lit(1.0))
-    return (
-        clip_sim
-        * conf
-        * F.exp(-latency_ms / FUSED_LATENCY_SCALE_MS)
-        * (tier / FUSED_TIER_DIVISOR)
-        * engagement
-        * F.least(tokens / FUSED_TOKEN_CAP, F.lit(1.0))
+    """c = clip01(sim)*clip01(conf)*clip01(exp(-lat/500))*clip01(tier/2)
+    *clip01(engagement)*clip01(min(tok/512,1)), final clipped to [0,1]
+    — services/memory_management.py:3266-3289.  The reference clips EVERY
+    signal AND the product ("all clipped to [0,1]", `_clip01(ci)`); skipping
+    the clips let an out-of-range signal (tier > 2, engagement > 1, negative
+    latency) push the fused confidence past 1 (round-6 review pass)."""
+    return _clip01(
+        _clip01(sim)
+        * _clip01(conf)
+        * _clip01(F.exp(-latency_ms / FUSED_LATENCY_SCALE_MS))
+        * _clip01(tier / FUSED_TIER_DIVISOR)
+        * _clip01(engagement)
+        * _clip01(F.least(tokens / FUSED_TOKEN_CAP, F.lit(1.0)))
     )
 
 

@@ -57,9 +57,13 @@ def l2_normalize(vec: Column) -> Column:
 def int8_scale(vec: Column) -> Column:
     """Per-vector quantization scale 127/max_abs (services/memory_management.py:
     3957-4025 uses dynamic per-vector scaling, not a fixed clip-to-[-1,1]).
-    The 1e-8 floor guards zero vectors."""
+    The reference substitutes 1e-8 ONLY for an exactly-zero max_abs
+    (``max_abs or 1e-8``) — flooring tiny-but-nonzero magnitudes instead
+    would quantize subnormal vectors to all-zeros where the reference
+    saturates them to +-127, losing their direction (round-6 review pass)."""
     max_abs = F.array_max(F.transform(vec, lambda x: F.abs(x)))
-    return F.lit(float(INT8_SCALE)) / F.greatest(max_abs, F.lit(1e-8))
+    safe = F.when(max_abs == 0.0, F.lit(1e-8)).otherwise(max_abs)
+    return F.lit(float(INT8_SCALE)) / safe
 
 
 def quantize_int8(vec: Column, scale: Column | None = None) -> Column:

@@ -190,24 +190,33 @@ def cosine_join_blas(left: DataFrame, right: DataFrame, threshold: float,
 
         ids, mat = b.value
         ids_arr = np.asarray(ids)
+        # ROW-SLICED product: an Arrow batch is ~10k rows, so a full (B, R)
+        # matrix at R near the 500k budget is 10k x 500k doubles = 40 GB —
+        # the worker dies with a connection reset (found live by
+        # tools/scale_probe.py).  Slice the batch so slice x R stays ~160 MB.
+        step = max(64, int(2e7 / max(1, mat.shape[0])))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             lmat = np.asarray([np.asarray(v, dtype="float64") for v in pdf[left_vec]])
             lnorm = np.linalg.norm(lmat, axis=1, keepdims=True)
             lnorm[lnorm == 0] = 1.0
-            scores = (lmat / lnorm) @ mat.T          # (B, R) cosine matrix
-            li, ri = np.nonzero(scores >= threshold if inclusive else scores > threshold)
-            if len(li) == 0:
-                continue
-            out = pd.DataFrame({
-                "left_id": pdf[left_id].to_numpy()[li],
-                "right_id": ids_arr[ri],
-                "score": scores[li, ri],
-            })
-            if anti_reflexive:
-                out = out[out.left_id != out.right_id]
-            yield out
+            lmat /= lnorm
+            lids_all = pdf[left_id].to_numpy()
+            for s0 in range(0, len(lmat), step):
+                scores = lmat[s0:s0 + step] @ mat.T   # (slice, R) cosine
+                li, ri = np.nonzero(scores >= threshold if inclusive
+                                    else scores > threshold)
+                if len(li) == 0:
+                    continue
+                out = pd.DataFrame({
+                    "left_id": lids_all[li + s0],
+                    "right_id": ids_arr[ri],
+                    "score": scores[li, ri],
+                })
+                if anti_reflexive:
+                    out = out[out.left_id != out.right_id]
+                yield out
 
     # fan_out: a single-split input would stream through ONE Python worker;
     # the BLAS product parallelizes per Arrow batch, so spread the rows first
@@ -240,24 +249,29 @@ def knn_join_blas(left: DataFrame, right: DataFrame, k: int,
         ids, mat = b.value
         ids_arr = np.asarray(ids)
         order_ids = np.argsort(ids_arr, kind="stable")  # for tie-break by id asc
+        # ROW-SLICED product (same 40 GB-per-batch hazard as cosine_join_blas;
+        # found live by tools/scale_probe.py): slice x R stays ~160 MB
+        step = max(64, int(2e7 / max(1, mat.shape[0])))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             lmat = np.asarray([np.asarray(v, dtype="float64") for v in pdf[left_vec]])
             lnorm = np.linalg.norm(lmat, axis=1, keepdims=True)
             lnorm[lnorm == 0] = 1.0
-            scores = (lmat / lnorm) @ mat.T
+            lmat /= lnorm
             rows = []
             lids = pdf[left_id].to_numpy()
-            for i in range(len(pdf)):
-                mask = ids_arr != lids[i]
-                s = scores[i]
-                # sort by score desc then id asc: stable sort on -score over
-                # id-ascending order
-                cand = order_ids[mask[order_ids]]
-                top = cand[np.argsort(-s[cand], kind="stable")[:k]]
-                for rank, j in enumerate(top, 1):
-                    rows.append((lids[i], ids_arr[j], float(s[j]), rank))
+            for s0 in range(0, len(lmat), step):
+                scores = lmat[s0:s0 + step] @ mat.T
+                for i in range(scores.shape[0]):
+                    mask = ids_arr != lids[s0 + i]
+                    s = scores[i]
+                    # sort by score desc then id asc: stable sort on -score
+                    # over id-ascending order
+                    cand = order_ids[mask[order_ids]]
+                    top = cand[np.argsort(-s[cand], kind="stable")[:k]]
+                    for rank, j in enumerate(top, 1):
+                        rows.append((lids[s0 + i], ids_arr[j], float(s[j]), rank))
             if rows:
                 yield pd.DataFrame(rows, columns=["left_id", "right_id", "score", "rank"])
 
@@ -458,7 +472,7 @@ def _grid_cells(spark, n_blocks: int, triangular: bool):
 
 def grid_near_duplicates(vectors: DataFrame, threshold: float,
                          id_col: str = "id", vec_col: str = "embedding",
-                         n_blocks: int = 8,
+                         n_blocks: int | None = None,
                          inclusive: bool = False) -> DataFrame:
     """EXACT self-join duplicate sweep with NO driver-side collect — the 100 TB
     form of the V5 sweep (memory/memory_graph.py:10333-10390).
@@ -477,6 +491,8 @@ def grid_near_duplicates(vectors: DataFrame, threshold: float,
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    if not n_blocks:
+        n_blocks = _auto_blocks(route_rows(vectors))
     spark = vectors.sparkSession
     id_type = vectors.schema[id_col].dataType
     out_schema = StructType([
@@ -514,22 +530,39 @@ def grid_near_duplicates(vectors: DataFrame, threshold: float,
 
         mat_a = unit(mat_a)
         if ci == cj:
-            scores = mat_a @ mat_a.T
-            li, ri = np.nonzero(np.triu(scores >= threshold if inclusive
-                                        else scores > threshold, k=1))
-            lid, rid = ids_a[li], ids_a[ri]
+            ids_b, mat_b, diagonal = ids_a, mat_a, True
         else:
             pb = pdf[pdf["_side"] == "b"]
             if len(pb) == 0:
                 return pd.DataFrame(columns=["left_id", "right_id", "score"])
             ids_b = pb["_id"].to_numpy()
             mat_b = unit(np.asarray([np.asarray(v, dtype="float64") for v in pb["_vec"]]))
-            scores = mat_a @ mat_b.T
-            li, ri = np.nonzero(scores >= threshold if inclusive else scores > threshold)
-            lid, rid = ids_a[li], ids_b[ri]
-        if len(lid) == 0:
+            diagonal = False
+        # ROW-SLICED product: a full |a| x |b| score matrix is (N/B)^2 doubles
+        # — 45 GB per task at 600k rows / 8 blocks.  Slicing mat_a bounds the
+        # live matrix at slice x |b| (~160 MB) with identical results; BLAS
+        # throughput is unchanged (each slice is still one dgemm).
+        step = max(256, int(2e7 / max(1, len(mat_b))))
+        lids, rids, scs = [], [], []
+        for s0 in range(0, len(mat_a), step):
+            sl = mat_a[s0:s0 + step] @ mat_b.T
+            mask = (sl >= threshold) if inclusive else (sl > threshold)
+            if diagonal:
+                # upper triangle of the FULL cell, offset by the slice start
+                li_loc, ri = np.nonzero(mask)
+                keep = ri > (li_loc + s0)
+                li_loc, ri = li_loc[keep], ri[keep]
+            else:
+                li_loc, ri = np.nonzero(mask)
+            if len(li_loc):
+                lids.append(ids_a[li_loc + s0])
+                rids.append(ids_b[ri])
+                scs.append(sl[li_loc, ri])
+        if not lids:
             return pd.DataFrame(columns=["left_id", "right_id", "score"])
-        sc = scores[li, ri]
+        lid = np.concatenate(lids)
+        rid = np.concatenate(rids)
+        sc = np.concatenate(scs)
         # orient each pair so left_id < right_id (block hashing ignores id order)
         flip = lid > rid
         out = pd.DataFrame({
@@ -545,7 +578,7 @@ def grid_near_duplicates(vectors: DataFrame, threshold: float,
 def grid_knn_join(left: DataFrame, right: DataFrame, k: int,
                   left_vec: str = "embedding", right_vec: str = "embedding",
                   left_id: str = "id", right_id: str = "id",
-                  n_blocks: int = 8) -> DataFrame:
+                  n_blocks: int | None = None) -> DataFrame:
     """EXACT kNN join with NO driver-side collect — the scale form of
     knn_join_blas for a right side past any broadcast budget (V4 ingest dedup
     against a 100 TB corpus, memory/memory_graph.py:14214-14442).
@@ -559,6 +592,8 @@ def grid_knn_join(left: DataFrame, right: DataFrame, k: int,
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    if not n_blocks:
+        n_blocks = _auto_blocks(route_rows(right))
     spark = left.sparkSession
     out_schema = StructType([
         StructField("left_id", left.schema[left_id].dataType),
@@ -595,14 +630,34 @@ def grid_knn_join(left: DataFrame, right: DataFrame, k: int,
         ids_b = pb["_id"].to_numpy()
         mat_a = unit(np.asarray([np.asarray(v, dtype="float64") for v in pa["_vec"]]))
         mat_b = unit(np.asarray([np.asarray(v, dtype="float64") for v in pb["_vec"]]))
-        scores = mat_a @ mat_b.T                      # (|a|, |b|)
-        n_keep = min(k + 1, scores.shape[1])          # +1 absorbs the self pair
+        b = mat_b.shape[0]
+        n_keep = min(k + 1, b)                        # +1 absorbs the self pair
+        # ROW-SLICED product (memory: slice x |b|, not (N/B)^2) + vectorized
+        # top-m preselect.  argpartition alone breaks the (score desc, id asc)
+        # tie order at the cut, so: preselect top m = n_keep+16 by score, then
+        # lexsort JUST those m per row; if the kept set's boundary score still
+        # appears among the excluded (>16-way tie), fall back to an exact
+        # full-row lexsort for that row — bit-identical to the naive form.
+        m = min(n_keep + 16, b)
+        step = max(256, int(2e7 / max(1, b)))
         rows = []
-        for ai in range(scores.shape[0]):
-            order = np.lexsort((ids_b, -scores[ai]))[:n_keep]
-            for bi in order:
-                if ids_a[ai] != ids_b[bi]:
-                    rows.append((ids_a[ai], ids_b[bi], float(scores[ai, bi])))
+        for s0 in range(0, len(mat_a), step):
+            sl = mat_a[s0:s0 + step] @ mat_b.T
+            part = (np.argpartition(-sl, m - 1, axis=1)[:, :m]
+                    if m < b else np.tile(np.arange(b), (sl.shape[0], 1)))
+            for i in range(sl.shape[0]):
+                cand = part[i]
+                order = cand[np.lexsort((ids_b[cand], -sl[i, cand]))]
+                kept = order[:n_keep]
+                if m < b and sl[i, kept[-1]] == sl[i, order[-1]]:
+                    # the kept boundary score equals the preselect's minimum:
+                    # an excluded candidate could tie with a smaller id —
+                    # exact full-row fallback (rare: needs a >16-way tie)
+                    kept = np.lexsort((ids_b, -sl[i]))[:n_keep]
+                ai_id = ids_a[s0 + i]
+                for bi in kept:
+                    if ai_id != ids_b[bi]:
+                        rows.append((ai_id, ids_b[bi], float(sl[i, bi])))
         return pd.DataFrame(rows, columns=["left_id", "right_id", "score"])
 
     local = staged.groupBy("ci", "cj").applyInPandas(compute, out_schema)
@@ -646,19 +701,33 @@ def route_rows(df: DataFrame, approx_rows: int | None = None) -> int:
     return df.count()
 
 
+def _auto_blocks(est_rows: int, target_per_block: int = 50_000,
+                 lo: int = 8, hi: int = 64) -> int:
+    """Grid size from the row estimate: blocks of ~50k rows keep each cell's
+    sliced BLAS product bounded (~160 MB live) while shuffle stays N*B rows.
+    A FIXED B=8 at 600k rows meant 75k-row blocks and (pre-slicing) a 45 GB
+    dense score matrix per task — B must scale with the input."""
+    import math
+
+    return max(lo, min(hi, math.ceil(max(1, est_rows) / target_per_block)))
+
+
 def knn_join_auto(left: DataFrame, right: DataFrame, k: int,
                   left_vec: str = "embedding", right_vec: str = "embedding",
                   left_id: str = "id", right_id: str = "id",
                   broadcast_budget_rows: int = BLAS_BROADCAST_BUDGET_ROWS,
-                  n_blocks: int = 8,
+                  n_blocks: int | None = None,
                   approx_right_rows: int | None = None) -> DataFrame:
     """Budget-routed exact kNN join: broadcast-BLAS while the RIGHT side fits
     the budget, grid (no driver collect) past it.  Both paths are bit-identical
     (tested); callers never need to know the corpus size.  Routing uses plan
-    statistics (or the ``approx_right_rows`` hint), not an eager count()."""
-    if route_rows(right, approx_right_rows) > broadcast_budget_rows:
+    statistics (or the ``approx_right_rows`` hint), not an eager count().
+    ``n_blocks=None`` scales the grid with the estimated input size."""
+    est = route_rows(right, approx_right_rows)
+    if est > broadcast_budget_rows:
         return grid_knn_join(left, right, k, left_vec, right_vec,
-                             left_id, right_id, n_blocks)
+                             left_id, right_id,
+                             n_blocks if n_blocks else _auto_blocks(est))
     return knn_join_blas(left, right, k, left_vec, right_vec, left_id, right_id)
 
 
@@ -667,14 +736,17 @@ def cosine_join_auto(left: DataFrame, right: DataFrame, threshold: float,
                      left_id: str = "id", right_id: str = "id",
                      anti_reflexive: bool = True, inclusive: bool = True,
                      broadcast_budget_rows: int = BLAS_BROADCAST_BUDGET_ROWS,
-                     n_blocks: int = 8,
+                     n_blocks: int | None = None,
                      approx_right_rows: int | None = None) -> DataFrame:
     """Budget-routed exact cosine threshold join (self-join form routes through
     the grid when the right side is past the broadcast budget).  For the
     non-self-join grid case both sides hash into the same block space, which is
     exactly the grid_knn cell layout with a threshold emit.  Routing uses
-    plan statistics (or the hint), not an eager count()."""
-    if route_rows(right, approx_right_rows) > broadcast_budget_rows:
+    plan statistics (or the hint), not an eager count().
+    ``n_blocks=None`` scales the grid with the estimated input size."""
+    est = route_rows(right, approx_right_rows)
+    if est > broadcast_budget_rows:
+        n_blocks = n_blocks if n_blocks else _auto_blocks(est)
         if left is not right:
             # IDENTITY check, not schema equality: two distinct same-schema
             # DataFrames (e.g. new_chunks vs corpus) are still an asymmetric

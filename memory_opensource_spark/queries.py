@@ -571,12 +571,16 @@ def r9(spark, sf_dir):
 
 @_register("r10_fused_confidence", """
 SELECT event_id,
-  ROUND(least(greatest(value / 200.0, 0.0), 1.0)
-        * 0.9
-        * exp(-(value) / 500.0)
-        * (1.0 / 2.0)
-        * 0.8
-        * least((CAST(props->>'k' AS DOUBLE) * 10.0) / 512.0, 1.0), 6)::DOUBLE AS fused
+  -- every signal AND the product clipped to [0,1]
+  -- (services/memory_management.py:3266-3289 _clip01)
+  ROUND(least(greatest(
+          least(greatest(value / 200.0, 0.0), 1.0)
+        * least(greatest(0.9, 0.0), 1.0)
+        * least(greatest(exp(-(value) / 500.0), 0.0), 1.0)
+        * least(greatest(1.0 / 2.0, 0.0), 1.0)
+        * least(greatest(0.8, 0.0), 1.0)
+        * least(greatest(least((CAST(props->>'k' AS DOUBLE) * 10.0) / 512.0, 1.0),
+                         0.0), 1.0), 0.0), 1.0), 6)::DOUBLE AS fused
 FROM events
 WHERE event_id < 1000
 """)
@@ -1180,9 +1184,12 @@ def v10_cache(spark, sf_dir):
 
 @_register("v11_int8_quantize", """
 WITH scaled AS (
+  -- 1e-8 substitutes ONLY exact zero (reference: ``max_abs or 1e-8``)
   SELECT vec_id, embedding,
-         127.0 / greatest(list_max(list_transform(embedding, y -> abs(y::DOUBLE))), 1e-8) AS scale
-  FROM embeddings WHERE vec_id < 100
+         127.0 / (CASE WHEN m = 0.0 THEN 1e-8 ELSE m END) AS scale
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding, y -> abs(y::DOUBLE))) AS m
+        FROM embeddings WHERE vec_id < 100)
 )
 SELECT vec_id,
        ROUND(scale, 6)::DOUBLE AS scale,

@@ -94,11 +94,66 @@ _HEADER_PATTERNS = [
 ]
 _TITLECASE = r"^[A-Z]\S*(\s+[A-Z]\S*){0,7}$"
 
+#: domain-aware header keywords, checked BEFORE the generic rules when a
+#: domain is configured (hierarchical_chunker.py:389-429
+#: _detect_domain_header_level; default domain None -> rules never fire).
+#: (keyword, level, prefix_only) per domain; substring match unless prefix.
+_DOMAIN_HEADERS: dict[str, list[tuple[str, int, bool]]] = {
+    "finance": (
+        [(k, 1, False) for k in [
+            "management's discussion", "md&a", "risk factors",
+            "consolidated financial statements", "financial statements",
+            "notes to consolidated", "balance sheet", "income statement",
+            "cash flows", "results of operations"]]
+        + [(k, 2, False) for k in [
+            "revenues", "operating expenses", "r&d", "research and development",
+            "ebitda", "gross margin", "operating margin", "profit margin"]]
+    ),
+    "healthcare": (
+        [(k, 1, False) for k in ["patient history", "test results", "imaging",
+                                 "mri", "ct", "x-ray"]]
+        + [(k, 2, False) for k in ["blood test", "labs", "hemoglobin", "cbc",
+                                   "panel", "findings", "impression"]]
+    ),
+    "science": (
+        [(k, 1, True) for k in ["abstract", "introduction", "methods",
+                                "results", "discussion", "conclusion"]]
+        + [(k, 2, False) for k in ["figure", "table", "experiment",
+                                   "evaluation", "metrics"]]
+    ),
+}
+#: reference accepts several aliases per domain (:397,:413,:421)
+_DOMAIN_ALIASES = {"financial": "finance", "medical": "healthcare",
+                   "scientific": "science", "research": "science"}
 
-def _header_level(line, prev_line, next_line):
-    """Column expression mirror of _detect_header_level (:346-388): length
-    guard, numbered patterns (first match), ALL-CAPS -> 1, title-case with a
-    blank interior neighbor -> 2."""
+
+def _domain_level(line, domain: str | None):
+    """Column form of _detect_domain_header_level: level-1 keys first, then
+    level-2 (the reference checks lvl1 `any` before lvl2), 0 otherwise."""
+    if not domain:
+        return F.lit(0)
+    rules = _DOMAIN_HEADERS.get(_DOMAIN_ALIASES.get(domain.lower(),
+                                                    domain.lower()))
+    if not rules:
+        return F.lit(0)
+    low = F.lower(line)
+
+    def hit(level):
+        cond = F.lit(False)
+        for k, lvl, prefix in rules:
+            if lvl != level:
+                continue
+            cond = cond | (low.startswith(k) if prefix else low.contains(k))
+        return cond
+
+    return F.when(hit(1), F.lit(1)).when(hit(2), F.lit(2)).otherwise(F.lit(0))
+
+
+def _header_level(line, prev_line, next_line, domain: str | None = None):
+    """Column expression mirror of _detect_header_level (:346-388): domain
+    keyword rules first (when configured, :350-353), length guard, numbered
+    patterns (first match), ALL-CAPS -> 1, title-case with a blank interior
+    neighbor -> 2."""
     n_words = F.size(F.split(line, r"\s+"))
     guard = (F.length(line) >= 3) & (F.length(line) <= 200)
     numbered = F.lit(0)
@@ -110,8 +165,10 @@ def _header_level(line, prev_line, next_line):
         & prev_line.isNotNull() & next_line.isNotNull()
         & ((prev_line == "") | (next_line == ""))
     )
+    dom = _domain_level(line, domain)
     return (
-        F.when(~guard, F.lit(0))
+        F.when(dom > 0, dom)      # domain rules bypass the length guard (:350)
+        .when(~guard, F.lit(0))
         .when(numbered > 0, numbered)
         .when(caps, F.lit(1))
         .when(title, F.lit(2))
@@ -122,7 +179,8 @@ def _header_level(line, prev_line, next_line):
 def hierarchical_chunk(docs: DataFrame, id_col: str = "memory_id",
                        content_col: str = "content",
                        target_chars: int = 120,
-                       context_chars: int = 400) -> DataFrame:
+                       context_chars: int = 400,
+                       domain: str | None = None) -> DataFrame:
     """Page -> section -> chunk hierarchy with parent ids and per-level context
     (core/document_processing/hierarchical_chunker.py:176-998), as one
     DataFrame DAG — per-document windows, no Python in the row path.
@@ -161,7 +219,8 @@ def hierarchical_chunk(docs: DataFrame, id_col: str = "memory_id",
         )
         .withColumn("line", F.trim("raw"))
         .withColumn("level", _header_level(
-            F.col("line"), F.lag("line").over(wl), F.lead("line").over(wl)))
+            F.col("line"), F.lag("line").over(wl), F.lead("line").over(wl),
+            domain=domain))
         .filter(F.col("line") != "")
         .withColumn("sec_ord", F.sum((F.col("level") > 0).cast("int")).over(
             wl.rowsBetween(Window.unboundedPreceding, 0)))

@@ -127,3 +127,31 @@ def test_hierarchical_chunk_size_buckets(spark):
     assert all(n <= 60 + 24 for _, n in by_idx)         # bucket ~target + one line
     joined = "\n".join(r.chunk_content for r in sorted(out, key=lambda r: r.chunk_index))
     assert joined == body                               # lossless, order preserved
+
+
+def test_domain_header_rules(spark):
+    """Domain-aware header detection (hierarchical_chunker.py:389-429): with
+    domain='finance' the keyword lines become section headers (lvl 1/2); with
+    no domain they are plain content — the reference's default-off behavior."""
+    from memory_opensource_spark.sources.documents import hierarchical_chunk
+
+    text = "\n".join([
+        "intro words here",
+        "risk factors",              # finance lvl-1 keyword (not ALL-CAPS)
+        "we discuss dangers",
+        "operating expenses",        # finance lvl-2 keyword
+        "numbers go here",
+    ])
+    docs = spark.createDataFrame([("d1", text)], "memory_id string, content string")
+
+    plain = hierarchical_chunk(docs).select("section_title", "level").distinct().collect()
+    assert {(r.section_title, r.level) for r in plain} == {("Page 1", 1)}
+
+    fin = hierarchical_chunk(docs, domain="finance").select(
+        "section_title", "level").distinct().collect()
+    got = {(r.section_title, r.level) for r in fin}
+    assert ("risk factors", 1) in got
+    assert ("operating expenses", 2) in got
+    # alias accepted like the reference (:397)
+    fin2 = hierarchical_chunk(docs, domain="financial").select("level").collect()
+    assert any(r.level == 1 for r in fin2)

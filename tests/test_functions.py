@@ -4,7 +4,7 @@ import math
 
 from pyspark.sql import functions as F
 
-from memory_opensource_spark.functions import ids, text, vector
+from memory_opensource_spark.functions import decay, ids, text, vector
 
 
 def test_point_id_matches_python_twin(spark):
@@ -84,3 +84,44 @@ def test_decay_factor_half_life(spark):
     ).select(F.to_timestamp("prev").alias("prev"), F.to_timestamp("now").alias("now"))
     row = df.select(decay.decay_factor(F.col("prev"), F.col("now"), 30.0).alias("d")).first()
     assert abs(row.d - 0.5) < 1e-12
+
+
+def test_decay_factor_clamps_negative_elapsed(spark):
+    """Reference _apply_time_decay clamps dt_days = max(0, ...): a late row
+    whose now_ts PRECEDES prev_ts must mean no decay (factor 1.0), never
+    0.5^negative > 1 inflating the counter."""
+    df = spark.createDataFrame(
+        [("2024-02-01 00:00:00", "2024-01-01 00:00:00")], "prev string, now string"
+    ).select(F.col("prev").cast("timestamp"), F.col("now").cast("timestamp"))
+    row = df.select(decay.decay_factor(F.col("prev"), F.col("now"), 30.0).alias("d")).first()
+    assert row.d == 1.0
+
+
+def test_fused_confidence_clips_every_signal_and_product(spark):
+    """Reference _fused_confidence clips EVERY signal and the final product
+    to [0,1] (services/memory_management.py:3266-3289): out-of-range inputs
+    (tier > 2, engagement > 1, conf > 1, negative latency) must not push the
+    fused confidence past 1."""
+    df = spark.range(1)
+    out = df.select(decay.fused_confidence(
+        sim=F.lit(5.0),          # clips to 1
+        conf=F.lit(3.0),         # clips to 1
+        latency_ms=F.lit(-100.0),  # exp(+0.2) > 1 -> clips to 1
+        tier=F.lit(4.0),         # tier/2 = 2 -> clips to 1
+        engagement=F.lit(7.0),   # clips to 1
+        tokens=F.lit(10_000.0),  # min(...,1) already 1
+    ).alias("c")).first()
+    assert out.c == 1.0
+
+
+def test_int8_scale_saturates_tiny_vectors(spark):
+    """Reference quantize_int8: scale = 127/max_abs for ANY nonzero max_abs
+    (``or 1e-8`` substitutes exact zero only) — a tiny-magnitude vector
+    saturates to +-127, preserving direction; a 1e-8 FLOOR would quantize it
+    to all-zeros."""
+    df = spark.createDataFrame([([1e-12, -1e-12],), ([0.0, 0.0],)],
+                               "embedding array<double>")
+    out = df.select(
+        vector.quantize_int8(F.col("embedding")).alias("q")).collect()
+    assert list(out[0].q) == [127, -127]   # saturated, not zeroed
+    assert list(out[1].q) == [0, 0]        # zero vector stays zero

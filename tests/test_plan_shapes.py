@@ -83,3 +83,26 @@ def test_mm_metadata_filter_never_reads_blobs(spark):
     schemas = re.findall(r"ReadSchema: (\S+)", p)
     assert schemas, p[:500]
     assert all("text" not in s for s in schemas), schemas
+
+
+def test_salted_join_splits_hot_key_across_partitions(spark):
+    """Skew mitigation proof (operators/skew.salted_join): with one key
+    owning 50% of the big side, the salted join's shuffle key (key, _salt)
+    must spread the hot key over ~`buckets` groups — no single group (and
+    so no single shuffle task) carries the whole hot key."""
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.operators.skew import with_salt
+
+    buckets = 8
+    n = 40_000
+    big = (spark.range(n)
+           .withColumn("key", F.when(F.col("id") % 2 == 0, F.lit(0))
+                       .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)))))
+    salted = with_salt(big, ["id"], buckets)
+    sizes = (salted.filter(F.col("key") == 0).groupBy("_salt").count()
+             .collect())
+    assert len(sizes) == buckets            # the hot key split into 8 groups
+    hot_total = n // 2
+    # each group is near hot_total/buckets — no group re-concentrates the key
+    assert max(r["count"] for r in sizes) < hot_total / buckets * 1.5

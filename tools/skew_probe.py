@@ -2,11 +2,11 @@
 (a) no mitigation, (b) AQE skew-join splitting, (c) explicit salting
 (operators/skew.salted_join).
 
-Synthetic shape mirrors the 100 TB hazard: ONE tenant key owning 30% of the
+Synthetic shape mirrors the 100 TB hazard: ONE tenant key owning half the
 fact side.  Broadcast is disabled so the join must shuffle — at real scale the
 dimension side wouldn't broadcast either.  Usage:
 
-    python tools/skew_probe.py [rows_big] [rows_small]
+    python tools/skew_probe.py [rows_big] [rows_small] [hot_pct]
 """
 
 from __future__ import annotations
@@ -20,6 +20,7 @@ sys.path.insert(0, ".")
 def main():
     rows_big = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     rows_small = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
+    hot_pct = int(sys.argv[3]) if len(sys.argv) > 3 else 50
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -35,9 +36,9 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     n_keys = 100_000
-    # 30% of the big side lands on key 0; the rest spreads uniformly
+    # hot_pct% of the big side lands on key 0; the rest spreads uniformly
     big = (spark.range(rows_big)
-           .withColumn("key", F.when(F.col("id") % 10 < 3, F.lit(0))
+           .withColumn("key", F.when(F.col("id") % 100 < hot_pct, F.lit(0))
                        .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_keys))))
            .withColumn("v", (F.col("id") % 97).cast("double")))
     small = (spark.range(rows_small)
@@ -58,7 +59,7 @@ def main():
         print(f"{label:34s} {dt:7.2f}s  ({n} joined rows)")
         return dt
 
-    print(f"big={rows_big} rows (30% on one key), small={rows_small} rows, "
+    print(f"big={rows_big} rows ({hot_pct}% on one key), small={rows_small} rows, "
           f"broadcast disabled")
     run("plain join, AQE off", aqe_skew=False, salted=False)
     run("plain join, AQE skew-split on", aqe_skew=True, salted=False)
