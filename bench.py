@@ -81,6 +81,9 @@ HEADLINE = [
     "zorder_layout_roundtrip",
     "txn_merge_roundtrip",
     "ann_ivf_spill",
+    # round 6 additions (embedding-thresholded G5 — the reworked semantic
+    # lookup exercises the budget-routed kNN + G3 fetch end-to-end)
+    "g5_semantic_lookup",
 ]
 
 

@@ -463,16 +463,28 @@ class MemoryEngine:
 
     # ---- read path (§3.1) ---------------------------------------------------------
 
-    def build_search_index(self, path: str, n_centroids: int = 32,
+    def build_search_index(self, path: str, n_centroids: int | None = None,
                            assign_k: int = 1) -> None:
         """Persist the chunk table in the IVF-partitioned layout
         (sources/ann_index) and attach it to this engine — the V2-at-scale
         serving path (the reference serves this from Qdrant HNSW,
         memory/memory_graph.py:8103-8238; here the index IS the directory
         tree).  Rebuild after bulk ingest; incremental arrivals go through
-        ``ann_index.append_to_index``."""
+        ``ann_index.append_to_index``.
+
+        ``n_centroids=None`` scales C with the corpus (~4*sqrt(N), the FAISS
+        sizing rule; clamped to [16, 65536]).  A FIXED default of 32 was the
+        round-5 recall ceiling — PERF.md's round-6 table shows recall at a
+        fixed scan budget is a pure function of quantization granularity, so
+        C must grow with N."""
+        import math
+
+        from .operators.similarity import route_rows
         from .sources import ann_index
 
+        if n_centroids is None:
+            est = max(1, route_rows(self.chunks))
+            n_centroids = max(16, min(65536, int(4 * math.sqrt(est))))
         ann_index.build_ivf_index(self.chunks, path, n_centroids=n_centroids,
                                   assign_k=assign_k)
         self._ann_index_path = path

@@ -248,10 +248,18 @@ def knn_join_blas(left: DataFrame, right: DataFrame, k: int,
 
         ids, mat = b.value
         ids_arr = np.asarray(ids)
-        order_ids = np.argsort(ids_arr, kind="stable")  # for tie-break by id asc
+        R = mat.shape[0]
         # ROW-SLICED product (same 40 GB-per-batch hazard as cosine_join_blas;
-        # found live by tools/scale_probe.py): slice x R stays ~160 MB
-        step = max(64, int(2e7 / max(1, mat.shape[0])))
+        # found live by tools/scale_probe.py): slice x R stays ~160 MB.
+        # Top-k per row: vectorized argpartition preselect of m = k+17
+        # candidates (+1 absorbs the self pair), then an exact
+        # (score desc, id asc) lexsort of just those m; if the kept boundary
+        # score equals the preselect minimum, an excluded candidate could tie
+        # with a smaller id -> exact full-row fallback (needs a >16-way tie).
+        # Replaces a per-row O(R log R) argsort — at R = 500k that was minutes
+        # per thousand left rows.
+        step = max(64, int(2e7 / max(1, R)))
+        m = min(k + 17, R)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -263,14 +271,17 @@ def knn_join_blas(left: DataFrame, right: DataFrame, k: int,
             lids = pdf[left_id].to_numpy()
             for s0 in range(0, len(lmat), step):
                 scores = lmat[s0:s0 + step] @ mat.T
+                part = (np.argpartition(-scores, m - 1, axis=1)[:, :m]
+                        if m < R else np.tile(np.arange(R), (scores.shape[0], 1)))
                 for i in range(scores.shape[0]):
-                    mask = ids_arr != lids[s0 + i]
                     s = scores[i]
-                    # sort by score desc then id asc: stable sort on -score
-                    # over id-ascending order
-                    cand = order_ids[mask[order_ids]]
-                    top = cand[np.argsort(-s[cand], kind="stable")[:k]]
-                    for rank, j in enumerate(top, 1):
+                    cand = part[i]
+                    order = cand[np.lexsort((ids_arr[cand], -s[cand]))]
+                    kept = [j for j in order if ids_arr[j] != lids[s0 + i]][:k]
+                    if m < R and kept and s[kept[-1]] == s[order[-1]]:
+                        full = np.lexsort((ids_arr, -s))
+                        kept = [j for j in full if ids_arr[j] != lids[s0 + i]][:k]
+                    for rank, j in enumerate(kept, 1):
                         rows.append((lids[s0 + i], ids_arr[j], float(s[j]), rank))
             if rows:
                 yield pd.DataFrame(rows, columns=["left_id", "right_id", "score", "rank"])

@@ -24,21 +24,26 @@ def test_registry_prefix_covers_component_families():
         "f9_fallback_relax", "v1_chunk_embed", "v2_cosine_topk",
         "v3_scroll_fallback", "v4_ingest_reuse", "v5_bucketed_pairs",
         "v6_entity_resolution", "v8_property_index", "v9_grouped_points",
-        "v10_query_cache_dedupe", "v11_int8_quantize", "g1_pattern_match",
+        "g1_pattern_match",
         "g2_two_hop_paths", "suite_graph_lookup", "g5_semantic_lookup",
         "g7_schema_discovery", "g8_schema_driven_merge", "suite_graph_store",
         "g12_related_to_edges", "g13_link_to_lookup", "g14_constraint_when",
         "r2_stratified_merge", "r6_rerank", "r12_delta_since_watermark",
-        "r17_query_classification", "suite_ranking_formulas",
+        "suite_ranking_formulas",
         "suite_stream_windows", "st5_decayed_counter_replay",
         "ids_chunk_algebra", "set_ops_semi_anti", "suite_text_analysis",
-        "rel_relevance_score", "suite_dedup_family", "ann_ivf_persisted",
+        "suite_dedup_family", "ann_ivf_persisted",
         "mm_feature_search", "suite_graph_analytics",
         "compress_sessions",
         # round-4 additions (V2-batch moved below fold in their favor:
         # still locally gated, V2 covered by v2_cosine_topk + flagships)
         "search_spec_pushdown", "g15_acl_both_endpoints", "suite_pipeline_ops",
         "st2_session_windows",
+        # round-6 rotation: newest/reworked semantics into the driver window
+        # (v10/v11/r17/rel_relevance_score moved below fold — still locally
+        # gated; their components are long-green singles)
+        "f1_acl_filter", "txn_merge_roundtrip", "zorder_layout_roundtrip",
+        "ann_ivf_spill",
     ]
     missing = [q for q in required if q not in top50]
     assert not missing, f"top-50 evidence window lost: {missing}"
