@@ -67,18 +67,133 @@ def _fake_decode(content: bytes, modality: str, frame: int = 0) -> list[float]:
     return [b / 256.0 for b in h[:FEATURE_DIM]]
 
 
+def _decode_ppm(content: bytes):
+    """Real decoder for binary PPM (P6) images — pure numpy, no codecs.
+    Returns an (H, W, 3) uint8 array or None if not a P6 stream."""
+    import numpy as np
+
+    if not content.startswith(b"P6"):
+        return None
+    # header: magic, width, height, maxval — whitespace/comment separated
+    fields, i = [], 2
+    while len(fields) < 3 and i < len(content):
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":  # comment to end of line
+            while i < len(content) and content[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(content) and not content[j : j + 1].isspace():
+            j += 1
+        fields.append(int(content[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        return None  # 16-bit PPM stays behind the seam
+    pix = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=i)
+    return pix.reshape(h, w, 3)
+
+
+def _decode_wav(content: bytes):
+    """Real decoder for PCM WAV (RIFF, 8/16-bit) — pure struct/numpy.
+    Returns a float64 mono signal in [-1, 1] or None if not PCM WAV."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(content):
+        cid, size = content[i : i + 4], struct.unpack("<I", content[i + 4 : i + 8])[0]
+        body = content[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size % 2)
+    if fmt is None or data is None or fmt[0] != 1:  # PCM only
+        return None
+    n_channels, bits = fmt[1], fmt[5]
+    if bits == 16:
+        sig = np.frombuffer(data, dtype="<i2").astype("float64") / 32768.0
+    elif bits == 8:
+        sig = (np.frombuffer(data, dtype=np.uint8).astype("float64") - 128.0) / 128.0
+    else:
+        return None
+    if n_channels > 1:
+        sig = sig[: len(sig) // n_channels * n_channels]
+        sig = sig.reshape(-1, n_channels).mean(axis=1)
+    return sig
+
+
+def _real_features(content: bytes, modality: str, frame: int = 0):
+    """REAL feature extraction for container-decodable formats:
+
+    - image (PPM P6): resize to 4x4 via box-averaging (area interpolation),
+      luma of each cell -> 16 features in [0, 1).
+    - audio (PCM WAV): 8-bin energy envelope + 8-bin amplitude histogram.
+    - video (concatenated PPM frames, ``PAPRVID0`` container): per-frame
+      image features over uniformly-sampled frames.
+
+    Returns None when the bytes are not a supported format (caller falls
+    back to the deterministic fake — compressed formats stay behind the
+    library seam)."""
+    import numpy as np
+
+    if modality == "video" and content.startswith(b"PAPRVID0"):
+        # trivial container: u32 frame count, then length-prefixed P6 frames
+        import struct
+
+        n = struct.unpack("<I", content[8:12])[0]
+        frames, i = [], 12
+        for _ in range(n):
+            ln = struct.unpack("<I", content[i : i + 4])[0]
+            frames.append(content[i + 4 : i + 4 + ln])
+            i += 4 + ln
+        if not frames:
+            return None
+        pick = frames[min(frame * max(1, len(frames) // max(frame + 1, 1)),
+                          len(frames) - 1)] if frame < len(frames) else frames[-1]
+        return _real_features(pick, "image", 0)
+    if modality == "image":
+        img = _decode_ppm(content)
+        if img is None:
+            return None
+        h, w, _ = img.shape
+        # luma then 4x4 box-average resize (crop to divisible grid)
+        luma = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+                + 0.114 * img[:, :, 2])
+        gh, gw = max(1, h // 4), max(1, w // 4)
+        luma = luma[: gh * 4, : gw * 4].reshape(4, gh, 4, gw)
+        cells = luma.mean(axis=(1, 3)) / 256.0
+        return [float(x) for x in cells.flatten()[:FEATURE_DIM]]
+    if modality == "audio":
+        sig = _decode_wav(content)
+        if sig is None or len(sig) == 0:
+            return None
+        seg = np.array_split(sig, 8)
+        energy = [float(np.sqrt((s ** 2).mean())) if len(s) else 0.0 for s in seg]
+        hist, _ = np.histogram(np.abs(sig), bins=8, range=(0.0, 1.0))
+        hist = (hist / max(1, len(sig))).tolist()
+        return [min(x, 0.999999) for x in energy + hist][:FEATURE_DIM]
+    return None
+
+
 def decode_features(media: DataFrame, frames_per_video: int = 4,
                     real: bool = False) -> DataFrame:
     """Decode/feature-extract every media row via mapInPandas.
 
     - image/audio -> one feature row (frame_index 0)
     - video       -> ``frames_per_video`` uniformly-sampled frame rows
-    """
-    if real:
-        raise NotImplementedError(
-            "real decoders (libjpeg/ffmpeg/librosa) are not installed in this "
-            "container; the Spark plumbing below is production-shaped"
-        )
+
+    ``real=True`` decodes container-supported formats FOR REAL (PPM P6
+    images, PCM WAV audio, the PAPRVID0 frame container — pure numpy, no
+    external codecs) and raises on bytes that need a library decoder
+    (JPEG/PNG/MP3/MP4 — the libjpeg/ffmpeg seam, swap ``_real_features``).
+    Default keeps the deterministic fake (oracle-checkable)."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -87,10 +202,18 @@ def decode_features(media: DataFrame, frames_per_video: int = 4,
                 content = bytes(r["content"]) if r["content"] is not None else b""
                 n_frames = frames_per_video if r["modality"] == "video" else 1
                 for f_idx in range(n_frames):
-                    rows.append(
-                        (r["media_id"], r["modality"],
-                         _fake_decode(content, r["modality"], f_idx), f_idx)
-                    )
+                    if real:
+                        feat = _real_features(content, r["modality"], f_idx)
+                        if feat is None:
+                            raise NotImplementedError(
+                                f"media {r['media_id']}: bytes are not a "
+                                "container-decodable format (PPM/WAV/PAPRVID0)"
+                                " — compressed formats need the "
+                                "libjpeg/ffmpeg seam (_real_features)")
+                        feat = feat + [0.0] * (FEATURE_DIM - len(feat))
+                    else:
+                        feat = _fake_decode(content, r["modality"], f_idx)
+                    rows.append((r["media_id"], r["modality"], feat, f_idx))
             yield pd.DataFrame(rows, columns=["media_id", "modality", "feature", "frame_index"])
 
     return media.mapInPandas(compute, DECODED_SCHEMA)

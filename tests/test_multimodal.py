@@ -43,9 +43,12 @@ def test_decode_shapes_and_determinism(media):
         assert again[(r.media_id, r.frame_index)] == r.feature
 
 
-def test_real_decoder_is_explicitly_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_features(media, real=True)
+def test_real_decode_rejects_library_formats(media):
+    """The fixture media bytes are utf-8 text, not a container-decodable
+    format: real=True must fail LOUDLY at execution (the libjpeg/ffmpeg
+    seam), never silently fall back to the fake."""
+    with pytest.raises(Exception, match="decodable|NotImplemented|seam"):
+        multimodal.decode_features(media, real=True).collect()
 
 
 def test_media_feature_search(media, spark):
@@ -55,3 +58,79 @@ def test_media_feature_search(media, spark):
     out = multimodal.media_feature_search(media, [float(x) for x in one.feature], 3).collect()
     assert out[0].feat_id == "media0#0"  # self-match ranks first
     assert len(out) == 3
+
+
+def _ppm(w, h, rgb):
+    """Binary P6 PPM with a constant color."""
+    return (f"P6\n{w} {h}\n255\n".encode()
+            + bytes(rgb) * (w * h))
+
+
+def _wav(samples, rate=8000):
+    """16-bit mono PCM WAV from float samples in [-1, 1]."""
+    import struct
+
+    import numpy as np
+
+    pcm = (np.clip(np.asarray(samples), -1, 1) * 32767).astype("<i2").tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm)))
+    return hdr + pcm
+
+
+def test_real_decode_ppm_and_wav(spark):
+    """real=True ACTUALLY decodes PPM images and PCM WAV audio (pure numpy,
+    no codecs): bright vs dark images separate on luma features; loud vs
+    quiet audio separates on energy — the features carry real signal, which
+    the content-hash fake cannot."""
+    import numpy as np
+
+    from memory_opensource_spark.sources.multimodal import decode_features
+
+    rows = [
+        ("bright", "image", _ppm(8, 8, (250, 250, 250)), "image/x-portable-pixmap",
+         8, 8, None),
+        ("dark", "image", _ppm(8, 8, (5, 5, 5)), "image/x-portable-pixmap",
+         8, 8, None),
+        ("loud", "audio", _wav(np.sin(np.linspace(0, 60, 4000)) * 0.9),
+         "audio/wav", None, None, 500),
+        ("quiet", "audio", _wav(np.sin(np.linspace(0, 60, 4000)) * 0.05),
+         "audio/wav", None, None, 500),
+    ]
+    media = spark.createDataFrame(rows, schema="media_id string, modality string, "
+                                  "content binary, mime_type string, meta_width int, "
+                                  "meta_height int, meta_duration_ms int")
+    feats = {r.media_id: list(r.feature)
+             for r in decode_features(media, real=True).collect()}
+    assert all(f > 0.9 for f in feats["bright"])      # luma ~250/256
+    assert all(f < 0.1 for f in feats["dark"])        # luma ~5/256
+    assert np.mean(feats["loud"][:8]) > 5 * np.mean(feats["quiet"][:8])
+
+
+def test_real_decode_video_container_and_unsupported(spark):
+    """PAPRVID0 frame containers decode per-frame; non-decodable bytes under
+    real=True fail LOUDLY (the library seam), never silently fake."""
+    import struct
+
+    import pytest
+
+    from memory_opensource_spark.sources.multimodal import decode_features
+
+    frames = [_ppm(4, 4, (200, 200, 200)), _ppm(4, 4, (10, 10, 10))]
+    vid = (b"PAPRVID0" + struct.pack("<I", len(frames))
+           + b"".join(struct.pack("<I", len(f)) + f for f in frames))
+    media = spark.createDataFrame(
+        [("v1", "video", vid, "video/x-paprvid", 4, 4, 1000)],
+        schema="media_id string, modality string, content binary, mime_type string, "
+               "meta_width int, meta_height int, meta_duration_ms int")
+    out = decode_features(media, frames_per_video=2, real=True).collect()
+    assert len(out) == 2 and {r.frame_index for r in out} == {0, 1}
+
+    junk = spark.createDataFrame(
+        [("j1", "image", b"\xff\xd8\xff\xe0 jpeg bytes", "image/jpeg",
+          2, 2, None)],
+        schema="media_id string, modality string, content binary, mime_type string, "
+               "meta_width int, meta_height int, meta_duration_ms int")
+    with pytest.raises(Exception, match="decodable|NotImplemented|seam"):
+        decode_features(junk, real=True).collect()
