@@ -35,6 +35,10 @@ def main():
     names = sys.argv[2:] or HEADLINE
     spark = get_spark("audit", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    # long conjunct lists truncate scan metadata at 100 chars, silently
+    # cutting PushedFilters out of toString() (round-6 finding: a query with
+    # MORE pushed filters audited as pushF=0)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
 
     header = f"{'query':34s} pushF bcast smj shuf bexch takeOrd sorts py"
     print(header)
