@@ -37,12 +37,18 @@ def deterministic_scorer(query: str, contents: pd.Series) -> pd.Series:
 def rerank_stage(results: DataFrame, query: str,
                  scorer: Callable[[str, pd.Series], pd.Series] = deterministic_scorer,
                  content_col: str = "content", id_col: str = "memory_id",
-                 orig_score_col: str = "score",
-                 fuse_weight: float = 0.5) -> DataFrame:
-    """Attach ``rerank_score`` via the scorer (Arrow-batched), fuse with the
-    original score, and re-sort.  Errors inside the scorer degrade that batch
-    to the neutral score rather than failing the query (the reference's
-    neutral-5 fallback)."""
+                 orig_score_col: str = "score") -> DataFrame:
+    """Attach ``rerank_score`` via the scorer (Arrow-batched) and re-sort
+    PURELY by it — the reference sorts by the rerank score alone
+    (``sorted(scores, key=lambda x: x[0], reverse=True)``,
+    memory_graph.py:7092-7093; the original similarity score is NOT fused —
+    normalized rerank scores become ``confidence_scores`` downstream).  The
+    reference's stable sort preserves the incoming (original-score) order on
+    ties; a distributed engine must pin that explicitly, so ties break
+    (orig score desc, id asc).  Errors inside the scorer degrade that batch
+    to the neutral score rather than failing the query (the neutral-5
+    fallback, :7060) — with every score neutral, the ordering collapses to
+    the original ranking, exactly like the reference's stable sort."""
     schema = StructType(
         list(results.schema.fields) + [StructField("rerank_score", DoubleType())]
     )
@@ -59,8 +65,5 @@ def rerank_stage(results: DataFrame, query: str,
             yield pdf
 
     scored = results.mapInPandas(run, schema)
-    fused = scored.withColumn(
-        "final_score",
-        (1 - fuse_weight) * F.col(orig_score_col) + fuse_weight * F.col("rerank_score"),
-    )
-    return fused.orderBy(F.col("final_score").desc(), F.col(id_col).asc())
+    return scored.orderBy(F.col("rerank_score").desc(),
+                          F.col(orig_score_col).desc(), F.col(id_col).asc())

@@ -160,7 +160,9 @@ def search_with_graph(
       Memory-side ids become a second id source with NULL scores (the merge
       assigns the 0.7 default, memory_graph.py:6599-6603);
     - ``rerank_scorer``: optional fn(DataFrame) -> DataFrame adding
-      ``rerank_score``; fused 50/50 and re-sorted (the R6 stage shape).
+      ``rerank_score``; the result re-sorts PURELY by it (the R6 stage:
+      memory_graph.py:7092-7093 sorts by the rerank score alone, stable on
+      the prior order — no fusion with the vector score).
     """
     from ..operators.graph import match_pattern
     from ..operators.ranking import stratified_merge
@@ -210,13 +212,15 @@ def search_with_graph(
         fetched = spec_filter(fetched, spec)
 
     if rerank_scorer is not None:
-        fetched = rerank_scorer(fetched)
-        fetched = fetched.withColumn(
-            "final_score", 0.5 * F.col("score") + 0.5 * F.col("rerank_score")
-        )
-    else:
-        fetched = fetched.withColumn("final_score", F.col("score"))
-
+        # full reorder by the rerank score (stable on the prior score order,
+        # pinned explicitly for determinism), per the reference
+        fetched = rerank_scorer(fetched).withColumn(
+            "final_score", F.col("rerank_score"))
+        return fetched.orderBy(
+            F.col("rerank_score").desc(), F.col("score").desc(),
+            F.col("memory_id").asc(),
+        ).limit(top_k)
+    fetched = fetched.withColumn("final_score", F.col("score"))
     return fetched.orderBy(
         F.col("final_score").desc(), F.col("memory_id").asc()
     ).limit(top_k)

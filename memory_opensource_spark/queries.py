@@ -1504,16 +1504,22 @@ base AS (
          (('0x' || substr(md5(content), 1, 6))::BIGINT % 1000) / 1000.0 AS rerank_score
   FROM base
 )
+-- reference reorders PURELY by the rerank score (memory_graph.py:7092-7093
+-- sorted(..., key=score, reverse=True) — stable on the prior orig-score
+-- order; no fusion with the vector score)
 SELECT memory_id,
-       ROUND(0.5 * orig_score + 0.5 * rerank_score, 6)::DOUBLE AS final_score
+       ROUND(rerank_score, 6)::DOUBLE AS rerank_score,
+       ROUND(orig_score, 6)::DOUBLE AS orig_score
 FROM rr
-ORDER BY final_score DESC, memory_id ASC
+ORDER BY rerank_score DESC, orig_score DESC, memory_id ASC
 LIMIT 20
 """)
 def r6_rerank(spark, sf_dir):
     """R6/R7 rerank stage (memory/memory_graph.py:6939-7105) with the
     deterministic default scorer of SURVEY §2.10: pseudo-score from a content
-    hash, fused 50/50 with the original score, re-sorted."""
+    hash; the result re-sorts PURELY by the rerank score (:7092-7093 — the
+    round-5 50/50 fusion was a mirrored-wrong; the reference keeps the
+    original score only as a tie-stable prior order)."""
     docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     base = docs.select(
         F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("memory_id"),
@@ -1525,9 +1531,11 @@ def r6_rerank(spark, sf_dir):
         base.withColumn("rerank_score", rerank)
         .select(
             "memory_id",
-            _r6(0.5 * F.col("orig_score") + 0.5 * F.col("rerank_score")).alias("final_score"),
+            _r6(F.col("rerank_score")).alias("rerank_score"),
+            _r6(F.col("orig_score")).alias("orig_score"),
         )
-        .orderBy(F.col("final_score").desc(), F.col("memory_id").asc())
+        .orderBy(F.col("rerank_score").desc(), F.col("orig_score").desc(),
+                 F.col("memory_id").asc())
         .limit(20)
     )
 

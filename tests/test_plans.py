@@ -115,9 +115,11 @@ def test_search_with_graph_rerank_stage(spark):
     out = search_with_graph(chunks, memories, nodes, edges, qvec, top_k=5,
                             score_threshold=0.0, rerank_scorer=scorer).collect()
     assert all(hasattr(r, "final_score") for r in out)
-    # final order is by fused score, not raw cosine
-    fused = [r.final_score for r in out]
-    assert fused == sorted(fused, reverse=True)
+    # final order is PURELY by rerank score (memory_graph.py:7092-7093),
+    # not the raw cosine and not a fusion
+    rr = [r.rerank_score for r in out]
+    assert rr == sorted(rr, reverse=True)
+    assert [r.final_score for r in out] == rr
 
 
 def test_search_fallback_relaxes_property_filters_not_acl(spark):

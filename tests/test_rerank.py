@@ -17,14 +17,17 @@ def results(spark):
     )
 
 
-def test_rerank_reorders_by_relevance(results):
+def test_rerank_reorders_purely_by_rerank_score(results):
+    """Reference sorts by the rerank score ALONE (memory_graph.py:7092-7093);
+    the original vector score only breaks ties (the stable-sort prior order).
+    m1's 0.9 original score must NOT keep it ahead of the relevant rows."""
     out = rerank.rerank_stage(results, "spark engine").collect()
-    # m2/m3 mention both query terms (rerank 1.0); m1 none (0.0)
+    # m2/m3 mention both query terms (rerank 1.0) and tie -> orig score
+    # breaks it (m2 0.5 > m3 0.4); m1 (rerank 0.0) drops LAST despite 0.9
     assert [r.memory_id for r in out] == ["m2", "m3", "m1"]
     by_id = {r.memory_id: r for r in out}
     assert by_id["m2"].rerank_score == 1.0
     assert by_id["m1"].rerank_score == 0.0
-    assert abs(by_id["m2"].final_score - (0.5 * 0.5 + 0.5 * 1.0)) < 1e-12
 
 
 def test_rerank_neutral_fallback_on_scorer_error(results):
@@ -33,7 +36,8 @@ def test_rerank_neutral_fallback_on_scorer_error(results):
 
     out = rerank.rerank_stage(results, "spark engine", scorer=broken).collect()
     assert all(r.rerank_score == rerank.NEUTRAL_SCORE for r in out)
-    # order falls back to original-score order (fused with constant)
+    # all-neutral scores collapse the ordering to the original ranking —
+    # exactly what the reference's stable sort does
     assert [r.memory_id for r in out] == ["m1", "m2", "m3"]
 
 
