@@ -371,6 +371,27 @@ class MemoryEngine:
     def add_memory(self, **item) -> AddResult:
         return self.add_memory_batch([item])[0]
 
+    # ---- OMO portability (routers/v1/omo_routes.py:86-340) --------------------------
+
+    def export_omo(self, memory_ids: list[str] | None = None) -> DataFrame:
+        """Export memories as OMO v1 objects: {memory_id, omo_json} — write
+        with ``.write.json(path)`` for a ``.omo.json`` file.  One projection,
+        not the reference's per-id fetch loop."""
+        from .sources.omo import export_omo as _export
+
+        return _export(self.memories, memory_ids)
+
+    def import_omo(self, source, strict: bool = True) -> list:
+        """Import OMO objects (a path to a ``.omo.json`` lines file, or a
+        DataFrame with an ``omo_json`` column) through the REAL write path —
+        chunk -> embed -> near-dup -> merge, policies and caps included."""
+        from .sources.omo import omo_items, parse_omo, read_omo
+
+        parsed = (read_omo(self.spark, source, strict=strict)
+                  if isinstance(source, str) else parse_omo(source, strict=strict))
+        items = omo_items(parsed)
+        return self.add_memory_batch(items) if items else []
+
     # ---- embedding seam -------------------------------------------------------------
 
     def _embed_df(self, chunked):

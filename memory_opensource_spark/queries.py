@@ -4635,6 +4635,46 @@ def session_summaries_q(spark, sf_dir):
     )
 
 
+@_register("omo_export_roundtrip", f"""
+WITH {{MEMS}}
+SELECT memory_id,
+       content,
+       'text' AS mtype,
+       consent,
+       risk,
+       array_to_string(topics, '|') AS topics_csv,
+       -- import merges OMO acl.read into the vendor read list as a SORTED
+       -- distinct set ('u10' < 'u9' lexicographically)
+       array_to_string(list_sort(list_distinct(user_read_access)), '|') AS readers,
+       COALESCE(namespace_id, '') AS namespace_id
+FROM memories_d
+WHERE id_num < 200
+""")
+def omo_roundtrip(spark, sf_dir):
+    """OMO v1 portability roundtrip (routers/v1/omo_routes.py:86-340,
+    models/omo.py:129-268): memories -> OMO JSON (export projection) ->
+    parse back (from_omo schema scan) must preserve every standard and
+    vendor field — the oracle derives the same fields DIRECTLY from the
+    source table, so any export/parse asymmetry (enum normalization, ext
+    namespace mapping, ACL merge) turns the row red."""
+    from .sources.omo import export_omo, parse_omo
+
+    mems = tables.build_memories(
+        tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+    back = parse_omo(export_omo(mems.withColumn("type", F.lit("text"))))
+    return back.select(
+        "memory_id", "content",
+        F.col("type").alias("mtype"), "consent", "risk",
+        F.array_join("topics", "|").alias("topics_csv"),
+        # import merges acl.read into user_read_access (sorted-set semantics);
+        # the fixture's read list is already sorted+distinct so identity holds
+        F.array_join(F.array_sort(F.array_distinct(
+            F.concat(F.coalesce("user_read_access", F.array()),
+                     F.coalesce("acl_read", F.array())))), "|").alias("readers"),
+        F.coalesce("namespace_id", F.lit("")).alias("namespace_id"),
+    )
+
+
 @_register("zorder_layout_roundtrip", """
 WITH {EVENTS}
 SELECT user_id,
