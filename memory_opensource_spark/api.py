@@ -844,8 +844,29 @@ class MemoryEngine:
         for name in self._TABLE_KEYS:
             setattr(self, name, self.spark.read.parquet(f"{store_dir}/{name}.parquet"))
 
+    #: truncate a table's lazy lineage after this many merges: every _merge
+    #: stacks an anti-join+union layer, so N batches build an N-deep plan
+    #: whose ANALYSIS cost grows superlinearly — a long session stalls the
+    #: driver before any executor works (round-6 review finding).  At
+    #: production scale the tables live in parquet/Delta (save/load, txn=True)
+    #: and each merge is a bounded rewrite; this bounds the DEV-MODE
+    #: in-session state the same way.
+    _CHECKPOINT_EVERY = 8
+
     @staticmethod
-    def _merge(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
+    def _merge_pure(existing: DataFrame, incoming: DataFrame,
+                    keys: list[str]) -> DataFrame:
         """MERGE INTO semantics: incoming replaces matching keys, others kept."""
         kept = existing.join(incoming.select(*keys).distinct(), keys, "left_anti")
         return kept.unionByName(incoming)
+
+    def _merge(self, existing: DataFrame, incoming: DataFrame,
+               keys: list[str]) -> DataFrame:
+        """_merge_pure + lineage bound: every _CHECKPOINT_EVERY-th merge on
+        this engine materializes the result (localCheckpoint) so plan depth
+        stays O(1) over the session."""
+        out = self._merge_pure(existing, incoming, keys)
+        self._merge_count = getattr(self, "_merge_count", 0) + 1
+        if self._merge_count % self._CHECKPOINT_EVERY == 0:
+            out = out.localCheckpoint(eager=True)
+        return out

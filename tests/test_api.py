@@ -475,3 +475,26 @@ def test_search_with_custom_metadata_spec(spark):
     # no-match value returns empty, not an error
     assert eng.search("priority", ctx=ctx, score_threshold=0.0,
                       spec=FilterSpec(custom_metadata={"team": "nope"})).count() == 0
+
+
+def test_merge_lineage_stays_bounded_over_many_batches(spark):
+    """Each _merge stacks an anti-join+union layer; without periodic plan
+    truncation a long session's table plan grows one layer per batch and
+    driver-side ANALYSIS stalls long before execution.  After 3x the
+    checkpoint interval of single-memory adds, the memories plan must hold
+    a bounded number of join layers — not one per batch."""
+    from memory_opensource_spark.api import MemoryEngine
+
+    eng = MemoryEngine(spark, dim=16)
+    n = MemoryEngine._CHECKPOINT_EVERY * 3
+    for i in range(n):
+        # token-disjoint contents so V4 ingest near-dup reuse (>0.97) never
+        # collapses rows — this test is about lineage, not dedup
+        eng.add_memory(memory_id=f"b{i}",
+                       content=f"zq{i}x wk{i}m vb{i}t pl{i}s jr{i}d",
+                       user_id="u")
+    plan = eng.memories._jdf.queryExecution().optimizedPlan().toString()
+    joins = plan.count("Join")
+    assert joins < MemoryEngine._CHECKPOINT_EVERY * 2, (
+        f"{joins} join layers after {n} batches — lineage not truncated")
+    assert eng.memories.count() == n  # data intact across checkpoints
