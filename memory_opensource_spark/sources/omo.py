@@ -149,12 +149,18 @@ def parse_omo(omo_json: DataFrame, json_col: str = "omo_json",
         meta.getField("namespace_read_access").alias("namespace_read_access"),
     )
     if strict:
+        # NULL-safe enum checks: isin() is NULL for a NULL value, and a NULL
+        # filter condition silently drops the row from `bad` — a missing
+        # required consent/type must FAIL strict, not slip through
+        def invalid(name, allowed):
+            return ~F.coalesce(F.col(name).isin(*allowed), F.lit(False))
+
         bad = out.filter(
             F.col("memory_id").isNull() | F.col("content").isNull()
             | F.col("created_at").isNull()
-            | ~F.col("consent").isin(*OMO_CONSENT)
-            | ~F.col("risk").isin(*OMO_RISK)
-            | ~F.col("type").isin(*OMO_TYPES)
+            | invalid("consent", OMO_CONSENT)
+            | invalid("risk", OMO_RISK)
+            | invalid("type", OMO_TYPES)
         )
         first = bad.select("memory_id", "consent", "risk", "type").take(1)
         if first:

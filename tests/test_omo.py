@@ -73,6 +73,15 @@ def test_import_rejects_invalid_omo(spark):
     rows = omo.parse_omo(bad, strict=False).collect()
     assert rows[0].consent == "TOTALLY_BOGUS"
 
+    # a MISSING required enum must also fail strict: isin(NULL) is NULL, and
+    # an unguarded NULL predicate would silently drop the row from the bad set
+    no_consent = spark.createDataFrame(
+        [(json.dumps({"id": "x2", "createdAt": "2024-01-01T00:00:00",
+                      "type": "text", "content": "ok"}),)],
+        "omo_json string")
+    with pytest.raises(ValueError, match="invalid OMO"):
+        omo.parse_omo(no_consent).collect()
+
 
 def test_export_is_single_projection(spark):
     """The export must stay one scan+projection — no joins, no shuffles
