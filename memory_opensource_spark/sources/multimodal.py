@@ -86,12 +86,17 @@ def _decode_ppm(content: bytes):
         j = i
         while j < len(content) and not content[j : j + 1].isspace():
             j += 1
-        fields.append(int(content[i:j]))
+        try:
+            fields.append(int(content[i:j]))
+        except ValueError:
+            return None  # non-numeric header token: not a valid P6 stream
         i = j
     i += 1  # single whitespace after maxval
+    if len(fields) < 3:
+        return None  # truncated header
     w, h, maxval = fields
-    if maxval > 255:
-        return None  # 16-bit PPM stays behind the seam
+    if maxval > 255 or w <= 0 or h <= 0 or len(content) - i < w * h * 3:
+        return None  # 16-bit or truncated PPM stays behind the seam
     pix = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=i)
     return pix.reshape(h, w, 3)
 
@@ -129,7 +134,8 @@ def _decode_wav(content: bytes):
     return sig
 
 
-def _real_features(content: bytes, modality: str, frame: int = 0):
+def _real_features(content: bytes, modality: str, frame: int = 0,
+                   total_frames: int = 1):
     """REAL feature extraction for container-decodable formats:
 
     - image (PPM P6): resize to 4x4 via box-averaging (area interpolation),
@@ -150,13 +156,17 @@ def _real_features(content: bytes, modality: str, frame: int = 0):
         n = struct.unpack("<I", content[8:12])[0]
         frames, i = [], 12
         for _ in range(n):
+            if i + 4 > len(content):
+                return None  # truncated container
             ln = struct.unpack("<I", content[i : i + 4])[0]
             frames.append(content[i + 4 : i + 4 + ln])
             i += 4 + ln
         if not frames:
             return None
-        pick = frames[min(frame * max(1, len(frames) // max(frame + 1, 1)),
-                          len(frames) - 1)] if frame < len(frames) else frames[-1]
+        # uniform sampling: requested frame f of total_frames maps to source
+        # frame f*n/total — evenly spread, no duplicates while n >= total
+        pick = frames[min(frame * len(frames) // max(total_frames, 1),
+                          len(frames) - 1)]
         return _real_features(pick, "image", 0)
     if modality == "image":
         img = _decode_ppm(content)
@@ -203,7 +213,8 @@ def decode_features(media: DataFrame, frames_per_video: int = 4,
                 n_frames = frames_per_video if r["modality"] == "video" else 1
                 for f_idx in range(n_frames):
                     if real:
-                        feat = _real_features(content, r["modality"], f_idx)
+                        feat = _real_features(content, r["modality"], f_idx,
+                                              total_frames=n_frames)
                         if feat is None:
                             raise NotImplementedError(
                                 f"media {r['media_id']}: bytes are not a "

@@ -134,3 +134,42 @@ def test_real_decode_video_container_and_unsupported(spark):
                "meta_width int, meta_height int, meta_duration_ms int")
     with pytest.raises(Exception, match="decodable|NotImplemented|seam"):
         decode_features(junk, real=True).collect()
+
+
+def test_real_video_sampling_is_uniform(spark):
+    """8 source frames sampled at frames_per_video=4 must hit source frames
+    0,2,4,6 — evenly spread, no duplicates (the pre-fix stride duplicated
+    middle frames). Frame luma encodes the source index so the picked frame
+    is observable in the feature values."""
+    import struct
+
+    from memory_opensource_spark.sources.multimodal import decode_features
+
+    frames = [_ppm(4, 4, (i * 32, i * 32, i * 32)) for i in range(8)]
+    vid = (b"PAPRVID0" + struct.pack("<I", len(frames))
+           + b"".join(struct.pack("<I", len(f)) + f for f in frames))
+    media = spark.createDataFrame(
+        [("v8", "video", vid, "video/x-paprvid", 4, 4, 1000)],
+        schema="media_id string, modality string, content binary, mime_type string, "
+               "meta_width int, meta_height int, meta_duration_ms int")
+    out = decode_features(media, frames_per_video=4, real=True).collect()
+    # luma of source frame i is i*32/256 = i/8
+    picked = sorted(round(r.feature[0] * 8) for r in out)
+    assert picked == [0, 2, 4, 6], picked
+
+
+def test_malformed_ppm_falls_back_to_seam_error(spark):
+    """A truncated/corrupt P6 header must surface the decoder-seam
+    NotImplementedError, not a raw parse crash."""
+    import pytest
+
+    from memory_opensource_spark.sources.multimodal import decode_features
+
+    rows = [("t1", "image", b"P6 not numbers", "image/x-portable-pixmap", 2, 2, None),
+            ("t2", "image", b"P6 4 4 255 short", "image/x-portable-pixmap", 4, 4, None)]
+    media = spark.createDataFrame(
+        rows, schema="media_id string, modality string, content binary, "
+                     "mime_type string, meta_width int, meta_height int, "
+                     "meta_duration_ms int")
+    with pytest.raises(Exception, match="decodable|seam"):
+        decode_features(media, real=True).collect()
