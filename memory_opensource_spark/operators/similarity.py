@@ -524,7 +524,7 @@ def grid_near_duplicates(vectors: DataFrame, threshold: float,
                      tagged["_blk"] == cells["cj"]).withColumn("_side", F.lit("b"))
     staged = a.unionByName(bb).drop("_blk")
 
-    def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         ci, cj = key
@@ -624,7 +624,7 @@ def grid_knn_join(left: DataFrame, right: DataFrame, k: int,
     bb = r.join(cells, r["_blk"] == cells["cj"]).drop("_blk")
     staged = a.unionByName(bb)
 
-    def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         pa = pdf[pdf["_side"] == "a"]
