@@ -565,7 +565,7 @@ class MemoryEngine:
                 "query_log_id string, user_id string, query_text string, "
                 "retrieved_memory_ids array<string>",
             ).withColumn("created_at", F.current_timestamp())
-            self.query_logs = self.query_logs.unionByName(log_row)
+            self.query_logs = self._bound(self.query_logs.unionByName(log_row))
             if hit_ids:
                 self.record_feedback(hit_ids, kind="cache")
         return out
@@ -647,26 +647,26 @@ class MemoryEngine:
                         "namespace_read_access", "namespace_id", "organization_id",
                         "topics", "consent", "risk"]
             new_chunks = rechunked.join(changed.select("memory_id", *acl_cols), "memory_id")
-            self.chunks = self.chunks.filter(F.col("memory_id") != memory_id).unionByName(
-                new_chunks.select(*CHUNK_SCHEMA.names)
-            )
+            self.chunks = self._bound(
+                self.chunks.filter(F.col("memory_id") != memory_id).unionByName(
+                    new_chunks.select(*CHUNK_SCHEMA.names)))
         mem = mem.withColumn(
             "updated_at",
             F.when(F.col("memory_id") == memory_id, F.current_timestamp())
             .otherwise(F.col("updated_at")),
         )
-        self.memories = mem
+        self.memories = self._bound(mem)
         return True
 
     def delete_memory(self, memory_id: str) -> None:
         """S12 cascade: memory row + its chunks + its node + touching edges
         (memory/memory_graph.py:9200-9459)."""
-        self.memories = self.memories.filter(F.col("memory_id") != memory_id)
-        self.chunks = self.chunks.filter(F.col("memory_id") != memory_id)
-        self.nodes = self.nodes.filter(F.col("node_id") != memory_id)
-        self.edges = self.edges.filter(
+        self.memories = self._bound(self.memories.filter(F.col("memory_id") != memory_id))
+        self.chunks = self._bound(self.chunks.filter(F.col("memory_id") != memory_id))
+        self.nodes = self._bound(self.nodes.filter(F.col("node_id") != memory_id))
+        self.edges = self._bound(self.edges.filter(
             (F.col("src") != memory_id) & (F.col("dst") != memory_id)
-        )
+        ))
 
     def delete_all(self, ctx: AclContext) -> int:
         """S13: cascade-delete every memory the resolved user OWNS
@@ -693,12 +693,12 @@ class MemoryEngine:
         n = doomed.count()
         if n == 0:
             return 0
-        self.memories = self.memories.join(doomed, "memory_id", "left_anti")
-        self.chunks = self.chunks.join(doomed, "memory_id", "left_anti")
-        self.nodes = self.nodes.join(
+        self.memories = self._bound(self.memories.join(doomed, "memory_id", "left_anti"))
+        self.chunks = self._bound(self.chunks.join(doomed, "memory_id", "left_anti"))
+        self.nodes = self._bound(self.nodes.join(
             doomed.withColumnRenamed("memory_id", "node_id"), "node_id", "left_anti"
-        )
-        self.edges = (
+        ))
+        self.edges = self._bound(
             self.edges
             .join(doomed.withColumnRenamed("memory_id", "src"), "src", "left_anti")
             .join(doomed.withColumnRenamed("memory_id", "dst"), "dst", "left_anti")
@@ -860,13 +860,18 @@ class MemoryEngine:
         kept = existing.join(incoming.select(*keys).distinct(), keys, "left_anti")
         return kept.unionByName(incoming)
 
+    def _bound(self, df: DataFrame) -> DataFrame:
+        """Lineage bound for in-session table mutations: merges, updates,
+        deletes and log appends each stack one filter/withColumn/union/join
+        layer on the table plan, so a long session grows an N-deep plan whose
+        driver-side analysis cost is superlinear.  Every _CHECKPOINT_EVERY-th
+        bounded mutation materializes (localCheckpoint), keeping depth O(1)."""
+        self._mutation_count = getattr(self, "_mutation_count", 0) + 1
+        if self._mutation_count % self._CHECKPOINT_EVERY == 0:
+            return df.localCheckpoint(eager=True)
+        return df
+
     def _merge(self, existing: DataFrame, incoming: DataFrame,
                keys: list[str]) -> DataFrame:
-        """_merge_pure + lineage bound: every _CHECKPOINT_EVERY-th merge on
-        this engine materializes the result (localCheckpoint) so plan depth
-        stays O(1) over the session."""
-        out = self._merge_pure(existing, incoming, keys)
-        self._merge_count = getattr(self, "_merge_count", 0) + 1
-        if self._merge_count % self._CHECKPOINT_EVERY == 0:
-            out = out.localCheckpoint(eager=True)
-        return out
+        """_merge_pure + the lineage bound."""
+        return self._bound(self._merge_pure(existing, incoming, keys))
