@@ -769,6 +769,8 @@ class MemoryEngine:
         increment is added.  Totals are undecayed counts."""
         from .functions.decay import decay_factor
 
+        if not memory_ids:
+            return  # nothing to bump (isin() with zero values is invalid SQL)
         prefix = "citation" if kind == "citation" else "cache"
         hit = F.col("memory_id").isin(*memory_ids)
         now = F.to_timestamp(F.lit(event_ts)) if event_ts else F.current_timestamp()
@@ -791,7 +793,7 @@ class MemoryEngine:
             F.when(hit, F.col(f"{prefix}_confidence_weighted_30d") * decay + confidence)
             .otherwise(F.col(f"{prefix}_confidence_weighted_30d")),
         ).withColumn("updated_at", F.when(hit, now).otherwise(F.col("updated_at")))
-        self.memories = m
+        self.memories = self._bound(m)
 
     def tier1_list(self, max_items: int = 20) -> DataFrame:
         return tier1_ranked(self.memories, max_items)
@@ -801,7 +803,7 @@ class MemoryEngine:
     def register_views(self, prefix: str = "") -> None:
         """Expose the four tables as temp views so users can drive the engine
         through plain Spark SQL (the DataFrame/SQL parity surface)."""
-        for name in ["memories", "chunks", "nodes", "edges"]:
+        for name in ["memories", "chunks", "nodes", "edges", "query_logs"]:
             getattr(self, name).createOrReplaceTempView(prefix + name)
 
     def sql(self, statement: str) -> DataFrame:
@@ -811,7 +813,8 @@ class MemoryEngine:
     # ---- persistence ---------------------------------------------------------------
 
     _TABLE_KEYS = {"memories": ["memory_id"], "chunks": ["chunk_id"],
-                   "nodes": ["node_id"], "edges": ["src", "dst", "rel_type"]}
+                   "nodes": ["node_id"], "edges": ["src", "dst", "rel_type"],
+                   "query_logs": ["query_log_id"]}
 
     def save(self, store_dir: str, txn: bool = False) -> None:
         """Persist all four tables.  ``txn=True`` routes through the
@@ -834,15 +837,22 @@ class MemoryEngine:
              version: int | None = None) -> None:
         """Load all four tables; with ``txn=True`` reads the given (or
         latest) committed snapshot version of each table."""
+        import os
+
         if txn:
             from .sources.txn import TxnTable
 
             for name, keys in self._TABLE_KEYS.items():
+                if name == "query_logs" and not os.path.isdir(f"{store_dir}/{name}"):
+                    continue  # store predates query-log persistence; keep empty
                 setattr(self, name, TxnTable(
                     self.spark, f"{store_dir}/{name}", keys).read(version))
             return
         for name in self._TABLE_KEYS:
-            setattr(self, name, self.spark.read.parquet(f"{store_dir}/{name}.parquet"))
+            path = f"{store_dir}/{name}.parquet"
+            if name == "query_logs" and not os.path.exists(path):
+                continue  # store predates query-log persistence; keep empty
+            setattr(self, name, self.spark.read.parquet(path))
 
     #: truncate a table's lazy lineage after this many merges: every _merge
     #: stacks an anti-join+union layer, so N batches build an N-deep plan

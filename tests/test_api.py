@@ -136,6 +136,8 @@ def test_batch_cap_enforced(spark):
 
 
 def test_save_load_roundtrip(engine, tmp_path):
+    engine.search("distributed spark", ctx=AclContext(user_id="alice"),
+                  score_threshold=0.0, log_query=True).collect()
     engine.save(str(tmp_path))
     eng2 = MemoryEngine(engine.spark, dim=32)
     eng2.load(str(tmp_path))
@@ -143,6 +145,24 @@ def test_save_load_roundtrip(engine, tmp_path):
     hits = eng2.search("distributed spark", ctx=AclContext(user_id="alice"),
                        score_threshold=0.0).collect()
     assert hits[0].memory_id == "m1"
+    # query logs are engine state: they survive the roundtrip too
+    assert eng2.query_logs.count() == engine.query_logs.count() >= 1
+    # a store written before query-log persistence loads with empty logs
+    import os
+    import shutil
+
+    legacy = str(tmp_path / "legacy")
+    shutil.copytree(str(tmp_path), legacy)
+    shutil.rmtree(os.path.join(legacy, "query_logs.parquet"))
+    eng3 = MemoryEngine(engine.spark, dim=32)
+    eng3.load(legacy)
+    assert eng3.query_logs.count() == 0 and eng3.get_memory("m1") is not None
+
+
+def test_record_feedback_empty_ids_is_noop(engine):
+    before = engine.memories.count()
+    engine.record_feedback([], kind="citation")
+    assert engine.memories.count() == before
 
 
 def test_enrich_memories_builds_graph(engine):
