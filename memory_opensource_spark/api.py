@@ -509,18 +509,33 @@ class MemoryEngine:
         ann_index.build_ivf_index(self.chunks, path, n_centroids=n_centroids,
                                   assign_k=assign_k)
         self._ann_index_path = path
+        self._ann_tombstones = None  # fresh build: nothing is stale
+
+    def _tombstone(self, ids: DataFrame) -> None:
+        """Record memory_ids whose index entries went stale (deleted or
+        updated since the index was attached).  The set is bounded by the
+        mutations since the last build — broadcastable by construction —
+        and is what keeps ANN serving delete-aware WITHOUT re-scanning the
+        live chunk table (round-6 probe finding: the previous liveness
+        semi-join against self.chunks re-read the full corpus on every ANN
+        query, costing more than the full scan the index exists to avoid)."""
+        if getattr(self, "_ann_index_path", None) is None:
+            return
+        t = getattr(self, "_ann_tombstones", None)
+        self._ann_tombstones = ids if t is None else self._bound(t.unionByName(ids))
 
     def _ann_candidates(self, qvec: list[float], nprobe: int) -> DataFrame:
         """Chunk candidates from the attached IVF layout: bucket IN-filter
         lands in PartitionFilters, so only nprobe/C of the files are read.
         Approximate by construction — recall/scan trade measured in PERF.md.
 
-        Staleness reconciliation: the candidate set is semi-joined against
-        the LIVE chunk table, so chunks of deleted memories never burn
-        overfetch slots or resurface (round-5 review finding).  UPDATED
-        memories still rank by the embedding persisted at index-build time
-        until the next build_search_index/append_to_index — the standard ANN
-        index-refresh trade; rebuild after bulk updates."""
+        Staleness reconciliation: candidates anti-join the TOMBSTONE set
+        (memories deleted or updated since index attach — small, broadcast),
+        so stale rows never burn overfetch slots or resurface, and the query
+        cost stays proportional to the probed buckets, never the corpus.
+        Tombstoned-by-update memories serve again after the next
+        build_search_index/append_to_index — the standard ANN index-refresh
+        trade; rebuild after bulk updates."""
         from .sources import ann_index
 
         cents, assign_k = ann_index._load_sidecar(self.spark, self._ann_index_path)
@@ -529,7 +544,9 @@ class MemoryEngine:
                 .filter(F.col(ann_index.BUCKET_COL).isin(probe)))
         if assign_k > 1:
             cand = cand.dropDuplicates(["chunk_id"])
-        cand = cand.join(self.chunks.select("chunk_id"), "chunk_id", "left_semi")
+        tomb = getattr(self, "_ann_tombstones", None)
+        if tomb is not None:
+            cand = cand.join(F.broadcast(tomb), "memory_id", "left_anti")
         return cand.drop(ann_index.BUCKET_COL)
 
     def search(self, query_text: str, ctx: AclContext | None = None,
@@ -650,6 +667,10 @@ class MemoryEngine:
             self.chunks = self._bound(
                 self.chunks.filter(F.col("memory_id") != memory_id).unionByName(
                     new_chunks.select(*CHUNK_SCHEMA.names)))
+            # index rows for this memory now carry a stale embedding: exclude
+            # from ANN serving until the next rebuild (no stale scores)
+            self._tombstone(
+                self.spark.createDataFrame([(memory_id,)], "memory_id string"))
         mem = mem.withColumn(
             "updated_at",
             F.when(F.col("memory_id") == memory_id, F.current_timestamp())
@@ -661,6 +682,7 @@ class MemoryEngine:
     def delete_memory(self, memory_id: str) -> None:
         """S12 cascade: memory row + its chunks + its node + touching edges
         (memory/memory_graph.py:9200-9459)."""
+        self._tombstone(self.spark.createDataFrame([(memory_id,)], "memory_id string"))
         self.memories = self._bound(self.memories.filter(F.col("memory_id") != memory_id))
         self.chunks = self._bound(self.chunks.filter(F.col("memory_id") != memory_id))
         self.nodes = self._bound(self.nodes.filter(F.col("node_id") != memory_id))
@@ -689,10 +711,14 @@ class MemoryEngine:
         if ctx.scope_organization and ctx.organization_id:
             pred = pred & (F.col("organization_id").isNull()
                            | (F.col("organization_id") == ctx.organization_id))
-        doomed = self.memories.filter(pred).select("memory_id")
+        # materialize the doomed set once: it feeds four anti-joins + the
+        # ANN tombstones, and must not re-evaluate against mutated tables
+        doomed = (self.memories.filter(pred).select("memory_id")
+                  .localCheckpoint(eager=True))
         n = doomed.count()
         if n == 0:
             return 0
+        self._tombstone(doomed)
         self.memories = self._bound(self.memories.join(doomed, "memory_id", "left_anti"))
         self.chunks = self._bound(self.chunks.join(doomed, "memory_id", "left_anti"))
         self.nodes = self._bound(self.nodes.join(

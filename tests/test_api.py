@@ -518,3 +518,45 @@ def test_merge_lineage_stays_bounded_over_many_batches(spark):
     assert joins < MemoryEngine._CHECKPOINT_EVERY * 2, (
         f"{joins} join layers after {n} batches — lineage not truncated")
     assert eng.memories.count() == n  # data intact across checkpoints
+
+
+def test_ann_serving_is_delete_aware_without_corpus_rescan(engine, tmp_path):
+    """Deleted/updated memories never resurface from the IVF layout, and the
+    liveness mechanism is a broadcast tombstone anti-join — NOT the old
+    semi-join against the full live chunk table, which re-scanned the corpus
+    on every ANN query (probe: ANN cost exceeded the full scan at 600k)."""
+    engine.build_search_index(str(tmp_path / "ivf_live"), n_centroids=2)
+    ctx = AclContext(user_id="alice")
+
+    hits = {r.memory_id for r in
+            engine.search("distributed spark engine", ctx=ctx,
+                          score_threshold=0.0, ann_nprobe=2).collect()}
+    assert "m1" in hits
+
+    engine.delete_memory("m1")
+    hits = {r.memory_id for r in
+            engine.search("distributed spark engine", ctx=ctx,
+                          score_threshold=0.0, ann_nprobe=2).collect()}
+    assert "m1" not in hits
+
+    # updated memory: excluded from ANN (stale embedding) but served exact
+    assert engine.update_memory("m2", content="entirely new vector content")
+    ann = {r.memory_id for r in
+           engine.search("entirely new vector content", ctx=ctx,
+                         score_threshold=0.0, ann_nprobe=2).collect()}
+    exact = {r.memory_id for r in
+             engine.search("entirely new vector content", ctx=ctx,
+                           score_threshold=0.0).collect()}
+    assert "m2" not in ann and "m2" in exact
+
+    # rebuild clears tombstones: m2 serves again with the new embedding
+    engine.build_search_index(str(tmp_path / "ivf_live2"), n_centroids=2)
+    ann2 = {r.memory_id for r in
+            engine.search("entirely new vector content", ctx=ctx,
+                          score_threshold=0.0, ann_nprobe=2).collect()}
+    assert "m2" in ann2
+
+    # plan shape: candidates must not semi-join the live chunk table
+    plan = engine._ann_candidates([0.0] * engine.dim, 1)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan
