@@ -511,6 +511,33 @@ class MemoryEngine:
         self._ann_index_path = path
         self._ann_tombstones = None  # fresh build: nothing is stale
 
+    def append_to_search_index(self, memory_ids: list[str]) -> int:
+        """Incremental index maintenance for NEWLY ADDED memories: assign
+        their chunks against the existing centroids and append into the
+        partitioned layout (sources/ann_index.append_to_index) — the
+        steady-state ingest path; rebuilds are for drift and updates.
+
+        ids must be new to the index: appended rows do NOT supersede
+        existing ones, so appending a tombstoned (deleted-then-re-added or
+        updated) id would un-hide its stale rows alongside the fresh ones.
+        Those need ``build_search_index`` — this raises rather than serving
+        wrong scores."""
+        from .sources import ann_index
+
+        if getattr(self, "_ann_index_path", None) is None:
+            raise ValueError("append_to_search_index requires build_search_index() first")
+        tomb = getattr(self, "_ann_tombstones", None)
+        if tomb is not None and memory_ids:
+            stale = [r.memory_id for r in
+                     tomb.filter(F.col("memory_id").isin(memory_ids)).collect()]
+            if stale:
+                raise ValueError(
+                    f"memories {sorted(set(stale))} have stale index rows "
+                    "(deleted/updated since build): rebuild with "
+                    "build_search_index instead of appending")
+        new = self.chunks.filter(F.col("memory_id").isin(memory_ids))
+        return ann_index.append_to_index(new, self._ann_index_path)
+
     def _tombstone(self, ids: DataFrame) -> None:
         """Record memory_ids whose index entries went stale (deleted or
         updated since the index was attached).  The set is bounded by the

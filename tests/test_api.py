@@ -560,3 +560,31 @@ def test_ann_serving_is_delete_aware_without_corpus_rescan(engine, tmp_path):
     plan = engine._ann_candidates([0.0] * engine.dim, 1)._jdf \
         .queryExecution().executedPlan().toString()
     assert "LeftSemi" not in plan
+
+
+def test_append_to_search_index_serves_new_memories(engine, tmp_path):
+    """The steady-state ingest path: new memories appended into the existing
+    IVF layout serve from ANN without a rebuild; appending an id with stale
+    index rows (updated/deleted since build) raises instead of un-hiding
+    wrong scores."""
+    engine.build_search_index(str(tmp_path / "ivf_append"), n_centroids=2)
+    ctx = AclContext(user_id="dave")
+
+    engine.add_memory(memory_id="m7", content="entirely fresh appended words",
+                      user_id="dave")
+    # not yet indexed: absent from ANN, present exact
+    ann = {r.memory_id for r in
+           engine.search("entirely fresh appended words", ctx=ctx,
+                         score_threshold=0.0, ann_nprobe=2).collect()}
+    assert "m7" not in ann
+    n = engine.append_to_search_index(["m7"])
+    assert n >= 1
+    ann = {r.memory_id for r in
+           engine.search("entirely fresh appended words", ctx=ctx,
+                         score_threshold=0.0, ann_nprobe=2).collect()}
+    assert "m7" in ann
+
+    # updated id has stale rows -> append must refuse
+    engine.update_memory("m7", content="changed after indexing")
+    with pytest.raises(ValueError, match="stale"):
+        engine.append_to_search_index(["m7"])
