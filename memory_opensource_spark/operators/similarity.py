@@ -449,6 +449,72 @@ def ivf_assign_multi(df: DataFrame, centroids: list[list[float]],
             .drop("__buckets"))
 
 
+#: expression-path budget for IVF assignment: rows x centroids HOF dot
+#: products are INTERPRETED (not codegen'd); past this product the Arrow/BLAS
+#: path takes over (600k rows x 512 centroids = 3e8 interpreted dots was the
+#: round-6 engine-probe build bottleneck).  Fixture-scale builds (and every
+#: oracle-facing query, which passes small explicit centroid grids) stay on
+#: the exact expression path.
+IVF_ASSIGN_EXPR_BUDGET = 2_000_000
+
+
+def ivf_assign_blas(df: DataFrame, centroids: list[list[float]],
+                    assign_k: int = 1, vec_col: str = "embedding",
+                    bucket_col: str = "ivf_bucket") -> DataFrame:
+    """Arrow-batched BLAS IVF assignment: scores = V @ C^T per batch, top-k
+    by (score desc, index asc) — the same rule as :func:`ivf_assign_multi`,
+    vectorized.  Tie-break parity with the expression path holds up to
+    floating-point summation order (BLAS pairwise vs sequential fold), which
+    only matters for exactly-equidistant vectors; routing therefore never
+    changes which BUCKETS exist, only (possibly) boundary assignment of
+    degenerate ties — the standard ANN build trade."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(centroids, dtype="float64")
+    k = max(1, min(assign_k, C.shape[0]))
+    # a FRESH StructType: StructType.add would mutate df.schema in place,
+    # desyncing the Python-side column list from the JVM plan
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(bucket_col, IntegerType())])
+
+    def compute(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype="float64")
+            S = V @ C.T
+            if k == 1:
+                out = pdf.copy()
+                out[bucket_col] = S.argmax(axis=1).astype("int32")  # first max
+                yield out
+                continue
+            part = np.argpartition(-S, k - 1, axis=1)[:, :k]
+            sel = np.take_along_axis(S, part, axis=1)
+            # order the k by (score desc, index asc) for expression parity
+            order = np.lexsort((part, -sel), axis=1)
+            buckets = np.take_along_axis(part, order, axis=1)
+            out = pdf.loc[pdf.index.repeat(k)].copy()
+            out[bucket_col] = buckets.reshape(-1).astype("int32")
+            yield out
+
+    return df.mapInPandas(compute, out_schema)
+
+
+def ivf_assign_auto(df: DataFrame, centroids: list[list[float]],
+                    assign_k: int = 1, vec_col: str = "embedding",
+                    bucket_col: str = "ivf_bucket",
+                    approx_rows: int | None = None) -> DataFrame:
+    """Budget-routed IVF assignment: exact Column expressions while
+    rows x centroids stays interpretable-cheap, Arrow/BLAS past it."""
+    est = route_rows(df, approx_rows)
+    if est * max(1, len(centroids)) <= IVF_ASSIGN_EXPR_BUDGET:
+        return ivf_assign_multi(df, centroids, assign_k, vec_col, bucket_col)
+    return ivf_assign_blas(df, centroids, assign_k, vec_col, bucket_col)
+
+
 def ivf_topk_search(df: DataFrame, query_vec: list[float], k: int,
                     centroids: list[list[float]], nprobe: int = 2,
                     vec_col: str = "embedding", id_col: str = "chunk_id",

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vector import l2_normalize, to_double
-from ..operators.similarity import ivf_assign_multi, topk_search
+from ..operators.similarity import ivf_assign_auto, topk_search
 from .writers import write_partitioned
 
 BUCKET_COL = "ivf_bucket"
@@ -35,13 +35,21 @@ def _centroids_path(index_path: str) -> str:
 
 
 def train_centroids(df: DataFrame, n_centroids: int, vec_col: str = "embedding",
-                    max_iter: int = 20, seed: int = 42) -> list[list[float]]:
+                    max_iter: int = 20, seed: int = 42,
+                    train_points_per_centroid: int = 256) -> list[list[float]]:
     """Spherical k-means centroids via MLlib KMeans (distributed Lloyd's — no
     driver-side matrix).  Vectors are L2-normalized first and the learned
     centroids re-normalized, so the max-dot-product assignment used by
     :func:`..operators.similarity.ivf_assign` is the matching nearest-centroid
     rule.  Replaces take-the-first-C "sampling", which leaves empty/lopsided
-    buckets and poor recall."""
+    buckets and poor recall.
+
+    Training runs on a seeded sample capped at
+    ``train_points_per_centroid * k`` rows (the FAISS
+    ``max_points_per_centroid`` rule): Lloyd's cost is linear in the training
+    rows but centroid quality saturates long before the full corpus — at 600k
+    rows this cuts the build ~4x with identical serving recall (PERF.md
+    round-6 engine probe).  ASSIGNMENT still covers every row."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -50,7 +58,11 @@ def train_centroids(df: DataFrame, n_centroids: int, vec_col: str = "embedding",
     )
     # MLlib KMeans crashes with k > n; clamp at build time (a count on the
     # write path is fine — tiny tables are the only case where it binds)
-    n_centroids = max(1, min(n_centroids, feats.count()))
+    n = feats.count()
+    n_centroids = max(1, min(n_centroids, n))
+    cap = train_points_per_centroid * n_centroids
+    if n > cap:
+        feats = feats.sample(False, cap / n, seed=seed)
     model = KMeans(k=n_centroids, maxIter=max_iter, seed=seed).fit(feats)
     cents = []
     for c in model.clusterCenters():
@@ -73,7 +85,13 @@ def build_ivf_index(df: DataFrame, index_path: str,
     (``ann_query`` de-duplicates ids).  Recall/scan trade measured in
     PERF.md's round-5 table."""
     cents = centroids if centroids is not None else train_centroids(df, n_centroids, vec_col)
-    bucketed = ivf_assign_multi(df, cents, assign_k, vec_col, bucket_col=BUCKET_COL)
+    bucketed = ivf_assign_auto(df, cents, assign_k, vec_col, bucket_col=BUCKET_COL)
+    # co-locate each bucket on one writer before the dynamic-partition write:
+    # without this every task writes into every bucket directory — C x tasks
+    # small files (512 centroids x 32 tasks = 16k files at the round-6 probe
+    # scale, and the write dominated the whole build).  One shuffle on the
+    # bucket key -> one-ish file per bucket, and the layout reads faster too.
+    bucketed = bucketed.repartition(F.col(BUCKET_COL))
     write_partitioned(bucketed, index_path, [BUCKET_COL], mode=mode)
     spark = df.sparkSession
     cdf = spark.createDataFrame(
@@ -101,7 +119,7 @@ def append_to_index(df: DataFrame, index_path: str,
     """
     spark = df.sparkSession
     cents, assign_k = _load_sidecar(spark, index_path)
-    bucketed = ivf_assign_multi(df, cents, assign_k, vec_col, bucket_col=BUCKET_COL)
+    bucketed = ivf_assign_auto(df, cents, assign_k, vec_col, bucket_col=BUCKET_COL)
     # materialize the (micro-batch-sized) assignment once: count() as a
     # separate action would re-execute the whole upstream embed+assign DAG a
     # second time for the write — doubling the hot ingest loop's cost

@@ -103,7 +103,7 @@ def _acl_cols(df: DataFrame, id_num: str) -> DataFrame:
         .withColumn("workspace_read_access", F.array(w, w2))
         .withColumn("workspace_write_access", F.array(w))
         .withColumn("role_read_access", F.array(F.concat(F.lit("r"), (i % 4).cast("string"))))
-        .withColumn("role_write_access", F.array())
+        .withColumn("role_write_access", F.array().cast("array<string>"))
         .withColumn("organization_read_access",
                     F.when(org.isNull(), F.array()).otherwise(F.array(org)))
         .withColumn("namespace_read_access",

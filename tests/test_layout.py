@@ -332,3 +332,28 @@ def test_zvalue_many_columns_auto_reduces_bits(spark, tmp_path):
     # rows are jointly increasing in every column -> Morton keys must be
     # strictly increasing; plane-folding would break this monotonicity
     assert zs == sorted(zs) and len(set(zs)) == len(zs)
+
+
+def test_ivf_assign_blas_matches_expression_path(spark):
+    """The Arrow/BLAS assignment (large-build route) must agree with the
+    exact Column-expression path on both single and multi assignment —
+    bucket-for-bucket, including the (score desc, index asc) ordering of
+    multi-assigned buckets."""
+    import random
+
+    from memory_opensource_spark.operators.similarity import (
+        ivf_assign_blas,
+        ivf_assign_multi,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(6)]
+
+    for k in (1, 2):
+        exact = sorted((r.vec_id, r.ivf_bucket)
+                       for r in ivf_assign_multi(df, cents, k).collect())
+        blas = sorted((r.vec_id, r.ivf_bucket)
+                      for r in ivf_assign_blas(df, cents, k).collect())
+        assert blas == exact, f"assign_k={k} diverged"
