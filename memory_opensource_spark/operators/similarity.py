@@ -530,7 +530,10 @@ def ivf_topk_search(df: DataFrame, query_vec: list[float], k: int,
     cents = np.asarray(centroids, dtype="float64")
     sims = cents @ q
     probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
-    bucketed = ivf_assign(df, centroids, vec_col)
+    # budget-routed assignment: the on-the-fly variant pays the same
+    # rows x centroids assignment cost as the build path (persisted layouts
+    # skip it entirely — prefer those past fixture scale)
+    bucketed = ivf_assign_auto(df, centroids, 1, vec_col)
     out = bucketed.filter(F.col("ivf_bucket").isin(probe))
     if pred is not None:
         out = out.filter(pred)
