@@ -459,3 +459,81 @@ def np_round6(x):
     import numpy as np
 
     return float(np.float64(x))
+
+
+# ---- OMO portability roundtrip (sources/omo.py; models/omo.py:129-268) ----
+
+_omo_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),  # no lone surrogates
+    min_size=1, max_size=40)
+_omo_enum_or_junk = st.one_of(
+    st.sampled_from(["explicit", "implicit", "terms", "none", "EXPLICIT",
+                     "bogus", None]),
+    _omo_text)
+_omo_row_st = st.fixed_dictionaries({
+    "memory_id": st.uuids().map(str),
+    "content": _omo_text,
+    "type": st.sampled_from(["text", "code", "image", "TEXT", "weird", None]),
+    "consent": _omo_enum_or_junk,
+    "risk": st.sampled_from(["none", "sensitive", "flagged", "junk", None]),
+    "topics": st.one_of(st.none(), st.lists(_omo_text, max_size=3)),
+    "user_id": st.one_of(st.none(), _omo_text),
+    "user_read_access": st.one_of(st.none(), st.lists(_omo_text, max_size=3)),
+    "namespace_id": st.one_of(st.none(), _omo_text),
+    "hours": st.integers(min_value=0, max_value=10_000),
+})
+
+
+@given(st.lists(_omo_row_st, min_size=1, max_size=8,
+                unique_by=lambda r: r["memory_id"]))
+@settings(max_examples=10, deadline=None)
+def test_omo_export_parse_roundtrip_preserves_fields(spark, rows):
+    """export_omo -> parse_omo is lossless for every OMO v1 field under
+    arbitrary unicode content and enum junk: enums normalize exactly as
+    models/omo.py:170-187 (lowercase passthrough, else type->text,
+    consent->implicit, risk->none), topics coalesce to [], ACL and tenancy
+    ride the ext namespace, createdAt survives at second precision."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import types as T
+
+    from memory_opensource_spark.sources import omo
+
+    arr = T.ArrayType(T.StringType())
+    schema = T.StructType([
+        T.StructField("memory_id", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("consent", T.StringType()),
+        T.StructField("risk", T.StringType()),
+        T.StructField("topics", arr),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("user_read_access", arr),
+        T.StructField("namespace_id", T.StringType()),
+        T.StructField("created_at", T.TimestampType()),
+    ])
+    base = datetime(2024, 1, 1)
+    data = [(r["memory_id"], r["content"], r["type"], r["consent"], r["risk"],
+             r["topics"], r["user_id"], r["user_read_access"],
+             r["namespace_id"], base + timedelta(hours=r["hours"]))
+            for r in rows]
+    df = spark.createDataFrame(data, schema)
+    back = {r.memory_id: r for r in
+            omo.parse_omo(omo.export_omo(df), strict=True).collect()}
+
+    def norm(v, allowed, default):
+        return v.lower() if v and v.lower() in allowed else default
+
+    assert len(back) == len(rows)
+    for r in rows:
+        b = back[r["memory_id"]]
+        assert b.content == r["content"]
+        assert b.type == norm(r["type"], omo.OMO_TYPES, "text")
+        assert b.consent == norm(r["consent"], omo.OMO_CONSENT, "implicit")
+        assert b.risk == norm(r["risk"], omo.OMO_RISK, "none")
+        assert list(b.topics) == (r["topics"] or [])
+        assert b.user_id == r["user_id"]
+        assert list(b.user_read_access or []) == (r["user_read_access"] or [])
+        assert list(b.acl_read) == (r["user_read_access"] or [])
+        assert b.namespace_id == r["namespace_id"]
+        assert b.created_at == base + timedelta(hours=r["hours"])
