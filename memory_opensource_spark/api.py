@@ -120,14 +120,7 @@ EDGE_SCHEMA = StructType([
 def hash_embed_py(text: str, dim: int = EMBEDDING_DIM_FIXTURE) -> list[float]:
     """Driver-side twin of plans.ingest.hash_embed (md5-bucket counts,
     L2-normalized) for embedding query strings."""
-    import hashlib
-
-    vec = [0.0] * dim
-    for tok in text.lower().split(" "):
-        if tok:
-            vec[int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim] += 1.0
-    n = sum(x * x for x in vec) ** 0.5 or 1.0
-    return [x / n for x in vec]
+    return ingest_plan.hash_embed_row(text, dim)
 
 
 @dataclass
@@ -209,6 +202,9 @@ class MemoryEngine:
             [], "query_log_id string, user_id string, query_text string, "
                 "retrieved_memory_ids array<string>, created_at timestamp"
         )
+        #: running over-estimate of chunk rows, so ingest dedup routing never
+        #: needs a count() scan; None = unknown (externally loaded tables)
+        self._chunk_rows_est: int | None = 0
         from .operators.schema_registry import SchemaRegistry
 
         self.schemas = SchemaRegistry(spark)
@@ -296,18 +292,38 @@ class MemoryEngine:
         ).withColumn("created_at", F.current_timestamp()).withColumn(
             "updated_at", F.current_timestamp()
         )
+        # batch-sized frames get batch-sized parallelism: createDataFrame
+        # slices 1000 local rows across every core (32 tasks per UDF stage,
+        # ~31 rows each) — task-launch + Arrow overhead dominated the write
+        # path (~3 s per materialization in the ingest probe)
+        new = new.coalesce(max(1, min(8, len(items) // 128 + 1)))
         for c in ["cache_hit_total", "cache_hit_ema_30d", "cache_confidence_weighted_30d",
                   "citation_hit_total", "citation_hit_ema_30d",
                   "citation_confidence_weighted_30d"]:
             new = new.withColumn(c, F.lit(0.0))
 
         chunked = ingest_plan.chunk_text(new, content_col="content")
-        embedded = self._embed_df(chunked)
-        reused = ingest_dedup_reuse(embedded, self.chunks, INGEST_DEDUP_THRESHOLD)
+        # materialize the batch's embeddings ONCE (batch-sized, <=1000
+        # memories): left lazy, every later action — this batch's reuse
+        # collect, the NEXT batch's dedup against self.chunks, merges,
+        # searches — re-executes the chunk+embed UDF stages of EVERY prior
+        # batch, so per-batch cost grows with session length (ingest probe:
+        # 5 s -> 24 s -> 57 s over three 1000-item batches)
+        embedded = self._embed_df(chunked).localCheckpoint(eager=True)
+        # the engine tracks its own chunk-count estimate so dedup routing
+        # never needs a count() scan (checkpointed plans carry no stats);
+        # load() resets it to None -> routing falls back to plan statistics
+        est = getattr(self, "_chunk_rows_est", None)
+        reused = ingest_dedup_reuse(embedded, self.chunks, INGEST_DEDUP_THRESHOLD,
+                                    approx_existing_rows=est)
         reuse_map = {r.new_id: r.reuse_id for r in reused.collect()}
         reused_mem_ids = {nid.rsplit("_", 1)[0] for nid in reuse_map}
 
         fresh = new.filter(~F.col("memory_id").isin(*reused_mem_ids)) if reused_mem_ids else new
+        # materializing here also pins created_at/updated_at: a lazy
+        # current_timestamp() re-stamps on EVERY downstream action, so the
+        # same row could show different timestamps to different queries
+        fresh = fresh.localCheckpoint(eager=True)
         fresh_chunks = (
             embedded.join(
                 fresh.select("memory_id", "user_id", "user_read_access",
@@ -350,6 +366,11 @@ class MemoryEngine:
 
         self.memories = self._merge(self.memories, fresh.select(*MEMORY_SCHEMA.names), ["memory_id"])
         self.chunks = self._merge(self.chunks, fresh_chunks.select(*CHUNK_SCHEMA.names), ["chunk_id"])
+        if self._chunk_rows_est is not None:
+            # over-estimate (counts reused chunks too; deletes never subtract)
+            # — errs toward the scalable grid route, never toward a too-big
+            # driver broadcast
+            self._chunk_rows_est += embedded.count()
         mem_nodes = fresh.select(
             F.col("memory_id").alias("node_id"), F.lit("Memory").alias("label"),
             F.substring("content", 1, 60).alias("prop_name"), F.lit("active").alias("prop_status"),
@@ -399,7 +420,9 @@ class MemoryEngine:
         the Arrow-batched pandas_udf seam, else the deterministic default."""
         if self.embedder is not None:
             return ingest_plan.model_embed(chunked, self.embedder, dim=self.dim)
-        return ingest_plan.hash_embed(chunked, dim=self.dim)
+        # the Arrow twin, not the Column form: bit-identical vectors without
+        # the O(dim x tokens) interpreted-HOF cost (hash_embed_arrow docstring)
+        return ingest_plan.hash_embed_arrow(chunked, dim=self.dim)
 
     def _embed_query(self, text: str) -> list[float]:
         """Query text -> vector, with the SAME model as ingestion (a
@@ -892,6 +915,7 @@ class MemoryEngine:
         latest) committed snapshot version of each table."""
         import os
 
+        self._chunk_rows_est = None  # unknown until counted; routing uses stats
         if txn:
             from .sources.txn import TxnTable
 

@@ -305,3 +305,23 @@ def test_model_embed_semantic_recall_beats_hash(spark):
     assert model_rec == 1.0          # synonyms land on the topic axis
     assert hash_rec <= 0.5           # disjoint tokens: hash can't see topics
     assert model._proj is None       # driver copy untouched: built worker-side
+
+
+def test_hash_embed_arrow_bit_identical(spark):
+    """The Arrow write-path embedder must produce BIT-identical vectors to
+    the Column-form spec twin (which the DuckDB oracles encode) — including
+    multi-space tokenization, unicode, empty text (zero vector), and bucket
+    collisions at small dim."""
+    from memory_opensource_spark.plans.ingest import hash_embed, hash_embed_arrow
+
+    rows = [("a", "spark engine distributed engine  double  space"),
+            ("b", ""), ("c", "ünïcödé tökens mixed CASE Case case"),
+            ("d", " ".join(f"tok{i}" for i in range(200))),
+            ("e", "x")]
+    df = spark.createDataFrame(rows, "id string, chunk_content string")
+    for dim in (4, 64):
+        col_form = {r.id: list(r.embedding)
+                    for r in hash_embed(df, dim=dim).collect()}
+        arrow = {r.id: list(r.embedding)
+                 for r in hash_embed_arrow(df, dim=dim).collect()}
+        assert arrow == col_form, f"dim={dim} diverged"
