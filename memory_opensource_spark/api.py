@@ -704,8 +704,11 @@ class MemoryEngine:
                 "content",
                 F.when(F.col("memory_id") == memory_id, F.lit(content)).otherwise(F.col("content")),
             )
-            # re-chunk + re-embed just the changed row; replace its chunks
-            changed = mem.filter(F.col("memory_id") == memory_id)
+            # re-chunk + re-embed just the changed row; replace its chunks.
+            # coalesce(1): the filtered frame inherits the full table's
+            # partitioning, so the embed UDF would launch one (empty) task
+            # per partition for a single-row input
+            changed = mem.filter(F.col("memory_id") == memory_id).coalesce(1)
             rechunked = self._embed_df(
                 ingest_plan.chunk_text(changed, content_col="content")
             )
