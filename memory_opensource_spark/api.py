@@ -654,17 +654,21 @@ class MemoryEngine:
                        spec: FilterSpec | None = None,
                        top_k: int = MAX_MEMORIES_DEFAULT,
                        score_threshold: float = SEARCH_SCORE_THRESHOLD,
-                       rerank_scorer=None) -> DataFrame:
+                       rerank_scorer=None, max_nodes: int = 15) -> DataFrame:
         """enable_agentic_graph=true form (§3.1 step d): vector + graph-pattern
         sources, stratified-merged; graph_spec is a PatternSpec (G15 search
-        override — the deterministic query surface)."""
+        override — the deterministic query surface).  ``max_nodes`` caps the
+        graph leg like the reference's Cypher LIMIT (request param, 10..50,
+        default 15 — memory_routes_v1.py:2310)."""
         from .plans.search import search_with_graph
 
+        _, max_nodes = clamp_search_caps(max_nodes=max_nodes)
         qvec = self._embed_query(query_text)
         return search_with_graph(
             self.chunks, self.memories, self.nodes, self.edges, qvec,
             ctx=ctx, spec=spec, graph_spec=graph_spec, top_k=top_k,
             score_threshold=score_threshold, rerank_scorer=rerank_scorer,
+            max_nodes=max_nodes,
         )
 
     def get_memory(self, memory_id: str, include_related: bool = False) -> dict | None:

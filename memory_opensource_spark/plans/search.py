@@ -152,6 +152,7 @@ def search_with_graph(
     top_k: int = MAX_MEMORIES_DEFAULT,
     score_threshold: float = SEARCH_SCORE_THRESHOLD,
     rerank_scorer=None,
+    max_nodes: int = 15,
 ) -> DataFrame:
     """The complete §3.1 read: vector leg + agentic-graph leg -> stratified
     merge (R2) with source annotation (R15) -> fetch -> optional rerank (R6).
@@ -159,6 +160,14 @@ def search_with_graph(
     - graph leg: a G1 pattern match (``graph_spec`` is a PatternSpec); matched
       Memory-side ids become a second id source with NULL scores (the merge
       assigns the 0.7 default, memory_graph.py:6599-6603);
+    - ``max_nodes``: the reference's graph-leg cap — every generated AND
+      fallback Cypher carries ``LIMIT top_k_neo`` (= request max_nodes,
+      default 15; chat_gpt_completion.py:2455,2543, routes ge=10 le=50).
+      Applied AFTER the leg's ACL (the Cypher LIMIT follows its WHERE),
+      ordered id-asc for determinism (Neo4j's unordered LIMIT is
+      nondeterministic; id-asc is the house pin).  Without it an
+      unselective pattern feeds the whole match set into the merge — the
+      round-6 graph probe paid a 600k-row global sort for a 20-row answer;
     - ``rerank_scorer``: optional fn(DataFrame) -> DataFrame adding
       ``rerank_score``; the result re-sorts PURELY by it (the R6 stage:
       memory_graph.py:7092-7093 sorts by the rerank score alone, stable on
@@ -197,6 +206,7 @@ def search_with_graph(
             graph_hits = graph_hits.join(
                 readable.withColumnRenamed("memory_id", "id"), "id", "left_semi"
             )
+        graph_hits = graph_hits.orderBy("id").limit(max_nodes)
         sources["neo"] = graph_hits
 
     merged = stratified_merge(sources, top_k, id_col="id", score_col="score")

@@ -588,3 +588,33 @@ def test_append_to_search_index_serves_new_memories(engine, tmp_path):
     engine.update_memory("m7", content="changed after indexing")
     with pytest.raises(ValueError, match="stale"):
         engine.append_to_search_index(["m7"])
+
+
+def test_agentic_graph_leg_caps_at_max_nodes(engine):
+    """The graph leg must honor the reference's Cypher LIMIT (max_nodes,
+    default 15, request-clamped 10..50): an unselective pattern may not feed
+    its whole match set into the merge. The cap applies after ACL, id-asc."""
+    from memory_opensource_spark.operators.graph import PatternSpec
+
+    engine.add_graph(
+        nodes=[{"node_id": f"e{i}", "label": "Entity", "prop_name": f"ent {i}"}
+               for i in range(30)],
+        edges=[{"src": "m1", "dst": f"e{i}", "rel_type": "EXTRACTED"}
+               for i in range(30)],
+    )
+    # every memory matches via m1; graph leg pre-cap would be 1 id — widen:
+    engine.add_graph(
+        nodes=[],
+        edges=[{"src": "m2", "dst": "e0", "rel_type": "EXTRACTED"},
+               {"src": "m3", "dst": "e0", "rel_type": "EXTRACTED"}],
+    )
+    spec = PatternSpec(source_label="Memory", relationship_type="EXTRACTED",
+                       target_label="Entity", direction="out")
+    with pytest.raises(ValueError):
+        engine.search_agentic("x", spec, max_nodes=5)   # below the 10..50 clamp
+
+    out = engine.search_agentic("vectors dense storage", spec,
+                                ctx=AclContext(user_id="alice"),
+                                score_threshold=0.0).collect()
+    neo_rows = [r for r in out if r.source == "neo"]
+    assert neo_rows and len(neo_rows) <= 15
