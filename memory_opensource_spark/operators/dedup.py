@@ -356,3 +356,85 @@ def ingest_dedup_reuse(new_chunks: DataFrame, existing: DataFrame,
         nn.filter(keep)
         .select(F.col("left_id").alias("new_id"), F.col("right_id").alias("reuse_id"), "score")
     )
+
+
+def semantic_cluster_dedup(vectors: DataFrame, centroids: DataFrame,
+                           eps: float, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           centroid_id: str = "centroid_id",
+                           k_overfetch: int = 3,
+                           approx_centroid_rows: int | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped semantic
+    dedup — the published recipe for pruning near-duplicate training examples
+    from web-scale corpora WITHOUT a global pair join.
+
+    1. Assign each vector to its nearest centroid (argmax cosine; ties break
+       to the lowest centroid id on the 6-dp-rounded score, same determinism
+       rule as G5).  The assignment kNN is budget-routed, so a 100k-centroid
+       codebook at 10^9 rows takes the grid path with bounded memory.
+    2. Within each cluster, order members by (centroid_sim ASC, id ASC) — the
+       paper KEEPS the member of each duplicate group with the LOWEST cosine
+       to its centroid (the most "extreme" representative).
+    3. A member is a duplicate iff some earlier-ranked member of the SAME
+       cluster has cosine >= eps with it.  Cross-cluster near-dups are
+       deliberately not compared — that locality is what makes the method
+       O(N * C + sum s_c^2) instead of O(N^2).
+
+    Scale: one shuffle on cluster_id; per-cluster work is s_c^2 cosines where
+    s_c ~ N/C, so C must scale with the corpus (same FAISS guidance as the
+    IVF index: C in [sqrt(N), N/100]).  The pairwise block inside each pandas
+    group is row-sliced, so per-worker live memory is slice x s_c, not s_c^2.
+
+    Returns {id, cluster_id, centroid_sim (6 dp), is_dup (0/1)} — one row per
+    input vector.  All comparisons happen on 6-dp-rounded cosines so the
+    result is oracle-checkable against a SQL mirror.
+    """
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from .similarity import knn_join_auto
+
+    cand = knn_join_auto(vectors, centroids, k_overfetch,
+                         left_vec=vec_col, right_vec=vec_col,
+                         left_id=id_col, right_id=centroid_id,
+                         approx_right_rows=approx_centroid_rows,
+                         exclude_self=False)
+    r6 = F.round(F.col("score"), 6)
+    w = Window.partitionBy("left_id").orderBy(r6.desc(), F.col("right_id").asc())
+    assign = (cand.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1)
+              .select(F.col("left_id").alias("id"),
+                      F.col("right_id").alias("cluster_id"),
+                      r6.alias("centroid_sim")))
+    members = assign.join(
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_vec")),
+        "id")
+
+    out_schema = "id long, cluster_id long, centroid_sim double, is_dup int"
+
+    def _dedup_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["centroid_sim", "id"], kind="mergesort",
+                              ascending=[True, True]).reset_index(drop=True)
+        mat = np.asarray([np.asarray(v, dtype="float64") for v in pdf["_vec"]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        n = len(pdf)
+        is_dup = np.zeros(n, dtype="int32")
+        slice_rows = max(1, 2_000_000 // max(n, 1))
+        for lo in range(1, n, slice_rows):
+            hi = min(lo + slice_rows, n)
+            scores = np.round(mat[lo:hi] @ mat.T, 6)
+            for off in range(hi - lo):
+                i = lo + off
+                if (scores[off, :i] >= eps).any():
+                    is_dup[i] = 1
+        return pd.DataFrame({
+            "id": pdf["id"], "cluster_id": pdf["cluster_id"],
+            "centroid_sim": pdf["centroid_sim"], "is_dup": is_dup,
+        })
+
+    return members.groupBy("cluster_id").applyInPandas(_dedup_cluster, out_schema)

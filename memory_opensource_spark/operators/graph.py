@@ -176,9 +176,13 @@ def find_node_by_semantic_match(mentions: DataFrame, prop_index: DataFrame,
     from .similarity import knn_join_auto
 
     thr = SEMANTIC_MATCH_THRESHOLD if threshold is None else threshold
+    # distinct id domains (mention ids vs node ids) — a numeric collision must
+    # not suppress a legitimate match, and the reference's Qdrant search has
+    # no self-pair concept: exclude_self off
     cand = knn_join_auto(mentions, prop_index, k_overfetch,
                          left_vec=vec_col, right_vec=vec_col,
-                         left_id=mention_id, right_id=index_id)
+                         left_id=mention_id, right_id=index_id,
+                         exclude_self=False)
     r6 = F.round(F.col("score"), 6)
     w = Window.partitionBy("left_id").orderBy(r6.desc(), F.col("right_id").asc())
     best = (cand.withColumn("_rn", F.row_number().over(w))

@@ -109,11 +109,17 @@ def cosine_join(left: DataFrame, right: DataFrame, threshold: float,
 
 def knn_join(left: DataFrame, right: DataFrame, k: int,
              left_vec: str = "embedding", right_vec: str = "embedding",
-             left_id: str = "id", right_id: str = "id") -> DataFrame:
+             left_id: str = "id", right_id: str = "id",
+             exclude_self: bool = True) -> DataFrame:
     """For every left row, its k nearest right rows by cosine (V5 sweep core).
 
     Exact: cross-join + per-left-id window top-k.  At scale, pre-prune with
     :func:`ivf_assign` blocking before calling this.
+
+    ``exclude_self=True`` (default) drops same-id pairs — the self-join dedup
+    semantics (V4/V5).  Distinct-domain joins where an id can legitimately
+    match itself (centroid assignment: a vector that IS a codebook entry)
+    pass ``False``.
 
     Scale guard: a right side past the broadcast budget raises loudly (use
     :func:`knn_join_auto`, which routes to the grid join) instead of
@@ -126,11 +132,10 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             "(budget-routed) instead")
     l = left.select(F.col(left_id).alias("left_id"), to_double(F.col(left_vec)).alias("_lvec"))
     r = right.select(F.col(right_id).alias("right_id"), to_double(F.col(right_vec)).alias("_rvec"))
-    scored = (
-        l.crossJoin(r)
-        .filter(F.col("left_id") != F.col("right_id"))
-        .withColumn("score", cosine(F.col("_lvec"), F.col("_rvec")))
-    )
+    scored = l.crossJoin(r)
+    if exclude_self:
+        scored = scored.filter(F.col("left_id") != F.col("right_id"))
+    scored = scored.withColumn("score", cosine(F.col("_lvec"), F.col("_rvec")))
     w = Window.partitionBy("left_id").orderBy(F.col("score").desc(), F.col("right_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -225,9 +230,11 @@ def cosine_join_blas(left: DataFrame, right: DataFrame, threshold: float,
 
 def knn_join_blas(left: DataFrame, right: DataFrame, k: int,
                   left_vec: str = "embedding", right_vec: str = "embedding",
-                  left_id: str = "id", right_id: str = "id") -> DataFrame:
+                  left_id: str = "id", right_id: str = "id",
+                  exclude_self: bool = True) -> DataFrame:
     """BLAS path for the kNN join: per Arrow batch, one matrix product + argsort
-    by (-score, right_id) — ties break identically to the window form."""
+    by (-score, right_id) — ties break identically to the window form.
+    ``exclude_self`` as in :func:`knn_join`."""
     import pandas as pd
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
@@ -277,10 +284,12 @@ def knn_join_blas(left: DataFrame, right: DataFrame, k: int,
                     s = scores[i]
                     cand = part[i]
                     order = cand[np.lexsort((ids_arr[cand], -s[cand]))]
-                    kept = [j for j in order if ids_arr[j] != lids[s0 + i]][:k]
+                    kept = [j for j in order
+                            if not exclude_self or ids_arr[j] != lids[s0 + i]][:k]
                     if m < R and kept and s[kept[-1]] == s[order[-1]]:
                         full = np.lexsort((ids_arr, -s))
-                        kept = [j for j in full if ids_arr[j] != lids[s0 + i]][:k]
+                        kept = [j for j in full
+                                if not exclude_self or ids_arr[j] != lids[s0 + i]][:k]
                     for rank, j in enumerate(kept, 1):
                         rows.append((lids[s0 + i], ids_arr[j], float(s[j]), rank))
             if rows:
@@ -658,7 +667,8 @@ def grid_near_duplicates(vectors: DataFrame, threshold: float,
 def grid_knn_join(left: DataFrame, right: DataFrame, k: int,
                   left_vec: str = "embedding", right_vec: str = "embedding",
                   left_id: str = "id", right_id: str = "id",
-                  n_blocks: int | None = None) -> DataFrame:
+                  n_blocks: int | None = None,
+                  exclude_self: bool = True) -> DataFrame:
     """EXACT kNN join with NO driver-side collect — the scale form of
     knn_join_blas for a right side past any broadcast budget (V4 ingest dedup
     against a 100 TB corpus, memory/memory_graph.py:14214-14442).
@@ -711,7 +721,7 @@ def grid_knn_join(left: DataFrame, right: DataFrame, k: int,
         mat_a = unit(np.asarray([np.asarray(v, dtype="float64") for v in pa["_vec"]]))
         mat_b = unit(np.asarray([np.asarray(v, dtype="float64") for v in pb["_vec"]]))
         b = mat_b.shape[0]
-        n_keep = min(k + 1, b)                        # +1 absorbs the self pair
+        n_keep = min(k + 1 if exclude_self else k, b)  # +1 absorbs the self pair
         # ROW-SLICED product (memory: slice x |b|, not (N/B)^2) + vectorized
         # top-m preselect.  argpartition alone breaks the (score desc, id asc)
         # tie order at the cut, so: preselect top m = n_keep+16 by score, then
@@ -736,7 +746,7 @@ def grid_knn_join(left: DataFrame, right: DataFrame, k: int,
                     kept = np.lexsort((ids_b, -sl[i]))[:n_keep]
                 ai_id = ids_a[s0 + i]
                 for bi in kept:
-                    if ai_id != ids_b[bi]:
+                    if not exclude_self or ai_id != ids_b[bi]:
                         rows.append((ai_id, ids_b[bi], float(sl[i, bi])))
         return pd.DataFrame(rows, columns=["left_id", "right_id", "score"])
 
@@ -797,7 +807,8 @@ def knn_join_auto(left: DataFrame, right: DataFrame, k: int,
                   left_id: str = "id", right_id: str = "id",
                   broadcast_budget_rows: int = BLAS_BROADCAST_BUDGET_ROWS,
                   n_blocks: int | None = None,
-                  approx_right_rows: int | None = None) -> DataFrame:
+                  approx_right_rows: int | None = None,
+                  exclude_self: bool = True) -> DataFrame:
     """Budget-routed exact kNN join: broadcast-BLAS while the RIGHT side fits
     the budget, grid (no driver collect) past it.  Both paths are bit-identical
     (tested); callers never need to know the corpus size.  Routing uses plan
@@ -807,8 +818,10 @@ def knn_join_auto(left: DataFrame, right: DataFrame, k: int,
     if est > broadcast_budget_rows:
         return grid_knn_join(left, right, k, left_vec, right_vec,
                              left_id, right_id,
-                             n_blocks if n_blocks else _auto_blocks(est))
-    return knn_join_blas(left, right, k, left_vec, right_vec, left_id, right_id)
+                             n_blocks if n_blocks else _auto_blocks(est),
+                             exclude_self=exclude_self)
+    return knn_join_blas(left, right, k, left_vec, right_vec, left_id, right_id,
+                         exclude_self=exclude_self)
 
 
 def cosine_join_auto(left: DataFrame, right: DataFrame, threshold: float,

@@ -4279,6 +4279,57 @@ def dedup_keep_list_q(spark, sf_dir):
         F.when(F.row_number().over(w) == 1, 1).otherwise(0).cast("int").alias("is_keep"))
 
 
+_SEMDEDUP_COS_VC = _COSINE_SQL.replace("e.embedding", "v.embedding").replace("q.embedding", "c.cemb")
+_SEMDEDUP_COS_IJ = _COSINE_SQL.replace("e.embedding", "ei.embedding").replace("q.embedding", "ej.embedding")
+
+
+@_register("dedup_semantic_clusters", f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16
+), sims AS (
+  SELECT v.vec_id, c.cid, {_SEMDEDUP_COS_VC} AS csim
+  FROM embeddings v CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, cid, csim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+  FROM sims
+), ranked AS (
+  SELECT vec_id, cid AS cluster_id, csim AS centroid_sim,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY csim ASC, vec_id ASC) AS rk
+  FROM assign WHERE rn = 1
+), dup AS (
+  SELECT DISTINCT i.vec_id
+  FROM ranked i
+  JOIN ranked j ON i.cluster_id = j.cluster_id AND j.rk < i.rk
+  JOIN embeddings ei ON ei.vec_id = i.vec_id
+  JOIN embeddings ej ON ej.vec_id = j.vec_id
+  WHERE {_SEMDEDUP_COS_IJ} >= 0.35
+)
+SELECT r.vec_id AS id, r.cluster_id::BIGINT AS cluster_id,
+       r.centroid_sim AS centroid_sim,
+       (CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)::INT AS is_dup
+FROM ranked r LEFT JOIN dup d ON d.vec_id = r.vec_id
+""")
+def dedup_semantic_clusters_q(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over the embeddings
+    table: assign to nearest centroid, then prune within-cluster members that
+    sit within eps=0.35 cosine of an earlier-ranked member (rank = centroid
+    similarity ASC — the paper keeps the most extreme representative of each
+    duplicate group).  The fixture codebook is the first 16 vectors by id
+    (deterministic "k-means at iteration 0" so the oracle can mirror the
+    assignment); production callers pass `ann_index.train_centroids` output.
+    Complements the global-sweep v5 path: no global pair join — candidate
+    comparison is confined to each cluster, the published trick that makes
+    embedding dedup tractable at web scale."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    out = dedup.semantic_cluster_dedup(emb, cents, 0.35,
+                                       approx_centroid_rows=16)
+    return out.select("id", F.col("cluster_id").cast("long").alias("cluster_id"),
+                      "centroid_sim", F.col("is_dup").cast("int").alias("is_dup"))
+
+
 # ---------------------------------------------------------------------------------
 # Training-pipeline ops, continued: PII redaction, benchmark decontamination,
 # sequence packing (public corpus-prep practice: C4/Gopher/GPT-3 appendices)

@@ -145,3 +145,57 @@ def test_minhash_band_table_xxhash64_is_long_typed(spark):
     assert dict(md.dtypes)["band_hash"] == "string"
     n = docs.count()
     assert xx.count() == n * 4 and md.count() == n * 4
+
+
+def test_semantic_cluster_dedup_prunes_within_cluster(spark):
+    # Two clusters along axes e0 / e1.  In cluster 0: vectors 10 and 11 are
+    # near-identical (cos > 0.99); 12 is distinct.  SemDeDup keeps the member
+    # with the LOWEST centroid similarity of each dup group and prunes the rest.
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "centroid_id int, embedding array<double>")
+    vecs = spark.createDataFrame(
+        [(10, [1.0, 0.01, 0.0]),     # cluster 0, dup pair with 11
+         (11, [1.0, 0.011, 0.0]),    # cluster 0, nearly identical to 10
+         (12, [0.8, 0.0, 0.6]),      # cluster 0, distinct (cos(10,12) ~ 0.8)
+         (20, [0.01, 1.0, 0.0])],    # cluster 1, alone
+        "vec_id int, embedding array<double>")
+    out = {r.id: r for r in dedup.semantic_cluster_dedup(
+        vecs, cents, eps=0.99).collect()}
+    assert {r.cluster_id for r in out.values()} == {0, 1}
+    # 12 has the lowest centroid sim in cluster 0 -> rank 1, never a dup;
+    # 10 vs 11: both ~equal centroid sim, but whichever ranks first is kept
+    # and the other (cos(10,11) > 0.99) pruned.
+    assert out[12].is_dup == 0 and out[20].is_dup == 0
+    assert out[10].is_dup + out[11].is_dup == 1
+
+
+def test_semantic_cluster_dedup_ignores_cross_cluster_pairs(spark):
+    # The method's deliberate locality: near-identical vectors assigned to
+    # DIFFERENT clusters are never compared (that is what removes the global
+    # pair join).  Both survive.
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.05, 0.0]), (1, [1.0, -0.05, 0.0])],
+        "centroid_id int, embedding array<double>")
+    vecs = spark.createDataFrame(
+        [(10, [1.0, 0.04, 0.0]),    # nearest centroid 0
+         (11, [1.0, -0.04, 0.0])],  # nearest centroid 1; cos(10,11) ~ 0.997
+        "vec_id int, embedding array<double>")
+    out = {r.id: r for r in dedup.semantic_cluster_dedup(
+        vecs, cents, eps=0.99).collect()}
+    assert out[10].cluster_id == 0 and out[11].cluster_id == 1
+    assert out[10].is_dup == 0 and out[11].is_dup == 0
+
+
+def test_semantic_cluster_dedup_self_centroid_assignment(spark):
+    # A vector that IS a codebook entry (same id + same vector) must assign to
+    # itself with sim 1.0 — pinned because the kNN family's default
+    # exclude_self=True silently broke exactly this (caught by the oracle).
+    cents = spark.createDataFrame(
+        [(4, [1.0, 0.0]), (7, [0.0, 1.0])], "centroid_id int, embedding array<double>")
+    vecs = spark.createDataFrame(
+        [(4, [1.0, 0.0]), (9, [0.9, 0.1])], "vec_id int, embedding array<double>")
+    out = {r.id: r for r in dedup.semantic_cluster_dedup(
+        vecs, cents, eps=0.999).collect()}
+    assert out[4].cluster_id == 4 and out[4].centroid_sim == 1.0
+    assert out[9].cluster_id == 4
