@@ -82,8 +82,10 @@ HEADLINE = [
     "txn_merge_roundtrip",
     "ann_ivf_spill",
     # round 6 additions (embedding-thresholded G5 — the reworked semantic
-    # lookup exercises the budget-routed kNN + G3 fetch end-to-end)
+    # lookup exercises the budget-routed kNN + G3 fetch end-to-end;
+    # SemDeDup — centroid assign + per-cluster applyInPandas prune)
     "g5_semantic_lookup",
+    "dedup_semantic_clusters",
 ]
 
 

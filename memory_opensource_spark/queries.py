@@ -4936,10 +4936,12 @@ _EVIDENCE_PRIORITY = [
     "s11_section_hierarchy",      # S11 (page->section->chunk depth; chunk
                                   # windows variant below fold)
     "s12_cascade_delete",         # S12
-    # 9-11: filters/predicates F2..F10
+    # 9-10: filters/predicates F2..F9 (F10 scalar fns moved below fold in
+    # round 6 — still value-verified inside suite_text_analysis, which routes
+    # through the same functions/text.py surface — in favor of driver-checking
+    # the new SemDeDup operator)
     "suite_filters",              # F2/F3/F4/F5/F7
     "f9_fallback_relax",          # F9
-    "f10_scalar_functions",       # F10
     # 12-21: vector/similarity V1..V12
     "v1_chunk_embed",             # V1
     "v2_cosine_topk",             # V2/F6
@@ -4985,6 +4987,7 @@ _EVIDENCE_PRIORITY = [
     "ann_ivf_spill",              # IVF multi-assignment + candidate dedup (r5 new)
     # 45-50: LLM-data-pipeline first-class ops
     "suite_dedup_family",         # exact/fingerprint/simhash/hamming/jaccard/minhash
+    "dedup_semantic_clusters",    # SemDeDup cluster-scoped semantic dedup (r6 new)
     "ann_ivf_persisted",          # ANN with persisted pruned layout
     "suite_pipeline_ops",         # pii/contamination/packing/sampling/mixture/profile
     "mm_feature_search",          # multimodal columns (sha256-oracle since r4)

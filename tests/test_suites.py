@@ -44,6 +44,9 @@ def test_registry_prefix_covers_component_families():
         # gated; their components are long-green singles)
         "f1_acl_filter", "txn_merge_roundtrip", "zorder_layout_roundtrip",
         "ann_ivf_spill",
+        # round-6: SemDeDup into the driver window (f10_scalar_functions moved
+        # below fold — F10 scalar fns stay value-verified in suite_text_analysis)
+        "dedup_semantic_clusters",
     ]
     missing = [q for q in required if q not in top50]
     assert not missing, f"top-50 evidence window lost: {missing}"

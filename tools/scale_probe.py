@@ -108,6 +108,22 @@ def main():
     t_knn = time.time() - t0
     print(f"ingest kNN (1000 new vs {n}): {hits} reuse hits in {t_knn:.1f}s")
 
+    # 5. SemDeDup at the same scale: C = N/500 trained-shaped centroids
+    # (deterministic slice stands in for train_centroids — the assignment and
+    # per-cluster prune cost is what's being measured), then the full
+    # assign -> per-cluster pairwise prune pipeline
+    n_cents = max(64, n // 500)
+    cents = (vecs.limit(n_cents)
+             .selectExpr("vec_id as centroid_id", "embedding"))
+    t0 = time.time()
+    out = dedup.semantic_cluster_dedup(vecs, cents, eps=0.95,
+                                       approx_centroid_rows=n_cents)
+    from pyspark.sql import functions as _F
+    agg = out.agg(_F.count("*").alias("n"), _F.sum("is_dup").alias("d")).collect()[0]
+    t_sem = time.time() - t0
+    print(f"semdedup (C={n_cents}, eps=0.95): {agg['n']} rows, "
+          f"{agg['d']} pruned in {t_sem:.1f}s")
+
     spark.stop()
 
 
