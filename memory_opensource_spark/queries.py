@@ -4330,6 +4330,33 @@ def dedup_semantic_clusters_q(spark, sf_dir):
                       "centroid_sim", F.col("is_dup").cast("int").alias("is_dup"))
 
 
+@_register("shard_corpus", """
+WITH sh AS (
+  SELECT doc_id, n_chars, md5('s6:' || doc_id::VARCHAR) AS key FROM documents
+), a AS (
+  SELECT doc_id, n_chars, key,
+         (('0x' || substr(key, 1, 8))::BIGINT % 8)::INT AS shard
+  FROM sh
+)
+SELECT doc_id, shard,
+       (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id))::INT AS pos,
+       n_chars
+FROM a
+""")
+def shard_corpus_q(spark, sf_dir):
+    """Deterministic shuffle-and-shard (writers.shard_assignment): the
+    corpus-prep step that turns a deduped/filtered corpus into the trainer's
+    sharded, globally-shuffled reader layout.  md5(seed:id) permutation key,
+    hash-assigned shard (no global sort anywhere — scale-safe by
+    construction), per-shard reader order.  Changing the seed re-shuffles;
+    same seed is bit-stable across cluster sizes and partition layouts."""
+    docs = tables.load(spark, sf_dir, "documents")
+    from .sources.writers import shard_assignment
+    out = shard_assignment(docs, 8, "s6")
+    return out.select("doc_id", F.col("shard").cast("int").alias("shard"),
+                      F.col("pos").cast("int").alias("pos"), "n_chars")
+
+
 # ---------------------------------------------------------------------------------
 # Training-pipeline ops, continued: PII redaction, benchmark decontamination,
 # sequence packing (public corpus-prep practice: C4/Gopher/GPT-3 appendices)

@@ -167,6 +167,52 @@ def zorder_write(df: DataFrame, path: str, cols: list[str],
     out.write.mode(mode).parquet(path)
 
 
+def shard_assignment(df: DataFrame, n_shards: int, seed: str,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Deterministic shuffle-and-shard for training-data ordering (the
+    corpus-prep step between dedup/filtering and the trainer's data loader:
+    GPT-3/C4-style global example shuffling, sharded for parallel readers).
+
+    Every row gets a pseudo-random permutation key ``md5(seed:id)`` —
+    deterministic, partition-layout independent, reshuffled by changing the
+    seed — then:
+
+    - ``shard`` = first 8 hex digits of the key mod n_shards.  Hash-assigned,
+      NOT row_number-assigned: no global sort, no single-partition window —
+      embarrassingly parallel at any corpus size, balanced in expectation
+      (per-shard skew is O(sqrt(N/n_shards)) by the balls-in-bins bound).
+    - ``pos`` = rank within the shard ordered by (key, id) — the reader's
+      deterministic batch order.  The window partitions by shard, so its sort
+      is per-shard, never global.
+
+    Adds {__key, shard, pos}.  All math is hex-string + conv — identical in
+    any engine that has md5, so results are oracle-checkable bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    out = df.withColumn("__key", key).withColumn(
+        "shard",
+        (F.conv(F.substring(F.col("__key"), 1, 8), 16, 10).cast("long")
+         % n_shards).cast("int"))
+    w = Window.partitionBy("shard").orderBy(F.col("__key").asc(),
+                                            F.col(id_col).asc())
+    return out.withColumn("pos", F.row_number().over(w))
+
+
+def shard_write(df: DataFrame, path: str, n_shards: int, seed: str,
+                id_col: str = "doc_id", mode: str = "overwrite") -> None:
+    """Materialize the sharded layout: one directory per shard, rows inside
+    each file already in reader order.  repartition on shard BEFORE
+    partitionBy — the dynamic-partition file-spray lesson (32 writers x
+    n_shards small files otherwise)."""
+    out = (shard_assignment(df, n_shards, seed, id_col)
+           .repartition(n_shards, F.col("shard"))
+           .sortWithinPartitions("shard", "pos")
+           .drop("__key"))
+    out.write.mode(mode).partitionBy("shard").parquet(path)
+
+
 def file_stats_ranges(path: str, col: str) -> list[tuple]:
     """Per-file (min, max) of ``col`` from parquet footers — the skipping
     index a stats-aware reader uses; exposed for tests/PERF evidence."""

@@ -357,3 +357,31 @@ def test_ivf_assign_blas_matches_expression_path(spark):
         blas = sorted((r.vec_id, r.ivf_bucket)
                       for r in ivf_assign_blas(df, cents, k).collect())
         assert blas == exact, f"assign_k={k} diverged"
+
+
+def test_shard_assignment_deterministic_across_layouts(spark):
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+    a = writers.shard_assignment(docs, 8, "seedA").select("doc_id", "shard", "pos")
+    b = writers.shard_assignment(docs.repartition(17), 8, "seedA").select(
+        "doc_id", "shard", "pos")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # a different seed reshuffles: at least one doc moves shard or position
+    c = writers.shard_assignment(docs, 8, "seedB").select("doc_id", "shard", "pos")
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
+
+
+def test_shard_write_layout_and_reader_order(spark, tmp_path):
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "shards")
+    writers.shard_write(docs, path, 4, "s")
+    back = spark.read.parquet(path)
+    assert back.select("shard").distinct().count() == 4
+    assert back.count() == docs.count()
+    # pos is a dense 1..n_k order inside every shard
+    agg = back.groupBy("shard").agg(
+        F.count("*").alias("n"), F.min("pos").alias("lo"), F.max("pos").alias("hi"))
+    for r in agg.collect():
+        assert r.lo == 1 and r.hi == r.n
+    # pruning: a shard filter reads one partition directory
+    df, pruned = writers.partition_pruning_evidence(spark, path, "shard", 2)
+    assert pruned and 0 < df.count() < docs.count()
