@@ -199,3 +199,43 @@ def test_semantic_cluster_dedup_self_centroid_assignment(spark):
         vecs, cents, eps=0.999).collect()}
     assert out[4].cluster_id == 4 and out[4].centroid_sim == 1.0
     assert out[9].cluster_id == 4
+
+
+def test_semantic_cluster_dedup_matches_python_model(spark):
+    # Randomized model parity: the operator's distributed plan must reproduce
+    # a brute-force single-process implementation of the SemDeDup rules
+    # (assignment argmax on 6-dp-rounded cosine with centroid-id tie-break,
+    # rank by (centroid_sim asc, id asc), prune on earlier-ranked >= eps).
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, dim, n_cents, eps = 80, 8, 5, 0.6
+    mat = rng.normal(size=(n, dim))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cent_idx = list(range(n_cents))
+    cmat = mat[cent_idx]
+
+    # model
+    sims = np.round(mat @ cmat.T, 6)
+    assign = {}
+    for i in range(n):
+        best = min(range(n_cents), key=lambda c: (-sims[i, c], cent_idx[c]))
+        assign[i] = (cent_idx[best], sims[i, best])
+    expect = {}
+    for cid in set(c for c, _ in assign.values()):
+        members = sorted((s, i) for i, (c, s) in assign.items() if c == cid)
+        kept = []
+        for s, i in members:
+            dup = any(np.round(float(mat[i] @ mat[j]), 6) >= eps for _, j in kept)
+            expect[i] = (cid, s, int(dup))
+            kept.append((s, i))
+
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id int, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in cmat[k]]) for k, i in enumerate(cent_idx)],
+        "centroid_id int, embedding array<double>")
+    got = {r.id: (r.cluster_id, r.centroid_sim, r.is_dup)
+           for r in dedup.semantic_cluster_dedup(vecs, cents, eps=eps).collect()}
+    assert got == expect
