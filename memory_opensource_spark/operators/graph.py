@@ -170,10 +170,8 @@ def find_node_by_semantic_match(mentions: DataFrame, prop_index: DataFrame,
     different canonical nodes across runs.  The kNN is budget-routed
     (broadcast-BLAS under 500k index rows, grid join past it) so the plan
     never materializes an all-pairs product."""
-    from pyspark.sql import Window
-
     from ..semantics import SEMANTIC_MATCH_THRESHOLD
-    from .similarity import knn_join_auto
+    from .similarity import best_rounded_match, knn_join_auto
 
     thr = SEMANTIC_MATCH_THRESHOLD if threshold is None else threshold
     # distinct id domains (mention ids vs node ids) — a numeric collision must
@@ -183,13 +181,10 @@ def find_node_by_semantic_match(mentions: DataFrame, prop_index: DataFrame,
                          left_vec=vec_col, right_vec=vec_col,
                          left_id=mention_id, right_id=index_id,
                          exclude_self=False)
-    r6 = F.round(F.col("score"), 6)
-    w = Window.partitionBy("left_id").orderBy(r6.desc(), F.col("right_id").asc())
-    best = (cand.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") == 1) & (r6 >= thr))
-            .select(F.col("left_id").alias(mention_id),
-                    F.col("right_id").alias("canonical_id"),
-                    r6.alias("score")))
+    best = best_rounded_match(cand, threshold=thr).select(
+        F.col("left_id").alias(mention_id),
+        F.col("right_id").alias("canonical_id"),
+        "score")
     out = mentions.select(mention_id).join(best, mention_id, "left")
     node_cols = [c for c in nodes.columns if c not in (index_id, vec_col)]
     canon = nodes.select(F.col(index_id).alias("canonical_id"), *node_cols)

@@ -802,6 +802,29 @@ def _auto_blocks(est_rows: int, target_per_block: int = 50_000,
     return max(lo, min(hi, math.ceil(max(1, est_rows) / target_per_block)))
 
 
+def best_rounded_match(cand: DataFrame, threshold: float | None = None) -> DataFrame:
+    """The house determinism rule for picking THE best kNN candidate per left
+    row: rank on the 6-dp-ROUNDED score (the oracle-parity precision) with a
+    right_id-asc tie-break, keep rank 1, optionally require rounded score >=
+    threshold.  Shared by G5 mention resolution and SemDeDup assignment so the
+    two determinism-critical call sites cannot drift.
+
+    Input: a kNN candidate set {left_id, right_id, score}.  Output:
+    {left_id, right_id, score(6 dp)} — one row per left_id that has a
+    qualifying best match.
+
+    Caveat (bounded, shared with every finite-overfetch caller): candidates
+    arrive ranked by UNROUNDED score, so a (k_overfetch+1)-way tie at 1e-6
+    could hide the lowest-id member from the window.  Callers size their
+    overfetch so that failure needs a >k-way sub-1e-6 tie."""
+    r6 = F.round(F.col("score"), 6)
+    w = Window.partitionBy("left_id").orderBy(r6.desc(), F.col("right_id").asc())
+    best = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    if threshold is not None:
+        best = best.filter(r6 >= threshold)
+    return best.select("left_id", "right_id", r6.alias("score"))
+
+
 def knn_join_auto(left: DataFrame, right: DataFrame, k: int,
                   left_vec: str = "embedding", right_vec: str = "embedding",
                   left_id: str = "id", right_id: str = "id",

@@ -239,3 +239,19 @@ def test_semantic_cluster_dedup_matches_python_model(spark):
     got = {r.id: (r.cluster_id, r.centroid_sim, r.is_dup)
            for r in dedup.semantic_cluster_dedup(vecs, cents, eps=eps).collect()}
     assert got == expect
+
+
+def test_semantic_cluster_dedup_string_ids(spark):
+    # The id/centroid columns keep their INPUT types (string doc ids are the
+    # normal key shape for corpus dedup) — pinned because the first cut
+    # hardcoded long ids in the applyInPandas schema.
+    cents = spark.createDataFrame(
+        [("c-a", [1.0, 0.0]), ("c-b", [0.0, 1.0])],
+        "centroid_id string, embedding array<double>")
+    vecs = spark.createDataFrame(
+        [("d1", [1.0, 0.02]), ("d2", [1.0, 0.021]), ("d3", [0.1, 1.0])],
+        "vec_id string, embedding array<double>")
+    out = {r.id: r for r in dedup.semantic_cluster_dedup(
+        vecs, cents, eps=0.99).collect()}
+    assert out["d1"].cluster_id == "c-a" and out["d3"].cluster_id == "c-b"
+    assert out["d1"].is_dup + out["d2"].is_dup == 1 and out["d3"].is_dup == 0

@@ -198,3 +198,21 @@ def test_auto_wrappers_never_cartesian(spark):
                                       approx_right_rows=10**9)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_grid_knn_matches_blas_knn_exclude_self_off(vec_df):
+    """The exclude_self=False branches (centroid-assignment semantics) must be
+    bit-identical between the blas and grid paths — including rank-1 self
+    pairs at score 1.0 for every id present on both sides."""
+    df, _ = vec_df
+    blas = similarity.knn_join_blas(df, df, 3, left_id="id", right_id="id",
+                                    exclude_self=False)
+    grid = similarity.grid_knn_join(df, df, 3, left_id="id", right_id="id",
+                                    n_blocks=4, exclude_self=False)
+    b = {(r.left_id, r.rank): (r.right_id, round(r.score, 12)) for r in blas.collect()}
+    g = {(r.left_id, r.rank): (r.right_id, round(r.score, 12)) for r in grid.collect()}
+    assert b == g and len(b) == 40 * 3
+    # self pair ranks first everywhere (unit vectors: cos(v,v) == 1)
+    for (lid, rank), (rid, score) in b.items():
+        if rank == 1:
+            assert rid == lid and abs(score - 1.0) < 1e-9

@@ -113,7 +113,8 @@ def main():
     # per-cluster prune cost is what's being measured), then the full
     # assign -> per-cluster pairwise prune pipeline
     n_cents = max(64, n // 500)
-    cents = (vecs.limit(n_cents)
+    from pyspark.sql import functions as _F0
+    cents = (vecs.filter(_F0.col("vec_id") < n_cents)
              .selectExpr("vec_id as centroid_id", "embedding"))
     t0 = time.time()
     out = dedup.semantic_cluster_dedup(vecs, cents, eps=0.95,
