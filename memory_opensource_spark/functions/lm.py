@@ -1,0 +1,93 @@
+"""N-gram language-model quality scoring (CCNet-style, Wenzek et al. 2020,
+arXiv:1911.00359): train a smoothed bigram LM on a trusted slice of the
+corpus, score every document by its average negative log-likelihood, and
+bucket into quality tiers (head/middle/tail).  The published recipe uses a
+KenLM 5-gram; the bigram form keeps the same pipeline shape (train on clean
+text -> broadcast the model -> scan-score the corpus) with the model as a
+pair of count TABLES, so both training and scoring are plain DataFrame
+aggregations/joins — JVM-side, oracle-checkable, and shuffle-bounded by
+vocabulary size, never corpus size.
+
+Scale: the LM tables are vocabulary-sized (<< corpus); scoring is
+explode -> equi-join against the (broadcastable) model -> per-doc mean.
+At 100 TB the join keys are short strings and the aggregation is map-side
+combinable; nothing in the plan grows with corpus size except the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+#: add-k smoothing constant (the oracle injects the same literal)
+SMOOTH_K = 0.5
+
+
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """{id, w1, w2} — one row per adjacent token pair."""
+    toks = docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
+    pairs = toks.select(
+        "id",
+        F.posexplode(F.zip_with(
+            F.slice("tk", 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+            F.slice("tk", 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )).alias("pos", "bg"),
+    )
+    return pairs.select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def train_bigram_lm(clean_docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> tuple[DataFrame, DataFrame, int]:
+    """Count model from the trusted slice: (unigram counts {w1, c1},
+    bigram counts {w1, w2, c2}, vocabulary size V).
+
+    V is the distinct-unigram count of the TRAINING slice — the smoothing
+    denominator constant.  One aggregation each; both tables are
+    vocabulary-sized and broadcast at scoring time.
+    """
+    bg = _doc_bigrams(clean_docs, id_col, text_col)
+    uni = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    bi = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    vocab = (clean_docs
+             .select(F.explode(tokens(F.col(text_col))).alias("w"))
+             .agg(F.countDistinct("w").alias("v"))
+             .collect()[0]["v"])
+    return uni, bi, int(vocab)
+
+
+def nll_score(docs: DataFrame, uni: DataFrame, bi: DataFrame, vocab: int,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document average negative log-likelihood under the add-k bigram
+    model: P(w2|w1) = (c2 + k) / (c1 + k*V), unseen contexts fall back to
+    c1 = 0.  Returns {id, n_bigrams, avg_nll} — documents with < 2 tokens
+    (no bigrams) are absent, exactly the rows the reference pipeline routes
+    to a length filter instead.
+
+    The model sides broadcast (vocabulary-sized); the per-doc mean is a
+    map-side-combinable aggregation on the document id.
+    """
+    bg = _doc_bigrams(docs, id_col, text_col)
+    joined = (bg.join(F.broadcast(bi), ["w1", "w2"], "left")
+              .join(F.broadcast(uni), ["w1"], "left"))
+    p = ((F.coalesce(F.col("c2"), F.lit(0)) + F.lit(SMOOTH_K))
+         / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(SMOOTH_K) * F.lit(vocab)))
+    return (joined.withColumn("nll", -F.log(p))
+            .groupBy("id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg("nll"), 6).alias("avg_nll")))
+
+
+def quality_buckets(scored: DataFrame, n_buckets: int = 3,
+                    nll_col: str = "avg_nll") -> DataFrame:
+    """CCNet's head/middle/tail split: rank documents by LM score and cut
+    into n_buckets equal-frequency tiers (bucket 1 = lowest perplexity =
+    highest quality).  ntile is a single global window — acceptable because
+    its input is one (id, score) pair per document, tiny next to the corpus;
+    at extreme scale swap in approx percentile cuts."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(nll_col).asc(), F.col("id").asc())
+    return scored.withColumn("bucket", F.ntile(n_buckets).over(w))

@@ -4330,6 +4330,53 @@ def dedup_semantic_clusters_q(spark, sf_dir):
                       "centroid_sim", F.col("is_dup").cast("int").alias("is_dup"))
 
 
+@_register("lm_quality_scores", """
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents
+), bg AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM tk, UNNEST(range(1, len(tk))) AS u(i)
+  WHERE len(tk) >= 2
+), train AS (
+  SELECT * FROM bg WHERE doc_id % 10 = 0
+), uni AS (
+  SELECT w1, COUNT(*) AS c1 FROM train GROUP BY w1
+), bi AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM train GROUP BY w1, w2
+), v AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT UNNEST(tk) AS w FROM tk WHERE doc_id % 10 = 0)
+), scored AS (
+  SELECT bg.doc_id AS id, COUNT(*)::BIGINT AS n_bigrams,
+         ROUND(AVG(-LN((COALESCE(c2, 0) + 0.5)
+                       / (COALESCE(c1, 0) + 0.5 * v.v))), 6)::DOUBLE AS avg_nll
+  FROM bg LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1) CROSS JOIN v
+  GROUP BY bg.doc_id, v.v
+)
+SELECT id, n_bigrams, avg_nll,
+       (NTILE(3) OVER (ORDER BY avg_nll ASC, id ASC))::INT AS bucket
+FROM scored
+""")
+def lm_quality_scores_q(spark, sf_dir):
+    """CCNet-style LM quality filtering (functions/lm.py; Wenzek et al. 2020,
+    arXiv:1911.00359): train an add-k bigram LM on the trusted slice
+    (doc_id % 10 == 0 stands in for the reference pipeline's clean
+    Wikipedia), score every document's average negative log-likelihood
+    under it, and cut head/middle/tail quality tiers.  The model is a pair
+    of vocabulary-sized count tables broadcast into the scoring join —
+    nothing in the plan scales with corpus size except the scan."""
+    from .functions import lm
+
+    docs = tables.load(spark, sf_dir, "documents")
+    clean = docs.filter(F.col("doc_id") % 10 == 0)
+    uni, bi, vocab = lm.train_bigram_lm(clean)
+    scored = lm.nll_score(docs, uni, bi, vocab)
+    out = lm.quality_buckets(scored)
+    return out.select("id", "n_bigrams", "avg_nll",
+                      F.col("bucket").cast("int").alias("bucket"))
+
+
 @_register("shard_corpus", """
 WITH sh AS (
   SELECT doc_id, n_chars, md5('s6:' || doc_id::VARCHAR) AS key FROM documents

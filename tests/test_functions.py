@@ -125,3 +125,39 @@ def test_int8_scale_saturates_tiny_vectors(spark):
         vector.quantize_int8(F.col("embedding")).alias("q")).collect()
     assert list(out[0].q) == [127, -127]   # saturated, not zeroed
     assert list(out[1].q) == [0, 0]        # zero vector stays zero
+
+
+def test_bigram_lm_scores_in_domain_text_lower(spark):
+    from memory_opensource_spark.functions import lm
+
+    clean = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (10, "the quick dog runs over the brown fox")],
+        "doc_id int, text string")
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"),          # in-domain: seen bigrams
+         (2, "zx qv wk jj"),                  # gibberish: all unseen
+         (3, "one"),                          # single token: no bigrams
+         (4, "")],                            # empty
+        "doc_id int, text string")
+    uni, bi, vocab = lm.train_bigram_lm(clean)
+    got = {r.id: r for r in lm.nll_score(corpus, uni, bi, vocab).collect()}
+    assert set(got) == {1, 2}           # <2-token docs have no score rows
+    assert got[1].avg_nll < got[2].avg_nll
+    assert got[1].n_bigrams == 3 and got[2].n_bigrams == 3
+
+
+def test_quality_buckets_are_equal_frequency(spark):
+    from memory_opensource_spark.functions import lm
+    from pyspark.sql import functions as F
+
+    scored = spark.createDataFrame(
+        [(i, 10, float(i) / 10) for i in range(9)],
+        "id int, n_bigrams int, avg_nll double")
+    out = lm.quality_buckets(scored, n_buckets=3)
+    counts = {r.bucket: r.n for r in
+              out.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert counts == {1: 3, 2: 3, 3: 3}
+    # bucket 1 holds the lowest-nll (highest-quality) ids
+    b1 = {r.id for r in out.filter(F.col("bucket") == 1).collect()}
+    assert b1 == {0, 1, 2}
