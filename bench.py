@@ -86,6 +86,8 @@ HEADLINE = [
     # SemDeDup — centroid assign + per-cluster applyInPandas prune)
     "g5_semantic_lookup",
     "dedup_semantic_clusters",
+    "shard_corpus",
+    "lm_quality_scores",
 ]
 
 
