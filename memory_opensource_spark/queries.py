@@ -4976,6 +4976,52 @@ def ann_ivf_spill(spark, sf_dir):
     return out.select("vec_id", _r6(F.col("score")).alias("score"))
 
 
+@_register("ann_pq_rerank", """
+WITH q AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS qemb
+  FROM embeddings WHERE vec_id = 0
+), cand AS (
+  SELECT e.vec_id,
+         list_dot_product(list_transform(e.embedding, x -> x::DOUBLE), q.qemb)
+         / (SQRT(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                                  list_transform(e.embedding, x -> x::DOUBLE)))
+          * SQRT(list_dot_product(q.qemb, q.qemb))) AS score
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, ROUND(score, 6)::DOUBLE AS score FROM cand
+ORDER BY score DESC, vec_id ASC LIMIT 10
+""")
+def ann_pq_rerank(spark, sf_dir):
+    """PQ compressed-scan ANN (sources/pq_index.py): 16-byte ADC codes over
+    the WHOLE corpus pick the top-128 candidates, which re-rank EXACTLY
+    against the full vectors — the full-coverage answer to the recall ceiling
+    coarse IVF bucketing hits (PERF.md round-6 ANN table; reference quality
+    bar = Qdrant HNSW ef=128, memory/memory_graph.py:1036-1057).  The oracle
+    is the EXACT cosine top-10: the row is green only while the lossy ADC
+    candidate stage still surfaces every true neighbor on this fixture — a
+    broken codebook, encoder, LUT, or candidate cut hash-fails.  Layout
+    cached per fixture fingerprint."""
+    import os
+    import tempfile
+
+    from .sources import pq_index
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_pq_{tag}")
+    fp = _source_fingerprint(sf_dir, ("embeddings",))
+    fp_file = path + ".fingerprint"
+    fresh = (os.path.exists(os.path.join(path, "_SUCCESS"))
+             and os.path.exists(fp_file) and open(fp_file).read() == fp)
+    if not fresh:
+        pq_index.build_pq_index(emb, path, m=16)
+        with open(fp_file, "w") as f:
+            f.write(fp)
+    out = pq_index.pq_query(spark, path, emb, _qvec(sf_dir, 0), k=10,
+                            rerank=128, id_col="vec_id")
+    return out.select("vec_id", _r6(F.col("score")).alias("score"))
+
+
 # Resolve the shared CTE placeholders in all oracle statements.
 from .oracle import EVENTS_CTE as _EV  # noqa: E402
 

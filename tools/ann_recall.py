@@ -98,6 +98,38 @@ def main():
         print(f"lsh tables={n_tables} bits={n_bits}: recall@{k}={hits/(k*n_queries):.3f} "
               f"scan_frac={frac/n_queries:.3f}")
 
+    # PQ + exact re-rank (sources/pq_index.py): ADC over m-byte codes covers
+    # EVERY row, then the top-R candidates re-rank exactly.  Cost is bytes,
+    # not rows: scan_bytes = m / (4 * dim)  [codes vs float32 vectors]
+    # + R/n full-fidelity rows for the re-rank.
+    from memory_opensource_spark.sources.pq_index import (
+        build_pq_index, train_pq_codebooks)
+
+    n, dim = mat.shape
+    for m, R in [(8, max(k, n // 100)), (16, max(k, n // 100)),
+                 (16, max(k, n // 20)), (32, max(k, n // 100))]:
+        books = np.asarray(train_pq_codebooks(emb, m=m))
+        ds = dim // m
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            sub = mat[:, j * ds:(j + 1) * ds]
+            d = ((sub * sub).sum(1)[:, None] - 2.0 * (sub @ books[j].T)
+                 + (books[j] * books[j]).sum(1)[None, :])
+            codes[:, j] = d.argmin(1)
+        hits = 0
+        for qi in q_idx:
+            lut = np.stack([books[j] @ mat[qi, j * ds:(j + 1) * ds]
+                            for j in range(m)])
+            s = lut[np.arange(m), codes].sum(1)
+            cand = np.argsort(-s)[:R]
+            rr = cand[np.argsort(-(mat[cand] @ mat[qi]))]
+            rr = [c for c in rr if c != qi][:k]
+            hits += len(truth[qi] & set(ids[rr]))
+        byte_frac = m / (4.0 * dim) + R / n
+        print(f"pq m={m} rerank={R} ({R/n:.1%} rows): "
+              f"recall@{k}={hits/(k*n_queries):.3f} "
+              f"bytes_frac={byte_frac:.3f}")
+
     spark.stop()
 
 
