@@ -56,6 +56,7 @@ HEADLINE = [
     "v5_bucketed_pairs",
     "v4_ingest_reuse",
     "ann_ivf_persisted",
+    "ann_pq_rerank",
     "dedup_simhash_hamming",
     "g8_schema_driven_merge",
     "schema_validation_report",

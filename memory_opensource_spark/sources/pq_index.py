@@ -36,8 +36,13 @@ embarrassingly parallel, zero shuffle; the candidate fetch is a broadcast
 semi-join on ids that prunes to the row groups holding ``rerank`` rows when
 the vector table is laid out by id (writers.zorder_write).  Codebooks are KB
 of metadata (like the IVF centroid sidecar), trained once on a bounded
-sample.  Compose with IVF for the best of both: partition codes by
-``ivf_bucket`` and nprobe-prune the ADC scan itself.
+sample.
+
+IVFADC composition (the FAISS ``IndexIVFPQ`` layout): pass ``ivf_centroids``
+to :func:`build_pq_index` and the codes persist PARTITIONED by their coarse
+bucket; a query with ``nprobe`` set prunes the ADC scan itself to nprobe/C
+of the (already ~16x smaller) files via ``PartitionFilters`` — both levers
+of PERF.md's round-6 recall table at once.
 """
 
 from __future__ import annotations
@@ -45,13 +50,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import topk_search
+from ..operators.similarity import ivf_assign_auto, topk_search
 
 CODE_COL = "pq_code"
+BUCKET_COL = "ivf_bucket"
 
 
 def _codebook_path(index_path: str) -> str:
     return index_path.rstrip("/") + ".codebook"
+
+
+def _ivf_cents_path(index_path: str) -> str:
+    return index_path.rstrip("/") + ".ivfcents"
 
 
 def _lloyds(X, k: int, seed: int, iters: int):
@@ -107,16 +117,22 @@ def train_pq_codebooks(df: DataFrame, m: int = 16, nbits: int = 8,
 def build_pq_index(df: DataFrame, index_path: str, codebooks=None,
                    m: int = 16, nbits: int = 8,
                    vec_col: str = "embedding", id_col: str = "vec_id",
-                   mode: str = "overwrite"):
+                   mode: str = "overwrite", ivf_centroids=None):
     """Encode every vector to an m-byte PQ code and persist ``(id, code)``.
     Codebooks are stored alongside (``<path>.codebook``) so query time needs
-    no re-training.  Returns the codebooks."""
+    no re-training.  Returns the codebooks.
+
+    With ``ivf_centroids`` (IVFADC): each code row also carries its coarse
+    bucket and the layout is PARTITIONED by it, so an ``nprobe`` query prunes
+    the ADC scan to nprobe/C of the files (the FAISS IVFPQ shape).  The
+    coarse centroids persist in ``<path>.ivfcents``."""
     import numpy as np
 
     books = (codebooks if codebooks is not None
              else train_pq_codebooks(df, m, nbits, vec_col, id_col))
     books = np.asarray(books, dtype=np.float64)
     m_, k, ds = books.shape
+    bucketed = ivf_centroids is not None
 
     def encode(batches):
         import pandas as pd
@@ -131,15 +147,28 @@ def build_pq_index(df: DataFrame, index_path: str, codebooks=None,
                 d = ((sub * sub).sum(1)[:, None] - 2.0 * (sub @ books[j].T)
                      + (books[j] * books[j]).sum(1)[None, :])
                 codes[:, j] = d.argmin(1)
-            yield pd.DataFrame({
-                id_col: pdf[id_col],
-                CODE_COL: [c.tobytes() for c in codes],
-            })
+            out = {id_col: pdf[id_col],
+                   CODE_COL: [c.tobytes() for c in codes]}
+            if bucketed:
+                out[BUCKET_COL] = pdf[BUCKET_COL]
+            yield pd.DataFrame(out)
 
     id_type = dict(df.dtypes)[id_col]
-    out = df.select(id_col, vec_col).mapInPandas(
-        encode, schema=f"{id_col} {id_type}, {CODE_COL} binary")
-    out.write.mode(mode).parquet(index_path)
+    schema = f"{id_col} {id_type}, {CODE_COL} binary"
+    src = df
+    if bucketed:
+        src = ivf_assign_auto(df, ivf_centroids, 1, vec_col,
+                              bucket_col=BUCKET_COL)
+        schema += f", {BUCKET_COL} int"
+        out = src.select(id_col, vec_col, BUCKET_COL).mapInPandas(
+            encode, schema=schema)
+        # one writer per bucket directory, not writers x buckets small files
+        # (the same fix build_ivf_index carries)
+        out.repartition(F.col(BUCKET_COL)).write.mode(mode) \
+           .partitionBy(BUCKET_COL).parquet(index_path)
+    else:
+        out = src.select(id_col, vec_col).mapInPandas(encode, schema=schema)
+        out.write.mode(mode).parquet(index_path)
 
     spark = df.sparkSession
     side = spark.createDataFrame(
@@ -148,6 +177,13 @@ def build_pq_index(df: DataFrame, index_path: str, codebooks=None,
         "sub int, code int, centroid array<double>",
     )
     side.coalesce(1).write.mode("overwrite").parquet(_codebook_path(index_path))
+    if bucketed:
+        cdf = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(ivf_centroids)],
+            "cid int, centroid array<double>",
+        )
+        cdf.coalesce(1).write.mode("overwrite").parquet(
+            _ivf_cents_path(index_path))
     return books
 
 
@@ -175,14 +211,35 @@ def load_codebooks(spark: SparkSession, index_path: str):
     return books
 
 
+def load_ivf_centroids(spark: SparkSession, index_path: str):
+    """Coarse-centroid sidecar of an IVFADC layout -> list of vectors
+    (None when the index was built flat)."""
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(_ivf_cents_path(index_path)).to_pydict()
+        order = sorted(range(len(t["cid"])), key=lambda i: t["cid"][i])
+        return [[float(x) for x in t["centroid"][i]] for i in order]
+    except (ImportError, ValueError):
+        rows = (spark.read.parquet(_ivf_cents_path(index_path))
+                .orderBy("cid").collect())
+        return [[float(x) for x in r.centroid] for r in rows]
+    except OSError:
+        return None
+
+
 def pq_candidates(spark: SparkSession, index_path: str, query_vec: list[float],
                   rerank: int, codebooks=None,
-                  id_col: str = "vec_id") -> DataFrame:
+                  id_col: str = "vec_id", nprobe: int | None = None) -> DataFrame:
     """ADC scan over the codes table -> global top-``rerank`` candidate ids
     with approximate scores.  Per-batch top-r preselect keeps the Arrow
     stage's output bounded (the global top-r is a subset of the union of
     per-batch top-rs); the only exchange is the final ``rerank``-row
-    TakeOrdered."""
+    TakeOrdered.
+
+    ``nprobe`` on an IVFADC layout prunes the scan to the nprobe coarse
+    buckets nearest the query BEFORE it starts (``PartitionFilters``, plan-
+    asserted in tests/test_pq_index.py)."""
     import numpy as np
 
     books = (np.asarray(codebooks, dtype=np.float64) if codebooks is not None
@@ -209,6 +266,17 @@ def pq_candidates(spark: SparkSession, index_path: str, query_vec: list[float],
             })
 
     codes_df = spark.read.parquet(index_path)
+    if nprobe is not None:
+        from .ann_index import probe_buckets
+
+        cents = load_ivf_centroids(spark, index_path)
+        if cents is None:
+            raise ValueError(
+                f"{index_path}: nprobe set but no {_ivf_cents_path(index_path)} "
+                "sidecar — build with ivf_centroids= for an IVFADC layout")
+        probe = probe_buckets(list(q), cents, nprobe)
+        codes_df = codes_df.filter(F.col(BUCKET_COL).isin(probe))
+    codes_df = codes_df.select(id_col, CODE_COL)
     id_type = dict(codes_df.dtypes)[id_col]
     scored = codes_df.mapInPandas(
         adc, schema=f"{id_col} {id_type}, adc_score double")
@@ -220,13 +288,15 @@ def pq_query(spark: SparkSession, index_path: str, vectors: DataFrame,
              query_vec: list[float], k: int, rerank: int = 128,
              codebooks=None, id_col: str = "vec_id",
              vec_col: str = "embedding",
-             score_threshold: float | None = None) -> DataFrame:
+             score_threshold: float | None = None,
+             nprobe: int | None = None) -> DataFrame:
     """PQ ANN top-k: ADC candidates -> broadcast-join to the full vectors ->
     EXACT cosine top-k.  Scores the caller sees are exact; the compression
     only bounds which ``rerank`` rows get exact treatment (recall measured in
-    PERF.md — 1.0 at rerank=1% on the uniform-sphere fixture)."""
+    PERF.md — 1.0 at rerank=1% on the uniform-sphere fixture).  ``nprobe``
+    additionally prunes the ADC scan on an IVFADC layout."""
     cand = pq_candidates(spark, index_path, query_vec, rerank, codebooks,
-                         id_col)
+                         id_col, nprobe=nprobe)
     subset = vectors.join(F.broadcast(cand.select(id_col)), id_col)
     return topk_search(subset, query_vec, k, None, vec_col, id_col,
                        score_threshold=score_threshold)

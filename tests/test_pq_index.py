@@ -128,3 +128,45 @@ def test_dim_not_divisible_raises(spark):
                                "vec_id bigint, embedding array<double>")
     with pytest.raises(ValueError, match="not divisible"):
         pq_index.train_pq_codebooks(df, m=2)
+
+
+@pytest.fixture(scope="module")
+def ivfadc(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivfadc") / "index")
+    cents = [[float(x) for x in r.embedding]
+             for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    books = pq_index.build_pq_index(emb, path, m=16, ivf_centroids=cents)
+    return path, books, cents
+
+
+def test_ivfadc_scan_prunes_partitions(spark, ivfadc):
+    """nprobe on an IVFADC layout must land in PartitionFilters — file
+    skipping before the ADC scan starts, not a post-scan filter."""
+    path, books, cents = ivfadc
+    qvec = cents[0]
+    cand = pq_index.pq_candidates(spark, path, qvec, 16, codebooks=books,
+                                  nprobe=2)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "ivf_bucket" in plan.split("PartitionFilters:")[1][:400]
+
+
+def test_ivfadc_full_probe_equals_flat_pq(spark, emb, built, ivfadc):
+    """Probing ALL coarse buckets recovers exactly the flat-PQ answer —
+    the bucketing is a pure layout change, not a scoring change."""
+    flat_path, books = built
+    ivf_path, books2, cents = ivfadc
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).head().embedding]
+    flat = pq_index.pq_query(spark, flat_path, emb, qvec, k=10,
+                             rerank=64, codebooks=books).collect()
+    full = pq_index.pq_query(spark, ivf_path, emb, qvec, k=10, rerank=64,
+                             codebooks=books2, nprobe=len(cents)).collect()
+    assert [(r.vec_id, round(r.score, 9)) for r in flat] == \
+           [(r.vec_id, round(r.score, 9)) for r in full]
+
+
+def test_ivfadc_nprobe_without_sidecar_raises(spark, built):
+    path, books = built
+    with pytest.raises(ValueError, match="no .*ivfcents"):
+        pq_index.pq_candidates(spark, path, [0.1] * 64, 8,
+                               codebooks=books, nprobe=2)
