@@ -192,22 +192,40 @@ def find_node_by_semantic_match(mentions: DataFrame, prop_index: DataFrame,
         mention_id, "canonical_id", "score", *node_cols)
 
 
+_TENANT_ACL_COLS = (
+    "user_id", "user_read_access", "workspace_id", "workspace_read_access",
+    "organization_id", "organization_read_access", "namespace_id",
+    "namespace_read_access",
+)
+
+
 def find_node_via_relationship(nodes: DataFrame, edges: DataFrame, label: str,
                                rel_type: str, target_id: str,
-                               direction: str = "out") -> DataFrame:
+                               direction: str = "out", ctx=None) -> DataFrame:
     """G6 (memory/memory_graph.py:3163-3237): neighbor of a known node through a
-    typed edge, LIMIT 1 deterministic."""
+    typed edge, LIMIT 1 deterministic.
+
+    With ``ctx`` (an AclContext), applies the reference's tenant + ACL
+    scoping over BOTH endpoints (:3183-3208): strict tenant equality on each
+    of n and t for every tenant key the request carries, and ONE shared
+    OR-block spanning both endpoints' arms — access to either endpoint
+    satisfies the ACL.  The target's columns join in as a single broadcast
+    row; a missing target yields the reference's empty result."""
     e = edges.filter(F.col("rel_type") == rel_type)
     if direction == "out":
         e = e.filter(F.col("dst") == target_id).select(F.col("src").alias("node_id"))
     else:
         e = e.filter(F.col("src") == target_id).select(F.col("dst").alias("node_id"))
-    return (
-        nodes.filter(F.col("label") == label)
-        .join(e, "node_id", "left_semi")
-        .orderBy("node_id")
-        .limit(1)
-    )
+    out = nodes.filter(F.col("label") == label).join(e, "node_id", "left_semi")
+    if ctx is not None:
+        from .predicate import node_acl_predicate
+
+        t = nodes.filter(F.col("node_id") == target_id).select(
+            *[F.col(c).alias(f"t_{c}") for c in _TENANT_ACL_COLS])
+        out = (out.crossJoin(F.broadcast(t))
+               .filter(node_acl_predicate(ctx, prefixes=("", "t_")))
+               .drop(*[f"t_{c}" for c in _TENANT_ACL_COLS]))
+    return out.orderBy("node_id").limit(1)
 
 
 def schema_discovery(nodes: DataFrame, edges: DataFrame,

@@ -45,6 +45,12 @@ class AclContext:
     # (memory_graph.py:5861-5871: an unconditional Qdrant MUST
     # MatchValue(namespace_id=ns) whenever the request carries a namespace)
     namespace_id: str | None = None
+    # The request's ACTIVE workspace (context["workspace_id"], a scalar) —
+    # used by the direct NODE lookups (G3/G4/G6), whose tenant scoping is
+    # strict equality on workspace/org/namespace (memory_graph.py:3001-3020).
+    # Distinct from workspace_ids (the user's memberships, which feed the
+    # memory path's workspace_read_access OR-arm).
+    workspace_id: str | None = None
     # optional org narrowing (an extension — the reference deliberately has
     # NO org MUST, :5834-5844; when enabled, legacy NULL-org rows still match)
     scope_organization: bool = False
@@ -80,9 +86,14 @@ def acl_predicate(ctx: AclContext, prefix: str = "") -> Column:
         c("user_id") == ctx.user_id,
         F.array_contains(c("user_read_access"), ctx.user_id),
     ]
-    if ctx.workspace_ids:
+    # The reference only compiles the workspace/role OR-arms when the list is
+    # small ("Only add ... if ... <= 10 (for speed)", memory_graph.py:
+    # 5821-5827) — a speed guard with semantic effect: a caller with 11
+    # workspaces gets NO workspace arm at all, so rows readable only via a
+    # workspace grant disappear from their results.  Mirrored, not "fixed".
+    if ctx.workspace_ids and len(ctx.workspace_ids) <= 10:
         ors.append(F.arrays_overlap(c("workspace_read_access"), _lit_array(ctx.workspace_ids)))
-    if ctx.role_ids:
+    if ctx.role_ids and len(ctx.role_ids) <= 10:
         ors.append(F.arrays_overlap(c("role_read_access"), _lit_array(ctx.role_ids)))
     if ctx.organization_id:
         ors.append(F.array_contains(c("organization_read_access"), ctx.organization_id))
@@ -105,6 +116,50 @@ def acl_predicate(ctx: AclContext, prefix: str = "") -> Column:
         pred = pred & (
             c("organization_id").isNull() | (c("organization_id") == ctx.organization_id)
         )
+    return pred
+
+
+def node_acl_predicate(ctx: AclContext, prefixes: tuple[str, ...] = ("",)) -> Column:
+    """The DIRECT NODE lookups' filter (G3/G4/G6: find_node_by_property /
+    find_node_by_fuzzy_match / find_node_via_relationship,
+    memory/memory_graph.py:3001-3048, :3111-3162, :3180-3237) — a different
+    algebra than the memory search path:
+
+    - **Tenant scoping is strict AND equality for EVERY key the request
+      carries** — ``n.workspace_id = $ws AND n.organization_id = $org AND
+      n.namespace_id = $ns`` (:3002-3009).  Unlike the memory path, the
+      ORGANIZATION gets no legacy-NULL allowance here: a NULL-org node never
+      matches an org-scoped node lookup (Cypher ``=`` excludes NULLs, as does
+      the Column ``==``).
+    - **The OR-block has NO role arm** (:3010-3020) and uses the request's
+      single active workspace, not the membership list.
+    - **Multi-node patterns share ONE OR-block** (G6, :3192-3208): the arms
+      for BOTH endpoints live in the same OR, so access to EITHER endpoint
+      satisfies the ACL — pass ``prefixes=("", "t_")`` and the tenant AND
+      still applies per-endpoint.
+    """
+    c = F.col
+    ors: list[Column] = []
+    for p in prefixes:
+        ors.append(c(p + "user_id") == ctx.user_id)
+        ors.append(F.array_contains(c(p + "user_read_access"), ctx.user_id))
+    for p in prefixes:
+        if ctx.workspace_id:
+            ors.append(F.array_contains(c(p + "workspace_read_access"), ctx.workspace_id))
+        if ctx.organization_id:
+            ors.append(F.array_contains(c(p + "organization_read_access"), ctx.organization_id))
+        if ctx.namespace_id:
+            ors.append(F.array_contains(c(p + "namespace_read_access"), ctx.namespace_id))
+    pred = ors[0]
+    for o in ors[1:]:
+        pred = pred | o
+    pred = F.coalesce(pred, F.lit(False))
+    for p in prefixes:
+        for col_name, val in (("workspace_id", ctx.workspace_id),
+                              ("organization_id", ctx.organization_id),
+                              ("namespace_id", ctx.namespace_id)):
+            if val:
+                pred = pred & (c(p + col_name) == val)
     return pred
 
 

@@ -758,12 +758,28 @@ WITH {NODES_CTE.strip()}
 SELECT node_id, label, prop_name
 FROM nodes_d
 WHERE label = 'Customer' AND contains(lower(prop_name), '001')
+  -- strict org equality: NO legacy-NULL allowance on the node path — the
+  -- id_num % 10 == 7 legacy rows (NULL org) are excluded outright
+  AND (id_num % 10 != 7 AND 'o' || (id_num % 3)::VARCHAR = 'o0')
+  AND ( 'u' || (id_num % 20)::VARCHAR = 'u3'
+     OR list_contains(['u' || (id_num % 20)::VARCHAR,
+                       'u' || ((id_num + 1) % 20)::VARCHAR], 'u3')
+     OR (id_num % 10 != 7 AND 'o' || (id_num % 3)::VARCHAR = 'o0') )
 ORDER BY node_id LIMIT 1
 """)
 def g4(spark, sf_dir):
+    """G4 fuzzy lookup under node-path scoping (memory_graph.py:3111-3162):
+    the request carries organization o0, which on the NODE path is a strict
+    equality — legacy NULL-org nodes never match (unlike the memory path's
+    deliberate legacy allowance, :5834-5844).  The returned node therefore
+    differs from the unscoped first match, pinning the strictness."""
+    from .operators.predicate import AclContext, node_acl_predicate
+
     t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "region", "supplier"]}
     nodes = tables.build_nodes(t["customer"], t["nation"], t["region"], t["supplier"])
-    out = graph.find_node_by_fuzzy_match(nodes, "Customer", "prop_name", "001")
+    ctx = AclContext(user_id="u3", organization_id="o0")
+    out = graph.find_node_by_fuzzy_match(nodes, "Customer", "prop_name", "001",
+                                         acl=node_acl_predicate(ctx))
     return out.select("node_id", "label", "prop_name")
 
 
@@ -1219,12 +1235,28 @@ def v11_quant(spark, sf_dir):
 WITH {NODES_CTE.strip()}
 SELECT node_id, label, prop_name FROM nodes_d
 WHERE label = 'Nation' AND prop_name = 'NATION_7'
+  -- node-path tenant scoping: strict workspace equality (ctx carries w7)
+  AND 'w' || (id_num % 8)::VARCHAR = 'w7'
+  -- node-path ACL OR-block (no role arm)
+  AND ( 'u' || (id_num % 20)::VARCHAR = 'u7'
+     OR list_contains(['u' || (id_num % 20)::VARCHAR,
+                       'u' || ((id_num + 1) % 20)::VARCHAR], 'u7')
+     OR list_contains(['w' || (id_num % 8)::VARCHAR,
+                       'w' || ((id_num + 2) % 8)::VARCHAR], 'w7') )
 ORDER BY node_id LIMIT 1
 """)
 def g3(spark, sf_dir):
+    """G3 with the reference's node-path scoping (memory_graph.py:3001-3048):
+    tenant keys the request carries apply as STRICT AND equality (here the
+    active workspace w7) on top of the roles-free ACL OR-block — a different
+    algebra than the memory search path (predicate.node_acl_predicate)."""
+    from .operators.predicate import AclContext, node_acl_predicate
+
     t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "region", "supplier"]}
     nodes = tables.build_nodes(t["customer"], t["nation"], t["region"], t["supplier"])
-    out = graph.find_node_by_property(nodes, "Nation", "prop_name", "NATION_7")
+    ctx = AclContext(user_id="u7", workspace_id="w7")
+    out = graph.find_node_by_property(nodes, "Nation", "prop_name", "NATION_7",
+                                      acl=node_acl_predicate(ctx))
     return out.select("node_id", "label", "prop_name")
 
 
@@ -1235,13 +1267,40 @@ FROM nodes_d n
 WHERE n.label = 'Customer'
   AND EXISTS (SELECT 1 FROM edges_d e
               WHERE e.rel_type = 'BELONGS_TO' AND e.src = n.node_id AND e.dst = 'n5')
+  -- tenant scoping applies to BOTH endpoints: n (the found customer) and the
+  -- target t = n5 (id_num 5 -> workspace w5, so the t conditions hold)
+  AND 'w' || (n.id_num % 8)::VARCHAR = 'w5'
+  AND 'w' || (5 % 8)::VARCHAR = 'w5'
+  -- ONE OR-block spans both endpoints' arms (access to EITHER suffices);
+  -- the t arm 'u' || (5 % 20) = 'u5' is true, so the n-side arms are not
+  -- required — exactly the reference's combined WHERE (:3192-3208)
+  AND ( 'u' || (n.id_num % 20)::VARCHAR = 'u5'
+     OR list_contains(['u' || (n.id_num % 20)::VARCHAR,
+                       'u' || ((n.id_num + 1) % 20)::VARCHAR], 'u5')
+     OR list_contains(['w' || (n.id_num % 8)::VARCHAR,
+                       'w' || ((n.id_num + 2) % 8)::VARCHAR], 'w5')
+     OR 'u' || (5 % 20)::VARCHAR = 'u5'
+     OR list_contains(['u' || (5 % 20)::VARCHAR,
+                       'u' || ((5 + 1) % 20)::VARCHAR], 'u5')
+     OR list_contains(['w' || (5 % 8)::VARCHAR,
+                       'w' || ((5 + 2) % 8)::VARCHAR], 'w5') )
 ORDER BY n.node_id LIMIT 1
 """)
 def g6(spark, sf_dir):
+    """G6 with the reference's two-endpoint scoping (memory_graph.py:
+    3183-3208): strict tenant equality on BOTH the found node and the target,
+    and a single ACL OR-block spanning both endpoints' arms — the target n5
+    being owned by u5 satisfies the ACL even for customers the caller could
+    not read directly (an either-endpoint semantic the repo mirrors rather
+    than 'fixes')."""
+    from .operators.predicate import AclContext
+
     t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "region", "supplier"]}
     nodes = tables.build_nodes(t["customer"], t["nation"], t["region"], t["supplier"])
     edges = tables.build_edges(t["customer"], t["nation"], t["supplier"])
-    out = graph.find_node_via_relationship(nodes, edges, "Customer", "BELONGS_TO", "n5", "out")
+    ctx = AclContext(user_id="u5", workspace_id="w5")
+    out = graph.find_node_via_relationship(nodes, edges, "Customer",
+                                           "BELONGS_TO", "n5", "out", ctx=ctx)
     return out.select("node_id", "label", "prop_name")
 
 

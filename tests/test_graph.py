@@ -139,3 +139,95 @@ def test_semantic_match_resolves_similar_and_creates_below_threshold(spark):
     assert out["m_far"].canonical_id is None           # reference returns None
     assert out["m_far"].score is None
     assert out["m_exactly"].canonical_id == "ent_a"    # >= is inclusive
+
+
+@pytest.fixture(scope="module")
+def tenant_g(spark):
+    """Nodes carrying the full tenant + ACL block (reference node-path
+    scoping, memory_graph.py:3001-3020)."""
+    cols = ("node_id string, label string, prop_name string, user_id string, "
+            "user_read_access array<string>, workspace_id string, "
+            "workspace_read_access array<string>, organization_id string, "
+            "organization_read_access array<string>, namespace_id string, "
+            "namespace_read_access array<string>")
+    nodes = spark.createDataFrame(
+        [
+            # owned by alice, ws w1, org o1
+            ("e1", "Entity", "apple", "alice", ["alice"], "w1", ["w1"],
+             "o1", ["o1"], "ns1", ["ns1"]),
+            # legacy NULL-org row, same name
+            ("e2", "Entity", "apple", "alice", ["alice"], "w1", ["w1"],
+             None, [], None, []),
+            # bob's node, unreadable by alice, org o1
+            ("e3", "Entity", "apple", "bob", ["bob"], "w1", ["w1"],
+             "o1", ["o1"], "ns1", ["ns1"]),
+        ],
+        cols,
+    )
+    edges = spark.createDataFrame(
+        [("e3", "e1", "LINKS"), ("e2", "e1", "LINKS")],
+        "src string, dst string, rel_type string",
+    )
+    return nodes, edges
+
+
+def test_node_lookup_strict_org_excludes_legacy_null(spark, tenant_g):
+    """Node-path tenant scoping has NO legacy-NULL allowance: an org-scoped
+    lookup must skip NULL-org nodes even when the caller owns them
+    (unlike the memory path, memory_graph.py:5834-5844 vs :3002-3009)."""
+    from memory_opensource_spark.operators.predicate import (
+        AclContext, node_acl_predicate)
+
+    nodes, _ = tenant_g
+    ctx = AclContext(user_id="alice", organization_id="o1")
+    kept = sorted(r.node_id for r in
+                  nodes.filter(node_acl_predicate(ctx)).collect())
+    # e2 (alice's own LEGACY row) is dropped by the strict org equality;
+    # e3 passes via the org_read_access OR-arm + matching org tenant.
+    assert kept == ["e1", "e3"]
+
+
+def test_node_lookup_or_block_has_no_role_arm(spark, tenant_g):
+    """Roles open the memory path but NOT the node path (:3010-3020)."""
+    from memory_opensource_spark.operators.predicate import (
+        AclContext, node_acl_predicate)
+
+    nodes, _ = tenant_g
+    ctx = AclContext(user_id="carol", role_ids=["r1"])
+    roled = nodes.withColumn("role_read_access", F.array(F.lit("r1")))
+    assert roled.filter(node_acl_predicate(ctx)).count() == 0
+
+
+def test_via_relationship_either_endpoint_grants_access(spark, tenant_g):
+    """G6's single OR-block spans BOTH endpoints (memory_graph.py:3192-3208):
+    bob's e3 is returned to alice because the TARGET e1 is alice's, even
+    though e3 itself fails every alice arm."""
+    from memory_opensource_spark.operators.predicate import AclContext
+
+    nodes, edges = tenant_g
+    ctx = AclContext(user_id="alice")
+    out = graph.find_node_via_relationship(
+        nodes, edges, "Entity", "LINKS", "e1", "out", ctx=ctx).collect()
+    assert [r.node_id for r in out] == ["e2"]  # min node_id among e2, e3
+    # and with a target alice cannot access, nothing comes back
+    ctx2 = AclContext(user_id="dave")
+    assert graph.find_node_via_relationship(
+        nodes, edges, "Entity", "LINKS", "e1", "out", ctx=ctx2).count() == 0
+
+
+def test_acl_arm_dropped_past_ten_entries(spark):
+    """The memory-path workspace/role OR-arms are omitted when the list
+    exceeds 10 entries (reference speed guard, memory_graph.py:5821-5827)."""
+    from memory_opensource_spark.operators.predicate import (
+        AclContext, acl_predicate)
+
+    df = spark.createDataFrame(
+        [("m1", "owner", ["nobody"], ["w5"], [], None, None)],
+        "memory_id string, user_id string, user_read_access array<string>, "
+        "workspace_read_access array<string>, role_read_access array<string>, "
+        "organization_id string, namespace_id string",
+    )
+    small = AclContext(user_id="me", workspace_ids=[f"w{i}" for i in range(10)])
+    big = AclContext(user_id="me", workspace_ids=[f"w{i}" for i in range(11)])
+    assert df.filter(acl_predicate(small)).count() == 1   # w5 arm present
+    assert df.filter(acl_predicate(big)).count() == 0     # arm dropped
