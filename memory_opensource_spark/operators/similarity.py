@@ -359,6 +359,88 @@ def batch_topk_search(queries: DataFrame, corpus: DataFrame, k: int,
     )
 
 
+def hard_negative_mining(anchors: DataFrame, corpus: DataFrame, k: int,
+                         fp_cap: float = 0.95,
+                         anchor_id: str = "id", anchor_vec: str = "embedding",
+                         anchor_label: str = "label",
+                         corpus_id: str = "id", corpus_vec: str = "embedding",
+                         corpus_label: str = "label") -> DataFrame:
+    """Contrastive hard-negative mining (the DPR/Sentence-BERT recipe,
+    Karpukhin et al. 2020, arXiv:2004.04906 §4.2): for every anchor, the k
+    most similar corpus rows that are NOT positives — a different label, and
+    cosine < ``fp_cap`` (the false-negative guard: a near-identical row is
+    presumed an unlabeled positive, not a negative worth training against).
+
+    Plan shape = :func:`batch_topk_search`: the anchor set broadcasts as a
+    numpy matrix (+ label vector), the corpus STREAMS through mapInPandas
+    emitting only per-anchor LOCAL top-k per partition, and one keyed window
+    reduces to the global top-k.  Shuffle is O(anchors * k * partitions);
+    nothing scales with corpus size except the scan.  Exact: the global
+    top-k of a union of per-partition top-k's is the corpus top-k.
+    Returns {anchor_id, negative_id, score, rank}.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    rows = anchors.select(anchor_id, anchor_vec, anchor_label).collect()
+    spark = corpus.sparkSession
+    out_schema = StructType([
+        StructField("anchor_id", anchors.schema[anchor_id].dataType),
+        StructField("negative_id", corpus.schema[corpus_id].dataType),
+        StructField("score", DoubleType()),
+    ])
+    if not rows:
+        return spark.createDataFrame([], out_schema).withColumn(
+            "rank", F.lit(None).cast("int"))
+    import numpy as np
+
+    a_ids = [r[0] for r in rows]
+    a_mat = np.asarray([list(r[1]) for r in rows], dtype="float64")
+    a_norm = np.linalg.norm(a_mat, axis=1, keepdims=True)
+    a_norm[a_norm == 0] = 1.0
+    a_labels = np.asarray([r[2] for r in rows])
+    b = spark.sparkContext.broadcast((a_ids, a_mat / a_norm, a_labels))
+
+    def compute(batches):
+        import numpy as np
+
+        ids, mat, labels = b.value
+        ids_arr = np.asarray(ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.asarray([np.asarray(v, dtype="float64")
+                               for v in pdf[corpus_vec]])
+            cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+            cnorm[cnorm == 0] = 1.0
+            scores = (cmat / cnorm) @ mat.T          # (batch, n_anchors)
+            # positives (same label) and presumed-dup rows are not negatives
+            clab = pdf[corpus_label].to_numpy()
+            scores[clab[:, None] == labels[None, :]] = -np.inf
+            scores[scores >= fp_cap] = -np.inf
+            n_keep = min(k, scores.shape[0])
+            cids = pdf[corpus_id].to_numpy()
+            rows_out = []
+            for qi in range(scores.shape[1]):
+                # same tie-break as the global window: (score desc, id asc)
+                order = np.lexsort((cids, -scores[:, qi]))[:n_keep]
+                for ci in order:
+                    if scores[ci, qi] == -np.inf:
+                        break
+                    rows_out.append((ids_arr[qi], cids[ci], float(scores[ci, qi])))
+            if rows_out:
+                yield pd.DataFrame(rows_out,
+                                   columns=["anchor_id", "negative_id", "score"])
+
+    local_topk = fan_out(
+        corpus.select(corpus_id, corpus_vec, corpus_label)
+    ).mapInPandas(compute, out_schema)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col("negative_id").asc())
+    return (local_topk.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def lsh_approx_join(left: DataFrame, right: DataFrame, cosine_threshold: float,
                     left_vec: str = "embedding", right_vec: str = "embedding",
                     left_id: str = "id", right_id: str = "id",
