@@ -4346,7 +4346,10 @@ _SEMDEDUP_COS_IJ = _COSINE_SQL.replace("e.embedding", "ei.embedding").replace("q
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16
 ), sims AS (
-  SELECT v.vec_id, c.cid, {_SEMDEDUP_COS_VC} AS csim
+  -- ROUND(.,6) mirrors the operator exactly: assignment tie-break, ranking,
+  -- and the eps comparison all happen on 6-dp-rounded cosines (ADVICE r6:
+  -- a raw-cosine mirror flips is_dup on sub-1e-6 boundary/tie cases)
+  SELECT v.vec_id, c.cid, ROUND({_SEMDEDUP_COS_VC}, 6) AS csim
   FROM embeddings v CROSS JOIN cents c
 ), assign AS (
   SELECT vec_id, cid, csim,
@@ -4362,7 +4365,7 @@ WITH cents AS (
   JOIN ranked j ON i.cluster_id = j.cluster_id AND j.rk < i.rk
   JOIN embeddings ei ON ei.vec_id = i.vec_id
   JOIN embeddings ej ON ej.vec_id = j.vec_id
-  WHERE {_SEMDEDUP_COS_IJ} >= 0.35
+  WHERE ROUND({_SEMDEDUP_COS_IJ}, 6) >= 0.35
 )
 SELECT r.vec_id AS id, r.cluster_id::BIGINT AS cluster_id,
        r.centroid_sim AS centroid_sim,

@@ -115,14 +115,18 @@ def _decode_wav(content: bytes):
         cid, size = content[i : i + 4], struct.unpack("<I", content[i + 4 : i + 8])[0]
         body = content[i + 8 : i + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # malformed fmt chunk: stay behind the seam
+                return None
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
-            data = body
+            data = body  # slice already truncates a size field past the buffer
         i += 8 + size + (size % 2)
     if fmt is None or data is None or fmt[0] != 1:  # PCM only
         return None
     n_channels, bits = fmt[1], fmt[5]
     if bits == 16:
+        if len(data) % 2:  # odd-length int16 payload: malformed, stay behind seam
+            return None
         sig = np.frombuffer(data, dtype="<i2").astype("float64") / 32768.0
     elif bits == 8:
         sig = (np.frombuffer(data, dtype=np.uint8).astype("float64") - 128.0) / 128.0
@@ -153,6 +157,8 @@ def _real_features(content: bytes, modality: str, frame: int = 0,
         # trivial container: u32 frame count, then length-prefixed P6 frames
         import struct
 
+        if len(content) < 12:
+            return None  # magic but no frame count: truncated container
         n = struct.unpack("<I", content[8:12])[0]
         frames, i = [], 12
         for _ in range(n):

@@ -134,6 +134,34 @@ def build_pq_index(df: DataFrame, index_path: str, codebooks=None,
     m_, k, ds = books.shape
     bucketed = ivf_centroids is not None
 
+    if mode != "overwrite":
+        # The sidecars are written overwrite below; an append whose codebooks
+        # differ from the stored ones would silently re-point every previously
+        # appended code at the WRONG codebooks (ADC scores corrupt, no error).
+        # Mirror append_to_index's contract: appends must decode against the
+        # existing sidecar, so require bit-equal codebooks (and, for IVFADC,
+        # bit-equal coarse centroids).
+        spark_ = df.sparkSession
+        try:
+            stored = load_codebooks(spark_, index_path)
+        except Exception:
+            stored = None
+        if stored is not None and not np.array_equal(
+                np.asarray(stored, dtype=np.float64), books):
+            raise ValueError(
+                f"build_pq_index(mode={mode!r}): codebooks differ from the "
+                f"sidecar at {_codebook_path(index_path)}; pass the stored "
+                "codebooks (load_codebooks) to append compatibly")
+        if stored is not None and bucketed:
+            stored_cents = load_ivf_centroids(spark_, index_path)
+            if stored_cents is not None and not np.allclose(
+                    np.asarray(stored_cents, dtype=np.float64),
+                    np.asarray(ivf_centroids, dtype=np.float64)):
+                raise ValueError(
+                    f"build_pq_index(mode={mode!r}): ivf_centroids differ "
+                    f"from {_ivf_cents_path(index_path)}; appended codes "
+                    "would land in wrong buckets")
+
     def encode(batches):
         import pandas as pd
 
@@ -221,8 +249,16 @@ def load_ivf_centroids(spark: SparkSession, index_path: str):
         order = sorted(range(len(t["cid"])), key=lambda i: t["cid"][i])
         return [[float(x) for x in t["centroid"][i]] for i in order]
     except (ImportError, ValueError):
-        rows = (spark.read.parquet(_ivf_cents_path(index_path))
-                .orderBy("cid").collect())
+        # Spark fallback must mirror the pyarrow branch's missing-sidecar ->
+        # None mapping, or a flat index queried with nprobe surfaces an opaque
+        # PATH_NOT_FOUND instead of pq_candidates' intended ValueError.
+        try:
+            rows = (spark.read.parquet(_ivf_cents_path(index_path))
+                    .orderBy("cid").collect())
+        except Exception as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
         return [[float(x) for x in r.centroid] for r in rows]
     except OSError:
         return None
@@ -259,7 +295,10 @@ def pq_candidates(spark: SparkSession, index_path: str, query_vec: list[float],
             codes = np.frombuffer(
                 b"".join(pdf[CODE_COL]), dtype=np.uint8).reshape(len(pdf), m)
             s = lut[np.arange(m), codes].sum(1)
-            top = np.argsort(-s)[:r]
+            # (score desc, id asc) so exact-tie cuts are layout-independent —
+            # plain argsort would let partition/batch order pick which tied
+            # row reaches re-rank (the id-asc determinism rule everywhere else)
+            top = np.lexsort((pdf[id_col].to_numpy(), -s))[:r]
             yield pd.DataFrame({
                 id_col: pdf[id_col].iloc[top].to_numpy(),
                 "adc_score": s[top],

@@ -173,3 +173,37 @@ def test_malformed_ppm_falls_back_to_seam_error(spark):
                      "meta_duration_ms int")
     with pytest.raises(Exception, match="decodable|seam"):
         decode_features(media, real=True).collect()
+
+
+def test_malformed_wav_and_video_fall_back_to_seam_error(spark):
+    """ADVICE r6: malformed WAV bytes (fmt chunk < 16 B, data size field past
+    the buffer, odd-length 16-bit payload) and a truncated PAPRVID0 container
+    must hit the decoder-seam NotImplementedError, not struct.error /
+    np.frombuffer ValueError from inside the executor."""
+    import struct
+
+    import pytest
+
+    from memory_opensource_spark.sources.multimodal import decode_features
+
+    short_fmt = (b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+                 + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00")
+    base = _wav([0.1, -0.2, 0.3])
+    oversized = base.replace(struct.pack("<I", 6), struct.pack("<I", 1 << 20), 1)
+    odd = base[:-1]  # odd-length int16 payload
+    rows = [("w1", "audio", short_fmt), ("w2", "audio", oversized),
+            ("w3", "audio", odd), ("v1", "video", b"PAPRVID0\x04")]
+    media = spark.createDataFrame(
+        [(i, m, c, "x", None, None, None) for i, m, c in rows],
+        schema="media_id string, modality string, content binary, "
+               "mime_type string, meta_width int, meta_height int, "
+               "meta_duration_ms int")
+    for mid in ["w1", "w3", "v1"]:
+        one = media.filter(F.col("media_id") == mid)
+        with pytest.raises(Exception, match="decodable|seam"):
+            decode_features(one, real=True).collect()
+    # oversized data-size field: slice truncates to the real payload, decode
+    # still succeeds on what's actually there (no crash either way)
+    got = decode_features(media.filter(F.col("media_id") == "w2"),
+                          real=True).collect()
+    assert len(got) == 1

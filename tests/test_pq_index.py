@@ -170,3 +170,23 @@ def test_ivfadc_nprobe_without_sidecar_raises(spark, built):
     with pytest.raises(ValueError, match="no .*ivfcents"):
         pq_index.pq_candidates(spark, path, [0.1] * 64, 8,
                                codebooks=books, nprobe=2)
+
+
+def test_append_with_mismatched_codebooks_raises(spark, emb, built):
+    """ADVICE r6: mode='append' with codebooks that differ from the stored
+    sidecar must raise — a silent sidecar overwrite would re-point every
+    previously appended code at the wrong codebooks (corrupt ADC scores)."""
+    path, books = built
+    other = books + 0.5
+    with pytest.raises(ValueError, match="codebooks differ"):
+        pq_index.build_pq_index(emb.limit(8), path, codebooks=other,
+                                m=16, mode="append")
+
+
+def test_append_with_matching_codebooks_ok(spark, emb, tmp_path):
+    path = str(tmp_path / "pq_app")
+    books = pq_index.build_pq_index(emb.filter(F.col("vec_id") < 100), path, m=16)
+    pq_index.build_pq_index(
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150)),
+        path, codebooks=books, m=16, mode="append")
+    assert spark.read.parquet(path).count() == 150
