@@ -81,13 +81,65 @@ def nll_score(docs: DataFrame, uni: DataFrame, bi: DataFrame, vocab: int,
 
 
 def quality_buckets(scored: DataFrame, n_buckets: int = 3,
-                    nll_col: str = "avg_nll") -> DataFrame:
+                    nll_col: str = "avg_nll",
+                    range_partitions: int = 64) -> DataFrame:
     """CCNet's head/middle/tail split: rank documents by LM score and cut
     into n_buckets equal-frequency tiers (bucket 1 = lowest perplexity =
-    highest quality).  ntile is a single global window — acceptable because
-    its input is one (id, score) pair per document, tiny next to the corpus;
-    at extreme scale swap in approx percentile cuts."""
+    highest quality).
+
+    EXACT ``ntile(n) over (order by nll, id)`` semantics, computed WITHOUT a
+    global single-partition window (the round-6 scale-killer: one row per
+    document still funnels every document through one task at corpus scale):
+
+    1. Range-bucket rows by ``percentile_approx`` boundaries of the score —
+       monotone in (nll), so bucket order == sort order; accuracy only
+       affects balance, never correctness.  Equal scores land in ONE bucket,
+       so the (nll, id) tie-break stays local.
+    2. Per-bucket counts -> cumulative offsets (a collect of
+       <= range_partitions rows).
+    3. ``row_number`` over a window PARTITIONED by range bucket (distributed)
+       + broadcast offset = exact global 0-based rank.
+    4. ntile's fill rule as a column expression: first ``N % n`` tiles get
+       ``ceil(N/n)`` rows, the rest ``floor(N/n)``.
+
+    The input is localCheckpointed first — three jobs read it (boundaries,
+    counts, final) and it is typically the output of an expensive
+    explode/join/agg pipeline."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col(nll_col).asc(), F.col("id").asc())
-    return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    # lazy checkpoint: the first action below materializes it; the expensive
+    # upstream (explode/join/agg) runs exactly once across all three jobs
+    scored = scored.localCheckpoint(eager=False)
+    probs = [i / range_partitions for i in range(1, range_partitions)]
+    head = scored.agg(
+        F.percentile_approx(nll_col, probs, 10_000).alias("b"),
+        F.count("*").alias("n")).first()
+    n_rows = head["n"]
+    if n_rows == 0:
+        return scored.withColumn("bucket", F.lit(None).cast("int"))
+    bounds = sorted(set(b for b in (head["b"] or []) if b is not None))
+    rb = F.lit(0)
+    for b in bounds:
+        rb = rb + (F.col(nll_col) > F.lit(float(b))).cast("int")
+    scored = scored.withColumn("_rb", rb)
+
+    cnts = {r["_rb"]: r["c"] for r in
+            scored.groupBy("_rb").agg(F.count("*").alias("c")).collect()}
+    offsets, acc = {}, 0
+    for k in sorted(cnts):
+        offsets[k] = acc
+        acc += cnts[k]
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+
+    w = Window.partitionBy("_rb").orderBy(F.col(nll_col).asc(), F.col("id").asc())
+    rank0 = (off_map[F.col("_rb")] + F.row_number().over(w) - 1).cast("long")
+
+    base = n_rows // n_buckets
+    rem = n_rows % n_buckets
+    cut = rem * (base + 1)
+    # base == 0 only when N < n; then every rank is < cut and the otherwise
+    # arm never evaluates a real row — max(base, 1) keeps the division total
+    bucket = (F.when(rank0 < cut, F.floor(rank0 / (base + 1)) + 1)
+              .otherwise(rem + F.floor((rank0 - cut) / max(base, 1)) + 1))
+    return (scored.withColumn("bucket", bucket.cast("int"))
+            .drop("_rb"))

@@ -161,3 +161,43 @@ def test_quality_buckets_are_equal_frequency(spark):
     # bucket 1 holds the lowest-nll (highest-quality) ids
     b1 = {r.id for r in out.filter(F.col("bucket") == 1).collect()}
     assert b1 == {0, 1, 2}
+
+
+def test_quality_buckets_exact_ntile_parity(spark):
+    """The distributed range-bucket + offset form must reproduce EXACT
+    ntile(n) over (order by nll, id) semantics — including score ties that
+    span tile boundaries, N not divisible by n, and N < n (VERDICT r6: the
+    global-window form was the one 100x scale-killer)."""
+    import random
+
+    from pyspark.sql import Window
+    from memory_opensource_spark.functions import lm
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(7)
+    rows = [(i, 10, float(rnd.choice([0.1, 0.2, 0.2, 0.3, 0.55])))
+            for i in range(101)]                    # heavy ties, 101 % 3 != 0
+    for n_rows, n_buckets in [(101, 3), (9, 4), (2, 5)]:
+        scored = spark.createDataFrame(
+            rows[:n_rows], "id int, n_bigrams int, avg_nll double")
+        got = {r.id: r.bucket
+               for r in lm.quality_buckets(scored, n_buckets).collect()}
+        w = Window.orderBy(F.col("avg_nll").asc(), F.col("id").asc())
+        want = {r.id: r.b for r in scored.withColumn(
+            "b", F.ntile(n_buckets).over(w)).collect()}
+        assert got == want, (n_rows, n_buckets)
+
+
+def test_quality_buckets_plan_has_no_global_window(spark):
+    """Scale pin: the returned plan must contain no single-partition exchange
+    (the window is partitioned by the range bucket; ranks come from broadcast
+    offsets)."""
+    from memory_opensource_spark.functions import lm
+
+    scored = spark.createDataFrame(
+        [(i, 10, float(i % 13) / 10) for i in range(200)],
+        "id int, n_bigrams int, avg_nll double")
+    out = lm.quality_buckets(scored, n_buckets=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan  # partitioned window is still how ranks are local
