@@ -508,7 +508,9 @@ class MemoryEngine:
     # ---- read path (§3.1) ---------------------------------------------------------
 
     def build_search_index(self, path: str, n_centroids: int | None = None,
-                           assign_k: int = 1) -> None:
+                           assign_k: int = 1, method: str = "ivf",
+                           pq_m: int | None = None,
+                           pq_rerank: int = 128) -> None:
         """Persist the chunk table in the IVF-partitioned layout
         (sources/ann_index) and attach it to this engine — the V2-at-scale
         serving path (the reference serves this from Qdrant HNSW,
@@ -520,7 +522,15 @@ class MemoryEngine:
         sizing rule; clamped to [16, 65536]).  A FIXED default of 32 was the
         round-5 recall ceiling — PERF.md's round-6 table shows recall at a
         fixed scan budget is a pure function of quantization granularity, so
-        C must grow with N."""
+        C must grow with N.
+
+        ``method="pq"`` builds the IVFADC layout instead (sources/pq_index,
+        the FAISS IndexIVFPQ shape): an m-byte code per chunk partitioned by
+        coarse bucket, plus a chunk-id-sorted full-fidelity fetch table.
+        Serving ADC-scans the (16x smaller) codes of the probed buckets,
+        exact-re-ranks the top ``pq_rerank``, and fetches only those rows —
+        the measured-best recall/cost point (PERF.md: 1.00@10 at ~11% of
+        scan bytes).  ``pq_m=None`` picks the largest divisor of dim <= 16."""
         import math
 
         from .operators.similarity import route_rows
@@ -529,8 +539,50 @@ class MemoryEngine:
         if n_centroids is None:
             est = max(1, route_rows(self.chunks))
             n_centroids = max(16, min(65536, int(4 * math.sqrt(est))))
-        ann_index.build_ivf_index(self.chunks, path, n_centroids=n_centroids,
-                                  assign_k=assign_k)
+        if method == "pq":
+            from .sources import pq_index
+
+            m = pq_m or max(m for m in range(1, min(16, self.dim) + 1)
+                            if self.dim % m == 0)
+            cents = ann_index.train_centroids(self.chunks, n_centroids)
+            books = pq_index.train_pq_codebooks(
+                self.chunks, m=m, vec_col="embedding", id_col="chunk_id")
+            # codes carry every payload/ACL column (Qdrant's filtered-ANN
+            # model): ACL and spec predicates evaluate ON THE CODES SCAN,
+            # before the re-rank cut — post-hoc filtering of a bounded
+            # candidate set collapses recall under selective filters (the
+            # 600k probe measured 0.05 overlap that way).  Parquet is
+            # columnar: an unfiltered query still reads only (id, code,
+            # bucket); heavy columns (embedding, chunk_content) stay out.
+            payload = [c for c in self.chunks.columns
+                       if c not in ("chunk_id", "embedding", "chunk_content")]
+            pq_index.build_pq_index(
+                self.chunks, path, codebooks=books, m=m,
+                vec_col="embedding", id_col="chunk_id",
+                ivf_centroids=cents, extra_cols=payload)
+            # fetch table: full rows PARTITIONED by the same coarse bucket as
+            # the codes and sorted by chunk_id within — a query's fetch prunes
+            # to the nprobe probed partitions (PartitionFilters), then the
+            # candidate-id IN-filter prunes row groups via footer min/max on
+            # the sorted id.  A flat id-range layout can't prune: one query's
+            # candidates spread across the whole id space.
+            from .operators.similarity import ivf_assign_auto
+
+            assigned = ivf_assign_auto(self.chunks, cents, 1, "embedding",
+                                       bucket_col=pq_index.BUCKET_COL)
+            (assigned.repartition(F.col(pq_index.BUCKET_COL))
+             .sortWithinPartitions("chunk_id")
+             .write.mode("overwrite").partitionBy(pq_index.BUCKET_COL)
+             .parquet(path + ".rows"))
+            self._pq_books, self._pq_cents, self._pq_rerank = books, cents, pq_rerank
+            self._pq_n = self.chunks.count()
+        elif method == "ivf":
+            ann_index.build_ivf_index(self.chunks, path,
+                                      n_centroids=n_centroids,
+                                      assign_k=assign_k)
+        else:
+            raise ValueError(f"method must be 'ivf' or 'pq', got {method!r}")
+        self._ann_method = method
         self._ann_index_path = path
         self._ann_tombstones = None  # fresh build: nothing is stale
 
@@ -559,6 +611,28 @@ class MemoryEngine:
                     "(deleted/updated since build): rebuild with "
                     "build_search_index instead of appending")
         new = self.chunks.filter(F.col("memory_id").isin(memory_ids))
+        if getattr(self, "_ann_method", "ivf") == "pq":
+            from .sources import pq_index
+
+            n = new.count()
+            if n:
+                payload = [c for c in new.columns
+                           if c not in ("chunk_id", "embedding", "chunk_content")]
+                pq_index.build_pq_index(
+                    new, self._ann_index_path, codebooks=self._pq_books,
+                    m=int(self._pq_books.shape[0]), vec_col="embedding",
+                    id_col="chunk_id", mode="append",
+                    ivf_centroids=self._pq_cents, extra_cols=payload)
+                from .operators.similarity import ivf_assign_auto
+
+                assigned = ivf_assign_auto(new, self._pq_cents, 1, "embedding",
+                                           bucket_col=pq_index.BUCKET_COL)
+                (assigned.repartition(F.col(pq_index.BUCKET_COL))
+                 .sortWithinPartitions("chunk_id")
+                 .write.mode("append").partitionBy(pq_index.BUCKET_COL)
+                 .parquet(self._ann_index_path + ".rows"))
+                self._pq_n = getattr(self, "_pq_n", 0) + n
+            return n
         return ann_index.append_to_index(new, self._ann_index_path)
 
     def _tombstone(self, ids: DataFrame) -> None:
@@ -599,6 +673,58 @@ class MemoryEngine:
             cand = cand.join(F.broadcast(tomb), "memory_id", "left_anti")
         return cand.drop(ann_index.BUCKET_COL)
 
+    def _ann_candidates_pq(self, qvec: list[float], nprobe: int,
+                           top_k: int, ctx=None, spec=None) -> DataFrame:
+        """Chunk candidates from the attached IVFADC layout: tombstone
+        anti-join + ACL/spec predicates on the CODES scan (stale or
+        unreadable rows never burn re-rank slots — filtered ANN must filter
+        BEFORE the candidate cut or selective filters collapse recall),
+        nprobe-pruned ADC over m-byte codes, then a bounded id IN-filter
+        fetch from the chunk-id-sorted rows table — footer min/max pruning,
+        no join against the live chunk lineage.  The collected id set is
+        <= rerank rows (same boundedness class as probe_buckets).
+
+        Spec columns the codes table doesn't carry can't pre-filter; those
+        degrade to search_plan's post-filter over the candidate set (the
+        inherent filtered-ANN trade — rebuild with the column denormalized
+        onto chunks to restore pre-filtering)."""
+        from .operators.predicate import compile_filter, spec_filter
+        from .plans.search import _spec_columns_on_chunks
+        from .sources import pq_index
+
+        codes = self.spark.read.parquet(self._ann_index_path)
+        tomb = getattr(self, "_ann_tombstones", None)
+        if tomb is not None:
+            codes = codes.join(F.broadcast(tomb), "memory_id", "left_anti")
+        if ctx is not None:
+            codes = codes.filter(compile_filter(ctx, None))
+        if spec is not None and _spec_columns_on_chunks(codes, spec):
+            codes = spec_filter(codes, spec)
+        # re-rank budget scales with the PROBED row count, not a constant:
+        # PQ cells are coarser than tight cluster spreads, so ADC scores tie
+        # heavily and a fixed cut loses true neighbors among the ties (600k
+        # clustered probe: overlap 0.05 at rerank=128 vs 1.00 at ~4% of the
+        # probed rows — PERF.md round-6's "5% re-rank" recipe, applied to the
+        # probe set instead of the corpus)
+        C = max(1, len(getattr(self, "_pq_cents", []) or []))
+        N = getattr(self, "_pq_n", 0)
+        probed_est = N if nprobe is None else N * min(nprobe, C) // C
+        rerank = max(getattr(self, "_pq_rerank", 128), 4 * top_k,
+                     int(0.05 * probed_est))
+        cand = pq_index.pq_candidates(
+            self.spark, self._ann_index_path, qvec, rerank,
+            codebooks=self._pq_books, id_col="chunk_id", nprobe=nprobe,
+            codes_df=codes)
+        ids = [r.chunk_id for r in cand.select("chunk_id").collect()]
+        rows = self.spark.read.parquet(self._ann_index_path + ".rows")
+        if nprobe is not None:
+            from .sources.ann_index import probe_buckets
+
+            probe = probe_buckets(qvec, self._pq_cents, nprobe)
+            rows = rows.filter(F.col(pq_index.BUCKET_COL).isin(probe))
+        return (rows.filter(F.col("chunk_id").isin(ids))
+                .drop(pq_index.BUCKET_COL))
+
     def search(self, query_text: str, ctx: AclContext | None = None,
                spec: FilterSpec | None = None, top_k: int = MAX_MEMORIES_DEFAULT,
                score_threshold: float = SEARCH_SCORE_THRESHOLD,
@@ -617,7 +743,11 @@ class MemoryEngine:
         if ann_nprobe is not None:
             if getattr(self, "_ann_index_path", None) is None:
                 raise ValueError("ann_nprobe requires build_search_index() first")
-            chunk_src = self._ann_candidates(qvec, ann_nprobe)
+            if getattr(self, "_ann_method", "ivf") == "pq":
+                chunk_src = self._ann_candidates_pq(qvec, ann_nprobe, top_k,
+                                                    ctx=ctx, spec=spec)
+            else:
+                chunk_src = self._ann_candidates(qvec, ann_nprobe)
         out = search_plan(chunk_src, self.memories, qvec, ctx=ctx, spec=spec,
                           top_k=top_k, score_threshold=score_threshold)
         if log_query:

@@ -117,10 +117,15 @@ def train_pq_codebooks(df: DataFrame, m: int = 16, nbits: int = 8,
 def build_pq_index(df: DataFrame, index_path: str, codebooks=None,
                    m: int = 16, nbits: int = 8,
                    vec_col: str = "embedding", id_col: str = "vec_id",
-                   mode: str = "overwrite", ivf_centroids=None):
+                   mode: str = "overwrite", ivf_centroids=None,
+                   extra_cols: list[str] | None = None):
     """Encode every vector to an m-byte PQ code and persist ``(id, code)``.
     Codebooks are stored alongside (``<path>.codebook``) so query time needs
     no re-training.  Returns the codebooks.
+
+    ``extra_cols`` pass through unencoded into the codes table (e.g. the
+    engine's ``memory_id``, so serving can tombstone-filter the ADC scan
+    itself — stale rows never burn re-rank slots).
 
     With ``ivf_centroids`` (IVFADC): each code row also carries its coarse
     bucket and the layout is PARTITIONED by it, so an ``nprobe`` query prunes
@@ -177,25 +182,31 @@ def build_pq_index(df: DataFrame, index_path: str, codebooks=None,
                 codes[:, j] = d.argmin(1)
             out = {id_col: pdf[id_col],
                    CODE_COL: [c.tobytes() for c in codes]}
+            for c in passthru:
+                out[c] = pdf[c]
             if bucketed:
                 out[BUCKET_COL] = pdf[BUCKET_COL]
             yield pd.DataFrame(out)
 
-    id_type = dict(df.dtypes)[id_col]
-    schema = f"{id_col} {id_type}, {CODE_COL} binary"
+    passthru = list(extra_cols or [])
+    dtypes = dict(df.dtypes)
+    schema = f"{id_col} {dtypes[id_col]}, {CODE_COL} binary"
+    for c in passthru:
+        schema += f", {c} {dtypes[c]}"
     src = df
     if bucketed:
         src = ivf_assign_auto(df, ivf_centroids, 1, vec_col,
                               bucket_col=BUCKET_COL)
         schema += f", {BUCKET_COL} int"
-        out = src.select(id_col, vec_col, BUCKET_COL).mapInPandas(
+        out = src.select(id_col, vec_col, *passthru, BUCKET_COL).mapInPandas(
             encode, schema=schema)
         # one writer per bucket directory, not writers x buckets small files
         # (the same fix build_ivf_index carries)
         out.repartition(F.col(BUCKET_COL)).write.mode(mode) \
            .partitionBy(BUCKET_COL).parquet(index_path)
     else:
-        out = src.select(id_col, vec_col).mapInPandas(encode, schema=schema)
+        out = src.select(id_col, vec_col, *passthru).mapInPandas(
+            encode, schema=schema)
         out.write.mode(mode).parquet(index_path)
 
     spark = df.sparkSession
@@ -266,7 +277,8 @@ def load_ivf_centroids(spark: SparkSession, index_path: str):
 
 def pq_candidates(spark: SparkSession, index_path: str, query_vec: list[float],
                   rerank: int, codebooks=None,
-                  id_col: str = "vec_id", nprobe: int | None = None) -> DataFrame:
+                  id_col: str = "vec_id", nprobe: int | None = None,
+                  codes_df: DataFrame | None = None) -> DataFrame:
     """ADC scan over the codes table -> global top-``rerank`` candidate ids
     with approximate scores.  Per-batch top-r preselect keeps the Arrow
     stage's output bounded (the global top-r is a subset of the union of
@@ -304,7 +316,10 @@ def pq_candidates(spark: SparkSession, index_path: str, query_vec: list[float],
                 "adc_score": s[top],
             })
 
-    codes_df = spark.read.parquet(index_path)
+    if codes_df is None:
+        codes_df = spark.read.parquet(index_path)
+    # else: caller pre-filtered the codes scan (e.g. the engine's broadcast
+    # tombstone anti-join) — pruning composes below
     if nprobe is not None:
         from .ann_index import probe_buckets
 

@@ -618,3 +618,74 @@ def test_agentic_graph_leg_caps_at_max_nodes(engine):
                                 score_threshold=0.0).collect()
     neo_rows = [r for r in out if r.source == "neo"]
     assert neo_rows and len(neo_rows) <= 15
+
+
+def test_pq_serving_matches_exact_and_is_delete_aware(engine, tmp_path):
+    """method='pq' (IVFADC, sources/pq_index) served through the SAME
+    MemoryEngine.search surface as IVF: exact parity with the full-scan path
+    on the fixture, broadcast-tombstone delete/update-awareness, rebuild
+    clears tombstones — the r6 VERDICT gap (PQ was tooling-only)."""
+    engine.build_search_index(str(tmp_path / "pq_live"), n_centroids=2,
+                              method="pq")
+    ctx = AclContext(user_id="alice")
+
+    exact = [(r.memory_id, round(r.score, 6)) for r in
+             engine.search("distributed spark engine", ctx=ctx,
+                           score_threshold=0.0).collect()]
+    pq = [(r.memory_id, round(r.score, 6)) for r in
+          engine.search("distributed spark engine", ctx=ctx,
+                        score_threshold=0.0, ann_nprobe=2).collect()]
+    assert pq == exact and "m1" in {m for m, _ in pq}
+
+    engine.delete_memory("m1")
+    hits = {r.memory_id for r in
+            engine.search("distributed spark engine", ctx=ctx,
+                          score_threshold=0.0, ann_nprobe=2).collect()}
+    assert "m1" not in hits
+
+    # updated memory: excluded from ANN (stale code) but served exact
+    assert engine.update_memory("m2", content="entirely new vector content")
+    ann = {r.memory_id for r in
+           engine.search("entirely new vector content", ctx=ctx,
+                         score_threshold=0.0, ann_nprobe=2).collect()}
+    exact2 = {r.memory_id for r in
+              engine.search("entirely new vector content", ctx=ctx,
+                            score_threshold=0.0).collect()}
+    assert "m2" not in ann and "m2" in exact2
+
+    # rebuild clears tombstones: m2 serves again with the new code
+    engine.build_search_index(str(tmp_path / "pq_live2"), n_centroids=2,
+                              method="pq")
+    ann2 = {r.memory_id for r in
+            engine.search("entirely new vector content", ctx=ctx,
+                          score_threshold=0.0, ann_nprobe=2).collect()}
+    assert "m2" in ann2
+
+    # plan shape: the fetch reads the persisted rows table with a pushed id
+    # filter — never a semi-join against the live chunk lineage
+    plan = engine._ann_candidates_pq([0.0] * engine.dim, 2, 5)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan
+    assert "Scan parquet" in plan or "FileScan" in plan
+
+
+def test_pq_append_serves_new_memories(engine, tmp_path):
+    """Steady-state ingest on a PQ index: new memories are encoded with the
+    STORED codebooks/centroids (mode=append passes the sidecar-match guard)
+    and serve without a rebuild."""
+    engine.build_search_index(str(tmp_path / "pq_append"), n_centroids=2,
+                              method="pq")
+    ctx = AclContext(user_id="dave")
+
+    engine.add_memory(memory_id="m7", content="entirely fresh appended words",
+                      user_id="dave")
+    before = {r.memory_id for r in
+              engine.search("entirely fresh appended words", ctx=ctx,
+                            score_threshold=0.0, ann_nprobe=2).collect()}
+    assert "m7" not in before
+    n = engine.append_to_search_index(["m7"])
+    assert n == 1
+    after = {r.memory_id for r in
+             engine.search("entirely fresh appended words", ctx=ctx,
+                           score_threshold=0.0, ann_nprobe=2).collect()}
+    assert "m7" in after

@@ -121,12 +121,50 @@ def main():
           f"scanned {scanned}/{n} ({100.0 * scanned / n:.1f}%)  "
           f"top-20 overlap vs full scan: {overlap:.2f}")
 
+    # 4. PQ/IVFADC build + serving through the SAME engine surface (r7: the
+    # VERDICT gap — PQ was tooling-only).  Same coarse C as the IVF run; the
+    # ADC scan reads m-byte codes instead of full vectors, so equal-recall
+    # serving should cost less wall/bytes than IVF at the same nprobe.
+    pq_path = os.path.join(SCRATCH, f"probe_pq_{n}_{dim}")
+    for suffix in ["", ".rows", ".codebook", ".ivfcents"]:
+        shutil.rmtree(pq_path + suffix, ignore_errors=True)
+    t0 = time.time()
+    eng.build_search_index(pq_path, n_centroids=n_cents, method="pq")
+    t_pq_build = time.time() - t0
+    print(f"PQ build: {t_pq_build:.2f}s  ({n_cents} coarse centroids, IVFADC)")
+
+    t0 = time.time()
+    pq_cand = eng._ann_candidates_pq(qvec, nprobe, 20, ctx=ctx)
+    pq_ann = search_plan(pq_cand, memories, qvec, ctx=ctx, top_k=20,
+                         score_threshold=0.0)
+    pq_ids = [r.memory_id for r in pq_ann.select("memory_id").collect()]
+    t_pq = time.time() - t0
+    from pyspark.sql import functions as FF
+    from memory_opensource_spark.sources import pq_index as pqm
+    cents = pqm.load_ivf_centroids(spark, pq_path)
+    probe = __import__(
+        "memory_opensource_spark.sources.ann_index", fromlist=["probe_buckets"]
+    ).probe_buckets(qvec, cents, nprobe)
+    codes_scanned = (spark.read.parquet(pq_path)
+                     .filter(FF.col(pqm.BUCKET_COL).isin(probe)).count())
+    pq_overlap = len(set(full_ids) & set(pq_ids)) / max(1, len(full_ids))
+    m_bytes = eng._pq_books.shape[0]
+    bytes_frac = (codes_scanned * m_bytes) / (n * dim * 4)
+    print(f"PQ search: {t_pq:.2f}s  nprobe={nprobe}  "
+          f"ADC-scanned {codes_scanned}/{n} codes "
+          f"(~{100.0 * bytes_frac:.1f}% of full-scan bytes)  "
+          f"top-20 overlap vs full scan: {pq_overlap:.2f}")
+
     import json
     print(json.dumps({
         "n": n, "dim": dim, "t_full_scan_s": round(t_full, 2),
         "t_ivf_build_s": round(t_build, 2), "t_ann_s": round(t_ann, 2),
         "nprobe": nprobe, "scan_fraction": round(scanned / n, 4),
         "top20_overlap": round(overlap, 2),
+        "t_pq_build_s": round(t_pq_build, 2), "t_pq_s": round(t_pq, 2),
+        "pq_codes_scanned": codes_scanned,
+        "pq_bytes_fraction": round(bytes_frac, 4),
+        "pq_top20_overlap": round(pq_overlap, 2),
     }))
 
 
