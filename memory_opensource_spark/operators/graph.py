@@ -36,22 +36,35 @@ class PatternSpec:
 
 
 def undirected_edges(edges: DataFrame) -> DataFrame:
-    """Union of both orientations (models/cipher_ast.py:23-25).  Distinct-path
+    """Both orientations (models/cipher_ast.py:23-25).  Distinct-path
     dedup downstream collapses A-B/B-A double counting per the AST's
-    ``WITH DISTINCT path`` (:886-898)."""
-    fwd = edges.select(F.col("src"), F.col("dst"), F.col("rel_type"))
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("rel_type"))
-    return fwd.unionByName(rev)
+    ``WITH DISTINCT path`` (:886-898).
+
+    Explode-of-both-orientations instead of self-union: ONE pass over the
+    edge source (a union runs the scan + upstream filters twice)."""
+    both = F.array(
+        F.struct(F.col("src"), F.col("dst")),
+        F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+    )
+    return (edges.select(F.explode(both).alias("e"), F.col("rel_type"))
+            .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"),
+                    "rel_type"))
 
 
 def match_pattern(nodes: DataFrame, edges: DataFrame, spec: PatternSpec,
                   m_pred: Column | None = None, n_pred: Column | None = None,
-                  node_cols: list[str] | None = None) -> DataFrame:
+                  node_cols: list[str] | None = None,
+                  dedup: bool = True) -> DataFrame:
     """G1 single-hop pattern match (cipher_ast.py:855-900; executed
     memory/memory_graph.py:8963-9143).
 
     Returns one row per DISTINCT path: m_id, m_label, rel_type, n_id, n_label
     (+ requested ``node_cols`` prefixed m_/n_).
+
+    ``dedup=False`` skips the per-path DISTINCT shuffle — for consumers that
+    immediately re-aggregate on a SUBSET of the path key (e.g. the agentic
+    read's ``select(m_id).distinct()``), the inner dedup is redundant work:
+    distinct over a subset key gives the same set either way.
     """
     e = edges
     if spec.relationship_type:
@@ -87,8 +100,9 @@ def match_pattern(nodes: DataFrame, edges: DataFrame, spec: PatternSpec,
         e.join(m, e.src == F.col("m_id"))
         .join(n, e.dst == F.col("n_id"))
         .drop("src", "dst")
-        .dropDuplicates(["m_id", "rel_type", "n_id"])
     )
+    if dedup:
+        out = out.dropDuplicates(["m_id", "rel_type", "n_id"])
     if spec.limit:
         out = out.orderBy("m_id", "rel_type", "n_id").limit(spec.limit)
     return out

@@ -50,17 +50,26 @@ def stratified_merge(sources: dict[str, DataFrame], top_k: int,
     for name in sorted(sources):
         df = sources[name]
         score = F.coalesce(F.col(score_col), F.lit(NEO_DEFAULT_SCORE))
-        w = Window.partitionBy(F.lit(name)).orderBy(score.desc(), F.col(id_col).asc())
         ranked.append(
             df.select(
                 F.col(id_col).alias("id"),
                 score.alias("score"),
                 F.lit(name).alias("source"),
-            ).withColumn("src_rank", F.row_number().over(w))
+            )
         )
     all_ranked = ranked[0]
     for r in ranked[1:]:
         all_ranked = all_ranked.unionByName(r)
+    # ONE repartition positions the (quota-bounded, <= top_k * overfetch)
+    # candidate set on a single partition; SinglePartition satisfies every
+    # window distribution below (per-source ranks included), so all five
+    # window stages + the dedup window run in one exchange-free stage
+    # instead of serialized per-window exchanges (round-7: ~0.5 s of pure
+    # stage latency on the agentic read)
+    all_ranked = all_ranked.repartition(1)
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("id").asc())
+    all_ranked = all_ranked.withColumn("src_rank", F.row_number().over(w))
 
     # adaptive fill in ONE lazy pass: the within-count and the leftover fill
     # ranks are both window aggregates over the already-reduced candidate set

@@ -189,7 +189,9 @@ def search_with_graph(
 
     sources = {"vector": vec_hits}
     if graph_spec is not None:
-        g = match_pattern(nodes, edges, graph_spec)
+        # dedup=False: the distinct(m_id) below subsumes the per-path dedup
+        # (distinct over a subset key), saving one shuffle on the graph leg
+        g = match_pattern(nodes, edges, graph_spec, dedup=False)
         graph_hits = (
             g.select(F.col("m_id").alias("id"))
             .distinct()
