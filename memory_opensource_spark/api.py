@@ -35,6 +35,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from .functions.ids import strip_chunk_suffix
 from .operators import graph as graph_ops
 from .operators.dedup import ingest_dedup_reuse
 from .operators.predicate import AclContext, FilterSpec, compile_filter
@@ -405,13 +406,123 @@ class MemoryEngine:
     def import_omo(self, source, strict: bool = True) -> list:
         """Import OMO objects (a path to a ``.omo.json`` lines file, or a
         DataFrame with an ``omo_json`` column) through the REAL write path —
-        chunk -> embed -> near-dup -> merge, policies and caps included."""
+        chunk -> embed -> near-dup -> merge, policies and caps included.
+        The API-request analog: items materialize driver-side, bounded by
+        BATCH_MAX like every add path.  For archive-scale restores use
+        :meth:`import_omo_archive` — no driver materialization."""
         from .sources.omo import omo_items, parse_omo, read_omo
 
         parsed = (read_omo(self.spark, source, strict=strict)
                   if isinstance(source, str) else parse_omo(source, strict=strict))
         items = omo_items(parsed)
         return self.add_memory_batch(items) if items else []
+
+    def import_omo_archive(self, source, strict: bool = True) -> dict:
+        """Archive-scale OMO restore: scan -> write path with NO driver
+        materialization of rows (VERDICT r6 item 6 — ``omo_items``' collect
+        is the API-request analog, wrong shape for restoring a 10M-object
+        archive).  Same semantics as ``import_omo`` for items the archive
+        analog supports (OMO objects carry no memory_policy/schema_id, so
+        there is no manual-graph arm): validate -> chunk -> embed -> V4
+        near-dup reuse -> MERGE memories/chunks/nodes.
+
+        Everything stays distributed: validation errors surface via bounded
+        ``take(1)``, the reuse set is applied with an anti-join (never an
+        isin of collected ids), and the only whole-archive materializations
+        are executor-side localCheckpoints — the same cadence the batch
+        path uses.  Returns {"imported": n, "reused": n}."""
+        from .functions.validation import looks_like_external_id
+        from .operators import memory_policy as mp
+        from .sources.omo import parse_omo, read_omo
+
+        parsed = (read_omo(self.spark, source, strict=strict)
+                  if isinstance(source, str) else parse_omo(source, strict=strict))
+
+        bad_uid = parsed.filter(looks_like_external_id(F.col("user_id"))) \
+                        .select("memory_id", "user_id").take(1)
+        if bad_uid:
+            r = bad_uid[0]
+            raise ValueError(
+                f"Invalid user_id format for memory_id={r.memory_id!r}: "
+                f"{r.user_id!r} looks like an external identifier — use "
+                "external_user_id; user_id is reserved for internal ids")
+        dup = (parsed.groupBy("memory_id").count()
+               .filter(F.col("count") > 1).take(1))
+        if dup:
+            raise ValueError(
+                f"duplicate memory_id {dup[0]['memory_id']!r} in archive")
+
+        # the same item shape omo_items builds, as column expressions:
+        # acl.read merges into user_read_access (sorted-set semantics), the
+        # resolved default policy supplies consent/risk (OMO import carries
+        # no memory_policy), timestamps stamp at import like every add
+        policy = mp.resolve_memory_policy(None, None)
+        new = parsed.select(
+            "memory_id", "content",
+            F.col("type").alias("type"),
+            F.coalesce(F.col("topics"), F.array()).alias("topics"),
+            "user_id",
+            F.array_sort(F.array_distinct(F.concat(
+                F.coalesce(F.col("user_read_access"),
+                           F.array().cast("array<string>")),
+                F.coalesce(F.col("acl_read"), F.array().cast("array<string>")),
+            ))).alias("user_read_access"),
+            F.coalesce(F.col("workspace_read_access"),
+                       F.array().cast("array<string>")).alias("workspace_read_access"),
+            F.coalesce(F.col("role_read_access"),
+                       F.array().cast("array<string>")).alias("role_read_access"),
+            F.coalesce(F.col("organization_read_access"),
+                       F.array().cast("array<string>")).alias("organization_read_access"),
+            F.coalesce(F.col("namespace_read_access"),
+                       F.array().cast("array<string>")).alias("namespace_read_access"),
+            "namespace_id", "organization_id",
+            F.lit(None).cast("string").alias("custom_metadata"),
+            F.lit(policy["consent"]).alias("consent"),
+            F.lit(policy["risk"]).alias("risk"),
+        ).withColumn("created_at", F.current_timestamp()) \
+         .withColumn("updated_at", F.current_timestamp())
+        for c in ["cache_hit_total", "cache_hit_ema_30d",
+                  "cache_confidence_weighted_30d", "citation_hit_total",
+                  "citation_hit_ema_30d", "citation_confidence_weighted_30d"]:
+            new = new.withColumn(c, F.lit(0.0))
+
+        chunked = ingest_plan.chunk_text(new, content_col="content")
+        embedded = self._embed_df(chunked).localCheckpoint(eager=True)
+        est = getattr(self, "_chunk_rows_est", None)
+        reused = ingest_dedup_reuse(embedded, self.chunks, INGEST_DEDUP_THRESHOLD,
+                                    approx_existing_rows=est)
+        # distributed reuse application: memory ids with ANY reused chunk drop
+        # out via anti-join (the batch path's collected reuse_map, reshaped)
+        reused_mems = (reused
+                       .select(strip_chunk_suffix(F.col("new_id")).alias("memory_id"))
+                       .distinct().localCheckpoint(eager=True))
+        n_reused = reused_mems.count()
+        fresh = new.join(reused_mems, "memory_id", "left_anti") \
+                   .localCheckpoint(eager=True)
+        n_fresh = fresh.count()
+        fresh_chunks = embedded.join(
+            fresh.select("memory_id", "user_id", "user_read_access",
+                         "workspace_read_access", "role_read_access",
+                         "organization_read_access", "namespace_read_access",
+                         "namespace_id", "organization_id",
+                         "topics", "consent", "risk"),
+            "memory_id",
+        )
+        self.memories = self._merge(self.memories,
+                                    fresh.select(*MEMORY_SCHEMA.names),
+                                    ["memory_id"])
+        self.chunks = self._merge(self.chunks,
+                                  fresh_chunks.select(*CHUNK_SCHEMA.names),
+                                  ["chunk_id"])
+        if self._chunk_rows_est is not None:
+            self._chunk_rows_est += embedded.count()
+        mem_nodes = fresh.select(
+            F.col("memory_id").alias("node_id"), F.lit("Memory").alias("label"),
+            F.substring("content", 1, 60).alias("prop_name"),
+            F.lit("active").alias("prop_status"),
+        )
+        self.nodes = self._merge(self.nodes, mem_nodes, ["node_id"])
+        return {"imported": n_fresh, "reused": n_reused}
 
     # ---- embedding seam -------------------------------------------------------------
 

@@ -5131,13 +5131,17 @@ _EVIDENCE_PRIORITY = [
     "v4_ingest_reuse",            # V4
     "v5_bucketed_pairs",          # V5 (scale path)
     "v6_entity_resolution",       # V6/V7
-    "v8_property_index",          # V8
-    "v9_grouped_points",          # V9
-    # round-6 rotation (VERDICT r5 task 9): the newest/reworked semantics move
-    # into the driver-checked prefix; the displaced long-green singles
-    # (v10/v11/r17/rel) stay hash-verified by the local gate every round
+    "v8_property_index",          # V8 (V9 grouped points rotated below fold
+                                  # — long green, same enrich family)
+    # round-7 rotation (VERDICT r6 task 4): the four r6-new ops move into the
+    # driver prefix (ann_pq_rerank, omo_export_roundtrip, shard_corpus,
+    # lm_quality_scores); displaced long-green rows (txn_merge_roundtrip,
+    # zorder_layout_roundtrip, st2_session_windows, v9_grouped_points — all
+    # driver-green r6, semantics unchanged) stay hash-verified by the local
+    # gate every round
     "f1_acl_filter",              # F1 with the STRICT namespace MUST (r6 fix)
-    "txn_merge_roundtrip",        # transactional MERGE (r5 new)
+    "ann_pq_rerank",              # PQ/IVFADC ADC scan + exact re-rank (r6 new,
+                                  # r7 rotation: engine now SERVES this layout)
     # 22-32: graph G1..G16 + both-endpoint ACL
     "g1_pattern_match",           # G1/G16
     "g2_two_hop_paths",           # G2
@@ -5154,14 +5158,15 @@ _EVIDENCE_PRIORITY = [
     "r2_stratified_merge",        # R2
     "r6_rerank",                  # R6/R7
     "r12_delta_since_watermark",  # R12/ST4
-    "zorder_layout_roundtrip",    # Z-order rewrite preserves data (r5 new)
+    "omo_export_roundtrip",       # OMO portability export->import (r6 new;
+                                  # r7: import path made distributed)
     "suite_ranking_formulas",     # R8/R9/R10/R11/R13/R14/R15/R16
     # 38-40: streaming analogs ST1..ST8
-    "suite_stream_windows",       # ST2/ST3/ST8 + ST1/ST6/ST7
+    "suite_stream_windows",       # ST2/ST3/ST8 + ST1/ST6/ST7 (ST2 standalone
+                                  # st2_session_windows rotated below fold —
+                                  # same family, long green)
     "st5_decayed_counter_replay", # ST5
-    "st2_session_windows",        # ST2 standalone (r5: session_id::BIGINT —
-                                  # the r1/r3/r4 red was HUGEINT->float64 SUM
-                                  # dtype drift, not timestamps)
+    "shard_corpus",               # shuffle-and-shard trainer layout (r6 new)
     # 41-44: set ops / id algebra / scalar fns / UDF surface
     "ids_chunk_algebra",
     "set_ops_semi_anti",
@@ -5169,7 +5174,11 @@ _EVIDENCE_PRIORITY = [
     "ann_ivf_spill",              # IVF multi-assignment + candidate dedup (r5 new)
     # 45-50: LLM-data-pipeline first-class ops
     "suite_dedup_family",         # exact/fingerprint/simhash/hamming/jaccard/minhash
-    "dedup_semantic_clusters",    # SemDeDup cluster-scoped semantic dedup (r6 new)
+    "dedup_semantic_clusters",    # SemDeDup cluster-scoped semantic dedup (r6 new;
+                                  # r7: oracle rounds to 6 dp like the operator)
+    "lm_quality_scores",          # CCNet LM quality tiers (r6 new; r7: the
+                                  # global-ntile scale-killer replaced with
+                                  # distributed exact-ntile)
     "ann_ivf_persisted",          # ANN with persisted pruned layout
     "suite_pipeline_ops",         # pii/contamination/packing/sampling/mixture/profile
     "mm_feature_search",          # multimodal columns (sha256-oracle since r4)

@@ -95,3 +95,72 @@ def test_export_is_single_projection(spark):
     plan = omo.export_omo(mems)._jdf.queryExecution().executedPlan().toString()
     for marker in ("Join", "Exchange"):
         assert marker not in plan, plan[:400]
+
+
+def test_archive_import_matches_batch_import(engine, spark, tmp_path):
+    """import_omo_archive (distributed, no driver row materialization) must
+    land the same memories/chunks/ACL state as the BATCH_MAX-bounded
+    import_omo on the same archive."""
+    path = str(tmp_path / "dump2.omo.json")
+    engine.export_omo().select("omo_json").write.mode("overwrite").text(path)
+
+    a = MemoryEngine(spark, dim=16)
+    a.import_omo(path)
+    b = MemoryEngine(spark, dim=16)
+    stats = b.import_omo_archive(path)
+    assert stats == {"imported": 2, "reused": 0}
+
+    cols = ["memory_id", "content", "user_id", "user_read_access",
+            "namespace_id", "organization_id", "topics", "consent", "risk"]
+    rows_a = sorted((tuple(str(r[c]) for c in cols)
+                     for r in a.memories.select(*cols).collect()))
+    rows_b = sorted((tuple(str(r[c]) for c in cols)
+                     for r in b.memories.select(*cols).collect()))
+    assert rows_a == rows_b
+    assert a.chunks.count() == b.chunks.count()
+    assert b.nodes.filter(F.col("node_id") == "m1").count() == 1
+    # ACL parity through the read path
+    hits = b.search("portable memory", ctx=AclContext(user_id="bob"),
+                    score_threshold=None).collect()
+    assert any(r.memory_id == "m1" for r in hits)
+
+
+def test_archive_import_scales_past_batch_max(spark, tmp_path):
+    """A >BATCH_MAX archive (the shape import_omo REFUSES) restores in one
+    distributed job; near-dup reuse applies via anti-join (identical
+    contents collapse), and validation failures surface bounded."""
+    import pytest
+    from memory_opensource_spark.semantics import BATCH_MAX
+
+    n = BATCH_MAX * 2 + 500
+    src = spark.range(n).select(
+        F.concat(F.lit("b"), F.col("id")).alias("memory_id"),
+        F.concat(F.lit("unique body zz"), F.col("id"),
+                 F.lit(" qx"), (F.col("id") * 7).cast("string")).alias("content"),
+        F.lit("u1").alias("user_id"),
+        F.date_format(F.current_timestamp(),
+                      "yyyy-MM-dd'T'HH:mm:ss").alias("createdAt"),
+    )
+    from memory_opensource_spark.sources.omo import export_omo
+    arch = export_omo(
+        src.select(F.col("memory_id"), F.col("content"), F.col("user_id"),
+                   F.current_timestamp().alias("created_at")))
+    path = str(tmp_path / "big.omo.json")
+    arch.select("omo_json").write.mode("overwrite").text(path)
+
+    eng = MemoryEngine(spark, dim=16)
+    with pytest.raises(ValueError, match="exceeds max"):
+        eng.import_omo(path)
+    stats = eng.import_omo_archive(path)
+    assert stats["imported"] + stats["reused"] == n
+    assert eng.memories.count() == stats["imported"]
+
+    bad = spark.createDataFrame(
+        [("x1", json.dumps({
+            "id": "x1", "createdAt": "2024-01-01T00:00:00", "type": "text",
+            "content": "c", "consent": "explicit",
+            "ext": {"papr:metadata": {
+                "user_id": "someone@example.com"}}}))],
+        "memory_id string, omo_json string")
+    with pytest.raises(ValueError, match="external"):
+        eng.import_omo_archive(bad)
