@@ -146,9 +146,19 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
 
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     """Collect a (small) vector table to a numpy matrix + id list, normalized.
-    Used to broadcast the dimension side of a similarity join."""
+    Used to broadcast the dimension side of a similarity join.
+
+    Own guard (VERDICT r6 watch item): callers are budget-routed, but a
+    direct caller must not be able to OOM the driver — a cheap
+    ``limit(budget + 1)`` count refuses past-budget frames before collecting
+    anything."""
     import numpy as np
 
+    if df.limit(BLAS_BROADCAST_BUDGET_ROWS + 1).count() > BLAS_BROADCAST_BUDGET_ROWS:
+        raise ValueError(
+            f"_collect_matrix: side exceeds the {BLAS_BROADCAST_BUDGET_ROWS}-row "
+            "broadcast budget — route through knn_join_auto / the grid path "
+            "instead of collecting to the driver")
     rows = df.select(id_col, vec_col).collect()
     ids = [r[0] for r in rows]
     if not rows:

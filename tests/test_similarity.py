@@ -216,3 +216,21 @@ def test_grid_knn_matches_blas_knn_exclude_self_off(vec_df):
     for (lid, rank), (rid, score) in b.items():
         if rank == 1:
             assert rid == lid and abs(score - 1.0) < 1e-9
+
+
+def test_collect_matrix_refuses_over_budget_frames(spark, monkeypatch):
+    """_collect_matrix's own guard (VERDICT r6): a direct caller passing a
+    past-budget frame gets a ValueError BEFORE any driver materialization,
+    instead of relying on every caller's routing."""
+    import pytest
+
+    monkeypatch.setattr(similarity, "BLAS_BROADCAST_BUDGET_ROWS", 8)
+    from pyspark.sql import functions as F
+
+    big = spark.range(20).select(
+        F.col("id"), F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"))
+    with pytest.raises(ValueError, match="broadcast budget"):
+        similarity._collect_matrix(big, "id", "embedding")
+    small = big.limit(5)
+    ids, mat = similarity._collect_matrix(small, "id", "embedding")
+    assert len(ids) == 5 and mat.shape == (5, 2)
