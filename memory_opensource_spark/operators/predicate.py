@@ -140,9 +140,15 @@ def node_acl_predicate(ctx: AclContext, prefixes: tuple[str, ...] = ("",)) -> Co
     """
     c = F.col
     ors: list[Column] = []
+    # every arm is CONDITIONAL on the request carrying that identity — an
+    # identity-less lookup has NO acl_conditions and the reference omits the
+    # OR-block entirely (unrestricted match), it does not deny (:3029-3030
+    # `if acl_conditions:`; round-7 sweep fix — the r6 form always built the
+    # user arms, denying everything for an identity-less context)
     for p in prefixes:
-        ors.append(c(p + "user_id") == ctx.user_id)
-        ors.append(F.array_contains(c(p + "user_read_access"), ctx.user_id))
+        if ctx.user_id:
+            ors.append(c(p + "user_id") == ctx.user_id)
+            ors.append(F.array_contains(c(p + "user_read_access"), ctx.user_id))
     for p in prefixes:
         if ctx.workspace_id:
             ors.append(F.array_contains(c(p + "workspace_read_access"), ctx.workspace_id))
@@ -150,10 +156,13 @@ def node_acl_predicate(ctx: AclContext, prefixes: tuple[str, ...] = ("",)) -> Co
             ors.append(F.array_contains(c(p + "organization_read_access"), ctx.organization_id))
         if ctx.namespace_id:
             ors.append(F.array_contains(c(p + "namespace_read_access"), ctx.namespace_id))
-    pred = ors[0]
-    for o in ors[1:]:
-        pred = pred | o
-    pred = F.coalesce(pred, F.lit(False))
+    if not ors:
+        pred = F.lit(True)
+    else:
+        pred = ors[0]
+        for o in ors[1:]:
+            pred = pred | o
+        pred = F.coalesce(pred, F.lit(False))
     for p in prefixes:
         for col_name, val in (("workspace_id", ctx.workspace_id),
                               ("organization_id", ctx.organization_id),

@@ -19,6 +19,25 @@ OMO v1 shape (models/omo.py:72-105, schema omo-v1.schema.json):
 - everything vendor-specific rides the ``ext`` namespace
   (``papr:metadata`` carries user/workspace/org/namespace + ACL arrays,
   models/omo.py:236-258).
+
+Deliberate deviations from the reference (round-7 citation audit):
+
+1. The reference's ``to_omo`` shadows its ``acl`` parameter
+   (``acl = None; if acl:`` — models/omo.py:161-166), so exported objects
+   NEVER carry the OMO-standard ``acl`` block regardless of input.  We emit
+   ``acl.read`` from ``user_read_access`` — mirroring the shadowing bug
+   would make every export non-portable on the field the standard exists
+   for.
+2. The reference's export metadata list (models/omo.py:336-343) carries
+   user/workspace read-write access but silently DROPS
+   role/organization/namespace read access, losing them on round-trip; we
+   carry the full vendor ACL in ``ext['papr:metadata']`` (the namespace is
+   vendor-extensible by design) so an export->import through this engine is
+   ACL-lossless.
+3. On import we merge ``acl.read`` into ``user_read_access`` (sorted-set
+   semantics) so third-party OMO files — which only have the standard
+   ``acl`` block — land with working ACLs; the reference's ``from_omo``
+   keeps ``acl`` in a metadata dict its request model ignores.
 """
 
 from __future__ import annotations

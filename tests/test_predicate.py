@@ -129,3 +129,26 @@ def test_custom_metadata_string_matches_list_membership(spark):
     )
     assert _match(df, FilterSpec(custom_metadata={"labels": "green"})) == ["m1"]
     assert _match(df, FilterSpec(custom_metadata={"labels": "yellow"})) == ["m2"]
+
+
+def test_node_acl_identityless_context_is_unrestricted(spark):
+    """Round-7 sweep fix: the reference builds acl_conditions ONLY for
+    identities the request carries and OMITS the OR-block entirely when there
+    are none (memory_graph.py:3029-3030 `if acl_conditions:`) — an
+    identity-less node lookup matches unrestricted, it is not denied."""
+    from memory_opensource_spark.operators.predicate import (AclContext,
+                                                             node_acl_predicate)
+
+    df = spark.createDataFrame(
+        [("n1", "alice", ["bob"], ["w1"], ["o1"], ["ns1"], "w1", "o1", "ns1")],
+        "node_id string, user_id string, user_read_access array<string>, "
+        "workspace_read_access array<string>, organization_read_access array<string>, "
+        "namespace_read_access array<string>, workspace_id string, "
+        "organization_id string, namespace_id string")
+    empty_ctx = AclContext(user_id=None)
+    assert df.filter(node_acl_predicate(empty_ctx)).count() == 1
+    # tenant-only context: tenant AND applies, OR-block is tenant arms only
+    ws_ctx = AclContext(user_id=None, workspace_id="w1")
+    assert df.filter(node_acl_predicate(ws_ctx)).count() == 1
+    ws_bad = AclContext(user_id=None, workspace_id="w2")
+    assert df.filter(node_acl_predicate(ws_bad)).count() == 0
