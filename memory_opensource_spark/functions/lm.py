@@ -95,16 +95,16 @@ def quality_buckets(scored: DataFrame, n_buckets: int = 3,
        monotone in (nll), so bucket order == sort order; accuracy only
        affects balance, never correctness.  Equal scores land in ONE bucket,
        so the (nll, id) tie-break stays local.
-    2. Per-bucket counts -> cumulative offsets (a collect of
-       <= range_partitions rows).
+    2. Per-bucket counts -> cumulative offsets IN-PLAN (a broadcast
+       self-join over <= range_partitions rows).
     3. ``row_number`` over a window PARTITIONED by range bucket (distributed)
        + broadcast offset = exact global 0-based rank.
     4. ntile's fill rule as a column expression: first ``N % n`` tiles get
        ``ceil(N/n)`` rows, the rest ``floor(N/n)``.
 
-    The input is localCheckpointed first — three jobs read it (boundaries,
-    counts, final) and it is typically the output of an expensive
-    explode/join/agg pipeline."""
+    The input is localCheckpointed first — two jobs read it (the
+    boundaries+count agg, then the final plan) and it is typically the
+    output of an expensive explode/join/agg pipeline."""
     from pyspark.sql import Window
 
     # lazy checkpoint: the first action below materializes it; the expensive
@@ -123,16 +123,18 @@ def quality_buckets(scored: DataFrame, n_buckets: int = 3,
         rb = rb + (F.col(nll_col) > F.lit(float(b))).cast("int")
     scored = scored.withColumn("_rb", rb)
 
-    cnts = {r["_rb"]: r["c"] for r in
-            scored.groupBy("_rb").agg(F.count("*").alias("c")).collect()}
-    offsets, acc = {}, 0
-    for k in sorted(cnts):
-        offsets[k] = acc
-        acc += cnts[k]
-    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    # per-bucket offsets IN-PLAN: counts are <= range_partitions rows, so the
+    # cumulative sum is a tiny broadcast self-join — no extra driver job
+    # (the checkpointed input is read twice inside ONE job, cheaply)
+    cnts = scored.groupBy("_rb").agg(F.count("*").alias("_c"))
+    offs = (cnts.alias("a")
+            .join(cnts.alias("b"), F.col("b._rb") < F.col("a._rb"), "left")
+            .groupBy(F.col("a._rb").alias("_rb"))
+            .agg(F.coalesce(F.sum("b._c"), F.lit(0)).alias("_off")))
+    scored = scored.join(F.broadcast(offs), "_rb")
 
     w = Window.partitionBy("_rb").orderBy(F.col(nll_col).asc(), F.col("id").asc())
-    rank0 = (off_map[F.col("_rb")] + F.row_number().over(w) - 1).cast("long")
+    rank0 = (F.col("_off") + F.row_number().over(w) - 1).cast("long")
 
     base = n_rows // n_buckets
     rem = n_rows % n_buckets
@@ -142,4 +144,4 @@ def quality_buckets(scored: DataFrame, n_buckets: int = 3,
     bucket = (F.when(rank0 < cut, F.floor(rank0 / (base + 1)) + 1)
               .otherwise(rem + F.floor((rank0 - cut) / max(base, 1)) + 1))
     return (scored.withColumn("bucket", bucket.cast("int"))
-            .drop("_rb"))
+            .drop("_rb", "_off"))

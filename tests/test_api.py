@@ -689,3 +689,17 @@ def test_pq_append_serves_new_memories(engine, tmp_path):
              engine.search("entirely fresh appended words", ctx=ctx,
                            score_threshold=0.0, ann_nprobe=2).collect()}
     assert "m7" in after
+
+
+def test_pq_fetch_prunes_rows_table_partitions(engine, tmp_path):
+    """Scale pin: the PQ serving fetch reads the bucket-partitioned rows
+    table with the probed buckets in PartitionFilters — a flat layout would
+    rescan every file for each query's scattered candidate ids."""
+    engine.build_search_index(str(tmp_path / "pq_pin"), n_centroids=2,
+                              method="pq")
+    plan = engine._ann_candidates_pq([0.1] * engine.dim, 1, 5)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_bucket" in m.group(1), m.group(0) if m else plan
