@@ -23,7 +23,7 @@ def test_registry_prefix_covers_component_families():
         "suite_graph_sinks", "s12_cascade_delete", "suite_filters",
         "f9_fallback_relax", "v1_chunk_embed", "v2_cosine_topk",
         "v3_scroll_fallback", "v4_ingest_reuse", "v5_bucketed_pairs",
-        "v6_entity_resolution", "v8_property_index", "v9_grouped_points",
+        "v6_entity_resolution", "v8_property_index",
         "g1_pattern_match",
         "g2_two_hop_paths", "suite_graph_lookup", "g5_semantic_lookup",
         "g7_schema_discovery", "g8_schema_driven_merge", "suite_graph_store",
@@ -38,15 +38,20 @@ def test_registry_prefix_covers_component_families():
         # round-4 additions (V2-batch moved below fold in their favor:
         # still locally gated, V2 covered by v2_cosine_topk + flagships)
         "search_spec_pushdown", "g15_acl_both_endpoints", "suite_pipeline_ops",
-        "st2_session_windows",
         # round-6 rotation: newest/reworked semantics into the driver window
         # (v10/v11/r17/rel_relevance_score moved below fold — still locally
         # gated; their components are long-green singles)
-        "f1_acl_filter", "txn_merge_roundtrip", "zorder_layout_roundtrip",
-        "ann_ivf_spill",
+        "f1_acl_filter", "ann_ivf_spill",
         # round-6: SemDeDup into the driver window (f10_scalar_functions moved
         # below fold — F10 scalar fns stay value-verified in suite_text_analysis)
         "dedup_semantic_clusters",
+        # round-7 rotation (VERDICT r6 item 4): the four below-fold round-6
+        # ops into the driver window, displacing long-green r5-era rows
+        # (v9_grouped_points, st2_session_windows, txn_merge_roundtrip,
+        # zorder_layout_roundtrip move below fold — still locally gated,
+        # semantics unchanged since they were last driver-checked)
+        "ann_pq_rerank", "lm_quality_scores", "shard_corpus",
+        "omo_export_roundtrip",
     ]
     missing = [q for q in required if q not in top50]
     assert not missing, f"top-50 evidence window lost: {missing}"
