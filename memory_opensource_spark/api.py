@@ -117,6 +117,25 @@ EDGE_SCHEMA = StructType([
     StructField("similarity_score", DoubleType()),
 ])
 
+# Hard cap on the PQ serving re-rank candidate set: the adaptive 5%-of-probed
+# floor restores recall under heavy ADC ties, but the candidate ids are
+# collected to the driver, so the set must stay bounded regardless of corpus
+# size.  64k ids is ~3 MB driver-side and a cheap broadcast; past this point
+# the right lever is a finer coarse quantizer (C grows with N), not re-rank.
+PQ_RERANK_BUDGET = 65_536
+
+
+def pq_rerank_size(pq_rerank: int, top_k: int, n_rows: int, n_centroids: int,
+                   nprobe: int | None) -> int:
+    """PQ serving re-rank budget: floors at the build-time knob and 4*top_k,
+    scales to 5% of the PROBED row estimate (ADC ties lose true neighbors
+    under a constant cut — PERF.md round-7), hard-capped at PQ_RERANK_BUDGET
+    so the driver-collected candidate set stays bounded at any corpus size."""
+    C = max(1, n_centroids)
+    probed_est = n_rows if nprobe is None else n_rows * min(nprobe, C) // C
+    return min(max(pq_rerank, 4 * top_k, int(0.05 * probed_est)),
+               PQ_RERANK_BUDGET)
+
 
 def hash_embed_py(text: str, dim: int = EMBEDDING_DIM_FIXTURE) -> list[float]:
     """Driver-side twin of plans.ingest.hash_embed (md5-bucket counts,
@@ -816,25 +835,39 @@ class MemoryEngine:
         # heavily and a fixed cut loses true neighbors among the ties (600k
         # clustered probe: overlap 0.05 at rerank=128 vs 1.00 at ~4% of the
         # probed rows — PERF.md round-6's "5% re-rank" recipe, applied to the
-        # probe set instead of the corpus)
-        C = max(1, len(getattr(self, "_pq_cents", []) or []))
-        N = getattr(self, "_pq_n", 0)
-        probed_est = N if nprobe is None else N * min(nprobe, C) // C
-        rerank = max(getattr(self, "_pq_rerank", 128), 4 * top_k,
-                     int(0.05 * probed_est))
+        # probe set instead of the corpus).  ``pq_rerank`` (build-time knob)
+        # and 4*top_k are floors; PQ_RERANK_BUDGET is the hard cap so the
+        # candidate set — which is collected to the driver below — stays
+        # genuinely bounded: at corpus scale 5% of the probed rows grows
+        # linearly with N, and an uncapped collect would be a driver OOM the
+        # way an uncapped _collect_matrix is.  Past the cap, raise nprobe
+        # granularity (C grows with N at build time) instead of re-rank.
+        rerank = pq_rerank_size(
+            getattr(self, "_pq_rerank", 128), top_k,
+            getattr(self, "_pq_n", 0),
+            len(getattr(self, "_pq_cents", []) or []), nprobe)
         cand = pq_index.pq_candidates(
             self.spark, self._ann_index_path, qvec, rerank,
             codebooks=self._pq_books, id_col="chunk_id", nprobe=nprobe,
             codes_df=codes)
-        ids = [r.chunk_id for r in cand.select("chunk_id").collect()]
         rows = self.spark.read.parquet(self._ann_index_path + ".rows")
         if nprobe is not None:
             from .sources.ann_index import probe_buckets
 
             probe = probe_buckets(qvec, self._pq_cents, nprobe)
             rows = rows.filter(F.col(pq_index.BUCKET_COL).isin(probe))
-        return (rows.filter(F.col("chunk_id").isin(ids))
-                .drop(pq_index.BUCKET_COL))
+        ids = [r.chunk_id for r in cand.select("chunk_id").collect()]
+        if len(ids) <= 1024:
+            # small candidate sets: a literal IN-filter reaches the parquet
+            # scan (footer min/max on the chunk-id-sorted rows table)
+            rows = rows.filter(F.col("chunk_id").isin(ids))
+        else:
+            # large sets: a 10k+-literal In() bloats the plan; a broadcast
+            # semi-join evaluates the same bounded set executor-side
+            ids_df = self.spark.createDataFrame(
+                [(i,) for i in ids], "chunk_id string")
+            rows = rows.join(F.broadcast(ids_df), "chunk_id", "left_semi")
+        return rows.drop(pq_index.BUCKET_COL)
 
     def search(self, query_text: str, ctx: AclContext | None = None,
                spec: FilterSpec | None = None, top_k: int = MAX_MEMORIES_DEFAULT,

@@ -120,7 +120,12 @@ def quality_buckets(scored: DataFrame, n_buckets: int = 3,
     bounds = sorted(set(b for b in (head["b"] or []) if b is not None))
     rb = F.lit(0)
     for b in bounds:
-        rb = rb + (F.col(nll_col) > F.lit(float(b))).cast("int")
+        # NULL-safe: (NULL > b) is NULL; coalesce keeps NULL scores in range
+        # bucket 0 — the window twin's `order by nll asc` ranks nulls FIRST,
+        # so they belong at the bottom, not silently dropped by the _rb
+        # equi-join below
+        rb = rb + F.coalesce(F.col(nll_col) > F.lit(float(b)),
+                             F.lit(False)).cast("int")
     scored = scored.withColumn("_rb", rb)
 
     # per-bucket offsets IN-PLAN: counts are <= range_partitions rows, so the

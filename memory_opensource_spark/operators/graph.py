@@ -101,7 +101,11 @@ def match_pattern(nodes: DataFrame, edges: DataFrame, spec: PatternSpec,
         .join(n, e.dst == F.col("n_id"))
         .drop("src", "dst")
     )
-    if dedup:
+    if dedup or spec.limit:
+        # dedup=False is only sound for consumers that re-aggregate on a
+        # subset key with NO inner row cap: a limit over non-distinct paths
+        # lets duplicate rows (self-loops under direction="any", repeated
+        # edge rows) consume limit slots and silently drop distinct matches.
         out = out.dropDuplicates(["m_id", "rel_type", "n_id"])
     if spec.limit:
         out = out.orderBy("m_id", "rel_type", "n_id").limit(spec.limit)

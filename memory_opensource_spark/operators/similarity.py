@@ -149,17 +149,19 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     Used to broadcast the dimension side of a similarity join.
 
     Own guard (VERDICT r6 watch item): callers are budget-routed, but a
-    direct caller must not be able to OOM the driver — a cheap
-    ``limit(budget + 1)`` count refuses past-budget frames before collecting
-    anything."""
+    direct caller must not be able to OOM the driver — collect at most
+    ``budget + 1`` rows in the SAME action and refuse if the extra row shows
+    up (a separate guard count() would re-execute the upstream plan — often
+    an embed/join pipeline — once per call)."""
     import numpy as np
 
-    if df.limit(BLAS_BROADCAST_BUDGET_ROWS + 1).count() > BLAS_BROADCAST_BUDGET_ROWS:
+    rows = (df.select(id_col, vec_col)
+            .limit(BLAS_BROADCAST_BUDGET_ROWS + 1).collect())
+    if len(rows) > BLAS_BROADCAST_BUDGET_ROWS:
         raise ValueError(
             f"_collect_matrix: side exceeds the {BLAS_BROADCAST_BUDGET_ROWS}-row "
             "broadcast budget — route through knn_join_auto / the grid path "
             "instead of collecting to the driver")
-    rows = df.select(id_col, vec_col).collect()
     ids = [r[0] for r in rows]
     if not rows:
         return ids, np.zeros((0, 1), dtype="float64")

@@ -149,8 +149,17 @@ def build_pq_index(df: DataFrame, index_path: str, codebooks=None,
         spark_ = df.sparkSession
         try:
             stored = load_codebooks(spark_, index_path)
-        except Exception:
-            stored = None
+        except Exception as e:
+            # ONLY a missing sidecar may skip the check (first append to a
+            # fresh path).  Any other read failure must propagate: treating
+            # a transient store error as "no sidecar" would bypass the guard
+            # and overwrite the sidecar below — exactly the silent-corruption
+            # mode this block exists to prevent.
+            if isinstance(e, FileNotFoundError) or "PATH_NOT_FOUND" in str(e) \
+                    or "Path does not exist" in str(e):
+                stored = None
+            else:
+                raise
         if stored is not None and not np.array_equal(
                 np.asarray(stored, dtype=np.float64), books):
             raise ValueError(

@@ -703,3 +703,20 @@ def test_pq_fetch_prunes_rows_table_partitions(engine, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "ivf_bucket" in m.group(1), m.group(0) if m else plan
+
+
+def test_pq_rerank_size_floors_and_hard_cap():
+    """Review r7: the adaptive 5%-of-probed re-rank floor restores recall but
+    the candidate ids are driver-collected — the budget must be a hard cap so
+    the set stays bounded at any corpus size."""
+    from memory_opensource_spark.api import PQ_RERANK_BUDGET, pq_rerank_size
+
+    # floors: build-time knob and 4*top_k
+    assert pq_rerank_size(128, 20, 600, 16, 4) == 128
+    assert pq_rerank_size(16, 100, 600, 16, 4) == 400
+    # adaptive: 5% of probed rows (600k rows, C=1024, nprobe=32 -> 18750 probed)
+    assert pq_rerank_size(128, 20, 600_000, 1024, 32) == 937
+    # hard cap: 1e11 rows at C=65536, nprobe=32 would want ~2.4M — capped
+    assert pq_rerank_size(128, 20, 100_000_000_000, 65_536, 32) == PQ_RERANK_BUDGET
+    # nprobe=None scans everything: still capped
+    assert pq_rerank_size(128, 20, 10_000_000_000, 1024, None) == PQ_RERANK_BUDGET

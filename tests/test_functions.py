@@ -201,3 +201,26 @@ def test_quality_buckets_plan_has_no_global_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
     assert "Window" in plan  # partitioned window is still how ranks are local
+
+
+def test_quality_buckets_null_scores_rank_first_not_dropped(spark):
+    """Review r7: a NULL score made _rb NULL and the equi-join silently
+    dropped the row while n_rows still counted it — every tier mis-sized and
+    a document lost.  The window twin (order by nll asc) ranks nulls FIRST,
+    so NULL scores must survive into bucket 1."""
+    from pyspark.sql import Window
+    from memory_opensource_spark.functions import lm
+
+    rows = [(0, 10, None), (1, 10, 0.1), (2, 10, 0.2), (3, 10, 0.3),
+            (4, 10, 0.4), (5, 10, 0.5), (6, 10, None), (7, 10, 0.7),
+            (8, 10, 0.8)]
+    scored = spark.createDataFrame(
+        rows, "id int, n_bigrams int, avg_nll double")
+    out = lm.quality_buckets(scored, n_buckets=3)
+    got = {r.id: r.bucket for r in out.collect()}
+    assert len(got) == len(rows)          # nothing dropped
+    w = Window.orderBy(F.col("avg_nll").asc(), F.col("id").asc())
+    want = {r.id: r.b for r in scored.withColumn(
+        "b", F.ntile(3).over(w)).collect()}
+    assert got == want
+    assert got[0] == 1 and got[6] == 1    # nulls-first -> top tier

@@ -231,3 +231,21 @@ def test_acl_arm_dropped_past_ten_entries(spark):
     big = AclContext(user_id="me", workspace_ids=[f"w{i}" for i in range(11)])
     assert df.filter(acl_predicate(small)).count() == 1   # w5 arm present
     assert df.filter(acl_predicate(big)).count() == 0     # arm dropped
+
+
+def test_match_pattern_limit_dedups_even_without_dedup_flag(spark):
+    """Review r7: with dedup=False a spec.limit over non-distinct path rows
+    would let duplicate rows (self-loops under direction="any", repeated edge
+    rows) consume limit slots and silently drop distinct matches — the limit
+    path must dedup first regardless of the flag."""
+    nodes = spark.createDataFrame(
+        [("m1", "Memory", "a", "active"), ("m2", "Memory", "b", "active")],
+        "node_id string, label string, prop_name string, prop_status string")
+    edges = spark.createDataFrame(
+        [("m1", "m1", "RELATED_TO"),   # self-loop: 2 identical rows undirected
+         ("m1", "m2", "RELATED_TO")],
+        "src string, dst string, rel_type string")
+    spec = PatternSpec(source_label="Memory", relationship_type="RELATED_TO",
+                       target_label="Memory", direction="any", limit=2)
+    out = graph.match_pattern(nodes, edges, spec, dedup=False).collect()
+    assert {(r.m_id, r.n_id) for r in out} == {("m1", "m1"), ("m1", "m2")}

@@ -190,3 +190,33 @@ def test_append_with_matching_codebooks_ok(spark, emb, tmp_path):
         emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150)),
         path, codebooks=books, m=16, mode="append")
     assert spark.read.parquet(path).count() == 150
+
+
+def test_append_to_fresh_path_skips_sidecar_check(spark, emb, tmp_path):
+    """mode='append' on a brand-new path: no sidecar exists yet, so the
+    mismatch guard is skipped (stored=None) and the build proceeds."""
+    path = str(tmp_path / "pq_fresh_append")
+    books = pq_index.train_pq_codebooks(emb.limit(64), m=16)
+    pq_index.build_pq_index(emb.limit(64), path, codebooks=books,
+                            m=16, mode="append")
+    assert spark.read.parquet(path).count() == 64
+
+
+def test_append_guard_propagates_non_missing_sidecar_errors(spark, emb, tmp_path):
+    """Review r7: a sidecar read failure that is NOT path-missing must
+    propagate — treating it as 'no sidecar' would bypass the mismatch guard
+    and overwrite the sidecar, the exact silent-corruption mode it guards."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "pq_broken")
+    books = pq_index.build_pq_index(emb.limit(32), path, m=16)
+    cb = pq_index._codebook_path(path)
+    shutil.rmtree(cb)
+    os.makedirs(cb)
+    with open(os.path.join(cb, "part-00000.parquet"), "w") as f:
+        f.write("this is not parquet")
+    with pytest.raises(Exception) as ei:
+        pq_index.build_pq_index(emb.limit(8), path, codebooks=books,
+                                m=16, mode="append")
+    assert "PATH_NOT_FOUND" not in str(ei.value)

@@ -100,7 +100,9 @@ def main():
 
     # PQ + exact re-rank (sources/pq_index.py): ADC over m-byte codes covers
     # EVERY row, then the top-R candidates re-rank exactly.  Cost is bytes,
-    # not rows: scan_bytes = m / (4 * dim)  [codes vs float32 vectors]
+    # not rows: scan_bytes = m / (8 * dim)  [codes vs the ACTUAL stored
+    # array<double> vectors — 8 B/dim; the round-6 PERF table used a float32
+    # baseline, which overstated the fraction 2x]
     # + R/n full-fidelity rows for the re-rank.
     from memory_opensource_spark.sources.pq_index import (
         build_pq_index, train_pq_codebooks)
@@ -125,7 +127,7 @@ def main():
             rr = cand[np.argsort(-(mat[cand] @ mat[qi]))]
             rr = [c for c in rr if c != qi][:k]
             hits += len(truth[qi] & set(ids[rr]))
-        byte_frac = m / (4.0 * dim) + R / n
+        byte_frac = m / (8.0 * dim) + R / n
         print(f"pq m={m} rerank={R} ({R/n:.1%} rows): "
               f"recall@{k}={hits/(k*n_queries):.3f} "
               f"bytes_frac={byte_frac:.3f}")

@@ -149,7 +149,9 @@ def main():
                      .filter(FF.col(pqm.BUCKET_COL).isin(probe)).count())
     pq_overlap = len(set(full_ids) & set(pq_ids)) / max(1, len(full_ids))
     m_bytes = eng._pq_books.shape[0]
-    bytes_frac = (codes_scanned * m_bytes) / (n * dim * 4)
+    # denominator: the ACTUAL stored representation (array<double>, 8 B/dim)
+    # — a float32 baseline would overstate the PQ fraction 2x
+    bytes_frac = (codes_scanned * m_bytes) / (n * dim * 8)
     print(f"PQ search: {t_pq:.2f}s  nprobe={nprobe}  "
           f"ADC-scanned {codes_scanned}/{n} codes "
           f"(~{100.0 * bytes_frac:.1f}% of full-scan bytes)  "
