@@ -89,6 +89,10 @@ HEADLINE = [
     "dedup_semantic_clusters",
     "shard_corpus",
     "lm_quality_scores",
+    # round 7 addition (incremental corpus maintenance: stateful
+    # exact/MinHash/SemDeDup verdicts for a new batch against persisted
+    # state; first run builds the cached /tmp state like ann_ivf_persisted)
+    "corpus_increment_dedup",
 ]
 
 

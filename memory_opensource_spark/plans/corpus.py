@@ -1,0 +1,336 @@
+"""Incremental corpus maintenance: stateful dedup of NEW document batches
+against a persisted corpus state.
+
+The batch pipeline (tools/pipeline_probe.py, PERF.md round-7) runs
+
+    exact dedup -> MinHash/LSH near-dup -> SemDeDup
+
+over a whole corpus at once.  A 100 TB training corpus is not rebuilt per
+crawl — it GROWS, and re-running the batch pipeline over corpus + batch per
+increment is O(corpus) work for O(batch) new data.  This module persists the
+state each stage needs (content hashes, LSH band table, SemDeDup codebook +
+cluster members) so an increment costs O(batch + candidates touched):
+
+- ``corpus_init``: run the batch stages once, persist state.
+- ``corpus_increment``: verdict every new doc (``exact`` / ``near_dup`` /
+  ``semantic`` / ``kept``) against state + earlier batch members, then
+  append the batch's members to state.  Every join is a band/cluster
+  equi-join or a hash semi-join; there is NO driver collect and no step
+  that scans the whole corpus (the band and cluster joins touch only the
+  buckets the batch lands in).
+
+Semantics vs the batch pipeline (documented contract, test-pinned):
+
+- Exact + MinHash verdicts match the batch pipeline run on (corpus ∪
+  batch) exactly, provided batch ids sort after corpus ids (the batch
+  keep-rules are min-id-canonical / drop-the-greater-id, so "existing
+  first" and "lower id first" coincide).
+- SemDeDup is FIRST-COME-FIRST-KEPT: history is immutable, so every
+  existing cluster member ranks before every new one.  Batch-on-union
+  instead ranks ALL members by (centroid_sim ASC, id ASC) and could
+  retroactively mark an EXISTING doc as the duplicate of a new one —
+  impossible incrementally (the old doc may already be shipped in a
+  training shard).  When new members happen to rank after existing ones
+  (the common case), the two agree exactly; `test_corpus.py` pins both
+  the agreement case and the defined divergence.
+- Matching the batch kernel (`dedup.semantic_cluster_dedup`), comparisons
+  run against ALL earlier-ranked cluster members — including ones that are
+  themselves duplicates — on 6-dp-rounded cosines.
+
+State layout under ``state_dir`` (all parquet, append-friendly):
+
+- ``members``:  one row per exact-surviving doc ever seen —
+  {doc_id, text, content_hash, near_ok, cluster_id, centroid_sim,
+  is_dup, retained, embedding}.  MinHash-dropped members keep NULL
+  cluster columns (they never entered the semantic stage, same as batch).
+- ``bands``:    {doc_id, band_idx, band_hash} for every member (the LSH
+  bucket table new batches join against).
+- ``codebook``: {centroid_id, embedding} — train-once (the pipeline probe
+  measured centroid training at 61% of batch wall; increments reuse it).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles
+from ..operators import dedup
+from ..semantics import NEAR_DUP_JACCARD
+
+
+def _paths(state_dir: str) -> dict:
+    return {k: os.path.join(state_dir, k)
+            for k in ("members", "bands", "codebook")}
+
+
+def _exact_survivors(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Min-id-canonical exact dedup within one frame (the
+    ``dedup.exact_duplicates`` keep-rule, applied)."""
+    hashed = docs.select(F.col(id_col).alias("doc_id"),
+                         F.col(text_col).alias("text"),
+                         F.md5(F.col(text_col)).alias("content_hash"))
+    canon = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("_c"))
+    return (hashed.join(canon, "content_hash")
+            .filter(F.col("doc_id") == F.col("_c")).drop("_c"))
+
+
+def _near_drop_ids(pairs: DataFrame) -> DataFrame:
+    """The batch keep-rule: drop the greater id of every qualifying pair
+    (tools/pipeline_probe.py stage 2)."""
+    return pairs.select(
+        F.greatest("left_id", "right_id").alias("doc_id")).distinct()
+
+
+def _semantic_member_schema(members_like: DataFrame):
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
+
+    return StructType([
+        StructField("doc_id", members_like.schema["doc_id"].dataType),
+        StructField("cluster_id", members_like.schema["cluster_id"].dataType),
+        StructField("centroid_sim", DoubleType()),
+        StructField("is_dup", IntegerType()),
+    ])
+
+
+def _assign_clusters(new2: DataFrame, emb: DataFrame, codebook: DataFrame,
+                     n_centroids_hint: int | None) -> DataFrame:
+    """Nearest-centroid assignment with the house determinism rule —
+    identical to `semantic_cluster_dedup`'s assignment (6-dp-rounded argmax,
+    centroid-id-asc tie-break, self-match allowed)."""
+    from ..operators.similarity import best_rounded_match, knn_join_auto
+
+    vecs = (new2.select("doc_id")
+            .join(emb.select(F.col("doc_id"), F.col("embedding")), "doc_id"))
+    cand = knn_join_auto(
+        vecs, codebook, 8, left_vec="embedding", right_vec="embedding",
+        left_id="doc_id", right_id="centroid_id",
+        approx_right_rows=n_centroids_hint, exclude_self=False)
+    return best_rounded_match(cand).select(
+        F.col("left_id").alias("doc_id"),
+        F.col("right_id").alias("cluster_id"),
+        F.col("score").alias("centroid_sim"))
+
+
+def corpus_init(docs: DataFrame, emb: DataFrame, centroids: DataFrame,
+                state_dir: str, *, eps: float,
+                jaccard_threshold: float = NEAR_DUP_JACCARD,
+                hash_fn: str = "md5", id_col: str = "doc_id",
+                text_col: str = "text") -> dict:
+    """Run the batch dedup stages over ``docs`` (+ aligned ``emb`` on
+    ``doc_id``) and persist the corpus state.  ``centroids`` is the SemDeDup
+    codebook {centroid_id, embedding} — train once (e.g.
+    ``ann_index.train_centroids``), reuse across increments.
+
+    Returns {"members": n, "retained": n}."""
+    p = _paths(state_dir)
+    x = _exact_survivors(docs, id_col, text_col).localCheckpoint()
+
+    bands = dedup.minhash_band_table(x, id_col="doc_id", text_col="text",
+                                     hash_fn=hash_fn)
+    pairs = dedup.minhash_near_duplicates(x, id_col="doc_id",
+                                          text_col="text",
+                                          threshold=jaccard_threshold,
+                                          hash_fn=hash_fn)
+    near_drop = _near_drop_ids(pairs)
+    docs2 = x.join(near_drop, "doc_id", "left_anti")
+
+    sem = dedup.semantic_cluster_dedup(
+        docs2.select("doc_id").join(
+            emb.select(F.col(id_col).alias("doc_id"), "embedding"), "doc_id"),
+        centroids, eps, id_col="doc_id", vec_col="embedding")
+
+    members = (
+        x.join(near_drop.withColumn("_nd", F.lit(1)), "doc_id", "left")
+        .withColumn("near_ok", F.when(F.col("_nd").isNull(), 1).otherwise(0)
+                    .cast("int")).drop("_nd")
+        .join(sem.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .join(emb.select(F.col(id_col).alias("doc_id"), "embedding"),
+              "doc_id", "left")
+        .withColumn("retained",
+                    ((F.col("near_ok") == 1)
+                     & (F.col("is_dup") == 0)).cast("int"))
+    )
+    members.write.mode("overwrite").parquet(p["members"])
+    bands.select(F.col("id").alias("doc_id"), "band_idx", "band_hash") \
+         .write.mode("overwrite").parquet(p["bands"])
+    centroids.write.mode("overwrite").parquet(p["codebook"])
+
+    spark = docs.sparkSession
+    m = spark.read.parquet(p["members"])
+    return {"members": m.count(),
+            "retained": m.filter(F.col("retained") == 1).count()}
+
+
+def corpus_increment(spark: SparkSession, new_docs: DataFrame,
+                     new_emb: DataFrame, state_dir: str, *, eps: float,
+                     jaccard_threshold: float = NEAR_DUP_JACCARD,
+                     hash_fn: str = "md5", id_col: str = "doc_id",
+                     text_col: str = "text",
+                     update_state: bool = True) -> DataFrame:
+    """Verdict every new doc against the persisted corpus state + earlier
+    members of the SAME batch, then (``update_state``) append the batch to
+    state.  Returns one row per input doc:
+
+        {doc_id, drop_stage ('exact'|'near_dup'|'semantic'|'kept'),
+         retained, cluster_id, centroid_sim}
+
+    cluster columns are NULL for docs dropped before the semantic stage.
+    Stage semantics are the batch pipeline's keep-rules with immutable
+    history (module docstring)."""
+    p = _paths(state_dir)
+    members = spark.read.parquet(p["members"])
+    state_bands = spark.read.parquet(p["bands"])
+    codebook = spark.read.parquet(p["codebook"])
+
+    # -- exact: a new doc drops on a hash seen in ANY prior member (exact
+    # groups share their canonical's hash) or on a lower-id batch twin
+    new_x = (_exact_survivors(new_docs, id_col, text_col)
+             .join(members.select("content_hash").distinct(),
+                   "content_hash", "left_anti")
+             .localCheckpoint(eager=False))
+
+    # -- MinHash/LSH: candidates from the band buckets the batch lands in.
+    # Right side = every prior member (history ranks first) or a lower-id
+    # batch doc — the batch drop-the-greater-id rule with ids replaced by
+    # (old, id) lexicographic order.
+    new_bands = dedup.minhash_band_table(
+        new_x, id_col="doc_id", text_col="text",
+        hash_fn=hash_fn).localCheckpoint(eager=False)
+    r_old = state_bands.select("band_idx", "band_hash",
+                               F.col("doc_id").alias("r_id"),
+                               F.lit(0).alias("r_new"))
+    r_new = new_bands.select("band_idx", "band_hash",
+                             F.col("id").alias("r_id"),
+                             F.lit(1).alias("r_new"))
+    cand = (new_bands.alias("l")
+            .join(r_old.unionByName(r_new).alias("r"),
+                  (F.col("l.band_idx") == F.col("r.band_idx"))
+                  & (F.col("l.band_hash") == F.col("r.band_hash"))
+                  & ((F.col("r.r_new") == 0)
+                     | (F.col("r.r_id") < F.col("l.id"))))
+            .select(F.col("l.id").alias("left_id"),
+                    F.col("r.r_id").alias("right_id"),
+                    F.col("r.r_new").alias("r_new"))
+            .distinct())
+    # Jaccard refine reads texts ONLY for candidate ids (semi-join-bounded)
+    sh_left = new_x.select(F.col("doc_id").alias("left_id"),
+                           shingles(F.col("text")).alias("lsh_"))
+    right_src = (members.select("doc_id", "text")
+                 .join(cand.filter(F.col("r_new") == 0)
+                       .select(F.col("right_id").alias("doc_id")).distinct(),
+                       "doc_id", "left_semi")
+                 .unionByName(new_x.select("doc_id", "text")))
+    sh_right = right_src.select(F.col("doc_id").alias("right_id"),
+                                shingles(F.col("text")).alias("rsh_"))
+    refined = (cand.join(sh_left, "left_id").join(sh_right, "right_id")
+               .withColumn("inter", F.size(F.array_intersect("lsh_", "rsh_")))
+               .withColumn("uni", F.size(F.array_union("lsh_", "rsh_")))
+               .filter(F.col("inter").cast("double")
+                       / F.greatest(F.col("uni"), F.lit(1)).cast("double")
+                       >= jaccard_threshold))
+    near_drop = refined.select(F.col("left_id").alias("doc_id")).distinct() \
+                       .localCheckpoint(eager=False)
+    new2 = new_x.join(near_drop, "doc_id", "left_anti")
+
+    # -- SemDeDup, first-come-first-kept: new members compare against ALL
+    # existing near_ok members of their cluster (even is_dup=1 ones — the
+    # batch kernel compares against every earlier-ranked row) and against
+    # earlier-ranked batch members; only clusters the batch touches load.
+    # no count() action: knn_join_auto routes on parquet plan statistics,
+    # and a codebook is broadcast-sized by construction
+    n_cents_hint = None
+    assign = _assign_clusters(new2, new_emb.select(
+        F.col(id_col).alias("doc_id"), "embedding"), codebook, n_cents_hint)
+    affected = assign.select("cluster_id").distinct()
+    old_m = (members.filter(F.col("near_ok") == 1)
+             .join(affected, "cluster_id", "left_semi")
+             .select("doc_id", "cluster_id", "centroid_sim", "embedding",
+                     F.lit(1).alias("_old")))
+    new_m = (assign.join(new_emb.select(F.col(id_col).alias("doc_id"),
+                                        "embedding"), "doc_id")
+             .select("doc_id", "cluster_id", "centroid_sim", "embedding",
+                     F.lit(0).alias("_old")))
+    both = old_m.unionByName(new_m)
+
+    import pandas as pd
+
+    def _verdict_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # history first (order among olds is irrelevant — their verdicts are
+        # not re-emitted), then batch rows by the batch kernel's
+        # (centroid_sim ASC, id ASC)
+        pdf = pdf.sort_values(["_old", "centroid_sim", "doc_id"],
+                              kind="mergesort",
+                              ascending=[False, True, True]) \
+                 .reset_index(drop=True)
+        mat = np.asarray([np.asarray(v, dtype="float64")
+                          for v in pdf["embedding"]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        n = len(pdf)
+        n_old = int((pdf["_old"] == 1).sum())
+        is_dup = np.zeros(n, dtype="int32")
+        slice_rows = max(1, 2_000_000 // max(n, 1))
+        for lo in range(n_old, n, slice_rows):
+            hi = min(lo + slice_rows, n)
+            scores = np.round(mat[lo:hi] @ mat[:hi].T, 6)
+            for off in range(hi - lo):
+                i = lo + off
+                if i > 0 and (scores[off, :i] >= eps).any():
+                    is_dup[i] = 1
+        keep = pdf["_old"] == 0
+        return pd.DataFrame({
+            "doc_id": pdf["doc_id"][keep],
+            "cluster_id": pdf["cluster_id"][keep],
+            "centroid_sim": pdf["centroid_sim"][keep],
+            "is_dup": is_dup[keep.to_numpy()],
+        })
+
+    sem = both.groupBy("cluster_id").applyInPandas(
+        _verdict_cluster, _semantic_member_schema(both)).localCheckpoint(eager=False)
+
+    # -- assemble verdicts over the FULL input batch
+    base = new_docs.select(F.col(id_col).alias("doc_id"))
+    verdict = (
+        base
+        .join(new_x.select("doc_id", F.lit(1).alias("_x")), "doc_id", "left")
+        .join(near_drop.select("doc_id", F.lit(1).alias("_nd")),
+              "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .withColumn("drop_stage",
+                    F.when(F.col("_x").isNull(), "exact")
+                    .when(F.col("_nd") == 1, "near_dup")
+                    .when(F.col("is_dup") == 1, "semantic")
+                    .otherwise("kept"))
+        .withColumn("retained",
+                    (F.col("drop_stage") == "kept").cast("int"))
+        .select("doc_id", "drop_stage", "retained", "cluster_id",
+                "centroid_sim")
+    )
+
+    if update_state:
+        verdict = verdict.localCheckpoint()  # stamp before state mutates
+        new_members = (
+            new_x
+            .join(near_drop.withColumn("_nd", F.lit(1)), "doc_id", "left")
+            .withColumn("near_ok",
+                        F.when(F.col("_nd").isNull(), 1).otherwise(0)
+                        .cast("int")).drop("_nd")
+            .join(sem, "doc_id", "left")
+            .join(new_emb.select(F.col(id_col).alias("doc_id"), "embedding"),
+                  "doc_id", "left")
+            .withColumn("retained",
+                        ((F.col("near_ok") == 1)
+                         & (F.col("is_dup") == 0)).cast("int"))
+            .select(*members.columns)
+        )
+        new_members.write.mode("append").parquet(p["members"])
+        new_bands.select(F.col("id").alias("doc_id"), "band_idx",
+                         "band_hash").write.mode("append").parquet(p["bands"])
+    return verdict

@@ -1,0 +1,209 @@
+"""Incremental corpus maintenance (plans/corpus.py): verdict parity with the
+batch pipeline's keep-rules on a crafted corpus, the documented
+first-come-first-kept divergence, and state growth across increments."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from memory_opensource_spark.plans import corpus
+
+EPS = 0.95
+JAC = 0.5
+DIM = 8
+
+
+def _tokens(base):
+    return [f"t{base}_{j}" for j in range(24)]
+
+
+def _text(base, extra=None):
+    toks = _tokens(base)
+    if extra:
+        toks = toks + [extra]
+    return " ".join(toks)
+
+
+def _e(k):
+    v = np.zeros(DIM)
+    v[k] = 1.0
+    return v
+
+
+def _mix(a, wa, b, wb):
+    v = wa * _e(a) + wb * _e(b)
+    return (v / np.linalg.norm(v)).tolist()
+
+
+def _vec(k, i):
+    rng = np.random.RandomState(1000 + i)
+    v = _e(k) + 0.01 * rng.randn(DIM)
+    return (v / np.linalg.norm(v)).tolist()
+
+
+@pytest.fixture(scope="module")
+def state(spark, tmp_path_factory):
+    """init corpus (ids 0-19) with known structure:
+    - 15..19 exact-dup texts of 0..4 (dropped 'exact' within init)
+    - 7 is a one-token variant of 3 (dropped 'near_dup')
+    - embeddings: cluster k = id % 4; 8 and 9 share 6's direction, so the
+      batch SemDeDup kernel prunes within cluster 2
+    - 10 sits EXACTLY on centroid 3 (sim 1.0 — the divergence probe below)
+    """
+    sd = str(tmp_path_factory.mktemp("corpus") / "state")
+    rows, vecs = [], []
+    for i in range(20):
+        base = i % 15
+        text = _text(base, extra="zzz" if i == 7 else None)
+        rows.append((i, text))
+        if i in (8, 9):
+            vecs.append((i, _vec(2, 6)))      # same direction as 6
+        elif i == 6:
+            vecs.append((i, _vec(2, 6)))
+        elif i == 10:
+            vecs.append((i, _e(3).tolist()))
+        else:
+            vecs.append((i, _vec(i % 4, i)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = spark.createDataFrame(vecs, "doc_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(k, _e(k).tolist()) for k in range(4)],
+        "centroid_id int, embedding array<double>")
+    stats = corpus.corpus_init(docs, emb, cents, sd, eps=EPS,
+                               jaccard_threshold=JAC)
+    return sd, docs, emb, cents, stats
+
+
+def _batch(spark, rows, vecs):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = spark.createDataFrame(vecs, "doc_id long, embedding array<double>")
+    return docs, emb
+
+
+def test_init_applies_batch_keep_rules(state):
+    sd, docs, emb, cents, stats = state
+    assert stats["members"] == 15            # exact survivors: ids 0..14
+    # dropped: 7 (near-dup of 3) + one of {8, 9} chains off 6's direction
+    assert stats["retained"] < 15
+
+
+def test_increment_verdicts_per_stage(spark, state):
+    sd, *_ = state
+    rows = [
+        (100, _text(2)),                     # exact dup of init 2
+        (101, _text(40)),                    # novel; 102 is its exact twin
+        (102, _text(40)),
+        (103, _text(5, extra="zzz")),        # near-dup of init 5
+        (104, _text(40, extra="yyy")),       # near-dup of batch 101
+        (105, _text(41)),                    # semantic dup of init 6
+        (106, _text(42)),                    # semantic dup of (dropped) 105
+        (110, _text(43)),                    # novel, own cluster
+    ]
+    vecs = [(100, _vec(0, 100)), (101, _vec(1, 101)), (102, _vec(1, 102)),
+            (103, _vec(1, 103)), (104, _vec(0, 104)),
+            (105, _vec(2, 6)), (106, _vec(2, 6)),
+            (110, _vec(3, 110))]
+    docs, emb = _batch(spark, rows, vecs)
+    v = {r.doc_id: r.drop_stage
+         for r in corpus.corpus_increment(spark, docs, emb, sd, eps=EPS,
+                                          jaccard_threshold=JAC,
+                                          update_state=False).collect()}
+    assert v[100] == "exact"
+    assert v[102] == "exact"                 # lower-id batch twin 101
+    assert v[101] in ("kept", "semantic")    # novel text; cluster 1 is loose
+    assert v[103] == "near_dup"
+    assert v[104] == "near_dup"
+    assert v[105] == "semantic"
+    # the batch kernel compares against ALL earlier members, including ones
+    # that are themselves duplicates: 106 must drop against 105 or 6
+    assert v[106] == "semantic"
+    assert v[110] == "semantic" or v[110] == "kept"
+    # 110 shares cluster 3 with init 10 (exactly on the centroid); its noisy
+    # vector has cos ~0.999 with e3 >= eps -> semantic
+    assert v[110] == "semantic"
+
+
+def test_first_come_first_kept_divergence_from_batch(spark, state):
+    """A new doc whose centroid_sim is LOWER than an existing >=eps
+    neighbor: batch-on-union would rank the new doc first and drop the OLD
+    one; incrementally history is immutable — the NEW doc drops and the old
+    member stays retained."""
+    from memory_opensource_spark.operators import dedup
+
+    sd, docs0, emb0, cents, _ = state
+    new_vec = _mix(3, 0.8, 1, 0.2)           # sim to e3 ~0.97 < init 10's 1.0
+    assert float(np.dot(new_vec, _e(3))) >= EPS
+    rows = [(200, _text(60))]
+    docs, emb = _batch(spark, rows, [(200, new_vec)])
+    v = corpus.corpus_increment(spark, docs, emb, sd, eps=EPS,
+                                jaccard_threshold=JAC,
+                                update_state=False).collect()[0]
+    assert v.drop_stage == "semantic"        # new drops, old untouched
+    # batch-on-union genuinely differs: the kernel ranks 200 (sim ~0.97)
+    # before 10 (sim 1.0) and marks the OLD doc as the duplicate
+    union = emb0.filter(F.col("doc_id") == 10).unionByName(emb)
+    got = {r.id: r.is_dup for r in dedup.semantic_cluster_dedup(
+        union, cents, EPS, id_col="doc_id").collect()}
+    assert got[10] == 1 and got[200] == 0
+
+
+def test_second_increment_sees_first_batch_state(spark, state):
+    sd, *_ = state
+    rows1 = [(300, _text(70))]
+    docs1, emb1 = _batch(spark, rows1, [(300, _vec(1, 300))])
+    corpus.corpus_increment(spark, docs1, emb1, sd, eps=EPS,
+                            jaccard_threshold=JAC)
+    # batch 2: exact dup + near-dup of batch-1's doc -> both drop via STATE
+    rows2 = [(400, _text(70)), (401, _text(70, extra="qqq"))]
+    docs2, emb2 = _batch(spark, rows2,
+                         [(400, _vec(1, 400)), (401, _vec(1, 401))])
+    v = {r.doc_id: r.drop_stage
+         for r in corpus.corpus_increment(spark, docs2, emb2, sd, eps=EPS,
+                                          jaccard_threshold=JAC,
+                                          update_state=False).collect()}
+    assert v[400] == "exact"
+    assert v[401] == "near_dup"
+
+
+def test_update_state_false_leaves_state_untouched(spark, state):
+    sd, *_ = state
+    import os
+    members_before = spark.read.parquet(os.path.join(sd, "members")).count()
+    docs, emb = _batch(spark, [(500, _text(80))], [(500, _vec(0, 500))])
+    corpus.corpus_increment(spark, docs, emb, sd, eps=EPS,
+                            jaccard_threshold=JAC, update_state=False)
+    assert spark.read.parquet(
+        os.path.join(sd, "members")).count() == members_before
+
+
+def test_exact_and_minhash_match_batch_on_union(spark, state):
+    """Where the contract promises exact batch parity (exact + MinHash
+    stages, batch ids above init ids), verify it literally: the increment's
+    exact/near_dup verdicts equal the batch pipeline's keep-rules run over
+    init ∪ batch."""
+    from memory_opensource_spark.operators import dedup
+
+    sd, docs0, emb0, cents, _ = state
+    rows = [(600, _text(2)), (601, _text(90)), (602, _text(90, extra="x")),
+            (603, _text(3, extra="zzz"))]
+    vecs = [(i, _vec(i % 4, i)) for i, _ in rows]
+    docs, emb = _batch(spark, rows, vecs)
+    v = {r.doc_id: r.drop_stage
+         for r in corpus.corpus_increment(spark, docs, emb, sd, eps=EPS,
+                                          jaccard_threshold=JAC,
+                                          update_state=False).collect()}
+
+    union = docs0.unionByName(docs)
+    x = corpus._exact_survivors(union, "doc_id", "text")
+    exact_dropped = {r.doc_id for r in union.join(
+        x.select("doc_id"), "doc_id", "left_anti").collect()}
+    pairs = dedup.minhash_near_duplicates(x, id_col="doc_id",
+                                          text_col="text", threshold=JAC)
+    near_dropped = {r.doc_id for r in corpus._near_drop_ids(pairs).collect()}
+    for i, _ in rows:
+        if i in exact_dropped:
+            assert v[i] == "exact", i
+        elif i in near_dropped:
+            assert v[i] == "near_dup", i
+        else:
+            assert v[i] in ("semantic", "kept"), i
