@@ -15,9 +15,13 @@ cluster members) so an increment costs O(batch + candidates touched):
 - ``corpus_increment``: verdict every new doc (``exact`` / ``near_dup`` /
   ``semantic`` / ``kept``) against state + earlier batch members, then
   append the batch's members to state.  Every join is a band/cluster
-  equi-join or a hash semi-join; there is NO driver collect and no step
-  that scans the whole corpus (the band and cluster joins touch only the
-  buckets the batch lands in).
+  equi-join or a hash semi-join and there is NO driver collect.  What still
+  touches state, precisely: the exact stage reads ONE column (content_hash)
+  of the members table; the Jaccard refine reads texts only for candidate
+  ids (semi-join-bounded); the semantic stage loads (id, sim, embedding) of
+  the near_ok members of AFFECTED clusters — a batch spread over every
+  cluster reads every member's embedding, but the pairwise kernel computes
+  only new-vs-earlier rows, O(batch * cluster_size), never old-vs-old.
 
 Semantics vs the batch pipeline (documented contract, test-pinned):
 
@@ -63,7 +67,38 @@ from ..semantics import NEAR_DUP_JACCARD
 
 def _paths(state_dir: str) -> dict:
     return {k: os.path.join(state_dir, k)
-            for k in ("members", "bands", "codebook")}
+            for k in ("members", "bands", "codebook", "meta")}
+
+
+def _check_meta(p: dict, *, eps, jaccard_threshold, hash_fn) -> None:
+    """An increment under DIFFERENT parameters than the state was built with
+    is silently wrong (an xxhash64 band never equals an md5 band -> zero
+    near-dup candidates; a different eps changes which history suppressed
+    what).  The init config persists beside the state; mismatches raise."""
+    import json
+
+    try:
+        with open(os.path.join(p["meta"], "meta.json")) as f:
+            meta = json.load(f)
+    except FileNotFoundError:
+        return  # pre-meta state: accept (documented best-effort)
+    want = {"eps": eps, "jaccard_threshold": jaccard_threshold,
+            "hash_fn": hash_fn}
+    got = {k: meta.get(k) for k in want}
+    if got != want:
+        raise ValueError(
+            f"corpus_increment config {want} differs from the state's init "
+            f"config {got} — increments must use the parameters the state "
+            "was built with (or rebuild with corpus_init)")
+
+
+def _write_meta(p: dict, *, eps, jaccard_threshold, hash_fn) -> None:
+    import json
+
+    os.makedirs(p["meta"], exist_ok=True)
+    with open(os.path.join(p["meta"], "meta.json"), "w") as f:
+        json.dump({"eps": eps, "jaccard_threshold": jaccard_threshold,
+                   "hash_fn": hash_fn}, f)
 
 
 def _exact_survivors(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -158,6 +193,8 @@ def corpus_init(docs: DataFrame, emb: DataFrame, centroids: DataFrame,
     bands.select(F.col("id").alias("doc_id"), "band_idx", "band_hash") \
          .write.mode("overwrite").parquet(p["bands"])
     centroids.write.mode("overwrite").parquet(p["codebook"])
+    _write_meta(p, eps=eps, jaccard_threshold=jaccard_threshold,
+                hash_fn=hash_fn)
 
     spark = docs.sparkSession
     m = spark.read.parquet(p["members"])
@@ -182,6 +219,8 @@ def corpus_increment(spark: SparkSession, new_docs: DataFrame,
     Stage semantics are the batch pipeline's keep-rules with immutable
     history (module docstring)."""
     p = _paths(state_dir)
+    _check_meta(p, eps=eps, jaccard_threshold=jaccard_threshold,
+                hash_fn=hash_fn)
     members = spark.read.parquet(p["members"])
     state_bands = spark.read.parquet(p["bands"])
     codebook = spark.read.parquet(p["codebook"])

@@ -150,3 +150,35 @@ def decayed_counter_updates(batch: DataFrame, counters: DataFrame, key_col: str,
         (F.coalesce(F.col("hit_total"), F.lit(0.0)) + F.coalesce(F.col("hit_count"), F.lit(0.0))).alias("hit_total"),
         eff_ref.alias("ema_updated_at"),
     )
+
+
+def foreach_batch_corpus_maintenance(stream: DataFrame, state_dir: str,
+                                     checkpoint: str, *, eps: float,
+                                     jaccard_threshold: float = 0.5,
+                                     hash_fn: str = "md5",
+                                     on_verdict=None):
+    """Continuous corpus maintenance: every micro-batch of
+    (doc_id, text, embedding) rows is verdicted against the persisted corpus
+    state (plans/corpus.corpus_increment — exact / near_dup / semantic /
+    kept) and its exact-surviving members append to state, so batch N+1
+    dedups against batch N without any full-corpus rescan.  The streaming
+    twin of the batch pipeline's stateful sibling; state must be initialized
+    once with ``corpus_init``.
+
+    ``on_verdict(verdict_df, batch_id)`` receives each batch's verdict frame
+    (already localCheckpointed — safe to use after state mutates); the
+    retained slice is what a downstream writer ships to training shards."""
+    from ..plans import corpus
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        docs = batch_df.select("doc_id", "text")
+        emb = batch_df.select("doc_id", "embedding")
+        v = corpus.corpus_increment(
+            batch_df.sparkSession, docs, emb, state_dir, eps=eps,
+            jaccard_threshold=jaccard_threshold, hash_fn=hash_fn)
+        if on_verdict is not None:
+            on_verdict(v, batch_id)
+
+    return (stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update"))

@@ -207,3 +207,76 @@ def test_exact_and_minhash_match_batch_on_union(spark, state):
             assert v[i] == "near_dup", i
         else:
             assert v[i] in ("semantic", "kept"), i
+
+
+def test_increment_with_mismatched_config_raises(spark, state):
+    """Hardening: an increment under different parameters than the state was
+    built with is silently wrong (md5 bands never equal xxhash64 bands ->
+    zero candidates) — it must raise instead."""
+    sd, *_ = state
+    docs, emb = _batch(spark, [(700, _text(99))], [(700, _vec(0, 700))])
+    with pytest.raises(ValueError, match="differs from the state's init"):
+        corpus.corpus_increment(spark, docs, emb, sd, eps=EPS,
+                                jaccard_threshold=JAC, hash_fn="xxhash64",
+                                update_state=False)
+    with pytest.raises(ValueError, match="differs from the state's init"):
+        corpus.corpus_increment(spark, docs, emb, sd, eps=0.5,
+                                jaccard_threshold=JAC, update_state=False)
+
+
+def test_streaming_corpus_maintenance_accumulates_state(spark, tmp_path):
+    """ST twin: two micro-batches through foreachBatch — batch 2's exact dup
+    of a batch-1 doc must drop via the state batch 1 appended, proving
+    cross-batch dedup under Structured Streaming without a corpus rescan."""
+    import os
+
+    from memory_opensource_spark.streaming.pipelines import (
+        foreach_batch_corpus_maintenance)
+
+    sd = str(tmp_path / "state")
+    init_docs = spark.createDataFrame(
+        [(0, _text(0)), (1, _text(1))], "doc_id long, text string")
+    init_emb = spark.createDataFrame(
+        [(0, _vec(0, 0)), (1, _vec(1, 1))],
+        "doc_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(k, _e(k).tolist()) for k in range(4)],
+        "centroid_id int, embedding array<double>")
+    corpus.corpus_init(init_docs, init_emb, cents, sd, eps=EPS,
+                       jaccard_threshold=JAC)
+
+    d = str(tmp_path / "stream")
+    schema = "doc_id long, text string, embedding array<double>"
+    b0 = spark.createDataFrame(
+        [(800, _text(88), _vec(2, 800)), (801, _text(0), _vec(3, 801))],
+        schema)                                  # 801 exact-dups init 0
+    b0.coalesce(1).write.parquet(f"{d}/in/b0")
+    verdicts = {}
+
+    def on_verdict(v, batch_id):
+        for r in v.collect():
+            verdicts[r.doc_id] = r.drop_stage
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(f"{d}/in/*"))
+        q = (foreach_batch_corpus_maintenance(
+                stream, sd, f"{d}/ckpt", eps=EPS, jaccard_threshold=JAC,
+                on_verdict=on_verdict)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    assert verdicts[800] == "kept"
+    assert verdicts[801] == "exact"
+    # batch 2: exact dup of BATCH-1's kept doc -> drops via appended state
+    b1 = spark.createDataFrame(
+        [(900, _text(88), _vec(2, 900)), (901, _text(89), _vec(3, 901))],
+        schema)                                  # cluster 3 is empty (801
+                                                 # never became a member)
+    b1.coalesce(1).write.parquet(f"{d}/in/b1")
+    run()
+    assert verdicts[900] == "exact"
+    assert verdicts[901] == "kept"
+    members = spark.read.parquet(os.path.join(sd, "members"))
+    assert members.count() == 2 + 1 + 1          # init 2 + 800 + 901
