@@ -60,7 +60,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles
 from ..operators import dedup
 from ..semantics import NEAR_DUP_JACCARD
 
@@ -70,21 +69,29 @@ def _paths(state_dir: str) -> dict:
             for k in ("members", "bands", "codebook", "meta")}
 
 
-def _check_meta(p: dict, *, eps, jaccard_threshold, hash_fn) -> None:
+def _check_meta(spark: SparkSession, p: dict, *, eps, jaccard_threshold,
+                hash_fn) -> None:
     """An increment under DIFFERENT parameters than the state was built with
     is silently wrong (an xxhash64 band never equals an md5 band -> zero
     near-dup candidates; a different eps changes which history suppressed
-    what).  The init config persists beside the state; mismatches raise."""
-    import json
-
+    what).  The init config persists beside the state as a 1-row parquet —
+    Spark-IO like every other state table, so the guard works on hdfs://,
+    s3a://, etc., not only the driver's local filesystem.  A MISSING meta
+    raises too: corpus_init has always written it, so absence means the
+    path is not a corpus state (or a partial write)."""
     try:
-        with open(os.path.join(p["meta"], "meta.json")) as f:
-            meta = json.load(f)
-    except FileNotFoundError:
-        return  # pre-meta state: accept (documented best-effort)
-    want = {"eps": eps, "jaccard_threshold": jaccard_threshold,
+        row = spark.read.parquet(p["meta"]).first()
+    except Exception as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            raise ValueError(
+                f"{p['meta']} is missing — not a corpus_init state "
+                "(or a partial/corrupt write); rebuild with corpus_init"
+            ) from e
+        raise
+    want = {"eps": float(eps), "jaccard_threshold": float(jaccard_threshold),
             "hash_fn": hash_fn}
-    got = {k: meta.get(k) for k in want}
+    got = {"eps": row.eps, "jaccard_threshold": row.jaccard_threshold,
+           "hash_fn": row.hash_fn}
     if got != want:
         raise ValueError(
             f"corpus_increment config {want} differs from the state's init "
@@ -92,13 +99,30 @@ def _check_meta(p: dict, *, eps, jaccard_threshold, hash_fn) -> None:
             "was built with (or rebuild with corpus_init)")
 
 
-def _write_meta(p: dict, *, eps, jaccard_threshold, hash_fn) -> None:
-    import json
+def _write_meta(spark: SparkSession, p: dict, *, eps, jaccard_threshold,
+                hash_fn) -> None:
+    spark.createDataFrame(
+        [(float(eps), float(jaccard_threshold), hash_fn)],
+        "eps double, jaccard_threshold double, hash_fn string",
+    ).coalesce(1).write.mode("overwrite").parquet(p["meta"])
 
-    os.makedirs(p["meta"], exist_ok=True)
-    with open(os.path.join(p["meta"], "meta.json"), "w") as f:
-        json.dump({"eps": eps, "jaccard_threshold": jaccard_threshold,
-                   "hash_fn": hash_fn}, f)
+
+def _check_alignment(docs: DataFrame, emb: DataFrame, id_col: str) -> None:
+    """Every doc must have a non-NULL embedding row: a missing/NULL vector
+    would silently skip the semantic stage (inner-join drop -> is_dup NULL ->
+    verdict 'kept') while the stored member row gets retained=NULL — verdict
+    and state disagreeing, and the doc invisible to all future semantic
+    comparisons.  Bounded check: take(1) on the anti-join, like the OMO
+    archive import's validation."""
+    missing = (docs.select(F.col(id_col).alias("doc_id"))
+               .join(emb.filter(F.col("embedding").isNotNull())
+                     .select(F.col(id_col).alias("doc_id")),
+                     "doc_id", "left_anti")
+               .take(1))
+    if missing:
+        raise ValueError(
+            f"doc_id {missing[0].doc_id!r} has no (non-NULL) embedding row — "
+            "docs and embeddings must align 1:1 on the id column")
 
 
 def _exact_survivors(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -162,14 +186,27 @@ def corpus_init(docs: DataFrame, emb: DataFrame, centroids: DataFrame,
 
     Returns {"members": n, "retained": n}."""
     p = _paths(state_dir)
+    _check_alignment(docs, emb, id_col)
     x = _exact_survivors(docs, id_col, text_col).localCheckpoint()
 
-    bands = dedup.minhash_band_table(x, id_col="doc_id", text_col="text",
-                                     hash_fn=hash_fn)
-    pairs = dedup.minhash_near_duplicates(x, id_col="doc_id",
-                                          text_col="text",
-                                          threshold=jaccard_threshold,
-                                          hash_fn=hash_fn)
+    # ONE signature pass: candidates self-join the same band table that
+    # persists to state (minhash_near_duplicates would recompute the
+    # shingle-explode + 16-hash signature stage — the dominant cost — a
+    # second time), then the SHARED Jaccard refine keeps parity with the
+    # batch op by construction
+    bands = dedup.minhash_band_table(
+        x, id_col="doc_id", text_col="text",
+        hash_fn=hash_fn).localCheckpoint(eager=False)
+    cand = (bands.alias("l")
+            .join(bands.alias("r"),
+                  (F.col("l.band_idx") == F.col("r.band_idx"))
+                  & (F.col("l.band_hash") == F.col("r.band_hash"))
+                  & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("left_id"),
+                    F.col("r.id").alias("right_id"))
+            .distinct())
+    pairs = dedup.jaccard_pairs(x, cand, id_col="doc_id", text_col="text",
+                                threshold=jaccard_threshold)
     near_drop = _near_drop_ids(pairs)
     docs2 = x.join(near_drop, "doc_id", "left_anti")
 
@@ -193,13 +230,14 @@ def corpus_init(docs: DataFrame, emb: DataFrame, centroids: DataFrame,
     bands.select(F.col("id").alias("doc_id"), "band_idx", "band_hash") \
          .write.mode("overwrite").parquet(p["bands"])
     centroids.write.mode("overwrite").parquet(p["codebook"])
-    _write_meta(p, eps=eps, jaccard_threshold=jaccard_threshold,
+    spark = docs.sparkSession
+    _write_meta(spark, p, eps=eps, jaccard_threshold=jaccard_threshold,
                 hash_fn=hash_fn)
 
-    spark = docs.sparkSession
-    m = spark.read.parquet(p["members"])
-    return {"members": m.count(),
-            "retained": m.filter(F.col("retained") == 1).count()}
+    row = (spark.read.parquet(p["members"])
+           .agg(F.count("*").alias("n"),
+                F.coalesce(F.sum("retained"), F.lit(0)).alias("r")).first())
+    return {"members": row["n"], "retained": int(row["r"])}
 
 
 def corpus_increment(spark: SparkSession, new_docs: DataFrame,
@@ -219,10 +257,21 @@ def corpus_increment(spark: SparkSession, new_docs: DataFrame,
     Stage semantics are the batch pipeline's keep-rules with immutable
     history (module docstring)."""
     p = _paths(state_dir)
-    _check_meta(p, eps=eps, jaccard_threshold=jaccard_threshold,
+    _check_meta(spark, p, eps=eps, jaccard_threshold=jaccard_threshold,
                 hash_fn=hash_fn)
-    members = spark.read.parquet(p["members"])
-    state_bands = spark.read.parquet(p["bands"])
+    _check_alignment(new_docs, new_emb, id_col)
+    batch_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    # REPLAY SAFETY (the foreachBatch at-least-once contract): exclude THIS
+    # batch's doc_ids from every state view, so re-running an increment whose
+    # previous attempt already (partially) appended reproduces the original
+    # verdicts instead of classifying everything 'exact' against its own
+    # half-written rows; the state appends below anti-join for the same
+    # reason.  Requires globally unique doc_ids across batches — already the
+    # contract (state is keyed on doc_id).
+    members = spark.read.parquet(p["members"]) \
+                   .join(batch_ids, "doc_id", "left_anti")
+    state_bands = spark.read.parquet(p["bands"]) \
+                       .join(batch_ids, "doc_id", "left_anti")
     codebook = spark.read.parquet(p["codebook"])
 
     # -- exact: a new doc drops on a hash seen in ANY prior member (exact
@@ -255,22 +304,18 @@ def corpus_increment(spark: SparkSession, new_docs: DataFrame,
                     F.col("r.r_id").alias("right_id"),
                     F.col("r.r_new").alias("r_new"))
             .distinct())
-    # Jaccard refine reads texts ONLY for candidate ids (semi-join-bounded)
-    sh_left = new_x.select(F.col("doc_id").alias("left_id"),
-                           shingles(F.col("text")).alias("lsh_"))
+    # Jaccard refine: the SHARED batch refine (dedup.jaccard_pairs — the
+    # increment's batch-parity contract depends on the two refines staying
+    # bit-identical), fed texts ONLY for candidate ids (semi-join-bounded);
+    # every left_id's text is in new_x, which is part of right_src
     right_src = (members.select("doc_id", "text")
                  .join(cand.filter(F.col("r_new") == 0)
                        .select(F.col("right_id").alias("doc_id")).distinct(),
                        "doc_id", "left_semi")
                  .unionByName(new_x.select("doc_id", "text")))
-    sh_right = right_src.select(F.col("doc_id").alias("right_id"),
-                                shingles(F.col("text")).alias("rsh_"))
-    refined = (cand.join(sh_left, "left_id").join(sh_right, "right_id")
-               .withColumn("inter", F.size(F.array_intersect("lsh_", "rsh_")))
-               .withColumn("uni", F.size(F.array_union("lsh_", "rsh_")))
-               .filter(F.col("inter").cast("double")
-                       / F.greatest(F.col("uni"), F.lit(1)).cast("double")
-                       >= jaccard_threshold))
+    refined = dedup.jaccard_pairs(
+        right_src, cand.select("left_id", "right_id"),
+        id_col="doc_id", text_col="text", threshold=jaccard_threshold)
     near_drop = refined.select(F.col("left_id").alias("doc_id")).distinct() \
                        .localCheckpoint(eager=False)
     new2 = new_x.join(near_drop, "doc_id", "left_anti")
@@ -355,6 +400,11 @@ def corpus_increment(spark: SparkSession, new_docs: DataFrame,
 
     if update_state:
         verdict = verdict.localCheckpoint()  # stamp before state mutates
+        # idempotent appends: rows a crashed previous attempt already wrote
+        # drop out (paired with the state-view exclusion above, a replayed
+        # batch converges to exactly-once state regardless of where the
+        # prior attempt died)
+        already_m = spark.read.parquet(p["members"]).select("doc_id")
         new_members = (
             new_x
             .join(near_drop.withColumn("_nd", F.lit(1)), "doc_id", "left")
@@ -367,9 +417,17 @@ def corpus_increment(spark: SparkSession, new_docs: DataFrame,
             .withColumn("retained",
                         ((F.col("near_ok") == 1)
                          & (F.col("is_dup") == 0)).cast("int"))
+            .join(already_m, "doc_id", "left_anti")
             .select(*members.columns)
+            # materialize BEFORE the append: the frame reads the same path
+            # it is about to write, and a lazy plan would scan mid-append
+            .localCheckpoint(eager=True)
         )
         new_members.write.mode("append").parquet(p["members"])
-        new_bands.select(F.col("id").alias("doc_id"), "band_idx",
-                         "band_hash").write.mode("append").parquet(p["bands"])
+        already_b = spark.read.parquet(p["bands"]).select("doc_id").distinct()
+        band_rows = (new_bands.select(F.col("id").alias("doc_id"), "band_idx",
+                                      "band_hash")
+                     .join(already_b, "doc_id", "left_anti")
+                     .localCheckpoint(eager=True))
+        band_rows.write.mode("append").parquet(p["bands"])
     return verdict

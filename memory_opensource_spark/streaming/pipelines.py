@@ -167,7 +167,15 @@ def foreach_batch_corpus_maintenance(stream: DataFrame, state_dir: str,
 
     ``on_verdict(verdict_df, batch_id)`` receives each batch's verdict frame
     (already localCheckpointed — safe to use after state mutates); the
-    retained slice is what a downstream writer ships to training shards."""
+    retained slice is what a downstream writer ships to training shards.
+
+    Replay-safe under foreachBatch's at-least-once contract:
+    ``corpus_increment`` excludes the current batch's doc_ids from every
+    state view and anti-joins its appends, so a re-delivered micro-batch
+    (crash between the state append and the checkpoint commit) reproduces
+    the ORIGINAL verdicts and converges to exactly-once state instead of
+    classifying its own half-written rows as duplicates.  Requires globally
+    unique doc_ids across batches (the state's key contract)."""
     from ..plans import corpus
 
     def sink(batch_df: DataFrame, batch_id: int):
