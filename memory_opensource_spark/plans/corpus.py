@@ -431,3 +431,45 @@ def corpus_increment(spark: SparkSession, new_docs: DataFrame,
                      .localCheckpoint(eager=True))
         band_rows.write.mode("append").parquet(p["bands"])
     return verdict
+
+
+def corpus_compact(spark: SparkSession, state_dir: str,
+                   target_partitions: int = 32) -> dict:
+    """Append-mode state maintenance: every increment adds one file group to
+    ``members`` and ``bands``, so a corpus maintained over thousands of
+    batches degrades into the small-files problem (each future increment
+    re-opens every file's footer).  Compaction rewrites each table as
+    ``target_partitions`` files via write-to-sibling + FileSystem rename
+    (the Hadoop FS API, so hdfs:// and s3a:// state dirs work the same as
+    local paths).
+
+    NOT transactionally atomic — there is a window between delete and rename
+    (the standard parquet OPTIMIZE trade; run from the single maintenance
+    owner, never concurrently with an increment).  ``sources/txn.TxnTable``
+    is the engine's transactional tier for callers that need real commits.
+    Returns per-table row counts (sanity: compaction adds no logical rows)."""
+    p = _paths(state_dir)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    counts = {}
+    for name in ("members", "bands"):
+        path = p[name]
+        df = spark.read.parquet(path)
+        tmp = path + ".compacting"
+        df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
+        n_before = df.count()
+        n_after = spark.read.parquet(tmp).count()
+        if n_after != n_before:
+            raise RuntimeError(
+                f"corpus_compact: {name} rewrote {n_after} rows != "
+                f"{n_before} — aborting before touching the original")
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = jpath.getFileSystem(conf)
+        fs.delete(jpath, True)
+        if not fs.rename(jtmp, jpath):
+            raise RuntimeError(
+                f"corpus_compact: rename {tmp} -> {path} failed; compacted "
+                "data is intact at the .compacting path — rename manually")
+        counts[name] = n_after
+    return counts

@@ -333,3 +333,41 @@ def test_misaligned_embeddings_raise(spark, state):
     with pytest.raises(ValueError, match="no .non-NULL. embedding"):
         corpus.corpus_increment(spark, docs, emb_null, sd, eps=EPS,
                                 jaccard_threshold=JAC, update_state=False)
+
+
+def test_corpus_compact_preserves_state_and_reduces_files(spark, tmp_path):
+    """Maintenance: many increments leave one file group per batch; compaction
+    must reduce file count without changing any row, and increments must keep
+    working against the compacted state."""
+    import glob
+    import os
+
+    sd = str(tmp_path / "state")
+    init_docs = spark.createDataFrame(
+        [(0, _text(0))], "doc_id long, text string")
+    init_emb = spark.createDataFrame(
+        [(0, _vec(0, 0))], "doc_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(k, _e(k).tolist()) for k in range(4)],
+        "centroid_id int, embedding array<double>")
+    corpus.corpus_init(init_docs, init_emb, cents, sd, eps=EPS,
+                       jaccard_threshold=JAC)
+    for i in range(3):                        # three appends = 4 file groups
+        docs, emb = _batch(spark, [(1000 + i, _text(200 + i))],
+                           [(1000 + i, _vec(i % 4, 1000 + i))])
+        corpus.corpus_increment(spark, docs, emb, sd, eps=EPS,
+                                jaccard_threshold=JAC)
+    before = spark.read.parquet(os.path.join(sd, "members")).collect()
+    files_before = len(glob.glob(os.path.join(sd, "members", "*.parquet")))
+    counts = corpus.corpus_compact(spark, sd, target_partitions=1)
+    assert counts["members"] == len(before) == 4
+    files_after = len(glob.glob(os.path.join(sd, "members", "*.parquet")))
+    assert files_after < files_before
+    after = spark.read.parquet(os.path.join(sd, "members")).collect()
+    assert sorted(r.doc_id for r in after) == sorted(r.doc_id for r in before)
+    # an increment against the compacted state still behaves
+    docs, emb = _batch(spark, [(2000, _text(0))], [(2000, _vec(1, 2000))])
+    v = corpus.corpus_increment(spark, docs, emb, sd, eps=EPS,
+                                jaccard_threshold=JAC,
+                                update_state=False).collect()[0]
+    assert v.drop_stage == "exact"            # dups init 0 through compaction
