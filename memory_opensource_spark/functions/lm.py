@@ -45,12 +45,16 @@ def train_bigram_lm(clean_docs: DataFrame, id_col: str = "doc_id",
     bigram counts {w1, w2, c2}, vocabulary size V).
 
     V is the distinct-unigram count of the TRAINING slice — the smoothing
-    denominator constant.  One aggregation each; both tables are
-    vocabulary-sized and broadcast at scoring time.
+    denominator constant.  Both tables are vocabulary-sized and broadcast at
+    scoring time; ``bi`` is localCheckpointed so the train-slice explode runs
+    ONCE and ``uni`` is derived from it (c1 = count of bigram rows sharing w1
+    = sum over w2 of c2 — identical by definition, and the two broadcast
+    exchanges would otherwise each re-execute the explode/groupBy plan).
     """
     bg = _doc_bigrams(clean_docs, id_col, text_col)
-    uni = bg.groupBy("w1").agg(F.count("*").alias("c1"))
-    bi = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    bi = (bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+          .localCheckpoint(eager=False))
+    uni = bi.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
     vocab = (clean_docs
              .select(F.explode(tokens(F.col(text_col))).alias("w"))
              .agg(F.countDistinct("w").alias("v"))
@@ -82,7 +86,8 @@ def nll_score(docs: DataFrame, uni: DataFrame, bi: DataFrame, vocab: int,
 
 def quality_buckets(scored: DataFrame, n_buckets: int = 3,
                     nll_col: str = "avg_nll",
-                    range_partitions: int = 64) -> DataFrame:
+                    range_partitions: int = 64,
+                    rows_per_bucket: int = 4_000_000) -> DataFrame:
     """CCNet's head/middle/tail split: rank documents by LM score and cut
     into n_buckets equal-frequency tiers (bucket 1 = lowest perplexity =
     highest quality).
@@ -104,7 +109,18 @@ def quality_buckets(scored: DataFrame, n_buckets: int = 3,
 
     The input is localCheckpointed first — two jobs read it (the
     boundaries+count agg, then the final plan) and it is typically the
-    output of an expensive explode/join/agg pipeline."""
+    output of an expensive explode/join/agg pipeline.
+
+    The bucket count is ADAPTIVE: ``clamp(ceil(n/rows_per_bucket), 2,
+    range_partitions)``.  Boundaries only affect balance, so fewer buckets
+    on a small input is pure win — each boundary is one comparison term in
+    the ``_rb`` expression, and that expression is replicated into the
+    groupBy key, the offset join and the window partition key, so its
+    planning/codegen cost is paid several times per query (measured: 64
+    boundaries cost ~0.7 s of fixed driver time vs 4).  At the other end,
+    ``range_partitions`` is the cap on per-task sort size — one bucket is
+    one window task sorting ``n/k`` rows — so a 10B-row corpus should raise
+    it (the percentile sketch is one agg either way)."""
     from pyspark.sql import Window
 
     # lazy checkpoint: the first action below materializes it; the expensive
@@ -117,7 +133,14 @@ def quality_buckets(scored: DataFrame, n_buckets: int = 3,
     n_rows = head["n"]
     if n_rows == 0:
         return scored.withColumn("bucket", F.lit(None).cast("int"))
-    bounds = sorted(set(b for b in (head["b"] or []) if b is not None))
+    k = int(min(range_partitions, max(2, -(-n_rows // rows_per_bucket))))
+    raw = list(head["b"] or [])
+    if k < range_partitions and raw:
+        # keep the k-1 boundaries at global fractions i/k: prob j/rp maps to
+        # raw[j-1], so fraction i/k is raw[round(rp*i/k) - 1]
+        idx = [round(range_partitions * i / k) - 1 for i in range(1, k)]
+        raw = [raw[j] for j in idx if 0 <= j < len(raw)]
+    bounds = sorted(set(b for b in raw if b is not None))
     rb = F.lit(0)
     for b in bounds:
         # NULL-safe: (NULL > b) is NULL; coalesce keeps NULL scores in range
