@@ -5085,11 +5085,15 @@ def ann_pq_rerank(spark, sf_dir):
 
 
 @_register("corpus_increment_dedup", f"""
-WITH cut AS (
-  SELECT ((MAX(doc_id) + 1) * 7) // 10 AS c FROM documents
+WITH base AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN embeddings e ON e.vec_id = d.doc_id
 ),
-initd AS (SELECT doc_id, text FROM documents WHERE doc_id < (SELECT c FROM cut)),
-newd AS (SELECT doc_id, text FROM documents WHERE doc_id >= (SELECT c FROM cut)),
+cut AS (
+  SELECT ((MAX(doc_id) + 1) * 7) // 10 AS c FROM base
+),
+initd AS (SELECT doc_id, text FROM base WHERE doc_id < (SELECT c FROM cut)),
+newd AS (SELECT doc_id, text FROM base WHERE doc_id >= (SELECT c FROM cut)),
 ix AS (
   SELECT d.doc_id, d.text FROM initd d
   JOIN (SELECT md5(text) AS h, MIN(doc_id) AS c FROM initd GROUP BY 1) g
@@ -5192,6 +5196,12 @@ def corpus_increment_dedup_q(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
     emb_t = tables.load(spark, sf_dir, "embeddings")
     emb = emb_t.select(F.col("vec_id").alias("doc_id"), "embedding")
+    # the corpus universe is the EMBEDDED documents: corpus_increment's
+    # alignment contract is strict 1:1 (a doc without an embedding would get
+    # a verdict its state can't honor), and at sf0.1 the fixture embeds only
+    # a prefix of the documents table — semi-join first, split after, and the
+    # oracle's `base` CTE mirrors the same universe
+    docs = docs.join(emb.select("doc_id"), "doc_id", "semi")
     cents = emb_t.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("centroid_id"), "embedding")
     cut = (docs.agg(F.max("doc_id")).first()[0] + 1) * 7 // 10

@@ -156,7 +156,9 @@ def foreach_batch_corpus_maintenance(stream: DataFrame, state_dir: str,
                                      checkpoint: str, *, eps: float,
                                      jaccard_threshold: float = 0.5,
                                      hash_fn: str = "md5",
-                                     on_verdict=None):
+                                     on_verdict=None,
+                                     compact_every: int | None = None,
+                                     compact_partitions: int = 32):
     """Continuous corpus maintenance: every micro-batch of
     (doc_id, text, embedding) rows is verdicted against the persisted corpus
     state (plans/corpus.corpus_increment — exact / near_dup / semantic /
@@ -175,7 +177,14 @@ def foreach_batch_corpus_maintenance(stream: DataFrame, state_dir: str,
     (crash between the state append and the checkpoint commit) reproduces
     the ORIGINAL verdicts and converges to exactly-once state instead of
     classifying its own half-written rows as duplicates.  Requires globally
-    unique doc_ids across batches (the state's key contract)."""
+    unique doc_ids across batches (the state's key contract).
+
+    ``compact_every=N`` runs ``corpus_compact`` after every Nth micro-batch:
+    each increment appends one file group per state table, so an unbounded
+    stream degrades into the small-files problem without periodic rewrite.
+    The sink is the single maintenance owner (foreachBatch serializes
+    batches), which is exactly the no-concurrent-increment contract
+    corpus_compact requires; a replayed batch re-compacts harmlessly."""
     from ..plans import corpus
 
     def sink(batch_df: DataFrame, batch_id: int):
@@ -186,6 +195,9 @@ def foreach_batch_corpus_maintenance(stream: DataFrame, state_dir: str,
             jaccard_threshold=jaccard_threshold, hash_fn=hash_fn)
         if on_verdict is not None:
             on_verdict(v, batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            corpus.corpus_compact(batch_df.sparkSession, state_dir,
+                                  target_partitions=compact_partitions)
 
     return (stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint)

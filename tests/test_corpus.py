@@ -262,7 +262,8 @@ def test_streaming_corpus_maintenance_accumulates_state(spark, tmp_path):
                   .option("maxFilesPerTrigger", "1").parquet(f"{d}/in/*"))
         q = (foreach_batch_corpus_maintenance(
                 stream, sd, f"{d}/ckpt", eps=EPS, jaccard_threshold=JAC,
-                on_verdict=on_verdict)
+                on_verdict=on_verdict, compact_every=1,
+                compact_partitions=1)
              .trigger(availableNow=True).start())
         q.awaitTermination(120)
 
@@ -280,6 +281,12 @@ def test_streaming_corpus_maintenance_accumulates_state(spark, tmp_path):
     assert verdicts[901] == "kept"
     members = spark.read.parquet(os.path.join(sd, "members"))
     assert members.count() == 2 + 1 + 1          # init 2 + 800 + 901
+    # compact_every=1 fired after batch_id 1: each table rewritten as ONE
+    # file (the appends would otherwise leave one file group per batch)
+    import glob
+    for t in ("members", "bands"):
+        files = glob.glob(os.path.join(sd, t, "*.parquet"))
+        assert len(files) == 1, (t, files)
 
 
 def test_replayed_increment_is_idempotent(spark, tmp_path):
