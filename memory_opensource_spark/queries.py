@@ -5307,7 +5307,12 @@ _EVIDENCE_PRIORITY = [
     "suite_stream_windows",       # ST2/ST3/ST8 + ST1/ST6/ST7 (ST2 standalone
                                   # st2_session_windows rotated below fold —
                                   # same family, long green)
-    "st5_decayed_counter_replay", # ST5
+    # round-7 rotation 2: the round's flagship new op (stateful incremental
+    # corpus dedup) into the window; st5_decayed_counter_replay below fold —
+    # driver-green two rounds, semantics unchanged, streaming family stays
+    # windowed via suite_stream_windows (and st5 stays hash-verified by the
+    # local gate at sf0.01 AND sf0.1 every round)
+    "corpus_increment_dedup",     # exact/near/semantic verdicts vs state (r7 new)
     "shard_corpus",               # shuffle-and-shard trainer layout (r6 new)
     # 41-44: set ops / id algebra / scalar fns / UDF surface
     "ids_chunk_algebra",

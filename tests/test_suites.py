@@ -30,7 +30,7 @@ def test_registry_prefix_covers_component_families():
         "g12_related_to_edges", "g13_link_to_lookup", "g14_constraint_when",
         "r2_stratified_merge", "r6_rerank", "r12_delta_since_watermark",
         "suite_ranking_formulas",
-        "suite_stream_windows", "st5_decayed_counter_replay",
+        "suite_stream_windows",
         "ids_chunk_algebra", "set_ops_semi_anti", "suite_text_analysis",
         "suite_dedup_family", "ann_ivf_persisted",
         "mm_feature_search", "suite_graph_analytics",
@@ -52,6 +52,10 @@ def test_registry_prefix_covers_component_families():
         # semantics unchanged since they were last driver-checked)
         "ann_pq_rerank", "lm_quality_scores", "shard_corpus",
         "omo_export_roundtrip",
+        # round-7 rotation 2: the round's flagship new op into the window
+        # (st5_decayed_counter_replay below fold — unchanged for two rounds,
+        # streaming family stays windowed via suite_stream_windows)
+        "corpus_increment_dedup",
     ]
     missing = [q for q in required if q not in top50]
     assert not missing, f"top-50 evidence window lost: {missing}"
