@@ -4466,6 +4466,38 @@ def shard_corpus_q(spark, sf_dir):
                       F.col("pos").cast("int").alias("pos"), "n_chars")
 
 
+@_register("shard_token_budget", """
+WITH tk AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n
+  FROM documents
+)
+SELECT doc_id, n::BIGINT AS n_tokens,
+       FLOOR(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0)
+             / 5000.0)::INT AS shard
+FROM tk
+""")
+def shard_token_budget_q(spark, sf_dir):
+    """Token-budgeted sequential sharding (writers.shard_by_token_budget):
+    documents in id order pack into ~5000-token shards — the data-loader
+    convention that budgets TOKENS per shard, where hash sharding
+    (shard_corpus) balances counts and long-document skew breaks the
+    equivalence.  The oracle is the single global window; the engine computes
+    the same exclusive prefix sum with NO single-partition exchange
+    (range-bucket + broadcast offsets — the quality_buckets machinery)."""
+    from .sources.writers import shard_by_token_budget
+
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       T.token_count(F.col("text")).cast("long")
+                       .alias("n_tokens"))
+    out = shard_by_token_budget(toks, 5000)
+    return out.select("doc_id", "n_tokens",
+                      F.col("shard").cast("int").alias("shard"))
+
+
 # ---------------------------------------------------------------------------------
 # Training-pipeline ops, continued: PII redaction, benchmark decontamination,
 # sequence packing (public corpus-prep practice: C4/Gopher/GPT-3 appendices)

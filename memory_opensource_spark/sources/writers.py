@@ -200,6 +200,73 @@ def shard_assignment(df: DataFrame, n_shards: int, seed: str,
     return out.withColumn("pos", F.row_number().over(w))
 
 
+def shard_by_token_budget(df: DataFrame, budget_tokens: int,
+                          id_col: str = "doc_id",
+                          tokens_col: str = "n_tokens",
+                          range_partitions: int = 64,
+                          rows_per_bucket: int = 4_000_000) -> DataFrame:
+    """Token-budgeted sequential sharding: rows in ``id_col`` order are packed
+    into shards of ~``budget_tokens`` each — ``shard = floor(exclusive prefix
+    sum of tokens / budget)``.  The trainer-side complement to
+    ``shard_assignment``: hash sharding balances document COUNTS, but data
+    loaders budget TOKENS per shard/epoch slice (the GPT-3/Megatron corpus
+    prep convention), and long-document skew makes the two very different.
+    A document straddling a boundary belongs to the shard its FIRST token
+    falls in (budgets are soft by at most one document); NULL token counts
+    pack as 0.  Adds {shard}.
+
+    EXACT ``sum(tokens) over (order by id rows between unbounded preceding
+    and 1 preceding)`` semantics WITHOUT a single-partition window — the same
+    distributed-prefix machinery as ``functions/lm.quality_buckets``:
+
+    1. range-bucket rows by percentile boundaries of ``id_col`` (monotone, so
+       bucket order == id order; accuracy only affects balance) — bucket
+       count adaptive ``clamp(ceil(n/rows_per_bucket), 2, range_partitions)``
+       (each boundary is a comparison term replicated into three plan keys;
+       see the quality_buckets note on planning/codegen cost);
+    2. per-bucket token TOTALS -> cumulative offsets in-plan (a broadcast
+       self-join over <= range_partitions rows);
+    3. exclusive prefix sum inside each bucket (window PARTITIONED by the
+       range bucket) + broadcast offset = exact global prior-token count.
+    """
+    from pyspark.sql import Window
+
+    df = df.localCheckpoint(eager=False)
+    probs = [i / range_partitions for i in range(1, range_partitions)]
+    head = df.agg(
+        F.percentile_approx(F.col(id_col).cast("double"), probs, 10_000)
+        .alias("b"),
+        F.count("*").alias("n")).first()
+    n_rows = head["n"]
+    if n_rows == 0:
+        return df.withColumn("shard", F.lit(None).cast("int"))
+    k = int(min(range_partitions, max(2, -(-n_rows // rows_per_bucket))))
+    raw = list(head["b"] or [])
+    if k < range_partitions and raw:
+        idx = [round(range_partitions * i / k) - 1 for i in range(1, k)]
+        raw = [raw[j] for j in idx if 0 <= j < len(raw)]
+    bounds = sorted(set(b for b in raw if b is not None))
+    rb = F.lit(0)
+    for b in bounds:
+        rb = rb + (F.col(id_col).cast("double") > F.lit(float(b))).cast("int")
+    toks = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    out = df.withColumn("_rb", rb).withColumn("_tk", toks)
+
+    sums = out.groupBy("_rb").agg(F.sum("_tk").alias("_s"))
+    offs = (sums.alias("a")
+            .join(sums.alias("b"), F.col("b._rb") < F.col("a._rb"), "left")
+            .groupBy(F.col("a._rb").alias("_rb"))
+            .agg(F.coalesce(F.sum("b._s"), F.lit(0)).alias("_off")))
+    out = out.join(F.broadcast(offs), "_rb")
+
+    w = (Window.partitionBy("_rb").orderBy(F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prior = F.col("_off") + F.coalesce(F.sum("_tk").over(w), F.lit(0))
+    shard = F.floor(prior / F.lit(float(budget_tokens))).cast("int")
+    return (out.withColumn("shard", shard)
+            .drop("_rb", "_tk", "_off"))
+
+
 def shard_write(df: DataFrame, path: str, n_shards: int, seed: str,
                 id_col: str = "doc_id", mode: str = "overwrite") -> None:
     """Materialize the sharded layout: one directory per shard, rows inside

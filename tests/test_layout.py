@@ -385,3 +385,40 @@ def test_shard_write_layout_and_reader_order(spark, tmp_path):
     # pruning: a shard filter reads one partition directory
     df, pruned = writers.partition_pruning_evidence(spark, path, "shard", 2)
     assert pruned and 0 < df.count() < docs.count()
+
+
+def test_shard_by_token_budget_exact_window_parity(spark):
+    """The distributed prefix-sum form must reproduce the single-window
+    exclusive prefix sum exactly — including zero-token docs, NULL token
+    counts (pack as 0), a budget larger than the corpus (one shard), and a
+    budget of 1 (every positive-token doc opens its own shard boundary)."""
+    from pyspark.sql import Window
+
+    rows = [(0, 10), (1, 0), (2, None), (3, 7), (4, 3), (5, 12), (6, 1),
+            (7, 0), (8, 5), (9, 2)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    w = (Window.orderBy(F.col("doc_id").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    for budget in (1, 8, 10_000):
+        got = {r.doc_id: r.shard
+               for r in writers.shard_by_token_budget(df, budget).collect()}
+        want = {r.doc_id: r.shard for r in df.withColumn(
+            "shard",
+            F.floor((F.coalesce(
+                F.sum(F.coalesce(F.col("n_tokens"), F.lit(0))).over(w),
+                F.lit(0))) / F.lit(float(budget))).cast("int")).collect()}
+        assert got == want, budget
+    # budget >> total packs everything into shard 0
+    assert set(writers.shard_by_token_budget(df, 10_000)
+               .select("shard").distinct().toPandas()["shard"]) == {0}
+
+
+def test_shard_by_token_budget_plan_has_no_global_window(spark):
+    """Scale pin: the prefix sum must come from a bucket-partitioned window
+    plus broadcast offsets — no single-partition exchange anywhere."""
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13) for i in range(500)], "doc_id long, n_tokens long")
+    out = writers.shard_by_token_budget(df, 50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan
