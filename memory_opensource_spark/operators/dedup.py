@@ -442,3 +442,49 @@ def semantic_cluster_dedup(vectors: DataFrame, centroids: DataFrame,
         })
 
     return members.groupBy("cluster_id").applyInPandas(_dedup_cluster, out_schema)
+
+
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """Line-level exact dedup (the C4 three-sentence-span / RefinedWeb
+    line-wise recipe, arXiv:1910.10683 §2.2 / arXiv:2306.01116 §3.3): split
+    every document into lines, keep each distinct line's globally FIRST
+    occurrence (lexicographic (id, position) — deterministic, layout-free),
+    and reassemble the surviving lines in original order.  Boilerplate that
+    repeats across pages (nav bars, cookie banners, licence footers) drops
+    from every document except the first one that contains it.
+
+    Returns {id, kept_lines, dropped_lines, text_deduped} — one row per
+    input document; a document whose every line was seen before keeps an
+    empty text (kept_lines = 0) so the caller's length filter can drop it
+    explicitly, like the reference pipeline routes short docs.
+
+    Scale shape: explode -> groupBy(line) min-struct (the survivors ARE the
+    min-structs, so there is no join-back) -> groupBy(id) reassemble.  Every
+    stage is key-partitioned (line, then id); nothing global, nothing
+    driver-side, JVM codegen end to end.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    # the survivors ARE the min-structs — one aggregation, no join-back
+    surv = (lines.groupBy("line")
+            .agg(F.min(F.struct("id", "pos")).alias("k"))
+            .select(F.col("k.id").alias("id"), F.col("k.pos").alias("pos"),
+                    "line"))
+    counts = lines.groupBy("id").agg(F.count("*").alias("n_total"))
+    kept = surv.groupBy("id").agg(
+        F.count("*").alias("kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"]),
+            sep).alias("text_deduped"))
+    return (counts.join(kept, "id", "left")
+            .select("id",
+                    F.coalesce("kept_lines", F.lit(0)).cast("long")
+                    .alias("kept_lines"),
+                    (F.col("n_total") - F.coalesce("kept_lines", F.lit(0)))
+                    .cast("long").alias("dropped_lines"),
+                    F.coalesce("text_deduped", F.lit("")).alias("text_deduped")))

@@ -4498,6 +4498,54 @@ def shard_token_budget_q(spark, sf_dir):
                       F.col("shard").cast("int").alias("shard"))
 
 
+@_register("dedup_lines", """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents
+), ln AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(tk, (i - 1) * 3 + 1, (i - 1) * 3 + 3),
+                         ' ') AS line
+  FROM tk, UNNEST(range(1, CAST(ceil(len(tk) / 3.0) AS BIGINT) + 1)) AS u(i)
+), keep AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM ln
+), surv AS (
+  SELECT doc_id, pos, line FROM keep WHERE rn = 1
+)
+SELECT tot.doc_id,
+       COALESCE(k.kept, 0)::BIGINT AS kept_lines,
+       (tot.n - COALESCE(k.kept, 0))::BIGINT AS dropped_lines,
+       COALESCE(k.txt, '') AS text_deduped
+FROM (SELECT doc_id, COUNT(*) AS n FROM ln GROUP BY doc_id) tot
+LEFT JOIN (SELECT doc_id, COUNT(*) AS kept,
+                  string_agg(line, chr(10) ORDER BY pos) AS txt
+           FROM surv GROUP BY doc_id) k USING (doc_id)
+""")
+def dedup_lines_q(spark, sf_dir):
+    """Line-level exact dedup (operators/dedup.line_dedup — the C4
+    three-sentence-span / RefinedWeb line-wise recipe): every distinct line
+    keeps only its globally first occurrence; documents reassemble from the
+    surviving lines.  The fixture text is a flat word stream, so the query
+    synthesizes 3-token lines deterministically in BOTH engines (the
+    pii_redaction precedent for fixture augmentation) — small vocabulary
+    makes cross-document line collisions common, which is the recipe's
+    target (repeated boilerplate)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    tk = T.tokens(F.col("text"))
+    n_lines = F.ceil(F.size(tk) / F.lit(3.0)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.array_join(F.slice(tk, (i - 1) * 3 + 1, 3), " "))
+    synth = docs.select("doc_id",
+                        F.array_join(lines_arr, "\n").alias("text"))
+    out = dedup.line_dedup(synth)
+    return out.select(F.col("id").alias("doc_id"), "kept_lines",
+                      "dropped_lines", "text_deduped")
+
+
 # ---------------------------------------------------------------------------------
 # Training-pipeline ops, continued: PII redaction, benchmark decontamination,
 # sequence packing (public corpus-prep practice: C4/Gopher/GPT-3 appendices)

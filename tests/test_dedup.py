@@ -255,3 +255,36 @@ def test_semantic_cluster_dedup_string_ids(spark):
         vecs, cents, eps=0.99).collect()}
     assert out["d1"].cluster_id == "c-a" and out["d3"].cluster_id == "c-b"
     assert out["d1"].is_dup + out["d2"].is_dup == 1 and out["d3"].is_dup == 0
+
+
+def test_line_dedup_keeps_first_occurrence_and_reassembles(spark):
+    """C4/RefinedWeb line dedup: repeated boilerplate drops everywhere but
+    its first (id, pos) occurrence; surviving lines reassemble in original
+    order; a document whose every line was seen before keeps empty text."""
+    docs = spark.createDataFrame(
+        [(1, "cookie banner\nunique one\ncookie banner"),
+         (2, "cookie banner\nunique two"),
+         (3, "unique one\ncookie banner")],
+        "doc_id long, text string")
+    out = {r.id: r for r in dedup.line_dedup(docs).collect()}
+    # doc 1: keeps 'cookie banner' (first occurrence, pos 0) + 'unique one';
+    # its OWN second 'cookie banner' (pos 2) is a dup of pos 0
+    assert out[1].text_deduped == "cookie banner\nunique one"
+    assert (out[1].kept_lines, out[1].dropped_lines) == (2, 1)
+    # doc 2: banner already seen in doc 1
+    assert out[2].text_deduped == "unique two"
+    assert (out[2].kept_lines, out[2].dropped_lines) == (1, 1)
+    # doc 3: both lines seen before -> explicit empty survivor
+    assert out[3].text_deduped == ""
+    assert (out[3].kept_lines, out[3].dropped_lines) == (0, 2)
+
+
+def test_line_dedup_is_layout_independent(spark):
+    """The keep-rule is lexicographic (id, pos), not partition order."""
+    rows = [(i, f"shared line\nonly-{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, dedup.line_dedup(docs).collect()))
+    b = sorted(map(tuple, dedup.line_dedup(docs.repartition(7)).collect()))
+    assert a == b
+    keeper = [r for r in a if "shared line" in r[3]]
+    assert len(keeper) == 1 and keeper[0][0] == 0
