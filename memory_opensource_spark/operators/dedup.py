@@ -488,3 +488,44 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
                     (F.col("n_total") - F.coalesce("kept_lines", F.lit(0)))
                     .cast("long").alias("dropped_lines"),
                     F.coalesce("text_deduped", F.lit("")).alias("text_deduped")))
+
+
+def span_dup_fraction(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      flag_threshold: float = 0.5) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2021, arXiv:2107.06499
+    — "Deduplicating Training Data Makes Language Models Better"): for every
+    document, the fraction of its k-token spans that occur MORE THAN ONCE in
+    the corpus (anywhere — another document or a self-repeat; the paper's
+    ExactSubstr criterion with the suffix-array replaced by span hashing,
+    which finds the same >= k-token repeats).  Returns
+    {id, n_spans, dup_spans, dup_fraction, is_flagged} — one row per
+    document with at least one span (len >= k tokens; shorter docs are the
+    length-filter's job, mirroring nll_score's contract).
+
+    Scale shape: explode k-grams -> groupBy(span hash) count -> join counts
+    back on the span key -> per-doc aggregate.  Key-partitioned end to end;
+    the span table is O(total tokens) rows like every shingle stage here.
+    """
+    from ..functions.text import tokens
+
+    tk = tokens(F.col(text_col))
+    spans = (docs
+             .select(F.col(id_col).alias("id"), tk.alias("tk"))
+             .filter(F.size("tk") >= k)
+             .select("id", F.posexplode(
+                 F.transform(
+                     F.sequence(F.lit(0), F.size("tk") - k),
+                     lambda j: F.md5(F.array_join(
+                         F.slice("tk", j + 1, k), " "))),
+             ).alias("pos", "span")))
+    counts = spans.groupBy("span").agg(F.count("*").alias("_c"))
+    return (spans.join(counts, "span")
+            .groupBy("id")
+            .agg(F.count("*").alias("n_spans"),
+                 F.sum((F.col("_c") > 1).cast("long")).alias("dup_spans"))
+            .withColumn("dup_fraction",
+                        F.round(F.col("dup_spans") / F.col("n_spans"), 6))
+            .withColumn("is_flagged",
+                        (F.col("dup_fraction") >= flag_threshold)
+                        .cast("int")))

@@ -4546,6 +4546,44 @@ def dedup_lines_q(spark, sf_dir):
                       "dropped_lines", "text_deduped")
 
 
+@_register("dedup_span_fraction", """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents
+), sp AS (
+  SELECT doc_id, j AS pos,
+         md5(array_to_string(list_slice(tk, j + 1, j + 8), ' ')) AS span
+  FROM tk, UNNEST(range(0, len(tk) - 8 + 1)) AS u(j)
+  WHERE len(tk) >= 8
+), c AS (
+  SELECT span, COUNT(*) AS c FROM sp GROUP BY span
+)
+SELECT sp.doc_id,
+       COUNT(*)::BIGINT AS n_spans,
+       SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_spans,
+       ROUND(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS dup_fraction,
+       (CASE WHEN ROUND(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END)::DOUBLE
+                        / COUNT(*), 6) >= 0.5
+             THEN 1 ELSE 0 END)::INT AS is_flagged
+FROM sp JOIN c USING (span)
+GROUP BY sp.doc_id
+""")
+def dedup_span_fraction_q(spark, sf_dir):
+    """Exact-substring duplication signal (operators/dedup.span_dup_fraction;
+    Lee et al. 2021, arXiv:2107.06499): per document, the fraction of its
+    k-token spans repeated anywhere in the corpus — the ExactSubstr criterion
+    with span hashing in place of the suffix array.  Distinct from whole-doc
+    MinHash (near-dup) and from decontamination (vs an external set): this
+    finds PARTIAL overlap inside the corpus itself.  k=8 here so every
+    fixture doc (>= 10 tokens) has spans; production k=50 per the paper."""
+    docs = tables.load(spark, sf_dir, "documents")
+    out = dedup.span_dup_fraction(docs, k=8)
+    return out.select(F.col("id").alias("doc_id"), "n_spans", "dup_spans",
+                      "dup_fraction", "is_flagged")
+
+
 # ---------------------------------------------------------------------------------
 # Training-pipeline ops, continued: PII redaction, benchmark decontamination,
 # sequence packing (public corpus-prep practice: C4/Gopher/GPT-3 appendices)

@@ -288,3 +288,29 @@ def test_line_dedup_is_layout_independent(spark):
     assert a == b
     keeper = [r for r in a if "shared line" in r[3]]
     assert len(keeper) == 1 and keeper[0][0] == 0
+
+
+def test_span_dup_fraction_finds_partial_overlap(spark):
+    """Lee et al. ExactSubstr signal: a doc sharing a k-token run with
+    another doc (or repeating one internally) counts those spans as dups;
+    fully unique docs score 0; docs shorter than k are absent (length
+    filter's job)."""
+    shared = "a b c d e"                       # 5 tokens, k=3 -> 3 spans
+    docs = spark.createDataFrame(
+        [(1, shared + " x y"),                 # spans of 'a b c d e' dup'd
+         (2, "p q " + shared),                 # same run, different offset
+         (3, "u v w z1 z2 z3"),                # fully unique
+         (4, "t1 t2")],                        # < k tokens -> absent
+        "doc_id long, text string")
+    out = {r.id: r for r in dedup.span_dup_fraction(docs, k=3).collect()}
+    assert 4 not in out and len(out) == 3
+    assert out[3].dup_spans == 0 and out[3].is_flagged == 0
+    # both docs share the 3 spans inside 'a b c d e'
+    assert out[1].dup_spans == 3 and out[2].dup_spans == 3
+    assert out[1].n_spans == 5 and out[2].n_spans == 5
+    assert out[1].dup_fraction == 0.6 and out[1].is_flagged == 1
+    # internal repetition also counts (self-repeat of 'r s t')
+    rep = spark.createDataFrame([(9, "r s t r s t")],
+                                "doc_id long, text string")
+    r9 = dedup.span_dup_fraction(rep, k=3).collect()[0]
+    assert r9.n_spans == 4 and r9.dup_spans == 2   # 'r s t' twice; middles unique
