@@ -93,6 +93,11 @@ HEADLINE = [
     # exact/MinHash/SemDeDup verdicts for a new batch against persisted
     # state; first run builds the cached /tmp state like ann_ivf_persisted)
     "corpus_increment_dedup",
+    # round 7 additions (trainer-layout + corpus-internal dedup signals:
+    # token-budgeted prefix-sum sharding, C4 line dedup, ExactSubstr spans)
+    "shard_token_budget",
+    "dedup_lines",
+    "dedup_span_fraction",
 ]
 
 

@@ -459,35 +459,35 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     empty text (kept_lines = 0) so the caller's length filter can drop it
     explicitly, like the reference pipeline routes short docs.
 
-    Scale shape: explode -> groupBy(line) min-struct (the survivors ARE the
-    min-structs, so there is no join-back) -> groupBy(id) reassemble.  Every
-    stage is key-partitioned (line, then id); nothing global, nothing
-    driver-side, JVM codegen end to end.
+    Scale shape: explode -> per-line keeper via min-struct over a window
+    PARTITIONED by the line (ONE exchange of the line table; a
+    groupBy-then-rejoin form shuffles it twice) -> ONE groupBy(id) computes
+    totals, kept counts and the reassembled text together.  Key-partitioned
+    (line, then id); nothing global, nothing driver-side, JVM codegen end
+    to end.
     """
+    from pyspark.sql import Window
+
     lines = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     )
-    # the survivors ARE the min-structs — one aggregation, no join-back
-    surv = (lines.groupBy("line")
-            .agg(F.min(F.struct("id", "pos")).alias("k"))
-            .select(F.col("k.id").alias("id"), F.col("k.pos").alias("pos"),
-                    "line"))
-    counts = lines.groupBy("id").agg(F.count("*").alias("n_total"))
-    kept = surv.groupBy("id").agg(
-        F.count("*").alias("kept_lines"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"]),
-            sep).alias("text_deduped"))
-    return (counts.join(kept, "id", "left")
-            .select("id",
-                    F.coalesce("kept_lines", F.lit(0)).cast("long")
-                    .alias("kept_lines"),
-                    (F.col("n_total") - F.coalesce("kept_lines", F.lit(0)))
-                    .cast("long").alias("dropped_lines"),
-                    F.coalesce("text_deduped", F.lit("")).alias("text_deduped")))
+    keeper = F.min(F.struct("id", "pos")).over(Window.partitionBy("line"))
+    flagged = lines.withColumn(
+        "_keep",
+        (F.col("id") == keeper["id"]) & (F.col("pos") == keeper["pos"]))
+    return (flagged.groupBy("id")
+            .agg(F.sum(F.col("_keep").cast("long")).alias("kept_lines"),
+                 F.sum((~F.col("_keep")).cast("long")).alias("dropped_lines"),
+                 F.array_join(
+                     F.transform(
+                         # collect_list drops the NULLs the when() leaves on
+                         # non-keeper rows, so only survivors reassemble
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("_keep"),
+                                    F.struct("pos", "line")))),
+                         lambda s: s["line"]),
+                     sep).alias("text_deduped")))
 
 
 def span_dup_fraction(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
@@ -503,12 +503,19 @@ def span_dup_fraction(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
     document with at least one span (len >= k tokens; shorter docs are the
     length-filter's job, mirroring nll_score's contract).
 
-    Scale shape: explode k-grams -> groupBy(span hash) count -> join counts
-    back on the span key -> per-doc aggregate.  Key-partitioned end to end;
-    the span table is O(total tokens) rows like every shingle stage here.
+    Scale shape: explode k-grams -> per-span occurrence count via a window
+    PARTITIONED by the span hash (ONE exchange of the span table; the
+    groupBy-then-join-back form shuffles it twice) -> per-doc aggregate.
+    Key-partitioned end to end; the span table is O(total tokens) rows like
+    every shingle stage here.
     """
+    from pyspark.sql import Window
     from ..functions.text import tokens
 
+    # span STRINGS build row-side in one interpreted array pass (the
+    # minhash_signatures shape); md5 runs as a scalar column AFTER the
+    # explode, inside whole-stage codegen — hashing inside the transform
+    # lambda is interpreted per span and measured 1.9x slower at sf0.1
     tk = tokens(F.col(text_col))
     spans = (docs
              .select(F.col(id_col).alias("id"), tk.alias("tk"))
@@ -516,11 +523,12 @@ def span_dup_fraction(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
              .select("id", F.posexplode(
                  F.transform(
                      F.sequence(F.lit(0), F.size("tk") - k),
-                     lambda j: F.md5(F.array_join(
-                         F.slice("tk", j + 1, k), " "))),
-             ).alias("pos", "span")))
-    counts = spans.groupBy("span").agg(F.count("*").alias("_c"))
-    return (spans.join(counts, "span")
+                     lambda j: F.concat_ws(" ", F.slice("tk", j + 1, k))),
+             ).alias("pos", "gram"))
+             .select("id", "pos", F.md5(F.col("gram")).alias("span")))
+    counted = spans.withColumn(
+        "_c", F.count("*").over(Window.partitionBy("span")))
+    return (counted
             .groupBy("id")
             .agg(F.count("*").alias("n_spans"),
                  F.sum((F.col("_c") > 1).cast("long")).alias("dup_spans"))
