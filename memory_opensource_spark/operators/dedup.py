@@ -468,9 +468,15 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
+    import re as _re
+
+    # split() takes a Java regex — escape so sep is LITERAL both ways (the
+    # reassembly join below uses it literally); NULL text becomes one empty
+    # line so every input document keeps its output row
     lines = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             _re.escape(sep))).alias("pos", "line"),
     )
     keeper = F.min(F.struct("id", "pos")).over(Window.partitionBy("line"))
     flagged = lines.withColumn(

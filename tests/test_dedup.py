@@ -314,3 +314,16 @@ def test_span_dup_fraction_finds_partial_overlap(spark):
                                 "doc_id long, text string")
     r9 = dedup.span_dup_fraction(rep, k=3).collect()[0]
     assert r9.n_spans == 4 and r9.dup_spans == 2   # 'r s t' twice; middles unique
+
+
+def test_line_dedup_null_text_and_regex_sep(spark):
+    """Review r7: NULL text must keep its output row (one empty line, deduped
+    against other empties), and a regex-metacharacter separator must split
+    LITERALLY (split() takes a Java regex; '|' unescaped splits every char)."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ab|cd")], "doc_id long, text string")
+    out = {r.id: r for r in dedup.line_dedup(docs, sep="|").collect()}
+    assert set(out) == {1, 2, 3}                  # nothing dropped
+    assert out[1].kept_lines + out[2].kept_lines == 1   # '' kept once
+    assert out[3].text_deduped == "ab|cd"         # literal split + rejoin
+    assert out[3].kept_lines == 2
