@@ -98,6 +98,7 @@ HEADLINE = [
     "shard_token_budget",
     "dedup_lines",
     "dedup_span_fraction",
+    "dedup_span_removal",
 ]
 
 

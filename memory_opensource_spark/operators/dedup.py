@@ -543,3 +543,63 @@ def span_dup_fraction(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
             .withColumn("is_flagged",
                         (F.col("dup_fraction") >= flag_threshold)
                         .cast("int")))
+
+
+def remove_duplicate_spans(docs: DataFrame, k: int = 50,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Exact-substring REMOVAL (the action half of Lee et al. 2021 — keep
+    every repeated >= k-token run's first occurrence, cut the rest):
+    a k-token span occurrence (id, pos) is removed unless it is the global
+    FIRST occurrence of that span (lexicographic (id, pos) — deterministic);
+    a token is cut when ANY removed span covers it, so overlapping repeats
+    merge into one cut, approximating the paper's maximal-match trim with
+    span coverage.  Documents shorter than k tokens pass through untouched.
+
+    Returns {id, n_tokens, removed_tokens, text_dedup} — one row per input
+    document, text rebuilt from the surviving tokens in order.
+
+    Scale shape: token explode + span explode -> non-first occurrences via
+    row_number over a window PARTITIONED by span (one exchange) -> covered
+    (id, token-pos) pairs -> anti-join the token table -> groupBy(id)
+    reassemble.  Keys are (span), (id, pos), (id) — nothing global.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    tk = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("id"), tk.alias("tk"))
+    toks = base.select(
+        "id", F.posexplode_outer("tk").alias("pos", "token"))
+    spans = (base.filter(F.size("tk") >= k)
+             .select("id", F.posexplode(
+                 F.transform(
+                     F.sequence(F.lit(0), F.size("tk") - k),
+                     lambda j: F.concat_ws(" ", F.slice("tk", j + 1, k))),
+             ).alias("pos", "gram"))
+             .select("id", "pos", F.md5(F.col("gram")).alias("span")))
+    rn = F.row_number().over(
+        Window.partitionBy("span").orderBy(F.col("id").asc(),
+                                           F.col("pos").asc()))
+    removed = spans.withColumn("_rn", rn).filter(F.col("_rn") > 1)
+    covered = (removed
+               .select("id", F.explode(
+                   F.sequence(F.col("pos"), F.col("pos") + (k - 1)))
+                   .alias("pos"))
+               .distinct())
+    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    out = (toks.groupBy("id")
+           .agg(F.count("token").alias("n_tokens"))
+           .join(kept.groupBy("id").agg(
+               F.count("token").alias("_kept"),
+               F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                       lambda s: s["token"]),
+                   " ").alias("text_dedup")), "id", "left"))
+    return out.select(
+        "id", "n_tokens",
+        (F.col("n_tokens") - F.coalesce("_kept", F.lit(0))).cast("long")
+        .alias("removed_tokens"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"))

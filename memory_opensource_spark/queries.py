@@ -4584,6 +4584,54 @@ def dedup_span_fraction_q(spark, sf_dir):
                       "dup_fraction", "is_flagged")
 
 
+@_register("dedup_span_removal", """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents
+), tok AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] AS token
+  FROM tk, UNNEST(range(1, len(tk) + 1)) AS u(i)
+), sp AS (
+  SELECT doc_id, j AS pos,
+         md5(array_to_string(list_slice(tk, j + 1, j + 8), ' ')) AS span
+  FROM tk, UNNEST(range(0, len(tk) - 8 + 1)) AS u(j)
+  WHERE len(tk) >= 8
+), rem AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+    FROM sp)
+  WHERE rn > 1
+), cov AS (
+  SELECT DISTINCT doc_id, pos + d AS pos
+  FROM rem, UNNEST(range(0, 8)) AS u(d)
+), kept AS (
+  SELECT t.doc_id, t.pos, t.token
+  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+  WHERE c.pos IS NULL
+)
+SELECT n.doc_id, n.n_tokens::BIGINT AS n_tokens,
+       (n.n_tokens - COALESCE(kk.kc, 0))::BIGINT AS removed_tokens,
+       COALESCE(kk.txt, '') AS text_dedup
+FROM (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id) n
+LEFT JOIN (SELECT doc_id, COUNT(*) AS kc,
+                  string_agg(token, ' ' ORDER BY pos) AS txt
+           FROM kept GROUP BY doc_id) kk USING (doc_id)
+""")
+def dedup_span_removal_q(spark, sf_dir):
+    """Exact-substring removal (operators/dedup.remove_duplicate_spans — the
+    action half of Lee et al. 2021): every repeated >= k-token run keeps only
+    its global first (id, pos) occurrence; tokens covered by any later
+    occurrence are cut and documents rebuild from the survivors.  Coverage-
+    based trim approximates the paper's maximal-match cut with span hashes
+    in place of the suffix array.  k=8 at fixture scale (production k=50)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    out = dedup.remove_duplicate_spans(docs, k=8)
+    return out.select(F.col("id").alias("doc_id"), "n_tokens",
+                      "removed_tokens", "text_dedup")
+
+
 # ---------------------------------------------------------------------------------
 # Training-pipeline ops, continued: PII redaction, benchmark decontamination,
 # sequence packing (public corpus-prep practice: C4/Gopher/GPT-3 appendices)

@@ -327,3 +327,32 @@ def test_line_dedup_null_text_and_regex_sep(spark):
     assert out[1].kept_lines + out[2].kept_lines == 1   # '' kept once
     assert out[3].text_deduped == "ab|cd"         # literal split + rejoin
     assert out[3].kept_lines == 2
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    """ExactSubstr removal: a k-run repeated across docs survives only at its
+    first (id, pos); overlapping repeats merge into one cut; short docs and
+    unique docs pass through byte-identical."""
+    run = "a b c"                                 # k=3 span
+    docs = spark.createDataFrame(
+        [(1, run + " x " + run),                  # self-repeat at pos 4
+         (2, "p " + run + " q"),                  # cross-doc repeat at pos 1
+         (3, "u v w z"),                          # unique -> untouched
+         (4, "s t")],                             # < k -> untouched
+        "doc_id long, text string")
+    out = {r.id: r for r in dedup.remove_duplicate_spans(docs, k=3).collect()}
+    assert out[1].text_dedup == "a b c x"         # pos 4..6 cut
+    assert (out[1].n_tokens, out[1].removed_tokens) == (7, 3)
+    assert out[2].text_dedup == "p q"             # middle run cut
+    assert out[3].text_dedup == "u v w z" and out[3].removed_tokens == 0
+    assert out[4].text_dedup == "s t" and out[4].removed_tokens == 0
+
+
+def test_remove_duplicate_spans_overlap_union(spark):
+    """Tokens covered by SEVERAL removed spans are cut once (coverage union),
+    and a doc that is entirely a repeat of an earlier doc empties out."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string")
+    out = {r.id: r for r in dedup.remove_duplicate_spans(docs, k=3).collect()}
+    assert out[1].text_dedup == "a b c d e" and out[1].removed_tokens == 0
+    assert out[2].text_dedup == "" and out[2].removed_tokens == 5
