@@ -356,3 +356,13 @@ def test_remove_duplicate_spans_overlap_union(spark):
     out = {r.id: r for r in dedup.remove_duplicate_spans(docs, k=3).collect()}
     assert out[1].text_dedup == "a b c d e" and out[1].removed_tokens == 0
     assert out[2].text_dedup == "" and out[2].removed_tokens == 5
+
+
+def test_remove_duplicate_spans_null_text_keeps_row(spark):
+    """NULL text keeps its output row (0 tokens, empty rebuild) — the same
+    one-row-per-document contract line_dedup pins."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c d")], "doc_id long, text string")
+    out = {r.id: r for r in dedup.remove_duplicate_spans(docs, k=3).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].n_tokens, out[1].removed_tokens, out[1].text_dedup) == (0, 0, "")
