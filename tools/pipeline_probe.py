@@ -2,8 +2,10 @@
 
 The individual ops are oracle-green; this proves the NORTH-STAR composition:
 
-    exact dedup -> MinHash/LSH near-dup -> SemDeDup -> LM-quality filter
-    -> 8-gram decontamination -> shuffle-and-shard write
+    exact dedup -> exact-substring removal (Lee et al., text REWRITE feeds
+    every later stage) -> MinHash/LSH near-dup -> SemDeDup -> LM-quality
+    filter -> 8-gram decontamination -> shuffle-and-shard write
+    -> token-budget shard accounting
 
 runs as one driver script over a 600k-doc corpus with controlled duplicate
 structure, with bounded lineage (plan size recorded per stage — no
@@ -115,13 +117,25 @@ def main():
     docs1 = docs.join(drop_exact, "doc_id", "left_anti")
     docs1 = stage("exact_dedup", docs1, t0)
 
+    # 1b. exact-substring removal (round-7 op): cut repeated >=20-token runs
+    # except their first occurrence, REWRITING text for every later stage;
+    # docs trimmed below 10 tokens drop (the length-filter contract).  The
+    # near-dup variants share their base's long runs, so much of stage 2's
+    # work is pre-empted here — a real composition interaction, recorded.
+    t0 = time.time()
+    rem = dedup.remove_duplicate_spans(docs1, k=20)
+    docs1b = (rem.filter(F.col("n_tokens") - F.col("removed_tokens") >= 10)
+              .select(F.col("id").alias("doc_id"),
+                      F.col("text_dedup").alias("text")))
+    docs1b = stage("span_removal", docs1b, t0)
+
     # 2. MinHash/LSH near-dup: drop the higher id of every >=0.5-Jaccard pair
     t0 = time.time()
-    pairs = dedup.minhash_near_duplicates(docs1, threshold=0.5,
+    pairs = dedup.minhash_near_duplicates(docs1b, threshold=0.5,
                                           hash_fn="xxhash64")
     drop_near = (pairs.select(
         F.greatest("left_id", "right_id").alias("doc_id")).distinct())
-    docs2 = docs1.join(drop_near, "doc_id", "left_anti")
+    docs2 = docs1b.join(drop_near, "doc_id", "left_anti")
     docs2 = stage("minhash_dedup", docs2, t0)
 
     # 3. SemDeDup over the survivors' embeddings (C scales ~2*sqrt(N))
@@ -185,8 +199,23 @@ def main():
     print(f"{'shard_write':14s} {n_out:8d} rows  {time.time() - t0:6.2f}s "
           f"({n_shards} shards)")
 
+    # 7. token-budget shard accounting over the final corpus (round-7 op):
+    # the data-loader view — how many 1M-token shards does the survivor
+    # corpus fill, and do full shards hold the budget (+<=1 doc)?
+    t0 = time.time()
+    toks5 = docs5.select(
+        "doc_id", F.size(tfn.tokens(F.col("text"))).cast("long")
+        .alias("n_tokens"))
+    tb = writers.shard_by_token_budget(toks5, 1_000_000)
+    n_tb = tb.select("shard").distinct().count()
+    stages.append({"stage": "token_budget", "rows": n_tb,
+                   "sec": round(time.time() - t0, 2)})
+    print(f"{'token_budget':14s} {n_tb:8d} shards {time.time() - t0:6.2f}s")
+
+    doc_stages = [s for s in stages
+                  if s["stage"] not in ("shard_write", "token_budget")]
     sizes = {s["stage"]: plan_size(d) for s, d in
-             zip(stages[:5], [docs1, docs2, docs3, docs4, docs5])}
+             zip(doc_stages, [docs1, docs1b, docs2, docs3, docs4, docs5])}
     print("optimized-plan lines per stage (lineage stays bounded):", sizes)
     assert max(sizes.values()) < 40, "stage lineage not bounded"
     print(json.dumps({"n": n, "total_sec": round(time.time() - t_all, 2),
