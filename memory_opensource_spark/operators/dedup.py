@@ -41,17 +41,30 @@ from .similarity import (
 )
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     max_ids: int | None = None) -> DataFrame:
     """Exact dedup: group by md5(text); emit groups with >1 member, canonical =
-    min id.  Returns {content_hash, canonical_id, dup_count, dup_ids(sorted)}."""
+    min id.  Returns {content_hash, canonical_id, dup_count, dup_ids(sorted)}.
+
+    Hot-key contract (round-8 sweep): on a Zipfian corpus ONE content hash can
+    own half the rows, and ``collect_list`` then builds that whole group in a
+    single aggregation buffer.  ``max_ids=0`` drops the dup_ids column
+    entirely — min + count both map-side combine, so the hot hash reduces to
+    one partial per map task and the op is bounded at any scale (the mode
+    corpus-scale callers use).  ``max_ids=N`` keeps the N smallest ids per
+    group; the OUTPUT row is bounded but the agg buffer still holds the full
+    group — a reporting convenience, not the 100 TB mode.  Default None keeps
+    the full sorted list (oracle semantics, fixture scale)."""
     hashed = docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash"))
+    aggs = [F.min("id").alias("canonical_id"), F.count("*").alias("dup_count")]
+    if max_ids is None:
+        aggs.append(F.array_sort(F.collect_list("id")).alias("dup_ids"))
+    elif max_ids > 0:
+        aggs.append(F.slice(F.array_sort(F.collect_list("id")), 1, max_ids)
+                    .alias("dup_ids"))
     return (
         hashed.groupBy("content_hash")
-        .agg(
-            F.min("id").alias("canonical_id"),
-            F.count("*").alias("dup_count"),
-            F.array_sort(F.collect_list("id")).alias("dup_ids"),
-        )
+        .agg(*aggs)
         .filter(F.col("dup_count") > 1)
     )
 
@@ -144,15 +157,31 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
                            num_hashes: int = MINHASH_NUM_HASHES,
                            bands: int = MINHASH_BANDS,
-                           hash_fn: str = "md5") -> DataFrame:
+                           hash_fn: str = "md5",
+                           max_bucket: int | None = None) -> DataFrame:
     """LSH candidate pairs: docs sharing >= 1 minhash band bucket.
 
     Returns {left_id, right_id} with left < right, distinct.  This is an
     equi-join on (band_index, band_hash) — shuffle key is 34 bytes/row/band
     (10 with ``hash_fn="xxhash64"``), so the candidate-generation cost is
     independent of document length.
+
+    ``max_bucket`` (round-8 hot-key guard): a bucket of m docs emits
+    m(m-1)/2 pairs — OUTPUT amplification AQE's input-size skew splitting
+    cannot fix (the hot bucket is only m INPUT rows per band).  Real corpora
+    have mega-buckets (boilerplate-dominated shingle sets); production LSH
+    jobs cap bucket size and route the overflow to exact-hash dedup, which
+    such near-identical docs hit anyway.  Buckets larger than max_bucket are
+    dropped from candidate generation (size check is a combinable groupBy +
+    semi-join).  Default None = exhaustive (oracle semantics).
     """
     exploded = minhash_band_table(docs, id_col, text_col, num_hashes, bands, hash_fn)
+    if max_bucket is not None:
+        small = (exploded.groupBy("band_idx", "band_hash")
+                 .agg(F.count("*").alias("_n"))
+                 .filter(F.col("_n") <= max_bucket)
+                 .drop("_n"))
+        exploded = exploded.join(small, ["band_idx", "band_hash"], "semi")
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (
@@ -496,6 +525,96 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
                      sep).alias("text_deduped")))
 
 
+def _rolling_span_hash(k: int):
+    """Rabin-Karp rolling hash over per-token 64-bit hashes: given a doc's
+    token-hash array th (array<long>, from JVM-side xxhash64 so Python never
+    sees the token strings), returns the n-k+1 polynomial span hashes
+    H(j) = sum_{i=0..k-1} th[j+i] * B^(k-1-i)  (mod 2^64).
+
+    Why a Pandas UDF: the recurrence needs prefix state that Catalyst
+    higher-order lambdas can't carry — `transform(seq, j -> xxhash64(
+    slice(th, j+1, k)))` is O(k) interpreted work per span, and the previous
+    `concat_ws` form materialized each span as a k-token STRING, a ~k× byte
+    blowup through the explode at production k=50.  Here span-key bytes are
+    O(corpus): 8 bytes in (token hash), 8 bytes out (span hash).
+
+    Vectorized across the whole Arrow batch (no per-token Python loop): docs
+    are flattened into one array; prefix sums with modular-inverse weights
+    give every span hash in a handful of O(total-tokens) numpy passes.
+    uint64 wraparound IS the mod-2^64 arithmetic; B odd => invertible.
+
+    Collision bound (documented, not hidden): 64-bit polynomial hashing
+    over S spans expects ~S^2/2^65 colliding pairs — ~1e-8 at the sf0.01
+    oracle gate, ~0.2% chance of ONE spurious span-match across a 600k-doc
+    probe corpus.  Lee et al.'s suffix array is exact; for a dedup signal a
+    one-in-5e8 false span is far below MinHash's designed FP rate.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    B = 0x9E3779B97F4A7C15                      # odd => invertible mod 2^64
+    BINV = pow(B, -1, 1 << 64)
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pandas_udf can't resolve the local `pd` alias; bare signature
+    # infers the default SCALAR eval type from the returnType
+    @pandas_udf("array<long>")
+    def roll(th):
+        arrs = [np.asarray(a, dtype=np.int64).view(np.uint64)
+                if a is not None and len(a) else np.empty(0, np.uint64)
+                for a in th]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                           count=len(arrs))
+        total = int(lens.sum())
+        n_out = np.maximum(lens - (k - 1), 0)
+        if total == 0 or int(n_out.sum()) == 0:
+            return pd.Series([np.empty(0, np.int64)] * len(arrs))
+        flat = np.concatenate([a for a in arrs if len(a)])
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        local = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        maxlen = int(lens.max())
+        pw = np.empty(maxlen, dtype=np.uint64)
+        pw[0] = 1
+        if maxlen > 1:
+            np.multiply.accumulate(
+                np.full(maxlen - 1, np.uint64(B)), out=pw[1:])
+        pwi = np.empty(maxlen, dtype=np.uint64)
+        pwi[0] = 1
+        if maxlen > 1:
+            np.multiply.accumulate(
+                np.full(maxlen - 1, np.uint64(BINV)), out=pwi[1:])
+        w = flat * pwi[local]                    # th[i] * B^-i
+        s = np.cumsum(w)                         # wraps == mod 2^64
+        base = np.repeat(s[starts] - w[starts], lens)
+        sl = s - base                            # per-doc prefix sums
+        lo = np.zeros(total, np.uint64)
+        m = local >= k                           # Sl[j-1] exists
+        lo[m] = sl[np.nonzero(m)[0] - k]
+        h = pw[local] * (sl - lo)                # B^(j+k-1) * window sum
+        valid = local >= (k - 1)
+        pieces = np.split(h[valid].view(np.int64), np.cumsum(n_out)[:-1])
+        return pd.Series(pieces)
+
+    return roll
+
+
+def _span_table(docs: DataFrame, k: int, id_col: str,
+                text_col: str) -> DataFrame:
+    """{id, pos, span}: every k-token span occurrence, span = 64-bit rolling
+    hash.  Docs shorter than k tokens produce no rows.  Token hashing
+    (xxhash64, seed-fixed, deterministic) stays JVM-side; only long arrays
+    cross the Arrow boundary."""
+    from ..functions.text import tokens
+
+    th = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    return (docs
+            .select(F.col(id_col).alias("id"), th.alias("th"))
+            .filter(F.size("th") >= k)
+            .select("id", F.posexplode(_rolling_span_hash(k)(F.col("th")))
+                    .alias("pos", "span")))
+
+
 def span_dup_fraction(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
                       text_col: str = "text",
                       flag_threshold: float = 0.5) -> DataFrame:
@@ -503,41 +622,43 @@ def span_dup_fraction(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
     — "Deduplicating Training Data Makes Language Models Better"): for every
     document, the fraction of its k-token spans that occur MORE THAN ONCE in
     the corpus (anywhere — another document or a self-repeat; the paper's
-    ExactSubstr criterion with the suffix-array replaced by span hashing,
-    which finds the same >= k-token repeats).  Returns
+    ExactSubstr criterion with the suffix-array replaced by rolling-hash
+    span fingerprints, which find the same >= k-token repeats).  Returns
     {id, n_spans, dup_spans, dup_fraction, is_flagged} — one row per
     document with at least one span (len >= k tokens; shorter docs are the
     length-filter's job, mirroring nll_score's contract).
 
-    Scale shape: explode k-grams -> per-span occurrence count via a window
-    PARTITIONED by the span hash (ONE exchange of the span table; the
-    groupBy-then-join-back form shuffles it twice) -> per-doc aggregate.
-    Key-partitioned end to end; the span table is O(total tokens) rows like
-    every shingle stage here.
+    Scale shape (round-8 rework — the Window.partitionBy(span) form put a
+    Zipfian boilerplate span's every occurrence in ONE window task, and AQE
+    cannot split window partitions): per-span stats via a map-side-combinable
+    groupBy (count + min(id) both combine, so a span repeated 1e8 times
+    reduces to one partial per map task BEFORE the shuffle), then
+    dup_spans = n_spans - (#spans this doc holds solely), which needs NO
+    join back on the span key at all — the only join left is id-keyed
+    between two one-row-per-doc tables.  n_spans = len - k + 1 comes
+    straight from the token count, so the span table is scanned ONCE.
     """
-    from pyspark.sql import Window
+    spans = _span_table(docs, k, id_col, text_col)
+    # combinable per-span aggregate: hot keys reduce map-side; for c == 1
+    # groups min(id) IS the single occurrence's owner
+    solo = (spans.groupBy("span")
+            .agg(F.count("*").alias("_c"), F.min("id").alias("_owner"))
+            .filter(F.col("_c") == 1)
+            .groupBy("_owner").agg(F.count("*").alias("_solo")))
     from ..functions.text import tokens
 
-    # span STRINGS build row-side in one interpreted array pass (the
-    # minhash_signatures shape); md5 runs as a scalar column AFTER the
-    # explode, inside whole-stage codegen — hashing inside the transform
-    # lambda is interpreted per span and measured 1.9x slower at sf0.1
-    tk = tokens(F.col(text_col))
-    spans = (docs
-             .select(F.col(id_col).alias("id"), tk.alias("tk"))
-             .filter(F.size("tk") >= k)
-             .select("id", F.posexplode(
-                 F.transform(
-                     F.sequence(F.lit(0), F.size("tk") - k),
-                     lambda j: F.concat_ws(" ", F.slice("tk", j + 1, k))),
-             ).alias("pos", "gram"))
-             .select("id", "pos", F.md5(F.col("gram")).alias("span")))
-    counted = spans.withColumn(
-        "_c", F.count("*").over(Window.partitionBy("span")))
-    return (counted
-            .groupBy("id")
-            .agg(F.count("*").alias("n_spans"),
-                 F.sum((F.col("_c") > 1).cast("long")).alias("dup_spans"))
+    per_doc = (docs
+               .select(F.col(id_col).alias("id"),
+                       F.size(tokens(F.col(text_col))).alias("_n"))
+               .filter(F.col("_n") >= k)
+               .select("id", (F.col("_n") - (k - 1)).cast("long")
+                       .alias("n_spans")))
+    return (per_doc
+            .join(solo, per_doc["id"] == solo["_owner"], "left")
+            .select(
+                "id", "n_spans",
+                (F.col("n_spans") - F.coalesce("_solo", F.lit(0)))
+                .cast("long").alias("dup_spans"))
             .withColumn("dup_fraction",
                         F.round(F.col("dup_spans") / F.col("n_spans"), 6))
             .withColumn("is_flagged",
@@ -559,30 +680,28 @@ def remove_duplicate_spans(docs: DataFrame, k: int = 50,
     Returns {id, n_tokens, removed_tokens, text_dedup} — one row per input
     document, text rebuilt from the surviving tokens in order.
 
-    Scale shape: token explode + span explode -> non-first occurrences via
-    row_number over a window PARTITIONED by span (one exchange) -> covered
-    (id, token-pos) pairs -> anti-join the token table -> groupBy(id)
-    reassemble.  Keys are (span), (id, pos), (id) — nothing global.
+    Scale shape (round-8 rework, same reasoning as span_dup_fraction — the
+    row_number window partitioned by the span content key was a Zipfian
+    hot-key hazard AQE can't split): first occurrence per span via the
+    map-side-combinable min(struct(id, pos)) groupBy (the exact shape
+    line_dedup uses), then non-firsts via a LEFT ANTI join on the composite
+    (span, id, pos) key — the join key includes (id, pos), so a span
+    repeated 1e8 times hashes across 1e8 DISTINCT composite keys and no
+    skew exists to split.  Remaining keys are (id, pos) and (id) — nothing
+    global, nothing content-hot.
     """
-    from pyspark.sql import Window
-
     from ..functions.text import tokens
 
     tk = tokens(F.col(text_col))
     base = docs.select(F.col(id_col).alias("id"), tk.alias("tk"))
     toks = base.select(
         "id", F.posexplode_outer("tk").alias("pos", "token"))
-    spans = (base.filter(F.size("tk") >= k)
-             .select("id", F.posexplode(
-                 F.transform(
-                     F.sequence(F.lit(0), F.size("tk") - k),
-                     lambda j: F.concat_ws(" ", F.slice("tk", j + 1, k))),
-             ).alias("pos", "gram"))
-             .select("id", "pos", F.md5(F.col("gram")).alias("span")))
-    rn = F.row_number().over(
-        Window.partitionBy("span").orderBy(F.col("id").asc(),
-                                           F.col("pos").asc()))
-    removed = spans.withColumn("_rn", rn).filter(F.col("_rn") > 1)
+    spans = _span_table(docs, k, id_col, text_col)
+    firsts = (spans.groupBy("span")
+              .agg(F.min(F.struct("id", "pos")).alias("_f"))
+              .select("span", F.col("_f.id").alias("id"),
+                      F.col("_f.pos").alias("pos")))
+    removed = spans.join(firsts, ["span", "id", "pos"], "left_anti")
     covered = (removed
                .select("id", F.explode(
                    F.sequence(F.col("pos"), F.col("pos") + (k - 1)))
