@@ -66,7 +66,7 @@ from ..semantics import NEAR_DUP_JACCARD
 
 def _paths(state_dir: str) -> dict:
     return {k: os.path.join(state_dir, k)
-            for k in ("members", "bands", "codebook", "meta")}
+            for k in ("members", "bands", "codebook", "meta", "drift")}
 
 
 def _check_meta(spark: SparkSession, p: dict, *, eps, jaccard_threshold,
@@ -100,11 +100,57 @@ def _check_meta(spark: SparkSession, p: dict, *, eps, jaccard_threshold,
 
 
 def _write_meta(spark: SparkSession, p: dict, *, eps, jaccard_threshold,
-                hash_fn) -> None:
+                hash_fn, base_n=None, base_mean_sim=None,
+                base_p10_sim=None) -> None:
     spark.createDataFrame(
-        [(float(eps), float(jaccard_threshold), hash_fn)],
-        "eps double, jaccard_threshold double, hash_fn string",
+        [(float(eps), float(jaccard_threshold), hash_fn,
+          None if base_n is None else int(base_n),
+          None if base_mean_sim is None else float(base_mean_sim),
+          None if base_p10_sim is None else float(base_p10_sim))],
+        "eps double, jaccard_threshold double, hash_fn string, "
+        "base_n long, base_mean_sim double, base_p10_sim double",
     ).coalesce(1).write.mode("overwrite").parquet(p["meta"])
+
+
+def _sim_baseline(members_like: DataFrame):
+    """(n, mean, p10) of centroid_sim over rows that entered the semantic
+    stage — the codebook-fit distribution new increments are compared to."""
+    row = (members_like.filter(F.col("centroid_sim").isNotNull())
+           .agg(F.count("*").alias("n"),
+                F.avg("centroid_sim").alias("m"),
+                F.percentile_approx("centroid_sim", 0.1).alias("p10"))
+           .first())
+    if not row or not row["n"]:
+        return 0, None, None
+    return int(row["n"]), float(row["m"]), float(row["p10"])
+
+
+def _replace_parquet(spark: SparkSession, path: str, df: DataFrame,
+                     target_partitions: int | None = None,
+                     expect_rows: int | None = None) -> int:
+    """Rewrite a state table in place via write-to-sibling + FileSystem
+    rename (Hadoop FS API — hdfs:// and s3a:// state dirs work like local
+    paths).  NOT transactionally atomic (window between delete and rename;
+    single-maintenance-owner contract, see corpus_compact)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    tmp = path + ".compacting"
+    out = df.repartition(target_partitions) if target_partitions else df
+    out.write.mode("overwrite").parquet(tmp)
+    n_after = spark.read.parquet(tmp).count()
+    if expect_rows is not None and n_after != expect_rows:
+        raise RuntimeError(
+            f"_replace_parquet: {path} rewrote {n_after} rows != "
+            f"{expect_rows} — aborting before touching the original")
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = jpath.getFileSystem(conf)
+    fs.delete(jpath, True)
+    if not fs.rename(jtmp, jpath):
+        raise RuntimeError(
+            f"_replace_parquet: rename {tmp} -> {path} failed; rewritten "
+            "data is intact at the .compacting path — rename manually")
+    return n_after
 
 
 def _check_alignment(docs: DataFrame, emb: DataFrame, id_col: str) -> None:
@@ -231,8 +277,11 @@ def corpus_init(docs: DataFrame, emb: DataFrame, centroids: DataFrame,
          .write.mode("overwrite").parquet(p["bands"])
     centroids.write.mode("overwrite").parquet(p["codebook"])
     spark = docs.sparkSession
+    # drift baseline: the codebook-fit distribution at init time — every
+    # increment's new-member centroid_sim stats are compared against this
+    bn, bm, bp = _sim_baseline(spark.read.parquet(p["members"]))
     _write_meta(spark, p, eps=eps, jaccard_threshold=jaccard_threshold,
-                hash_fn=hash_fn)
+                hash_fn=hash_fn, base_n=bn, base_mean_sim=bm, base_p10_sim=bp)
 
     row = (spark.read.parquet(p["members"])
            .agg(F.count("*").alias("n"),
@@ -430,7 +479,131 @@ def corpus_increment(spark: SparkSession, new_docs: DataFrame,
                      .join(already_b, "doc_id", "left_anti")
                      .localCheckpoint(eager=True))
         band_rows.write.mode("append").parquet(p["bands"])
+        # drift signal: this increment's codebook-fit stats (sem is already
+        # materialized via the verdict checkpoint above, so this agg is a
+        # scan of a tiny local frame, not a recompute of the assignment)
+        n, m, p10 = _sim_baseline(sem)
+        try:
+            seq = spark.read.parquet(p["drift"]).count() + 1
+        except Exception:
+            seq = 1
+        spark.createDataFrame(
+            [(int(seq), int(n), m, p10)],
+            "seq long, n long, mean_sim double, p10_sim double",
+        ).coalesce(1).write.mode("append").parquet(p["drift"])
     return verdict
+
+
+def corpus_drift_status(spark: SparkSession, state_dir: str, *,
+                        window: int = 3, mean_drop: float = 0.05,
+                        p10_drop: float = 0.08) -> dict:
+    """Codebook drift signal for incremental corpus maintenance: the state's
+    codebook is trained once, so on a drifting crawl (new languages/domains)
+    nearest-centroid assignment degrades SILENTLY — new members land far from
+    every centroid and SemDeDup's cluster scoping loses power.  Each
+    increment appends its new members' centroid_sim stats to the ``drift``
+    state table; this compares the last ``window`` increments (n-weighted
+    pool) against the init baseline persisted in meta.
+
+    Returns {drifted, baseline_mean, baseline_p10, recent_mean, recent_p10,
+    recent_n, increments}; ``drifted`` is True when the pooled recent mean
+    fell more than ``mean_drop`` below baseline OR the pooled p10 fell more
+    than ``p10_drop``.  When it trips, retrain and remap with
+    :func:`corpus_recluster`."""
+    p = _paths(state_dir)
+    meta = spark.read.parquet(p["meta"]).first()
+    base_mean = getattr(meta, "base_mean_sim", None)
+    base_p10 = getattr(meta, "base_p10_sim", None)
+    out = {"drifted": False, "baseline_mean": base_mean,
+           "baseline_p10": base_p10, "recent_mean": None,
+           "recent_p10": None, "recent_n": 0, "increments": 0}
+    try:
+        drift = spark.read.parquet(p["drift"])
+    except Exception:
+        return out    # pre-drift-era state or no increments yet
+    rows = (drift.orderBy(F.col("seq").desc()).limit(window)
+            .filter(F.col("n") > 0)
+            .agg(F.sum("n").alias("n"),
+                 (F.sum(F.col("mean_sim") * F.col("n")) / F.sum("n"))
+                 .alias("m"),
+                 (F.sum(F.col("p10_sim") * F.col("n")) / F.sum("n"))
+                 .alias("p10")).first())
+    out["increments"] = drift.count()
+    if not rows or not rows["n"]:
+        return out
+    out["recent_n"] = int(rows["n"])
+    out["recent_mean"] = float(rows["m"])
+    out["recent_p10"] = float(rows["p10"])
+    if base_mean is not None and out["recent_mean"] < base_mean - mean_drop:
+        out["drifted"] = True
+    if base_p10 is not None and out["recent_p10"] < base_p10 - p10_drop:
+        out["drifted"] = True
+    return out
+
+
+def corpus_recluster(spark: SparkSession, state_dir: str,
+                     centroids: DataFrame | None = None, *,
+                     n_centroids: int | None = None) -> dict:
+    """Retrain/replace the SemDeDup codebook and remap every member's
+    cluster assignment WITHOUT invalidating verdict history — the
+    recluster path :func:`corpus_drift_status` points at.
+
+    ``centroids`` is the new codebook {centroid_id, embedding}; when None it
+    is retrained from the state's own near_ok member embeddings with
+    ``ann_index.train_centroids(n_centroids)``.  Every member that entered
+    the semantic stage (near_ok == 1, embedding present) is reassigned by
+    the house rule (6-dp-rounded argmax, id-asc tie-break); cluster_id and
+    centroid_sim are REWRITTEN, is_dup / retained are NOT — verdicts were
+    acted on (docs shipped into training shards), so history stays
+    immutable, exactly like the first-come-first-kept contract.  The caveat
+    transfers across the remap: a fresh corpus_init on the union under the
+    new codebook could verdict differently wherever old members now rank
+    AFTER newer ones in their new cluster; subsequent INCREMENTS agree with
+    fresh-init wherever existing members rank first (test-pinned both
+    ways).  The drift baseline resets to the post-remap distribution and
+    the drift history clears."""
+    p = _paths(state_dir)
+    meta = spark.read.parquet(p["meta"]).first()
+    members = spark.read.parquet(p["members"])
+    sem_rows = members.filter((F.col("near_ok") == 1)
+                              & F.col("embedding").isNotNull())
+    if centroids is None:
+        if not n_centroids:
+            raise ValueError("corpus_recluster needs centroids or n_centroids")
+        from ..sources.ann_index import train_centroids
+
+        cents = train_centroids(sem_rows, n_centroids, vec_col="embedding")
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
+            "centroid_id int, embedding array<double>")
+    assign = _assign_clusters(
+        sem_rows.select("doc_id"),
+        sem_rows.select("doc_id", "embedding"), centroids, None)
+    cols = members.columns
+    remapped = (members.drop("cluster_id", "centroid_sim")
+                .join(assign, "doc_id", "left")
+                .select(*cols)
+                .localCheckpoint(eager=True))   # reads the path it replaces
+    # every count below must come from the CHECKPOINTED frame — after the
+    # replace, plans still rooted at the old files fail FILE_NOT_EXIST
+    n_expect = remapped.count()
+    n_reassigned = remapped.filter(F.col("cluster_id").isNotNull()).count()
+    n = _replace_parquet(spark, p["members"], remapped,
+                         expect_rows=n_expect)
+    centroids.write.mode("overwrite").parquet(p["codebook"])
+    bn, bm, bp = _sim_baseline(spark.read.parquet(p["members"]))
+    _write_meta(spark, p, eps=meta.eps,
+                jaccard_threshold=meta.jaccard_threshold,
+                hash_fn=meta.hash_fn, base_n=bn, base_mean_sim=bm,
+                base_p10_sim=bp)
+    try:
+        spark.createDataFrame(
+            [], "seq long, n long, mean_sim double, p10_sim double",
+        ).write.mode("overwrite").parquet(p["drift"])
+    except Exception:
+        pass
+    return {"members": n, "reassigned": n_reassigned,
+            "baseline_mean": bm, "baseline_p10": bp}
 
 
 def corpus_compact(spark: SparkSession, state_dir: str,
@@ -449,27 +622,10 @@ def corpus_compact(spark: SparkSession, state_dir: str,
     is the engine's transactional tier for callers that need real commits.
     Returns per-table row counts (sanity: compaction adds no logical rows)."""
     p = _paths(state_dir)
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
     counts = {}
     for name in ("members", "bands"):
-        path = p[name]
-        df = spark.read.parquet(path)
-        tmp = path + ".compacting"
-        df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
-        n_before = df.count()
-        n_after = spark.read.parquet(tmp).count()
-        if n_after != n_before:
-            raise RuntimeError(
-                f"corpus_compact: {name} rewrote {n_after} rows != "
-                f"{n_before} — aborting before touching the original")
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-        fs = jpath.getFileSystem(conf)
-        fs.delete(jpath, True)
-        if not fs.rename(jtmp, jpath):
-            raise RuntimeError(
-                f"corpus_compact: rename {tmp} -> {path} failed; compacted "
-                "data is intact at the .compacting path — rename manually")
-        counts[name] = n_after
+        df = spark.read.parquet(p[name])
+        counts[name] = _replace_parquet(spark, p[name], df,
+                                        target_partitions=target_partitions,
+                                        expect_rows=df.count())
     return counts

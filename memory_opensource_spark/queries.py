@@ -5435,12 +5435,20 @@ _EVIDENCE_PRIORITY = [
     # 12-21: vector/similarity V1..V12
     "v1_chunk_embed",             # V1
     "v2_cosine_topk",             # V2/F6
-    "v3_scroll_fallback",         # V3/S6
     "v4_ingest_reuse",            # V4
     "v5_bucketed_pairs",          # V5 (scale path)
     "v6_entity_resolution",       # V6/V7
-    "v8_property_index",          # V8 (V9 grouped points rotated below fold
-                                  # — long green, same enrich family)
+    # round-8 rotation (VERDICT r7 task 3): the four r7-new pipeline ops move
+    # into the driver prefix — dedup_span_fraction / dedup_span_removal also
+    # carry the round-8 rework (rolling-hash spans + skew-proof aggregation),
+    # so their driver turn re-gates the NEW implementation.  Displaced
+    # long-green rows (v3_scroll_fallback, v8_property_index,
+    # g12_related_to_edges, g13_link_to_lookup — every one driver-green
+    # multiple rounds, semantics unchanged, each family keeps >= 2 driver
+    # rows) stay hash-verified by the local gate at sf0.01 and sf0.1.
+    "dedup_lines",                # C4/RefinedWeb line-level exact dedup (r7)
+    "dedup_span_fraction",        # ExactSubstr detect (r7 new, r8 rework)
+    "dedup_span_removal",         # ExactSubstr remove (r7 new, r8 rework)
     # round-7 rotation (VERDICT r6 task 4): the four r6-new ops move into the
     # driver prefix (ann_pq_rerank, omo_export_roundtrip, shard_corpus,
     # lm_quality_scores); displaced long-green rows (txn_merge_roundtrip,
@@ -5458,8 +5466,7 @@ _EVIDENCE_PRIORITY = [
     "g7_schema_discovery",        # G7
     "g8_schema_driven_merge",     # G8 + dynamic schema registry
     "suite_graph_store",          # G9/G10/G11
-    "g12_related_to_edges",       # G12
-    "g13_link_to_lookup",         # G13
+    "shard_token_budget",         # exact token-budgeted sharding (r7 new)
     "g14_constraint_when",        # G14
     "g15_acl_both_endpoints",     # ACL OR-block on BOTH pattern endpoints
     # 33-37: ranking/aggregation R2..R17

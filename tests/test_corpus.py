@@ -378,3 +378,139 @@ def test_corpus_compact_preserves_state_and_reduces_files(spark, tmp_path):
                                 jaccard_threshold=JAC,
                                 update_state=False).collect()[0]
     assert v.drop_stage == "exact"            # dups init 0 through compaction
+
+
+def _drift_state(spark, tmp_path, with_sem_dup=True):
+    """Fresh init: ids 0-9 on dims 0-3 (0.01 noise -> centroid_sim ~0.9999);
+    8 and 9 share 6's direction so the batch kernel marks semantic dups in
+    cluster 2 (history rows for the recluster-immutability check)."""
+    sd = str(tmp_path / "state")
+    rows, vecs = [], []
+    for i in range(10):
+        rows.append((i, _text(i)))
+        if with_sem_dup and i in (8, 9):
+            vecs.append((i, _vec(2, 6)))
+        elif with_sem_dup and i == 6:
+            vecs.append((i, _vec(2, 6)))
+        else:
+            vecs.append((i, _vec(i % 4, i)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = spark.createDataFrame(vecs, "doc_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(k, _e(k).tolist()) for k in range(4)],
+        "centroid_id int, embedding array<double>")
+    corpus.corpus_init(docs, emb, cents, sd, eps=EPS, jaccard_threshold=JAC)
+    return sd
+
+
+def test_drift_signal_trips_on_domain_shift_and_recluster_resets(
+        spark, tmp_path):
+    """VERDICT r7 task 4: a domain-shifted batch (directions the codebook has
+    never seen) must trip corpus_drift_status; corpus_recluster with a wider
+    codebook must remap assignments WITHOUT touching verdict history and
+    reset the baseline so the signal clears."""
+    import os
+
+    sd = _drift_state(spark, tmp_path)
+    # baseline persisted at init
+    st0 = corpus.corpus_drift_status(spark, sd)
+    assert st0["baseline_mean"] is not None and st0["baseline_mean"] > 0.99
+    assert not st0["drifted"]                      # no increments yet
+
+    # domain shift: four docs on dims 4-7 — best sim vs e0..e3 is ~|noise|
+    docs, emb = _batch(
+        spark, [(100 + d, _text(40 + d)) for d in range(4)],
+        [(100 + d, _vec(4 + d, 100 + d)) for d in range(4)])
+    v = {r.doc_id: r.drop_stage
+         for r in corpus.corpus_increment(spark, docs, emb, sd, eps=EPS,
+                                          jaccard_threshold=JAC).collect()}
+    assert all(s == "kept" for s in v.values())    # orthogonal -> no dups
+    st1 = corpus.corpus_drift_status(spark, sd)
+    assert st1["drifted"] and st1["recent_mean"] < 0.2
+
+    # history snapshot before the remap
+    pre = {r.doc_id: (r.is_dup, r.retained)
+           for r in spark.read.parquet(os.path.join(sd, "members"))
+           .select("doc_id", "is_dup", "retained").collect()}
+    assert pre[9][0] == 1                          # semantic dup in history
+
+    cents8 = spark.createDataFrame(
+        [(k, _e(k).tolist()) for k in range(8)],
+        "centroid_id int, embedding array<double>")
+    res = corpus.corpus_recluster(spark, sd, cents8)
+    assert res["baseline_mean"] > 0.99             # everyone near a centroid
+
+    m = {r.doc_id: r for r in
+         spark.read.parquet(os.path.join(sd, "members")).collect()}
+    for i, (dup, ret) in pre.items():              # verdicts immutable
+        assert (m[i].is_dup, m[i].retained) == (dup, ret)
+    for d in range(4):                             # shifted docs remapped
+        assert m[100 + d].cluster_id == 4 + d
+        assert m[100 + d].centroid_sim > 0.99
+    st2 = corpus.corpus_drift_status(spark, sd)
+    assert not st2["drifted"] and st2["increments"] == 0
+
+    # retrain path (centroids=None) also runs end to end
+    res2 = corpus.corpus_recluster(spark, sd, n_centroids=6)
+    assert res2["members"] == res["members"]
+
+
+def test_post_recluster_increments_agree_with_fresh_init_on_union(
+        spark, tmp_path):
+    """After a recluster, subsequent increments must agree with a fresh
+    corpus_init over the union (same new codebook) wherever existing members
+    rank before new ones — the first-come-first-kept caveat carries across
+    the remap and is exercised here in its AGREEMENT direction (new docs sit
+    exactly on centroids, so they rank after the noisy existing members)."""
+    import os
+
+    sd = _drift_state(spark, tmp_path, with_sem_dup=False)
+    b1_docs, b1_emb = _batch(
+        spark, [(100, _text(40)), (101, _text(41))],
+        [(100, _vec(4, 100)), (101, _vec(5, 101))])
+    corpus.corpus_increment(spark, b1_docs, b1_emb, sd, eps=EPS,
+                            jaccard_threshold=JAC)
+    assert corpus.corpus_drift_status(spark, sd)["drifted"]
+    cents8 = spark.createDataFrame(
+        [(k, _e(k).tolist()) for k in range(8)],
+        "centroid_id int, embedding array<double>")
+    corpus.corpus_recluster(spark, sd, cents8)
+
+    # B2: 200 ~ duplicate direction of member 100 (sim 1.0 ranks AFTER
+    # 100's ~0.9999), 201 likewise vs 101, 202 fresh direction, 203 exact
+    # text twin of init doc 3
+    b2_docs, b2_emb = _batch(
+        spark,
+        [(200, _text(50)), (201, _text(51)), (202, _text(52)),
+         (203, _text(3))],
+        [(200, _e(4).tolist()), (201, _e(5).tolist()),
+         (202, _vec(6, 202)), (203, _vec(7, 203))])
+    v = {r.doc_id: r.drop_stage
+         for r in corpus.corpus_increment(spark, b2_docs, b2_emb, sd,
+                                          eps=EPS, jaccard_threshold=JAC,
+                                          update_state=False).collect()}
+    assert v == {200: "semantic", 201: "semantic", 202: "kept", 203: "exact"}
+
+    # fresh batch init over the union with the SAME new codebook
+    union_docs = (spark.read.parquet(os.path.join(sd, "members"))
+                  .select("doc_id", "text")
+                  .unionByName(b2_docs))
+    union_emb = (spark.read.parquet(os.path.join(sd, "members"))
+                 .select("doc_id", "embedding")
+                 .unionByName(b2_emb))
+    sd2 = str(tmp_path / "fresh")
+    corpus.corpus_init(union_docs, union_emb, cents8, sd2, eps=EPS,
+                       jaccard_threshold=JAC)
+    fresh = {r.doc_id: r for r in
+             spark.read.parquet(os.path.join(sd2, "members"))
+             .filter(F.col("doc_id") >= 200).collect()}
+
+    def stage(i):
+        if i not in fresh:
+            return "exact"
+        r = fresh[i]
+        if r.near_ok == 0:
+            return "near_dup"
+        return "semantic" if r.is_dup == 1 else "kept"
+
+    assert {i: stage(i) for i in (200, 201, 202, 203)} == v
