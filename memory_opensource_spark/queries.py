@@ -5370,22 +5370,38 @@ def corpus_increment_dedup_q(spark, sf_dir):
     docs = docs.join(emb.select("doc_id"), "doc_id", "semi")
     cents = emb_t.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("centroid_id"), "embedding")
-    cut = (docs.agg(F.max("doc_id")).first()[0] + 1) * 7 // 10
     tag = os.path.basename(os.path.normpath(sf_dir))
     state = os.path.join(tempfile.gettempdir(), f"spark_graft_corpus_{tag}")
     fp = _source_fingerprint(sf_dir, ("documents", "embeddings"))
     fp_file = state + ".fingerprint"
-    fresh = (os.path.exists(os.path.join(state, "members"))
-             and os.path.exists(fp_file) and open(fp_file).read() == fp)
-    if not fresh:
+    # the fingerprint file carries the init/new split point too, so a warm
+    # call runs zero pre-increment jobs (the max-id scan only runs when the
+    # state rebuilds anyway)
+    cut = None
+    if (os.path.exists(os.path.join(state, "members"))
+            and os.path.exists(fp_file)):
+        stored = open(fp_file).read().rsplit("\n", 1)
+        if stored[0] == fp and len(stored) == 2:
+            cut = int(stored[1])
+    if cut is None:
+        cut = (docs.agg(F.max("doc_id")).first()[0] + 1) * 7 // 10
         corpus_plan.corpus_init(
             docs.filter(F.col("doc_id") < cut).select("doc_id", "text"),
             emb, cents, state, eps=0.35, jaccard_threshold=0.5)
         with open(fp_file, "w") as f:
-            f.write(fp)
+            f.write(f"{fp}\n{cut}")
+    # batch-shaped inputs, like a real caller: the increment's contract takes
+    # the BATCH docs + the batch's embeddings (joins would drop the rest
+    # anyway, but handing over the full table re-scans embeddings once per
+    # consumer); one lazy lineage cut per input so the five consumers of the
+    # batch frame share a single materialization
+    batch_docs = (docs.filter(F.col("doc_id") >= cut)
+                  .select("doc_id", "text").localCheckpoint(eager=False))
+    batch_emb = (emb.filter(F.col("doc_id") >= cut)
+                 .localCheckpoint(eager=False))
     out = corpus_plan.corpus_increment(
-        spark, docs.filter(F.col("doc_id") >= cut).select("doc_id", "text"),
-        emb, state, eps=0.35, jaccard_threshold=0.5, update_state=False)
+        spark, batch_docs, batch_emb, state,
+        eps=0.35, jaccard_threshold=0.5, update_state=False)
     return out.select("doc_id", "drop_stage",
                       F.col("retained").cast("int").alias("retained"),
                       F.col("cluster_id").cast("long").alias("cluster_id"),
