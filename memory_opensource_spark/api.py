@@ -715,6 +715,7 @@ class MemoryEngine:
         self._ann_method = method
         self._ann_index_path = path
         self._ann_tombstones = None  # fresh build: nothing is stale
+        self._pq_frames = None       # (re)read lazily against the new files
 
     def append_to_search_index(self, memory_ids: list[str]) -> int:
         """Incremental index maintenance for NEWLY ADDED memories: assign
@@ -762,6 +763,9 @@ class MemoryEngine:
                  .write.mode("append").partitionBy(pq_index.BUCKET_COL)
                  .parquet(self._ann_index_path + ".rows"))
                 self._pq_n = getattr(self, "_pq_n", 0) + n
+                # the cached relations snapshot the file listing — appends
+                # add files, so drop them to re-list on next serve
+                self._pq_frames = None
             return n
         return ann_index.append_to_index(new, self._ann_index_path)
 
@@ -822,7 +826,16 @@ class MemoryEngine:
         from .plans.search import _spec_columns_on_chunks
         from .sources import pq_index
 
-        codes = self.spark.read.parquet(self._ann_index_path)
+        # relation handles cached per index build/append epoch: re-creating
+        # them per query re-lists the 100s of bucket-partition directories at
+        # PLAN time — microseconds on local SSD, a listing round-trip per dir
+        # on an object store (invalidated on append; tombstone deletes don't
+        # change files)
+        if getattr(self, "_pq_frames", None) is None:
+            self._pq_frames = (
+                self.spark.read.parquet(self._ann_index_path),
+                self.spark.read.parquet(self._ann_index_path + ".rows"))
+        codes, rows_full = self._pq_frames
         tomb = getattr(self, "_ann_tombstones", None)
         if tomb is not None:
             codes = codes.join(F.broadcast(tomb), "memory_id", "left_anti")
@@ -849,13 +862,28 @@ class MemoryEngine:
         cand = pq_index.pq_candidates(
             self.spark, self._ann_index_path, qvec, rerank,
             codebooks=self._pq_books, id_col="chunk_id", nprobe=nprobe,
-            codes_df=codes)
-        rows = self.spark.read.parquet(self._ann_index_path + ".rows")
+            codes_df=codes, ivf_centroids=self._pq_cents)
+        rows = rows_full
         if nprobe is not None:
             from .sources.ann_index import probe_buckets
 
             probe = probe_buckets(qvec, self._pq_cents, nprobe)
             rows = rows.filter(F.col(pq_index.BUCKET_COL).isin(probe))
+        if getattr(self, "_pq_fused_fetch", True):
+            # fused serve (round-8): the ADC cut stays a DataFrame and the
+            # fetch semi-joins it as a broadcast — the candidate set is
+            # <= rerank rows BY CONSTRUCTION (TakeOrdered limit), so the
+            # broadcast is bounded like the old driver collect was, but the
+            # cut + fetch now run as ONE job with no py4j round trip and no
+            # per-query plan rebuild from thousands of IN-literals.  Bucket
+            # partition pruning (the coarse IO bound) still applies above;
+            # what's lost is row-group min/max pruning INSIDE the probed
+            # buckets — measured at the 600k probe, the job fusion wins
+            # (PERF.md round-8); flip _pq_fused_fetch for IO-bound deploys
+            # where footer pruning dominates scheduler latency.
+            rows = rows.join(F.broadcast(cand.select("chunk_id")),
+                             "chunk_id", "left_semi")
+            return rows.drop(pq_index.BUCKET_COL)
         ids = [r.chunk_id for r in cand.select("chunk_id").collect()]
         if len(ids) <= 1024:
             # small candidate sets: a literal IN-filter reaches the parquet

@@ -586,7 +586,10 @@ def _rolling_span_hash(k: int):
                 np.full(maxlen - 1, np.uint64(BINV)), out=pwi[1:])
         w = flat * pwi[local]                    # th[i] * B^-i
         s = np.cumsum(w)                         # wraps == mod 2^64
-        base = np.repeat(s[starts] - w[starts], lens)
+        # clip: an empty array's start index can equal `total` (repeat count
+        # 0 makes the VALUE unused, but the gather must stay in bounds)
+        safe = np.minimum(starts, total - 1)
+        base = np.repeat(s[safe] - w[safe], lens)
         sl = s - base                            # per-doc prefix sums
         lo = np.zeros(total, np.uint64)
         m = local >= k                           # Sl[j-1] exists

@@ -287,7 +287,8 @@ def load_ivf_centroids(spark: SparkSession, index_path: str):
 def pq_candidates(spark: SparkSession, index_path: str, query_vec: list[float],
                   rerank: int, codebooks=None,
                   id_col: str = "vec_id", nprobe: int | None = None,
-                  codes_df: DataFrame | None = None) -> DataFrame:
+                  codes_df: DataFrame | None = None,
+                  ivf_centroids=None) -> DataFrame:
     """ADC scan over the codes table -> global top-``rerank`` candidate ids
     with approximate scores.  Per-batch top-r preselect keeps the Arrow
     stage's output bounded (the global top-r is a subset of the union of
@@ -332,7 +333,10 @@ def pq_candidates(spark: SparkSession, index_path: str, query_vec: list[float],
     if nprobe is not None:
         from .ann_index import probe_buckets
 
-        cents = load_ivf_centroids(spark, index_path)
+        # the centroid sidecar is KBs — a serving engine passes its cached
+        # copy (ivf_centroids=) so no per-query Spark read happens here
+        cents = (ivf_centroids if ivf_centroids is not None
+                 else load_ivf_centroids(spark, index_path))
         if cents is None:
             raise ValueError(
                 f"{index_path}: nprobe set but no {_ivf_cents_path(index_path)} "

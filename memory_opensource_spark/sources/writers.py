@@ -249,6 +249,11 @@ def shard_by_token_budget(df: DataFrame, budget_tokens: int,
     rb = F.lit(0)
     for b in bounds:
         rb = rb + (F.col(id_col).cast("double") > F.lit(float(b))).cast("int")
+    # NULL ids: every comparison is NULL, so rb would be NULL and the
+    # broadcast offsets join would silently DROP those rows (r8 sweep find).
+    # Map them to bucket 0 — the window's orderBy sorts nulls first, so this
+    # is the exact "nulls first" total order Spark's own sort would give.
+    rb = F.coalesce(rb, F.lit(0))
     toks = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
     out = df.withColumn("_rb", rb).withColumn("_tk", toks)
 

@@ -661,11 +661,14 @@ def test_pq_serving_matches_exact_and_is_delete_aware(engine, tmp_path):
                           score_threshold=0.0, ann_nprobe=2).collect()}
     assert "m2" in ann2
 
-    # plan shape: the fetch reads the persisted rows table with a pushed id
-    # filter — never a semi-join against the live chunk lineage
+    # plan shape (round-8 fused serve): ONE job — the fetch semi-joins the
+    # persisted rows table against the broadcast ADC cut, whose input is the
+    # persisted codes scan bounded by TakeOrdered(rerank).  Nothing reads the
+    # live chunk lineage or a driver-materialized local table.
     plan = engine._ann_candidates_pq([0.0] * engine.dim, 2, 5)._jdf \
         .queryExecution().executedPlan().toString()
-    assert "LeftSemi" not in plan
+    assert "TakeOrderedAndProject" in plan      # the bounded rerank cut
+    assert "LocalTableScan" not in plan         # no driver-side id list
     assert "Scan parquet" in plan or "FileScan" in plan
 
 

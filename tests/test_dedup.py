@@ -366,3 +366,29 @@ def test_remove_duplicate_spans_null_text_keeps_row(spark):
     out = {r.id: r for r in dedup.remove_duplicate_spans(docs, k=3).collect()}
     assert set(out) == {1, 2}
     assert (out[1].n_tokens, out[1].removed_tokens, out[1].text_dedup) == (0, 0, "")
+
+
+def test_rolling_span_hash_udf_edge_shapes(spark):
+    """The rolling-hash UDF is module-level reusable: rows shorter than k,
+    empty arrays (including batch-final — the gather-index edge), and NULLs
+    must yield empty span lists, and equal token windows must collide while
+    shifted ones don't."""
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.operators.dedup import _rolling_span_hash
+
+    df = spark.createDataFrame(
+        [(1, [11, 22, 33, 44]),       # 2 spans at k=3
+         (2, [11, 22, 33]),           # 1 span, equal to doc 1's first
+         (3, [22, 33, 44]),           # equal to doc 1's second
+         (4, [22, 11, 33]),           # permuted -> different hash
+         (5, [7]),                    # shorter than k
+         (6, None),                   # NULL array
+         (7, [])],                    # empty, LAST in batch
+        "id int, th array<long>")
+    out = {r.id: r.h for r in df.repartition(1).select(
+        "id", _rolling_span_hash(3)(F.col("th")).alias("h")).collect()}
+    assert len(out[1]) == 2 and len(out[2]) == 1 and len(out[3]) == 1
+    assert out[1][0] == out[2][0] and out[1][1] == out[3][0]
+    assert out[4][0] not in (out[1][0], out[1][1])
+    assert out[5] == [] and out[6] == [] and out[7] == []

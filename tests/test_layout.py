@@ -422,3 +422,19 @@ def test_shard_by_token_budget_plan_has_no_global_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
     assert "Window" in plan
+
+
+def test_shard_by_token_budget_null_ids_not_dropped(spark):
+    """r8 sweep pin: a NULL doc_id must not vanish through the bucket-offset
+    join — it packs nulls-first (Spark's own sort order), exactly like the
+    single-window form with orderBy(asc) would."""
+    rows = [(None, 4), (1, 10), (2, 3), (None, 1), (3, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = writers.shard_by_token_budget(df, 8).collect()
+    assert len(out) == len(rows)
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.doc_id, []).append(r.shard)
+    # the two null-id docs carry 5 tokens of prefix before id 1's 10
+    assert sorted(by_id[None]) == [0, 0]
+    assert by_id[1] == [0] and by_id[2] == [1] and by_id[3] == [2]

@@ -139,6 +139,17 @@ def main():
                          score_threshold=0.0)
     pq_ids = [r.memory_id for r in pq_ann.select("memory_id").collect()]
     t_pq = time.time() - t0
+    # steady-state serve (r8): the first query pays one-time costs the
+    # engine now amortizes — bucket-dir listing into the cached relations,
+    # Python ADC worker spin-up, broadcast build — so the SECOND query is
+    # the serving number a deployment sees
+    t0 = time.time()
+    warm_cand = eng._ann_candidates_pq(qvec, nprobe, 20, ctx=ctx)
+    warm = search_plan(warm_cand, memories, qvec, ctx=ctx, top_k=20,
+                       score_threshold=0.0)
+    warm_ids = [r.memory_id for r in warm.select("memory_id").collect()]
+    t_pq_warm = time.time() - t0
+    assert warm_ids == pq_ids
     from pyspark.sql import functions as FF
     from memory_opensource_spark.sources import pq_index as pqm
     cents = pqm.load_ivf_centroids(spark, pq_path)
@@ -152,8 +163,8 @@ def main():
     # denominator: the ACTUAL stored representation (array<double>, 8 B/dim)
     # — a float32 baseline would overstate the PQ fraction 2x
     bytes_frac = (codes_scanned * m_bytes) / (n * dim * 8)
-    print(f"PQ search: {t_pq:.2f}s  nprobe={nprobe}  "
-          f"ADC-scanned {codes_scanned}/{n} codes "
+    print(f"PQ search: {t_pq:.2f}s (first) / {t_pq_warm:.2f}s (steady)  "
+          f"nprobe={nprobe}  ADC-scanned {codes_scanned}/{n} codes "
           f"(~{100.0 * bytes_frac:.1f}% of full-scan bytes)  "
           f"top-20 overlap vs full scan: {pq_overlap:.2f}")
 
@@ -164,6 +175,7 @@ def main():
         "nprobe": nprobe, "scan_fraction": round(scanned / n, 4),
         "top20_overlap": round(overlap, 2),
         "t_pq_build_s": round(t_pq_build, 2), "t_pq_s": round(t_pq, 2),
+        "t_pq_warm_s": round(t_pq_warm, 2),
         "pq_codes_scanned": codes_scanned,
         "pq_bytes_fraction": round(bytes_frac, 4),
         "pq_top20_overlap": round(pq_overlap, 2),
