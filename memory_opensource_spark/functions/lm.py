@@ -140,15 +140,49 @@ def quality_buckets(scored: DataFrame, n_buckets: int = 3,
         # raw[j-1], so fraction i/k is raw[round(rp*i/k) - 1]
         idx = [round(range_partitions * i / k) - 1 for i in range(1, k)]
         raw = [raw[j] for j in idx if 0 <= j < len(raw)]
-    bounds = sorted(set(b for b in raw if b is not None))
+    from collections import Counter
+
+    cnt = Counter(b for b in raw if b is not None)
+    # composite boundaries for DEGENERATE score distributions (r8, the
+    # VERDICT r7 watch): a score value spanning m percentile slots means
+    # ~m/k of the corpus shares that value — under value-only boundaries it
+    # all lands in ONE range bucket = one window task (a constant-score
+    # corpus degenerates to a single global sort).  The rank order is
+    # (nll, id), so boundaries may legally split INSIDE a tied value by id:
+    # for each such value, m-1 id-percentile sub-boundaries (computed in one
+    # extra agg that only runs on degenerate data).  Works for numeric ids
+    # (exact up to 2^53 — the cast is to double); non-numeric ids keep the
+    # value-only boundaries, documented as the remaining degenerate case.
+    terms: list = [(b, None) for b in cnt]           # (value, id_bound)
+    dups = {b: c for b, c in cnt.items() if c > 1}
+    id_numeric = dict(scored.dtypes).get("id", "") in (
+        "tinyint", "smallint", "int", "bigint", "float", "double")
+    if dups and id_numeric:
+        aggs = [F.percentile_approx(
+                    F.when(F.col(nll_col) == F.lit(float(b)),
+                           F.col("id").cast("double")),
+                    [j / c for j in range(1, c)], 10_000).alias(f"_i{z}")
+                for z, (b, c) in enumerate(dups.items())]
+        sub = scored.agg(*aggs).first()
+        for z, (b, c) in enumerate(dups.items()):
+            for iv in (sub[f"_i{z}"] or []):
+                if iv is not None:
+                    terms.append((b, float(iv)))
+        # duplicate composite boundaries (skewed ids inside a tied value)
+        # would only create empty bucket numbers — harmless, but drop them
+        terms = list(dict.fromkeys(terms))
     rb = F.lit(0)
-    for b in bounds:
+    for b, iv in terms:
         # NULL-safe: (NULL > b) is NULL; coalesce keeps NULL scores in range
         # bucket 0 — the window twin's `order by nll asc` ranks nulls FIRST,
         # so they belong at the bottom, not silently dropped by the _rb
-        # equi-join below
-        rb = rb + F.coalesce(F.col(nll_col) > F.lit(float(b)),
-                             F.lit(False)).cast("int")
+        # equi-join below.  NULL ids (if any) sort first within a tied
+        # value, matching the window's asc-nulls-first.
+        above = F.col(nll_col) > F.lit(float(b))
+        if iv is not None:
+            above = above | ((F.col(nll_col) == F.lit(float(b)))
+                             & (F.col("id").cast("double") > F.lit(iv)))
+        rb = rb + F.coalesce(above, F.lit(False)).cast("int")
     scored = scored.withColumn("_rb", rb)
 
     # per-bucket offsets IN-PLAN: counts are <= range_partitions rows, so the

@@ -22,6 +22,14 @@ cluster members) so an increment costs O(batch + candidates touched):
   the near_ok members of AFFECTED clusters — a batch spread over every
   cluster reads every member's embedding, but the pairwise kernel computes
   only new-vs-earlier rows, O(batch * cluster_size), never old-vs-old.
+  The member read is COLUMN-PRUNED to {doc_id, cluster_id, centroid_sim,
+  embedding} of near_ok rows in affected clusters — at 100 TB the embedding
+  column dominates, so a batch spread across every cluster reads
+  O(members x dim) bytes; that is the semantic stage's honest worst case.
+  A per-cluster member cap would bound it but CHANGES verdicts (a new doc
+  no longer compares against uncapped history) — deliberately not offered;
+  the scale lever is C (more, smaller clusters at init/recluster time),
+  which shrinks every cluster the batch touches without semantic drift.
 
 Semantics vs the batch pipeline (documented contract, test-pinned):
 

@@ -224,3 +224,27 @@ def test_quality_buckets_null_scores_rank_first_not_dropped(spark):
         "b", F.ntile(3).over(w)).collect()}
     assert got == want
     assert got[0] == 1 and got[6] == 1    # nulls-first -> top tier
+
+
+def test_quality_buckets_constant_scores_split_by_id_boundaries(spark):
+    """r8 (VERDICT r7 watch): a constant-score corpus collapsed every row
+    into ONE range bucket — one window task sorting the whole corpus.  With
+    composite (score, id) boundaries the tied value splits by id percentiles
+    while keeping exact ntile(order by nll, id) semantics."""
+    from pyspark.sql import Window
+    from memory_opensource_spark.functions import lm
+    from pyspark.sql import functions as F
+
+    for rows in (
+        [(i, 10, 0.5) for i in range(120)],                 # fully constant
+        [(i, 10, 0.5 if i < 110 else float(i)) for i in range(120)],  # 90%+
+    ):
+        scored = spark.createDataFrame(
+            rows, "id int, n_bigrams int, avg_nll double")
+        out = lm.quality_buckets(scored, n_buckets=3,
+                                 rows_per_bucket=10)        # force many buckets
+        got = {r.id: r.bucket for r in out.collect()}
+        w = Window.orderBy(F.col("avg_nll").asc(), F.col("id").asc())
+        want = {r.id: r.b for r in scored.withColumn(
+            "b", F.ntile(3).over(w)).collect()}
+        assert got == want

@@ -22,12 +22,12 @@ def test_registry_prefix_covers_component_families():
         "search_flagship", "s1_fetch_by_ids", "suite_storage_lifecycle",
         "suite_graph_sinks", "s12_cascade_delete", "suite_filters",
         "f9_fallback_relax", "v1_chunk_embed", "v2_cosine_topk",
-        "v3_scroll_fallback", "v4_ingest_reuse", "v5_bucketed_pairs",
-        "v6_entity_resolution", "v8_property_index",
+        "v4_ingest_reuse", "v5_bucketed_pairs",
+        "v6_entity_resolution",
         "g1_pattern_match",
         "g2_two_hop_paths", "suite_graph_lookup", "g5_semantic_lookup",
         "g7_schema_discovery", "g8_schema_driven_merge", "suite_graph_store",
-        "g12_related_to_edges", "g13_link_to_lookup", "g14_constraint_when",
+        "g14_constraint_when",
         "r2_stratified_merge", "r6_rerank", "r12_delta_since_watermark",
         "suite_ranking_formulas",
         "suite_stream_windows",
@@ -56,6 +56,15 @@ def test_registry_prefix_covers_component_families():
         # (st5_decayed_counter_replay below fold — unchanged for two rounds,
         # streaming family stays windowed via suite_stream_windows)
         "corpus_increment_dedup",
+        # round-8 rotation (VERDICT r7 task 3): the four r7-new pipeline ops
+        # into the driver window — the span pair also carries the r8
+        # skew/rolling-hash rework, so its driver turn re-gates new code.
+        # Displaced (v3_scroll_fallback, v8_property_index,
+        # g12_related_to_edges, g13_link_to_lookup — all driver-green for
+        # multiple rounds, unchanged semantics, families keep >= 2 driver
+        # rows) stay locally gated.
+        "dedup_lines", "dedup_span_fraction", "dedup_span_removal",
+        "shard_token_budget",
     ]
     missing = [q for q in required if q not in top50]
     assert not missing, f"top-50 evidence window lost: {missing}"
