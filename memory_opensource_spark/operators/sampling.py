@@ -1,0 +1,103 @@
+"""Group-quota sampling: keep at most ``cap`` rows per group, deterministically.
+
+The per-domain frequency cap every web-scale corpus recipe applies (Gopher
+arXiv:2112.11446 §A.1.2 caps documents per domain; RefinedWeb
+arXiv:2306.01116 §3.1 dedups and caps crawl hosts): without it, the head of
+the Zipfian domain distribution (one forum, one wiki mirror) floods the
+training mix.  The selection must be DETERMINISTIC (replays, resumed
+pipelines and partition-layout changes must keep the same rows), so "which
+cap rows" is defined as the cap smallest by ``(order_col, id_col)`` — pass a
+salted hash of the id as ``order_col`` for an unbiased uniform sample, or
+a quality score for keep-the-best.
+
+Scale shape — the whole point of this module: the textbook
+``row_number() over (partition by group order by ...) <= cap`` puts every
+row of a hot domain in ONE window task, and AQE cannot split window
+partitions (the same hazard class the r8 span-op rework removed).  Here:
+
+1. per-group counts (map-side-combinable groupBy — the hot domain reduces
+   to one partial per map task);
+2. groups within quota pass WHOLESALE via an equi-join on the group key
+   (AQE-skew-splittable; no per-row ranking work at all — on real corpora
+   this is ~all groups);
+3. only OVER-quota groups (the Zipfian head — few groups, many rows) get
+   ranked, and their rank is computed the quality_buckets way: per-group
+   ``percentile_approx`` boundaries of ``order_col`` (one combinable agg,
+   one row per over-quota group, broadcast), ``row_number`` over a window
+   partitioned by (group, range-bucket), plus broadcast per-(group, bucket)
+   offsets — exact rank, no window partition ever holds more than
+   ~|group|/buckets rows.  Boundary accuracy only affects balance, never
+   which rows are kept.
+
+NULL group keys form ONE group, exactly like the window twin's
+``partitionBy`` would treat them — all keys are carried in a struct
+(struct equality is null-safe), so no row is silently dropped through a
+null-unsafe equi-join (the r8-sweep bug class found in
+shard_by_token_budget).
+
+Caveat (documented, not hidden): a heavily TIED ``order_col`` inside one
+over-quota group collapses its range buckets (ties land in one bucket) —
+use a near-unique order key (the salted-hash default of the registered
+query cannot tie in practice).  Ties are broken by ``id_col`` ASC within a
+bucket, so results stay deterministic either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cap_rows_per_group(df: DataFrame, group_col: str, cap: int,
+                       order_col: str, id_col: str = "doc_id",
+                       range_buckets: int = 32) -> DataFrame:
+    """Keep the ``cap`` smallest rows by ``(order_col, id_col)`` in every
+    ``group_col`` group.  Returns the surviving input rows (original
+    columns).  Exact ``row_number <= cap`` semantics, no hot-group window.
+
+    ``order_col`` must be NUMERIC (the range-bucket machinery casts it to
+    double; under ANSI mode a string cast would error) — derive one from a
+    string key with ``conv(substring(md5(k), 1, 8), 16, 10)`` like the
+    registered query does."""
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    cols = df.columns
+    # struct key: null-safe through every join below
+    df = df.withColumn("_g", F.struct(F.col(group_col).alias("k"))) \
+           .localCheckpoint(eager=False)   # read by 2-3 branches below
+    sizes = df.groupBy("_g").agg(F.count("*").alias("_n"))
+    under = sizes.filter(F.col("_n") <= cap).select("_g")
+    over = sizes.filter(F.col("_n") > cap).select("_g")
+    kept_small = df.join(under, "_g", "left_semi")
+
+    # Zipfian head only: per-group order boundaries -> (group, bucket) ranks
+    hot = df.join(F.broadcast(over), "_g", "left_semi")
+    probs = [i / range_buckets for i in range(1, range_buckets)]
+    bounds = (hot.groupBy("_g")
+              .agg(F.percentile_approx(F.col(order_col).cast("double"),
+                                       probs, 10_000).alias("_b")))
+    rb = hot.join(F.broadcast(bounds), "_g").withColumn(
+        "_rb",
+        F.aggregate(
+            F.coalesce(F.col("_b"), F.array()),
+            F.lit(0),
+            lambda acc, b: acc + F.coalesce(
+                (F.col(order_col).cast("double") > b).cast("int"),
+                F.lit(0)))).drop("_b")
+    cnts = rb.groupBy("_g", "_rb").agg(F.count("*").alias("_c"))
+    offs = (cnts.alias("a")
+            .join(cnts.alias("b"),
+                  (F.col("a._g") == F.col("b._g"))
+                  & (F.col("b._rb") < F.col("a._rb")), "left")
+            .groupBy(F.col("a._g").alias("_g"),
+                     F.col("a._rb").alias("_rb"))
+            .agg(F.coalesce(F.sum("b._c"), F.lit(0)).alias("_off")))
+    w = (Window.partitionBy("_g", "_rb")
+         .orderBy(F.col(order_col).asc(), F.col(id_col).asc()))
+    ranked = (rb.join(F.broadcast(offs), ["_g", "_rb"])
+              .withColumn("_rk", F.col("_off") + F.row_number().over(w)))
+    kept_hot = ranked.filter(F.col("_rk") <= cap) \
+                     .select(*cols, "_g")
+    return kept_small.select(*cols, "_g").unionByName(kept_hot).select(*cols)

@@ -4224,6 +4224,38 @@ def sample_stratified_q(spark, sf_dir):
             .drop("_u", "_r"))
 
 
+@_register("sample_domain_cap", """
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5('cap:' || doc_id::VARCHAR), 1, 8))::BIGINT ASC,
+                    doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rn <= 10
+""")
+def sample_domain_cap_q(spark, sf_dir):
+    """Per-domain frequency cap (operators/sampling.cap_rows_per_group —
+    Gopher arXiv:2112.11446 §A.1.2 / RefinedWeb arXiv:2306.01116 §3.1): keep
+    at most 10 docs per source, selection = the 10 smallest by a salted
+    doc-id hash (an unbiased deterministic uniform sample; pass a quality
+    score instead for keep-the-best).  The oracle IS the hot-key window
+    form; the operator computes identical ranks with combinable groupBys, a
+    wholesale pass for within-quota groups, and range-bucketed ranking for
+    the Zipfian head — no window partition ever holds a whole domain."""
+    from .operators.sampling import cap_rows_per_group
+
+    docs = tables.load(spark, sf_dir, "documents")
+    ordk = F.conv(F.substring(
+        F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint")
+    capped = cap_rows_per_group(
+        docs.select("doc_id", "source", ordk.alias("_ord")),
+        "source", 10, "_ord", id_col="doc_id")
+    return capped.select("doc_id", "source")
+
+
 @_register("sample_quality_weighted", """
 WITH toks AS (
   SELECT doc_id, text, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
@@ -5478,7 +5510,11 @@ _EVIDENCE_PRIORITY = [
     "g1_pattern_match",           # G1/G16
     "g2_two_hop_paths",           # G2
     "suite_graph_lookup",         # G3/G4/G6
-    "g5_semantic_lookup",         # G5
+    # round-8 addition: the r8-new per-domain quota op takes a driver slot
+    # (g5_semantic_lookup displaced — driver-green since r2, G5 semantics
+    # unchanged, the cosine-lookup family stays driver-covered by
+    # v2_cosine_topk + both flagships; locally gated every round)
+    "sample_domain_cap",          # Gopher/RefinedWeb domain frequency cap (r8 new)
     "g7_schema_discovery",        # G7
     "g8_schema_driven_merge",     # G8 + dynamic schema registry
     "suite_graph_store",          # G9/G10/G11

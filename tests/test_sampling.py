@@ -1,0 +1,75 @@
+"""cap_rows_per_group (operators/sampling): exact window-twin parity with no
+hot-group window — the Gopher/RefinedWeb per-domain quota."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from memory_opensource_spark.operators.sampling import cap_rows_per_group
+
+
+def _twin(df, group_col, cap, order_col, id_col="doc_id"):
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col(order_col).asc(), F.col(id_col).asc()))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap).drop("_rn"))
+
+
+def _key(rows):
+    return sorted((r.doc_id, r.g) for r in rows)
+
+
+def test_cap_matches_window_twin_mixed_quota(spark):
+    """Groups under, at, and far over quota; ties on the order key broken by
+    id; NULL order values rank first (both forms orderBy asc nulls-first)."""
+    rows = []
+    for i in range(40):
+        rows.append((i, "big", float((i * 7) % 11)))        # heavy ties
+    for i in range(40, 43):
+        rows.append((i, "small", float(i)))
+    for i in range(43, 48):
+        rows.append((i, "edge", None))                       # NULL order
+    df = spark.createDataFrame(rows, "doc_id long, g string, ord double")
+    got = cap_rows_per_group(df, "g", 5, "ord", range_buckets=4)
+    want = _twin(df, "g", 5, "ord")
+    assert _key(got.collect()) == _key(want.collect())
+    # quota respected, under-quota group intact
+    sizes = {r.g: r.n for r in got.groupBy("g")
+             .agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"big": 5, "small": 3, "edge": 5}
+
+
+def test_cap_null_group_is_one_group_not_dropped(spark):
+    """NULL group keys must behave like the window twin's partitionBy (one
+    partition), not vanish through a null-unsafe join."""
+    rows = ([(i, None, float(i)) for i in range(8)]
+            + [(100 + i, "a", float(i)) for i in range(3)])
+    df = spark.createDataFrame(rows, "doc_id long, g string, ord double")
+    got = cap_rows_per_group(df, "g", 4, "ord", range_buckets=3)
+    want = _twin(df, "g", 4, "ord")
+    assert _key(got.collect()) == _key(want.collect())
+    assert got.filter(F.col("g").isNull()).count() == 4
+
+
+def test_cap_plan_has_no_unbucketed_group_window(spark):
+    """Scale pin: the only window is partitioned by (group, range-bucket) —
+    a hot domain never lands in one window task; and within-quota groups
+    skip ranking entirely (their rows take the semi-join branch)."""
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float((i * 13) % 997))
+         for i in range(500)],
+        "doc_id long, g string, ord double")
+    out = cap_rows_per_group(df, "g", 20, "ord", range_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # the window's partition spec carries BOTH the group struct and _rb
+    import re
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert win_lines and all("_rb" in ln for ln in win_lines), win_lines
+
+
+def test_cap_rejects_bad_cap(spark):
+    df = spark.createDataFrame([(1, "a", 1.0)],
+                               "doc_id long, g string, ord double")
+    with pytest.raises(ValueError, match="cap"):
+        cap_rows_per_group(df, "g", 0, "ord")

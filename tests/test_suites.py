@@ -25,7 +25,7 @@ def test_registry_prefix_covers_component_families():
         "v4_ingest_reuse", "v5_bucketed_pairs",
         "v6_entity_resolution",
         "g1_pattern_match",
-        "g2_two_hop_paths", "suite_graph_lookup", "g5_semantic_lookup",
+        "g2_two_hop_paths", "suite_graph_lookup",
         "g7_schema_discovery", "g8_schema_driven_merge", "suite_graph_store",
         "g14_constraint_when",
         "r2_stratified_merge", "r6_rerank", "r12_delta_since_watermark",
@@ -65,6 +65,10 @@ def test_registry_prefix_covers_component_families():
         # rows) stay locally gated.
         "dedup_lines", "dedup_span_fraction", "dedup_span_removal",
         "shard_token_budget",
+        # round-8 new op straight into the window (g5_semantic_lookup
+        # displaced — driver-green since r2, family covered by
+        # v2_cosine_topk + flagships)
+        "sample_domain_cap",
     ]
     missing = [q for q in required if q not in top50]
     assert not missing, f"top-50 evidence window lost: {missing}"
