@@ -531,26 +531,69 @@ def corpus_increment(spark: SparkSession, new_docs: DataFrame,
         already_b = spark.read.parquet(p["bands"]).select("doc_id").distinct()
         band_rows = (new_bands.select(F.col("id").alias("doc_id"), "band_idx",
                                       "band_hash")
-                     # bands now cover batch_canon — persist only the rows of
-                     # docs that actually became members (state bands must
-                     # mirror members; a state-exact-dropped doc's bands are
-                     # its twin's, already there)
-                     .join(new_x.select("doc_id"), "doc_id", "left_semi")
+                     # update path bands come from new_x already (see
+                     # band_src above) — only the replay anti-join needed
                      .join(already_b, "doc_id", "left_anti")
                      .localCheckpoint(eager=True))
         band_rows.write.mode("append").parquet(p["bands"])
-        # drift signal: this increment's codebook-fit stats (sem is already
-        # materialized via the verdict checkpoint above, so this agg is a
-        # scan of a tiny local frame, not a recompute of the assignment)
-        n, m, p10 = _sim_baseline(sem)
-        try:
-            seq = spark.read.parquet(p["drift"]).count() + 1
-        except Exception:
+        # drift signal: this increment's codebook-fit stats.  ONE agg over
+        # the already-materialized sem checkpoint (0.2 s measured), and the
+        # row lands via a DRIVER-SIDE pyarrow write when the state dir is
+        # local — a Spark write job for 1 KB pays the full commit protocol
+        # and, under the IO pressure a 600k increment generates, measured
+        # ~5 s of the increment's wall.  The filename is a batch fingerprint
+        # (bit_xor of the semantic entrants' id hashes), so a REPLAYED
+        # increment overwrites its own row instead of duplicating drift
+        # history — the same idempotence contract as the state appends.
+        row = sem.agg(
+            F.count(F.when(F.col("centroid_sim").isNotNull(), 1)).alias("n"),
+            F.avg("centroid_sim").alias("m"),
+            F.percentile_approx("centroid_sim", 0.1).alias("p10"),
+            F.expr("bit_xor(xxhash64(cast(doc_id as string)))").alias("fp"),
+        ).first()
+        n = int(row["n"] or 0)
+        m = None if row["m"] is None else float(row["m"])
+        p10 = None if row["p10"] is None else float(row["p10"])
+        fp = int(row["fp"] or 0) & ((1 << 64) - 1)
+        dp = p["drift"]
+        local = (dp if "://" not in dp
+                 else dp[len("file://"):] if dp.startswith("file://")
+                 else None)
+        if local is not None:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            os.makedirs(local, exist_ok=True)
+            fname = os.path.join(local, f"drift-{fp:016x}.parquet")
             seq = 1
-        spark.createDataFrame(
-            [(int(seq), int(n), m, p10)],
-            "seq long, n long, mean_sim double, p10_sim double",
-        ).coalesce(1).write.mode("append").parquet(p["drift"])
+            try:
+                others = [f for f in os.listdir(local)
+                          if f.endswith(".parquet")
+                          and f != os.path.basename(fname)]
+                if others:
+                    seq = pq.ParquetDataset(
+                        [os.path.join(local, f) for f in others]
+                    ).read(columns=["seq"]).num_rows + 1
+            except Exception:
+                seq = 1
+            pq.write_table(pa.table({
+                "seq": pa.array([seq], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+                "mean_sim": pa.array([m], pa.float64()),
+                "p10_sim": pa.array([p10], pa.float64()),
+            }), fname)
+        else:
+            # object-store state dirs: Spark append (replay caveat: a
+            # replayed increment appends a duplicate stats row — harmless
+            # for the n-weighted window, documented)
+            try:
+                seq = spark.read.parquet(dp).count() + 1
+            except Exception:
+                seq = 1
+            spark.createDataFrame(
+                [(int(seq), n, m, p10)],
+                "seq long, n long, mean_sim double, p10_sim double",
+            ).coalesce(1).write.mode("append").parquet(dp)
     return verdict
 
 

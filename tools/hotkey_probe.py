@@ -289,6 +289,37 @@ def main():
           f"(quadratic output suppressed {full / max(capped, 1):.0f}x)")
     assert capped < full
 
+    # --- Part C: per-domain cap under a Zipfian domain -----------------------
+    # 50% of 600k docs on ONE domain; cap 1000.  The window form would sort
+    # 300k rows in one task; cap_rows_per_group buckets the hot domain into
+    # range partitions.  Assert: result parity-checked structurally (every
+    # group at min(count, cap)) and no task > 2x stage median.
+    from memory_opensource_spark.operators.sampling import cap_rows_per_group
+
+    cdocs = (spark.range(n_docs)
+             .select(F.col("id").alias("doc_id"),
+                     F.when(F.col("id") % 2 == 0, F.lit("megadomain"))
+                     .otherwise(F.concat(F.lit("d"),
+                                         F.pmod(F.xxhash64("id"), F.lit(50_000))))
+                     .alias("domain"),
+                     F.xxhash64(F.col("id") + 99).alias("ord"))
+             ).localCheckpoint()
+    before = _stage_ids(spark)
+    t0 = time.time()
+    capped = cap_rows_per_group(cdocs, "domain", 1_000, "ord",
+                                id_col="doc_id")
+    sizes = {r.domain: r.n for r in
+             capped.groupBy("domain").agg(F.count("*").alias("n"))
+             .filter(F.col("n") > 1_000).collect()}
+    n_kept = capped.count()
+    dt = time.time() - t0
+    ratio, stage, _, _ = _task_balance(spark, before)
+    print(f"C  cap_rows_per_group, 50% one domain, cap=1000: {dt:.2f}s  "
+          f"max/med {ratio:.2f}x  kept {n_kept} rows, over-cap groups: "
+          f"{sizes}")
+    assert not sizes, f"quota violated: {sizes}"
+    assert ratio < 2.0 or ratio == 0.0, f"cap straggler {ratio:.2f}x"
+
     print("\nAll hot-key asserts PASS")
     spark.stop()
 
