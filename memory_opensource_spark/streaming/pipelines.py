@@ -158,7 +158,10 @@ def foreach_batch_corpus_maintenance(stream: DataFrame, state_dir: str,
                                      hash_fn: str = "md5",
                                      on_verdict=None,
                                      compact_every: int | None = None,
-                                     compact_partitions: int = 32):
+                                     compact_partitions: int = 32,
+                                     on_drift=None,
+                                     drift_every: int = 1,
+                                     drift_window: int = 3):
     """Continuous corpus maintenance: every micro-batch of
     (doc_id, text, embedding) rows is verdicted against the persisted corpus
     state (plans/corpus.corpus_increment — exact / near_dup / semantic /
@@ -184,7 +187,15 @@ def foreach_batch_corpus_maintenance(stream: DataFrame, state_dir: str,
     stream degrades into the small-files problem without periodic rewrite.
     The sink is the single maintenance owner (foreachBatch serializes
     batches), which is exactly the no-concurrent-increment contract
-    corpus_compact requires; a replayed batch re-compacts harmlessly."""
+    corpus_compact requires; a replayed batch re-compacts harmlessly.
+
+    ``on_drift(status, batch_id)`` (checked every ``drift_every`` batches,
+    pooled over the last ``drift_window`` increments) receives the
+    ``corpus_drift_status`` dict whenever ``status["drifted"]`` is True —
+    the hook where a deployment schedules ``corpus_recluster``.  The sink
+    does NOT recluster automatically: the remap rewrites the members table
+    and retrains the codebook, a maintenance decision (and a wall-clock
+    cost) that belongs to the operator, not to a micro-batch boundary."""
     from ..plans import corpus
 
     def sink(batch_df: DataFrame, batch_id: int):
@@ -195,6 +206,11 @@ def foreach_batch_corpus_maintenance(stream: DataFrame, state_dir: str,
             jaccard_threshold=jaccard_threshold, hash_fn=hash_fn)
         if on_verdict is not None:
             on_verdict(v, batch_id)
+        if on_drift is not None and batch_id % max(drift_every, 1) == 0:
+            status = corpus.corpus_drift_status(
+                batch_df.sparkSession, state_dir, window=drift_window)
+            if status["drifted"]:
+                on_drift(status, batch_id)
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             corpus.corpus_compact(batch_df.sparkSession, state_dir,
                                   target_partitions=compact_partitions)

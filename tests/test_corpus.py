@@ -514,3 +514,47 @@ def test_post_recluster_increments_agree_with_fresh_init_on_union(
         return "semantic" if r.is_dup == 1 else "kept"
 
     assert {i: stage(i) for i in (200, 201, 202, 203)} == v
+
+
+def test_streaming_drift_hook_fires_on_domain_shift(spark, tmp_path):
+    """r8: the streaming maintenance sink surfaces the drift signal — a
+    domain-shifted micro-batch must invoke on_drift with drifted=True, and
+    an in-distribution batch must not."""
+    from memory_opensource_spark.streaming.pipelines import (
+        foreach_batch_corpus_maintenance)
+
+    sd = str(tmp_path / "state")
+    init_docs = spark.createDataFrame(
+        [(i, _text(i)) for i in range(6)], "doc_id long, text string")
+    init_emb = spark.createDataFrame(
+        [(i, _vec(i % 4, i)) for i in range(6)],
+        "doc_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(k, _e(k).tolist()) for k in range(4)],
+        "centroid_id int, embedding array<double>")
+    corpus.corpus_init(init_docs, init_emb, cents, sd, eps=EPS,
+                       jaccard_threshold=JAC)
+
+    d = str(tmp_path / "stream")
+    schema = "doc_id long, text string, embedding array<double>"
+    # b0 in-distribution (dim 1), b1 domain-shifted (dims 4-7)
+    spark.createDataFrame(
+        [(700, _text(70), _vec(1, 700))], schema
+    ).coalesce(1).write.parquet(f"{d}/in/b0")
+    spark.createDataFrame(
+        [(710 + k, _text(71 + k), _vec(4 + k, 710 + k)) for k in range(4)],
+        schema).coalesce(1).write.parquet(f"{d}/in/b1")
+    fired = []
+
+    def on_drift(status, batch_id):
+        fired.append((batch_id, status["recent_mean"]))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{d}/in/*"))
+    q = (foreach_batch_corpus_maintenance(
+            stream, sd, f"{d}/ckpt", eps=EPS, jaccard_threshold=JAC,
+            on_drift=on_drift, drift_window=1)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # exactly the shifted batch fired; its pooled recent_mean is tiny
+    assert len(fired) == 1 and fired[0][1] < 0.2
