@@ -23,11 +23,13 @@ partitions (the same hazard class the r8 span-op rework removed).  Here:
 3. only OVER-quota groups (the Zipfian head — few groups, many rows) get
    ranked, and their rank is computed the quality_buckets way: per-group
    ``percentile_approx`` boundaries of ``order_col`` (one combinable agg,
-   one row per over-quota group, broadcast), ``row_number`` over a window
-   partitioned by (group, range-bucket), plus broadcast per-(group, bucket)
-   offsets — exact rank, no window partition ever holds more than
-   ~|group|/buckets rows.  Boundary accuracy only affects balance, never
-   which rows are kept.
+   one row per over-quota group), ``row_number`` over a window partitioned
+   by (group, range-bucket), plus per-(group, bucket) offsets — exact
+   rank, no window partition ever holds more than ~|group|/buckets rows.
+   Boundary accuracy only affects balance, never which rows are kept.
+   The side tables are AQE-sized (no broadcast hints): one row per
+   over-quota group each, small on Zipfian data but O(n/cap) on an
+   adversarial every-group-just-over input.
 
 NULL group keys form ONE group, exactly like the window twin's
 ``partitionBy`` would treat them — all keys are carried in a struct
@@ -72,13 +74,17 @@ def cap_rows_per_group(df: DataFrame, group_col: str, cap: int,
     over = sizes.filter(F.col("_n") > cap).select("_g")
     kept_small = df.join(under, "_g", "left_semi")
 
-    # Zipfian head only: per-group order boundaries -> (group, bucket) ranks
-    hot = df.join(F.broadcast(over), "_g", "left_semi")
+    # Zipfian head only: per-group order boundaries -> (group, bucket) ranks.
+    # NO broadcast hints below: `over`/`bounds`/`offs` are one row per
+    # over-quota group — few on a Zipfian corpus, but an adversarial input
+    # (every group just over cap) makes them O(n/cap) rows, so the sizing
+    # call belongs to AQE, which broadcasts them when they are in fact small
+    hot = df.join(over, "_g", "left_semi")
     probs = [i / range_buckets for i in range(1, range_buckets)]
     bounds = (hot.groupBy("_g")
               .agg(F.percentile_approx(F.col(order_col).cast("double"),
                                        probs, 10_000).alias("_b")))
-    rb = hot.join(F.broadcast(bounds), "_g").withColumn(
+    rb = hot.join(bounds, "_g").withColumn(
         "_rb",
         F.aggregate(
             F.coalesce(F.col("_b"), F.array()),
@@ -96,7 +102,7 @@ def cap_rows_per_group(df: DataFrame, group_col: str, cap: int,
             .agg(F.coalesce(F.sum("b._c"), F.lit(0)).alias("_off")))
     w = (Window.partitionBy("_g", "_rb")
          .orderBy(F.col(order_col).asc(), F.col(id_col).asc()))
-    ranked = (rb.join(F.broadcast(offs), ["_g", "_rb"])
+    ranked = (rb.join(offs, ["_g", "_rb"])
               .withColumn("_rk", F.col("_off") + F.row_number().over(w)))
     kept_hot = ranked.filter(F.col("_rk") <= cap) \
                      .select(*cols, "_g")
