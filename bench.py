@@ -99,6 +99,8 @@ HEADLINE = [
     "dedup_lines",
     "dedup_span_fraction",
     "dedup_span_removal",
+    # round 8 addition (Gopher/RefinedWeb per-domain quota, skew-proof)
+    "sample_domain_cap",
 ]
 
 
