@@ -537,3 +537,64 @@ def test_omo_export_parse_roundtrip_preserves_fields(spark, rows):
         assert list(b.acl_read) == (r["user_read_access"] or [])
         assert b.namespace_id == r["namespace_id"]
         assert b.created_at == base + timedelta(hours=r["hours"])
+
+
+# ---------------------------------------------------------------------------------
+# Rolling-hash span ops vs a brute-force Python reference (r8: the rolling
+# polynomial hash replaced string spans — equal windows MUST collide, shifted
+# ones must not, and the dup algebra must match exact counting).  A tiny
+# alphabet forces heavy genuine span collisions; one Spark evaluation per
+# example (a whole corpus of random docs).
+# ---------------------------------------------------------------------------------
+
+_doc_st = st.lists(st.sampled_from(list("abc")), min_size=0, max_size=12)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_doc_st, min_size=1, max_size=8),
+       st.integers(min_value=2, max_value=4))
+def test_span_dup_fraction_matches_bruteforce(spark, docs_tokens, k):
+    from collections import Counter
+
+    from memory_opensource_spark.operators import dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: (r.n_spans, r.dup_spans)
+           for r in dedup.span_dup_fraction(df, k=k).collect()}
+
+    spans = Counter()
+    per_doc = {}
+    for i, toks in enumerate(docs_tokens):
+        grams = [tuple(toks[j:j + k]) for j in range(len(toks) - k + 1)]
+        per_doc[i] = grams
+        spans.update(grams)
+    want = {i: (len(g), sum(1 for s in g if spans[s] > 1))
+            for i, g in per_doc.items() if g}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_doc_st, min_size=1, max_size=6),
+       st.integers(min_value=2, max_value=3))
+def test_remove_duplicate_spans_matches_bruteforce(spark, docs_tokens, k):
+    from memory_opensource_spark.operators import dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: (r.n_tokens, r.removed_tokens, r.text_dedup)
+          for r in dedup.remove_duplicate_spans(df, k=k).collect()}
+
+    first = {}
+    for i, toks in enumerate(docs_tokens):
+        for j in range(len(toks) - k + 1):
+            first.setdefault(tuple(toks[j:j + k]), (i, j))
+    want = {}
+    for i, toks in enumerate(docs_tokens):
+        cut = set()
+        for j in range(len(toks) - k + 1):
+            if first[tuple(toks[j:j + k])] != (i, j):
+                cut.update(range(j, j + k))
+        kept = [t for p, t in enumerate(toks) if p not in cut]
+        want[i] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    assert got == want
