@@ -598,3 +598,56 @@ def test_remove_duplicate_spans_matches_bruteforce(spark, docs_tokens, k):
         kept = [t for p, t in enumerate(toks) if p not in cut]
         want[i] = (len(toks), len(toks) - len(kept), " ".join(kept))
     assert got == want
+
+
+# ---------------------------------------------------------------------------------
+# Distributed-rank machinery vs single-window twins (r8): quality_buckets'
+# composite (score, id) boundaries and cap_rows_per_group's per-group
+# range-bucket ranks must be EXACT under random ties, NULLs and quotas.
+# ---------------------------------------------------------------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.sampled_from([0.1, 0.2, 0.5])),
+                min_size=1, max_size=40),
+       st.integers(min_value=2, max_value=5))
+def test_quality_buckets_matches_ntile_under_random_ties(spark, scores, n):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.functions import lm
+
+    rows = [(i, 10, s) for i, s in enumerate(scores)]
+    df = spark.createDataFrame(rows, "id int, n_bigrams int, avg_nll double")
+    got = {r.id: r.bucket
+           for r in lm.quality_buckets(df, n, rows_per_bucket=5).collect()}
+    w = Window.orderBy(F.col("avg_nll").asc(), F.col("id").asc())
+    want = {r.id: r.b
+            for r in df.withColumn("b", F.ntile(n).over(w)).collect()}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+           st.tuples(st.sampled_from(["a", "b", None]),
+                     st.one_of(st.none(), st.integers(0, 3))),
+           min_size=1, max_size=30),
+       st.integers(min_value=1, max_value=4))
+def test_cap_rows_per_group_matches_window_under_random_ties(
+        spark, rows, cap):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.operators.sampling import cap_rows_per_group
+
+    data = [(i, g, None if o is None else float(o))
+            for i, (g, o) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, g string, ord double")
+    got = sorted((r.doc_id, r.g)
+                 for r in cap_rows_per_group(df, "g", cap, "ord",
+                                             range_buckets=3).collect())
+    w = (Window.partitionBy("g")
+         .orderBy(F.col("ord").asc(), F.col("doc_id").asc()))
+    want = sorted((r.doc_id, r.g)
+                  for r in df.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= cap).collect())
+    assert got == want
