@@ -47,6 +47,9 @@ def main():
     from memory_opensource_spark.sources.ann_index import train_centroids
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+    # --domain-cap adds the Gopher/RefinedWeb per-domain quota as stage 1c
+    # (flag-gated so the default 8-stage run stays comparable across rounds)
+    with_cap = "--domain-cap" in sys.argv
     dim = 64
     spark = get_spark("pipeline-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -95,6 +98,7 @@ def main():
     emb = spark.read.parquet(emb_path).select("doc_id", "embedding")
     t_all = time.time()
     stages = []
+    frames = []
 
     def plan_size(df):
         return len(df._jdf.queryExecution().optimizedPlan().toString()
@@ -102,6 +106,7 @@ def main():
 
     def stage(name, df, t0):
         df = df.localCheckpoint()          # stage boundary: bound the lineage
+        frames.append((name, df))
         cnt = df.count()
         stages.append({"stage": name, "rows": cnt,
                        "sec": round(time.time() - t0, 2)})
@@ -116,6 +121,25 @@ def main():
                   .select("doc_id"))
     docs1 = docs.join(drop_exact, "doc_id", "left_anti")
     docs1 = stage("exact_dedup", docs1, t0)
+
+    # 1c (optional). per-domain frequency cap (round-8 op): a quarter of the
+    # corpus lands on ONE synthetic megadomain; cap 2000 keeps a uniform
+    # hash-ordered sample of it and passes the 40k tail domains wholesale —
+    # the Gopher/RefinedWeb quota composed INTO the pipeline, skew-proof
+    if with_cap:
+        from memory_opensource_spark.operators import sampling
+
+        t0 = time.time()
+        domain = (F.when(F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+                         F.lit("megadomain"))
+                  .otherwise(F.concat(F.lit("d"),
+                                      F.pmod(F.xxhash64("doc_id"),
+                                             F.lit(40_000)))))
+        capped = sampling.cap_rows_per_group(
+            docs1.withColumn("_dom", domain)
+                 .withColumn("_ord", F.xxhash64(F.col("doc_id") + 17)),
+            "_dom", 2_000, "_ord", id_col="doc_id")
+        docs1 = stage("domain_cap", capped.select("doc_id", "text"), t0)
 
     # 1b. exact-substring removal (round-7 op): cut repeated >=20-token runs
     # except their first occurrence, REWRITING text for every later stage;
@@ -212,10 +236,7 @@ def main():
                    "sec": round(time.time() - t0, 2)})
     print(f"{'token_budget':14s} {n_tb:8d} shards {time.time() - t0:6.2f}s")
 
-    doc_stages = [s for s in stages
-                  if s["stage"] not in ("shard_write", "token_budget")]
-    sizes = {s["stage"]: plan_size(d) for s, d in
-             zip(doc_stages, [docs1, docs1b, docs2, docs3, docs4, docs5])}
+    sizes = {name: plan_size(d) for name, d in frames}
     print("optimized-plan lines per stage (lineage stays bounded):", sizes)
     assert max(sizes.values()) < 40, "stage lineage not bounded"
     print(json.dumps({"n": n, "total_sec": round(time.time() - t_all, 2),
