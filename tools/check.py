@@ -9,6 +9,7 @@ value hash (columns sorted by name, floats rounded).  Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
@@ -106,9 +107,19 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from memory_opensource_spark.session import get_spark
 
-    spark = get_spark("check", shuffle_partitions=8)
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # driver-fidelity mode: the REAL driver builds a bare SparkSession
+        # (no engine configs — different broadcast threshold, arrow flag,
+        # timezone), so periodically re-gate under the session the grade is
+        # actually computed with
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from memory_opensource_spark.session import get_spark
+
+        spark = get_spark("check", shuffle_partitions=8)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
     con = duckdb.connect()
