@@ -99,8 +99,10 @@ HEADLINE = [
     "dedup_lines",
     "dedup_span_fraction",
     "dedup_span_removal",
-    # round 8 addition (Gopher/RefinedWeb per-domain quota, skew-proof)
+    # round 8 additions (Gopher/RefinedWeb per-domain quota, skew-proof;
+    # the published Gopher A1.1 quality rule table, scan-side)
     "sample_domain_cap",
+    "gopher_quality_flags",
 ]
 
 

@@ -71,6 +71,67 @@ def quality_score(text: Column) -> Column:
     return 0.4 * length_part + 0.3 * punct_part + 0.3 * sw_part
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_flags(text: Column) -> dict[str, Column]:
+    """The Gopher document-quality rule set (arXiv:2112.11446 Appendix A1.1,
+    the filter table most open corpus recipes copy — MassiveText/RefinedWeb/
+    Dolma variants), computed scan-side as named columns:
+
+    - word_count in [50, 100 000]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio ('#' or '...') <= 0.1
+    - <= 90% of lines start with a bullet ('-' / '*'; the unicode bullet is
+      omitted to keep the DuckDB-oracle byte semantics identical)
+    - <= 30% of lines end with an ellipsis
+    - >= 80% of words contain an alphabetic character
+    - >= 2 of the 8 Gopher stop words appear
+
+    Returns {word_count, mean_word_len, symbol_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, stop_word_hits, gopher_pass} —
+    distinct from :func:`quality_score` (a composite scalar) and
+    text_repetition_stats (n-gram repetition): these are the PUBLISHED
+    hard thresholds, each exposed so a pipeline can loosen one without
+    re-deriving the rest.  All ratios round to 6dp for oracle parity."""
+    tk = tokens(text)
+    n_words = F.size(tk)
+    d_words = F.greatest(n_words, F.lit(1)).cast("double")
+    total_len = F.aggregate(tk, F.lit(0), lambda a, t: a + F.length(t))
+    mean_len = F.round(total_len.cast("double") / d_words, 6)
+    symbols = (F.regexp_count(text, F.lit("#"))
+               + F.regexp_count(text, F.lit(r"\.\.\.")))
+    symbol_ratio = F.round(symbols.cast("double") / d_words, 6)
+    lines = F.split(F.coalesce(text, F.lit("")), "\n")
+    d_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet = F.size(F.filter(
+        lines, lambda ln: F.ltrim(ln).startswith("-")
+        | F.ltrim(ln).startswith("*")))
+    ellipsis = F.size(F.filter(
+        lines, lambda ln: F.rtrim(ln).endswith("...")))
+    bullet_frac = F.round(bullet.cast("double") / d_lines, 6)
+    ellipsis_frac = F.round(ellipsis.cast("double") / d_lines, 6)
+    alpha = F.size(F.filter(tk, lambda t: t.rlike("[a-z]")))
+    alpha_frac = F.round(alpha.cast("double") / d_words, 6)
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    hits = F.size(F.filter(tk, lambda t: F.array_contains(sw, t)))
+    gopher_pass = ((n_words >= 50) & (n_words <= 100_000)
+                   & (mean_len >= 3.0) & (mean_len <= 10.0)
+                   & (symbol_ratio <= 0.1)
+                   & (bullet_frac <= 0.9) & (ellipsis_frac <= 0.3)
+                   & (alpha_frac >= 0.8) & (hits >= 2))
+    return {
+        "word_count": n_words.cast("long"),
+        "mean_word_len": mean_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "stop_word_hits": hits.cast("long"),
+        "gopher_pass": gopher_pass.cast("int"),
+    }
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     toks = tokens(text)
     out = {}

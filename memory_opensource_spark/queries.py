@@ -4224,6 +4224,65 @@ def sample_stratified_q(spark, sf_dir):
             .drop("_u", "_r"))
 
 
+@_register("gopher_quality_flags", r"""
+WITH tk AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk,
+         string_split(coalesce(text, ''), chr(10)) AS lines
+  FROM documents
+)
+SELECT doc_id,
+  len(tk)::BIGINT AS word_count,
+  ROUND(coalesce(list_sum(list_transform(tk, t -> length(t))), 0)::DOUBLE
+        / greatest(len(tk), 1), 6) AS mean_word_len,
+  ROUND((length(text) - length(replace(text, '#', ''))
+         + len(regexp_extract_all(text, '\.\.\.')))::DOUBLE
+        / greatest(len(tk), 1), 6) AS symbol_ratio,
+  ROUND(len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+                                  OR starts_with(ltrim(l), '*')))::DOUBLE
+        / greatest(len(lines), 1), 6) AS bullet_line_frac,
+  ROUND(len(list_filter(lines, l -> ends_with(rtrim(l), '...')))::DOUBLE
+        / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+  ROUND(len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+        / greatest(len(tk), 1), 6) AS alpha_word_frac,
+  len(list_filter(tk, t -> list_contains(
+      ['the','be','to','of','and','that','have','with'], t)))::BIGINT
+      AS stop_word_hits,
+  (CASE WHEN len(tk) BETWEEN 50 AND 100000
+         AND ROUND(coalesce(list_sum(list_transform(tk, t -> length(t))), 0)::DOUBLE
+                   / greatest(len(tk), 1), 6) BETWEEN 3.0 AND 10.0
+         AND ROUND((length(text) - length(replace(text, '#', ''))
+                    + len(regexp_extract_all(text, '\.\.\.')))::DOUBLE
+                   / greatest(len(tk), 1), 6) <= 0.1
+         AND ROUND(len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+                                            OR starts_with(ltrim(l), '*')))::DOUBLE
+                   / greatest(len(lines), 1), 6) <= 0.9
+         AND ROUND(len(list_filter(lines, l -> ends_with(rtrim(l), '...')))::DOUBLE
+                   / greatest(len(lines), 1), 6) <= 0.3
+         AND ROUND(len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+                   / greatest(len(tk), 1), 6) >= 0.8
+         AND len(list_filter(tk, t -> list_contains(
+             ['the','be','to','of','and','that','have','with'], t))) >= 2
+    THEN 1 ELSE 0 END)::INT AS gopher_pass
+FROM tk
+""")
+def gopher_quality_flags_q(spark, sf_dir):
+    """The published Gopher document-quality rule table (functions/
+    text.gopher_flags — arXiv:2112.11446 Appendix A1.1, the filter set
+    MassiveText/RefinedWeb/Dolma recipes copy): word-count bounds, mean word
+    length, symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic
+    word fraction, stop-word floor — each threshold exposed as its own
+    column so a pipeline can loosen one rule without re-deriving the rest,
+    plus the combined gopher_pass.  Scan-side expressions only (one
+    projection, no shuffle); distinct from text_quality_score (a composite
+    scalar) and text_repetition_stats (n-gram repetition)."""
+    from .functions.text import gopher_flags
+
+    docs = tables.load(spark, sf_dir, "documents")
+    flags = gopher_flags(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in flags.items()])
+
+
 @_register("sample_domain_cap", """
 WITH ranked AS (
   SELECT doc_id, source,

@@ -248,3 +248,50 @@ def test_quality_buckets_constant_scores_split_by_id_boundaries(spark):
         want = {r.id: r.b for r in scored.withColumn(
             "b", F.ntile(3).over(w)).collect()}
         assert got == want
+
+
+def test_gopher_flags_rule_edges(spark):
+    """Gopher A1.1 rules (functions/text.gopher_flags): each rule must trip
+    on its crafted violator and the clean doc must pass every threshold."""
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.functions.text import gopher_flags
+
+    clean = " ".join(
+        ["the", "be", "to", "of", "and"] + [f"word{i}" for i in range(60)])
+    rows = [
+        (1, clean),                                       # passes everything
+        (2, "the of short doc"),                          # word_count < 50
+        (3, " ".join(["the", "be"] + ["a"] * 60)),        # mean len < 3
+        (4, clean + " " + "#" * 1 + " #### ## # # # # # # # #"),  # symbols
+        (5, "\n".join(["- bullet line"] * 10) + "\nthe be plain "
+            + " ".join(f"w{i}" for i in range(50))),      # bullets > 0.9? 10/12
+        (6, " ".join(["the", "be"] + ["123"] * 60)),      # alpha frac < 0.8
+        (7, " ".join([f"word{i}" for i in range(60)])),   # no stop words
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    flags = gopher_flags(F.col("text"))
+    out = {r.doc_id: r for r in
+           df.select("doc_id", *[c.alias(k) for k, c in flags.items()])
+           .collect()}
+    assert out[1].gopher_pass == 1
+    assert out[2].gopher_pass == 0 and out[2].word_count < 50
+    assert out[3].gopher_pass == 0 and out[3].mean_word_len < 3.0
+    assert out[4].gopher_pass == 0 and out[4].symbol_ratio > 0.1
+    assert out[6].gopher_pass == 0 and out[6].alpha_word_frac < 0.8
+    assert out[7].gopher_pass == 0 and out[7].stop_word_hits == 0
+    # doc 5: 10 of 12 lines are bullets -> frac ~0.833 <= 0.9 so it PASSES
+    # the bullet rule; push to 19/20 to trip it
+    hot = "\n".join(["* b"] * 19) + "\nthe be " + " ".join(
+        f"w{i}" for i in range(50))
+    r = (spark.createDataFrame([(8, hot)], "doc_id int, text string")
+         .select(*[c.alias(k) for k, c in
+                   gopher_flags(F.col("text")).items()]).collect()[0])
+    assert r.bullet_line_frac > 0.9 and r.gopher_pass == 0
+    # ellipsis rule
+    e = "\n".join(["trailing..."] * 5 + ["the be " + " ".join(
+        f"w{i}" for i in range(50))])
+    r = (spark.createDataFrame([(9, e)], "doc_id int, text string")
+         .select(*[c.alias(k) for k, c in
+                   gopher_flags(F.col("text")).items()]).collect()[0])
+    assert r.ellipsis_line_frac > 0.3 and r.gopher_pass == 0
