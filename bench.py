@@ -103,6 +103,7 @@ HEADLINE = [
     # the published Gopher A1.1 quality rule table, scan-side)
     "sample_domain_cap",
     "gopher_quality_flags",
+    "gopher_repetition_flags",
 ]
 
 

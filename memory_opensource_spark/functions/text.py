@@ -132,6 +132,29 @@ def gopher_flags(text: Column) -> dict[str, Column]:
     }
 
 
+def dup_segment_fractions(text: Column, sep: str) -> dict[str, Column]:
+    """Within-doc duplicate-segment signals (Gopher arXiv:2112.11446 A1.1
+    repetition table, the line/paragraph half): fraction of segments that
+    are repeats of an earlier one, and the fraction of CHARACTERS those
+    repeats contain.  Pure array-local expressions — no explode, no shuffle:
+    distinct-segment counts/charsums come from ``array_distinct``, so
+    repeats = totals - firsts."""
+    import re as _re
+
+    segs = F.split(F.coalesce(text, F.lit("")), _re.escape(sep))
+    n = F.size(segs)
+    d = F.greatest(n, F.lit(1)).cast("double")
+    firsts = F.array_distinct(segs)
+    chars = F.aggregate(segs, F.lit(0), lambda a, s: a + F.length(s))
+    chars_first = F.aggregate(firsts, F.lit(0), lambda a, s: a + F.length(s))
+    return {
+        "dup_frac": F.round((n - F.size(firsts)).cast("double") / d, 6),
+        "dup_char_frac": F.round(
+            (chars - chars_first).cast("double")
+            / F.greatest(chars, F.lit(1)).cast("double"), 6),
+    }
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     toks = tokens(text)
     out = {}

@@ -4283,6 +4283,129 @@ def gopher_quality_flags_q(spark, sf_dir):
     return docs.select("doc_id", *[c.alias(k) for k, c in flags.items()])
 
 
+@_register("gopher_repetition_flags", r"""
+WITH tk AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk,
+         string_split(coalesce(text, ''), chr(10)) AS lines,
+         string_split(coalesce(text, ''), chr(10) || chr(10)) AS paras
+  FROM documents
+), seg AS (
+  SELECT doc_id, text, tk,
+    ROUND((len(lines) - len(list_distinct(lines)))::DOUBLE
+          / greatest(len(lines), 1), 6) AS dup_line_frac,
+    ROUND((coalesce(list_sum(list_transform(lines, s -> length(s))), 0)
+           - coalesce(list_sum(list_transform(list_distinct(lines),
+                                              s -> length(s))), 0))::DOUBLE
+          / greatest(coalesce(list_sum(list_transform(lines,
+                                                      s -> length(s))), 0),
+                     1), 6) AS dup_line_char_frac,
+    ROUND((len(paras) - len(list_distinct(paras)))::DOUBLE
+          / greatest(len(paras), 1), 6) AS dup_para_frac,
+    ROUND((coalesce(list_sum(list_transform(paras, s -> length(s))), 0)
+           - coalesce(list_sum(list_transform(list_distinct(paras),
+                                              s -> length(s))), 0))::DOUBLE
+          / greatest(coalesce(list_sum(list_transform(paras,
+                                                      s -> length(s))), 0),
+                     1), 6) AS dup_para_char_frac
+  FROM tk
+), g AS (
+  SELECT doc_id, n,
+         array_to_string(list_slice(tk, j + 1, j + n), ' ') AS gram
+  FROM tk, UNNEST([2, 3, 4]) AS un(n),
+       UNNEST(range(0, greatest(len(tk) - n + 1, 0))) AS u(j)
+), gc AS (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY ALL
+), top AS (
+  SELECT doc_id, n, c * length(gram) AS top_chars FROM (
+    SELECT doc_id, n, gram, c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                              ORDER BY c DESC, gram ASC) AS rn
+    FROM gc) WHERE rn = 1
+), piv AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN n = 2 THEN top_chars END), 0) AS t2,
+         coalesce(max(CASE WHEN n = 3 THEN top_chars END), 0) AS t3,
+         coalesce(max(CASE WHEN n = 4 THEN top_chars END), 0) AS t4
+  FROM top GROUP BY doc_id
+)
+SELECT s.doc_id, s.dup_line_frac, s.dup_line_char_frac,
+       s.dup_para_frac, s.dup_para_char_frac,
+       ROUND(coalesce(p.t2, 0)::DOUBLE / greatest(length(s.text), 1), 6)
+         AS top2_char_frac,
+       ROUND(coalesce(p.t3, 0)::DOUBLE / greatest(length(s.text), 1), 6)
+         AS top3_char_frac,
+       ROUND(coalesce(p.t4, 0)::DOUBLE / greatest(length(s.text), 1), 6)
+         AS top4_char_frac,
+       (CASE WHEN s.dup_line_frac <= 0.30 AND s.dup_line_char_frac <= 0.20
+              AND s.dup_para_frac <= 0.30 AND s.dup_para_char_frac <= 0.20
+              AND ROUND(coalesce(p.t2, 0)::DOUBLE
+                        / greatest(length(s.text), 1), 6) <= 0.20
+              AND ROUND(coalesce(p.t3, 0)::DOUBLE
+                        / greatest(length(s.text), 1), 6) <= 0.18
+              AND ROUND(coalesce(p.t4, 0)::DOUBLE
+                        / greatest(length(s.text), 1), 6) <= 0.16
+         THEN 1 ELSE 0 END)::INT AS repetition_pass
+FROM seg s LEFT JOIN piv p USING (doc_id)
+""")
+def gopher_repetition_flags_q(spark, sf_dir):
+    """The repetition half of Gopher's filter table (arXiv:2112.11446 A1.1):
+    within-doc duplicate line/paragraph fractions (count + CHARACTER mass —
+    functions/text.dup_segment_fractions, pure array-local expressions, no
+    shuffle) and top-{2,3,4}-gram character fractions (count * gram chars of
+    the most frequent word n-gram over doc chars; most-frequent tie broken
+    lexicographically both sides).  Thresholds from the paper: dup lines
+    <= 0.30 count / 0.20 chars, paragraphs same, top-gram chars <= 0.20 /
+    0.18 / 0.16 — combined as repetition_pass.  The n-gram legs are
+    combinable (doc_id, gram) groupBys; the 5..10-gram duplicate-coverage
+    signals from the paper are deliberately omitted (their published
+    definition leaves overlap handling ambiguous — the ExactSubstr span ops
+    cover that ground exactly instead)."""
+    from .functions.text import dup_segment_fractions, tokens as _tokens
+
+    docs = tables.load(spark, sf_dir, "documents")
+    line_f = dup_segment_fractions(F.col("text"), "\n")
+    para_f = dup_segment_fractions(F.col("text"), "\n\n")
+    base = docs.select(
+        "doc_id",
+        line_f["dup_frac"].alias("dup_line_frac"),
+        line_f["dup_char_frac"].alias("dup_line_char_frac"),
+        para_f["dup_frac"].alias("dup_para_frac"),
+        para_f["dup_char_frac"].alias("dup_para_char_frac"),
+        F.greatest(F.length("text"), F.lit(1)).cast("double").alias("_chars"),
+        _tokens(F.col("text")).alias("_tk"))
+    tops = None
+    for nn in (2, 3, 4):
+        grams = (base.filter(F.size("_tk") >= nn)
+                 .select("doc_id", F.explode(F.transform(
+                     F.sequence(F.lit(0), F.size("_tk") - nn),
+                     lambda j: F.concat_ws(" ", F.slice("_tk", j + 1, nn))))
+                     .alias("g")))
+        top = (grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+               .groupBy("doc_id")
+               .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("g")))
+                    .alias("t"))
+               .select("doc_id",
+                       ((-F.col("t.nc")) * F.length(F.col("t.g")))
+                       .cast("double").alias(f"_top{nn}")))
+        tops = top if tops is None else tops.join(top, "doc_id", "outer")
+    out = base.join(tops, "doc_id", "left")
+    t2 = F.round(F.coalesce("_top2", F.lit(0.0)) / F.col("_chars"), 6)
+    t3 = F.round(F.coalesce("_top3", F.lit(0.0)) / F.col("_chars"), 6)
+    t4 = F.round(F.coalesce("_top4", F.lit(0.0)) / F.col("_chars"), 6)
+    rep_pass = ((F.col("dup_line_frac") <= 0.30)
+                & (F.col("dup_line_char_frac") <= 0.20)
+                & (F.col("dup_para_frac") <= 0.30)
+                & (F.col("dup_para_char_frac") <= 0.20)
+                & (t2 <= 0.20) & (t3 <= 0.18) & (t4 <= 0.16))
+    return out.select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
+        t2.alias("top2_char_frac"), t3.alias("top3_char_frac"),
+        t4.alias("top4_char_frac"), rep_pass.cast("int")
+        .alias("repetition_pass"))
+
+
 @_register("sample_domain_cap", """
 WITH ranked AS (
   SELECT doc_id, source,

@@ -295,3 +295,39 @@ def test_gopher_flags_rule_edges(spark):
          .select(*[c.alias(k) for k, c in
                    gopher_flags(F.col("text")).items()]).collect()[0])
     assert r.ellipsis_line_frac > 0.3 and r.gopher_pass == 0
+
+
+def test_gopher_repetition_flags_crafted(spark):
+    """Repetition table edges: repeated lines trip the count AND char
+    fractions; a dominating bigram trips top2_char_frac; clean doc passes."""
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.queries import QUERIES
+
+    # route through the registered query's column algebra on a crafted frame
+    from memory_opensource_spark.functions.text import dup_segment_fractions
+
+    clean = " ".join(f"w{i}" for i in range(30))
+    spam_lines = "\n".join(["same line here"] * 5 + [clean])
+    spam_gram = " ".join(["ha ha"] * 20 + [clean])
+    df = spark.createDataFrame(
+        [(1, clean), (2, spam_lines), (3, spam_gram)],
+        "doc_id int, text string")
+    line_f = dup_segment_fractions(F.col("text"), "\n")
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", line_f["dup_frac"].alias("dlf"),
+        line_f["dup_char_frac"].alias("dlcf")).collect()}
+    assert out[1].dlf == 0.0 and out[1].dlcf == 0.0
+    assert out[2].dlf == round(4 / 6, 6)       # 4 of 6 lines are repeats
+    # 4 repeated 14-char lines over ~180 total chars
+    assert 0.25 < out[2].dlcf < 0.4
+    # full registered query on a tiny parquet table
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.withColumn("source", F.lit("s")).write.mode("overwrite") \
+      .parquet(os.path.join(d, "documents.parquet"))
+    full = {r.doc_id: r for r in
+            QUERIES["gopher_repetition_flags"](spark, d).collect()}
+    assert full[1].repetition_pass == 1
+    assert full[2].repetition_pass == 0 and full[2].dup_line_frac > 0.3
+    assert full[3].repetition_pass == 0 and full[3].top2_char_frac > 0.2
