@@ -104,6 +104,9 @@ HEADLINE = [
     "sample_domain_cap",
     "gopher_quality_flags",
     "gopher_repetition_flags",
+    # round 8: oracle-gated 4-stage COMPOSITION (exact dedup -> span removal
+    # rewrite -> Gopher gate on rewritten text -> token-budget shards)
+    "pipeline_mini",
 ]
 
 

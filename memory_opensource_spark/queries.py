@@ -4406,6 +4406,102 @@ def gopher_repetition_flags_q(spark, sf_dir):
         .alias("repetition_pass"))
 
 
+@_register("pipeline_mini", r"""
+WITH canon AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS c
+        FROM documents GROUP BY 1) g
+    ON md5(d.text) = g.h AND d.doc_id = g.c
+), tk AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM canon
+), tok AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] AS token
+  FROM tk, UNNEST(range(1, len(tk) + 1)) AS u(i)
+), sp AS (
+  SELECT doc_id, j AS pos,
+         md5(array_to_string(list_slice(tk, j + 1, j + 8), ' ')) AS span
+  FROM tk, UNNEST(range(0, len(tk) - 8 + 1)) AS u(j)
+  WHERE len(tk) >= 8
+), rem AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+    FROM sp)
+  WHERE rn > 1
+), cov AS (
+  SELECT DISTINCT doc_id, pos + d AS pos
+  FROM rem, UNNEST(range(0, 8)) AS u(d)
+), kept AS (
+  SELECT t.doc_id, t.pos, t.token
+  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+  WHERE c.pos IS NULL
+), rebuilt AS (
+  SELECT doc_id,
+         coalesce(string_agg(token, ' ' ORDER BY pos), '') AS text
+  FROM kept GROUP BY doc_id
+), rtk AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM rebuilt
+), passed AS (
+  SELECT doc_id, len(tk) AS n_tokens FROM rtk
+  WHERE len(tk) BETWEEN 50 AND 100000
+    AND ROUND(coalesce(list_sum(list_transform(tk, t -> length(t))), 0)::DOUBLE
+              / greatest(len(tk), 1), 6) BETWEEN 3.0 AND 10.0
+    AND ROUND(len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+              / greatest(len(tk), 1), 6) >= 0.8
+    AND len(list_filter(tk, t -> list_contains(
+        ['the','be','to','of','and','that','have','with'], t))) >= 2
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND 1 PRECEDING), 0)
+             / 2000.0)::INT AS shard
+FROM passed
+""")
+def pipeline_mini_q(spark, sf_dir):
+    """ORACLE-GATED pipeline COMPOSITION (the 600k probe proves the 9-stage
+    run at scale; this row proves a 4-stage composition's VALUES against
+    DuckDB): exact dedup (min-id canonical) -> ExactSubstr span REMOVAL at
+    k=8 (text rewrite feeds the next stage) -> Gopher quality gate on the
+    REWRITTEN text (the word-count/mean-length/alpha/stop-word rules — the
+    line rules are vacuous on single-line fixture docs and the symbol rule
+    is length-dependent noise post-rewrite) -> token-budgeted sequential
+    sharding of the survivors (budget 2000).  Stage interactions are the
+    point: span removal shortens docs BELOW the 50-word floor, so the
+    quality gate's input distribution depends on stage 2's rewrite, and the
+    shard prefix sums depend on both."""
+    from .functions.text import gopher_flags
+    from .sources.writers import shard_by_token_budget
+
+    docs = tables.load(spark, sf_dir, "documents")
+    canon = (docs.groupBy(F.md5("text").alias("_h"))
+             .agg(F.min("doc_id").alias("doc_id"))
+             .join(docs, "doc_id")
+             .select("doc_id", "text"))
+    rem = dedup.remove_duplicate_spans(canon, k=8)
+    rebuilt = rem.select(F.col("id").alias("doc_id"),
+                         F.col("text_dedup").alias("text"))
+    fl = gopher_flags(F.col("text"))
+    passed = (rebuilt
+              .select("doc_id",
+                      fl["word_count"].alias("n_tokens"),
+                      fl["mean_word_len"].alias("_ml"),
+                      fl["alpha_word_frac"].alias("_af"),
+                      fl["stop_word_hits"].alias("_sw"))
+              .filter((F.col("n_tokens") >= 50) & (F.col("n_tokens") <= 100_000)
+                      & (F.col("_ml") >= 3.0) & (F.col("_ml") <= 10.0)
+                      & (F.col("_af") >= 0.8) & (F.col("_sw") >= 2))
+              .select("doc_id", "n_tokens"))
+    return (shard_by_token_budget(passed, 2_000, id_col="doc_id",
+                                  tokens_col="n_tokens")
+            .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "shard"))
+
+
 @_register("sample_domain_cap", """
 WITH ranked AS (
   SELECT doc_id, source,
