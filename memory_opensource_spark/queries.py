@@ -5802,7 +5802,11 @@ _EVIDENCE_PRIORITY = [
     # 33-37: ranking/aggregation R2..R17
     "r2_stratified_merge",        # R2
     "r6_rerank",                  # R6/R7
-    "r12_delta_since_watermark",  # R12/ST4
+    # round-8: the oracle-gated COMPOSITION row takes a driver slot
+    # (r12_delta_since_watermark displaced — driver-green since r3,
+    # semantics unchanged, delta/watermark behavior stays exercised by
+    # suite_stream_windows; locally gated every round)
+    "pipeline_mini",              # exact->span-rewrite->Gopher->shards (r8)
     "omo_export_roundtrip",       # OMO portability export->import (r6 new;
                                   # r7: import path made distributed)
     "suite_ranking_formulas",     # R8/R9/R10/R11/R13/R14/R15/R16

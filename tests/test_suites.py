@@ -28,7 +28,7 @@ def test_registry_prefix_covers_component_families():
         "g2_two_hop_paths", "suite_graph_lookup",
         "g7_schema_discovery", "g8_schema_driven_merge", "suite_graph_store",
         "g14_constraint_when",
-        "r2_stratified_merge", "r6_rerank", "r12_delta_since_watermark",
+        "r2_stratified_merge", "r6_rerank",
         "suite_ranking_formulas",
         "suite_stream_windows",
         "ids_chunk_algebra", "set_ops_semi_anti", "suite_text_analysis",
@@ -69,6 +69,10 @@ def test_registry_prefix_covers_component_families():
         # displaced — driver-green since r2, family covered by
         # v2_cosine_topk + flagships)
         "sample_domain_cap",
+        # round-8: the oracle-gated composition row (r12_delta_since_watermark
+        # displaced — driver-green since r3, delta/watermark behavior stays
+        # in suite_stream_windows)
+        "pipeline_mini",
     ]
     missing = [q for q in required if q not in top50]
     assert not missing, f"top-50 evidence window lost: {missing}"
