@@ -488,15 +488,20 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     empty text (kept_lines = 0) so the caller's length filter can drop it
     explicitly, like the reference pipeline routes short docs.
 
-    Scale shape: explode -> per-line keeper via min-struct over a window
-    PARTITIONED by the line (ONE exchange of the line table; a
-    groupBy-then-rejoin form shuffles it twice) -> ONE groupBy(id) computes
-    totals, kept counts and the reassembled text together.  Key-partitioned
-    (line, then id); nothing global, nothing driver-side, JVM codegen end
-    to end.
+    Scale shape (round-8 rework, same reasoning as the span ops): the r7
+    form computed the keeper via min-struct OVER A WINDOW partitioned by
+    the line — a content key, so one boilerplate line repeated 1e8 times
+    put every occurrence in ONE window task, and AQE cannot split window
+    partitions.  Now: per-line keeper via the map-side-combinable
+    min(struct(id, pos)) groupBy (the hot line reduces to one partial per
+    map task BEFORE the shuffle), keeper flag via a join back on the
+    composite (line, id, pos) key — which a hot line cannot skew, since the
+    key includes (id, pos) — then ONE groupBy(id) computes totals, kept
+    counts and the reassembled text together.  The line table shuffles
+    twice instead of once; that single extra exchange of (line-hash-sized)
+    rows buys the skew guarantee, the same trade measured for the span ops
+    in PERF.md round-8.
     """
-    from pyspark.sql import Window
-
     import re as _re
 
     # split() takes a Java regex — escape so sep is LITERAL both ways (the
@@ -507,10 +512,13 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
         F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
                              _re.escape(sep))).alias("pos", "line"),
     )
-    keeper = F.min(F.struct("id", "pos")).over(Window.partitionBy("line"))
-    flagged = lines.withColumn(
-        "_keep",
-        (F.col("id") == keeper["id"]) & (F.col("pos") == keeper["pos"]))
+    keepers = (lines.groupBy("line")
+               .agg(F.min(F.struct("id", "pos")).alias("_f"))
+               .select("line", F.col("_f.id").alias("id"),
+                       F.col("_f.pos").alias("pos"),
+                       F.lit(True).alias("_keep")))
+    flagged = (lines.join(keepers, ["line", "id", "pos"], "left")
+               .withColumn("_keep", F.coalesce("_keep", F.lit(False))))
     return (flagged.groupBy("id")
             .agg(F.sum(F.col("_keep").cast("long")).alias("kept_lines"),
                  F.sum((~F.col("_keep")).cast("long")).alias("dropped_lines"),

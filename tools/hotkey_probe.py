@@ -175,12 +175,20 @@ def main():
                  dedup.span_dup_fraction(docs, k=K))
     rd, wd = run("(d) remove_duplicate_spans (shipped)",
                  dedup.remove_duplicate_spans(docs, k=K))
+    # (e) line_dedup under the same Zipfian density: the hot docs share the
+    # boilerplate AS ONE LINE here (text has no newlines, so every doc is a
+    # single line and 70% of docs collide on dedupe-by-line)
+    re_, we = run("(e) line_dedup (groupBy+composite join, shipped)",
+                  dedup.line_dedup(docs).select(
+                      "id", F.col("kept_lines").alias("dup_spans")))
 
-    assert not wc and not wd, "shipped span ops must not contain Window"
+    assert not wc and not wd and not we, \
+        "shipped dedup ops must not contain Window"
     assert rc < 2.0, f"span_dup_fraction straggler: {rc:.2f}x"
     assert rd < 2.0, f"remove_duplicate_spans straggler: {rd:.2f}x"
+    assert re_ < 2.0, f"line_dedup straggler: {re_:.2f}x"
     print("\nPart A asserts PASS: no Window node, no task > 2x stage median "
-          "in either shipped op\n")
+          "in any shipped op\n")
 
     # --- Part B: family-wide hot keys ---------------------------------------
     # B1: jaccard refine join with 50% of candidate rows on ONE doc id ->
