@@ -2284,6 +2284,12 @@ SELECT * FROM (
 ) WHERE rank <= 5
 """)
 def window_rank(spark, sf_dir):
+    """Classic SQL rank-per-group (the generic window surface users write).
+    Scale note: c_mktsegment has ~5 values, so this shape is 5 window tasks
+    at ANY corpus size — by design here (it IS the SQL idiom being
+    demonstrated); pipelines ranking per a low-cardinality group at scale
+    use operators/sampling.cap_rows_per_group (top-N) or
+    writers.grouped_prefix_sum (running sums), the skew-proof twins."""
     c = tables.load(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
     return (
@@ -5113,24 +5119,25 @@ def pack_sequences_q(spark, sf_dir):
     into fixed 512-token sequences per source stream (contiguous fill in
     doc_id order; a doc straddling a boundary starts in its cumulative bin —
     the standard concat-then-chunk packing, not bin-packing).  Assignment is
-    a running-sum window partitioned by source, so every source stream packs
-    in parallel and the output (seq_id, seq_offset) is replay-deterministic —
-    never dependent on partition layout.  At 100 TB a single source would be
-    one window partition; the documented scale path sub-shards the stream
-    (source, doc_id bucket) to bound partition size, packing each shard
-    independently — same semantics per shard, no global sort."""
+    an exact per-source running sum, so every source stream packs in
+    parallel and the output (seq_id, seq_offset) is replay-deterministic —
+    never dependent on partition layout.  r8: the per-source prefix sum now
+    comes from writers.grouped_prefix_sum (range-bucketed, no whole-source
+    window partition — the r7 form gave a 20-source corpus exactly 20
+    window tasks at ANY scale); the oracle stays the window twin because
+    the VALUES are identical by construction."""
+    from .sources.writers import grouped_prefix_sum
+
     docs = tables.load(spark, sf_dir, "documents")
     sized = docs.select(
         "doc_id", "source",
         F.size(T.tokens(F.col("text"))).cast("int").alias("n_tok"))
-    w = (Window.partitionBy("source").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = F.sum("n_tok").over(w)
-    start = cum - F.col("n_tok")
-    return sized.select(
+    out = grouped_prefix_sum(sized, "source", "doc_id", "n_tok",
+                             out_col="_start")
+    return out.select(
         "doc_id", "source", "n_tok",
-        F.floor(start / 512).cast("bigint").alias("seq_id"),
-        (start % 512).cast("bigint").alias("seq_offset"),
+        F.floor(F.col("_start") / 512).cast("bigint").alias("seq_id"),
+        (F.col("_start") % 512).cast("bigint").alias("seq_offset"),
     )
 
 

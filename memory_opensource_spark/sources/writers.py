@@ -272,6 +272,62 @@ def shard_by_token_budget(df: DataFrame, budget_tokens: int,
             .drop("_rb", "_tk", "_off"))
 
 
+def grouped_prefix_sum(df: DataFrame, group_col: str, order_col: str,
+                       value_col: str, out_col: str = "prior",
+                       range_partitions: int = 64,
+                       rows_per_bucket: int = 4_000_000) -> DataFrame:
+    """EXACT per-group exclusive prefix sum — ``sum(value) over (partition
+    by group order by order rows unbounded preceding to 1 preceding)`` —
+    WITHOUT a whole-group window partition (round 8: a 20-source corpus
+    gives that window 20 tasks at ANY scale; a Zipfian group is one task).
+
+    Same machinery as :func:`shard_by_token_budget`, group-scoped: range-
+    bucket rows by GLOBAL percentiles of ``order_col`` (monotone, so bucket
+    order == order within every group too; a group's rows spread across all
+    buckets), per-(group, bucket) totals -> per-group cumulative offsets
+    (an equi-join on the group key, AQE-splittable), window partitioned by
+    (group, bucket).  NULL group keys form one group (null-safe struct
+    key); NULL order keys sort first, NULL values add 0.  Adds ``out_col``;
+    drops nothing."""
+    from pyspark.sql import Window
+
+    cols = df.columns
+    df = df.withColumn("_g", F.struct(F.col(group_col).alias("k"))) \
+           .localCheckpoint(eager=False)
+    probs = [i / range_partitions for i in range(1, range_partitions)]
+    head = df.agg(
+        F.percentile_approx(F.col(order_col).cast("double"), probs, 10_000)
+        .alias("b"),
+        F.count("*").alias("n")).first()
+    n_rows = head["n"]
+    if n_rows == 0:
+        return df.drop("_g").withColumn(out_col, F.lit(None).cast("long"))
+    k = int(min(range_partitions, max(2, -(-n_rows // rows_per_bucket))))
+    raw = list(head["b"] or [])
+    if k < range_partitions and raw:
+        idx = [round(range_partitions * i / k) - 1 for i in range(1, k)]
+        raw = [raw[j] for j in idx if 0 <= j < len(raw)]
+    bounds = sorted(set(b for b in raw if b is not None))
+    rb = F.lit(0)
+    for b in bounds:
+        rb = rb + (F.col(order_col).cast("double") > F.lit(float(b))).cast("int")
+    out = df.withColumn("_rb", F.coalesce(rb, F.lit(0))).withColumn(
+        "_v", F.coalesce(F.col(value_col).cast("long"), F.lit(0)))
+    sums = out.groupBy("_g", "_rb").agg(F.sum("_v").alias("_s"))
+    offs = (sums.alias("a")
+            .join(sums.alias("b"),
+                  (F.col("a._g") == F.col("b._g"))
+                  & (F.col("b._rb") < F.col("a._rb")), "left")
+            .groupBy(F.col("a._g").alias("_g"), F.col("a._rb").alias("_rb"))
+            .agg(F.coalesce(F.sum("b._s"), F.lit(0)).alias("_off")))
+    w = (Window.partitionBy("_g", "_rb").orderBy(F.col(order_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prior = F.col("_off") + F.coalesce(F.sum("_v").over(w), F.lit(0))
+    return (out.join(offs, ["_g", "_rb"])
+            .withColumn(out_col, prior.cast("long"))
+            .select(*cols, out_col))
+
+
 def shard_write(df: DataFrame, path: str, n_shards: int, seed: str,
                 id_col: str = "doc_id", mode: str = "overwrite") -> None:
     """Materialize the sharded layout: one directory per shard, rows inside

@@ -438,3 +438,26 @@ def test_shard_by_token_budget_null_ids_not_dropped(spark):
     # the two null-id docs carry 5 tokens of prefix before id 1's 10
     assert sorted(by_id[None]) == [0, 0]
     assert by_id[1] == [0] and by_id[2] == [1] and by_id[3] == [2]
+
+
+def test_grouped_prefix_sum_matches_window_twin(spark):
+    """r8: per-group exact exclusive prefix sums with no whole-group window
+    — parity with the window twin over NULL groups, NULL orders, NULL
+    values and a dominant group."""
+    from pyspark.sql import Window
+
+    rows = []
+    for i in range(60):
+        rows.append((i, "hot" if i % 3 else "cold",
+                     None if i % 11 == 0 else i % 7))
+    rows += [(100, None, 5), (101, None, None), (102, None, 2)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, v int")
+    got = {r.doc_id: r.prior
+           for r in writers.grouped_prefix_sum(
+               df, "g", "doc_id", "v", range_partitions=4).collect()}
+    w = (Window.partitionBy("g").orderBy(F.col("doc_id").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    want = {r.doc_id: r.p for r in df.withColumn(
+        "p", F.coalesce(F.sum(F.coalesce(F.col("v"), F.lit(0))).over(w),
+                        F.lit(0)).cast("long")).collect()}
+    assert got == want and len(got) == len(rows)
