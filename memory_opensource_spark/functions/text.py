@@ -93,7 +93,12 @@ def gopher_flags(text: Column) -> dict[str, Column]:
     distinct from :func:`quality_score` (a composite scalar) and
     text_repetition_stats (n-gram repetition): these are the PUBLISHED
     hard thresholds, each exposed so a pipeline can loosen one without
-    re-deriving the rest.  All ratios round to 6dp for oracle parity."""
+    re-deriving the rest.  All ratios round to 6dp for oracle parity.
+
+    NULL text coalesces to '' up front: without it size(split(NULL)) yields
+    word_count -1 (legacy sizeOfNull) and NULL ratios, diverging from the
+    DuckDB oracle on null-text docs."""
+    text = F.coalesce(text, F.lit(""))
     tk = tokens(text)
     n_words = F.size(tk)
     d_words = F.greatest(n_words, F.lit(1)).cast("double")
@@ -102,7 +107,7 @@ def gopher_flags(text: Column) -> dict[str, Column]:
     symbols = (F.regexp_count(text, F.lit("#"))
                + F.regexp_count(text, F.lit(r"\.\.\.")))
     symbol_ratio = F.round(symbols.cast("double") / d_words, 6)
-    lines = F.split(F.coalesce(text, F.lit("")), "\n")
+    lines = F.split(text, "\n")
     d_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
     bullet = F.size(F.filter(
         lines, lambda ln: F.ltrim(ln).startswith("-")

@@ -54,7 +54,11 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     corpus-scale callers use).  ``max_ids=N`` keeps the N smallest ids per
     group; the OUTPUT row is bounded but the agg buffer still holds the full
     group — a reporting convenience, not the 100 TB mode.  Default None keeps
-    the full sorted list (oracle semantics, fixture scale)."""
+    the full sorted list (oracle semantics, fixture scale).  Negative
+    max_ids raises — a caller passing -1 expecting 'unlimited' must use
+    None, not silently get the no-dup_ids mode."""
+    if max_ids is not None and max_ids < 0:
+        raise ValueError(f"max_ids must be None or >= 0, got {max_ids}")
     hashed = docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash"))
     aggs = [F.min("id").alias("canonical_id"), F.count("*").alias("dup_count")]
     if max_ids is None:

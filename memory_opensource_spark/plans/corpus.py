@@ -531,8 +531,14 @@ def corpus_increment(spark: SparkSession, new_docs: DataFrame,
         already_b = spark.read.parquet(p["bands"]).select("doc_id").distinct()
         band_rows = (new_bands.select(F.col("id").alias("doc_id"), "band_idx",
                                       "band_hash")
-                     # update path bands come from new_x already (see
-                     # band_src above) — only the replay anti-join needed
+                     # candidate generation runs on batch_canon bands (the
+                     # parallel-branch shape), but STATE keeps bands only for
+                     # member rows (new_x): a batch doc dropped as an exact
+                     # dup of an existing member duplicates its twin's bands,
+                     # and persisting those would grow the bands table with
+                     # TOTAL input instead of retained members on
+                     # duplicate-heavy streams
+                     .join(new_x.select("doc_id"), "doc_id", "left_semi")
                      .join(already_b, "doc_id", "left_anti")
                      .localCheckpoint(eager=True))
         band_rows.write.mode("append").parquet(p["bands"])
@@ -565,15 +571,25 @@ def corpus_increment(spark: SparkSession, new_docs: DataFrame,
 
             os.makedirs(local, exist_ok=True)
             fname = os.path.join(local, f"drift-{fp:016x}.parquet")
+            # seq must stay unique + monotone under replay: a REPLAYED
+            # increment keeps its file's ORIGINAL seq (overwrite-in-place);
+            # a new increment takes max(existing seq)+1 — a row-count seq
+            # would duplicate and inflate seqs when an old increment
+            # re-fires after later ones already wrote
             seq = 1
             try:
-                others = [f for f in os.listdir(local)
-                          if f.endswith(".parquet")
-                          and f != os.path.basename(fname)]
-                if others:
-                    seq = pq.ParquetDataset(
-                        [os.path.join(local, f) for f in others]
-                    ).read(columns=["seq"]).num_rows + 1
+                if os.path.exists(fname):
+                    seq = int(pq.read_table(fname, columns=["seq"])
+                              .column("seq")[0].as_py())
+                else:
+                    others = [f for f in os.listdir(local)
+                              if f.endswith(".parquet")
+                              and f != os.path.basename(fname)]
+                    if others:
+                        prev = pq.ParquetDataset(
+                            [os.path.join(local, f) for f in others]
+                        ).read(columns=["seq"]).column("seq").to_pylist()
+                        seq = max(prev) + 1
             except Exception:
                 seq = 1
             pq.write_table(pa.table({
@@ -624,8 +640,11 @@ def corpus_drift_status(spark: SparkSession, state_dir: str, *,
         drift = spark.read.parquet(p["drift"])
     except Exception:
         return out    # pre-drift-era state or no increments yet
-    rows = (drift.orderBy(F.col("seq").desc()).limit(window)
-            .filter(F.col("n") > 0)
+    # n==0 rows (increments with no semantic entrants) are excluded BEFORE
+    # the window limit so the pool always spans `window` informative
+    # increments; filtering after the limit would silently shrink it
+    rows = (drift.filter(F.col("n") > 0)
+            .orderBy(F.col("seq").desc()).limit(window)
             .agg(F.sum("n").alias("n"),
                  (F.sum(F.col("mean_sim") * F.col("n")) / F.sum("n"))
                  .alias("m"),

@@ -4231,11 +4231,13 @@ def sample_stratified_q(spark, sf_dir):
 
 
 @_register("gopher_quality_flags", r"""
-WITH tk AS (
+WITH src AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), tk AS (
   SELECT doc_id, text,
          list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk,
-         string_split(coalesce(text, ''), chr(10)) AS lines
-  FROM documents
+         string_split(text, chr(10)) AS lines
+  FROM src
 )
 SELECT doc_id,
   len(tk)::BIGINT AS word_count,
@@ -4290,12 +4292,14 @@ def gopher_quality_flags_q(spark, sf_dir):
 
 
 @_register("gopher_repetition_flags", r"""
-WITH tk AS (
+WITH src AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), tk AS (
   SELECT doc_id, text,
          list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk,
-         string_split(coalesce(text, ''), chr(10)) AS lines,
-         string_split(coalesce(text, ''), chr(10) || chr(10)) AS paras
-  FROM documents
+         string_split(text, chr(10)) AS lines,
+         string_split(text, chr(10) || chr(10)) AS paras
+  FROM src
 ), seg AS (
   SELECT doc_id, text, tk,
     ROUND((len(lines) - len(list_distinct(lines)))::DOUBLE
@@ -4378,8 +4382,9 @@ def gopher_repetition_flags_q(spark, sf_dir):
         line_f["dup_char_frac"].alias("dup_line_char_frac"),
         para_f["dup_frac"].alias("dup_para_frac"),
         para_f["dup_char_frac"].alias("dup_para_char_frac"),
-        F.greatest(F.length("text"), F.lit(1)).cast("double").alias("_chars"),
-        _tokens(F.col("text")).alias("_tk"))
+        F.greatest(F.length(F.coalesce("text", F.lit(""))), F.lit(1))
+        .cast("double").alias("_chars"),
+        _tokens(F.coalesce("text", F.lit(""))).alias("_tk"))
     tops = None
     for nn in (2, 3, 4):
         grams = (base.filter(F.size("_tk") >= nn)
@@ -5753,7 +5758,10 @@ _EVIDENCE_PRIORITY = [
     # denormalized spec-pushdown variant (F2/F3/F7 at the chunk scan)
     "search_flagship", "search_agentic_flagship", "search_spec_pushdown",
     # 4-8: storage/sources S1..S15
-    "s1_fetch_by_ids",            # S1/S2
+    # round-9 rotation (VERDICT r8 task 1): s1_fetch_by_ids displaced —
+    # driver-green every round since r1, S1/S2 fetch semantics stay
+    # driver-exercised inside both flagships' id-fetch stage and locally
+    # gated at 3 SFs every round
     "suite_storage_lifecycle",    # S3/S4/S5/S7/S8/S13/S14/S15 (real api ops)
     "suite_graph_sinks",          # S9/S10
     "s11_section_hierarchy",      # S11 (page->section->chunk depth; chunk
@@ -5766,7 +5774,9 @@ _EVIDENCE_PRIORITY = [
     "suite_filters",              # F2/F3/F4/F5/F7
     "f9_fallback_relax",          # F9
     # 12-21: vector/similarity V1..V12
-    "v1_chunk_embed",             # V1
+    # round-9 rotation: v1_chunk_embed displaced (driver-green r1..r8,
+    # unchanged; V1 chunk+embed stays exercised by v4_ingest_reuse's ingest
+    # leg and locally gated) in favor of the r8-late Gopher rows below
     "v2_cosine_topk",             # V2/F6
     "v4_ingest_reuse",            # V4
     "v5_bucketed_pairs",          # V5 (scale path)
@@ -5782,13 +5792,18 @@ _EVIDENCE_PRIORITY = [
     "dedup_lines",                # C4/RefinedWeb line-level exact dedup (r7)
     "dedup_span_fraction",        # ExactSubstr detect (r7 new, r8 rework)
     "dedup_span_removal",         # ExactSubstr remove (r7 new, r8 rework)
-    # round-7 rotation (VERDICT r6 task 4): the four r6-new ops move into the
-    # driver prefix (ann_pq_rerank, omo_export_roundtrip, shard_corpus,
-    # lm_quality_scores); displaced long-green rows (txn_merge_roundtrip,
-    # zorder_layout_roundtrip, st2_session_windows, v9_grouped_points — all
-    # driver-green r6, semantics unchanged) stay hash-verified by the local
-    # gate every round
-    "f1_acl_filter",              # F1 with the STRICT namespace MUST (r6 fix)
+    # round-9 rotation (VERDICT r8 task 1): the three r8-late rows that were
+    # green in the local full gate but never held a driver slot.
+    # gopher_quality_flags carries the r9 NULL-coalesce fix and
+    # gopher_repetition_flags the r9 dup-5..10-gram coverage extension, so
+    # their driver turn gates current code.  Displaced: f1_acl_filter
+    # (driver-green r6..r8; F1 ACL stays driver-checked inside
+    # search_flagship + g15_acl_both_endpoints)
+    "gopher_quality_flags",       # Gopher A1.1 quality rule table (r8 new)
+    "gopher_repetition_flags",    # Gopher A1.1 repetition table (r8 new,
+                                  # r9: + dup-5..10-gram char coverage)
+    "pack_sequences",             # sequence packing on grouped_prefix_sum (r8
+                                  # rework, never driver-checked in new shape)
     "ann_pq_rerank",              # PQ/IVFADC ADC scan + exact re-rank (r6 new,
                                   # r7 rotation: engine now SERVES this layout)
     # 22-32: graph G1..G16 + both-endpoint ACL

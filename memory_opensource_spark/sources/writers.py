@@ -275,11 +275,21 @@ def shard_by_token_budget(df: DataFrame, budget_tokens: int,
 def grouped_prefix_sum(df: DataFrame, group_col: str, order_col: str,
                        value_col: str, out_col: str = "prior",
                        range_partitions: int = 64,
-                       rows_per_bucket: int = 4_000_000) -> DataFrame:
+                       rows_per_bucket: int = 4_000_000,
+                       tie_col: str | None = None) -> DataFrame:
     """EXACT per-group exclusive prefix sum — ``sum(value) over (partition
     by group order by order rows unbounded preceding to 1 preceding)`` —
     WITHOUT a whole-group window partition (round 8: a 20-source corpus
     gives that window 20 tasks at ANY scale; a Zipfian group is one task).
+
+    ``order_col`` must be UNIQUE within each group for a deterministic
+    result (rows tied on order_col would get partition-layout-dependent
+    prior sums); when it is not, pass a unique ``tie_col`` to break ties —
+    it is appended to the intra-bucket window order.  Note the range
+    buckets split on order_col alone, so order_col ties that straddle a
+    bucket boundary still sum deterministically only when the tied rows'
+    values land in the same bucket (ties never straddle: bucket membership
+    is a pure function of order_col).
 
     Same machinery as :func:`shard_by_token_budget`, group-scoped: range-
     bucket rows by GLOBAL percentiles of ``order_col`` (monotone, so bucket
@@ -320,7 +330,10 @@ def grouped_prefix_sum(df: DataFrame, group_col: str, order_col: str,
                   & (F.col("b._rb") < F.col("a._rb")), "left")
             .groupBy(F.col("a._g").alias("_g"), F.col("a._rb").alias("_rb"))
             .agg(F.coalesce(F.sum("b._s"), F.lit(0)).alias("_off")))
-    w = (Window.partitionBy("_g", "_rb").orderBy(F.col(order_col).asc())
+    order_keys = [F.col(order_col).asc()]
+    if tie_col is not None:
+        order_keys.append(F.col(tie_col).asc())
+    w = (Window.partitionBy("_g", "_rb").orderBy(*order_keys)
          .rowsBetween(Window.unboundedPreceding, -1))
     prior = F.col("_off") + F.coalesce(F.sum("_v").over(w), F.lit(0))
     return (out.join(offs, ["_g", "_rb"])

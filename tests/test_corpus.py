@@ -558,3 +558,118 @@ def test_streaming_drift_hook_fires_on_domain_shift(spark, tmp_path):
     q.awaitTermination(120)
     # exactly the shifted batch fired; its pooled recent_mean is tiny
     assert len(fired) == 1 and fired[0][1] < 0.2
+
+
+def test_state_exact_dup_bands_grow_with_members_not_input(spark, tmp_path):
+    """r9 (ADVICE medium): a batch doc dropped as an exact dup of an
+    EXISTING state member must not persist its band rows — otherwise the
+    bands table grows with total input on duplicate-heavy streams (each
+    dropped doc duplicating its twin's bands into every future candidate
+    join).  Bands doc_ids must stay a subset of members doc_ids."""
+    import os
+
+    sd = str(tmp_path / "state")
+    init_docs = spark.createDataFrame(
+        [(0, _text(0)), (1, _text(1))], "doc_id long, text string")
+    init_emb = spark.createDataFrame(
+        [(0, _vec(0, 0)), (1, _vec(1, 1))],
+        "doc_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(k, _e(k).tolist()) for k in range(4)],
+        "centroid_id int, embedding array<double>")
+    corpus.corpus_init(init_docs, init_emb, cents, sd, eps=EPS,
+                       jaccard_threshold=JAC)
+    bands0 = spark.read.parquet(os.path.join(sd, "bands")).count()
+    # increment: 100 = exact dup of state member 0; 101 genuinely new
+    docs, emb = _batch(spark, [(100, _text(0)), (101, _text(60))],
+                       [(100, _vec(0, 100)), (101, _vec(3, 101))])
+    v = {r.doc_id: r.drop_stage
+         for r in corpus.corpus_increment(spark, docs, emb, sd, eps=EPS,
+                                          jaccard_threshold=JAC).collect()}
+    assert v == {100: "exact", 101: "kept"}
+    bands = spark.read.parquet(os.path.join(sd, "bands"))
+    members = spark.read.parquet(os.path.join(sd, "members"))
+    band_ids = {r.doc_id for r in bands.select("doc_id").distinct().collect()}
+    member_ids = {r.doc_id for r in members.select("doc_id").collect()}
+    assert 100 not in band_ids
+    assert band_ids <= member_ids
+    # exactly one new doc's bands appended (101)
+    per_doc = bands0 // 2
+    assert bands.count() == bands0 + per_doc
+
+
+def test_drift_seq_monotone_and_replay_stable(spark, tmp_path):
+    """r9 (ADVICE): drift sidecar seq must come from max(existing seq)+1,
+    and a REPLAYED increment must keep its original seq instead of
+    re-deriving a duplicate, too-high one from the current file count."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sd = str(tmp_path / "state")
+    init_docs = spark.createDataFrame(
+        [(0, _text(0))], "doc_id long, text string")
+    init_emb = spark.createDataFrame(
+        [(0, _vec(0, 0))], "doc_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(k, _e(k).tolist()) for k in range(4)],
+        "centroid_id int, embedding array<double>")
+    corpus.corpus_init(init_docs, init_emb, cents, sd, eps=EPS,
+                       jaccard_threshold=JAC)
+
+    def inc(i):
+        docs, emb = _batch(spark, [(i, _text(i % 15 + 20))],
+                           [(i, _vec(i % 4, i))])
+        corpus.corpus_increment(spark, docs, emb, sd, eps=EPS,
+                                jaccard_threshold=JAC)
+
+    inc(100)      # seq 1
+    inc(200)      # seq 2
+    inc(100)      # REPLAY of the first increment — must keep seq 1
+    drift_dir = os.path.join(sd, "drift")
+    files = sorted(f for f in os.listdir(drift_dir) if f.endswith(".parquet"))
+    assert len(files) == 2    # replay overwrote, didn't add
+    seqs = sorted(
+        pq.read_table(os.path.join(drift_dir, f), columns=["seq"])
+        .column("seq")[0].as_py() for f in files)
+    assert seqs == [1, 2]
+    inc(300)      # new increment after the replay -> seq 3, no duplicate
+    files = [f for f in os.listdir(drift_dir) if f.endswith(".parquet")]
+    seqs = sorted(
+        pq.read_table(os.path.join(drift_dir, f), columns=["seq"])
+        .column("seq")[0].as_py() for f in files)
+    assert seqs == [1, 2, 3]
+
+
+def test_drift_status_window_skips_empty_increments(spark, tmp_path):
+    """r9 (ADVICE): n==0 drift rows (increments with no semantic entrants)
+    must not consume window slots — the filter runs BEFORE the limit."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sd = str(tmp_path / "state")
+    init_docs = spark.createDataFrame(
+        [(0, _text(0))], "doc_id long, text string")
+    init_emb = spark.createDataFrame(
+        [(0, _vec(0, 0))], "doc_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(k, _e(k).tolist()) for k in range(4)],
+        "centroid_id int, embedding array<double>")
+    corpus.corpus_init(init_docs, init_emb, cents, sd, eps=EPS,
+                       jaccard_threshold=JAC)
+    drift_dir = os.path.join(sd, "drift")
+    os.makedirs(drift_dir, exist_ok=True)
+    rows = [(1, 10, 0.99, 0.98), (2, 0, None, None), (3, 0, None, None)]
+    for seq, n, m, p10 in rows:
+        pq.write_table(pa.table({
+            "seq": pa.array([seq], pa.int64()),
+            "n": pa.array([n], pa.int64()),
+            "mean_sim": pa.array([m], pa.float64()),
+            "p10_sim": pa.array([p10], pa.float64()),
+        }), os.path.join(drift_dir, f"drift-{seq:016x}.parquet"))
+    out = corpus.corpus_drift_status(spark, sd, window=2)
+    # window=2 over informative rows only -> the seq-1 row still pools
+    assert out["recent_n"] == 10
+    assert out["recent_mean"] == pytest.approx(0.99)

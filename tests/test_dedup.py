@@ -392,3 +392,11 @@ def test_rolling_span_hash_udf_edge_shapes(spark):
     assert out[1][0] == out[2][0] and out[1][1] == out[3][0]
     assert out[4][0] not in (out[1][0], out[1][1])
     assert out[5] == [] and out[6] == [] and out[7] == []
+
+
+def test_exact_duplicates_negative_max_ids_raises(spark):
+    """r9 (ADVICE): -1 'expecting unlimited' must raise, not silently act
+    like max_ids=0 (no dup_ids column)."""
+    df = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_ids"):
+        dedup.exact_duplicates(df, max_ids=-1)

@@ -331,3 +331,30 @@ def test_gopher_repetition_flags_crafted(spark):
     assert full[1].repetition_pass == 1
     assert full[2].repetition_pass == 0 and full[2].dup_line_frac > 0.3
     assert full[3].repetition_pass == 0 and full[3].top2_char_frac > 0.2
+
+
+def test_gopher_flags_null_text_is_deterministic(spark):
+    """r9 (ADVICE): NULL text must coalesce to '' — without it
+    size(split(NULL)) gives word_count -1 (legacy sizeOfNull) and NULL
+    ratios, diverging from the DuckDB oracle's coalesce semantics."""
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.functions.text import gopher_flags
+
+    df = spark.createDataFrame([(1, None), (2, "")],
+                               "doc_id int, text string")
+    flags = gopher_flags(F.col("text"))
+    out = {r.doc_id: r for r in
+           df.select("doc_id", *[c.alias(k) for k, c in flags.items()])
+           .collect()}
+    for i in (1, 2):
+        assert out[i].word_count == 0
+        assert out[i].gopher_pass == 0
+        # every ratio defined (not NULL), and null doc == empty doc
+        for f in ("mean_word_len", "symbol_ratio", "bullet_line_frac",
+                  "ellipsis_line_frac", "alpha_word_frac",
+                  "stop_word_hits"):
+            assert getattr(out[i], f) is not None, f
+    d1, d2 = out[1].asDict(), out[2].asDict()
+    d1.pop("doc_id"), d2.pop("doc_id")
+    assert d1 == d2

@@ -461,3 +461,26 @@ def test_grouped_prefix_sum_matches_window_twin(spark):
         "p", F.coalesce(F.sum(F.coalesce(F.col("v"), F.lit(0))).over(w),
                         F.lit(0)).cast("long")).collect()}
     assert got == want and len(got) == len(rows)
+
+
+def test_grouped_prefix_sum_tie_col_breaks_order_ties(spark):
+    """r9 (ADVICE): rows tied on order_col get layout-dependent priors;
+    tie_col pins the intra-bucket order — parity with the window twin
+    ordered by (order, id)."""
+    from pyspark.sql import Window
+
+    rows = [(i, "g" if i % 4 else "h", i % 5, 10 + i % 3)
+            for i in range(40)]                      # order ties everywhere
+    df = spark.createDataFrame(rows, "doc_id long, g string, o int, v int") \
+              .repartition(8)
+    got = {r.doc_id: r.prior
+           for r in writers.grouped_prefix_sum(
+               df, "g", "o", "v", range_partitions=4,
+               tie_col="doc_id").collect()}
+    w = (Window.partitionBy("g").orderBy(F.col("o").asc(),
+                                         F.col("doc_id").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    want = {r.doc_id: r.p for r in df.withColumn(
+        "p", F.coalesce(F.sum(F.coalesce(F.col("v"), F.lit(0))).over(w),
+                        F.lit(0)).cast("long")).collect()}
+    assert got == want and len(got) == len(rows)

@@ -19,9 +19,9 @@ def test_registry_prefix_covers_component_families():
 
     top50 = list(QUERIES)[:50]
     required = [
-        "search_flagship", "s1_fetch_by_ids", "suite_storage_lifecycle",
+        "search_flagship", "suite_storage_lifecycle",
         "suite_graph_sinks", "s12_cascade_delete", "suite_filters",
-        "f9_fallback_relax", "v1_chunk_embed", "v2_cosine_topk",
+        "f9_fallback_relax", "v2_cosine_topk",
         "v4_ingest_reuse", "v5_bucketed_pairs",
         "v6_entity_resolution",
         "g1_pattern_match",
@@ -41,7 +41,7 @@ def test_registry_prefix_covers_component_families():
         # round-6 rotation: newest/reworked semantics into the driver window
         # (v10/v11/r17/rel_relevance_score moved below fold — still locally
         # gated; their components are long-green singles)
-        "f1_acl_filter", "ann_ivf_spill",
+        "ann_ivf_spill",
         # round-6: SemDeDup into the driver window (f10_scalar_functions moved
         # below fold — F10 scalar fns stay value-verified in suite_text_analysis)
         "dedup_semantic_clusters",
@@ -73,6 +73,11 @@ def test_registry_prefix_covers_component_families():
         # displaced — driver-green since r3, delta/watermark behavior stays
         # in suite_stream_windows)
         "pipeline_mini",
+        # round-9 rotation (VERDICT r8 task 1): the r8-late rows into the
+        # window (s1_fetch_by_ids / v1_chunk_embed / f1_acl_filter displaced
+        # — each driver-green for many rounds; S1 fetch and F1 ACL stay
+        # driver-exercised inside the flagships, V1 inside v4_ingest_reuse)
+        "gopher_quality_flags", "gopher_repetition_flags", "pack_sequences",
     ]
     missing = [q for q in required if q not in top50]
     assert not missing, f"top-50 evidence window lost: {missing}"
