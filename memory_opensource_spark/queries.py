@@ -4338,25 +4338,73 @@ WITH src AS (
          coalesce(max(CASE WHEN n = 3 THEN top_chars END), 0) AS t3,
          coalesce(max(CASE WHEN n = 4 THEN top_chars END), 0) AS t4
   FROM top GROUP BY doc_id
+), tok AS (
+  SELECT doc_id, i - 1 AS pos, length(tk[i]) AS len
+  FROM tk, UNNEST(range(1, len(tk) + 1)) AS u(i)
+), occ AS (
+  SELECT doc_id, n, j,
+         array_to_string(list_slice(tk, j + 1, j + n), ' ') AS gram
+  FROM tk, UNNEST([5, 6, 7, 8, 9, 10]) AS un(n),
+       UNNEST(range(0, greatest(len(tk) - n + 1, 0))) AS u(j)
+), dupg AS (
+  SELECT doc_id, n, gram FROM occ GROUP BY ALL HAVING COUNT(*) >= 2
+), dupo AS (
+  SELECT o.doc_id, o.n, o.j FROM occ o JOIN dupg d USING (doc_id, n, gram)
+), cov AS (
+  SELECT DISTINCT doc_id, n, j + kk AS pos
+  FROM dupo, UNNEST(range(0, n)) AS k(kk)
+), covc AS (
+  SELECT c.doc_id, c.n, SUM(t.len) AS chars
+  FROM cov c JOIN tok t USING (doc_id, pos)
+  GROUP BY c.doc_id, c.n
+), covw AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN n = 5 THEN chars END), 0) AS c5,
+         coalesce(max(CASE WHEN n = 6 THEN chars END), 0) AS c6,
+         coalesce(max(CASE WHEN n = 7 THEN chars END), 0) AS c7,
+         coalesce(max(CASE WHEN n = 8 THEN chars END), 0) AS c8,
+         coalesce(max(CASE WHEN n = 9 THEN chars END), 0) AS c9,
+         coalesce(max(CASE WHEN n = 10 THEN chars END), 0) AS c10
+  FROM covc GROUP BY doc_id
+), tot AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(tk, t -> length(t))), 0) AS tot
+  FROM tk
+), fin AS (
+  SELECT s.doc_id, s.dup_line_frac, s.dup_line_char_frac,
+         s.dup_para_frac, s.dup_para_char_frac,
+         ROUND(coalesce(p.t2, 0)::DOUBLE / greatest(length(s.text), 1), 6)
+           AS top2_char_frac,
+         ROUND(coalesce(p.t3, 0)::DOUBLE / greatest(length(s.text), 1), 6)
+           AS top3_char_frac,
+         ROUND(coalesce(p.t4, 0)::DOUBLE / greatest(length(s.text), 1), 6)
+           AS top4_char_frac,
+         ROUND(coalesce(w.c5, 0)::DOUBLE / greatest(t.tot, 1), 6)
+           AS dup5_char_frac,
+         ROUND(coalesce(w.c6, 0)::DOUBLE / greatest(t.tot, 1), 6)
+           AS dup6_char_frac,
+         ROUND(coalesce(w.c7, 0)::DOUBLE / greatest(t.tot, 1), 6)
+           AS dup7_char_frac,
+         ROUND(coalesce(w.c8, 0)::DOUBLE / greatest(t.tot, 1), 6)
+           AS dup8_char_frac,
+         ROUND(coalesce(w.c9, 0)::DOUBLE / greatest(t.tot, 1), 6)
+           AS dup9_char_frac,
+         ROUND(coalesce(w.c10, 0)::DOUBLE / greatest(t.tot, 1), 6)
+           AS dup10_char_frac
+  FROM seg s LEFT JOIN piv p USING (doc_id)
+             LEFT JOIN covw w USING (doc_id)
+             JOIN tot t USING (doc_id)
 )
-SELECT s.doc_id, s.dup_line_frac, s.dup_line_char_frac,
-       s.dup_para_frac, s.dup_para_char_frac,
-       ROUND(coalesce(p.t2, 0)::DOUBLE / greatest(length(s.text), 1), 6)
-         AS top2_char_frac,
-       ROUND(coalesce(p.t3, 0)::DOUBLE / greatest(length(s.text), 1), 6)
-         AS top3_char_frac,
-       ROUND(coalesce(p.t4, 0)::DOUBLE / greatest(length(s.text), 1), 6)
-         AS top4_char_frac,
-       (CASE WHEN s.dup_line_frac <= 0.30 AND s.dup_line_char_frac <= 0.20
-              AND s.dup_para_frac <= 0.30 AND s.dup_para_char_frac <= 0.20
-              AND ROUND(coalesce(p.t2, 0)::DOUBLE
-                        / greatest(length(s.text), 1), 6) <= 0.20
-              AND ROUND(coalesce(p.t3, 0)::DOUBLE
-                        / greatest(length(s.text), 1), 6) <= 0.18
-              AND ROUND(coalesce(p.t4, 0)::DOUBLE
-                        / greatest(length(s.text), 1), 6) <= 0.16
+SELECT *,
+       (CASE WHEN dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+              AND dup_para_frac <= 0.30 AND dup_para_char_frac <= 0.20
+              AND top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+              AND top4_char_frac <= 0.16
+              AND dup5_char_frac <= 0.15 AND dup6_char_frac <= 0.14
+              AND dup7_char_frac <= 0.13 AND dup8_char_frac <= 0.12
+              AND dup9_char_frac <= 0.11 AND dup10_char_frac <= 0.10
          THEN 1 ELSE 0 END)::INT AS repetition_pass
-FROM seg s LEFT JOIN piv p USING (doc_id)
+FROM fin
 """)
 def gopher_repetition_flags_q(spark, sf_dir):
     """The repetition half of Gopher's filter table (arXiv:2112.11446 A1.1):
@@ -4367,13 +4415,17 @@ def gopher_repetition_flags_q(spark, sf_dir):
     lexicographically both sides).  Thresholds from the paper: dup lines
     <= 0.30 count / 0.20 chars, paragraphs same, top-gram chars <= 0.20 /
     0.18 / 0.16 — combined as repetition_pass.  The n-gram legs are
-    combinable (doc_id, gram) groupBys; the 5..10-gram duplicate-coverage
-    signals from the paper are deliberately omitted (their published
-    definition leaves overlap handling ambiguous — the ExactSubstr span ops
-    cover that ground exactly instead)."""
+    combinable (doc_id, gram) groupBys.  r9 completes the table with the
+    dup-5..10-gram character-coverage columns (thresholds 0.15..0.10): the
+    paper leaves overlap handling unstated, so the semantics here are
+    DEFINED and documented in operators/dedup.dup_ngram_char_coverage —
+    union of token positions under any >=2-occurrence n-gram, weighted by
+    token char length over total token char mass, separators excluded."""
     from .functions.text import dup_segment_fractions, tokens as _tokens
 
-    docs = tables.load(spark, sf_dir, "documents")
+    # fan_out: the fixture parquet is one row group -> one task; every leg
+    # here is CPU-heavy narrow work before its first shuffle
+    docs = tables.fan_out(tables.load(spark, sf_dir, "documents"))
     line_f = dup_segment_fractions(F.col("text"), "\n")
     para_f = dup_segment_fractions(F.col("text"), "\n\n")
     base = docs.select(
@@ -4400,21 +4452,32 @@ def gopher_repetition_flags_q(spark, sf_dir):
                        ((-F.col("t.nc")) * F.length(F.col("t.g")))
                        .cast("double").alias(f"_top{nn}")))
         tops = top if tops is None else tops.join(top, "doc_id", "outer")
-    out = base.join(tops, "doc_id", "left")
+    # r9 (VERDICT r8 task 2): the paper's dup-5..10-gram character coverage
+    # with the documented union semantics — operators/dedup.py
+    # dup_ngram_char_coverage (one row per doc, 0.0 when no duplicated
+    # n-grams), thresholds 0.15/0.14/0.13/0.12/0.11/0.10 from A1.1
+    from .operators.dedup import dup_ngram_char_coverage
+
+    cover = dup_ngram_char_coverage(docs)
+    out = base.join(tops, "doc_id", "left").join(cover, "doc_id", "left")
     t2 = F.round(F.coalesce("_top2", F.lit(0.0)) / F.col("_chars"), 6)
     t3 = F.round(F.coalesce("_top3", F.lit(0.0)) / F.col("_chars"), 6)
     t4 = F.round(F.coalesce("_top4", F.lit(0.0)) / F.col("_chars"), 6)
+    dup_cols = [f"dup{n}_char_frac" for n in (5, 6, 7, 8, 9, 10)]
+    dup_caps = [0.15, 0.14, 0.13, 0.12, 0.11, 0.10]
     rep_pass = ((F.col("dup_line_frac") <= 0.30)
                 & (F.col("dup_line_char_frac") <= 0.20)
                 & (F.col("dup_para_frac") <= 0.30)
                 & (F.col("dup_para_char_frac") <= 0.20)
                 & (t2 <= 0.20) & (t3 <= 0.18) & (t4 <= 0.16))
+    for c, cap in zip(dup_cols, dup_caps):
+        rep_pass = rep_pass & (F.col(c) <= cap)
     return out.select(
         "doc_id", "dup_line_frac", "dup_line_char_frac",
         "dup_para_frac", "dup_para_char_frac",
         t2.alias("top2_char_frac"), t3.alias("top3_char_frac"),
-        t4.alias("top4_char_frac"), rep_pass.cast("int")
-        .alias("repetition_pass"))
+        t4.alias("top4_char_frac"), *dup_cols,
+        rep_pass.cast("int").alias("repetition_pass"))
 
 
 @_register("pipeline_mini", r"""

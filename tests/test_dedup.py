@@ -400,3 +400,35 @@ def test_exact_duplicates_negative_max_ids_raises(spark):
     df = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="max_ids"):
         dedup.exact_duplicates(df, max_ids=-1)
+
+
+def test_dup_ngram_char_coverage_union_semantics(spark):
+    """r9: Gopher dup-5..10-gram char coverage with the DEFINED semantics —
+    union of token positions under any duplicated n-gram (first occurrence
+    counts, overlaps count once), weighted by token char length, separators
+    excluded.  Hand-computed fixtures pin every clause."""
+    rows = [
+        # "a b c d e" occurs at pos 0 and 5 -> positions 0..9 covered,
+        # 10 of 11 unit-length tokens -> 10/11
+        (1, "a b c d e a b c d e x"),
+        # overlapping occurrences of "w w w w w" (pos 0 and 1) cover all 6
+        # tokens ONCE -> exactly 1.0, never >1 (the sum-form would give 10/6)
+        (2, "w w w w w w"),
+        (3, "q r s t u v"),          # no duplicated n-gram -> all 0.0
+        (4, None),                    # NULL text -> row present, all 0.0
+        (5, ""),
+        # mixed token lengths: "aa b cc d ee" twice + unique 7-char tail
+        # -> covered chars = (2+1+2+1+2) x 2 = 16, total = 16 + 7 = 23
+        (6, "aa b cc d ee aa b cc d ee zzzzzzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.dup_ngram_char_coverage(df).collect()}
+    assert len(out) == len(rows)                    # one row per input doc
+    assert out[1].dup5_char_frac == pytest.approx(round(10 / 11, 6))
+    assert out[1].dup6_char_frac == 0.0             # no duplicated 6-gram
+    assert out[2].dup5_char_frac == 1.0
+    assert out[2].dup6_char_frac == 0.0
+    for i in (3, 4, 5):
+        for n in range(5, 11):
+            assert getattr(out[i], f"dup{n}_char_frac") == 0.0, (i, n)
+    assert out[6].dup5_char_frac == pytest.approx(round(16 / 23, 6))
