@@ -57,14 +57,57 @@ def jaccard_similarity(content: Column, expected_content: str,
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
-def accuracy_score(content: Column, spec: dict) -> Column:
+def sequence_matcher_similarity(content: Column, expected_content: str,
+                                prefix_chars: int = 500) -> Column:
+    """The reference's ACTUAL similarity leg — ``difflib.SequenceMatcher(
+    None, content[:500].lower(), expected.lower()).ratio()`` — as a batched
+    Arrow UDF (r9, VERDICT r8 task 6: the exact-parity scoring path beside
+    the documented Jaccard substitute).
+
+    Use THIS for bounded eval sets and audits; keep
+    :func:`jaccard_similarity` for corpus passes — ratio() is
+    O(len_a x len_b) Python per pair with no SQL analog in either engine
+    (which is why the DuckDB-gated query row stays on Jaccard).
+    Deterministic: plain stdlib defaults, batch-order independent (one
+    ratio per row against a constant)."""
+    import pandas as pd  # noqa: F401  (Arrow path requirement)
+    from pyspark.sql.functions import pandas_udf
+
+    exp = expected_content.lower()
+
+    @pandas_udf("double")
+    def ratio(s):
+        import difflib
+
+        def one(x):
+            if x is None:
+                return 0.0
+            return difflib.SequenceMatcher(
+                None, x[:prefix_chars].lower(), exp).ratio()
+
+        return s.map(one)
+
+    return ratio(content)
+
+
+def accuracy_score(content: Column, spec: dict,
+                   similarity: str = "jaccard") -> Column:
     """The full 0-10 score for one expected-answer spec
     ``{"must_include": [...], "keywords": [...], "expected_content": "..."}``.
-    Empty content scores 0 (reference line 92)."""
+    Empty content scores 0 (reference line 92).  ``similarity`` picks the
+    similarity leg: ``"jaccard"`` (column-expression scale path, default) or
+    ``"sequence_matcher"`` (the reference's exact difflib ratio, Arrow UDF —
+    bounded eval sets only)."""
     lower = F.lower(content)
     must = coverage_points(lower, spec.get("must_include", []), 4.0)
     kw = coverage_points(lower, spec.get("keywords", []), 3.0)
-    sim = jaccard_similarity(content, spec.get("expected_content", "")) * 3.0
+    if similarity == "sequence_matcher":
+        sim = sequence_matcher_similarity(
+            content, spec.get("expected_content", "")) * 3.0
+    elif similarity == "jaccard":
+        sim = jaccard_similarity(content, spec.get("expected_content", "")) * 3.0
+    else:
+        raise ValueError(f"unknown similarity leg: {similarity!r}")
     total = F.round(F.least(F.lit(10.0), F.greatest(F.lit(0.0), must + kw + sim)), 1)
     empty = content.isNull() | (F.trim(content) == "")
     return F.when(empty, 0.0).otherwise(total)

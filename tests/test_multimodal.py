@@ -207,3 +207,114 @@ def test_malformed_wav_and_video_fall_back_to_seam_error(spark):
     got = decode_features(media.filter(F.col("media_id") == "w2"),
                           real=True).collect()
     assert len(got) == 1
+
+
+def _png(pixels, ctype=2, filters=None):
+    """Pure-Python PNG ENCODER for the decoder test (struct+zlib+crc32):
+    8-bit, color type 2 (RGB) or 0 (gray), one chosen filter type per row —
+    encoding is the exact inverse of the decoder's unfilter, so every
+    filter path (None/Sub/Up/Average/Paeth) gets exercised."""
+    import struct
+    import zlib
+    from binascii import crc32
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if ctype == 0 and px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    bpp = ch
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        rec = px[y].reshape(-1).astype(np.int32)
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        for x in range(w * ch):
+            a = int(rec[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:                              # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            raw.append((int(rec[x]) - pred) & 0xFF)
+        prev = rec
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", crc32(cid + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decoder_roundtrip_all_filters(spark):
+    """r9 (VERDICT r8 task 9): the zlib PNG decoder recovers exact pixels
+    through every scanline filter type, RGB and grayscale, and produces
+    the SAME luma features as the identical pixels encoded as PPM."""
+    import numpy as np
+
+    from memory_opensource_spark.sources.multimodal import (
+        _decode_png,
+        decode_features,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(12, 10, 3)).astype(np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = _decode_png(_png(px, filters=filters))
+        assert got is not None and np.array_equal(got, px), filters
+    gray = rng.randint(0, 256, size=(6, 7)).astype(np.uint8)
+    got = _decode_png(_png(gray, ctype=0, filters=[0, 1, 2]))
+    assert np.array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+
+    # feature parity with the PPM path on identical pixels
+    ppm = b"P6\n10 12\n255\n" + px.tobytes()
+    rows = [("as_png", "image", _png(px, filters=[4, 3, 1]), "image/png",
+             10, 12, None),
+            ("as_ppm", "image", ppm, "image/x-portable-pixmap", 10, 12, None)]
+    media = spark.createDataFrame(
+        rows, schema="media_id string, modality string, content binary, "
+        "mime_type string, meta_width int, meta_height int, "
+        "meta_duration_ms int")
+    feats = {r.media_id: list(r.feature)
+             for r in decode_features(media, real=True).collect()}
+    assert feats["as_png"] == feats["as_ppm"]
+
+
+def test_png_unsupported_variants_stay_behind_seam(spark):
+    """16-bit, palette and interlaced PNGs must return None from the
+    decoder (and thus fail LOUDLY under real=True), never mis-decode."""
+    import struct
+    import zlib
+    from binascii import crc32
+
+    from memory_opensource_spark.sources.multimodal import _decode_png
+
+    def png_with_ihdr(depth, ctype, interlace):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, interlace)
+        def chunk(cid, body):
+            return (struct.pack(">I", len(body)) + cid + body
+                    + struct.pack(">I", crc32(cid + body) & 0xFFFFFFFF))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+                + chunk(b"IEND", b""))
+
+    assert _decode_png(png_with_ihdr(16, 2, 0)) is None    # 16-bit
+    assert _decode_png(png_with_ihdr(8, 3, 0)) is None     # palette
+    assert _decode_png(png_with_ihdr(8, 2, 1)) is None     # interlaced
+    assert _decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk") is None
+    assert _decode_png(b"GIF89a") is None

@@ -1,10 +1,12 @@
-"""Recluster-path probe at 600k (VERDICT r7 task 4's scale evidence): on the
-increment-probe state (.scratch/corpus_state_600000), measure
+"""Recluster-path probe at 600k (VERDICT r7 task 4 / r8 task 4 evidence): on
+the increment-probe state (.scratch/corpus_state_600000), measure
 
   1. corpus_drift_status      — the per-increment signal read
-  2. corpus_recluster         — retrain codebook from member embeddings +
-                                remap every near_ok member, history intact
-  3. a post-remap drift status — baseline reset confirmed
+  2. corpus_recluster WARM    — refine_centroids from the existing codebook
+                                (r9 default), on a copy of the state
+  3. corpus_recluster COLD    — full train_centroids retrain
+                                (warm_start=False), on a second copy
+  4. post-remap drift status + history-immutability sample on both
 
 Run tools/pipeline_probe.py then tools/increment_probe.py first (they build
 the corpus + state).  Usage: python tools/recluster_probe.py [C]
@@ -48,35 +50,39 @@ def main():
     st = corpus.corpus_drift_status(spark, state)
     t_status = time.time() - t0
 
-    t0 = time.time()
-    res = corpus.corpus_recluster(spark, state, n_centroids=C)
-    t_recluster = time.time() - t0
+    # A/B on byte-identical copies of the state (recluster mutates it)
+    import shutil
 
-    t0 = time.time()
-    st2 = corpus.corpus_drift_status(spark, state)
-    t_status2 = time.time() - t0
-
-    post = {r.doc_id: (r.is_dup, r.retained) for r in
-            spark.read.parquet(os.path.join(state, "members"))
-            .select("doc_id", "is_dup", "retained")
-            .filter(F.col("doc_id").isin(list(pre)))
-            .collect()}
-    immutable = all(post.get(k) == v for k, v in pre.items())
+    out = {"members": n_members, "semantic_members": n_sem, "C": C,
+           "t_drift_status_s": round(t_status, 2),
+           "drifted_before": st["drifted"], "pre_sample": len(pre)}
+    for mode, kwargs in (("warm", {}), ("cold", {"warm_start": False})):
+        sd = state + f"_{mode}"
+        if os.path.isdir(sd):
+            shutil.rmtree(sd)
+        shutil.copytree(state, sd)
+        t0 = time.time()
+        res = corpus.corpus_recluster(spark, sd, n_centroids=C, **kwargs)
+        t_rec = time.time() - t0
+        st2 = corpus.corpus_drift_status(spark, sd)
+        post = {r.doc_id: (r.is_dup, r.retained) for r in
+                spark.read.parquet(os.path.join(sd, "members"))
+                .select("doc_id", "is_dup", "retained")
+                .filter(F.col("doc_id").isin(list(pre)))
+                .collect()}
+        immutable = all(post.get(k) == v for k, v in pre.items())
+        out[f"t_recluster_{mode}_s"] = round(t_rec, 2)
+        out[f"reassigned_{mode}"] = res["reassigned"]
+        out[f"baseline_mean_{mode}"] = (round(res["baseline_mean"], 4)
+                                        if res["baseline_mean"] is not None
+                                        else None)
+        out[f"history_immutable_{mode}"] = immutable
+        out[f"drifted_after_{mode}"] = st2["drifted"]
+        assert immutable, f"verdict history changed across the {mode} remap"
+        shutil.rmtree(sd)
 
     import json
-    print(json.dumps({
-        "members": n_members, "semantic_members": n_sem, "C": C,
-        "t_drift_status_s": round(t_status, 2),
-        "t_recluster_s": round(t_recluster, 2),
-        "t_status_after_s": round(t_status2, 2),
-        "reassigned": res["reassigned"],
-        "baseline_mean_after": round(res["baseline_mean"], 4)
-        if res["baseline_mean"] is not None else None,
-        "history_immutable_sample": immutable,
-        "pre_sample": len(pre),
-        "drifted_before": st["drifted"], "drifted_after": st2["drifted"],
-    }))
-    assert immutable, "verdict history changed across the remap"
+    print(json.dumps(out))
     spark.stop()
 
 
