@@ -560,40 +560,54 @@ def corpus_increment(spark: SparkSession, new_docs: DataFrame,
         # drop out (paired with the state-view exclusion above, a replayed
         # batch converges to exactly-once state regardless of where the
         # prior attempt died)
-        already_m = spark.read.parquet(p["members"]).select("doc_id")
-        new_members = (
-            new_x
-            .join(near_drop.withColumn("_nd", F.lit(1)), "doc_id", "left")
-            .withColumn("near_ok",
-                        F.when(F.col("_nd").isNull(), 1).otherwise(0)
-                        .cast("int")).drop("_nd")
-            .join(sem, "doc_id", "left")
-            .join(new_emb.select(F.col(id_col).alias("doc_id"), "embedding"),
-                  "doc_id", "left")
-            .withColumn("retained",
-                        ((F.col("near_ok") == 1)
-                         & (F.col("is_dup") == 0)).cast("int"))
-            .join(already_m, "doc_id", "left_anti")
-            .select(*members.columns)
-            # materialize BEFORE the append: the frame reads the same path
-            # it is about to write, and a lazy plan would scan mid-append
-            .localCheckpoint(eager=True)
-        )
-        new_members.write.mode("append").parquet(p["members"])
-        already_b = spark.read.parquet(p["bands"]).select("doc_id").distinct()
-        band_rows = (new_bands.select(F.col("id").alias("doc_id"), "band_idx",
-                                      "band_hash")
-                     # candidate generation runs on batch_canon bands (the
-                     # parallel-branch shape), but STATE keeps bands only for
-                     # member rows (new_x): a batch doc dropped as an exact
-                     # dup of an existing member duplicates its twin's bands,
-                     # and persisting those would grow the bands table with
-                     # TOTAL input instead of retained members on
-                     # duplicate-heavy streams
-                     .join(new_x.select("doc_id"), "doc_id", "left_semi")
-                     .join(already_b, "doc_id", "left_anti")
-                     .localCheckpoint(eager=True))
-        band_rows.write.mode("append").parquet(p["bands"])
+        # r9: the members and bands appends target DIFFERENT tables with no
+        # cross-dependency — build + materialize + append each on its own
+        # driver thread (same rationale as the read-path thread pairs above)
+        def _append_members():
+            already_m = _read_state(spark, p["members"]).select("doc_id")
+            new_members = (
+                new_x
+                .join(near_drop.withColumn("_nd", F.lit(1)), "doc_id", "left")
+                .withColumn("near_ok",
+                            F.when(F.col("_nd").isNull(), 1).otherwise(0)
+                            .cast("int")).drop("_nd")
+                .join(sem, "doc_id", "left")
+                .join(new_emb.select(F.col(id_col).alias("doc_id"),
+                                     "embedding"), "doc_id", "left")
+                .withColumn("retained",
+                            ((F.col("near_ok") == 1)
+                             & (F.col("is_dup") == 0)).cast("int"))
+                .join(already_m, "doc_id", "left_anti")
+                .select(*members.columns)
+                # materialize BEFORE the append: the frame reads the same
+                # path it is about to write, and a lazy plan would scan
+                # mid-append
+                .localCheckpoint(eager=True)
+            )
+            new_members.write.mode("append").parquet(p["members"])
+
+        def _append_bands():
+            already_b = _read_state(spark, p["bands"]) \
+                .select("doc_id").distinct()
+            band_rows = (new_bands
+                         .select(F.col("id").alias("doc_id"), "band_idx",
+                                 "band_hash")
+                         # candidate generation runs on batch_canon bands
+                         # (the parallel-branch shape), but STATE keeps bands
+                         # only for member rows (new_x): a batch doc dropped
+                         # as an exact dup of an existing member duplicates
+                         # its twin's bands, and persisting those would grow
+                         # the bands table with TOTAL input instead of
+                         # retained members on duplicate-heavy streams
+                         .join(new_x.select("doc_id"), "doc_id", "left_semi")
+                         .join(already_b, "doc_id", "left_anti")
+                         .localCheckpoint(eager=True))
+            band_rows.write.mode("append").parquet(p["bands"])
+
+        with ThreadPoolExecutor(2) as _tp:
+            _fm = _tp.submit(_append_members)
+            _fb2 = _tp.submit(_append_bands)
+            _fm.result(), _fb2.result()
         # drift signal: this increment's codebook-fit stats.  ONE agg over
         # the already-materialized sem checkpoint (0.2 s measured), and the
         # row lands via a DRIVER-SIDE pyarrow write when the state dir is

@@ -47,9 +47,10 @@ def main():
     from memory_opensource_spark.sources.ann_index import train_centroids
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
-    # --domain-cap adds the Gopher/RefinedWeb per-domain quota as stage 1c
-    # (flag-gated so the default 8-stage run stays comparable across rounds)
-    with_cap = "--domain-cap" in sys.argv
+    # r9 (VERDICT r8 task 7): the Gopher/RefinedWeb per-domain quota runs as
+    # stage 1c BY DEFAULT — the 9-stage composition is the probe of record;
+    # --no-domain-cap restores the r8-comparable 8-stage run
+    with_cap = "--no-domain-cap" not in sys.argv
     dim = 64
     spark = get_spark("pipeline-probe")
     spark.sparkContext.setLogLevel("ERROR")
