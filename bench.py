@@ -107,6 +107,10 @@ HEADLINE = [
     # round 8: oracle-gated 4-stage COMPOSITION (exact dedup -> span removal
     # rewrite -> Gopher gate on rewritten text -> token-budget shards)
     "pipeline_mini",
+    # round 9: bloom-prefiltered decontamination (bitmap broadcast + exact
+    # refine) and leakage-safe split assignment by dedup-canonical id
+    "contamination_bloom",
+    "split_leakage_safe",
 ]
 
 

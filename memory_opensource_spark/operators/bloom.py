@@ -1,0 +1,87 @@
+"""Spark-native Bloom filter for membership prefilters (r9).
+
+The benchmark-decontamination join (queries.contamination_ngram — GPT-3
+appendix C shape) broadcasts the eval set's n-grams as STRINGS.  That works
+while the eval grams are a few MB; a consortium-scale held-out suite (100M+
+grams) stops fitting a broadcast long before the corpus stops needing the
+check.  The classic answer is a Bloom filter: ~1.2 GB of bits encodes 1e9
+grams at 1% FP, broadcasts where the strings cannot, and the EXACT join
+afterwards only sees the survivors — false positives cost a little refine
+traffic, never correctness.
+
+Spark ships BloomFilter machinery only behind `DataFrame.stat.bloomFilter`
+(driver-side object, not usable as a Column) and the runtime-filter
+internals (`bloom_filter_agg`, not in the public registry) — so this module
+builds the standard partitioned-bitmap form out of public primitives:
+
+  build:  k seeded xxhash64 positions per value -> explode ->
+          (word = pos/64, bit = pos%64) -> groupBy(word).agg(bit_or(1<<bit))
+          — map-side-combinable; the dense long[] materializes driver-side
+          (num_bits/8 bytes — a sidecar, like the IVF codebook).
+  probe:  the long[] rides ONE broadcast row (array<long> column, the house
+          one-row-crossJoin pattern); membership is k JVM-side
+          element_at/shiftleft tests — whole-stage codegen, no UDF.
+
+No false negatives by construction (every true gram sets its own bits), so
+`prefilter -> exact join` returns EXACTLY the unfiltered join's rows — the
+oracle-able contract `contamination_bloom` pins.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def optimal_params(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Textbook sizing: m = -n ln p / (ln 2)^2 bits, k = (m/n) ln 2 hashes
+    (rounded, floored at 1); m rounds up to a multiple of 64."""
+    n = max(1, n_items)
+    m = int(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = max(64, (m + 63) // 64 * 64)
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def bloom_build(df: DataFrame, col: str, num_bits: int, k: int) -> list[int]:
+    """Aggregate df[col] into a dense Bloom bitmap (list of num_bits/64
+    signed longs).  One combinable shuffle of (word, 64-bit partial) rows —
+    at most num_bits/64 groups regardless of input size."""
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    pos = (df.select(F.explode(F.array(*[
+        F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(num_bits))
+        for i in range(k)])).alias("p"))
+        .select((F.col("p") / 64).cast("int").alias("w"),
+                F.pmod(F.col("p"), F.lit(64)).cast("int").alias("b")))
+    words = (pos.select("w", F.expr("shiftleft(1L, b)").alias("m"))
+             .groupBy("w").agg(F.bit_or("m").alias("bits")).collect())
+    dense = [0] * (num_bits // 64)
+    for r in words:
+        dense[r.w] = r.bits
+    return dense
+
+
+def _bit_masks():
+    """64 single-bit long masks as a literal array (bit 63 wraps to the
+    signed-long sign bit) — indexing this beats shiftleft, whose python
+    helper only takes an int shift amount."""
+    vals = [(1 << j) if j < 63 else (1 << 63) - (1 << 64) for j in range(64)]
+    return F.array(*[F.lit(v).cast("long") for v in vals])
+
+
+def bloom_might_contain(bits_col, value, num_bits: int, k: int):
+    """Column predicate: every one of the k seeded positions is set in the
+    broadcast bitmap column ``bits_col`` (array<long>).  Pure JVM
+    expressions — element_at + a 64-entry mask-array lookup + bitwise and;
+    whole-stage codegen, no UDF."""
+    masks = _bit_masks()
+    pred = F.lit(True)
+    for i in range(k):
+        p = F.pmod(F.xxhash64(F.lit(i), value), F.lit(num_bits))
+        word = F.element_at(bits_col, (p / 64).cast("int") + 1)
+        mask = F.element_at(masks, F.pmod(p, F.lit(64)).cast("int") + 1)
+        pred = pred & (word.bitwiseAND(mask) != 0)
+    return pred

@@ -107,3 +107,41 @@ def cap_rows_per_group(df: DataFrame, group_col: str, cap: int,
     kept_hot = ranked.filter(F.col("_rk") <= cap) \
                      .select(*cols, "_g")
     return kept_small.select(*cols, "_g").unionByName(kept_hot).select(*cols)
+
+
+def assign_split_by_group(df: DataFrame, group_col: str,
+                          fractions: dict[str, float] | None = None,
+                          salt: str = "split", id_col: str = "doc_id",
+                          buckets: int = 1000) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test assignment (r9): the split is a pure
+    function of a GROUP key, never the row, so every member of a duplicate
+    cluster / domain / document family lands in the same split — row-hash
+    splitting leaks near-duplicates of training rows into eval, the classic
+    contamination-by-construction bug (the reason Lee et al. 2021 measure
+    eval overlap after dedup).
+
+    ``fractions`` maps split name -> fraction (default 80/10/10
+    train/val/test; must sum to ~1).  Assignment: salted md5 of the group
+    key -> bucket in [0, buckets) -> cumulative-fraction ranges, the same
+    hash recipe as the registered domain-cap query, so the DuckDB oracle
+    reproduces it bit-for-bit.  Deterministic under replay/partition
+    changes; scan-side only (the group key must already ride the row — for
+    dedup-cluster splitting, join the canonical id on first).  Adds
+    ``split``; drops nothing."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt + ":"),
+                                          F.col(group_col).cast("string"))),
+                           1, 8), 16, 10).cast("long") % buckets)
+    expr, acc = None, 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = bucket < int(round(acc * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(names[-1]))
+    return df.withColumn("split", expr)

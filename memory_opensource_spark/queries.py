@@ -5166,6 +5166,120 @@ def contamination_ngram_q(spark, sf_dir):
                      .otherwise(0).cast("int").alias("contaminated")))
 
 
+@_register("contamination_bloom", r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM documents WHERE doc_id < 2500
+), grams AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) >= 8
+         THEN list_distinct(list_transform(
+                generate_series(1, len(tk) - 7),
+                i -> array_to_string(list_slice(tk, i, i + 7), ' ')))
+         ELSE [] END AS gs
+  FROM toks
+), ex AS (
+  SELECT doc_id, UNNEST(gs) AS gram FROM grams
+), eval_g AS (
+  SELECT DISTINCT gram FROM ex WHERE doc_id % 89 = 0
+), hits AS (
+  SELECT ex.doc_id, COUNT(DISTINCT ex.gram) AS n_hits
+  FROM ex JOIN eval_g USING (gram)
+  WHERE ex.doc_id % 89 <> 0
+  GROUP BY ex.doc_id
+)
+SELECT g.doc_id,
+       COALESCE(n_hits, 0)::INT AS n_shared_8grams,
+       CASE WHEN COALESCE(n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM grams g LEFT JOIN hits ON g.doc_id = hits.doc_id
+WHERE g.doc_id % 89 <> 0
+""")
+def contamination_bloom_q(spark, sf_dir):
+    """Bloom-prefiltered benchmark decontamination (r9, operators/bloom.py):
+    same GPT-3-appendix-C semantics as ``contamination_ngram``, but the eval
+    gram set rides a BLOOM FILTER (k seeded xxhash64 positions over a
+    bit_or-aggregated long[] bitmap, broadcast as one array<long> row)
+    instead of a string broadcast — the shape that survives when the
+    held-out suite's grams outgrow a broadcast (1e9 grams ≈ 1.2 GB of bits
+    at 1%% FP vs tens of GB of strings).  The prefilter has NO false
+    negatives by construction, and the exact refine join sees only
+    survivors, so the result is bit-identical to the unfiltered join — the
+    oracle runs the plain exact join.  Distinct fixture slice (doc_id <
+    2500, eval = %% 89) so this row exercises its own data."""
+    from .operators import bloom
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 2500)
+    tk = T.tokens(F.col("text"))
+    n = F.size(tk)
+    grams = F.when(
+        n >= 8,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n - 7),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, 8)),
+        ))).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", grams.alias("gs")).localCheckpoint(eager=False)
+    ex = g.select("doc_id", F.explode("gs").alias("gram"))
+    eval_g = (ex.filter(F.col("doc_id") % 89 == 0)
+              .select("gram").distinct().localCheckpoint(eager=False))
+    m, k = bloom.optimal_params(3000, 0.01)   # fixture-scale sizing; at
+    # production scale size from a gram-count estimate (HLL/plan stats)
+    bits = bloom.bloom_build(eval_g, "gram", m, k)
+    bf = spark.createDataFrame([(bits,)], "bf array<long>")
+    train = ex.filter(F.col("doc_id") % 89 != 0)
+    cand = (train.crossJoin(F.broadcast(bf))
+            .filter(bloom.bloom_might_contain(F.col("bf"), F.col("gram"),
+                                              m, k))
+            .drop("bf"))
+    hits = (cand.join(eval_g, "gram")      # exact refine: kills Bloom FPs
+            .groupBy("doc_id")
+            .agg(F.countDistinct("gram").alias("n_hits")))
+    base = g.filter(F.col("doc_id") % 89 != 0).select("doc_id")
+    return (base.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("int")
+                     .alias("n_shared_8grams"),
+                    F.when(F.coalesce(F.col("n_hits"), F.lit(0)) > 0, 1)
+                     .otherwise(0).cast("int").alias("contaminated")))
+
+
+@_register("split_leakage_safe", r"""
+WITH canon AS (
+  SELECT d.doc_id, g.c AS canonical_id FROM documents d
+  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS c
+        FROM documents GROUP BY 1) g ON md5(d.text) = g.h
+), bucketed AS (
+  SELECT doc_id, canonical_id,
+         ('0x' || substr(md5('split:' || canonical_id::VARCHAR), 1, 8))::BIGINT
+           % 1000 AS b
+  FROM canon
+)
+SELECT doc_id, canonical_id,
+       CASE WHEN b < 800 THEN 'train'
+            WHEN b < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM bucketed
+""")
+def split_leakage_safe_q(spark, sf_dir):
+    """Leakage-safe train/val/test assignment (r9,
+    operators/sampling.assign_split_by_group): the split is a salted-hash
+    function of the doc's exact-dedup CANONICAL id, so every duplicate of a
+    training document lands in the SAME split — row-hash splitting leaks
+    near-copies of training rows into eval (the contamination Lee et al.
+    2021 measure).  80/10/10 over 1000 hash buckets; group key generalizes
+    to MinHash cluster / domain by swapping the join.  Scan + one
+    combinable md5 groupBy + broadcast-size join back; no windows."""
+    from .operators.sampling import assign_split_by_group
+
+    docs = tables.load(spark, sf_dir, "documents")
+    canon = (docs.groupBy(F.md5("text").alias("_h"))
+             .agg(F.min("doc_id").alias("canonical_id")))
+    keyed = (docs.select("doc_id", F.md5("text").alias("_h"))
+             .join(canon, "_h").drop("_h"))
+    return (assign_split_by_group(keyed, "canonical_id")
+            .select("doc_id", "canonical_id", "split"))
+
+
 @_register("pack_sequences", r"""
 WITH sized AS (
   SELECT doc_id, source,
