@@ -106,3 +106,19 @@ def test_salted_join_splits_hot_key_across_partitions(spark):
     hot_total = n // 2
     # each group is near hot_total/buckets — no group re-concentrates the key
     assert max(r["count"] for r in sizes) < hot_total / buckets * 1.5
+
+
+def test_bloom_prefilter_stays_jvm_side(spark):
+    """r9: contamination_bloom's membership probe must be pure codegen'd
+    expressions (element_at + mask tests) — a Python-UDF bloom would drag
+    every corpus gram across the Arrow boundary — and the bitmap must ride
+    a BROADCAST, never a shuffled join."""
+    p = _plan(spark, "contamination_bloom")
+    for marker in ["ArrowEvalPython", "BatchEvalPython"]:
+        assert marker not in p, marker
+    # the bitmap rides a broadcast (one array<long> row)
+    assert "Broadcast" in p
+    # NOTE deliberately NOT pinned: the refine join may sort-merge — the op
+    # exists for eval sets too big to broadcast, and after the bloom filter
+    # both refine sides are survivor-bounded, so a shuffled join IS the
+    # intended scale shape there.
