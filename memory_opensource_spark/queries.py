@@ -5267,8 +5267,11 @@ def split_leakage_safe_q(spark, sf_dir):
     training document lands in the SAME split — row-hash splitting leaks
     near-copies of training rows into eval (the contamination Lee et al.
     2021 measure).  80/10/10 over 1000 hash buckets; group key generalizes
-    to MinHash cluster / domain by swapping the join.  Scan + one
-    combinable md5 groupBy + broadcast-size join back; no windows."""
+    to MinHash cluster / domain by swapping the join.  Shape: one
+    combinable md5 groupBy + an equi-join back on the 32-char hash key
+    (the canonical table is O(distinct docs) — an AQE-managed hash join,
+    NOT a broadcast); the split expression itself is scan-side, no
+    windows."""
     from .operators.sampling import assign_split_by_group
 
     docs = tables.load(spark, sf_dir, "documents")

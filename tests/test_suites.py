@@ -81,6 +81,14 @@ def test_registry_prefix_covers_component_families():
     ]
     missing = [q for q in required if q not in top50]
     assert not missing, f"top-50 evidence window lost: {missing}"
+    # the priority list must stay EXACTLY 50 resolvable names — shorter and
+    # arbitrary below-fold rows drift up into the driver window; a stale
+    # name would silently shrink the curated prefix
+    from memory_opensource_spark.queries import _EVIDENCE_PRIORITY
+
+    assert len(_EVIDENCE_PRIORITY) == 50
+    stale = [n for n in _EVIDENCE_PRIORITY if n not in QUERIES]
+    assert not stale, f"stale priority names: {stale}"
 
 
 def test_suite_filters_components(spark):
