@@ -739,48 +739,56 @@ def remove_duplicate_spans(docs: DataFrame, k: int = 50,
         F.coalesce("text_dedup", F.lit("")).alias("text_dedup"))
 
 
-def _dup_cover_fracs(ns: tuple):
-    """Vectorized kernel for :func:`dup_ngram_char_coverage`: per doc, given
-    (token char lengths, JVM xxhash64 token hashes), return one double per
-    n in ``ns`` — the union-coverage duplicated-n-gram character fraction.
+def _gopher_ngram_kernel(cover_ns: tuple, top_ns: tuple):
+    """Vectorized kernel for :func:`gopher_ngram_stats` (and, with
+    ``top_ns=()``, :func:`dup_ngram_char_coverage`): per doc, given (token
+    char lengths, JVM xxhash64 token hashes, raw text char length), return
+    one double per n in ``cover_ns`` (union-coverage duplicated-n-gram char
+    fraction) followed by one per n in ``top_ns`` (most-frequent-n-gram char
+    fraction — count x gram char length over text length, gram length =
+    token chars + separators).
 
     Why a Pandas UDF: per-position n-gram keys + within-doc frequency +
-    positional union need O(T) passes with state; the explode/groupBy twin
-    shuffles ~|ns| x T gram STRINGS per doc (measured 7x the wall of this
-    kernel at sf0.1).  Here nothing but 8-byte hashes and int lengths cross
-    the Arrow boundary and the whole rule evaluates scan-side — at 100 TB
-    this adds zero shuffle stages to a quality-filter pass.
+    positional union need O(T) passes with state; the explode/groupBy twins
+    shuffle gram STRINGS per doc per n (measured 7x the wall for the
+    coverage half and 22 MB of shuffle at sf0.1 for the top-gram half).
+    Here nothing but 8-byte hashes and int lengths cross the Arrow boundary
+    and the whole rule table evaluates scan-side — ZERO shuffle stages.
 
-    n-gram identity is the same Rabin-Karp-over-xxhash64 scheme as
+    n-gram identity is the Rabin-Karp-over-xxhash64 scheme of
     :func:`_rolling_span_hash` (collision bound documented there; the
     DuckDB oracle compares exact gram strings, so the gate would surface a
-    collision as a hash mismatch).  Ratios are returned UNROUNDED; the
-    caller rounds JVM-side so Spark/DuckDB rounding rules stay identical."""
+    collision as a hash mismatch).  Ratios return UNROUNDED; callers round
+    JVM-side so Spark/DuckDB rounding rules stay identical."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     B = 0x9E3779B97F4A7C15
-    max_n = max(ns)
+    all_ns = tuple(cover_ns) + tuple(top_ns)
+    max_n = max(all_ns)
     pw = np.empty(max_n, dtype=np.uint64)
     pw[0] = 1
     if max_n > 1:
         np.multiply.accumulate(np.full(max_n - 1, np.uint64(B)), out=pw[1:])
+    width = len(cover_ns) + len(top_ns)
 
     @pandas_udf("array<double>")
-    def fracs(lens, th):
+    def fracs(lens, th, tlen):
         out = []
-        for ln, hh in zip(lens, th):
+        for ln, hh, tl in zip(lens, th, tlen):
             if ln is None or len(ln) == 0:
-                out.append(np.zeros(len(ns)))
+                out.append(np.zeros(width))
                 continue
             L = np.asarray(ln, dtype=np.int64)
             H = np.asarray(hh, dtype=np.int64).view(np.uint64)
             T = len(L)
-            tot = max(int(L.sum()), 1)
-            row = np.zeros(len(ns))
+            tok_chars = max(int(L.sum()), 1)
+            text_chars = max(int(tl or 0), 1)
+            PS = np.concatenate(([0], np.cumsum(L)))
+            row = np.zeros(width)
             pos = np.arange(T, dtype=np.int64)
-            for xi, n in enumerate(ns):
+            for xi, n in enumerate(all_ns):
                 if T < n:
                     continue
                 J = T - n + 1
@@ -789,20 +797,79 @@ def _dup_cover_fracs(ns: tuple):
                     gh += H[i:i + J] * pw[n - 1 - i]
                 _, inv, counts = np.unique(gh, return_inverse=True,
                                            return_counts=True)
-                dup = counts[inv] >= 2             # per-start duplicated?
-                if not dup.any():
-                    continue
-                # union of covered token positions = binary dilation of the
-                # start mask over window n, via one cumsum (no per-pos loop)
-                c = np.concatenate(([0], np.cumsum(dup)))
-                lo = np.maximum(0, pos - n + 1)
-                hi = np.minimum(pos, J - 1)
-                covered = (c[hi + 1] - c[lo]) > 0
-                row[xi] = float(L[covered].sum()) / tot
+                if xi < len(cover_ns):
+                    dup = counts[inv] >= 2         # per-start duplicated?
+                    if not dup.any():
+                        continue
+                    # union of covered token positions = binary dilation of
+                    # the start mask over window n via one cumsum
+                    c = np.concatenate(([0], np.cumsum(dup)))
+                    lo = np.maximum(0, pos - n + 1)
+                    hi = np.minimum(pos, J - 1)
+                    covered = (c[hi + 1] - c[lo]) > 0
+                    row[xi] = float(L[covered].sum()) / tok_chars
+                else:
+                    mc = int(counts.max())         # most-frequent count
+                    cand = np.nonzero(counts[inv] == mc)[0]
+                    # gram char length incl. the n-1 separators; tie among
+                    # equal counts -> the LONGEST gram (max char mass)
+                    glen = int((PS[cand + n] - PS[cand]).max()) + (n - 1)
+                    row[xi] = float(mc * glen) / text_chars
             out.append(row)
         return pd.Series(out)
 
     return fracs
+
+
+def gopher_ngram_columns(text, cover_ns: tuple = (5, 6, 7, 8, 9, 10),
+                         top_ns: tuple = (2, 3, 4)):
+    """COLUMN form of :func:`gopher_ngram_stats` for single-projection
+    pipelines: the UNROUNDED array<double> [cover fracs..., top fracs...]
+    for a text Column — lets a quality-filter query evaluate the whole
+    n-gram rule table in the same select as its other scan-side signals
+    (zero shuffle, no join-back on doc_id)."""
+    from ..functions.text import tokens
+
+    txt = F.coalesce(text, F.lit(""))
+    tk = tokens(txt)
+    return _gopher_ngram_kernel(tuple(cover_ns), tuple(top_ns))(
+        F.transform(tk, lambda t: F.length(t)),
+        F.transform(tk, lambda t: F.xxhash64(t)),
+        F.length(txt))
+
+
+def gopher_ngram_stats(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       cover_ns: tuple = (5, 6, 7, 8, 9, 10),
+                       top_ns: tuple = (2, 3, 4)) -> DataFrame:
+    """Gopher A1.1's complete n-gram repetition signals in ONE shuffle-free
+    pass (r9): the dup-``cover_ns``-gram character-coverage fractions (the
+    documented union semantics — see :func:`dup_ngram_char_coverage`) AND
+    the top-``top_ns``-gram character fractions (count of the most frequent
+    word n-gram x its char length incl. separators, over raw text length).
+
+    **Documented tie semantics for the top-gram half**: among
+    equally-most-frequent n-grams the rule takes the one with the MOST
+    characters (the paper measures 'fraction of characters in the most
+    frequent n-gram', so maximal char mass is the faithful reading; the
+    only observable difference from a lexicographic tie-break is when tied
+    grams have different lengths).  Mirrored exactly in the DuckDB oracle
+    (ORDER BY count DESC, length(gram) DESC).
+
+    Returns {doc_id, dup{n}_char_frac..., top{n}_char_frac...} — one row
+    per input doc, zeros where no n-gram exists.  Shape: one projection ->
+    one Arrow kernel; token strings never leave the JVM."""
+    from ..sources.tables import fan_out
+
+    docs = fan_out(docs)          # single-row-group fixtures -> one task
+    fr = gopher_ngram_columns(F.col(text_col), cover_ns=cover_ns,
+                              top_ns=top_ns)
+    out = docs.select(F.col(id_col).alias("doc_id"), fr.alias("_fr"))
+    cols = ([F.round(F.col("_fr").getItem(i), 6).alias(f"dup{n}_char_frac")
+             for i, n in enumerate(cover_ns)]
+            + [F.round(F.col("_fr").getItem(len(cover_ns) + i), 6)
+               .alias(f"top{n}_char_frac") for i, n in enumerate(top_ns)])
+    return out.select("doc_id", *cols)
 
 
 def dup_ngram_char_coverage(docs: DataFrame, id_col: str = "doc_id",
@@ -827,25 +894,10 @@ def dup_ngram_char_coverage(docs: DataFrame, id_col: str = "doc_id",
     the sum-over-grams form some reimplementations use (which double-counts
     overlaps and can exceed 1.0).
 
-    **Shape (100 TB).**  One projection: tokens -> (char lengths, xxhash64
-    token hashes) JVM-side, then the Arrow kernel (:func:`_dup_cover_fracs`)
-    evaluates every n in one batch pass — scan-side, ZERO shuffles, token
-    strings never cross to Python.  An explode/groupBy twin (6 shuffle legs
-    of gram strings) measured ~7x slower at sf0.1 and is pinned against
+    **Shape (100 TB).**  Delegates to :func:`gopher_ngram_stats` with no
+    top-gram legs — one projection, one Arrow kernel, ZERO shuffles; an
+    explode/groupBy twin measured ~7x slower at sf0.1 and is pinned against
     this kernel in tests.  Returns {doc_id, dup{n}_char_frac ...}, one row
     per input doc (docs with no duplicated n-grams get 0.0)."""
-    from ..functions.text import tokens
-    from ..sources.tables import fan_out
-
-    docs = fan_out(docs)          # single-row-group fixtures -> one task
-    tk = tokens(F.coalesce(F.col(text_col), F.lit("")))
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(tk, lambda t: F.length(t)).alias("_lens"),
-        F.transform(tk, lambda t: F.xxhash64(t)).alias("_th"))
-    fr = _dup_cover_fracs(tuple(ns))(F.col("_lens"), F.col("_th"))
-    out = base.withColumn("_fr", fr)
-    return out.select(
-        "doc_id",
-        *[F.round(F.col("_fr").getItem(i), 6).alias(f"dup{n}_char_frac")
-          for i, n in enumerate(ns)])
+    return gopher_ngram_stats(docs, id_col=id_col, text_col=text_col,
+                              cover_ns=tuple(ns), top_ns=())

@@ -4330,7 +4330,8 @@ WITH src AS (
   SELECT doc_id, n, c * length(gram) AS top_chars FROM (
     SELECT doc_id, n, gram, c,
            ROW_NUMBER() OVER (PARTITION BY doc_id, n
-                              ORDER BY c DESC, gram ASC) AS rn
+                              ORDER BY c DESC, length(gram) DESC, gram ASC)
+             AS rn
     FROM gc) WHERE rn = 1
 ), piv AS (
   SELECT doc_id,
@@ -4421,62 +4422,50 @@ def gopher_repetition_flags_q(spark, sf_dir):
     DEFINED and documented in operators/dedup.dup_ngram_char_coverage —
     union of token positions under any >=2-occurrence n-gram, weighted by
     token char length over total token char mass, separators excluded."""
-    from .functions.text import dup_segment_fractions, tokens as _tokens
+    from .functions.text import dup_segment_fractions
+    from .operators.dedup import gopher_ngram_columns
 
-    # fan_out: the fixture parquet is one row group -> one task; every leg
-    # here is CPU-heavy narrow work before its first shuffle
+    # fan_out: the fixture parquet is one row group -> one task; the kernel
+    # is CPU-heavy narrow work with no shuffle after it
     docs = tables.fan_out(tables.load(spark, sf_dir, "documents"))
     line_f = dup_segment_fractions(F.col("text"), "\n")
     para_f = dup_segment_fractions(F.col("text"), "\n\n")
+    cover_ns, top_ns = (5, 6, 7, 8, 9, 10), (2, 3, 4)
+    fr = gopher_ngram_columns(F.col("text"), cover_ns, top_ns)
     base = docs.select(
         "doc_id",
         line_f["dup_frac"].alias("dup_line_frac"),
         line_f["dup_char_frac"].alias("dup_line_char_frac"),
         para_f["dup_frac"].alias("dup_para_frac"),
         para_f["dup_char_frac"].alias("dup_para_char_frac"),
-        F.greatest(F.length(F.coalesce("text", F.lit(""))), F.lit(1))
-        .cast("double").alias("_chars"),
-        _tokens(F.coalesce("text", F.lit(""))).alias("_tk"))
-    tops = None
-    for nn in (2, 3, 4):
-        grams = (base.filter(F.size("_tk") >= nn)
-                 .select("doc_id", F.explode(F.transform(
-                     F.sequence(F.lit(0), F.size("_tk") - nn),
-                     lambda j: F.concat_ws(" ", F.slice("_tk", j + 1, nn))))
-                     .alias("g")))
-        top = (grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-               .groupBy("doc_id")
-               .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("g")))
-                    .alias("t"))
-               .select("doc_id",
-                       ((-F.col("t.nc")) * F.length(F.col("t.g")))
-                       .cast("double").alias(f"_top{nn}")))
-        tops = top if tops is None else tops.join(top, "doc_id", "outer")
-    # r9 (VERDICT r8 task 2): the paper's dup-5..10-gram character coverage
-    # with the documented union semantics — operators/dedup.py
-    # dup_ngram_char_coverage (one row per doc, 0.0 when no duplicated
-    # n-grams), thresholds 0.15/0.14/0.13/0.12/0.11/0.10 from A1.1
-    from .operators.dedup import dup_ngram_char_coverage
-
-    cover = dup_ngram_char_coverage(docs)
-    out = base.join(tops, "doc_id", "left").join(cover, "doc_id", "left")
-    t2 = F.round(F.coalesce("_top2", F.lit(0.0)) / F.col("_chars"), 6)
-    t3 = F.round(F.coalesce("_top3", F.lit(0.0)) / F.col("_chars"), 6)
-    t4 = F.round(F.coalesce("_top4", F.lit(0.0)) / F.col("_chars"), 6)
-    dup_cols = [f"dup{n}_char_frac" for n in (5, 6, 7, 8, 9, 10)]
+        fr.alias("_fr"))
+    # the whole n-gram half (dup-5..10 coverage AND top-2/3/4 fractions)
+    # comes from ONE Arrow kernel riding the same projection as the
+    # line/para signals — the r9 rework that took this row's shuffle from
+    # 22 MB (gram-string explode legs) to ZERO; top-gram tie among equal
+    # counts resolves to the LONGER gram (documented in gopher_ngram_stats,
+    # mirrored in the oracle's ORDER BY c DESC, length(gram) DESC)
+    dup_cols = {f"dup{n}_char_frac":
+                F.round(F.col("_fr").getItem(i), 6)
+                for i, n in enumerate((5, 6, 7, 8, 9, 10))}
+    top_cols = {f"top{n}_char_frac":
+                F.round(F.col("_fr").getItem(6 + i), 6)
+                for i, n in enumerate((2, 3, 4))}
     dup_caps = [0.15, 0.14, 0.13, 0.12, 0.11, 0.10]
     rep_pass = ((F.col("dup_line_frac") <= 0.30)
                 & (F.col("dup_line_char_frac") <= 0.20)
                 & (F.col("dup_para_frac") <= 0.30)
                 & (F.col("dup_para_char_frac") <= 0.20)
-                & (t2 <= 0.20) & (t3 <= 0.18) & (t4 <= 0.16))
-    for c, cap in zip(dup_cols, dup_caps):
-        rep_pass = rep_pass & (F.col(c) <= cap)
-    return out.select(
+                & (top_cols["top2_char_frac"] <= 0.20)
+                & (top_cols["top3_char_frac"] <= 0.18)
+                & (top_cols["top4_char_frac"] <= 0.16))
+    for (c, expr), cap in zip(dup_cols.items(), dup_caps):
+        rep_pass = rep_pass & (expr <= cap)
+    return base.select(
         "doc_id", "dup_line_frac", "dup_line_char_frac",
         "dup_para_frac", "dup_para_char_frac",
-        t2.alias("top2_char_frac"), t3.alias("top3_char_frac"),
-        t4.alias("top4_char_frac"), *dup_cols,
+        *[e.alias(c) for c, e in top_cols.items()],
+        *[e.alias(c) for c, e in dup_cols.items()],
         rep_pass.cast("int").alias("repetition_pass"))
 
 

@@ -432,3 +432,27 @@ def test_dup_ngram_char_coverage_union_semantics(spark):
         for n in range(5, 11):
             assert getattr(out[i], f"dup{n}_char_frac") == 0.0, (i, n)
     assert out[6].dup5_char_frac == pytest.approx(round(16 / 23, 6))
+
+
+def test_gopher_ngram_stats_top_gram_values_and_tie(spark):
+    """r9: the single-kernel top-{2,3,4}-gram fractions — hand-computed
+    values, and the DOCUMENTED tie rule: among equally-most-frequent
+    n-grams the LONGER gram wins (max char mass)."""
+    rows = [
+        # "aa bb aa bb aa" -> 2-grams: "aa bb" x2, "bb aa" x2 (tie, equal
+        # length 5) -> top2 = 2*5 / len("aa bb aa bb aa")=14 -> 10/14
+        (1, "aa bb aa bb aa"),
+        # tie with DIFFERENT lengths: "cc d" x1... craft: "cc d cc ee"
+        # 2-grams: "cc d", "d cc", "cc ee" all count 1 -> tie at mc=1;
+        # longest is "cc ee" (5 chars) -> top2 = 1*5 / 10
+        (2, "cc d cc ee"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup.gopher_ngram_stats(df, cover_ns=(5,), top_ns=(2,))
+           .collect()}
+    assert out[1].top2_char_frac == pytest.approx(round(10 / 14, 6))
+    assert out[2].top2_char_frac == pytest.approx(round(5 / 10, 6))
+    assert out[3].top2_char_frac == 0.0 and out[3].dup5_char_frac == 0.0
+    assert len(out) == 3
