@@ -5945,8 +5945,11 @@ _EVIDENCE_PRIORITY = [
     # 12-21: vector/similarity V1..V12
     # round-9 rotation: v1_chunk_embed displaced (driver-green r1..r8,
     # unchanged; V1 chunk+embed stays exercised by v4_ingest_reuse's ingest
-    # leg and locally gated) in favor of the r8-late Gopher rows below
-    "v2_cosine_topk",             # V2/F6
+    # leg and locally gated) in favor of the r8-late Gopher rows below.
+    # round-10 rotation: v2_cosine_topk displaced (driver-green r1..r9;
+    # V2/F6 cosine-top-k + threshold stays driver-checked inside BOTH
+    # flagships' scoring stage and locally gated 3 SFs) in favor of the
+    # r9-new contamination_bloom below.
     "v4_ingest_reuse",            # V4
     "v5_bucketed_pairs",          # V5 (scale path)
     "v6_entity_resolution",       # V6/V7
@@ -6014,7 +6017,11 @@ _EVIDENCE_PRIORITY = [
     "shard_corpus",               # shuffle-and-shard trainer layout (r6 new)
     # 41-44: set ops / id algebra / scalar fns / UDF surface
     "ids_chunk_algebra",
-    "set_ops_semi_anti",
+    # round-10 rotation: set_ops_semi_anti displaced (driver-green r1..r9;
+    # semi/anti set algebra is exercised by nearly every window row —
+    # storage lifecycle's anti-join merge, dedup family, both flagships'
+    # id-fetch semi-joins — and stays locally gated 3 SFs) in favor of the
+    # r9-new split_leakage_safe below.
     "suite_text_analysis",        # scalar fns + lang-ID + quality + top terms
     "ann_ivf_spill",              # IVF multi-assignment + candidate dedup (r5 new)
     # 45-50: LLM-data-pipeline first-class ops
@@ -6026,6 +6033,10 @@ _EVIDENCE_PRIORITY = [
                                   # distributed exact-ntile)
     "ann_ivf_persisted",          # ANN with persisted pruned layout
     "suite_pipeline_ops",         # pii/contamination/packing/sampling/mixture/profile
+    # round-10 rotation: the two r9-new rows that were green in the local
+    # full gate at 3 SFs but never held a driver slot
+    "contamination_bloom",        # Bloom-prefiltered decontamination (r9 new)
+    "split_leakage_safe",         # leakage-safe train/val/test split (r9 new)
     "mm_feature_search",          # multimodal columns (sha256-oracle since r4)
     "suite_graph_analytics",      # degree + CC + pagerank + triangles + spans
     "compress_sessions",          # session compression (/compress analog)

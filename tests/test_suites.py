@@ -21,7 +21,7 @@ def test_registry_prefix_covers_component_families():
     required = [
         "search_flagship", "suite_storage_lifecycle",
         "suite_graph_sinks", "s12_cascade_delete", "suite_filters",
-        "f9_fallback_relax", "v2_cosine_topk",
+        "f9_fallback_relax",
         "v4_ingest_reuse", "v5_bucketed_pairs",
         "v6_entity_resolution",
         "g1_pattern_match",
@@ -31,7 +31,7 @@ def test_registry_prefix_covers_component_families():
         "r2_stratified_merge", "r6_rerank",
         "suite_ranking_formulas",
         "suite_stream_windows",
-        "ids_chunk_algebra", "set_ops_semi_anti", "suite_text_analysis",
+        "ids_chunk_algebra", "suite_text_analysis",
         "suite_dedup_family", "ann_ivf_persisted",
         "mm_feature_search", "suite_graph_analytics",
         "compress_sessions",
@@ -78,6 +78,12 @@ def test_registry_prefix_covers_component_families():
         # — each driver-green for many rounds; S1 fetch and F1 ACL stay
         # driver-exercised inside the flagships, V1 inside v4_ingest_reuse)
         "gopher_quality_flags", "gopher_repetition_flags", "pack_sequences",
+        # round-10 rotation: the two r9-new pipeline ops into the window
+        # (v2_cosine_topk / set_ops_semi_anti displaced — both driver-green
+        # r1..r9; cosine top-k + threshold stay driver-checked inside both
+        # flagships, semi/anti algebra inside storage lifecycle, dedup and
+        # id-fetch rows; both stay locally gated at 3 SFs)
+        "contamination_bloom", "split_leakage_safe",
     ]
     missing = [q for q in required if q not in top50]
     assert not missing, f"top-50 evidence window lost: {missing}"
