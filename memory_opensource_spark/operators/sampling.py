@@ -127,7 +127,9 @@ def assign_split_by_group(df: DataFrame, group_col: str,
     reproduces it bit-for-bit.  Deterministic under replay/partition
     changes; scan-side only (the group key must already ride the row — for
     dedup-cluster splitting, join the canonical id on first).  Adds
-    ``split``; drops nothing."""
+    ``split``; drops nothing.  A NULL group key hashes to a NULL bucket and
+    falls through every range test to the LAST split name — deterministic,
+    but feed canonical (non-NULL) keys if that lumping matters."""
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
     total = sum(fractions.values())
     if not 0.999 <= total <= 1.001:

@@ -55,6 +55,10 @@ State layout under ``state_dir`` (all parquet, append-friendly):
   {doc_id, text, content_hash, near_ok, cluster_id, centroid_sim,
   is_dup, retained, embedding}.  MinHash-dropped members keep NULL
   cluster columns (they never entered the semantic stage, same as batch).
+  After the first ``corpus_recluster`` the table also carries
+  ``assign_margin`` (best-sim − second-best-sim from the member's last
+  FULL codebook scoring; NULL on increment-appended rows) — the bound the
+  margin-pruned incremental remap uses (see :func:`_remap_members`).
 - ``bands``:    {doc_id, band_idx, band_hash} for every member (the LSH
   bucket table new batches join against).
 - ``codebook``: {centroid_id, embedding} — train-once (the pipeline probe
@@ -578,6 +582,17 @@ def corpus_increment(spark: SparkSession, new_docs: DataFrame,
                             ((F.col("near_ok") == 1)
                              & (F.col("is_dup") == 0)).cast("int"))
                 .join(already_m, "doc_id", "left_anti")
+            )
+            # post-recluster states carry columns the increment does not
+            # compute (assign_margin: margins are only valid from a FULL
+            # scoring, which increments never do — NULL means "full-score at
+            # the next recluster", the exact-by-construction default)
+            for f in members.schema.fields:
+                if f.name not in new_members.columns:
+                    new_members = new_members.withColumn(
+                        f.name, F.lit(None).cast(f.dataType))
+            new_members = (
+                new_members
                 .select(*members.columns)
                 # materialize BEFORE the append: the frame reads the same
                 # path it is about to write, and a lazy plan would scan
@@ -729,10 +744,187 @@ def corpus_drift_status(spark: SparkSession, state_dir: str, *,
     return out
 
 
+def _remap_members(members: DataFrame, cent_ids: list[int],
+                   new_cents: list[list[float]],
+                   old_cents: list[list[float]] | None,
+                   big_movers: int = 64) -> DataFrame:
+    """ONE-pass member remap for :func:`corpus_recluster`: re-derive every
+    semantic member's (cluster_id, centroid_sim, assign_margin) under a new
+    codebook as a scan-side ``mapInPandas`` kernel — the codebook (C x dim
+    doubles, KBs) rides a closure broadcast and the members table never
+    shuffles (the previous shape computed assignments via a kNN join and
+    paid a doc_id join of two member-sized sides per recluster).
+
+    **Margin-pruned incremental scoring (round-10).**  ``assign_margin`` is
+    the gap best-sim − second-best-sim from the member's LAST full scoring.
+    With per-slot centroid movement (chord) ``d_i = ||old_i − new_i||``
+    (``old_cents`` aligned to ``cent_ids`` positions — the warm-refine path,
+    where slots are stable) and the top-``big_movers`` movers M scored
+    explicitly, a member of cluster c whose margin exceeds
+    ``d_c + θ + slack`` (θ = the largest movement OUTSIDE M) cannot flip to
+    any unscored centroid:
+
+        sim(x, m_new) ≤ sim(x, m_old) + d_m ≤ (s − margin) + θ
+                      <  s − d_c ≤ sim(x, c_new)      for every m ∉ M ∪ {c}
+
+    so its new assignment is the house argmax over just {c} ∪ M —
+    O(|M|·dim) instead of O(C·dim) flops.  Members below the bound (or with
+    NULL margin — states older than this column, and increment-appended
+    rows, which never store one) take the full C-way argmax, which also
+    refreshes their margin.  ``slack`` (1e-5) absorbs the 6-dp rounding
+    grid, so a pruned member's decision NEVER lands on a rounding tie with
+    an unscored centroid — pruned and full scoring are test-pinned
+    identical.  Pruned rows store a conservatively SHRUNK margin (an
+    unscored centroid may now be the true runner-up: second-best ≤
+    max(scored second, s − margin + θ)), keeping the bound exact across
+    repeated reclusters.
+
+    House rule throughout = ``similarity.best_rounded_match``: rank on the
+    6-dp-rounded sim, centroid-id-asc tie-break, store the ROUNDED sim.
+    (Rounding here is ``np.round`` — HALF_EVEN — like the semantic verdict
+    kernel ``_verdict_cluster``, vs Spark's HALF_UP in the column form; the
+    two differ only on exact .5-at-the-7th-decimal cosines, which float64
+    dot products of real embeddings do not produce.)
+    Rows that never entered the semantic stage (no embedding / near_ok != 1)
+    pass through with NULL cluster columns, exactly like the join form.
+    ``old_cents`` None (or a k mismatch) disables pruning — every semantic
+    row full-scores, which is the first-recluster / legacy-state /
+    cold-retrain path (still the no-shuffle kernel)."""
+    import numpy as np
+    import pandas as pd
+
+    cols = [c for c in members.columns if c != "assign_margin"]
+    out_cols = cols + ["assign_margin"]
+    if "assign_margin" not in members.columns:
+        members = members.withColumn("assign_margin",
+                                     F.lit(None).cast("double"))
+    members = members.select(*out_cols)
+    schema = members.schema
+
+    ids = np.asarray(cent_ids, dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    C = np.asarray(new_cents, dtype="float64")[order]
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    k = Cn.shape[0]
+    SLACK = 1e-5
+    if old_cents is not None and len(old_cents) == k and k > big_movers + 1:
+        O = np.asarray(old_cents, dtype="float64")[order]
+        On = O / np.maximum(np.linalg.norm(O, axis=1, keepdims=True), 1e-300)
+        move = np.linalg.norm(On - Cn, axis=1)          # chord distance
+        msort = np.argsort(-move)
+        big = np.sort(msort[:big_movers])                # positions
+        theta = float(move[msort[big_movers]])
+        d_pos = move
+    else:
+        big = np.arange(k)                               # prune disabled
+        theta = float("inf")
+        d_pos = np.zeros(k)
+
+    ci = out_cols.index("cluster_id")
+    si = out_cols.index("centroid_sim")
+    mi = out_cols.index("assign_margin")
+    ei = out_cols.index("embedding")
+    ni = out_cols.index("near_ok")
+
+    def _house_pick(sims: np.ndarray, ids_mat: np.ndarray):
+        """Vectorized house rule over per-row candidate sets: rank on the
+        6-dp-ROUNDED sim, centroid-id-asc tie-break.  ``sims`` n x m raw
+        sims, ``ids_mat`` n x m candidate ids (duplicate ids allowed — both
+        columns denote the same centroid).  Returns (best id, ROUNDED best
+        sim, best raw sim, second-best raw sim over OTHER centroids)."""
+        r = np.round(sims, 6)
+        best_val = r.max(axis=1)
+        tie = r == best_val[:, None]
+        big_id = np.iinfo(np.int64).max
+        best_id = np.where(tie, ids_mat, big_id).min(axis=1)
+        chosen = ids_mat == best_id[:, None]
+        b_raw = np.where(chosen, sims, -np.inf).max(axis=1)
+        second = np.where(chosen, -np.inf, sims).max(axis=1)
+        return best_id, best_val, b_raw, second
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emb_ok = np.fromiter((v is not None for v in pdf.iloc[:, ei]),
+                                 dtype=bool, count=len(pdf))
+            sem = (pdf.iloc[:, ni].to_numpy(dtype="float64", na_value=0.0)
+                   == 1) & emb_ok
+            col_ci = pdf.iloc[:, ci].to_numpy(dtype="float64",
+                                              na_value=np.nan).copy()
+            col_si = pdf.iloc[:, si].to_numpy(dtype="float64",
+                                              na_value=np.nan).copy()
+            col_mi = pdf.iloc[:, mi].to_numpy(dtype="float64",
+                                              na_value=np.nan).copy()
+            col_ci[~sem] = np.nan
+            col_si[~sem] = np.nan
+            col_mi[~sem] = np.nan
+            if sem.any():
+                X = np.asarray([np.asarray(v, dtype="float64")
+                                for v in pdf.iloc[:, ei][sem]])
+                nr = np.linalg.norm(X, axis=1, keepdims=True)
+                nr[nr == 0] = 1.0
+                X = X / nr
+                n = X.shape[0]
+                old_cid = col_ci[sem]
+                old_sim = col_si[sem]
+                old_mrg = col_mi[sem]
+                have = ~np.isnan(old_cid)
+                # old cid -> POSITION in the (sorted) id/matrix space; a cid
+                # the new codebook does not know full-scores
+                pos = np.searchsorted(
+                    ids, np.where(have, old_cid, ids[0]).astype(np.int64))
+                pos = np.clip(pos, 0, k - 1)
+                have = have & (ids[pos] == np.where(
+                    have, old_cid, ids[0]).astype(np.int64))
+                full = (~have) | np.isnan(old_mrg) | np.isnan(old_sim) | (
+                    old_mrg <= d_pos[pos] + theta + SLACK)
+                cid = np.empty(n)
+                simv = np.empty(n)
+                mrg = np.empty(n)
+                if full.any():
+                    S = X[full] @ Cn.T
+                    ids_mat = np.broadcast_to(ids, S.shape)
+                    b_id, b_sim, b_raw, b_sec = _house_pick(S, ids_mat)
+                    cid[full], simv[full] = b_id, b_sim
+                    mrg[full] = (b_raw - b_sec) if k > 1 else 2.0
+                pr = ~full
+                if pr.any():
+                    own_pos = pos[pr]
+                    n_pr = int(pr.sum())
+                    # candidates per row: the fixed big-mover set + the
+                    # row's OWN centroid (one gather dot) — O(|M|·dim) flops
+                    S_big = X[pr] @ Cn[big].T
+                    s_own = np.einsum("ij,ij->i", X[pr], Cn[own_pos])
+                    S = np.concatenate([S_big, s_own[:, None]], axis=1)
+                    ids_mat = np.concatenate(
+                        [np.broadcast_to(ids[big], (n_pr, len(big))),
+                         ids[own_pos][:, None]], axis=1)
+                    b_id, b_sim, b_raw, b_sec = _house_pick(S, ids_mat)
+                    cid[pr], simv[pr] = b_id, b_sim
+                    # an unscored centroid may be the true runner-up:
+                    # sim ≤ s_old(+rounding) − margin + θ
+                    bound_sec = np.maximum(
+                        b_sec, old_sim[pr] + 5e-7 - old_mrg[pr] + theta)
+                    mrg[pr] = np.maximum(0.0, b_raw - bound_sec)
+                rows = np.nonzero(sem)[0]
+                col_ci[rows] = cid
+                col_si[rows] = simv
+                col_mi[rows] = mrg
+            out = pdf.copy()
+            out.isetitem(ci, col_ci)
+            out.isetitem(si, col_si)
+            out.isetitem(mi, col_mi)
+            yield out
+
+    return members.mapInPandas(kernel, schema)
+
+
 def corpus_recluster(spark: SparkSession, state_dir: str,
                      centroids: DataFrame | None = None, *,
                      n_centroids: int | None = None,
-                     warm_start: bool = True) -> dict:
+                     warm_start: bool = True, big_movers: int = 64) -> dict:
     """Retrain/replace the SemDeDup codebook and remap every member's
     cluster assignment WITHOUT invalidating verdict history — the
     recluster path :func:`corpus_drift_status` points at.
@@ -755,12 +947,24 @@ def corpus_recluster(spark: SparkSession, state_dir: str,
     AFTER newer ones in their new cluster; subsequent INCREMENTS agree with
     fresh-init wherever existing members rank first (test-pinned both
     ways).  The drift baseline resets to the post-remap distribution and
-    the drift history clears."""
+    the drift history clears.
+
+    **Remap shape (round-10).**  The reassignment is ONE scan-side
+    ``mapInPandas`` kernel over members (:func:`_remap_members` — codebook
+    broadcast, no doc_id join, no shuffle), margin-pruned on the warm path:
+    members whose stored ``assign_margin`` exceeds their centroid's movement
+    plus the largest non-``big_movers`` movement provably cannot flip and
+    score only {own} ∪ top-``big_movers`` movers instead of all C centroids
+    — exact by construction and test-pinned identical to full scoring.  The
+    first recluster (or any member with NULL margin) full-scores and
+    populates margins."""
     p = _paths(state_dir)
     meta = spark.read.parquet(p["meta"]).first()
     members = spark.read.parquet(p["members"])
     sem_rows = members.filter((F.col("near_ok") == 1)
                               & F.col("embedding").isNotNull())
+    old = None
+    cents = None
     if centroids is None:
         if not n_centroids:
             raise ValueError("corpus_recluster needs centroids or n_centroids")
@@ -771,7 +975,6 @@ def corpus_recluster(spark: SparkSession, state_dir: str,
         # warm-started Lloyd's replaces the full cold retrain (the 111 s at
         # 600k the r8 verdict flagged).  Cold path kept for k changes and
         # explicit warm_start=False.
-        old = None
         if warm_start:
             try:
                 old = [list(map(float, r.embedding)) for r in
@@ -782,19 +985,23 @@ def corpus_recluster(spark: SparkSession, state_dir: str,
         if old and len(old) == n_centroids:
             cents = refine_centroids(sem_rows, old, vec_col="embedding")
         else:
+            old = None        # cold retrain: no slot-stable movement pairing
             cents = train_centroids(sem_rows, n_centroids,
                                     vec_col="embedding")
         centroids = spark.createDataFrame(
             [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
             "centroid_id int, embedding array<double>")
-    assign = _assign_clusters(
-        sem_rows.select("doc_id"),
-        sem_rows.select("doc_id", "embedding"), centroids, None)
-    cols = members.columns
-    remapped = (members.drop("cluster_id", "centroid_sim")
-                .join(assign, "doc_id", "left")
-                .select(*cols)
-                .localCheckpoint(eager=True))   # reads the path it replaces
+        cent_ids = list(range(len(cents)))
+    else:
+        rows = centroids.select("centroid_id", "embedding") \
+                        .orderBy("centroid_id").collect()
+        cent_ids = [int(r.centroid_id) for r in rows]
+        cents = [list(map(float, r.embedding)) for r in rows]
+    # round-10: the remap is ONE scan-side kernel over members (no doc_id
+    # join), margin-pruned when the warm refine gives slot-stable movement
+    remapped = _remap_members(members, cent_ids, cents, old,
+                              big_movers=big_movers) \
+        .localCheckpoint(eager=True)            # reads the path it replaces
     # every count below must come from the CHECKPOINTED frame — after the
     # replace, plans still rooted at the old files fail FILE_NOT_EXIST
     n_expect = remapped.count()

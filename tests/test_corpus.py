@@ -743,3 +743,81 @@ def test_recluster_warm_start_matches_cold_quality(spark, tmp_path):
     # drift state reset
     st = corpus.corpus_drift_status(spark, sd_w)
     assert not st["drifted"] and st["increments"] == 0
+
+
+def _members_df(spark, rows):
+    """Minimal members frame for the remap kernel tests:
+    (doc_id, near_ok, cluster_id, centroid_sim, embedding, assign_margin)."""
+    return spark.createDataFrame(
+        rows, "doc_id long, near_ok int, cluster_id int, "
+              "centroid_sim double, embedding array<double>, "
+              "assign_margin double")
+
+
+def test_remap_kernel_pruned_matches_full_scoring(spark):
+    """r10: the margin-pruned remap must pick the SAME (cluster_id,
+    centroid_sim) as full scoring for every member — including a member
+    that FLIPS to a big mover, a member that keeps its cluster, a low-margin
+    member (full path), a NULL-margin member (full path), and a
+    never-semantic passthrough row.  Pruned margins must stay conservative
+    (<= the full-scoring margin) so repeated reclusters remain exact."""
+    old = [_e(i).tolist() for i in range(8)]
+    new = [list(v) for v in old]
+    new[5] = (0.8 * _e(1) + 0.6 * _e(5)).tolist()      # big mover
+    j = _e(2) + 0.001 * _e(6)
+    new[2] = (j / np.linalg.norm(j)).tolist()          # small mover
+    flip = (0.8 * _e(1) + 0.6 * _e(5))
+    flip = (flip / np.linalg.norm(flip)).tolist()      # flips 1 -> 5
+    lowm = (_e(3) + _e(4))
+    lowm = (lowm / np.linalg.norm(lowm)).tolist()      # ~tied 3/4
+    rows = [
+        (1, 1, 1, 1.0, _e(1).tolist(), 1.0),           # pruned, stays 1
+        (2, 1, 1, 0.8, flip, 0.2),                     # pruned, flips to 5
+        (3, 1, 3, 0.707107, lowm, 0.0),                # margin 0 -> full
+        (4, 0, None, None, None, None),                # never-semantic row
+        (5, 1, 6, 1.0, _e(6).tolist(), None),          # NULL margin -> full
+    ]
+    m = _members_df(spark, rows)
+    ids = list(range(8))
+    pruned = {r.doc_id: r for r in corpus._remap_members(
+        m, ids, new, old, big_movers=2).collect()}
+    full = {r.doc_id: r for r in corpus._remap_members(
+        m.drop("assign_margin"), ids, new, None).collect()}
+    assert set(pruned) == set(full) == {1, 2, 3, 4, 5}
+    for d in pruned:
+        assert pruned[d].cluster_id == full[d].cluster_id, d
+        assert pruned[d].centroid_sim == full[d].centroid_sim, d
+    assert pruned[2].cluster_id == 5 and pruned[2].centroid_sim == 1.0
+    assert pruned[1].cluster_id == 1
+    assert pruned[4].cluster_id is None and pruned[4].assign_margin is None
+    for d in (1, 2, 3, 5):
+        assert pruned[d].assign_margin is not None
+        assert pruned[d].assign_margin >= 0.0
+        assert pruned[d].assign_margin <= full[d].assign_margin + 1e-12, d
+
+
+def test_recluster_pruned_end_to_end_matches_full(spark, tmp_path):
+    """r10 end-to-end: recluster #1 populates assign_margin (full scoring),
+    recluster #2 takes the pruned path (small big_movers) — and must leave
+    members identical to a full-scoring twin run on a byte-identical state
+    copy (big_movers past k disables pruning)."""
+    import os
+    import shutil
+
+    sd = _drift_state(spark, tmp_path)
+    res1 = corpus.corpus_recluster(spark, sd, n_centroids=4)   # warm + full
+    mem1 = spark.read.parquet(os.path.join(sd, "members"))
+    assert "assign_margin" in mem1.columns
+    n_margins = mem1.filter(F.col("assign_margin").isNotNull()).count()
+    assert n_margins == res1["reassigned"] > 0
+
+    sd_full = str(tmp_path / "state_full")
+    shutil.copytree(sd, sd_full)
+    corpus.corpus_recluster(spark, sd, n_centroids=4, big_movers=2)
+    corpus.corpus_recluster(spark, sd_full, n_centroids=4,
+                            big_movers=10**6)                  # full twin
+    a = {r.doc_id: (r.cluster_id, r.centroid_sim) for r in
+         spark.read.parquet(os.path.join(sd, "members")).collect()}
+    b = {r.doc_id: (r.cluster_id, r.centroid_sim) for r in
+         spark.read.parquet(os.path.join(sd_full, "members")).collect()}
+    assert a == b

@@ -56,11 +56,20 @@ def main():
     out = {"members": n_members, "semantic_members": n_sem, "C": C,
            "t_drift_status_s": round(t_status, 2),
            "drifted_before": st["drifted"], "pre_sample": len(pre)}
-    for mode, kwargs in (("warm", {}), ("cold", {"warm_start": False})):
+    # warm2 (round-10): a SECOND warm recluster on the warm copy — the first
+    # populated assign_margin, so the remap takes the margin-pruned path
+    # (O(|M|·dim) flops per unflippable member instead of O(C·dim))
+    for mode, kwargs in (("warm", {}), ("warm2", {}),
+                         ("cold", {"warm_start": False})):
         sd = state + f"_{mode}"
-        if os.path.isdir(sd):
-            shutil.rmtree(sd)
-        shutil.copytree(state, sd)
+        if mode == "warm2":
+            sd = state + "_warm"
+            if not os.path.isdir(sd):
+                continue
+        else:
+            if os.path.isdir(sd):
+                shutil.rmtree(sd)
+            shutil.copytree(state, sd)
         t0 = time.time()
         res = corpus.corpus_recluster(spark, sd, n_centroids=C, **kwargs)
         t_rec = time.time() - t0
@@ -79,10 +88,14 @@ def main():
         out[f"history_immutable_{mode}"] = immutable
         out[f"drifted_after_{mode}"] = st2["drifted"]
         assert immutable, f"verdict history changed across the {mode} remap"
-        shutil.rmtree(sd)
+        if mode != "warm":          # keep the warm copy for the warm2 leg
+            shutil.rmtree(sd)
 
     import json
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    with open(os.path.join(SCRATCH, "recluster_probe_last.json"), "w") as f:
+        f.write(line + "\n")
     spark.stop()
 
 
