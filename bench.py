@@ -111,6 +111,10 @@ HEADLINE = [
     # refine) and leakage-safe split assignment by dedup-canonical id
     "contamination_bloom",
     "split_leakage_safe",
+    # round 10: URL-level crawl dedup (scan-side canonicalization +
+    # combinable groupBy — the CCNet/RefinedWeb pass that runs BEFORE
+    # content dedup)
+    "url_canonical_dedup",
 ]
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from .functions import decay as D
 from .functions import text as T
+from .functions import urls as U
 from .functions import vector as V
 from .operators import dedup, graph, ranking, similarity, windows
 from .operators.graph import PatternSpec
@@ -5270,6 +5271,46 @@ def split_leakage_safe_q(spark, sf_dir):
              .join(canon, "_h").drop("_h"))
     return (assign_split_by_group(keyed, "canonical_id")
             .select("doc_id", "canonical_id", "split"))
+
+
+@_register("url_canonical_dedup", """WITH raw AS (
+  SELECT doc_id, 'HTTPS://' || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) || source || '.Example.com' || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) || '/docs/' || (doc_id % 50)::VARCHAR || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) || '?z=2&id=' || (doc_id % 50)::VARCHAR || '&utm_source=feed' || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+), c AS (
+  SELECT doc_id, (lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) || '://' || regexp_replace(lower(regexp_replace(regexp_extract(regexp_replace(regexp_replace(url, '#.*$', ''), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^([^/?]+)', 1), ':[0-9]+$', '')), '^www\.', '') || (CASE WHEN (regexp_extract(regexp_extract(regexp_replace(regexp_replace(url, '#.*$', ''), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^([^/?]+)', 1), ':([0-9]+)$', 1) <> '' AND NOT (lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = 'http' AND regexp_extract(regexp_extract(regexp_replace(regexp_replace(url, '#.*$', ''), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^([^/?]+)', 1), ':([0-9]+)$', 1) = '80') AND NOT (lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = 'https' AND regexp_extract(regexp_extract(regexp_replace(regexp_replace(url, '#.*$', ''), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^([^/?]+)', 1), ':([0-9]+)$', 1) = '443')) THEN ':' || regexp_extract(regexp_extract(regexp_replace(regexp_replace(url, '#.*$', ''), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^([^/?]+)', 1), ':([0-9]+)$', 1) ELSE '' END) || regexp_replace(regexp_extract(regexp_replace(regexp_replace(url, '#.*$', ''), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^[^/?]*([^?]*)', 1), '/+$', '') || (CASE WHEN array_to_string(list_sort(list_filter(string_split(regexp_extract(regexp_replace(regexp_replace(url, '#.*$', ''), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '\?(.*)$', 1), '&'), x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)='))), '&') <> '' THEN '?' || array_to_string(list_sort(list_filter(string_split(regexp_extract(regexp_replace(regexp_replace(url, '#.*$', ''), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '\?(.*)$', 1), '&'), x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)='))), '&') ELSE '' END)) AS canonical_url FROM raw
+)
+SELECT canonical_url, COUNT(*)::BIGINT AS n_docs, MIN(doc_id) AS keeper_id
+FROM c GROUP BY canonical_url
+""")
+def url_canonical_dedup_q(spark, sf_dir):
+    """URL-level crawl dedup (r10, functions/urls.canonical_url): the
+    CCNet/RefinedWeb first-pass — canonicalize (lowercase scheme/host, drop
+    www./default ports/fragments/tracking params, sort surviving params,
+    trim trailing slash) and keep the min doc_id per canonical URL.  The
+    synthetic raw URLs derive deterministically from (source, doc_id) with
+    every variance the canonicalizer must fold: WWW. on id%3, :443 on id%4,
+    trailing slash on id%2, #frag on id%5, an utm_source param always, and
+    params deliberately out of byte order (z before id).  Shape: the
+    canonical form is a pure scan-side Column expression (zero UDF, zero
+    shuffle); the keep-rule is one combinable groupBy — URL dedup touches
+    no content bytes, which is the point of running it before content
+    dedup at 100 TB.  Reference: none (LLM-data-pipeline family)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.lit("HTTPS://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".Example.com"),
+        F.when(did % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"), (did % 50).cast("string"),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?z=2&id="), (did % 50).cast("string"),
+        F.lit("&utm_source=feed"),
+        F.when(did % 5 == 0, F.lit("#frag")).otherwise(F.lit("")))
+    return (docs.select("doc_id", U.canonical_url(raw).alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keeper_id")))
 
 
 @_register("pack_sequences", r"""

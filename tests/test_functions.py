@@ -358,3 +358,50 @@ def test_gopher_flags_null_text_is_deterministic(spark):
     d1, d2 = out[1].asDict(), out[2].asDict()
     d1.pop("doc_id"), d2.pop("doc_id")
     assert d1 == d2
+
+
+def test_canonical_url_rules(spark):
+    """r10 functions/urls.canonical_url: every documented rule on crafted
+    cases, plus the DuckDB twin (canonical_url_sql) on the SAME inputs —
+    the two formulations must agree byte-for-byte."""
+    import duckdb
+
+    from memory_opensource_spark.functions.urls import (canonical_url,
+                                                        canonical_url_sql)
+
+    cases = [
+        # scheme/host case + www + default port + fragment
+        ("HTTPS://WWW.Example.COM:443/A/b/#frag", "https://example.com/A/b"),
+        ("http://Example.com:80/x", "http://example.com/x"),
+        # non-default port kept
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        # tracking params dropped, survivors sorted, ? dropped when emptied
+        ("https://e.com/p?utm_source=a&b=2&a=1", "https://e.com/p?a=1&b=2"),
+        ("https://e.com/p?utm_campaign=x&gclid=1&fbclid=2&ref=h",
+         "https://e.com/p"),
+        # trailing slash (root path canonicalizes to empty)
+        ("https://e.com/", "https://e.com"),
+        ("https://e.com/a//", "https://e.com/a"),
+        # empty query string / bare ?
+        ("https://e.com/a?", "https://e.com/a"),
+        # ref as a VALUE is not the ref PARAM
+        ("https://e.com/a?xref=1&ref=2", "https://e.com/a?xref=1"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i int, url string")
+    got = {r.i: r.c for r in
+           df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+    con = duckdb.connect()
+    for u, want in cases:
+        got_sql = con.execute(
+            f"WITH t(url) AS (VALUES (?)) "
+            f"SELECT {canonical_url_sql('url')} FROM t", [u]).fetchone()[0]
+        assert got_sql == want, (u, got_sql, want)
+
+    # NULL stays NULL on the Spark side
+    dfn = spark.createDataFrame([(1, None)], "i int, url string")
+    assert dfn.select(canonical_url(F.col("url")).alias("c")) \
+              .first().c is None
