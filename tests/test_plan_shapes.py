@@ -122,3 +122,32 @@ def test_bloom_prefilter_stays_jvm_side(spark):
     # exists for eval sets too big to broadcast, and after the bloom filter
     # both refine sides are survivor-bounded, so a shuffled join IS the
     # intended scale shape there.
+
+
+def test_recluster_remap_kernel_is_scan_side(spark):
+    """r10: the corpus_recluster member remap must stay ONE scan-side
+    mapInPandas pass — no Exchange (shuffle), no join, no sort.  The r9
+    shape paid a members-sized doc_id join per recluster; this pin keeps
+    the no-shuffle kernel from regressing."""
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.plans.corpus import _remap_members
+
+    members = spark.createDataFrame(
+        [(1, 1, 0, 1.0, [1.0, 0.0], 0.5)],
+        "doc_id long, near_ok int, cluster_id int, centroid_sim double, "
+        "embedding array<double>, assign_margin double")
+    out = _remap_members(members, [0, 1], [[1.0, 0.0], [0.0, 1.0]], None)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "Sort" not in p
+    assert "MapInPandas" in p
+
+
+def test_url_canonicalization_is_scan_side(spark):
+    """r10: canonical_url must stay a pure projection (no UDF node, no
+    shuffle before the keep-rule groupBy's single exchange)."""
+    p = _plan(spark, "url_canonical_dedup")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange") <= 2   # partial->final agg of ONE groupBy
