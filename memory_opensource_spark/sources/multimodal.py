@@ -2,9 +2,10 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 The container has no codec libraries, so decode coverage is split: PPM (P6),
-PNG (stdlib zlib, r9), PCM WAV and the PAPRVID0 frame container decode FOR
-REAL (pure numpy/struct/zlib); formats that need a library decoder
-(JPEG/MP3/MP4) raise NotImplementedError when `real=True` is requested — a
+PNG (stdlib zlib, r9), GIF (stdlib LZW, r10), PCM WAV and the PAPRVID0
+frame container decode FOR REAL (pure numpy/struct/zlib); formats that need
+a library decoder (JPEG/MP3/MP4) raise NotImplementedError when
+`real=True` is requested — a
 deterministic fake decoder (seeded from the content hash) stands in behind
 the same signature otherwise.  Everything Spark-side — schema, partition
 sizing, UDF signatures, batch shapes — is real and tested.
@@ -193,6 +194,120 @@ def _decode_png(content: bytes):
     return px[:, :, :3]                      # RGBA -> RGB
 
 
+def _lzw_decode_gif(min_code: int, data: bytes, npix: int):
+    """GIF-variant LZW decode (LSB-first bit packing, CLEAR/END codes,
+    code width grows when the next table slot reaches 2^width, capped at
+    12 bits).  Returns a list of color-table indices (length <= npix) or
+    None on a malformed stream — decode-tolerant like the PNG path."""
+    if not 2 <= min_code <= 11:
+        return None
+    clear = 1 << min_code
+    end = clear + 1
+    table = {i: (i,) for i in range(clear)}
+    cs = min_code + 1
+    nxt = end + 1
+    prev = None
+    out: list[int] = []
+    pos, total_bits = 0, len(data) * 8
+    while pos + cs <= total_bits and len(out) < npix:
+        bi, bo = pos >> 3, pos & 7
+        chunk = int.from_bytes(data[bi:bi + 4], "little")
+        code = (chunk >> bo) & ((1 << cs) - 1)
+        pos += cs
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            cs, nxt, prev = min_code + 1, end + 1, None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == nxt:
+                entry = prev + (prev[0],)    # the KwKwK case
+            else:
+                return None                  # code beyond the table
+            if nxt < 4096:
+                table[nxt] = prev + (entry[0],)
+                nxt += 1
+                if nxt == (1 << cs) and cs < 12:
+                    cs += 1
+        out.extend(entry)
+        prev = entry
+    return out[:npix]
+
+
+def _decode_gif(content: bytes):
+    """Real decoder for GIF (r10 — the second compressed codec behind the
+    seam, after r9's PNG): stdlib-only LZW over the FIRST image descriptor,
+    global or local color table, 87a and 89a, extension blocks skipped.
+    Returns an (H, W, 3) uint8 array or None when the bytes are not a
+    supported GIF (interlaced frames and streams without any color table
+    stay behind the library seam; animations: the first frame IS the image
+    — multi-frame media belongs in the video modality/container)."""
+    import struct
+
+    import numpy as np
+
+    if content[:6] not in (b"GIF87a", b"GIF89a") or len(content) < 13:
+        return None
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", content[6:13])
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if i + 3 * n > len(content):
+            return None
+        gct = np.frombuffer(content, np.uint8, 3 * n, i).reshape(n, 3)
+        i += 3 * n
+    while i < len(content):
+        b = content[i]
+        if b == 0x3B:                        # trailer
+            return None                      # no image descriptor seen
+        if b == 0x21:                        # extension: label + sub-blocks
+            i += 2
+            while i < len(content) and content[i] != 0:
+                i += 1 + content[i]
+            i += 1
+            continue
+        if b != 0x2C:                        # not an image descriptor
+            return None
+        if i + 10 > len(content):
+            return None
+        _l, _t, w, h, ip = struct.unpack("<HHHHB", content[i + 1:i + 10])
+        i += 10
+        if ip & 0x40:                        # interlaced: behind the seam
+            return None
+        ct = gct
+        if ip & 0x80:                        # local color table
+            n = 2 << (ip & 0x07)
+            if i + 3 * n > len(content):
+                return None
+            ct = np.frombuffer(content, np.uint8, 3 * n, i).reshape(n, 3)
+            i += 3 * n
+        if ct is None or w <= 0 or h <= 0 or i >= len(content):
+            return None
+        min_code = content[i]
+        i += 1
+        data = bytearray()                   # concatenate the sub-blocks
+        while i < len(content) and content[i] != 0:
+            ln = content[i]
+            data += content[i + 1:i + 1 + ln]
+            i += 1 + ln
+        idx = _lzw_decode_gif(min_code, bytes(data), w * h)
+        if idx is None or len(idx) < w * h:
+            return None
+        arr = np.asarray(idx, dtype=np.int64)
+        if arr.max() >= len(ct):
+            return None                      # index past the color table
+        return ct[arr].reshape(h, w, 3)
+    return None
+
+
 def _decode_wav(content: bytes):
     """Real decoder for PCM WAV (RIFF, 8/16-bit) — pure struct/numpy.
     Returns a float64 mono signal in [-1, 1] or None if not PCM WAV."""
@@ -271,6 +386,8 @@ def _real_features(content: bytes, modality: str, frame: int = 0,
         img = _decode_ppm(content)
         if img is None:
             img = _decode_png(content)       # r9: compressed-codec coverage
+        if img is None:
+            img = _decode_gif(content)       # r10: LZW coverage
         if img is None:
             return None
         h, w, _ = img.shape

@@ -318,3 +318,145 @@ def test_png_unsupported_variants_stay_behind_seam(spark):
     assert _decode_png(png_with_ihdr(8, 2, 1)) is None     # interlaced
     assert _decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk") is None
     assert _decode_png(b"GIF89a") is None
+
+
+def _gif(px, local_table=False, version=b"89a", with_gce=False):
+    """Pure-Python GIF encoder for the decoder roundtrip: quantizes the
+    RGB pixels to their distinct colors (test images use few), writes a
+    global or local color table, and emits the LZW stream in its simplest
+    valid form — CLEAR first, one literal (root) code per pixel, CLEAR
+    again whenever the implied decoder table hits 4096 — while mirroring
+    the decoder's code-width growth schedule exactly."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    n = len(colors)
+    assert n <= 256, "GIF palettes hold at most 256 colors"
+    # color-table size = 2^(s+1) >= max(n, 4); min_code >= 2
+    s = 1
+    while (2 << s) < max(n, 4):
+        s += 1
+    tbl_n = 2 << s
+    table = np.zeros((tbl_n, 3), np.uint8)
+    table[:n] = colors
+    min_code = max(2, s + 1)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    bits, acc, nacc = bytearray(), 0, 0
+
+    def emit(code, cs):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += cs
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    cs, nxt = min_code + 1, end + 1
+    emit(clear, cs)
+    prev_emitted = False
+    for v in idx:
+        emit(int(v), cs)
+        if prev_emitted:                 # decoder adds an entry per code
+            nxt += 1                     # (except the first after CLEAR)
+            if nxt == (1 << cs) and cs < 12:
+                cs += 1
+        prev_emitted = True
+        if nxt >= 4095:                  # keep clear margin before overflow
+            emit(clear, cs)
+            cs, nxt, prev_emitted = min_code + 1, end + 1, False
+    emit(end, cs)
+    if nacc:
+        bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF" + version)
+    gct_flag = 0 if local_table else (0x80 | s)
+    out += struct.pack("<HHBBB", w, h, gct_flag, 0, 0)
+    if not local_table:
+        out += table.tobytes()
+    if with_gce:                         # graphic control extension skipped
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                       (0x80 | s) if local_table else 0)
+    if local_table:
+        out += table.tobytes()
+    out.append(min_code)
+    for i in range(0, len(bits), 255):
+        sub = bits[i:i + 255]
+        out.append(len(sub))
+        out += sub
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decoder_roundtrip(spark):
+    """r10: the LZW GIF decoder recovers exact pixels (global and local
+    color tables, 87a/89a, extension skipping, multi-sub-block streams,
+    code-width growth past 2^cs) and produces the SAME luma features as
+    identical pixels encoded as PPM."""
+    import numpy as np
+
+    from memory_opensource_spark.sources.multimodal import (
+        _decode_gif,
+        decode_features,
+    )
+
+    rng = np.random.RandomState(5)
+    # few-color image (exercises small code sizes)
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [10, 20, 200]],
+                   np.uint8)
+    px = pal[rng.randint(0, 4, size=(12, 10))]
+    for kwargs in ({}, {"local_table": True}, {"version": b"87a"},
+                   {"with_gce": True}):
+        got = _decode_gif(_gif(px, **kwargs))
+        assert got is not None and np.array_equal(got, px), kwargs
+
+    # 256-color image: forces the code width to GROW mid-stream (9 -> 10+)
+    # and the stream across multiple 255-byte sub-blocks
+    pal256 = rng.randint(0, 256, size=(256, 3)).astype(np.uint8)
+    big = pal256[rng.randint(0, 256, size=(40, 30))]
+    got = _decode_gif(_gif(big))
+    assert got is not None and np.array_equal(got, big)
+
+    # feature parity with the PPM path on identical pixels
+    ppm = b"P6\n10 12\n255\n" + px.tobytes()
+    rows = [("as_gif", "image", _gif(px), "image/gif", 10, 12, None),
+            ("as_ppm", "image", ppm, "image/x-portable-pixmap", 10, 12,
+             None)]
+    media = spark.createDataFrame(
+        rows, schema="media_id string, modality string, content binary, "
+        "mime_type string, meta_width int, meta_height int, "
+        "meta_duration_ms int")
+    feats = {r.media_id: list(r.feature)
+             for r in decode_features(media, real=True).collect()}
+    assert feats["as_gif"] == feats["as_ppm"]
+
+
+def test_gif_unsupported_variants_stay_behind_seam():
+    """Interlace flag, missing color table, truncated streams and trailing
+    garbage codes return None (fail loudly at the seam, never garbage)."""
+    import struct
+
+    import numpy as np
+
+    from memory_opensource_spark.sources.multimodal import _decode_gif
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    px = pal[np.zeros((4, 4), int)]
+    good = _gif(px)
+    assert _decode_gif(good) is not None
+    assert _decode_gif(b"NOTGIF" + good[6:]) is None
+    assert _decode_gif(good[:20]) is None            # truncated
+    # set the interlace bit in the image descriptor
+    i = good.index(b"\x2c")
+    bad = bytearray(good)
+    bad[i + 9] |= 0x40
+    assert _decode_gif(bytes(bad)) is None
+    # no global AND no local color table
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0)
+    assert _decode_gif(hdr + good[i:]) is None
