@@ -821,3 +821,43 @@ def test_recluster_pruned_end_to_end_matches_full(spark, tmp_path):
     b = {r.doc_id: (r.cluster_id, r.centroid_sim) for r in
          spark.read.parquet(os.path.join(sd_full, "members")).collect()}
     assert a == b
+
+
+def test_remap_pruning_randomized_equality(spark):
+    """r10 randomized pin for the margin bound: across seeded random
+    member sets and codebook perturbations (a few big movers + jittered
+    rest — the drift shape), the pruned remap must equal full scoring on
+    every (cluster_id, centroid_sim), with margins coming from a REAL
+    prior full scoring (old -> old), never synthetic."""
+    rng = np.random.RandomState(0)
+    k, dim = 8, 6
+    for seed in range(5):
+        r = np.random.RandomState(100 + seed)
+        old = r.randn(k, dim)
+        old /= np.linalg.norm(old, axis=1, keepdims=True)
+        new = old.copy()
+        for j in r.choice(k, 2, replace=False):       # big movers
+            v = new[j] + r.randn(dim)
+            new[j] = v / np.linalg.norm(v)
+        new += 1e-4 * r.randn(k, dim)                 # everyone jitters
+        new /= np.linalg.norm(new, axis=1, keepdims=True)
+        emb = r.randn(40, dim)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        rows = [(i, 1, None, None, emb[i].tolist(), None)
+                for i in range(40)]
+        m0 = _members_df(spark, rows)
+        ids = list(range(k))
+        # real margins: a full scoring against the OLD codebook
+        seeded = corpus._remap_members(
+            m0, ids, [v.tolist() for v in old], None)
+        pruned = {r_.doc_id: r_ for r_ in corpus._remap_members(
+            seeded, ids, [v.tolist() for v in new],
+            [v.tolist() for v in old], big_movers=2).collect()}
+        full = {r_.doc_id: r_ for r_ in corpus._remap_members(
+            seeded.drop("assign_margin"), ids,
+            [v.tolist() for v in new], None).collect()}
+        for d in full:
+            assert pruned[d].cluster_id == full[d].cluster_id, (seed, d)
+            assert pruned[d].centroid_sim == full[d].centroid_sim, (seed, d)
+            assert pruned[d].assign_margin is not None
+            assert pruned[d].assign_margin <= full[d].assign_margin + 1e-12
