@@ -405,3 +405,48 @@ def test_canonical_url_rules(spark):
     dfn = spark.createDataFrame([(1, None)], "i int, url string")
     assert dfn.select(canonical_url(F.col("url")).alias("c")) \
               .first().c is None
+
+
+def test_canonical_url_random_cross_engine_parity(spark):
+    """r10: 200 seeded random URLs assembled from adversarial components
+    (mixed-case schemes/hosts, www, default + odd ports, empty/deep paths,
+    trailing slashes, shuffled tracking + real params, fragments, empty
+    segments) — Spark's Column form and DuckDB's SQL twin must agree
+    byte-for-byte on every one (Java regex vs RE2 is the risk the fixed
+    cases cannot cover)."""
+    import random
+
+    import duckdb
+
+    from memory_opensource_spark.functions.urls import (canonical_url,
+                                                        canonical_url_sql)
+
+    rnd = random.Random(42)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
+    hosts = ["Example.com", "www.Example.com", "WWW.API.site.ORG",
+             "localhost", "a-b.c-d.io"]
+    ports = ["", ":80", ":443", ":8080", ":1"]
+    paths = ["", "/", "/a", "/a/", "/a/b/c", "/a//b///", "/UPPER/Case"]
+    params = ["id=3", "z=9", "a=1", "utm_source=x", "utm_campaign=Y",
+              "gclid=abc", "fbclid=2", "ref=h", "xref=1", "b="]
+    frags = ["", "#x", "#a/b?c=1"]
+    urls = []
+    for _ in range(200):
+        q = rnd.sample(params, rnd.randint(0, 5))
+        urls.append(
+            rnd.choice(schemes) + "://" + rnd.choice(hosts)
+            + rnd.choice(ports) + rnd.choice(paths)
+            + ("?" + "&".join(q) if q else "")
+            + rnd.choice(frags))
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i int, url string")
+    got = {r.i: r.c for r in
+           df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(urls)))
+    want = dict(con.execute(
+        f"SELECT i, {canonical_url_sql('url')} FROM t").fetchall())
+    bad = [(urls[i], got[i], want[i]) for i in range(200)
+           if got[i] != want[i]]
+    assert not bad, bad[:5]
