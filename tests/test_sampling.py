@@ -73,3 +73,63 @@ def test_cap_rejects_bad_cap(spark):
                                "doc_id long, g string, ord double")
     with pytest.raises(ValueError, match="cap"):
         cap_rows_per_group(df, "g", 0, "ord")
+
+
+def test_cap_rows_per_group_randomized_window_twin(spark):
+    """r10 randomized pin: across seeded random inputs (Zipfian group
+    sizes, heavy order ties, NULL groups/orders, caps straddling tie runs)
+    cap_rows_per_group must keep EXACTLY the rows row_number() <= cap over
+    (partition by group order by order, id) keeps."""
+    import random
+
+    from pyspark.sql import Window
+
+    from memory_opensource_spark.operators.sampling import cap_rows_per_group
+
+    for seed, cap in [(1, 3), (2, 1), (3, 7)]:
+        rnd = random.Random(seed)
+        rows = []
+        for i in range(400):
+            g = rnd.choice([None, "a", "a", "a", "a", "b", "b", "c"])
+            o = rnd.choice([None, 0.0, 1.0, 1.0, 2.0, float(rnd.randint(0, 5))])
+            rows.append((i, g, o))
+        df = spark.createDataFrame(rows, "doc_id int, grp string, ord double")
+        got = {r.doc_id for r in
+               cap_rows_per_group(df, "grp", cap, "ord",
+                                  id_col="doc_id").collect()}
+        w = Window.partitionBy("grp").orderBy(
+            F.col("ord").asc_nulls_first(), F.col("doc_id").asc())
+        want = {r.doc_id for r in
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= cap).collect()}
+        assert got == want, (seed, cap, len(got), len(want))
+
+
+def test_grouped_prefix_sum_randomized_window_twin(spark):
+    """r10 randomized pin: grouped_prefix_sum must equal the exclusive
+    running-sum window on seeded random inputs with Zipfian groups, NULL
+    groups/values, and a unique order column (its documented contract)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from memory_opensource_spark.sources.writers import grouped_prefix_sum
+
+    for seed in (4, 5):
+        rnd = random.Random(seed)
+        rows = []
+        for i in range(300):
+            g = rnd.choice([None, "x", "x", "x", "y"])
+            v = rnd.choice([None, 0, 1, 5, 100])
+            rows.append((i, g, v))
+        df = spark.createDataFrame(rows, "oid int, grp string, val int")
+        out = grouped_prefix_sum(df, "grp", "oid", "val",
+                                 range_partitions=7)
+        got = {r.oid: r.prior for r in out.collect()}
+        w = (Window.partitionBy("grp").orderBy("oid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+        want = {r.oid: r.p for r in
+                df.withColumn(
+                    "p", F.coalesce(F.sum("val").over(w), F.lit(0)))
+                .collect()}
+        assert got == want, seed
