@@ -72,6 +72,48 @@ def _bit_masks():
     return F.array(*[F.lit(v).cast("long") for v in vals])
 
 
+def ngram_contamination_flags(docs: DataFrame, eval_grams: DataFrame,
+                              bits: list[int], num_bits: int, k: int,
+                              n: int = 8, id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Per-doc benchmark-contamination flags via a PREBUILT Bloom bitmap
+    (r10): explode each doc's word ``n``-grams, codegen-probe the broadcast
+    bitmap, exact-refine the survivors against ``eval_grams`` ({gram}) —
+    bit-identical to the plain join by the no-false-negative contract.
+
+    Returns {id_col, n_shared_ngrams, contaminated} for EVERY input doc.
+    The bitmap is an argument (not built here) so a STREAMING caller builds
+    it once and reuses it across micro-batches — the build is the only
+    O(eval) cost, and micro-batches pay O(batch grams) each."""
+    from ..functions.text import tokens
+
+    spark = docs.sparkSession
+    tk = tokens(F.col(text_col))
+    sz = F.size(tk)
+    grams = F.when(
+        sz >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+        ))).otherwise(F.array().cast("array<string>"))
+    ex = (docs.select(F.col(id_col), grams.alias("_gs"))
+          .select(id_col, F.explode("_gs").alias("gram")))
+    bf = spark.createDataFrame([(bits,)], "bf array<long>")
+    cand = (ex.crossJoin(F.broadcast(bf))
+            .filter(bloom_might_contain(F.col("bf"), F.col("gram"),
+                                        num_bits, k))
+            .drop("bf"))
+    hits = (cand.join(eval_grams.select("gram"), "gram")
+            .groupBy(id_col)
+            .agg(F.countDistinct("gram").alias("n_hits")))
+    return (docs.select(id_col).join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("int")
+                     .alias("n_shared_ngrams"),
+                    (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).cast("int")
+                     .alias("contaminated")))
+
+
 def bloom_might_contain(bits_col, value, num_bits: int, k: int):
     """Column predicate: every one of the k seeded positions is set in the
     broadcast bitmap column ``bits_col`` (array<long>).  Pure JVM

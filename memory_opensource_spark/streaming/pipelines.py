@@ -152,6 +152,58 @@ def decayed_counter_updates(batch: DataFrame, counters: DataFrame, key_col: str,
     )
 
 
+def foreach_batch_decontaminate(stream: DataFrame, eval_grams: DataFrame,
+                                checkpoint: str, on_result,
+                                *, n: int = 8, fpp: float = 0.01,
+                                n_eval_grams: int | None = None,
+                                id_col: str = "doc_id",
+                                text_col: str = "text"):
+    """Streaming benchmark decontamination (r10): every micro-batch of
+    (id, text) rows is flagged against a held-out eval suite's word
+    ``n``-grams — the GPT-3 appendix-C check as an INGEST stage instead of
+    a corpus-wide sweep.
+
+    The expensive side is paid ONCE, at wiring time: the eval grams
+    aggregate into a Bloom bitmap (operators/bloom.bloom_build — a long[]
+    sidecar sized by ``optimal_params``) and the exact-refine gram table is
+    localCheckpointed; each micro-batch then costs O(batch grams) — codegen
+    bitmap probes + a refine join against survivors only.  No false
+    negatives by construction, refine kills false positives, so flags are
+    bit-identical to the plain join (the ``contamination_bloom`` gate row's
+    contract).
+
+    ``on_result(clean_df, flagged_df, batch_id)`` receives the split batch
+    (original columns; ``flagged_df`` additionally carries
+    ``n_shared_ngrams``) — ship ``clean_df`` onward, quarantine the rest.
+    Replay-safe: flags are a pure function of (batch, eval set), so a
+    re-delivered micro-batch produces identical splits.  ``n_eval_grams``
+    sizes the bitmap without an extra count when the caller already knows
+    it."""
+    from ..operators import bloom
+
+    n_grams = (n_eval_grams if n_eval_grams is not None
+               else eval_grams.count())
+    num_bits, k = bloom.optimal_params(max(1, n_grams), fpp)
+    bits = bloom.bloom_build(eval_grams, "gram", num_bits, k)
+    eg = eval_grams.select("gram").localCheckpoint(eager=True)
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        flags = bloom.ngram_contamination_flags(
+            batch_df, eg, bits, num_bits, k, n=n,
+            id_col=id_col, text_col=text_col).localCheckpoint(eager=True)
+        clean = batch_df.join(
+            flags.filter(F.col("contaminated") == 1).select(id_col),
+            id_col, "left_anti")
+        flagged = batch_df.join(
+            flags.filter(F.col("contaminated") == 1)
+            .select(id_col, "n_shared_ngrams"), id_col)
+        on_result(clean, flagged, batch_id)
+
+    return (stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update"))
+
+
 def foreach_batch_corpus_maintenance(stream: DataFrame, state_dir: str,
                                      checkpoint: str, *, eps: float,
                                      jaccard_threshold: float = 0.5,

@@ -128,3 +128,66 @@ def test_streaming_ann_index_maintenance(spark):
         assert hits and hits[0].chunk_id == "m1_0"
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_decontamination_splits_batches(spark):
+    """r10: foreach_batch_decontaminate must flag exactly the docs sharing
+    an 8-gram with the eval suite, in EVERY micro-batch, paying the bloom
+    build once — and the flags must match the plain (bloom-free) join."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.functions.text import tokens
+    from memory_opensource_spark.streaming.pipelines import (
+        foreach_batch_decontaminate,
+    )
+
+    d = tempfile.mkdtemp()
+    try:
+        leak = "alpha beta gamma delta epsilon zeta eta theta"   # 8 tokens
+        eval_docs = spark.createDataFrame(
+            [(900, f"prefix {leak} suffix")], "doc_id long, text string")
+        tk = tokens(F.col("text"))
+        eval_grams = (eval_docs.select(F.explode(
+            F.transform(F.sequence(F.lit(1), F.size(tk) - 7),
+                        lambda i: F.concat_ws(" ", F.slice(tk, i, 8))))
+            .alias("gram")).distinct())
+
+        batches = [
+            [(1, f"intro {leak} outro"),          # contaminated
+             (2, "totally unrelated text " * 4)],
+            [(3, f"{leak} again"),                # contaminated
+             (4, "short"),                        # < 8 tokens
+             (5, "clean words all the way down here today")],
+        ]
+        for b, rows in enumerate(batches):
+            spark.createDataFrame(rows, "doc_id long, text string") \
+                .coalesce(1).write.parquet(f"{d}/in/b{b}")
+
+        got = {}
+
+        def on_result(clean, flagged, batch_id):
+            got[batch_id] = (
+                {r.doc_id for r in clean.collect()},
+                {r.doc_id: r.n_shared_ngrams for r in flagged.collect()})
+
+        stream = (spark.readStream
+                  .schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1").parquet(f"{d}/in/*"))
+        q = foreach_batch_decontaminate(
+            stream, eval_grams, f"{d}/ckpt", on_result) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+        assert len(got) == 2
+        all_clean = set().union(*(c for c, _ in got.values()))
+        all_flagged = {}
+        for _, f_ in got.values():
+            all_flagged.update(f_)
+        assert all_clean == {2, 4, 5}
+        assert set(all_flagged) == {1, 3}
+        assert all_flagged[1] >= 1 and all_flagged[3] >= 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
