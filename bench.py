@@ -113,8 +113,10 @@ HEADLINE = [
     "split_leakage_safe",
     # round 10: URL-level crawl dedup (scan-side canonicalization +
     # combinable groupBy — the CCNet/RefinedWeb pass that runs BEFORE
-    # content dedup)
+    # content dedup) and WARC/WET ingestion (binaryFile + Arrow kernel,
+    # files as the parallelism unit)
     "url_canonical_dedup",
+    "warc_ingest_roundtrip",
 ]
 
 

@@ -5313,6 +5313,56 @@ def url_canonical_dedup_q(spark, sf_dir):
                  F.min("doc_id").alias("keeper_id")))
 
 
+@_register("warc_ingest_roundtrip", """
+SELECT 'https://crawl.example/docs/' || doc_id::VARCHAR AS target_uri,
+       md5(coalesce(text, '')) AS text_md5,
+       length(coalesce(text, ''))::BIGINT AS n_chars
+FROM documents WHERE doc_id < 300
+""")
+def warc_ingest_roundtrip_q(spark, sf_dir):
+    """WARC/WET ingestion roundtrip (r10, sources/warc.py): a documents
+    slice serializes into WET "conversion" records — one PLAIN .warc file
+    (even doc_ids) and one record-per-gzip-member .warc.gz (odd doc_ids,
+    the Common Crawl layout) — then reads back through the binaryFile +
+    mapInPandas parser; the oracle derives the same (uri, text md5, chars)
+    DIRECTLY from the source table, so any serializer/parser asymmetry
+    (header handling, member gunzip, UTF-8 decode) turns the row red.
+    Shape: one binaryFile scan, one Arrow kernel, files are the
+    parallelism unit (how Common Crawl ships ~1 GB segments).
+    Reference: none (LLM-data-pipeline family)."""
+    import os
+    import tempfile
+    import zlib
+
+    from .sources import warc
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_warc_{tag}")
+    os.makedirs(d, exist_ok=True)
+    rows = (tables.load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 300)
+            .select("doc_id", F.coalesce("text", F.lit("")).alias("t"))
+            .orderBy("doc_id").collect())
+    date = "2024-01-01T00:00:00Z"
+    recs = [(f"https://crawl.example/docs/{r.doc_id}", date, r.t)
+            for r in rows]
+    warc.write_wet([x for i, x in enumerate(recs)
+                    if rows[i].doc_id % 2 == 0],
+                   os.path.join(d, "part0.warc"))
+    gz = bytearray()
+    for i, x in enumerate(recs):
+        if rows[i].doc_id % 2 == 1:
+            c = zlib.compressobj(9, zlib.DEFLATED, 31)     # one gzip member
+            gz += c.compress(warc.write_wet([x], "")) + c.flush()
+    with open(os.path.join(d, "part1.warc.gz"), "wb") as f:
+        f.write(bytes(gz))
+    out = warc.read_warc(spark, os.path.join(d, "*"))
+    return out.select(
+        "target_uri",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars"))
+
+
 @_register("pack_sequences", r"""
 WITH sized AS (
   SELECT doc_id, source,

@@ -76,3 +76,75 @@ def test_parquet_events_read_from_noncanonical_path(spark):
         assert _canon(got) == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_warc_parse_edges():
+    """r10 sources/warc.py: pure-parser edges — case-insensitive headers,
+    response+conversion mixing, truncated payloads, malformed headers,
+    multi-member gzip, empty input."""
+    import zlib
+
+    from memory_opensource_spark.sources.warc import (_gunzip_members,
+                                                      parse_warc_bytes,
+                                                      write_wet)
+
+    data = write_wet([("https://a/1", "2024-01-01T00:00:00Z", "hello wörld"),
+                      ("https://a/2", "2024-01-01T00:00:00Z", "")], "")
+    recs = parse_warc_bytes(data)
+    assert [r["target_uri"] for r in recs] == ["https://a/1", "https://a/2"]
+    assert recs[0]["payload"].decode("utf-8") == "hello wörld"
+    assert recs[0]["record_index"] == 0 and recs[1]["record_index"] == 1
+
+    # case-insensitive header names + a response record
+    raw = (b"WARC/1.0\r\nwarc-type: response\r\nWARC-TARGET-URI: https://b\r\n"
+           b"content-length: 4\r\n\r\nHTTP\r\n\r\n")
+    r = parse_warc_bytes(raw)
+    assert len(r) == 1 and r[0]["warc_type"] == "response"
+    assert r[0]["target_uri"] == "https://b" and r[0]["payload"] == b"HTTP"
+
+    # truncated payload: keep earlier records, stop at the bad one
+    assert len(parse_warc_bytes(data + raw[:-10])) == 2
+    # malformed content-length
+    bad = raw.replace(b"content-length: 4", b"content-length: x")
+    assert parse_warc_bytes(bad) == []
+    # garbage prefix
+    assert parse_warc_bytes(b"NOT A WARC" + data) == []
+    assert parse_warc_bytes(b"") == []
+
+    # per-record gzip members (the .warc.gz layout)
+    gz = bytearray()
+    for rec in [data[:len(write_wet([("https://a/1",
+                                      "2024-01-01T00:00:00Z",
+                                      "hello wörld")], ""))],
+                raw]:
+        c = zlib.compressobj(9, zlib.DEFLATED, 31)
+        gz += c.compress(rec) + c.flush()
+    out = parse_warc_bytes(bytes(gz))
+    assert [x["target_uri"] for x in out] == ["https://a/1", "https://b"]
+    assert _gunzip_members(b"plain") == b"plain"
+
+
+def test_read_warc_spark_roundtrip(spark, tmp_path):
+    """r10: binaryFile + kernel path — plain and gzipped files in one glob,
+    record-type filtering, WET text decode, non-WET payload passthrough."""
+    import zlib
+
+    from memory_opensource_spark.sources.warc import read_warc, write_wet
+
+    write_wet([("https://x/1", "2024-01-01T00:00:00Z", "alpha beta"),
+               ("https://x/2", "2024-01-01T00:00:00Z", "gamma")],
+              str(tmp_path / "a.warc"))
+    rec = write_wet([("https://x/3", "2024-01-01T00:00:00Z", "delta")], "")
+    c = zlib.compressobj(9, zlib.DEFLATED, 31)
+    (tmp_path / "b.warc.gz").write_bytes(c.compress(rec) + c.flush())
+
+    out = read_warc(spark, str(tmp_path / "*")).collect()
+    got = {r.target_uri: r for r in out}
+    assert set(got) == {"https://x/1", "https://x/2", "https://x/3"}
+    assert got["https://x/1"].text == "alpha beta"
+    assert got["https://x/3"].text == "delta"
+    assert all(r.warc_type == "conversion" for r in out)
+
+    # record-type filter: nothing survives a response-only read of WET data
+    assert read_warc(spark, str(tmp_path / "*"),
+                     record_types=("response",)).count() == 0
