@@ -117,6 +117,9 @@ HEADLINE = [
     # files as the parallelism unit)
     "url_canonical_dedup",
     "warc_ingest_roundtrip",
+    # round 10: regex-scoped HTML -> text extraction (the stage between
+    # WARC response records and the text operators; pure projection)
+    "html_text_extract",
 ]
 
 

@@ -1,0 +1,96 @@
+"""HTML -> text extraction for crawl pipelines (round-10).
+
+The stage between WARC "response" records (sources/warc.py) and every
+text-side operator this engine ships: strip markup, keep the prose.
+Reference analog: none (LLM-data-pipeline family) — this is the
+boilerplate-light extraction step CCNet/RefinedWeb run before quality
+filtering (a deliberately REGEX-scoPED reading of it: tag/script/comment
+removal + entity decode + whitespace normalization, NOT a DOM parser or
+readability scorer — those need semantics a SQL twin cannot pin).
+
+``html_to_text`` is a PURE Column expression (a regexp_replace chain —
+whole-stage codegen, zero shuffle, no UDF) with the documented rules:
+
+1. ``<script>``/``<style>``/``<noscript>`` elements removed WITH their
+   contents (case-insensitive, dotall, non-greedy)
+2. HTML comments removed
+3. block-level closers/breaks (``<br>``, ``</p>``, ``</div>``,
+   ``</h1..6>``, ``</li>``, ``</tr>``, ``</title>``) become newlines, all
+   other tags a space
+4. the five XML entities + ``&nbsp;`` and numeric ``&#NN;`` for them decode
+   (ampersand LAST, so ``&amp;lt;`` decodes to the literal ``&lt;``)
+5. horizontal whitespace collapses to one space, 3+ newlines to two,
+   result trimmed
+
+``html_to_text_sql`` is the DuckDB twin (same regexes, ``'g'`` flag —
+DuckDB's regexp_replace is first-match by default where Spark's is
+global), kept in the same module so the two cannot drift; randomized
+cross-engine parity is test-pinned like functions/urls.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_DROP_BLOCKS = r"(?is)<(script|style|noscript)\b[^>]*>.*?</\1\s*>"
+_COMMENTS = r"(?s)<!--.*?-->"
+_BLOCK_BREAKS = r"(?i)<(br\s*/?|/p|/div|/h[1-6]|/li|/tr|/title)\s*>"
+_ANY_TAG = r"(?s)<[^>]*>"
+_ENTITIES = [("&lt;", "<"), ("&#60;", "<"), ("&gt;", ">"), ("&#62;", ">"),
+             ("&quot;", '"'), ("&#34;", '"'), ("&#39;", "'"),
+             ("&nbsp;", " "), ("&#160;", " "),
+             ("&amp;", "&"), ("&#38;", "&")]
+_HSPACE = r"[ \t\f\r]+"
+_NL_RUNS = r"\n\s*\n(\s*\n)+"
+
+
+def html_to_text(html: Column) -> Column:
+    """The documented extraction of ``html`` (module docstring rules)."""
+    x = F.regexp_replace(html, _DROP_BLOCKS, " ")
+    x = F.regexp_replace(x, _COMMENTS, " ")
+    x = F.regexp_replace(x, _BLOCK_BREAKS, "\n")
+    x = F.regexp_replace(x, _ANY_TAG, " ")
+    for ent, ch in _ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    x = F.regexp_replace(x, _HSPACE, " ")
+    x = F.regexp_replace(x, r" ?\n ?", "\n")
+    x = F.regexp_replace(x, _NL_RUNS, "\n\n")
+    # trim ALL whitespace (plain trim strips spaces only, in both engines)
+    return F.regexp_replace(x, r"^\s+|\s+$", "")
+
+
+def _q(pattern: str) -> str:
+    """Escape a regex for embedding in a single-quoted SQL literal: quotes
+    double, backslashes pass through UNCHANGED (DuckDB's standard
+    single-quoted strings do no escape processing — doubling them would
+    hand RE2 literal-backslash character classes).
+
+    RE2 also rejects Java's ``\\1`` backreference, so the DuckDB twin of
+    _DROP_BLOCKS expands the alternation into per-element patterns
+    instead (equivalent: the three element names cannot close each
+    other's non-greedy match)."""
+    return pattern.replace("'", "''")
+
+
+def html_to_text_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`html_to_text` over SQL expression
+    ``expr`` — same rules; block-element removal expands the Java
+    backreference into per-element patterns (RE2 has no backreferences),
+    which is equivalent because the names cannot nest across each other
+    in the non-greedy match."""
+    x = expr
+    for el in ("script", "style", "noscript"):
+        x = (f"regexp_replace({x}, "
+             f"'(?is)<{el}\\b[^>]*>.*?</{el}\\s*>', ' ', 'g')")
+    x = f"regexp_replace({x}, '{_q(_COMMENTS)}', ' ', 'g')"
+    x = f"regexp_replace({x}, '{_q(_BLOCK_BREAKS)}', chr(10), 'g')"
+    x = f"regexp_replace({x}, '{_q(_ANY_TAG)}', ' ', 'g')"
+    for ent, ch in _ENTITIES:
+        lit = ch.replace("'", "''")
+        x = f"replace({x}, '{ent}', '{lit}')"
+    x = f"regexp_replace({x}, '{_q(_HSPACE)}', ' ', 'g')"
+    x = f"regexp_replace({x}, ' ?\\n ?', chr(10), 'g')"
+    x = (f"regexp_replace({x}, '{_q(_NL_RUNS)}', "
+         f"chr(10) || chr(10), 'g')")
+    return f"regexp_replace({x}, '^\\s+|\\s+$', '', 'g')"

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from .functions import decay as D
 from .functions import text as T
+from .functions import html as H
 from .functions import urls as U
 from .functions import vector as V
 from .operators import dedup, graph, ranking, similarity, windows
@@ -5273,7 +5274,7 @@ def split_leakage_safe_q(spark, sf_dir):
             .select("doc_id", "canonical_id", "split"))
 
 
-@_register("url_canonical_dedup", """WITH raw AS (
+@_register("url_canonical_dedup", r"""WITH raw AS (
   SELECT doc_id, 'HTTPS://' || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) || source || '.Example.com' || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) || '/docs/' || (doc_id % 50)::VARCHAR || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) || '?z=2&id=' || (doc_id % 50)::VARCHAR || '&utm_source=feed' || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
   FROM documents
 ), c AS (
@@ -5313,7 +5314,7 @@ def url_canonical_dedup_q(spark, sf_dir):
                  F.min("doc_id").alias("keeper_id")))
 
 
-@_register("warc_ingest_roundtrip", """
+@_register("warc_ingest_roundtrip", r"""
 SELECT 'https://crawl.example/docs/' || doc_id::VARCHAR AS target_uri,
        md5(coalesce(text, '')) AS text_md5,
        length(coalesce(text, ''))::BIGINT AS n_chars
@@ -5361,6 +5362,52 @@ def warc_ingest_roundtrip_q(spark, sf_dir):
         "target_uri",
         F.md5("text").alias("text_md5"),
         F.length("text").cast("long").alias("n_chars"))
+
+
+_HTML_RAW_SQL = (
+    "'<HTML><head><title>' || source || "
+    "'</title><style>p { color: red }</style></head>'"
+    " || '<body><!-- navigation chrome --><p>' || coalesce(text, '')"
+    " || '</p><div>entry &amp; no. ' || (doc_id % 97)::VARCHAR"
+    " || '&#39;s page</div><script>var x = 1 < 2;</script>"
+    "<br>footer</body></HTML>'")
+
+# oracle BUILT AT IMPORT TIME from the live DuckDB twin in functions/html —
+# the SQL can never drift from the Column form it mirrors (and no frozen
+# source literal can mangle the regex backslashes: r8/r10 lesson, a plain
+# triple-quoted oracle turned the twin's \b into a backspace character)
+_HTML_ORACLE = f"""WITH raw AS (
+  SELECT doc_id, {_HTML_RAW_SQL} AS html
+  FROM documents WHERE doc_id < 800
+)
+SELECT doc_id, {H.html_to_text_sql('html')} AS extracted FROM raw
+"""
+
+
+@_register("html_text_extract", _HTML_ORACLE)
+def html_text_extract_q(spark, sf_dir):
+    """HTML -> text extraction (r10, functions/html.html_to_text): the
+    crawl-chain stage between WARC response records and the text operators
+    — scripts/styles/comments dropped with contents, block closers become
+    newlines, other tags spaces, entities decoded (ampersand last),
+    whitespace normalized.  Deterministic HTML synthesized per doc wraps
+    the real text in title/style/comment/entity/script noise; the oracle
+    builds the SAME markup and runs the module's DuckDB twin, so any
+    Java-regex-vs-RE2 drift in the shared rule chain turns the row red.
+    Shape: a pure regexp_replace projection — zero UDF, zero shuffle.
+    Reference: none (LLM-data-pipeline family)."""
+    docs = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 800)
+    html = F.concat(
+        F.lit("<HTML><head><title>"), F.col("source"),
+        F.lit("</title><style>p { color: red }</style></head>"),
+        F.lit("<body><!-- navigation chrome --><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p><div>entry &amp; no. "),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit("&#39;s page</div><script>var x = 1 < 2;</script>"),
+        F.lit("<br>footer</body></HTML>"))
+    return docs.select("doc_id", H.html_to_text(html).alias("extracted"))
 
 
 @_register("pack_sequences", r"""

@@ -450,3 +450,81 @@ def test_canonical_url_random_cross_engine_parity(spark):
     bad = [(urls[i], got[i], want[i]) for i in range(200)
            if got[i] != want[i]]
     assert not bad, bad[:5]
+
+
+def test_html_to_text_rules(spark):
+    """r10 functions/html.html_to_text: every documented rule on crafted
+    cases, plus the DuckDB twin on the same inputs."""
+    import duckdb
+
+    from memory_opensource_spark.functions.html import (html_to_text,
+                                                        html_to_text_sql)
+
+    cases = [
+        ("<p>hello <b>world</b></p>", "hello world"),
+        ("<SCRIPT>var x = '<p>sneaky</p>';</SCRIPT>after", "after"),
+        ("<style media='all'>p { x: 1 }</style>kept", "kept"),
+        ("<noscript><img src=x></noscript>ok", "ok"),
+        ("<!-- note -->a<!-- and\nmore -->b", "a b"),
+        ("line1<br>line2<BR/>line3", "line1\nline2\nline3"),
+        ("<p>a</p><div>b</div><h2>c</h2>", "a\nb\nc"),
+        ("&lt;tag&gt; &amp; &quot;q&quot; &#39;s &nbsp;end",
+         "<tag> & \"q\" 's end"),
+        ("&amp;lt; stays entity-ish", "&lt; stays entity-ish"),
+        ("a   b\t\tc", "a b c"),
+        ("a</p>\n\n\n\n<p>b", "a\n\nb"),
+        ("plain text no markup", "plain text no markup"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)],
+                               "i int, h string")
+    got = {r.i: r.t for r in
+           df.select("i", html_to_text(F.col("h")).alias("t")).collect()}
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, (h, got[i], want)
+
+    con = duckdb.connect()
+    for h, want in cases:
+        got_sql = con.execute(
+            f"WITH t(h) AS (VALUES (?)) "
+            f"SELECT {html_to_text_sql('h')} FROM t", [h]).fetchone()[0]
+        assert got_sql == want, (h, got_sql, want)
+
+
+def test_html_to_text_random_cross_engine_parity(spark):
+    """r10: 150 seeded random HTML documents assembled from adversarial
+    fragments (nested tags, script/style with angle brackets inside,
+    comments, entities, attribute soup, stray '<', whitespace runs) —
+    the Spark Column form and the DuckDB twin must agree byte-for-byte."""
+    import random
+
+    import duckdb
+
+    from memory_opensource_spark.functions.html import (html_to_text,
+                                                        html_to_text_sql)
+
+    rnd = random.Random(9)
+    frags = [
+        "<p>alpha beta</p>", "<div class='x y'>gamma</div>",
+        "<SCRIPT type=text/js>if (a < b) { go('<i>') }</SCRIPT>",
+        "<style>h1 > p { k: v }</style>", "<noscript>no js</noscript>",
+        "<!-- c1 --><!--c2\nc3-->", "<br>", "<BR />", "<h3>head</h3>",
+        "&amp; &lt;x&gt; &nbsp;", "plain words here",
+        "  \t spaced \t ", "\n\n\n", "<li>item</li>", "<tr>row</tr>",
+        "<a href='u?a=1&amp;b=2'>link</a>", "<img src=x>",
+        "<title>t</title>",
+    ]
+    docs = ["".join(rnd.choice(frags) for _ in range(rnd.randint(1, 12)))
+            for _ in range(150)]
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(docs)],
+                               "i int, h string")
+    got = {r.i: r.t for r in
+           df.select("i", html_to_text(F.col("h")).alias("t")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, h VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(docs)))
+    want = dict(con.execute(
+        f"SELECT i, {html_to_text_sql('h')} FROM t").fetchall())
+    bad = [(docs[i], got[i], want[i]) for i in range(150)
+           if got[i] != want[i]]
+    assert not bad, bad[:3]
