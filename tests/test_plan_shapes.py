@@ -151,3 +151,20 @@ def test_url_canonicalization_is_scan_side(spark):
     p = _plan(spark, "url_canonical_dedup")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert p.count("Exchange") <= 2   # partial->final agg of ONE groupBy
+
+
+def test_html_extract_is_pure_projection(spark):
+    """r10: html_text_extract must stay a zero-exchange, zero-UDF scan
+    projection (the regexp chain is codegen; no Python eval node)."""
+    p = _plan(spark, "html_text_extract")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+
+
+def test_warc_ingest_is_one_kernel_no_shuffle(spark):
+    """r10: warc_ingest_roundtrip = binaryFile scan + ONE Arrow kernel;
+    records must not shuffle between parse and projection."""
+    p = _plan(spark, "warc_ingest_roundtrip")
+    assert "MapInPandas" in p
+    assert "Exchange" not in p
