@@ -118,8 +118,10 @@ HEADLINE = [
     "url_canonical_dedup",
     "warc_ingest_roundtrip",
     # round 10: regex-scoped HTML -> text extraction (the stage between
-    # WARC response records and the text operators; pure projection)
+    # WARC response records and the text operators; pure projection) and
+    # the crawl-chain composition (extract -> URL dedup -> quality gate)
     "html_text_extract",
+    "crawl_mini",
 ]
 
 

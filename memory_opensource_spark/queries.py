@@ -5410,6 +5410,81 @@ def html_text_extract_q(spark, sf_dir):
     return docs.select("doc_id", H.html_to_text(html).alias("extracted"))
 
 
+_CRAWL_RAW_URL_SQL = (
+    "'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)"
+    " || source || '.site.org'"
+    " || '/p/' || (doc_id % 40)::VARCHAR"
+    " || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)"
+    " || '?utm_source=crawl&n=' || (doc_id % 40)::VARCHAR")
+
+# oracle built at import time from the LIVE DuckDB twins (html + url), the
+# r10 lesson: frozen regex literals mangle; live twins cannot drift
+_CRAWL_ORACLE = f"""WITH raw AS (
+  SELECT doc_id, {_CRAWL_RAW_URL_SQL} AS url,
+         '<html><head><title>' || source || '</title></head><body>'
+           || '<!-- chrome --><p>' || coalesce(text, '')
+           || '</p><script>track && track(1);</script></body></html>' AS html
+  FROM documents WHERE doc_id < 600
+), ex AS (
+  SELECT doc_id, {H.html_to_text_sql('html')} AS extracted,
+         {U.canonical_url_sql('url')} AS canonical_url
+  FROM raw
+), keep AS (
+  SELECT canonical_url, MIN(doc_id) AS doc_id FROM ex GROUP BY 1
+), kept AS (
+  SELECT e.doc_id, e.canonical_url,
+         len(list_filter(string_split(lower(e.extracted), ' '),
+                         t -> t <> ''))::BIGINT AS n_words
+  FROM ex e JOIN keep k
+    ON e.doc_id = k.doc_id AND e.canonical_url = k.canonical_url
+)
+SELECT doc_id, canonical_url, n_words,
+       (CASE WHEN n_words BETWEEN 3 AND 100000 THEN 1 ELSE 0 END)::INT
+         AS quality_pass
+FROM kept
+"""
+
+
+@_register("crawl_mini", _CRAWL_ORACLE)
+def crawl_mini_q(spark, sf_dir):
+    """Crawl-chain COMPOSITION row (r10): synthesize per-doc (url, html) ->
+    html_to_text extraction -> canonical-URL dedup (keep min doc_id) ->
+    word-count quality gate ON THE EXTRACTED TEXT — the stage interactions
+    (extraction changes the word count the gate sees; URL folding decides
+    which doc survives to be gated) value-hash-verified against one DuckDB
+    CTE chain built from the SAME live twins the single-stage rows use.
+    The pipeline_mini pattern (r8) applied to the r10 crawl stages.
+    Shape: two scan-side projections + one combinable groupBy + an
+    AQE-managed keeper join; no UDF, no window.  Reference: none
+    (LLM-data-pipeline family)."""
+    docs = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 600)
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".site.org"),
+        F.lit("/p/"), (did % 40).cast("string"),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=crawl&n="), (did % 40).cast("string"))
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit("</title></head><body><!-- chrome --><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p><script>track && track(1);</script></body></html>"))
+    ex = docs.select(
+        "doc_id",
+        H.html_to_text(html).alias("extracted"),
+        U.canonical_url(url).alias("canonical_url"))
+    keep = ex.groupBy("canonical_url").agg(F.min("doc_id").alias("doc_id"))
+    kept = ex.join(keep, ["doc_id", "canonical_url"], "left_semi")
+    n_words = F.size(T.tokens(F.col("extracted"))).cast("long")
+    return kept.select(
+        "doc_id", "canonical_url", n_words.alias("n_words"),
+        F.when((n_words >= 3) & (n_words <= 100000), 1).otherwise(0)
+         .cast("int").alias("quality_pass"))
+
+
 @_register("pack_sequences", r"""
 WITH sized AS (
   SELECT doc_id, source,
