@@ -60,9 +60,13 @@ def jaccard_similarity(content: Column, expected_content: str,
 def sequence_matcher_similarity(content: Column, expected_content: str,
                                 prefix_chars: int = 500) -> Column:
     """The reference's ACTUAL similarity leg — ``difflib.SequenceMatcher(
-    None, content[:500].lower(), expected.lower()).ratio()`` — as a batched
-    Arrow UDF (r9, VERDICT r8 task 6: the exact-parity scoring path beside
-    the documented Jaccard substitute).
+    None, content.lower()[:500], expected.lower()[:500]).ratio()`` — as a
+    batched Arrow UDF (r9, VERDICT r8 task 6: the exact-parity scoring path
+    beside the documented Jaccard substitute).  Order matters and matches
+    the reference exactly (calculate_query_scores.py:106,169-170):
+    lowercase FIRST, then slice to 500, on BOTH sides — case-folding can
+    change string length (e.g. 'İ' → 'i̇'), and the expected side is
+    truncated too.
 
     Use THIS for bounded eval sets and audits; keep
     :func:`jaccard_similarity` for corpus passes — ratio() is
@@ -73,7 +77,7 @@ def sequence_matcher_similarity(content: Column, expected_content: str,
     import pandas as pd  # noqa: F401  (Arrow path requirement)
     from pyspark.sql.functions import pandas_udf
 
-    exp = expected_content.lower()
+    exp = expected_content.lower()[:prefix_chars]
 
     @pandas_udf("double")
     def ratio(s):
@@ -83,7 +87,7 @@ def sequence_matcher_similarity(content: Column, expected_content: str,
             if x is None:
                 return 0.0
             return difflib.SequenceMatcher(
-                None, x[:prefix_chars].lower(), exp).ratio()
+                None, x.lower()[:prefix_chars], exp).ratio()
 
         return s.map(one)
 

@@ -41,7 +41,11 @@ _ENTITIES = [("&lt;", "<"), ("&#60;", "<"), ("&gt;", ">"), ("&#62;", ">"),
              ("&quot;", '"'), ("&#34;", '"'), ("&#39;", "'"),
              ("&nbsp;", " "), ("&#160;", " "),
              ("&amp;", "&"), ("&#38;", "&")]
-_HSPACE = r"[ \t\f\r]+"
+# \x0B (vertical tab) is included because the engines DISAGREE on it
+# downstream: Java's \s matches VT, RE2's \s does not — normalizing it to
+# a space here keeps the later \s-based legs (_NL_RUNS, the final trim)
+# engine-identical.
+_HSPACE = "[ \\t\\f\\r\\x0B]+"
 _NL_RUNS = r"\n\s*\n(\s*\n)+"
 
 

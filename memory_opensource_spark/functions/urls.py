@@ -25,7 +25,9 @@ Rules chosen for determinism + DuckDB mirrorability (the oracle runs the
 same regexes via regexp_extract/list_filter/list_sort) — NOT a full RFC
 3986 normalizer (no percent-decoding, no path-segment resolution; both
 would need semantics the gate cannot pin byte-for-byte across engines).
-NULL urls stay NULL.
+NULL urls stay NULL.  Scheme-less inputs (``example.com/a``) pass through
+UNCHANGED — without a scheme the host/path split is ambiguous, so the
+safe dedup key is the raw string, never a mangled ``://example.com/a``.
 """
 
 from __future__ import annotations
@@ -61,11 +63,14 @@ def canonical_url(url: Column) -> Column:
         F.split(qstr, "&"),
         lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE)))        # 4.
     query = F.array_join(params, "&")
-    return F.concat(
+    canonical = F.concat(
         scheme, F.lit("://"), host,
         F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(""),
         path,
         F.when(query != "", F.concat(F.lit("?"), query)).otherwise(""))
+    # scheme-less inputs pass through unchanged (module docstring): an
+    # empty scheme would otherwise emit a mangled '://host/...' form.
+    return F.when(scheme != "", canonical).otherwise(url)
 
 
 def canonical_url_sql(expr: str) -> str:
@@ -88,7 +93,9 @@ def canonical_url_sql(expr: str) -> str:
     params = (f"list_sort(list_filter(string_split({qstr}, '&'), x -> "
               f"x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}')))")
     query = f"array_to_string({params}, '&')"
-    return (f"({scheme} || '://' || {host} || "
-            f"(CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END) || "
-            f"{path} || "
-            f"(CASE WHEN {query} <> '' THEN '?' || {query} ELSE '' END))")
+    canonical = (f"({scheme} || '://' || {host} || "
+                 f"(CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END) || "
+                 f"{path} || "
+                 f"(CASE WHEN {query} <> '' THEN '?' || {query} ELSE '' END))")
+    # scheme-less passthrough — mirrors the Column form exactly
+    return f"(CASE WHEN {scheme} <> '' THEN {canonical} ELSE {expr} END)"

@@ -6148,13 +6148,16 @@ _EVIDENCE_PRIORITY = [
     "suite_graph_sinks",          # S9/S10
     "s11_section_hierarchy",      # S11 (page->section->chunk depth; chunk
                                   # windows variant below fold)
-    "s12_cascade_delete",         # S12
-    # 9-10: filters/predicates F2..F9 (F10 scalar fns moved below fold in
+    # round-11 rotation (VERDICT r9 task 1): s12_cascade_delete and
+    # f9_fallback_relax displaced (driver-green r1..r9; S12's delete path
+    # shares the api.delete_memory surface suite_storage_lifecycle
+    # driver-checks via S5/S13, F9's relax-retry stays locally gated at
+    # 3 SFs) in favor of the r9-new crawl-chain rows below.
+    # 9: filters/predicates F2..F7 (F10 scalar fns moved below fold in
     # round 6 — still value-verified inside suite_text_analysis, which routes
     # through the same functions/text.py surface — in favor of driver-checking
     # the new SemDeDup operator)
     "suite_filters",              # F2/F3/F4/F5/F7
-    "f9_fallback_relax",          # F9
     # 12-21: vector/similarity V1..V12
     # round-9 rotation: v1_chunk_embed displaced (driver-green r1..r8,
     # unchanged; V1 chunk+embed stays exercised by v4_ingest_reuse's ingest
@@ -6208,7 +6211,8 @@ _EVIDENCE_PRIORITY = [
     "g15_acl_both_endpoints",     # ACL OR-block on BOTH pattern endpoints
     # 33-37: ranking/aggregation R2..R17
     "r2_stratified_merge",        # R2
-    "r6_rerank",                  # R6/R7
+    # round-11 rotation: r6_rerank displaced (driver-green r1..r9; the
+    # mapInPandas rerank slot is unchanged and stays locally gated)
     # round-8: the oracle-gated COMPOSITION row takes a driver slot
     # (r12_delta_since_watermark displaced — driver-green since r3,
     # semantics unchanged, delta/watermark behavior stays exercised by
@@ -6227,7 +6231,9 @@ _EVIDENCE_PRIORITY = [
     # windowed via suite_stream_windows (and st5 stays hash-verified by the
     # local gate at sf0.01 AND sf0.1 every round)
     "corpus_increment_dedup",     # exact/near/semantic verdicts vs state (r7 new)
-    "shard_corpus",               # shuffle-and-shard trainer layout (r6 new)
+    # round-11 rotation: shard_corpus displaced (driver-green r7..r9;
+    # trainer-layout sharding stays driver-checked via shard_token_budget +
+    # pack_sequences and locally gated)
     # 41-44: set ops / id algebra / scalar fns / UDF surface
     "ids_chunk_algebra",
     # round-10 rotation: set_ops_semi_anti displaced (driver-green r1..r9;
@@ -6250,6 +6256,14 @@ _EVIDENCE_PRIORITY = [
     # full gate at 3 SFs but never held a driver slot
     "contamination_bloom",        # Bloom-prefiltered decontamination (r9 new)
     "split_leakage_safe",         # leakage-safe train/val/test split (r9 new)
+    # round-11 rotation (VERDICT r9 task 1): the four r9-late crawl-chain
+    # rows that were green in the local full gate at sf0.01 AND sf0.1 but
+    # never held a driver slot — the crawl front-end (WARC read ->
+    # HTML extract -> URL dedup -> composed chain) gets driver evidence
+    "warc_ingest_roundtrip",      # WARC/WET container ingestion (r9 new)
+    "html_text_extract",          # HTML -> text extraction (r9 new)
+    "url_canonical_dedup",        # URL canonicalization dedup (r9 new)
+    "crawl_mini",                 # composed crawl chain (r9 new)
     "mm_feature_search",          # multimodal columns (sha256-oracle since r4)
     "suite_graph_analytics",      # degree + CC + pagerank + triangles + spans
     "compress_sessions",          # session compression (/compress analog)

@@ -50,8 +50,15 @@ def _gunzip_members(data: bytes) -> bytes:
     rest = data
     while rest:
         d = zlib.decompressobj(wbits=47)          # gzip wrapper
-        out += d.decompress(rest)
-        out += d.flush()
+        try:
+            out += d.decompress(rest)
+            out += d.flush()
+        except zlib.error:
+            # Corrupt/truncated member: keep the bytes recovered so far —
+            # the file's parse ends decode-tolerantly (parse_warc_bytes
+            # already stops cleanly on a truncated record) instead of
+            # failing the Spark task and with it the whole read_warc job.
+            break
         if not d.unused_data or d.unused_data == rest:
             break
         rest = d.unused_data

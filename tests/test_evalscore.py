@@ -49,7 +49,12 @@ def test_score_monotone_in_keyword_coverage(spark):
 
 def test_sequence_matcher_leg_matches_stdlib(spark):
     """r9 (VERDICT r8 task 6): the Arrow sequence_matcher path must be
-    bit-identical to a driver-side difflib call on the same inputs."""
+    bit-identical to a driver-side difflib call on the same inputs.
+
+    r10 (ADVICE): the pinned ordering is the REFERENCE's
+    (calculate_query_scores.py:106,170) — lowercase FIRST, then slice to
+    500, on BOTH sides.  Rows 6-7 + the long expected spec below diverge
+    under the old truncate-then-lower / untruncated-expected form."""
     import difflib
 
     rows = [
@@ -58,18 +63,24 @@ def test_sequence_matcher_leg_matches_stdlib(spark):
         (3, ""),
         (4, None),
         (5, "x" * 1200 + " high pdp"),   # prefix cut at 500 chars
+        # length-changing case folds straddling the 500 boundary:
+        # 'İ'.lower() == 'i̇' (2 chars), 'ẞ'.lower() == 'ß' (1 char)
+        (6, "İ" * 499 + "high pdp refrigerant leak"),
+        (7, "ẞ" * 505 + " flow rate"),
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
-    exp = SPEC["expected_content"]
-    got = {r.doc_id: r.s for r in df.select(
-        "doc_id",
-        E.sequence_matcher_similarity(F.col("text"), exp).alias("s"))
-        .collect()}
-    for i, txt in rows:
-        want = (0.0 if txt is None else
-                difflib.SequenceMatcher(None, txt[:500].lower(),
-                                        exp.lower()).ratio())
-        assert got[i] == want, (i, got[i], want)
+    for exp in (SPEC["expected_content"],
+                # expected side longer than 500 chars — must be truncated
+                "flow rate " * 80):
+        got = {r.doc_id: r.s for r in df.select(
+            "doc_id",
+            E.sequence_matcher_similarity(F.col("text"), exp).alias("s"))
+            .collect()}
+        for i, txt in rows:
+            want = (0.0 if txt is None else
+                    difflib.SequenceMatcher(None, txt.lower()[:500],
+                                            exp.lower()[:500]).ratio())
+            assert got[i] == want, (i, got[i], want)
 
 
 def test_sequence_matcher_vs_jaccard_ranking_agreement(spark):

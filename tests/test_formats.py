@@ -123,6 +123,23 @@ def test_warc_parse_edges():
     assert [x["target_uri"] for x in out] == ["https://a/1", "https://b"]
     assert _gunzip_members(b"plain") == b"plain"
 
+    # r10 (ADVICE): a corrupt/truncated gzip member must NOT raise — the
+    # bytes recovered so far are kept (decode-tolerant contract), so the
+    # records before the bad member still parse
+    first_member = zlib.compressobj(9, zlib.DEFLATED, 31)
+    rec1 = write_wet([("https://a/1", "2024-01-01T00:00:00Z", "ok")], "")
+    good = first_member.compress(rec1) + first_member.flush()
+    corrupt = good + b"\x1f\x8b\x08\x00garbage-not-a-member"
+    assert [r["target_uri"] for r in parse_warc_bytes(corrupt)] \
+        == ["https://a/1"]
+    # cut mid-deflate inside the SECOND member (header is 10 bytes): the
+    # first record survives, the second ends the parse, no exception
+    truncated = bytes(gz[: len(good) + 14])
+    assert [r["target_uri"] for r in parse_warc_bytes(truncated)] \
+        == ["https://a/1"]
+    # a lone corrupt member yields no rows, still no exception
+    assert parse_warc_bytes(b"\x1f\x8b\x08\x00junkjunkjunk") == []
+
 
 def test_read_warc_spark_roundtrip(spark, tmp_path):
     """r10: binaryFile + kernel path — plain and gzipped files in one glob,

@@ -386,6 +386,12 @@ def test_canonical_url_rules(spark):
         ("https://e.com/a?", "https://e.com/a"),
         # ref as a VALUE is not the ref PARAM
         ("https://e.com/a?xref=1&ref=2", "https://e.com/a?xref=1"),
+        # r10 (ADVICE): scheme-less inputs pass through UNCHANGED — the
+        # host/path split is ambiguous, so no '://host' mangling
+        ("example.com/a", "example.com/a"),
+        ("WWW.Example.com/A/#f", "WWW.Example.com/A/#f"),
+        ("//example.com/proto-relative", "//example.com/proto-relative"),
+        ("mailto:a@b.c", "mailto:a@b.c"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                "i int, url string")
@@ -422,7 +428,11 @@ def test_canonical_url_random_cross_engine_parity(spark):
                                                         canonical_url_sql)
 
     rnd = random.Random(42)
-    schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
+    # "" exercises the r10 scheme-less passthrough (bare host, no '://');
+    # "::/" yields the pathological '://host' form — both must agree
+    # across engines too
+    schemes = ["http://", "HTTP://", "https://", "HTTPS://", "ftp://",
+               "", "://"]
     hosts = ["Example.com", "www.Example.com", "WWW.API.site.ORG",
              "localhost", "a-b.c-d.io"]
     ports = ["", ":80", ":443", ":8080", ":1"]
@@ -434,7 +444,7 @@ def test_canonical_url_random_cross_engine_parity(spark):
     for _ in range(200):
         q = rnd.sample(params, rnd.randint(0, 5))
         urls.append(
-            rnd.choice(schemes) + "://" + rnd.choice(hosts)
+            rnd.choice(schemes) + rnd.choice(hosts)
             + rnd.choice(ports) + rnd.choice(paths)
             + ("?" + "&".join(q) if q else "")
             + rnd.choice(frags))
@@ -475,6 +485,12 @@ def test_html_to_text_rules(spark):
         ("a</p>\n\n\n\n<p>b", "a\n\nb"),
         ("plain text no markup", "plain text no markup"),
         ("", ""),
+        # r10 (ADVICE): vertical tab — Java's \s matches it, RE2's does
+        # not; _HSPACE normalizes it to a space FIRST so the \s-based
+        # legs stay engine-identical
+        ("a\x0bb", "a b"),
+        ("\x0b<p>edge</p>\x0b", "edge"),
+        ("x</p>\x0b\n\x0b\n\x0b\n<p>y", "x\n\ny"),
     ]
     df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)],
                                "i int, h string")
@@ -510,7 +526,8 @@ def test_html_to_text_random_cross_engine_parity(spark):
         "<style>h1 > p { k: v }</style>", "<noscript>no js</noscript>",
         "<!-- c1 --><!--c2\nc3-->", "<br>", "<BR />", "<h3>head</h3>",
         "&amp; &lt;x&gt; &nbsp;", "plain words here",
-        "  \t spaced \t ", "\n\n\n", "<li>item</li>", "<tr>row</tr>",
+        "  \t spaced \t ", "\n\n\n", "\x0b", "a\x0b\nb",
+        "<li>item</li>", "<tr>row</tr>",
         "<a href='u?a=1&amp;b=2'>link</a>", "<img src=x>",
         "<title>t</title>",
     ]

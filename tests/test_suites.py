@@ -20,15 +20,14 @@ def test_registry_prefix_covers_component_families():
     top50 = list(QUERIES)[:50]
     required = [
         "search_flagship", "suite_storage_lifecycle",
-        "suite_graph_sinks", "s12_cascade_delete", "suite_filters",
-        "f9_fallback_relax",
+        "suite_graph_sinks", "suite_filters",
         "v4_ingest_reuse", "v5_bucketed_pairs",
         "v6_entity_resolution",
         "g1_pattern_match",
         "g2_two_hop_paths", "suite_graph_lookup",
         "g7_schema_discovery", "g8_schema_driven_merge", "suite_graph_store",
         "g14_constraint_when",
-        "r2_stratified_merge", "r6_rerank",
+        "r2_stratified_merge",
         "suite_ranking_formulas",
         "suite_stream_windows",
         "ids_chunk_algebra", "suite_text_analysis",
@@ -50,7 +49,7 @@ def test_registry_prefix_covers_component_families():
         # (v9_grouped_points, st2_session_windows, txn_merge_roundtrip,
         # zorder_layout_roundtrip move below fold — still locally gated,
         # semantics unchanged since they were last driver-checked)
-        "ann_pq_rerank", "lm_quality_scores", "shard_corpus",
+        "ann_pq_rerank", "lm_quality_scores",
         "omo_export_roundtrip",
         # round-7 rotation 2: the round's flagship new op into the window
         # (st5_decayed_counter_replay below fold — unchanged for two rounds,
@@ -84,6 +83,14 @@ def test_registry_prefix_covers_component_families():
         # flagships, semi/anti algebra inside storage lifecycle, dedup and
         # id-fetch rows; both stay locally gated at 3 SFs)
         "contamination_bloom", "split_leakage_safe",
+        # round-11 rotation (VERDICT r9 task 1): the four r9-new
+        # crawl-chain rows into the window (s12_cascade_delete /
+        # f9_fallback_relax / r6_rerank / shard_corpus displaced — each
+        # driver-green for many rounds, semantics unchanged; delete paths
+        # stay driver-checked in suite_storage_lifecycle, sharding in
+        # shard_token_budget + pack_sequences; all stay locally gated)
+        "warc_ingest_roundtrip", "html_text_extract",
+        "url_canonical_dedup", "crawl_mini",
     ]
     missing = [q for q in required if q not in top50]
     assert not missing, f"top-50 evidence window lost: {missing}"
