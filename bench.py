@@ -122,6 +122,10 @@ HEADLINE = [
     # the crawl-chain composition (extract -> URL dedup -> quality gate)
     "html_text_extract",
     "crawl_mini",
+    # round 11: line-level boilerplate pruning (RefinedWeb §3.1/jusText
+    # rules R1-R7 as a pure Column projection; crawl_mini now composes it
+    # after its URL dedup)
+    "boilerplate_prune",
 ]
 
 

@@ -1,0 +1,190 @@
+"""Line-level boilerplate pruning for crawl pipelines (round-11).
+
+The crawl-quality step BETWEEN html_to_text (functions/html.py) and the
+Gopher document-level tables (functions/text.py): a page that survives
+extraction still carries nav menus, footers, cookie banners, share
+counters and link lists — line-level rules prune those before any
+document-level quality score sees them (RefinedWeb §3.1's line-wise
+corrections / jusText's context-free classification, re-read as
+DETERMINISTIC rules so a DuckDB twin can pin every threshold).
+Reference analog: none (LLM-data-pipeline family, like the Gopher
+tables).
+
+A LINE here is a ``\\n``-separated segment of the extracted text.  Lines
+arriving from ``html_to_text(html, mark_links=True)`` carry the anchor
+sentinels LINK_OPEN/LINK_CLOSE (functions/html.py) around link text;
+this module scores link density from them and STRIPS them from its
+output.  Plain (unmarked) text works too — link density is then 0.
+
+A line is DROPPED when any rule fires (thresholds are part of the
+operator spec and mirrored verbatim in the DuckDB twin):
+
+- R1 short non-sentence: <= 2 words and no terminal punctuation
+  (``.!?``) at the end — nav items ("Home", "Contact us")
+- R2 shouting header: >= 4 alphabetic chars, > 70% of them uppercase,
+  and <= 10 words — menu/section headers (RefinedWeb "mainly uppercase")
+- R3 bare counter: only digits/punctuation/whitespace, or a
+  ``<number> likes|shares|comments|views|votes|points|replies`` counter
+- R4 short list item: starts with a list marker (``- * • · ‣ >``)
+  and <= 4 words — link lists and nav bullets
+- R5 low stopword density: >= 5 words and < 10% of them English
+  stopwords — jusText's low-density rule for machine/template text
+  (alpha-stripped token match against STOPWORDS, functions/text.py)
+- R6 link-heavy: > 50% of the line's characters inside anchor
+  sentinels — jusText link-density rule (marked input only)
+- R7 copyright footer: starts with ``©``, ``(c)`` or ``copyright``
+  (case-insensitive) and <= 8 words — the standard footer line
+
+Empty lines are KEPT (they are the paragraph separators html_to_text
+emits); runs the pruning creates collapse back to one blank line and the
+result is edge-trimmed.  Everything is a pure Column expression over
+``split``/``filter``/``transform`` — zero UDF, zero shuffle, scan-side —
+and ``prune_lines_sql`` is the DuckDB twin kept in this module so the
+two cannot drift (randomized cross-engine parity is test-pinned like
+functions/urls.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .html import LINK_CLOSE, LINK_OPEN
+
+# jusText-style density list: the most frequent English function words.
+# Deliberately larger than text.STOPWORDS_EN (density scoring needs recall;
+# lang-ID needs discrimination) — a line of real prose hits several of
+# these, template/machine text hits almost none.
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "but", "of", "to", "in", "on", "at",
+    "is", "are", "was", "were", "be", "been", "it", "its", "this", "that",
+    "with", "as", "for", "by", "from", "not", "no", "he", "she", "they",
+    "we", "you", "i", "his", "her", "their", "our", "your", "has", "have",
+    "had", "will", "would", "can", "could", "do", "does", "did", "so",
+]
+
+MIN_WORDS_SENTENCE = 2       # R1: <= this without terminal punct drops
+MAX_UPPER_RATIO = 0.7        # R2
+MAX_UPPER_WORDS = 10         # R2
+MAX_LIST_WORDS = 4           # R4
+MIN_DENSITY_WORDS = 5        # R5: rule applies from this many words
+MIN_STOPWORD_FRAC = 0.10     # R5
+MAX_LINK_FRAC = 0.5          # R6
+
+_COUNTER_RE = ("^[0-9]+ +"
+               "(likes?|shares?|comments?|views?|votes?|points?|replies)$")
+_NUMERIC_ONLY_RE = "^[0-9 .,/:%()+-]+$"
+_LIST_MARKER_RE = "^[-*•·‣>] "
+_COPYRIGHT_RE = "^(©|\\(c\\) |copyright\\b)"
+MAX_COPYRIGHT_WORDS = 8      # R7
+
+
+def _strip_marks(line: Column) -> Column:
+    return F.replace(F.replace(line, F.lit(LINK_OPEN), F.lit("")),
+                     F.lit(LINK_CLOSE), F.lit(""))
+
+
+def _words(plain: Column) -> Column:
+    return F.filter(F.split(F.trim(plain), " +"), lambda w: w != "")
+
+
+def keep_line(line: Column) -> Column:
+    """True when ``line`` (possibly link-marked) survives rules R1-R6.
+    Empty/whitespace-only lines are kept (paragraph separators)."""
+    plain = _strip_marks(line)
+    stripped = F.trim(plain)
+    words = _words(plain)
+    n_words = F.size(words)
+    alpha = F.regexp_replace(plain, "[^A-Za-z]", "")
+    n_alpha = F.length(alpha)
+    n_upper = F.length(F.regexp_replace(alpha, "[^A-Z]", ""))
+    # chars inside complete LINK_OPEN..LINK_CLOSE pairs
+    no_anchor = F.regexp_replace(
+        line, f"{LINK_OPEN}[^{LINK_OPEN}{LINK_CLOSE}]*{LINK_CLOSE}", "")
+    link_chars = F.length(plain) - F.length(_strip_marks(no_anchor))
+    stop_hits = F.size(F.filter(
+        words,
+        lambda w: F.array_contains(
+            F.array(*[F.lit(s) for s in STOPWORDS]),
+            F.regexp_replace(F.lower(w), "[^a-z]", ""))))
+    r1 = ((n_words <= MIN_WORDS_SENTENCE)
+          & ~stripped.rlike("[.!?]$"))
+    r2 = ((n_alpha >= 4)
+          & (n_upper.cast("double") > F.lit(MAX_UPPER_RATIO)
+             * n_alpha.cast("double"))
+          & (n_words <= MAX_UPPER_WORDS))
+    r3 = stripped.rlike(_NUMERIC_ONLY_RE) | F.lower(stripped).rlike(_COUNTER_RE)
+    r4 = stripped.rlike(_LIST_MARKER_RE) & (n_words <= MAX_LIST_WORDS)
+    r5 = ((n_words >= MIN_DENSITY_WORDS)
+          & (stop_hits.cast("double")
+             < F.lit(MIN_STOPWORD_FRAC) * n_words.cast("double")))
+    r6 = (link_chars.cast("double")
+          > F.lit(MAX_LINK_FRAC) * F.length(stripped).cast("double"))
+    r7 = (F.lower(stripped).rlike(_COPYRIGHT_RE)
+          & (n_words <= MAX_COPYRIGHT_WORDS))
+    return (stripped == "") | ~(r1 | r2 | r3 | r4 | r5 | r6 | r7)
+
+
+def prune_lines(text: Column) -> Column:
+    """``text`` with boilerplate lines removed (rules R1-R6), anchor
+    sentinels stripped, per-line horizontal whitespace re-collapsed, blank
+    runs collapsed to one paragraph break, edges trimmed.  NULL stays
+    NULL.  Pure Column expression — scan-side at any corpus size."""
+    kept = F.filter(F.split(text, "\n"), keep_line)
+    joined = F.array_join(F.transform(
+        kept, lambda x: F.regexp_replace(F.trim(_strip_marks(x)), " +", " ")),
+        "\n")
+    collapsed = F.regexp_replace(joined, "\n{3,}", "\n\n")
+    return F.regexp_replace(collapsed, "^\n+|\n+$", "")
+
+
+def _keep_line_sql(line: str) -> str:
+    """DuckDB twin of :func:`keep_line` over SQL expression ``line`` —
+    same rules, same thresholds, mirrored primitives."""
+    plain = f"replace(replace({line}, chr(1), ''), chr(2), '')"
+    stripped = f"trim({plain})"
+    words = f"list_filter(regexp_split_to_array(trim({plain}), ' +'), w -> w <> '')"
+    n_words = f"len({words})"
+    alpha = f"regexp_replace({plain}, '[^A-Za-z]', '', 'g')"
+    n_alpha = f"length({alpha})"
+    n_upper = f"length(regexp_replace({alpha}, '[^A-Z]', '', 'g'))"
+    no_anchor = (f"regexp_replace({line}, chr(1) || '[^' || chr(1) || "
+                 f"chr(2) || ']*' || chr(2), '', 'g')")
+    link_chars = (f"(length({plain}) - length(replace(replace({no_anchor}, "
+                  f"chr(1), ''), chr(2), '')))")
+    stops = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    stop_hits = (f"len(list_filter({words}, w -> list_contains({stops}, "
+                 f"regexp_replace(lower(w), '[^a-z]', '', 'g'))))")
+    r1 = (f"({n_words} <= {MIN_WORDS_SENTENCE} AND NOT "
+          f"regexp_matches({stripped}, '[.!?]$'))")
+    r2 = (f"({n_alpha} >= 4 AND {n_upper}::DOUBLE > {MAX_UPPER_RATIO} * "
+          f"{n_alpha}::DOUBLE AND {n_words} <= {MAX_UPPER_WORDS})")
+    r3 = (f"(regexp_matches({stripped}, '{_NUMERIC_ONLY_RE}') OR "
+          f"regexp_matches(lower({stripped}), '{_COUNTER_RE}'))")
+    r4 = (f"(regexp_matches({stripped}, '{_LIST_MARKER_RE}') AND "
+          f"{n_words} <= {MAX_LIST_WORDS})")
+    r5 = (f"({n_words} >= {MIN_DENSITY_WORDS} AND {stop_hits}::DOUBLE < "
+          f"{MIN_STOPWORD_FRAC} * {n_words}::DOUBLE)")
+    r6 = (f"({link_chars}::DOUBLE > {MAX_LINK_FRAC} * "
+          f"length({stripped})::DOUBLE)")
+    r7 = (f"(regexp_matches(lower({stripped}), '{_COPYRIGHT_RE}') AND "
+          f"{n_words} <= {MAX_COPYRIGHT_WORDS})")
+    return (f"({stripped} = '' OR NOT ({r1} OR {r2} OR {r3} OR {r4} OR "
+            f"{r5} OR {r6} OR {r7}))")
+
+
+def prune_lines_sql(expr: str) -> str:
+    """DuckDB twin of :func:`prune_lines` over SQL expression ``expr``."""
+    kept = (f"list_filter(string_split({expr}, chr(10)), "
+            f"x -> {_keep_line_sql('x')})")
+    cleaned = (f"list_transform({kept}, x -> regexp_replace(trim("
+               f"replace(replace(x, chr(1), ''), chr(2), '')), ' +', ' ', "
+               f"'g'))")
+    # DuckDB's array_to_string([]) is NULL where Spark's array_join is '' —
+    # coalesce the all-lines-dropped case, preserving NULL-in -> NULL-out
+    joined = (f"(CASE WHEN {expr} IS NULL THEN NULL ELSE "
+              f"coalesce(array_to_string({cleaned}, chr(10)), '') END)")
+    collapsed = (f"regexp_replace({joined}, chr(10) || '{{3,}}', "
+                 f"chr(10) || chr(10), 'g')")
+    return (f"regexp_replace({collapsed}, '^' || chr(10) || '+|' || "
+            f"chr(10) || '+$', '', 'g')")

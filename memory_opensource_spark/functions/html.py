@@ -49,11 +49,32 @@ _HSPACE = "[ \\t\\f\\r\\x0B]+"
 _NL_RUNS = r"\n\s*\n(\s*\n)+"
 
 
-def html_to_text(html: Column) -> Column:
-    """The documented extraction of ``html`` (module docstring rules)."""
+# anchor sentinels for the link-marked variant (functions/boilerplate.py
+# measures per-line link density from them): non-printing, never produced
+# by the extraction itself, stripped by the consumer
+LINK_OPEN = "\x01"
+LINK_CLOSE = "\x02"
+_A_OPEN = r"(?is)<a\b[^>]*>"
+_A_CLOSE = r"(?is)</a\s*>"
+
+
+def html_to_text(html: Column, mark_links: bool = False) -> Column:
+    """The documented extraction of ``html`` (module docstring rules).
+
+    ``mark_links=True`` additionally wraps anchor TEXT in the
+    LINK_OPEN/LINK_CLOSE sentinels before tags are stripped — the input
+    line-level boilerplate pruning needs to score link density
+    (functions/boilerplate.py strips the sentinels after scoring).  The
+    sentinels are not whitespace, so the normalization legs leave them
+    intact."""
     x = F.regexp_replace(html, _DROP_BLOCKS, " ")
     x = F.regexp_replace(x, _COMMENTS, " ")
     x = F.regexp_replace(x, _BLOCK_BREAKS, "\n")
+    if mark_links:
+        # space-padded like any other tag so that stripping the sentinels
+        # reproduces the unmarked output byte-for-byte (test-pinned)
+        x = F.regexp_replace(x, _A_OPEN, " " + LINK_OPEN)
+        x = F.regexp_replace(x, _A_CLOSE, LINK_CLOSE + " ")
     x = F.regexp_replace(x, _ANY_TAG, " ")
     for ent, ch in _ENTITIES:
         x = F.replace(x, F.lit(ent), F.lit(ch))
@@ -77,7 +98,7 @@ def _q(pattern: str) -> str:
     return pattern.replace("'", "''")
 
 
-def html_to_text_sql(expr: str) -> str:
+def html_to_text_sql(expr: str, mark_links: bool = False) -> str:
     """The DuckDB twin of :func:`html_to_text` over SQL expression
     ``expr`` — same rules; block-element removal expands the Java
     backreference into per-element patterns (RE2 has no backreferences),
@@ -89,6 +110,9 @@ def html_to_text_sql(expr: str) -> str:
              f"'(?is)<{el}\\b[^>]*>.*?</{el}\\s*>', ' ', 'g')")
     x = f"regexp_replace({x}, '{_q(_COMMENTS)}', ' ', 'g')"
     x = f"regexp_replace({x}, '{_q(_BLOCK_BREAKS)}', chr(10), 'g')"
+    if mark_links:
+        x = f"regexp_replace({x}, '{_q(_A_OPEN)}', ' ' || chr(1), 'g')"
+        x = f"regexp_replace({x}, '{_q(_A_CLOSE)}', chr(2) || ' ', 'g')"
     x = f"regexp_replace({x}, '{_q(_ANY_TAG)}', ' ', 'g')"
     for ent, ch in _ENTITIES:
         lit = ch.replace("'", "''")

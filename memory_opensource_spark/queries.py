@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions import boilerplate as B
 from .functions import decay as D
 from .functions import text as T
 from .functions import html as H
@@ -5417,23 +5418,37 @@ _CRAWL_RAW_URL_SQL = (
     " || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)"
     " || '?utm_source=crawl&n=' || (doc_id % 40)::VARCHAR")
 
-# oracle built at import time from the LIVE DuckDB twins (html + url), the
-# r10 lesson: frozen regex literals mangle; live twins cannot drift
+# the synthetic page wraps the real text in the chrome a crawl actually
+# sees: a nav bar of anchors, a share counter, a script, a (c) footer —
+# each on its own line after extraction, so the pruning stage has real
+# boilerplate to remove (r11: VERDICT r9 task 2)
+_CRAWL_RAW_HTML_SQL = (
+    "'<html><head><title>' || source || '</title></head><body>"
+    "<div><a href=\"/\">Home</a> <a href=\"/about\">About</a> "
+    "<a href=\"/contact\">Contact</a></div>"
+    "<!-- chrome --><p>' || coalesce(text, '') || '</p><div>' || "
+    "(doc_id % 900)::VARCHAR || ' likes</div>"
+    "<script>track && track(1);</script>"
+    "<div>© 2024 ' || source || ' Corp</div></body></html>'")
+
+_CRAWL_EXTRACTED_SQL = H.html_to_text_sql("html", mark_links=True)
+
+# oracle built at import time from the LIVE DuckDB twins (html + url +
+# boilerplate), the r10 lesson: frozen regex literals mangle; live twins
+# cannot drift
 _CRAWL_ORACLE = f"""WITH raw AS (
   SELECT doc_id, {_CRAWL_RAW_URL_SQL} AS url,
-         '<html><head><title>' || source || '</title></head><body>'
-           || '<!-- chrome --><p>' || coalesce(text, '')
-           || '</p><script>track && track(1);</script></body></html>' AS html
+         {_CRAWL_RAW_HTML_SQL} AS html
   FROM documents WHERE doc_id < 600
 ), ex AS (
-  SELECT doc_id, {H.html_to_text_sql('html')} AS extracted,
+  SELECT doc_id, {B.prune_lines_sql(_CRAWL_EXTRACTED_SQL)} AS pruned,
          {U.canonical_url_sql('url')} AS canonical_url
   FROM raw
 ), keep AS (
   SELECT canonical_url, MIN(doc_id) AS doc_id FROM ex GROUP BY 1
 ), kept AS (
   SELECT e.doc_id, e.canonical_url,
-         len(list_filter(string_split(lower(e.extracted), ' '),
+         len(list_filter(string_split(lower(e.pruned), ' '),
                          t -> t <> ''))::BIGINT AS n_words
   FROM ex e JOIN keep k
     ON e.doc_id = k.doc_id AND e.canonical_url = k.canonical_url
@@ -5447,16 +5462,19 @@ FROM kept
 
 @_register("crawl_mini", _CRAWL_ORACLE)
 def crawl_mini_q(spark, sf_dir):
-    """Crawl-chain COMPOSITION row (r10): synthesize per-doc (url, html) ->
-    html_to_text extraction -> canonical-URL dedup (keep min doc_id) ->
-    word-count quality gate ON THE EXTRACTED TEXT — the stage interactions
-    (extraction changes the word count the gate sees; URL folding decides
-    which doc survives to be gated) value-hash-verified against one DuckDB
-    CTE chain built from the SAME live twins the single-stage rows use.
-    The pipeline_mini pattern (r8) applied to the r10 crawl stages.
-    Shape: two scan-side projections + one combinable groupBy + an
-    AQE-managed keeper join; no UDF, no window.  Reference: none
-    (LLM-data-pipeline family)."""
+    """Crawl-chain COMPOSITION row (r10; r11 adds the boilerplate stage):
+    synthesize per-doc (url, html with nav/counter/footer chrome) ->
+    link-marked html_to_text extraction -> line-level boilerplate pruning
+    (functions/boilerplate.py: the nav anchors fall to link density R6,
+    the counter to R3, the footer to R7) -> canonical-URL dedup (keep min
+    doc_id) -> word-count quality gate ON THE PRUNED TEXT — the stage
+    interactions (pruning changes the word count the gate sees; URL
+    folding decides which doc survives to be gated) value-hash-verified
+    against one DuckDB CTE chain built from the SAME live twins the
+    single-stage rows use.  The pipeline_mini pattern (r8) applied to the
+    crawl stages.  Shape: two scan-side projections + one combinable
+    groupBy + an AQE-managed keeper join; no UDF, no window.
+    Reference: none (LLM-data-pipeline family)."""
     docs = tables.load(spark, sf_dir, "documents") \
         .filter(F.col("doc_id") < 600)
     did = F.col("doc_id")
@@ -5469,20 +5487,89 @@ def crawl_mini_q(spark, sf_dir):
         F.lit("?utm_source=crawl&n="), (did % 40).cast("string"))
     html = F.concat(
         F.lit("<html><head><title>"), F.col("source"),
-        F.lit("</title></head><body><!-- chrome --><p>"),
+        F.lit('</title></head><body><div><a href="/">Home</a> '
+              '<a href="/about">About</a> '
+              '<a href="/contact">Contact</a></div>'
+              "<!-- chrome --><p>"),
         F.coalesce(F.col("text"), F.lit("")),
-        F.lit("</p><script>track && track(1);</script></body></html>"))
-    ex = docs.select(
+        F.lit("</p><div>"), (did % 900).cast("string"),
+        F.lit(" likes</div><script>track && track(1);</script>"
+              "<div>© 2024 "),
+        F.col("source"), F.lit(" Corp</div></body></html>"))
+    # URL dedup FIRST (the cheap string key), extraction + pruning only on
+    # the survivors — at crawl scale the expensive per-byte stages must
+    # never run on rows the URL pass already discards (and the heavy
+    # expression tree appears ONCE in the plan, not on both semi-join
+    # sides: r11, 3.5s -> sub-second plan build)
+    urls_df = docs.select("doc_id", U.canonical_url(url).alias("canonical_url"))
+    keep = urls_df.groupBy("canonical_url") \
+        .agg(F.min("doc_id").alias("doc_id"))
+    kept = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+    ex = kept.select(
         "doc_id",
-        H.html_to_text(html).alias("extracted"),
+        B.prune_lines(H.html_to_text(html, mark_links=True)).alias("pruned"),
         U.canonical_url(url).alias("canonical_url"))
-    keep = ex.groupBy("canonical_url").agg(F.min("doc_id").alias("doc_id"))
-    kept = ex.join(keep, ["doc_id", "canonical_url"], "left_semi")
-    n_words = F.size(T.tokens(F.col("extracted"))).cast("long")
-    return kept.select(
+    n_words = F.size(T.tokens(F.col("pruned"))).cast("long")
+    return ex.select(
         "doc_id", "canonical_url", n_words.alias("n_words"),
         F.when((n_words >= 3) & (n_words <= 100000), 1).otherwise(0)
          .cast("int").alias("quality_pass"))
+
+
+# r11: the standalone oracle row for the boilerplate stage — documents
+# wrapped in the chrome LINES a crawl page sheds (nav items, counter,
+# bullet, caps banner, footer), pruned, with before/after line counts so
+# the gate hash covers both the keep-decisions and the reassembled text
+_BOILER_RAW_SQL = (
+    "('Home' || chr(10) || 'About Us' || chr(10) || coalesce(text, '') "
+    "|| chr(10) || (doc_id % 500)::VARCHAR || ' likes' || chr(10) || "
+    "'- item' || chr(10) || 'SUBSCRIBE NOW' || chr(10) || "
+    "'© 2024 ' || source || ' Corp')")
+
+_BOILER_ORACLE = f"""WITH raw AS (
+  SELECT doc_id, {_BOILER_RAW_SQL} AS raw_text
+  FROM documents WHERE doc_id < 700
+), pruned AS (
+  SELECT doc_id, len(string_split(raw_text, chr(10)))::INT AS n_lines_raw,
+         {B.prune_lines_sql('raw_text')} AS kept_text
+  FROM raw
+)
+SELECT doc_id, n_lines_raw,
+       len(list_filter(string_split(kept_text, chr(10)),
+                       l -> l <> ''))::INT AS n_lines_kept,
+       md5(kept_text) AS pruned_md5
+FROM pruned
+"""
+
+
+@_register("boilerplate_prune", _BOILER_ORACLE)
+def boilerplate_prune_q(spark, sf_dir):
+    """Line-level boilerplate pruning (r11, functions/boilerplate.py —
+    VERDICT r9 task 2): the RefinedWeb §3.1 / jusText stage between
+    html_to_text and the Gopher document tables.  Each document is wrapped
+    in the chrome lines a crawl page sheds — nav items (R1), a share
+    counter (R3), a bullet (R4), a caps banner (R2), a (c) footer (R7) —
+    and pruned; the oracle rebuilds the same lines and runs the module's
+    DuckDB twin, so every rule threshold and the reassembly (blank-run
+    collapse, edge trim) is value-hash-pinned via before/after line counts
+    and the md5 of the pruned text.  Shape: a pure Column expression over
+    split/filter/transform — zero UDF, zero shuffle, scan-side at 100 TB.
+    Reference: none (LLM-data-pipeline family)."""
+    docs = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 700)
+    raw = F.concat_ws(
+        "\n", F.lit("Home"), F.lit("About Us"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.concat((F.col("doc_id") % 500).cast("string"), F.lit(" likes")),
+        F.lit("- item"), F.lit("SUBSCRIBE NOW"),
+        F.concat(F.lit("© 2024 "), F.col("source"), F.lit(" Corp")))
+    kept = B.prune_lines(raw)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(raw, "\n")).cast("int").alias("n_lines_raw"),
+        F.size(F.filter(F.split(kept, "\n"), lambda l: l != ""))
+         .cast("int").alias("n_lines_kept"),
+        F.md5(kept).alias("pruned_md5"))
 
 
 @_register("pack_sequences", r"""

@@ -545,3 +545,172 @@ def test_html_to_text_random_cross_engine_parity(spark):
     bad = [(docs[i], got[i], want[i]) for i in range(150)
            if got[i] != want[i]]
     assert not bad, bad[:3]
+
+
+def test_boilerplate_keep_rules(spark):
+    """r11 functions/boilerplate: every documented rule R1-R7 on crafted
+    lines, Spark and the DuckDB twin agreeing byte-for-byte on the pruned
+    document."""
+    import duckdb
+
+    from memory_opensource_spark.functions.boilerplate import (
+        prune_lines, prune_lines_sql)
+
+    KEEP = [
+        "This is a real paragraph with enough words to keep it here.",
+        "Real sentences survive because they carry the function words.",
+        "Ok.",                           # short BUT terminal punctuation
+        "copyright is a legal concept that the law protects for authors.",
+        "- a list item long enough to keep with the usual words present.",
+        "IMPORTANT NOTICE ABOUT THE UPCOMING CHANGES TO THE SERVICE WE "
+        "ARE ROLLING OUT",               # >10 words: R2 does not fire
+    ]
+    DROP = [
+        "Home",                          # R1
+        "About Us",                      # R1
+        "CONTACT US NOW",                # R2
+        "123",                           # R3 numeric only
+        "2024/01/01 12:30",              # R3
+        "42 likes",                      # R3 counter
+        "- item",                        # R4
+        "* nav two",                     # R4
+        "wordone wordtwo wordthree wordfour wordfive wordsix",   # R5
+        "© 2024 Example Corp",           # R7
+        "Copyright 2024 Example Corp All Rights",                # R7
+    ]
+    doc = "\n".join(KEEP + DROP)
+    df = spark.createDataFrame([(doc,)], "t string")
+    got = df.select(prune_lines(F.col("t")).alias("p")).first().p
+    assert got == "\n".join(KEEP), got
+    con = duckdb.connect()
+    want = con.execute(
+        f"WITH t(t) AS (VALUES (?)) SELECT {prune_lines_sql('t')} FROM t",
+        [doc]).fetchone()[0]
+    assert want == got
+
+    # R6 link density via the marked form: a nav line of anchors drops,
+    # a prose line with one short link survives; sentinels stripped
+    marked = ("\x01Home\x02 \x01About\x02 \x01Contact\x02\n"
+              "See \x01this page\x02 for the rest of the long prose text.")
+    df2 = spark.createDataFrame([(marked,)], "t string")
+    got2 = df2.select(prune_lines(F.col("t")).alias("p")).first().p
+    assert got2 == "See this page for the rest of the long prose text."
+    want2 = con.execute(
+        f"WITH t(t) AS (VALUES (?)) SELECT {prune_lines_sql('t')} FROM t",
+        [marked]).fetchone()[0]
+    assert want2 == got2
+
+    # paragraph breaks survive; runs created by pruning collapse; NULL/''
+    doc3 = ("First real paragraph with the needed words in it.\n\nHome\n"
+            "About\n\nSecond real paragraph is also kept with more words.")
+    got3 = spark.createDataFrame([(doc3,)], "t string") \
+        .select(prune_lines(F.col("t")).alias("p")).first().p
+    assert got3 == ("First real paragraph with the needed words in it.\n\n"
+                    "Second real paragraph is also kept with more words.")
+    want3 = con.execute(
+        f"WITH t(t) AS (VALUES (?)) SELECT {prune_lines_sql('t')} FROM t",
+        [doc3]).fetchone()[0]
+    assert want3 == got3
+    dfe = spark.createDataFrame([(1, None), (2, "Home")], "i int, t string")
+    rows = {r.i: r.p for r in
+            dfe.select("i", prune_lines(F.col("t")).alias("p")).collect()}
+    assert rows[1] is None and rows[2] == ""
+    assert con.execute(
+        f"WITH t(t) AS (VALUES (CAST(NULL AS VARCHAR))) "
+        f"SELECT {prune_lines_sql('t')} FROM t").fetchone()[0] is None
+    assert con.execute(
+        f"WITH t(t) AS (VALUES ('Home')) "
+        f"SELECT {prune_lines_sql('t')} FROM t").fetchone()[0] == ""
+
+
+def test_boilerplate_random_cross_engine_parity(spark):
+    """r11: 150 seeded random documents assembled from adversarial lines
+    (marked anchors, unmatched sentinels, unicode bullets, counters,
+    all-caps, numeric soup, real prose, empty runs) — Spark and the
+    DuckDB twin must agree byte-for-byte."""
+    import random
+
+    import duckdb
+
+    from memory_opensource_spark.functions.boilerplate import (
+        prune_lines, prune_lines_sql)
+
+    rnd = random.Random(17)
+    lines = [
+        "Plain prose with the usual words that are kept in the output.",
+        "Home", "ABOUT US", "42 likes", "1,234", "- item",
+        "\x01Home\x02 \x01About\x02", "stray \x01 open sentinel",
+        "stray close \x02 here", "© 2024 Corp", "(c) 2024 site",
+        "The \x01anchor\x02 sits inside a long enough prose sentence here.",
+        "• bullet", "‣ b", "> quoted", "", "   ",
+        "copyright notice text that runs long enough to not be a footer "
+        "because it has many words.",
+        "MIXED case LINE with SOME upper words in a longer sentence here.",
+        "9999 views", "tokens without stop hits zzz qqq xxx yyy www vvv",
+        "Ok.", "Done!", "No?", "x",
+    ]
+    docs = ["\n".join(rnd.choice(lines)
+                      for _ in range(rnd.randint(1, 15)))
+            for _ in range(150)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                               "i int, t string")
+    got = {r.i: r.p for r in
+           df.select("i", prune_lines(F.col("t")).alias("p")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(docs)))
+    want = dict(con.execute(
+        f"SELECT i, {prune_lines_sql('t')} FROM t").fetchall())
+    bad = [(docs[i], got[i], want[i]) for i in range(150)
+           if got[i] != want[i]]
+    assert not bad, bad[:3]
+
+
+def test_html_marked_strip_equals_unmarked(spark):
+    """r11 functions/html: html_to_text(mark_links=True) with sentinels
+    stripped must reproduce the unmarked output byte-for-byte (the marked
+    form only ADDS link evidence), on crafted + randomized documents; the
+    DuckDB twin agrees.  Known, documented exception: whitespace-only
+    anchor text leaves extra spaces (sentinels block the run collapse) —
+    the generator below avoids it; boilerplate.prune_lines re-collapses
+    per line, so the composed stage is unaffected either way."""
+    import random
+
+    import duckdb
+
+    from memory_opensource_spark.functions.html import (html_to_text,
+                                                        html_to_text_sql)
+
+    rnd = random.Random(23)
+    frags = [
+        "<a href='/x'>Home</a>", "<p>real prose here</p>",
+        "<a class=nav href=y>About Us</a>", "plain words",
+        "<div><A HREF='z'>CAPS ANCHOR</A></div>", "<br>",
+        "<li><a href=q>item</a></li>", "<!-- c -->",
+        "<script>var a = '<a>fake</a>';</script>",
+        "text <a href='u'>link text</a> tail", "&amp; x",
+    ]
+    docs = ["".join(rnd.choice(frags) for _ in range(rnd.randint(1, 10)))
+            for _ in range(120)]
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(docs)],
+                               "i int, h string")
+    rows = df.select(
+        "i",
+        F.replace(F.replace(html_to_text(F.col("h"), mark_links=True),
+                            F.lit("\x01"), F.lit("")),
+                  F.lit("\x02"), F.lit("")).alias("m"),
+        html_to_text(F.col("h")).alias("u")).collect()
+    bad = [(docs[r.i], r.m, r.u) for r in rows if r.m != r.u]
+    assert not bad, bad[:3]
+    # DuckDB marked twin agrees with Spark's marked form
+    got = {r.i: r.m for r in df.select(
+        "i", html_to_text(F.col("h"), mark_links=True).alias("m")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, h VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(docs)))
+    want = dict(con.execute(
+        f"SELECT i, {html_to_text_sql('h', mark_links=True)} FROM t")
+        .fetchall())
+    badm = [(docs[i], got[i], want[i]) for i in range(120)
+            if got[i] != want[i]]
+    assert not badm, badm[:3]

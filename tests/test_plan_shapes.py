@@ -168,3 +168,22 @@ def test_warc_ingest_is_one_kernel_no_shuffle(spark):
     p = _plan(spark, "warc_ingest_roundtrip")
     assert "MapInPandas" in p
     assert "Exchange" not in p
+
+
+def test_boilerplate_prune_is_pure_projection(spark):
+    """r11: boilerplate_prune must stay a zero-exchange, zero-UDF scan
+    projection (rules R1-R7 are Column expressions over
+    split/filter/transform; no Python eval node)."""
+    p = _plan(spark, "boilerplate_prune")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+
+
+def test_crawl_mini_prunes_after_url_dedup(spark):
+    """r11: crawl_mini's plan must keep the expensive extract+prune
+    projection AFTER the URL dedup (one groupBy exchange + the keeper
+    semi-join), and the whole chain free of Python eval nodes."""
+    p = _plan(spark, "crawl_mini")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
