@@ -804,7 +804,13 @@ def _remap_members(members: DataFrame, cent_ids: list[int],
                       <  s − d_c ≤ sim(x, c_new)      for every m ∉ M ∪ {c}
 
     so its new assignment is the house argmax over just {c} ∪ M —
-    O(|M|·dim) instead of O(C·dim) flops.  Members below the bound (or with
+    O(|M|·dim) instead of O(C·dim) flops.  **Tier-1 (round-11,
+    delta-scoped):** a margin that clears ``d_c + θ_all + slack`` with
+    ``θ_all`` the LARGEST movement of any centroid proves no centroid at
+    all — big movers included — can beat the member's own, so the row
+    refreshes only its own sim (ONE gather dot, O(dim)); its margin
+    shrinks by the same conservative rule with θ_all in place of θ.
+    Members below the bounds (or with
     NULL margin — states older than this column, and increment-appended
     rows, which never store one) take the full C-way argmax, which also
     refreshes their margin.  ``slack`` (1e-5) absorbs the 6-dp rounding
@@ -851,10 +857,16 @@ def _remap_members(members: DataFrame, cent_ids: list[int],
         msort = np.argsort(-move)
         big = np.sort(msort[:big_movers])                # positions
         theta = float(move[msort[big_movers]])
+        # r11 delta-scoped tier: a margin that clears the LARGEST movement
+        # of ANY centroid (+ own + slack) proves no centroid at all —
+        # big movers included — can beat the member's own, so its remap is
+        # ONE own-dot (sim refresh) instead of the |M|-wide argmax
+        theta_all = float(move[msort[0]])
         d_pos = move
     else:
         big = np.arange(k)                               # prune disabled
         theta = float("inf")
+        theta_all = float("inf")
         d_pos = np.zeros(k)
 
     ci = out_cols.index("cluster_id")
@@ -926,6 +938,21 @@ def _remap_members(members: DataFrame, cent_ids: list[int],
                     cid[full], simv[full] = b_id, b_sim
                     mrg[full] = (b_raw - b_sec) if k > 1 else 2.0
                 pr = ~full
+                # r11 tier-1: margin clears even the largest mover — the
+                # member provably keeps its cluster (strictly, beyond the
+                # rounding grid: margin − d_c − θ_all > SLACK > 2·5e-7),
+                # so only its OWN sim refreshes: one gather dot per row
+                t1 = pr & (old_mrg > d_pos[pos] + theta_all + SLACK)
+                if t1.any():
+                    own_pos = pos[t1]
+                    s_own = np.einsum("ij,ij->i", X[t1], Cn[own_pos])
+                    cid[t1] = ids[own_pos]
+                    simv[t1] = np.round(s_own, 6)
+                    # every other centroid is unscored: second-best ≤
+                    # s_old(+rounding) − margin + θ_all
+                    bound_sec = old_sim[t1] + 5e-7 - old_mrg[t1] + theta_all
+                    mrg[t1] = np.maximum(0.0, s_own - bound_sec)
+                pr = pr & ~t1
                 if pr.any():
                     own_pos = pos[pr]
                     n_pr = int(pr.sum())
@@ -1040,8 +1067,10 @@ def corpus_recluster(spark: SparkSession, state_dir: str,
         .localCheckpoint(eager=True)            # reads the path it replaces
     # every count below must come from the CHECKPOINTED frame — after the
     # replace, plans still rooted at the old files fail FILE_NOT_EXIST
-    n_expect = remapped.count()
-    n_reassigned = remapped.filter(F.col("cluster_id").isNotNull()).count()
+    # (one fused agg: r11, was two passes)
+    _cnt = remapped.agg(F.count("*").alias("n"),
+                        F.count("cluster_id").alias("r")).first()
+    n_expect, n_reassigned = int(_cnt.n), int(_cnt.r)
     n = _replace_parquet(spark, p["members"], remapped,
                          expect_rows=n_expect)
     centroids.write.mode("overwrite").parquet(p["codebook"])

@@ -71,15 +71,60 @@ def train_centroids(df: DataFrame, n_centroids: int, vec_col: str = "embedding",
     return cents
 
 
+def _l2_normalized_arrow(df: DataFrame, vec_col: str,
+                         out_col: str = "emb") -> DataFrame:
+    """L2-normalize a vector column as ONE Arrow kernel (r11).  The
+    expression form (functions/vector.l2_normalize) is an interpreted
+    transform/aggregate chain — fine on request-sized frames, but
+    materializing the refine training sample through it dominated the
+    warm-recluster wall (15 of 17 s at 600k/C=1200; the numpy batch is
+    <1 s).  float64 math matches the expression form up to final-ulp
+    summation order (pairwise vs left fold) — irrelevant to centroid
+    fitting, which re-normalizes its means anyway.  Zero vectors stay
+    zero, NULLs stay NULL (the expression form's contract)."""
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(F.col(vec_col).alias(out_col))
+
+    def kern(batches):
+        for pdf in batches:
+            vals = pdf[out_col]
+            ok = np.fromiter((v is not None for v in vals), dtype=bool,
+                             count=len(vals))
+            out = list(vals)
+            if ok.any():
+                X = np.stack([np.asarray(v, dtype="float64")
+                              for v in vals[ok]])
+                nr = np.linalg.norm(X, axis=1, keepdims=True)
+                nr[nr == 0] = 1.0
+                X = X / nr
+                rows = np.nonzero(ok)[0]
+                for i, r in enumerate(rows):
+                    out[r] = X[i]
+            yield pd.DataFrame({out_col: out})
+
+    return src.mapInPandas(kern, f"{out_col} array<double>")
+
+
 def refine_centroids(df: DataFrame, init_centroids: list[list[float]],
                      vec_col: str = "embedding", max_iter: int = 10,
-                     tol: float = 1e-4, seed: int = 42,
+                     tol: float = 5e-4, seed: int = 42,
                      train_points_per_centroid: int = 256
                      ) -> list[list[float]]:
     """Warm-started spherical Lloyd's: refine an EXISTING codebook instead
     of retraining cold (the corpus_recluster drift path — a drifted corpus
     still overlaps the old one, so the old centroids are a near-converged
     init and a handful of iterations replaces MLlib's full cold run).
+
+    ``tol`` default is 5e-4 (r11, was 1e-4): the per-iteration max
+    movement on a CONVERGED codebook floors at the training-sample noise,
+    measured ~2-3e-4 at 600k/C=1200 (tools/refine_iters_probe.py — and
+    assignment quality after 1 iteration equals 10 iterations to 4
+    decimals there), so a tol below the noise floor never fires and a
+    steady-state recluster paid a full extra assign+mean round just to
+    trigger the plateau rule.  Genuinely drifting fits move >=1e-2 per
+    iteration and are unaffected.
 
     Per iteration: budget-routed IVF assignment (expression or Arrow/BLAS,
     same rule as serving) + ONE grouped ``Summarizer.mean`` job over the
@@ -94,14 +139,19 @@ def refine_centroids(df: DataFrame, init_centroids: list[list[float]],
     from pyspark.ml.functions import array_to_vector, vector_to_array
     from pyspark.ml.stat import Summarizer
 
-    feats = df.select(l2_normalize(to_double(F.col(vec_col))).alias("emb"))
-    n = feats.count()
+    # r11: the sample materializes through the Arrow normalize kernel —
+    # the interpreted expression form was 15 of the 17 s warm-refine wall
+    # at 600k (sampling applies BEFORE the kernel, same seeded rows, so
+    # only ~cap rows pay the normalize)
+    n = df.count()
     k = len(init_centroids)
     if k == 0:
         raise ValueError("refine_centroids needs a non-empty init codebook")
     cap = train_points_per_centroid * k
+    src = df.select(F.col(vec_col))
     if n > cap:
-        feats = feats.sample(False, cap / n, seed=seed)
+        src = src.sample(False, cap / n, seed=seed)
+    feats = _l2_normalized_arrow(src, vec_col, out_col="emb")
     feats = feats.localCheckpoint(eager=False)    # scanned once per iter
 
     def _norm(v):

@@ -861,3 +861,41 @@ def test_remap_pruning_randomized_equality(spark):
             assert pruned[d].centroid_sim == full[d].centroid_sim, (seed, d)
             assert pruned[d].assign_margin is not None
             assert pruned[d].assign_margin <= full[d].assign_margin + 1e-12
+
+
+def test_remap_tier1_one_dot_path_exact(spark):
+    """r11: when EVERY centroid's movement is tiny (steady-state refine
+    noise) and margins are healthy, members take the tier-1 one-dot path
+    (margin > d_c + theta_all + slack) — and must still equal full
+    scoring exactly on (cluster_id, centroid_sim), with conservative
+    margins.  The jitter (1e-4 chord) is far below typical margins, so
+    this pins the NEW code path, not the big-mover tier."""
+    r = np.random.RandomState(3)
+    k, dim, n = 8, 6, 40
+    old = r.randn(k, dim)
+    old /= np.linalg.norm(old, axis=1, keepdims=True)
+    new = old + 1e-4 * r.randn(k, dim)          # everyone jitters, no movers
+    new /= np.linalg.norm(new, axis=1, keepdims=True)
+    emb = r.randn(n, dim)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    m0 = _members_df(spark, [(i, 1, None, None, emb[i].tolist(), None)
+                             for i in range(n)])
+    ids = list(range(k))
+    seeded = corpus._remap_members(m0, ids, [v.tolist() for v in old], None)
+    # sanity: margins from real scoring are >> the movement bound, so the
+    # tier-1 condition holds for (almost) every row
+    margins = [r_.assign_margin for r_ in seeded.collect()]
+    theta_all = float(np.linalg.norm(old - new, axis=1).max())
+    n_tier1 = sum(1 for m in margins if m is not None
+                  and m > 2 * theta_all + 1e-5)
+    assert n_tier1 >= n // 2, (n_tier1, theta_all)
+    pruned = {r_.doc_id: r_ for r_ in corpus._remap_members(
+        seeded, ids, [v.tolist() for v in new],
+        [v.tolist() for v in old], big_movers=2).collect()}
+    full = {r_.doc_id: r_ for r_ in corpus._remap_members(
+        seeded.drop("assign_margin"), ids,
+        [v.tolist() for v in new], None).collect()}
+    for d in full:
+        assert pruned[d].cluster_id == full[d].cluster_id, d
+        assert pruned[d].centroid_sim == full[d].centroid_sim, d
+        assert pruned[d].assign_margin <= full[d].assign_margin + 1e-12, d
