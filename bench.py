@@ -126,6 +126,9 @@ HEADLINE = [
     # rules R1-R7 as a pure Column projection; crawl_mini now composes it
     # after its URL dedup)
     "boilerplate_prune",
+    # round 11: the WARC "response"-record leg (HTTP header strip +
+    # charset sniff + extraction — the raw-Common-Crawl shape)
+    "warc_response_extract",
 ]
 
 

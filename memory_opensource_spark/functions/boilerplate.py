@@ -138,6 +138,96 @@ def prune_lines(text: Column) -> Column:
     return F.regexp_replace(collapsed, "^\n+|\n+$", "")
 
 
+def prune_lines_arrow(df, text_col: str, out_col: str | None = None):
+    """Arrow-kernel twin of :func:`prune_lines` for the crawl-scale path
+    (r11): the Column form's higher-order functions (filter/transform
+    lambdas, the per-token stopword array_contains) are INTERPRETED, not
+    codegen'd — measured 29 s of a 36 s 600k crawl-leg probe, vs ~3 s for
+    this numpy/re batch kernel.  Byte-identical output is test-pinned on
+    randomized adversarial documents; the Column form stays the spec the
+    DuckDB oracle mirrors.  Replaces ``text_col`` in place unless
+    ``out_col`` is given."""
+    import re
+
+    import pandas as pd
+
+    out_col = out_col or text_col
+    cols = list(df.columns)
+    out_cols = cols + ([out_col] if out_col not in cols else [])
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" if f.name != out_col
+        else f"`{out_col}` string"
+        for f in df.schema.fields) + (
+        f", `{out_col}` string" if out_col not in cols else "")
+
+    stop_set = frozenset(STOPWORDS)
+    r_term = re.compile(r"[.!?]$")
+    r_num = re.compile(_NUMERIC_ONLY_RE)
+    r_cnt = re.compile(_COUNTER_RE)
+    r_list = re.compile(_LIST_MARKER_RE)
+    r_copy = re.compile(_COPYRIGHT_RE)
+    r_anchor = re.compile(f"{LINK_OPEN}[^{LINK_OPEN}{LINK_CLOSE}]*{LINK_CLOSE}")
+    r_alpha = re.compile("[^A-Za-z]")
+    r_upper = re.compile("[^A-Z]")
+    r_nonlower = re.compile("[^a-z]")
+    r_spaces = re.compile(" +")
+    r_nlruns = re.compile("\n{3,}")
+    r_edges = re.compile("^\n+|\n+$")
+
+    def _keep(line: str) -> bool:
+        plain = line.replace(LINK_OPEN, "").replace(LINK_CLOSE, "")
+        stripped = plain.strip(" ")       # Column trim strips SPACES only
+        if stripped == "":
+            return True
+        words = [w for w in r_spaces.split(stripped) if w]
+        n_words = len(words)
+        alpha = r_alpha.sub("", plain)
+        n_alpha = len(alpha)
+        n_upper = len(r_upper.sub("", alpha))
+        no_anchor = r_anchor.sub("", line)
+        link_chars = (len(plain)
+                      - len(no_anchor.replace(LINK_OPEN, "")
+                            .replace(LINK_CLOSE, "")))
+        low = stripped.lower()
+        if n_words <= MIN_WORDS_SENTENCE and not r_term.search(stripped):
+            return False
+        if (n_alpha >= 4 and n_upper > MAX_UPPER_RATIO * n_alpha
+                and n_words <= MAX_UPPER_WORDS):
+            return False
+        if r_num.search(stripped) or r_cnt.search(low):
+            return False
+        if r_list.search(stripped) and n_words <= MAX_LIST_WORDS:
+            return False
+        if n_words >= MIN_DENSITY_WORDS:
+            hits = sum(1 for w in words
+                       if r_nonlower.sub("", w.lower()) in stop_set)
+            if hits < MIN_STOPWORD_FRAC * n_words:
+                return False
+        if link_chars > MAX_LINK_FRAC * len(stripped):
+            return False
+        if r_copy.search(low) and n_words <= MAX_COPYRIGHT_WORDS:
+            return False
+        return True
+
+    def _prune(text):
+        if text is None:
+            return None
+        kept = [ln for ln in text.split("\n") if _keep(ln)]
+        cleaned = [r_spaces.sub(" ", ln.replace(LINK_OPEN, "")
+                                .replace(LINK_CLOSE, "").strip(" "))
+                   for ln in kept]
+        joined = "\n".join(cleaned)
+        return r_edges.sub("", r_nlruns.sub("\n\n", joined))
+
+    def kern(batches):
+        for pdf in batches:
+            res = pdf.copy()
+            res[out_col] = pdf[text_col].map(_prune)
+            yield res[out_cols]
+
+    return df.mapInPandas(kern, schema)
+
+
 def _keep_line_sql(line: str) -> str:
     """DuckDB twin of :func:`keep_line` over SQL expression ``line`` —
     same rules, same thresholds, mirrored primitives."""

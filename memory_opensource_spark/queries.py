@@ -5365,6 +5365,105 @@ def warc_ingest_roundtrip_q(spark, sf_dir):
         F.length("text").cast("long").alias("n_chars"))
 
 
+# r11 (VERDICT r9 task 6): the response-record leg — the shape a real
+# Common Crawl run uses (WARC = raw HTTP exchanges; WET is derived).
+# Three deterministic charset groups: A declares utf-8 in Content-Type,
+# B has NO header charset and relies on the <meta charset> sniff, C
+# declares iso-8859-1 and carries latin-1 bytes of the ASCII-sanitized
+# text (sanitization is the same regex in both engines, so the oracle
+# reproduces the decode without ever touching bytes).
+_RESP_BODY_SQL = ("(CASE WHEN doc_id % 3 = 2 "
+                  "THEN regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') "
+                  "ELSE coalesce(text, '') END)")
+_RESP_HTML_SQL = (
+    "('<html><head>' || (CASE WHEN doc_id % 3 = 1 "
+    "THEN '<meta charset=\"utf-8\">' ELSE '' END) || "
+    "'<title>' || source || '</title></head><body><p>' || "
+    + _RESP_BODY_SQL +
+    " || '</p><div>resp ' || (doc_id % 7)::VARCHAR || "
+    "'</div></body></html>')")
+
+_RESP_ORACLE = f"""WITH raw AS (
+  SELECT doc_id, {_RESP_HTML_SQL} AS html
+  FROM documents WHERE doc_id < 400
+)
+SELECT 'https://resp.example/docs/' || doc_id::VARCHAR AS target_uri,
+       md5({H.html_to_text_sql('html')}) AS extracted_md5,
+       length({H.html_to_text_sql('html')})::BIGINT AS n_chars
+FROM raw
+"""
+
+
+@_register("warc_response_extract", _RESP_ORACLE)
+def warc_response_extract_q(spark, sf_dir):
+    """WARC "response"-record leg (r11, sources/warc.py
+    http_response_to_html): raw HTTP exchange bytes -> header strip ->
+    charset sniff (Content-Type, then <meta charset>, then UTF-8) ->
+    decode -> html_to_text.  A documents slice serializes as HTTP
+    responses across the three charset groups (utf-8 header / meta-only /
+    iso-8859-1 with latin-1 bytes of ASCII-sanitized text) into one plain
+    .warc and one member-per-gzip .warc.gz, reads back through the
+    binaryFile + Arrow kernel, and extracts; the oracle builds the SAME
+    html string straight from the table and runs the live html_to_text
+    twin — any header/charset/decode asymmetry turns the row red.
+    Shape: one binaryFile scan + one kernel + a codegen regexp projection;
+    files are the parallelism unit.  Reference: none (LLM-data-pipeline
+    family)."""
+    import os
+    import re as _re
+    import tempfile
+    import zlib
+
+    from .sources import warc
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_warcresp_{tag}")
+    os.makedirs(d, exist_ok=True)
+    rows = (tables.load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 400)
+            .select("doc_id", "source",
+                    F.coalesce("text", F.lit("")).alias("t"))
+            .orderBy("doc_id").collect())
+    date = "2024-01-01T00:00:00Z"
+    recs = []
+    for r in rows:
+        g = r.doc_id % 3
+        body_text = _re.sub(r"[^ -~]", "", r.t) if g == 2 else r.t
+        meta = '<meta charset="utf-8">' if g == 1 else ""
+        html = (f"<html><head>{meta}<title>{r.source}</title></head>"
+                f"<body><p>{body_text}</p>"
+                f"<div>resp {r.doc_id % 7}</div></body></html>")
+        if g == 0:
+            head = (b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html; charset=utf-8\r\n\r\n")
+            payload = head + html.encode("utf-8")
+        elif g == 1:
+            head = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            payload = head + html.encode("utf-8")
+        else:
+            head = (b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html; charset=iso-8859-1\r\n\r\n")
+            payload = head + html.encode("latin-1")
+        recs.append((f"https://resp.example/docs/{r.doc_id}", date, payload))
+    warc.write_warc_records(
+        [x for i, x in enumerate(recs) if rows[i].doc_id % 2 == 0],
+        os.path.join(d, "part0.warc"))
+    gz = bytearray()
+    for i, x in enumerate(recs):
+        if rows[i].doc_id % 2 == 1:
+            c = zlib.compressobj(9, zlib.DEFLATED, 31)
+            gz += c.compress(warc.write_warc_records([x], "")) + c.flush()
+    with open(os.path.join(d, "part1.warc.gz"), "wb") as f:
+        f.write(bytes(gz))
+    out = warc.read_warc(spark, os.path.join(d, "*"),
+                         record_types=("response",))
+    extracted = H.html_to_text(F.col("text"))
+    return out.select(
+        "target_uri",
+        F.md5(extracted).alias("extracted_md5"),
+        F.length(extracted).cast("long").alias("n_chars"))
+
+
 _HTML_RAW_SQL = (
     "'<HTML><head><title>' || source || "
     "'</title><style>p { color: red }</style></head>'"

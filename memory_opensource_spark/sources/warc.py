@@ -108,9 +108,48 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
     return out
 
 
+def http_response_to_html(payload: bytes) -> str:
+    """Decode one WARC "response" payload into its HTML string — the leg a
+    real Common Crawl run uses (WARC files carry raw HTTP exchanges;
+    only the derived WET files carry pre-extracted text):
+
+    1. strip the HTTP header block (up to the first CRLFCRLF; a payload
+       that does not start with ``HTTP/`` is treated as headerless body)
+    2. sniff the charset: ``charset=`` in the Content-Type header, else a
+       ``<meta charset>`` / http-equiv declaration in the first 4096 body
+       bytes, else UTF-8
+    3. decode with ``errors='replace'`` (decode-tolerant, like the WET
+       leg); an unknown declared charset falls back to UTF-8
+
+    Pure function — unit-testable without Spark; the read_warc kernel
+    applies it per record (``http_text_types``).  Transfer-Encoding is NOT
+    un-chunked (Common Crawl stores payloads de-chunked; a stray chunked
+    body degrades to replaced characters, never a task failure)."""
+    import re
+
+    head, sep, body = payload.partition(b"\r\n\r\n")
+    if not sep or not head[:5].upper().startswith(b"HTTP/"):
+        head, body = b"", payload
+    charset = None
+    m = re.search(rb"(?i)charset=\"?'?([A-Za-z0-9_.:-]+)", head)
+    if m:
+        charset = m.group(1).decode("latin-1")
+    if not charset:
+        m = re.search(
+            rb"(?i)<meta[^>]+charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)",
+            body[:4096])
+        if m:
+            charset = m.group(1).decode("latin-1")
+    try:
+        return body.decode(charset or "utf-8", errors="replace")
+    except LookupError:
+        return body.decode("utf-8", errors="replace")
+
+
 def read_warc(spark: SparkSession, path: str,
               record_types: tuple = ("conversion", "response"),
-              with_text_types: tuple = ("conversion",)) -> DataFrame:
+              with_text_types: tuple = ("conversion",),
+              http_text_types: tuple = ("response",)) -> DataFrame:
     """Read WARC/WET files (plain or ``.warc.gz``) under ``path`` into
 
         {path, record_index, warc_type, target_uri, warc_date,
@@ -118,12 +157,16 @@ def read_warc(spark: SparkSession, path: str,
 
     keeping only ``record_types``; ``with_text_types`` records additionally
     decode their payload as UTF-8 text (errors replaced) — the WET
-    convention.  One ``binaryFile`` scan + one mapInPandas kernel; the
-    ``content`` column is pruned into the kernel and never shuffled."""
+    convention — and ``http_text_types`` records decode through
+    :func:`http_response_to_html` (HTTP header strip + charset sniff —
+    the raw-crawl leg, r11).  One ``binaryFile`` scan + one mapInPandas
+    kernel; the ``content`` column is pruned into the kernel and never
+    shuffled."""
     import pandas as pd
 
     keep = tuple(record_types)
     text_types = tuple(with_text_types)
+    http_types = tuple(http_text_types)
 
     def kernel(batches):
         for pdf in batches:
@@ -135,6 +178,8 @@ def read_warc(spark: SparkSession, path: str,
                     txt = None
                     if r["warc_type"] in text_types:
                         txt = r["payload"].decode("utf-8", errors="replace")
+                    elif r["warc_type"] in http_types:
+                        txt = http_response_to_html(r["payload"])
                     rows.append((path_, r["record_index"], r["warc_type"],
                                  r["target_uri"], r["warc_date"],
                                  r["payload"], txt))
@@ -145,6 +190,26 @@ def read_warc(spark: SparkSession, path: str,
     files = (spark.read.format("binaryFile").load(path)
              .select("path", "content"))
     return files.mapInPandas(kernel, WARC_SCHEMA)
+
+
+def write_warc_records(rows, out_path: str,
+                       warc_type: str = "response") -> bytes:
+    """Serialize (uri, date, payload_bytes) tuples as WARC records of the
+    given type — the fixture/export twin for the raw-crawl ("response")
+    leg, kept beside the parser like :func:`write_wet`.  Returns the
+    bytes; writes them to ``out_path`` when given."""
+    out = bytearray()
+    for uri, date, payload in rows:
+        hdr = (f"WARC/1.0\r\n"
+               f"WARC-Type: {warc_type}\r\n"
+               f"WARC-Target-URI: {uri}\r\n"
+               f"WARC-Date: {date}\r\n"
+               f"Content-Length: {len(payload)}\r\n\r\n").encode("latin-1")
+        out += hdr + payload + b"\r\n\r\n"
+    if out_path:
+        with open(out_path, "wb") as f:
+            f.write(bytes(out))
+    return bytes(out)
 
 
 def write_wet(rows, out_path: str) -> bytes:

@@ -165,3 +165,44 @@ def test_read_warc_spark_roundtrip(spark, tmp_path):
     # record-type filter: nothing survives a response-only read of WET data
     assert read_warc(spark, str(tmp_path / "*"),
                      record_types=("response",)).count() == 0
+
+
+def test_http_response_to_html_edges():
+    """r11 sources/warc.http_response_to_html: header strip, charset
+    precedence (Content-Type > meta > utf-8), real latin-1 high bytes,
+    unknown charset fallback, headerless payloads, quoted charset forms."""
+    from memory_opensource_spark.sources.warc import http_response_to_html
+
+    # Content-Type charset wins, latin-1 high bytes decode
+    p = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=iso-8859-1"
+         b"\r\n\r\n<p>caf\xe9</p>")
+    assert http_response_to_html(p) == "<p>café</p>"
+    # header charset BEATS a conflicting meta
+    p = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=iso-8859-1"
+         b"\r\n\r\n<meta charset='utf-8'><p>\xe9</p>")
+    assert http_response_to_html(p) == "<meta charset='utf-8'><p>é</p>"
+    # meta sniff when the header is silent (utf-8 bytes would mojibake
+    # under latin-1)
+    p = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+         b'<meta charset="utf-8"><p>caf\xc3\xa9</p>')
+    assert http_response_to_html(p) == '<meta charset="utf-8"><p>café</p>'
+    # http-equiv style meta
+    p = (b"HTTP/1.1 200 OK\r\n\r\n<meta http-equiv=Content-Type "
+         b"content='text/html; charset=iso-8859-1'>x \xe9")
+    assert http_response_to_html(p).endswith("x é")
+    # unknown charset falls back to utf-8 (errors replaced, no raise)
+    p = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=bogus-enc"
+         b"\r\n\r\nok caf\xc3\xa9")
+    assert http_response_to_html(p) == "ok café"
+    # headerless payload: whole thing is body
+    assert http_response_to_html(b"<p>plain</p>") == "<p>plain</p>"
+    # a blank line but no HTTP/ start: still headerless
+    assert http_response_to_html(b"X: y\r\n\r\nbody") == "X: y\r\n\r\nbody"
+    # invalid bytes under the declared charset degrade, never raise
+    p = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+         b"\r\n\r\nbad \xff\xfe tail")
+    assert "bad" in http_response_to_html(p)
+    # quoted charset form
+    p = (b'HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="utf-8"'
+         b"\r\n\r\nca\xc3\xaf")
+    assert http_response_to_html(p) == "caï"

@@ -714,3 +714,46 @@ def test_html_marked_strip_equals_unmarked(spark):
     badm = [(docs[i], got[i], want[i]) for i in range(120)
             if got[i] != want[i]]
     assert not badm, badm[:3]
+
+
+def test_boilerplate_arrow_kernel_matches_column_form(spark):
+    """r11: prune_lines_arrow (the crawl-scale Arrow kernel) must be
+    byte-identical to the Column form on the full adversarial generator —
+    plus NULLs, empty docs, and in-place vs new-column output."""
+    import random
+
+    from memory_opensource_spark.functions.boilerplate import (
+        prune_lines, prune_lines_arrow)
+
+    rnd = random.Random(29)
+    lines = [
+        "Plain prose with the usual words that are kept in the output.",
+        "Home", "ABOUT US", "42 likes", "1,234", "- item",
+        "\x01Home\x02 \x01About\x02", "stray \x01 open sentinel",
+        "stray close \x02 here", "© 2024 Corp", "(c) 2024 site",
+        "The \x01anchor\x02 sits inside a long enough prose sentence here.",
+        "• bullet", "‣ b", "> quoted", "", "   ", "\t tabbed \t",
+        "copyright notice text that runs long enough to not be a footer "
+        "because it has many words.",
+        "MIXED case LINE with SOME upper words in a longer sentence here.",
+        "9999 views", "tokens without stop hits zzz qqq xxx yyy www vvv",
+        "Ok.", "Done!", "No?", "x", "a  b   c",
+    ]
+    docs = ["\n".join(rnd.choice(lines)
+                      for _ in range(rnd.randint(1, 15)))
+            for _ in range(120)] + [None, "", "Home"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "i int, t string")
+    col_form = {r.i: r.p for r in
+                df.select("i", prune_lines(F.col("t")).alias("p")).collect()}
+    kernel = {r.i: r.p for r in
+              prune_lines_arrow(
+                  df.withColumnRenamed("t", "p"), "p").collect()}
+    bad = [(docs[i], col_form[i], kernel[i]) for i in range(len(docs))
+           if col_form[i] != kernel[i]]
+    assert not bad, bad[:3]
+    # new-column mode keeps the original column
+    out = prune_lines_arrow(df, "t", out_col="pruned")
+    assert out.columns == ["i", "t", "pruned"]
+    row = {r.i: r for r in out.collect()}
+    assert row[0].t == docs[0] and row[0].pruned == col_form[0]
