@@ -162,6 +162,16 @@ def read_warc(spark: SparkSession, path: str,
     the raw-crawl leg, r11).  One ``binaryFile`` scan + one mapInPandas
     kernel; the ``content`` column is pruned into the kernel and never
     shuffled."""
+    files = (spark.read.format("binaryFile").load(path)
+             .select("path", "content"))
+    return files.mapInPandas(
+        _parse_kernel(record_types, with_text_types, http_text_types),
+        WARC_SCHEMA)
+
+
+def _parse_kernel(record_types, with_text_types, http_text_types):
+    """The shared batch/streaming parse kernel (one implementation — the
+    two read paths must never fork)."""
     import pandas as pd
 
     keep = tuple(record_types)
@@ -187,9 +197,31 @@ def read_warc(spark: SparkSession, path: str,
                 "path", "record_index", "warc_type", "target_uri",
                 "warc_date", "payload", "text"])
 
-    files = (spark.read.format("binaryFile").load(path)
-             .select("path", "content"))
-    return files.mapInPandas(kernel, WARC_SCHEMA)
+    return kernel
+
+
+def read_warc_stream(spark: SparkSession, path: str,
+                     record_types: tuple = ("conversion", "response"),
+                     with_text_types: tuple = ("conversion",),
+                     http_text_types: tuple = ("response",),
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming twin of :func:`read_warc` (r11): the same parse kernel
+    over a ``binaryFile`` FILE STREAM — new ``.warc``/``.warc.gz``
+    segments landing under ``path`` become micro-batches (the crawl-ingest
+    shape: Common Crawl publishes segments incrementally).  Feed the
+    result to ``foreachBatch`` (streaming/pipelines.
+    foreach_batch_crawl_ingest composes the full front-end).
+    ``max_files_per_trigger`` caps segment count per micro-batch."""
+    reader = (spark.readStream.format("binaryFile")
+              .schema("path string, modificationTime timestamp, "
+                      "length long, content binary"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(
+        _parse_kernel(record_types, with_text_types, http_text_types),
+        WARC_SCHEMA)
 
 
 def write_warc_records(rows, out_path: str,

@@ -270,3 +270,119 @@ def foreach_batch_corpus_maintenance(stream: DataFrame, state_dir: str,
     return (stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint)
             .outputMode("update"))
+
+
+def foreach_batch_crawl_ingest(stream: DataFrame, state_dir: str,
+                               checkpoint: str, eval_grams: DataFrame,
+                               *, eps: float,
+                               jaccard_threshold: float = 0.5,
+                               n: int = 8, fpp: float = 0.01,
+                               n_eval_grams: int | None = None,
+                               embed=None, on_batch=None):
+    """Streaming crawl ingest (r11, VERDICT r9 task 7): the ST1 analog of
+    the crawl chain — every micro-batch of WARC records (from
+    sources/warc.read_warc_stream; ``text`` carries the decoded HTML for
+    response records) runs the full front-end:
+
+        html_to_text(mark_links) -> boilerplate prune (Arrow kernel)
+        -> URL canonicalization + cross-batch seen-URL dedup
+        -> Bloom benchmark decontamination (bitmap built ONCE at wiring
+           time and reused across micro-batches — the operators/bloom
+           streaming contract)
+        -> corpus_increment (exact / MinHash / SemDeDup vs state, state
+           appended)
+
+    State layout: the corpus state at ``state_dir`` (initialize once with
+    ``corpus_init``) plus a ``seen_urls`` parquet beside it
+    ({canonical_url, batch_id}).
+
+    Replay safety (at-least-once foreachBatch): every stage is either a
+    pure function of the batch (extract/prune/flags) or excludes this
+    batch's own writes from its state view — seen-URL dedup filters out
+    rows with the CURRENT batch_id before the anti-join and skips
+    re-appending URLs already present, and corpus_increment carries its
+    own exclusion/anti-join contract — so a re-delivered micro-batch
+    reproduces its original verdicts and converges to exactly-once state.
+
+    Doc identity: ``doc_id = xxhash64(canonical_url)`` — deterministic
+    across replays, and globally unique across batches BECAUSE the
+    seen-URL stage drops re-crawled URLs before the increment (the
+    increment's doc_id uniqueness contract).  ``embed`` defaults to the
+    deterministic hash embedder (plans/ingest.hash_embed_arrow); pass a
+    callable ``df -> df+embedding`` to use a real model.
+
+    ``on_batch(verdict_df, flagged_df, batch_id)`` receives the
+    localCheckpointed corpus verdicts for the batch's fresh clean docs and
+    the quarantined contaminated slice."""
+    import os
+
+    from ..functions import boilerplate as B
+    from ..functions import html as H
+    from ..functions import urls as U
+    from ..operators import bloom
+    from ..plans import corpus
+    from ..plans.ingest import hash_embed_arrow
+
+    n_grams = (n_eval_grams if n_eval_grams is not None
+               else eval_grams.count())
+    num_bits, k = bloom.optimal_params(max(1, n_grams), fpp)
+    bits = bloom.bloom_build(eval_grams, "gram", num_bits, k)
+    eg = eval_grams.select("gram").localCheckpoint(eager=True)
+    seen_path = os.path.join(state_dir, "seen_urls")
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        marked = batch_df.select(
+            F.col("target_uri"),
+            H.html_to_text(F.col("text"), mark_links=True).alias("pruned"))
+        pages = B.prune_lines_arrow(marked, "pruned").select(
+            U.canonical_url(F.col("target_uri")).alias("canonical_url"),
+            F.col("pruned").alias("text"))
+        # batch-local URL dedup: one row per canonical URL (first by text
+        # ascending — deterministic under replay regardless of partition
+        # layout)
+        pages = pages.groupBy("canonical_url").agg(
+            F.min("text").alias("text"))
+        # cross-batch seen-URL dedup, excluding THIS batch's own rows
+        # (replay safety)
+        try:
+            seen = spark.read.parquet(seen_path)
+        except Exception:
+            seen = spark.createDataFrame(
+                [], "canonical_url string, batch_id long")
+        fresh = pages.join(
+            seen.filter(F.col("batch_id") != batch_id)
+                .select("canonical_url"),
+            "canonical_url", "left_anti")
+        docs = fresh.select(
+            F.xxhash64("canonical_url").alias("doc_id"),
+            "canonical_url", "text").localCheckpoint(eager=True)
+        # decontamination: reuse the wiring-time bitmap
+        flags = bloom.ngram_contamination_flags(
+            docs, eg, bits, num_bits, k, n=n).localCheckpoint(eager=True)
+        clean = docs.join(
+            flags.filter(F.col("contaminated") == 1).select("doc_id"),
+            "doc_id", "left_anti")
+        flagged = docs.join(
+            flags.filter(F.col("contaminated") == 1)
+            .select("doc_id", "n_shared_ngrams"), "doc_id")
+        emb_fn = embed or (lambda df: hash_embed_arrow(df, text_col="text"))
+        with_emb = emb_fn(clean)
+        verdict = corpus.corpus_increment(
+            spark, with_emb.select("doc_id", "text"),
+            with_emb.select("doc_id", "embedding"), state_dir,
+            eps=eps, jaccard_threshold=jaccard_threshold)
+        # record this batch's fresh URLs (idempotent: skip rows any prior
+        # attempt already wrote)
+        new_seen = (docs.select("canonical_url")
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .join(seen.select("canonical_url"),
+                          "canonical_url", "left_anti")
+                    .localCheckpoint(eager=True))
+        new_seen.write.mode("append").parquet(seen_path)
+        if on_batch is not None:
+            on_batch(verdict, flagged, batch_id)
+
+    return (stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update"))
