@@ -129,6 +129,9 @@ HEADLINE = [
     # round 11: the WARC "response"-record leg (HTTP header strip +
     # charset sniff + extraction — the raw-Common-Crawl shape)
     "warc_response_extract",
+    # round 11: char-trigram language ID (explode + broadcast join +
+    # combinable groupBys; micro-integer weights for order-free sums)
+    "text_lang_id_ngram",
 ]
 
 

@@ -524,6 +524,34 @@ def text_lang(spark, sf_dir):
     )
 
 
+# oracle built at import time from the LIVE twin in functions/langid —
+# the weight table (1200 rows) and the scoring formula cannot drift
+from .functions.langid import lang_id_ngram_sql as _lang_ngram_sql  # noqa: E402
+
+_LANG_NGRAM_ORACLE = (
+    _lang_ngram_sql("(SELECT doc_id, text FROM documents WHERE doc_id < 900)")
+)
+
+
+@_register("text_lang_id_ngram", _LANG_NGRAM_ORACLE)
+def text_lang_id_ngram_q(spark, sf_dir):
+    """Char-trigram language ID (r11, functions/langid — VERDICT r9 task
+    8): the fastText/Cavnar-Trenkle-style upgrade over the stopword
+    heuristic — per-language trigram profiles trained deterministically
+    at import from embedded seed prose, scored as average smoothed
+    log-likelihood per gram, argmax with fixed tiebreak, 'und' for <3
+    chars.  The oracle is the module's own DuckDB twin (same literal
+    weight table, same round-6 grid).  Shape: one explode + one broadcast
+    join + two combinable groupBys — no UDF, no window, scan-parallel.
+    Reference analog: none (LLM-data-pipeline family); held-out accuracy
+    table in PERF.md round-11."""
+    from .functions.langid import lang_id_ngram
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 900).select("doc_id", "text")
+    return lang_id_ngram(docs)
+
+
 # ---------------------------------------------------------------------------------
 # Ranking / counters (R8, R9, R10, R11, R13)
 # ---------------------------------------------------------------------------------

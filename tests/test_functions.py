@@ -757,3 +757,79 @@ def test_boilerplate_arrow_kernel_matches_column_form(spark):
     assert out.columns == ["i", "t", "pruned"]
     row = {r.i: r for r in out.collect()}
     assert row[0].t == docs[0] and row[0].pruned == col_form[0]
+
+
+_LANGID_HELD_OUT = {
+    "en": ["My sister bought a new bicycle yesterday because her old one "
+           "was broken.",
+           "Scientists have discovered a new species of frog in the "
+           "mountains.",
+           "Please close the window before you leave the office tonight.",
+           "The museum opens at nine and the tickets are cheaper on "
+           "Sundays.",
+           "He could not remember where he had parked the car after the "
+           "concert."],
+    "de": ["Meine Schwester hat gestern ein neues Fahrrad gekauft, weil "
+           "ihr altes kaputt war.",
+           "Wissenschaftler haben in den Bergen eine neue Froschart "
+           "entdeckt.",
+           "Bitte schließe das Fenster, bevor du heute Abend das Büro "
+           "verlässt.",
+           "Das Museum öffnet um neun Uhr und die Karten sind sonntags "
+           "billiger.",
+           "Er konnte sich nicht erinnern, wo er nach dem Konzert das "
+           "Auto geparkt hatte."],
+    "es": ["Mi hermana compró ayer una bicicleta nueva porque la vieja "
+           "estaba rota.",
+           "Los científicos han descubierto una nueva especie de rana en "
+           "las montañas.",
+           "Por favor cierra la ventana antes de salir de la oficina "
+           "esta noche.",
+           "El museo abre a las nueve y las entradas son más baratas los "
+           "domingos.",
+           "No podía recordar dónde había aparcado el coche después del "
+           "concierto."],
+    "fr": ["Ma sœur a acheté un nouveau vélo hier parce que son ancien "
+           "était cassé.",
+           "Les scientifiques ont découvert une nouvelle espèce de "
+           "grenouille dans les montagnes.",
+           "Ferme la fenêtre avant de quitter le bureau ce soir, s'il te "
+           "plaît.",
+           "Le musée ouvre à neuf heures et les billets sont moins chers "
+           "le dimanche.",
+           "Il ne se souvenait plus où il avait garé la voiture après le "
+           "concert."],
+}
+
+
+def test_lang_id_ngram_held_out_accuracy_and_parity(spark):
+    """r11 functions/langid: char-trigram lang-ID must classify HELD-OUT
+    sentences (disjoint from the embedded seed corpora) correctly —
+    pinned at 100% on this 20-sentence set — agree byte-for-byte with its
+    DuckDB twin, and handle the edges (<3 chars / NULL -> 'und')."""
+    import duckdb
+
+    from memory_opensource_spark.functions.langid import (lang_id_ngram,
+                                                          lang_id_ngram_sql)
+
+    rows, truth = [], {}
+    i = 0
+    for lang, sents in _LANGID_HELD_OUT.items():
+        for s in sents:
+            rows.append((i, s))
+            truth[i] = lang
+            i += 1
+    rows += [(90, "xy"), (91, None), (92, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: (r.lang, r.lang_score)
+           for r in lang_id_ngram(df).collect()}
+    for d, lang in truth.items():
+        assert got[d][0] == lang, (d, got[d], lang)
+    for d in (90, 91, 92):
+        assert got[d] == ("und", None)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {r[0]: (r[1], r[2]) for r in
+            con.execute(lang_id_ngram_sql("t")).fetchall()}
+    assert got == want
