@@ -6391,7 +6391,10 @@ _EVIDENCE_PRIORITY = [
     # g12_related_to_edges, g13_link_to_lookup — every one driver-green
     # multiple rounds, semantics unchanged, each family keeps >= 2 driver
     # rows) stay hash-verified by the local gate at sf0.01 and sf0.1.
-    "dedup_lines",                # C4/RefinedWeb line-level exact dedup (r7)
+    # round-12 rotation (driver r10): dedup_lines displaced (driver-green
+    # r8/r9; line-level exact dedup stays driver-checked inside
+    # pipeline_mini's line stage + suite_dedup_family and locally gated
+    # 3 SFs) in favor of the r10-new boilerplate_prune below.
     "dedup_span_fraction",        # ExactSubstr detect (r7 new, r8 rework)
     "dedup_span_removal",         # ExactSubstr remove (r7 new, r8 rework)
     # round-9 rotation (VERDICT r8 task 1): the three r8-late rows that were
@@ -6410,7 +6413,10 @@ _EVIDENCE_PRIORITY = [
                                   # r7 rotation: engine now SERVES this layout)
     # 22-32: graph G1..G16 + both-endpoint ACL
     "g1_pattern_match",           # G1/G16
-    "g2_two_hop_paths",           # G2
+    # round-12 rotation: g2_two_hop_paths displaced (driver-green r1..r9;
+    # bounded-path semantics stay exercised by suite_graph_analytics'
+    # CC/triangle legs + g1_pattern_match and locally gated 3 SFs) in
+    # favor of the r10-new warc_response_extract below.
     "suite_graph_lookup",         # G3/G4/G6
     # round-8 addition: the r8-new per-domain quota op takes a driver slot
     # (g5_semantic_lookup displaced — driver-green since r2, G5 semantics
@@ -6456,7 +6462,11 @@ _EVIDENCE_PRIORITY = [
     # id-fetch semi-joins — and stays locally gated 3 SFs) in favor of the
     # r9-new split_leakage_safe below.
     "suite_text_analysis",        # scalar fns + lang-ID + quality + top terms
-    "ann_ivf_spill",              # IVF multi-assignment + candidate dedup (r5 new)
+    # round-12 rotation: ann_ivf_spill displaced (driver-green r5..r9; IVF
+    # multi-assignment stays driver-checked via ann_ivf_persisted +
+    # ann_pq_rerank and locally gated 3 SFs) in favor of the r10-new
+    # text_lang_id_ngram below.
+    "text_lang_id_ngram",         # char-trigram language ID (r10 new)
     # 45-50: LLM-data-pipeline first-class ops
     "suite_dedup_family",         # exact/fingerprint/simhash/hamming/jaccard/minhash
     "dedup_semantic_clusters",    # SemDeDup cluster-scoped semantic dedup (r6 new;
@@ -6475,9 +6485,14 @@ _EVIDENCE_PRIORITY = [
     # never held a driver slot — the crawl front-end (WARC read ->
     # HTML extract -> URL dedup -> composed chain) gets driver evidence
     "warc_ingest_roundtrip",      # WARC/WET container ingestion (r9 new)
+    "warc_response_extract",      # WARC response leg: header strip +
+                                  # charset sniff + extraction (r10 new)
     "html_text_extract",          # HTML -> text extraction (r9 new)
     "url_canonical_dedup",        # URL canonicalization dedup (r9 new)
-    "crawl_mini",                 # composed crawl chain (r9 new)
+    "crawl_mini",                 # composed crawl chain (r9 new; r10:
+                                  # + link-marked extraction -> boilerplate
+                                  # pruning on URL-dedup survivors)
+    "boilerplate_prune",          # RefinedWeb/jusText line pruning (r10 new)
     "mm_feature_search",          # multimodal columns (sha256-oracle since r4)
     "suite_graph_analytics",      # degree + CC + pagerank + triangles + spans
     "compress_sessions",          # session compression (/compress analog)

@@ -24,7 +24,7 @@ def test_registry_prefix_covers_component_families():
         "v4_ingest_reuse", "v5_bucketed_pairs",
         "v6_entity_resolution",
         "g1_pattern_match",
-        "g2_two_hop_paths", "suite_graph_lookup",
+        "suite_graph_lookup",
         "g7_schema_discovery", "g8_schema_driven_merge", "suite_graph_store",
         "g14_constraint_when",
         "r2_stratified_merge",
@@ -37,10 +37,6 @@ def test_registry_prefix_covers_component_families():
         # round-4 additions (V2-batch moved below fold in their favor:
         # still locally gated, V2 covered by v2_cosine_topk + flagships)
         "search_spec_pushdown", "g15_acl_both_endpoints", "suite_pipeline_ops",
-        # round-6 rotation: newest/reworked semantics into the driver window
-        # (v10/v11/r17/rel_relevance_score moved below fold — still locally
-        # gated; their components are long-green singles)
-        "ann_ivf_spill",
         # round-6: SemDeDup into the driver window (f10_scalar_functions moved
         # below fold — F10 scalar fns stay value-verified in suite_text_analysis)
         "dedup_semantic_clusters",
@@ -62,7 +58,7 @@ def test_registry_prefix_covers_component_families():
         # g12_related_to_edges, g13_link_to_lookup — all driver-green for
         # multiple rounds, unchanged semantics, families keep >= 2 driver
         # rows) stay locally gated.
-        "dedup_lines", "dedup_span_fraction", "dedup_span_removal",
+        "dedup_span_fraction", "dedup_span_removal",
         "shard_token_budget",
         # round-8 new op straight into the window (g5_semantic_lookup
         # displaced — driver-green since r2, family covered by
@@ -91,6 +87,14 @@ def test_registry_prefix_covers_component_families():
         # shard_token_budget + pack_sequences; all stay locally gated)
         "warc_ingest_roundtrip", "html_text_extract",
         "url_canonical_dedup", "crawl_mini",
+        # round-12 rotation (driver r10): the three r10-new rows into the
+        # window (dedup_lines / g2_two_hop_paths / ann_ivf_spill displaced
+        # — driver-green for 2/9/5 rounds respectively; line dedup stays
+        # driver-checked inside pipeline_mini + suite_dedup_family,
+        # bounded paths inside g1 + suite_graph_analytics, IVF
+        # multi-assignment inside ann_ivf_persisted + ann_pq_rerank; all
+        # three stay locally gated at 3 SFs)
+        "boilerplate_prune", "warc_response_extract", "text_lang_id_ngram",
     ]
     missing = [q for q in required if q not in top50]
     assert not missing, f"top-50 evidence window lost: {missing}"
