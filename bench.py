@@ -132,6 +132,9 @@ HEADLINE = [
     # round 11: char-trigram language ID (explode + broadcast join +
     # combinable groupBys; micro-integer weights for order-free sums)
     "text_lang_id_ngram",
+    # round 12: learned quality classifier (NB log-odds over word
+    # unigrams+bigrams; explode + broadcast join + combinable groupBy)
+    "quality_classifier",
 ]
 
 

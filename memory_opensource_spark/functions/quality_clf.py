@@ -1,0 +1,203 @@
+"""Learned document-quality classifier (round-12) — the fastText-style
+model filter the big public pipelines run AFTER the rule tables: DCLM's
+fastText quality classifier, RedPajama-v2's ML signals, and the
+GPT-3/PaLM "looks like reference text" filters all score documents with a
+linear model over token n-grams, where the Gopher tables (functions/
+text.py) stop at hand-set thresholds.  Reference analog: none
+(LLM-data-pipeline family, like the Gopher tables and langid).
+
+Model: Naive-Bayes log-odds over word UNIGRAMS + BIGRAMS — exactly the
+linear form fastText reduces to for a 2-class bag-of-ngrams problem —
+trained DETERMINISTICALLY at import from the seed corpora embedded below
+(prose written for this module as the positive class; nav/SEO/template
+spam as the negative class).  For gram g with class counts c_pos, c_neg,
+shared vocabulary V (the union) and class totals T_pos, T_neg:
+
+    w(g)  = round(10⁶ · log10( ((c_pos+1)/(T_pos+V)) / ((c_neg+1)/(T_neg+V)) ))
+    floor = round(10⁶ · log10( (T_neg+V) / (T_pos+V) ))     (unseen gram)
+
+    score(d) = round( (Σ_hit w(g_i) + miss·floor) / (n·10⁶), 6 )
+    label(d) = 'high' if score > 0 else 'low';  no tokens -> NULL/'unknown'
+
+MICRO-INTEGER weights for the same reason as functions/langid.py: the
+per-document sum is exact int64 arithmetic and order-free, so Spark and
+the in-module DuckDB twin agree bit-for-bit up to the documented round-6
+score grid (float weights flip grid-boundary scores between engines).
+
+Tokenization (mirrored in the twin): lowercase, every char outside
+``[a-z ]`` becomes a space, split on space runs — accents/digits/
+punctuation never reach the vocabulary, so the weight table stays pure
+ASCII and engine-identical.
+
+Spark shape: one explode over (unigrams + bigrams), one broadcast join
+against the literal weight table (a few hundred rows), one combinable
+groupBy — no UDF, no window, scan-parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Positive class: ordinary connected prose (encyclopedic/news register),
+# written for this module.  Negative class: the crawl chaff the filter
+# exists to catch — nav menus, SEO keyword stuffing, affiliate/template
+# text, cookie banners, listing pages.
+POS_SEED = (
+    "the committee published its annual report on tuesday describing how "
+    "the harbor town rebuilt its flood defenses after the storm damaged "
+    "the old sea wall and forced hundreds of families to leave their "
+    "homes for several weeks "
+    "researchers at the university measured the temperature of the lake "
+    "every morning for ten years and found that the ice now melts almost "
+    "three weeks earlier than it did when the study began "
+    "she walked along the narrow street toward the bakery where her "
+    "grandmother had worked as a young woman and stopped to read the "
+    "small plaque that the city had placed beside the door "
+    "the orchestra rehearsed the second movement again because the "
+    "conductor wanted the strings to enter more softly after the long "
+    "silence that follows the opening theme "
+    "when the votes were counted the mayor thanked her opponents and "
+    "promised that the new council would repair the bridge before winter "
+    "the museum opened a small exhibition about the river trade that "
+    "once carried grain and timber through the valley and the curators "
+    "collected letters from the families of the old boat crews"
+)
+NEG_SEED = (
+    "home about us contact privacy policy terms of service sitemap login "
+    "register subscribe newsletter follow us on facebook twitter instagram "
+    "buy cheap best price discount sale offer deal free shipping order now "
+    "click here click here to read more read more learn more sign up now "
+    "best casino online casino bonus free spins slots poker bet now win "
+    "cheap flights cheap hotels best deals book now limited time offer "
+    "copyright all rights reserved powered by wordpress theme by footer "
+    "menu navigation skip to content search search for products cart "
+    "checkout my account wishlist compare quick view add to cart in stock "
+    "related products customers also bought top rated products sale "
+    "tags cloud popular posts recent posts recent comments archives "
+    "categories uncategorized next page previous page page of results "
+    "accept cookies we use cookies on our website to improve experience "
+    "advertisement sponsored links promoted content affiliate disclosure "
+    "viagra cialis pharmacy pills weight loss miracle cure earn money "
+    "fast work from home make money online casino casino bonus codes"
+)
+
+
+def _grams(text: str) -> list[str]:
+    toks = "".join(c if "a" <= c <= "z" else " " for c in text.lower()).split()
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+@lru_cache(maxsize=1)
+def model() -> tuple[list[tuple[str, int]], int]:
+    """(weights, floor_micro): weights = [(gram, w_micro)] for every gram
+    seen in either seed corpus (sorted — fully deterministic), floor_micro
+    = the unseen-gram weight.  Micro-integers (module docstring)."""
+    pos: dict[str, int] = {}
+    neg: dict[str, int] = {}
+    for g in _grams(POS_SEED):
+        pos[g] = pos.get(g, 0) + 1
+    for g in _grams(NEG_SEED):
+        neg[g] = neg.get(g, 0) + 1
+    vocab = len(set(pos) | set(neg))
+    t_pos = sum(pos.values())
+    t_neg = sum(neg.values())
+    weights = []
+    for g in sorted(set(pos) | set(neg)):
+        w = math.log10(((pos.get(g, 0) + 1) / (t_pos + vocab))
+                       / ((neg.get(g, 0) + 1) / (t_neg + vocab)))
+        weights.append((g, round(1e6 * w)))
+    floor = round(1e6 * math.log10((t_neg + vocab) / (t_pos + vocab)))
+    return weights, floor
+
+
+def quality_scores(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """{id_col, q_score, q_label} per input row (module formula).  Shape:
+    one explode over unigrams+bigrams, one broadcast join against the
+    literal weight table, one combinable groupBy — no UDF, no window."""
+    spark = df.sparkSession
+    weights, floor = model()
+    wdf = spark.createDataFrame(weights, "gram string, w long")
+
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.filter(F.split(F.regexp_replace(t, "[^a-z ]", " "), " +"),
+                    lambda x: x != "")
+    n_t = F.size(toks)
+    bi = F.when(n_t >= 2, F.transform(
+        F.sequence(F.lit(1), n_t - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1)))) \
+        .otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, bi)
+    base = df.select(F.col(id_col), grams.alias("_gs"))
+    ex = base.select(id_col, F.explode("_gs").alias("gram"))
+    hits = (ex.join(F.broadcast(wdf), "gram")
+            .groupBy(id_col)
+            .agg(F.sum("w").alias("w_sum"), F.count("*").alias("n_hit")))
+    return (base.select(F.col(id_col), F.size("_gs").alias("n_grams"))
+            .join(hits, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.round(
+                        (F.coalesce(F.col("w_sum"), F.lit(0))
+                         + (F.col("n_grams")
+                            - F.coalesce(F.col("n_hit"), F.lit(0)))
+                         * F.lit(floor)).cast("double")
+                        / (F.col("n_grams").cast("double") * 1e6), 6))
+                .otherwise(F.lit(None).cast("double")).alias("q_score"))
+            .select(
+                id_col, "q_score",
+                F.when(F.col("q_score").isNull(), "unknown")
+                 .when(F.col("q_score") > 0, "high")
+                 .otherwise("low").alias("q_label")))
+
+
+def quality_scores_sql(table: str, id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """The DuckDB twin of :func:`quality_scores` over ``table`` — the SAME
+    literal weight/floor values (from :func:`model`) as a VALUES CTE,
+    mirrored tokenization and formula.  Kept in this module so the two
+    cannot drift."""
+    weights, floor = model()
+    wvals = ", ".join(f"('{g}', {w})" for g, w in weights)
+    return f"""WITH w(gram, w) AS (VALUES {wvals}),
+src AS (
+  SELECT {id_col} AS id,
+         list_filter(regexp_split_to_array(
+             regexp_replace(lower(coalesce({text_col}, '')),
+                            '[^a-z ]', ' ', 'g'), ' +'),
+                     x -> x <> '') AS tk
+  FROM {table}
+),
+base AS (
+  SELECT id,
+         list_concat(tk,
+           list_transform(range(1, greatest(len(tk), 1)),
+                          i -> list_extract(tk, i::INT) || ' ' ||
+                               list_extract(tk, (i + 1)::INT))) AS gs
+  FROM src
+),
+ex AS (SELECT id, unnest(gs) AS gram FROM base),
+hits AS (
+  SELECT e.id, SUM(w.w)::BIGINT AS w_sum, COUNT(*) AS n_hit
+  FROM ex e JOIN w ON w.gram = e.gram GROUP BY e.id
+),
+scored AS (
+  SELECT b.id, len(b.gs)::BIGINT AS n_grams,
+         (CASE WHEN len(b.gs) > 0 THEN
+            round((coalesce(h.w_sum, 0)
+                   + (len(b.gs) - coalesce(h.n_hit, 0)) * {floor})::DOUBLE
+                  / (len(b.gs) * 1000000.0), 6)
+          ELSE NULL END) AS q_score
+  FROM base b LEFT JOIN hits h ON h.id = b.id
+)
+SELECT id AS {id_col}, q_score,
+       (CASE WHEN q_score IS NULL THEN 'unknown'
+             WHEN q_score > 0 THEN 'high' ELSE 'low' END) AS q_label
+FROM scored"""

@@ -552,6 +552,33 @@ def text_lang_id_ngram_q(spark, sf_dir):
     return lang_id_ngram(docs)
 
 
+# oracle built at import time from the LIVE twin in functions/quality_clf
+# (same pattern as the langid row: weight table + formula cannot drift)
+from .functions.quality_clf import quality_scores_sql as _qclf_sql  # noqa: E402
+
+_QCLF_ORACLE = (
+    _qclf_sql("(SELECT doc_id, text FROM documents WHERE doc_id < 900)")
+)
+
+
+@_register("quality_classifier", _QCLF_ORACLE)
+def quality_classifier_q(spark, sf_dir):
+    """Learned document-quality classifier (r12, functions/quality_clf):
+    the fastText-style model filter (DCLM / RedPajama-v2 ML signals) that
+    runs after the rule-based Gopher tables — Naive-Bayes log-odds over
+    word unigrams+bigrams, trained deterministically at import from
+    embedded prose/chaff seed corpora, micro-integer weights so the
+    per-doc sum is exact int64 in both engines.  Shape: one explode +
+    one broadcast join + one combinable groupBy — no UDF, no window,
+    scan-parallel.  Reference analog: none (LLM-data-pipeline family);
+    held-out accuracy pinned 20/20 in tests/test_functions.py."""
+    from .functions.quality_clf import quality_scores
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 900).select("doc_id", "text")
+    return quality_scores(docs)
+
+
 # ---------------------------------------------------------------------------------
 # Ranking / counters (R8, R9, R10, R11, R13)
 # ---------------------------------------------------------------------------------

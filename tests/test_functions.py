@@ -833,3 +833,107 @@ def test_lang_id_ngram_held_out_accuracy_and_parity(spark):
     want = {r[0]: (r[1], r[2]) for r in
             con.execute(lang_id_ngram_sql("t")).fetchall()}
     assert got == want
+
+
+# Held-out quality snippets: DISJOINT from the functions/quality_clf seed
+# corpora (fresh sentences in the same two registers).
+_QUALITY_HELD_OUT_HIGH = [
+    "the village council agreed to restore the stone footbridge after "
+    "engineers confirmed that the arches were still sound despite a "
+    "century of floods",
+    "during the long drought the farmers shared the remaining well water "
+    "and planted barley instead of corn because it needs less rain",
+    "the young translator spent two winters comparing the old letters "
+    "with the printed edition and found dozens of small differences",
+    "a quiet crowd gathered at the station to welcome the team home even "
+    "though the match had ended in a narrow defeat",
+    "the biology teacher explained how the wetland filters the river "
+    "before it reaches the reservoir that supplies the town",
+    "after the lecture the students walked to the harbor and watched the "
+    "fishing boats unload their catch in the evening light",
+    "her first novel described the slow repair of a friendship between "
+    "two sisters who had not spoken for twenty years",
+    "the archivists photographed every page of the ledger before the "
+    "fragile binding was sent away for conservation",
+    "when the bakery reopened the whole street smelled of warm bread and "
+    "the owner gave the first loaves to his neighbors",
+    "the glacier survey showed that the ice had thinned by nearly four "
+    "meters since the previous measurement a decade earlier",
+]
+_QUALITY_HELD_OUT_LOW = [
+    "home products services blog faq support careers press contact",
+    "buy now best price free shipping limited time offer order today",
+    "click here to sign up click here to learn more read more",
+    "copyright all rights reserved terms privacy policy cookie settings",
+    "casino bonus free spins best slots win big bet now poker online",
+    "add to cart quick view wishlist compare checkout my account",
+    "cheap hotels cheap flights best deals book now save big today",
+    "recent posts popular posts archives categories tags search menu",
+    "we use cookies accept cookies manage preferences advertisement",
+    "make money fast work from home miracle weight loss pills online",
+]
+
+
+def test_quality_classifier_held_out_accuracy_and_parity(spark):
+    """r12 functions/quality_clf: the NB log-odds quality model must
+    separate HELD-OUT prose from held-out chaff (pinned 20/20 on this
+    set), agree byte-for-byte with its DuckDB twin, and handle the edges
+    (NULL / empty / no-letter text -> NULL score, 'unknown')."""
+    import duckdb
+
+    from memory_opensource_spark.functions.quality_clf import (
+        quality_scores, quality_scores_sql)
+
+    rows, truth = [], {}
+    i = 0
+    for s in _QUALITY_HELD_OUT_HIGH:
+        rows.append((i, s)); truth[i] = "high"; i += 1
+    for s in _QUALITY_HELD_OUT_LOW:
+        rows.append((i, s)); truth[i] = "low"; i += 1
+    rows += [(90, None), (91, ""), (92, "12345 !!! 678"),
+             (93, "zzzqq xamb grfx")]   # 93: tokens, none in vocab
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: (r.q_score, r.q_label)
+           for r in quality_scores(df).collect()}
+    for d, lab in truth.items():
+        assert got[d][1] == lab, (d, rows[d], got[d])
+    for d in (90, 91, 92):
+        assert got[d] == (None, "unknown"), (d, got[d])
+    assert got[93][0] is not None   # unseen grams score the floor weight
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {r[0]: (r[1], r[2]) for r in
+            con.execute(quality_scores_sql("t")).fetchall()}
+    assert got == want
+
+
+def test_quality_classifier_randomized_cross_engine_parity(spark):
+    """Randomized adversarial parity: documents built from a mixed bag of
+    seed-vocabulary tokens, unseen tokens, digits, punctuation and accents
+    must score IDENTICALLY (round-6 grid) in Spark and the DuckDB twin."""
+    import random
+
+    import duckdb
+
+    from memory_opensource_spark.functions.quality_clf import (
+        POS_SEED, NEG_SEED, quality_scores, quality_scores_sql)
+
+    rng = random.Random(12)
+    bag = (POS_SEED.split()[:60] + NEG_SEED.split()[:60]
+           + ["zzz", "qqq", "42", "3.14", "café", "naïve", "¡hola!",
+              "(c)", "—", "it's", "A-B", "", " ", "\t"])
+    rows = []
+    for i in range(150):
+        n = rng.randint(0, 40)
+        rows.append((i, " ".join(rng.choice(bag) for _ in range(n))))
+    rows.append((900, None))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: (r.q_score, r.q_label)
+           for r in quality_scores(df).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {r[0]: (r[1], r[2]) for r in
+            con.execute(quality_scores_sql("t")).fetchall()}
+    assert got == want
