@@ -64,6 +64,26 @@ def bloom_build(df: DataFrame, col: str, num_bits: int, k: int) -> list[int]:
     return dense
 
 
+def bloom_save(spark, path: str, bits: list[int], num_bits: int,
+               k: int) -> None:
+    """Persist a built bitmap as a one-row parquet sidecar
+    ({num_bits, k, bits array<long>}) — the cross-JOB reuse form (r12):
+    a deployment builds the eval-suite bitmap once (the only O(eval)
+    cost), and every later ingest run loads KBs-to-MBs of parquet instead
+    of re-aggregating the gram table.  Companion of the in-session reuse
+    the streaming sinks already do (bitmap built at wiring time)."""
+    spark.createDataFrame(
+        [(num_bits, k, bits)],
+        "num_bits long, k int, bits array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bloom_load(spark, path: str) -> tuple[list[int], int, int]:
+    """Load a :func:`bloom_save` sidecar -> (bits, num_bits, k)."""
+    row = spark.read.parquet(path).head()
+    return list(row.bits), int(row.num_bits), int(row.k)
+
+
 def _bit_masks():
     """64 single-bit long masks as a literal array (bit 63 wraps to the
     signed-long sign bit) — indexing this beats shiftleft, whose python

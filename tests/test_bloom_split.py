@@ -91,3 +91,32 @@ def test_split_bad_fractions_raise(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, k string")
     with pytest.raises(ValueError, match="sum to 1"):
         assign_split_by_group(df, "k", fractions={"train": 0.5, "val": 0.1})
+
+
+def test_bloom_sidecar_roundtrip_and_reuse(spark, tmp_path):
+    """r12: bloom_save/bloom_load must roundtrip (bits, num_bits, k)
+    exactly, and a LOADED bitmap must produce flags identical to the
+    in-session bitmap — the cross-job reuse contract."""
+    from memory_opensource_spark.operators.bloom import (
+        bloom_build, bloom_load, bloom_save, ngram_contamination_flags,
+        optimal_params)
+
+    eval_docs = [" ".join(f"w{i+j}" for j in range(8)) for i in range(50)]
+    grams = spark.createDataFrame([(g,) for g in eval_docs], "gram string")
+    num_bits, k = optimal_params(50, 0.01)
+    bits = bloom_build(grams, "gram", num_bits, k)
+    path = str(tmp_path / "bloom_sidecar")
+    bloom_save(spark, path, bits, num_bits, k)
+    bits2, nb2, k2 = bloom_load(spark, path)
+    assert (bits2, nb2, k2) == (bits, num_bits, k)
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{j}" for j in range(8)) + " tail"),   # contaminated
+         (1, "completely unrelated words only here thanks a lot folks")],
+        "doc_id long, text string")
+    a = {(r.doc_id, r.n_shared_ngrams, r.contaminated) for r in
+         ngram_contamination_flags(docs, grams, bits, num_bits, k).collect()}
+    b = {(r.doc_id, r.n_shared_ngrams, r.contaminated) for r in
+         ngram_contamination_flags(docs, grams, bits2, nb2, k2).collect()}
+    assert a == b
+    assert (0, 1, 1) in a and (1, 0, 0) in a
