@@ -2,9 +2,10 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 The container has no codec libraries, so decode coverage is split: PPM (P6),
-PNG (stdlib zlib, r9), GIF (stdlib LZW, r10), PCM WAV and the PAPRVID0
-frame container decode FOR REAL (pure numpy/struct/zlib); formats that need
-a library decoder (JPEG/MP3/MP4) raise NotImplementedError when
+PNG (stdlib zlib, r9), GIF (stdlib LZW, r10), baseline JPEG (pure-numpy
+Huffman + IDCT, r12), PCM WAV and the PAPRVID0 frame container decode FOR
+REAL (pure numpy/struct/zlib); formats that need a library decoder
+(progressive/arithmetic JPEG, MP3/MP4) raise NotImplementedError when
 `real=True` is requested — a
 deterministic fake decoder (seeded from the content hash) stands in behind
 the same signature otherwise.  Everything Spark-side — schema, partition
@@ -308,6 +309,272 @@ def _decode_gif(content: bytes):
     return None
 
 
+# natural coefficient index for each zigzag position (ITU-T T.81 fig. 5)
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegTrunc(Exception):
+    """Entropy data ran out mid-block — decode-tolerant None, never a
+    task failure."""
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment (byte-stuffing
+    already removed)."""
+    __slots__ = ("d", "p", "acc", "nb")
+
+    def __init__(self, d: bytes):
+        self.d, self.p, self.acc, self.nb = d, 0, 0, 0
+
+    def get(self, k: int) -> int:
+        while self.nb < k:
+            if self.p >= len(self.d):
+                raise _JpegTrunc
+            self.acc = (self.acc << 8) | self.d[self.p]
+            self.p += 1
+            self.nb += 8
+        self.nb -= k
+        return (self.acc >> self.nb) & ((1 << k) - 1)
+
+
+def _jpeg_hdecode(bits: _JpegBits, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | bits.get(1)
+        v = table.get((ln, code))
+        if v is not None:
+            return v
+    raise _JpegTrunc
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """ITU-T T.81 EXTEND: map the t received magnitude bits to the signed
+    coefficient value."""
+    if t and v < (1 << (t - 1)):
+        return v - (1 << t) + 1
+    return v
+
+
+def _decode_jpeg(content: bytes):
+    """Real decoder for baseline JPEG (r12) — pure numpy, no libjpeg:
+    sequential DCT with Huffman coding (SOF0/SOF1), 8-bit precision,
+    grayscale or 3-component YCbCr (JFIF full-range BT.601), sampling
+    factors 1/2/4 per axis (4:4:4, 4:2:2, 4:2:0, ...), 8- and 16-bit
+    quantization tables, restart markers (DRI/RSTn), chroma upsampled by
+    pixel replication.  Progressive (SOF2), lossless, arithmetic-coded,
+    12-bit and CMYK streams return None — they stay behind the
+    documented library seam, like 16-bit PNG — as do truncated or
+    malformed streams (decode-tolerant, CRC-free like the PNG path).
+    Returns an (H, W, 3) uint8 array or None."""
+    import math
+
+    import numpy as np
+
+    if not content.startswith(b"\xff\xd8"):
+        return None
+    n = len(content)
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple, dict] = {}
+    comps = None                         # [(cid, h, v, tq), ...]
+    height = width = 0
+    ri = 0
+    smap = None                          # [(cid, td, ta), ...]
+    dstart = -1
+    i = 2
+    try:
+        while i < n:
+            if content[i] != 0xFF:
+                return None
+            while i < n and content[i] == 0xFF:
+                i += 1                   # fill bytes before the marker
+            if i >= n:
+                return None
+            m = content[i]
+            i += 1
+            if m == 0xD9:                # EOI before any scan
+                return None
+            if m == 0x01 or 0xD0 <= m <= 0xD7:
+                continue                 # standalone markers
+            if i + 2 > n:
+                return None
+            ln = int.from_bytes(content[i:i + 2], "big")
+            seg = content[i + 2:i + ln]
+            if ln < 2 or len(seg) != ln - 2:
+                return None
+            if m == 0xDB:                # DQT (tables arrive zigzagged)
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 15
+                    p += 1
+                    if pq == 0:
+                        vals = np.frombuffer(seg[p:p + 64], dtype=np.uint8)
+                        p += 64
+                    else:
+                        vals = np.frombuffer(seg[p:p + 128], dtype=">u2")
+                        p += 128
+                    if len(vals) != 64:
+                        return None
+                    qt[tq] = vals.astype(np.int64)
+            elif m in (0xC0, 0xC1):      # baseline / ext. sequential DCT
+                if seg[0] != 8:
+                    return None          # 12-bit precision: behind the seam
+                height = int.from_bytes(seg[1:3], "big")
+                width = int.from_bytes(seg[3:5], "big")
+                nf = seg[5]
+                if nf not in (1, 3) or len(seg) < 6 + 3 * nf:
+                    return None          # CMYK/unknown: behind the seam
+                comps = []
+                for c in range(nf):
+                    cid, hv, tq_ = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                    h, v = hv >> 4, hv & 15
+                    if h not in (1, 2, 4) or v not in (1, 2, 4):
+                        return None
+                    comps.append((cid, h, v, tq_))
+            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None              # progressive/lossless/arithmetic
+            elif m == 0xC4:              # DHT
+                p = 0
+                while p + 17 <= len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 15
+                    counts = seg[p + 1:p + 17]
+                    p += 17
+                    table = {}
+                    code = 0
+                    for lbits in range(1, 17):
+                        for _ in range(counts[lbits - 1]):
+                            if p >= len(seg):
+                                return None
+                            table[(lbits, code)] = seg[p]
+                            p += 1
+                            code += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+            elif m == 0xDD:              # DRI
+                ri = int.from_bytes(seg[0:2], "big")
+            elif m == 0xDA:              # SOS — entropy data follows
+                ns = seg[0]
+                if comps is None or ns != len(comps):
+                    return None          # multi-scan: not baseline
+                smap = []
+                for c in range(ns):
+                    cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                    smap.append((cs, tt >> 4, tt & 15))
+                dstart = i + ln
+                break
+            i += ln                      # APPn/COM/unknown: skip
+        if comps is None or smap is None or height <= 0 or width <= 0:
+            return None
+
+        # split entropy data on restart markers, unstuffing FF00 -> FF
+        segs, cur, p = [], bytearray(), dstart
+        while p < n:
+            b = content[p]
+            if b != 0xFF:
+                cur.append(b)
+                p += 1
+                continue
+            nb = content[p + 1] if p + 1 < n else 0xD9
+            if nb == 0x00:
+                cur.append(0xFF)
+                p += 2
+            elif 0xD0 <= nb <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+            else:
+                break                    # EOI / next marker ends the scan
+        segs.append(bytes(cur))
+
+        # orthonormal 8x8 DCT basis: spatial = A.T @ coeffs @ A
+        A = np.zeros((8, 8))
+        for u in range(8):
+            cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+            for x in range(8):
+                A[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mx = -(-width // (8 * hmax))
+        my = -(-height // (8 * vmax))
+        planes = {cid: np.zeros((my * v * 8, mx * h * 8))
+                  for cid, h, v, _ in comps}
+        by_id = {cid: (h, v, tq_) for cid, h, v, tq_ in comps}
+        for cs, td, ta in smap:
+            if cs not in by_id:
+                return None
+            h, v, tq_ = by_id[cs]
+            if tq_ not in qt or (0, td) not in huff or (1, ta) not in huff:
+                return None
+        pred = {cid: 0 for cid, *_ in comps}
+        seg_idx = 0
+        bits = _JpegBits(segs[0])
+        count = 0
+        zz = _JPEG_ZZ
+        for myi in range(my):
+            for mxi in range(mx):
+                if ri and count and count % ri == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segs):
+                        return None      # missing restart segment
+                    bits = _JpegBits(segs[seg_idx])
+                    pred = {cid: 0 for cid, *_ in comps}
+                count += 1
+                for cs, td, ta in smap:
+                    h, v, tq_ = by_id[cs]
+                    q = qt[tq_]
+                    dct, act = huff[(0, td)], huff[(1, ta)]
+                    for by in range(v):
+                        for bx in range(h):
+                            coef = np.zeros(64)
+                            t = _jpeg_hdecode(bits, dct)
+                            if t > 11:
+                                return None
+                            diff = _jpeg_extend(bits.get(t), t) if t else 0
+                            pred[cs] += diff
+                            coef[0] = pred[cs] * q[0]
+                            k = 1
+                            while k < 64:
+                                rs = _jpeg_hdecode(bits, act)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break            # EOB
+                                k += r
+                                if k > 63:
+                                    return None
+                                coef[zz[k]] = (_jpeg_extend(bits.get(s), s)
+                                               * q[k])
+                                k += 1
+                            block = A.T @ coef.reshape(8, 8) @ A + 128.0
+                            y0 = (myi * v + by) * 8
+                            x0 = (mxi * h + bx) * 8
+                            planes[cs][y0:y0 + 8, x0:x0 + 8] = block
+        chans = []
+        for cid, h, v, _ in comps:
+            pl = np.repeat(np.repeat(planes[cid], vmax // v, axis=0),
+                           hmax // h, axis=1)
+            chans.append(pl[:height, :width])
+        if len(chans) == 1:
+            g = np.clip(np.round(chans[0]), 0, 255).astype(np.uint8)
+            return np.repeat(g[:, :, None], 3, axis=2)
+        yy, cb, cr = chans
+        rgb = np.stack([yy + 1.402 * (cr - 128.0),
+                        yy - 0.344136 * (cb - 128.0)
+                        - 0.714136 * (cr - 128.0),
+                        yy + 1.772 * (cb - 128.0)], axis=2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    except (_JpegTrunc, IndexError, ValueError):
+        return None
+
+
 def _decode_wav(content: bytes):
     """Real decoder for PCM WAV (RIFF, 8/16-bit) — pure struct/numpy.
     Returns a float64 mono signal in [-1, 1] or None if not PCM WAV."""
@@ -349,7 +616,8 @@ def _real_features(content: bytes, modality: str, frame: int = 0,
                    total_frames: int = 1):
     """REAL feature extraction for container-decodable formats:
 
-    - image (PPM P6 or PNG via the zlib decoder): resize to 4x4 via
+    - image (PPM P6, PNG via zlib, GIF via LZW, baseline JPEG via
+      Huffman+IDCT): resize to 4x4 via
       box-averaging (area interpolation),
       luma of each cell -> 16 features in [0, 1).
     - audio (PCM WAV): 8-bin energy envelope + 8-bin amplitude histogram.
@@ -389,6 +657,8 @@ def _real_features(content: bytes, modality: str, frame: int = 0,
         if img is None:
             img = _decode_gif(content)       # r10: LZW coverage
         if img is None:
+            img = _decode_jpeg(content)      # r12: baseline DCT coverage
+        if img is None:
             return None
         h, w, _ = img.shape
         # luma then 4x4 box-average resize (crop to divisible grid)
@@ -417,11 +687,11 @@ def decode_features(media: DataFrame, frames_per_video: int = 4,
     - image/audio -> one feature row (frame_index 0)
     - video       -> ``frames_per_video`` uniformly-sampled frame rows
 
-    ``real=True`` decodes container-supported formats FOR REAL (PPM P6 and
-    PNG images, PCM WAV audio, the PAPRVID0 frame container — stdlib
-    zlib/numpy, no external codecs) and raises on bytes that need a library decoder
-    (JPEG/MP3/MP4 — the libjpeg/ffmpeg seam, swap ``_real_features``;
-    PNG decodes for real via the stdlib zlib path since r9).
+    ``real=True`` decodes container-supported formats FOR REAL (PPM P6,
+    PNG, GIF and baseline JPEG images, PCM WAV audio, the PAPRVID0 frame
+    container — stdlib zlib/numpy, no external codecs) and raises on bytes
+    that need a library decoder (progressive/arithmetic JPEG, MP3/MP4 —
+    the libjpeg/ffmpeg seam, swap ``_real_features``).
     Default keeps the deterministic fake (oracle-checkable)."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -437,8 +707,9 @@ def decode_features(media: DataFrame, frames_per_video: int = 4,
                         if feat is None:
                             raise NotImplementedError(
                                 f"media {r['media_id']}: bytes are not a "
-                                "container-decodable format (PPM/PNG/WAV/PAPRVID0)"
-                                " — compressed formats need the "
+                                "container-decodable format (PPM/PNG/GIF/"
+                                "baseline-JPEG/WAV/PAPRVID0) — remaining "
+                                "compressed formats need the "
                                 "libjpeg/ffmpeg seam (_real_features)")
                         feat = feat + [0.0] * (FEATURE_DIM - len(feat))
                     else:

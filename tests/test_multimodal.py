@@ -460,3 +460,271 @@ def test_gif_unsupported_variants_stay_behind_seam():
     # no global AND no local color table
     hdr = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0)
     assert _decode_gif(hdr + good[i:]) is None
+
+
+def _jpeg(px, subsample=False, restart_interval=0, gray=False):
+    """Pure-Python baseline JPEG encoder for the decoder roundtrip (r12) —
+    the same role the in-test PNG/GIF encoders play: FDCT via the
+    orthonormal 8x8 basis, ALL-ONES quantization tables (so the only loss
+    is DCT/YCbCr rounding and, under ``subsample``, the 2x2 chroma box
+    mean), simple canonical Huffman tables written into DHT (the decoder
+    reads whatever tables the stream declares), FF byte-stuffing, optional
+    4:2:0 subsampling and DRI/RSTn restart markers."""
+    import math
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    h_img, w_img = px.shape[:2]
+    if gray:
+        planes = [0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                  + 0.114 * px[:, :, 2]] if px.ndim == 3 else [px]
+        samp = [(1, 1)]
+    else:
+        y = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        cb = 128.0 - 0.168736 * px[:, :, 0] - 0.331264 * px[:, :, 1] \
+            + 0.5 * px[:, :, 2]
+        cr = 128.0 + 0.5 * px[:, :, 0] - 0.418688 * px[:, :, 1] \
+            - 0.081312 * px[:, :, 2]
+        if subsample:
+            def box2(p):
+                hh = (p.shape[0] + 1) // 2 * 2
+                ww = (p.shape[1] + 1) // 2 * 2
+                q = np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
+                           mode="edge")
+                return q.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+            planes, samp = [y, box2(cb), box2(cr)], [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes, samp = [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+
+    A = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            A[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    zz = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+    # canonical Huffman tables: DC cats 0..11 at 4 bits; AC = EOB, ZRL and
+    # every (run 0-15, size 1-10) symbol at 8 bits (162 codes, no all-ones)
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_vals = list(range(12))
+    ac_vals = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                              for s in range(1, 11)]
+    ac_counts = [0] * 7 + [len(ac_vals)] + [0] * 8
+
+    def canon(counts, vals):
+        enc, code, vi = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                enc[vals[vi]] = (ln, code)
+                vi += 1
+                code += 1
+            code <<= 1
+        return enc
+
+    dc_enc, ac_enc = canon(dc_counts, dc_vals), canon(ac_counts, ac_vals)
+
+    out = bytearray(b"\xff\xd8")                       # SOI
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2)
+                   + body)
+
+    seg(0xDB, bytes([0]) + bytes([1] * 64))            # DQT id0, all ones
+    nf = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h_img, w_img) + bytes([nf])
+    for ci, (hs, vs) in enumerate(samp):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_vals))
+    seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nf])
+    for ci in range(nf):
+        sos += bytes([ci + 1, 0x00])
+    seg(0xDA, sos + bytes([0, 63, 0]))
+
+    class W:
+        def __init__(self):
+            self.buf, self.acc, self.nb = bytearray(), 0, 0
+
+        def put(self, code, ln):
+            self.acc = (self.acc << ln) | code
+            self.nb += ln
+            while self.nb >= 8:
+                self.nb -= 8
+                b = (self.acc >> self.nb) & 0xFF
+                self.buf.append(b)
+                if b == 0xFF:
+                    self.buf.append(0x00)
+
+        def flush(self):
+            if self.nb:
+                self.put((1 << (8 - self.nb)) - 1, 8 - self.nb)
+
+    def cat(v):
+        a, t = abs(v), 0
+        while a:
+            a >>= 1
+            t += 1
+        return t
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mx = -(-w_img // (8 * hmax))
+    my = -(-h_img // (8 * vmax))
+    padded = []
+    for pl, (hs, vs) in zip(planes, samp):
+        th, tw = my * vs * 8, mx * hs * 8
+        padded.append(np.pad(pl, ((0, th - pl.shape[0]),
+                                  (0, tw - pl.shape[1])), mode="edge"))
+
+    w = W()
+    pred = [0] * nf
+    count = 0
+    for myi in range(my):
+        for mxi in range(mx):
+            if restart_interval and count and count % restart_interval == 0:
+                w.flush()
+                out.extend(w.buf)
+                w = W()
+                out.extend(bytes([0xFF,
+                                  0xD0 + ((count // restart_interval - 1)
+                                          % 8)]))
+                pred = [0] * nf
+            count += 1
+            for ci, (pl, (hs, vs)) in enumerate(zip(padded, samp)):
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0, x0 = (myi * vs + by) * 8, (mxi * hs + bx) * 8
+                        blk = pl[y0:y0 + 8, x0:x0 + 8] - 128.0
+                        co = A @ blk @ A.T
+                        qz = np.round(co).astype(np.int64)
+                        d = int(qz.flat[0]) - pred[ci]
+                        pred[ci] = int(qz.flat[0])
+                        t = cat(d)
+                        ln, code = dc_enc[t]
+                        w.put(code, ln)
+                        if t:
+                            w.put(d if d >= 0 else d + (1 << t) - 1, t)
+                        run = 0
+                        flat = qz.reshape(-1)
+                        nz = [(k, int(flat[zz[k]])) for k in range(1, 64)
+                              if flat[zz[k]]]
+                        kprev = 0
+                        for k, v in nz:
+                            run = k - kprev - 1
+                            kprev = k
+                            while run > 15:
+                                ln, code = ac_enc[0xF0]
+                                w.put(code, ln)
+                                run -= 16
+                            s = cat(v)
+                            ln, code = ac_enc[(run << 4) | s]
+                            w.put(code, ln)
+                            w.put(v if v >= 0 else v + (1 << s) - 1, s)
+                        if kprev < 63:
+                            ln, code = ac_enc[0x00]
+                            w.put(code, ln)
+    w.flush()
+    out.extend(w.buf)
+    out.extend(b"\xff\xd9")                            # EOI
+    return bytes(out)
+
+
+def test_jpeg_decoder_roundtrip_444(spark):
+    """r12: the baseline-JPEG decoder recovers all-ones-quantized 4:4:4
+    pixels within DCT/YCbCr rounding error, and produces luma features
+    close to the identical pixels encoded as PPM (lossy codec — tolerance,
+    where PNG/GIF pin exact)."""
+    import numpy as np
+
+    from memory_opensource_spark.sources.multimodal import (
+        _decode_jpeg,
+        decode_features,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(13, 11, 3)).astype(np.uint8)
+    got = _decode_jpeg(_jpeg(px))
+    assert got is not None and got.shape == (13, 11, 3)
+    err = np.abs(got.astype(np.int64) - px.astype(np.int64))
+    assert err.max() <= 10 and err.mean() <= 2.5, (err.max(), err.mean())
+
+    ppm = b"P6\n11 13\n255\n" + px.tobytes()
+    rows = [("as_jpeg", "image", _jpeg(px), "image/jpeg", 11, 13, None),
+            ("as_ppm", "image", ppm, "image/x-portable-pixmap", 11, 13,
+             None)]
+    media = spark.createDataFrame(
+        rows, schema="media_id string, modality string, content binary, "
+        "mime_type string, meta_width int, meta_height int, "
+        "meta_duration_ms int")
+    feats = {r.media_id: np.array(r.feature)
+             for r in decode_features(media, real=True).collect()}
+    assert np.abs(feats["as_jpeg"] - feats["as_ppm"]).max() < 0.02
+
+
+def test_jpeg_decoder_420_restart_and_gray():
+    """4:2:0 subsampling (chroma = replicated 2x2 box means), restart
+    markers (predictors reset per interval), and 1-component grayscale."""
+    import numpy as np
+
+    from memory_opensource_spark.sources.multimodal import _decode_jpeg
+
+    rng = np.random.RandomState(11)
+    # smooth-ish image so 4:2:0 chroma loss stays bounded
+    base = rng.randint(0, 256, size=(4, 4, 3)).astype(np.float64)
+    px = np.clip(np.round(
+        np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)), 0,
+        255).astype(np.uint8)                          # 32x32
+    got = _decode_jpeg(_jpeg(px, subsample=True))
+    assert got is not None and got.shape == px.shape
+    err = np.abs(got.astype(np.int64) - px.astype(np.int64))
+    assert err.max() <= 12, err.max()                  # constant 8x8 cells
+
+    got_r = _decode_jpeg(_jpeg(px, subsample=True, restart_interval=1))
+    assert got_r is not None
+    assert np.array_equal(got_r, got)                  # restarts are lossless
+
+    gray = rng.randint(0, 256, size=(9, 17, 3)).astype(np.uint8)
+    got_g = _decode_jpeg(_jpeg(gray, gray=True))
+    assert got_g is not None and got_g.shape == (9, 17, 3)
+    luma = (0.299 * gray[:, :, 0] + 0.587 * gray[:, :, 1]
+            + 0.114 * gray[:, :, 2])
+    assert np.abs(got_g[:, :, 0].astype(np.float64) - luma).max() <= 4
+    assert np.array_equal(got_g[:, :, 0], got_g[:, :, 1])
+
+
+def test_jpeg_unsupported_variants_stay_behind_seam():
+    """Progressive (SOF2), 12-bit, CMYK and truncated streams must return
+    None (and thus fail LOUDLY under real=True), never mis-decode."""
+    import numpy as np
+
+    from memory_opensource_spark.sources.multimodal import _decode_jpeg
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    good = _jpeg(px)
+    assert _decode_jpeg(good) is not None
+
+    prog = bytearray(good)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2                                 # SOF2 progressive
+    assert _decode_jpeg(bytes(prog)) is None
+
+    twelve = bytearray(good)
+    twelve[i + 4] = 12                                 # precision byte
+    assert _decode_jpeg(bytes(twelve)) is None
+
+    cmyk = bytearray(good)
+    cmyk[i + 9] = 4                                    # Nf = 4
+    assert _decode_jpeg(bytes(cmyk)) is None
+
+    assert _decode_jpeg(good[:len(good) // 2]) is None  # truncated entropy
+    assert _decode_jpeg(b"\xff\xd8\xff\xd9") is None    # no scan
+    assert _decode_jpeg(b"GIF89a") is None
