@@ -269,8 +269,21 @@ def _assign_clusters(new2: DataFrame, emb: DataFrame, codebook: DataFrame,
                      n_centroids_hint: int | None) -> DataFrame:
     """Nearest-centroid assignment with the house determinism rule —
     identical to `semantic_cluster_dedup`'s assignment (6-dp-rounded argmax,
-    centroid-id-asc tie-break, self-match allowed)."""
-    from ..operators.similarity import best_rounded_match, knn_join_auto
+    centroid-id-asc tie-break, self-match allowed).
+
+    Also emits ``assign_margin`` (r12): chosen-centroid raw sim − max raw
+    sim over the other kNN candidates.  The global runner-up is inside the
+    k=8 candidate set by construction (it is the raw rank-1 or rank-2
+    centroid), so this equals the margin a FULL C-way scoring would store
+    — increment-appended members become prunable at the next
+    ``corpus_recluster`` instead of carrying the NULL-margin full-score
+    default (:func:`_remap_members`).  The window is per-doc over k
+    candidate rows — bounded, not a content key.  A single-centroid
+    codebook stores 2.0 like the remap kernel (pruning is disabled at
+    small C anyway)."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import knn_join_auto
 
     vecs = (new2.select("doc_id")
             .join(emb.select(F.col("doc_id"), F.col("embedding")), "doc_id"))
@@ -278,10 +291,23 @@ def _assign_clusters(new2: DataFrame, emb: DataFrame, codebook: DataFrame,
         vecs, codebook, 8, left_vec="embedding", right_vec="embedding",
         left_id="doc_id", right_id="centroid_id",
         approx_right_rows=n_centroids_hint, exclude_self=False)
-    return best_rounded_match(cand).select(
+    r6 = F.round(F.col("score"), 6)
+    w = Window.partitionBy("left_id").orderBy(r6.desc(),
+                                              F.col("right_id").asc())
+    ranked = cand.withColumn("_rn", F.row_number().over(w))
+    best = ranked.filter(F.col("_rn") == 1).select(
         F.col("left_id").alias("doc_id"),
         F.col("right_id").alias("cluster_id"),
-        F.col("score").alias("centroid_sim"))
+        r6.alias("centroid_sim"),
+        F.col("score").alias("_raw"))
+    others = (ranked.filter(F.col("_rn") > 1)
+              .groupBy(F.col("left_id").alias("doc_id"))
+              .agg(F.max("score").alias("_omax")))
+    return (best.join(others, "doc_id", "left")
+            .select("doc_id", "cluster_id", "centroid_sim",
+                    F.when(F.col("_omax").isNull(), F.lit(2.0))
+                     .otherwise(F.col("_raw") - F.col("_omax"))
+                     .alias("assign_margin")))
 
 
 def corpus_init(docs: DataFrame, emb: DataFrame, centroids: DataFrame,
@@ -619,10 +645,17 @@ def corpus_increment(spark: SparkSession, new_docs: DataFrame,
                              & (F.col("is_dup") == 0)).cast("int"))
                 .join(already_m, "doc_id", "left_anti")
             )
-            # post-recluster states carry columns the increment does not
-            # compute (assign_margin: margins are only valid from a FULL
-            # scoring, which increments never do — NULL means "full-score at
-            # the next recluster", the exact-by-construction default)
+            # r12: post-recluster states carry assign_margin; the
+            # increment's kNN second-best IS the global second-best (the
+            # runner-up is inside the k=8 set), so appended members store
+            # the exact margin and become prunable at the next recluster
+            # instead of full-scoring (near-dropped rows stay NULL —
+            # cluster columns are NULL for them anyway).  Pre-recluster
+            # states have no margin column and the select below drops it.
+            if "assign_margin" in members.columns:
+                new_members = new_members.join(
+                    assign.select("doc_id", "assign_margin"),
+                    "doc_id", "left")
             for f in members.schema.fields:
                 if f.name not in new_members.columns:
                     new_members = new_members.withColumn(

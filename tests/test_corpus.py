@@ -899,3 +899,71 @@ def test_remap_tier1_one_dot_path_exact(spark):
         assert pruned[d].cluster_id == full[d].cluster_id, d
         assert pruned[d].centroid_sim == full[d].centroid_sim, d
         assert pruned[d].assign_margin <= full[d].assign_margin + 1e-12, d
+
+
+def test_increment_stores_exact_margins_and_prunes(spark, tmp_path):
+    """r12: after a recluster (state carries assign_margin), an
+    increment's appended semantic members store the EXACT margin a full
+    C-way scoring would (verified against numpy over the state codebook),
+    and the NEXT pruned recluster is member-identical to a full-scoring
+    twin run on a state copy whose increment margins are NULLed (the old
+    full-score default) — increment margins change nothing but the flops."""
+    import os
+    import shutil
+
+    sd = _drift_state(spark, tmp_path)
+    corpus.corpus_recluster(spark, sd, n_centroids=4)    # populate margins
+
+    # fresh-direction batch: unique texts, embeddings near dims 0..3
+    docs, emb = _batch(
+        spark, [(200 + d, _text(60 + d)) for d in range(6)],
+        [(200 + d, _vec(d % 4, 200 + d)) for d in range(6)])
+    v = {r.doc_id: r.drop_stage
+         for r in corpus.corpus_increment(spark, docs, emb, sd, eps=EPS,
+                                          jaccard_threshold=JAC).collect()}
+    # unique texts -> never exact/near-dropped; semantic dups of existing
+    # members still append as history rows WITH cluster + margin
+    assert all(s in ("kept", "semantic") for s in v.values())
+
+    mem = spark.read.parquet(os.path.join(sd, "members"))
+    inc = {r.doc_id: r for r in
+           mem.filter(F.col("doc_id") >= 200).collect()}
+    assert len(inc) == 6
+    cb = {r.centroid_id: np.asarray(r.embedding, dtype="float64")
+          for r in spark.read.parquet(os.path.join(sd, "codebook"))
+          .collect()}
+    ids = sorted(cb)
+    C = np.stack([cb[i] / np.linalg.norm(cb[i]) for i in ids])
+    embs = {r.doc_id: np.asarray(r.embedding, dtype="float64")
+            for r in emb.collect()}
+    for d, row in inc.items():
+        assert row.near_ok == 1 and row.assign_margin is not None, d
+        x = embs[d] / np.linalg.norm(embs[d])
+        sims = C @ x
+        r6 = np.round(sims, 6)
+        best = int(np.lexsort((ids, -r6))[0])     # rounded desc, id asc
+        assert ids[best] == row.cluster_id, d
+        others = np.delete(sims, best)
+        exact = float(sims[best] - others.max())
+        assert abs(row.assign_margin - exact) < 1e-9, d
+
+    # pruning exactness: NULL the increment margins on a copy, recluster
+    # both with a small big-mover set, members must be identical
+    sd_null = str(tmp_path / "state_nullmargins")
+    shutil.copytree(sd, sd_null)
+    mp = os.path.join(sd_null, "members")
+    m2 = (spark.read.parquet(mp)
+          .withColumn("assign_margin",
+                      F.when(F.col("doc_id") >= 200,
+                             F.lit(None).cast("double"))
+                       .otherwise(F.col("assign_margin")))
+          .localCheckpoint(eager=True))
+    shutil.rmtree(mp)
+    m2.write.parquet(mp)
+    corpus.corpus_recluster(spark, sd, n_centroids=4, big_movers=2)
+    corpus.corpus_recluster(spark, sd_null, n_centroids=4, big_movers=2)
+    a = {r.doc_id: (r.cluster_id, r.centroid_sim) for r in
+         spark.read.parquet(os.path.join(sd, "members")).collect()}
+    b = {r.doc_id: (r.cluster_id, r.centroid_sim) for r in
+         spark.read.parquet(os.path.join(sd_null, "members")).collect()}
+    assert a == b and len(a) >= 16
