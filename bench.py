@@ -135,6 +135,9 @@ HEADLINE = [
     # round 12: learned quality classifier (NB log-odds over word
     # unigrams+bigrams; explode + broadcast join + combinable groupBy)
     "quality_classifier",
+    # round 12: UT1-style domain-blocklist URL filtering (label-boundary
+    # host-suffix match; pure scan-side predicate)
+    "url_blocklist_filter",
 ]
 
 

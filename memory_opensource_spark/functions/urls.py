@@ -99,3 +99,85 @@ def canonical_url_sql(expr: str) -> str:
                  f"(CASE WHEN {query} <> '' THEN '?' || {query} ELSE '' END))")
     # scheme-less passthrough — mirrors the Column form exactly
     return f"(CASE WHEN {scheme} <> '' THEN {canonical} ELSE {expr} END)"
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of ``url``: optional scheme and userinfo stripped,
+    port stripped, first path/query/fragment-delimited token.  Scheme-less
+    inputs treat their first segment as the host (``example.com/a`` ->
+    ``example.com``).  NULL stays NULL."""
+    rest = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?#]+)", 1)
+    return F.lower(F.regexp_replace(
+        F.regexp_replace(hostport, "^.*@", ""), ":[0-9]+$", ""))
+
+
+def host_suffixes(url: Column) -> Column:
+    """Label-boundary suffixes of the host of ``url``:
+    ``a.b.example.com`` -> [a.b.example.com, b.example.com, example.com,
+    com].  The match key set for domain-blocklist filtering — a blocklist
+    entry ``example.com`` blocks the host and every subdomain, and can
+    NEVER match mid-label (``le.com`` does not block ``example.com``)."""
+    host = url_host(url)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."))
+
+
+def url_blocked(url: Column, domains: list[str]) -> Column:
+    """Scan-side predicate: True when any host suffix of ``url`` is in the
+    LITERAL ``domains`` list (the small-blocklist form — stays a pure
+    Column expression, zero shuffle).  For registry-scale blocklists (the
+    UT1 lists run to millions of domains) use
+    :func:`filter_blocked_urls`, which joins an arbitrary-size blocklist
+    table instead of inlining literals.  NULL url -> False (kept)."""
+    dset = F.array(*[F.lit(d.lower()) for d in domains])
+    return F.coalesce(
+        F.exists(host_suffixes(url), lambda s: F.array_contains(dset, s)),
+        F.lit(False))
+
+
+def filter_blocked_urls(df, blocklist, url_col: str = "url",
+                        keep_blocked: bool = False):
+    """Domain-blocklist filtering (r12) — the CCNet/RefinedWeb UT1-style
+    crawl stage: drop every row whose URL host (or any parent domain on a
+    label boundary) appears in ``blocklist`` ({domain} rows, any size).
+
+    Shape for 100 TB: explode the ≤ label-count host suffixes per row,
+    equi-join the blocklist on the suffix string (Catalyst broadcasts a
+    small list, shuffles a UT1-scale one — no forced strategy), then one
+    semi/anti join back on the row id — no regex-per-domain, no
+    O(rows x domains) work.  ``keep_blocked=True`` returns the blocked
+    rows instead (quarantine/audit side)."""
+    sfx = df.select(
+        F.monotonically_increasing_id().alias("_rid"), "*")
+    hits = (sfx.select("_rid",
+                       F.explode(host_suffixes(F.col(url_col)))
+                       .alias("_sfx"))
+            .join(blocklist.select(F.lower(F.col("domain")).alias("_sfx")),
+                  "_sfx")
+            .select("_rid").distinct())
+    how = "left_semi" if keep_blocked else "left_anti"
+    return sfx.join(hits, "_rid", how).drop("_rid")
+
+
+def host_suffixes_sql(expr: str) -> str:
+    """DuckDB twin of :func:`host_suffixes` over SQL expression ``expr`` —
+    same regexes, same label-boundary suffix construction."""
+    rest = f"regexp_replace({expr}, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')"
+    hostport = f"regexp_extract({rest}, '^([^/?#]+)', 1)"
+    host = (f"lower(regexp_replace(regexp_replace({hostport}, '^.*@', ''), "
+            f"':[0-9]+$', ''))")
+    labels = f"string_split({host}, '.')"
+    return (f"list_transform(range(1, len({labels}) + 1), i -> "
+            f"array_to_string(list_slice({labels}, i::INT, "
+            f"len({labels})), '.'))")
+
+
+def url_blocked_sql(expr: str, domains: list[str]) -> str:
+    """DuckDB twin of :func:`url_blocked` — same literal domain list."""
+    dset = "[" + ", ".join(f"'{d.lower()}'" for d in domains) + "]"
+    return (f"coalesce(len(list_filter({host_suffixes_sql(expr)}, s -> "
+            f"list_contains({dset}, s))) > 0, false)")

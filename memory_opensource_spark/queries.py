@@ -5370,6 +5370,51 @@ def url_canonical_dedup_q(spark, sf_dir):
                  F.min("doc_id").alias("keeper_id")))
 
 
+# oracle built at import time from the LIVE twin in functions/urls (the
+# html_text_extract lesson: frozen regex literals drift; built twins cannot)
+_BLOCK_RAW_SQL = (
+    "'https://' || (CASE WHEN doc_id % 7 = 0 THEN 'user@' ELSE '' END) || "
+    "(CASE WHEN doc_id % 3 = 0 THEN 'cdn.' ELSE '' END) || source || "
+    "(CASE WHEN doc_id % 2 = 0 THEN '.Example.COM' ELSE '.example.net' END) "
+    "|| (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) || '/p/' || "
+    "(doc_id % 40)::VARCHAR")
+_BLOCK_DOMAINS = ["src3.example.com", "example.net", "src1.example.com"]
+_BLOCK_ORACLE = f"""SELECT doc_id,
+ (CASE WHEN {U.url_blocked_sql(f'({_BLOCK_RAW_SQL})', _BLOCK_DOMAINS)}
+  THEN 1 ELSE 0 END) AS blocked
+FROM documents"""
+
+
+@_register("url_blocklist_filter", _BLOCK_ORACLE)
+def url_blocklist_filter_q(spark, sf_dir):
+    """Domain-blocklist URL filtering (r12, functions/urls.url_blocked):
+    the CCNet/RefinedWeb UT1-style crawl stage — a URL is blocked when its
+    host or any parent domain ON A LABEL BOUNDARY is listed (cdn.srcN
+    subdomains match their parent; a listed domain never matches
+    mid-label).  The synthetic raw URLs derive from (source, doc_id) with
+    userinfo on id%7, a cdn. subdomain on id%3, mixed-case .COM/.net TLDs
+    on id%2, and a port on id%5 — every host-extraction edge the predicate
+    must fold.  Shape: pure scan-side Column expression here (literal
+    list); filter_blocked_urls is the join form for UT1-scale blocklist
+    TABLES (suffix explode + equi-join, no regex-per-domain) — the two are
+    equivalence-pinned in tests.  Reference analog: none
+    (LLM-data-pipeline family)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(did % 7 == 0, F.lit("user@")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(did % 2 == 0, F.lit(".Example.COM"))
+         .otherwise(F.lit(".example.net")),
+        F.when(did % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"), (did % 40).cast("string"))
+    return docs.select(
+        "doc_id",
+        U.url_blocked(raw, _BLOCK_DOMAINS).cast("int").alias("blocked"))
+
+
 @_register("warc_ingest_roundtrip", r"""
 SELECT 'https://crawl.example/docs/' || doc_id::VARCHAR AS target_uri,
        md5(coalesce(text, '')) AS text_md5,

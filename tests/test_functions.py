@@ -937,3 +937,58 @@ def test_quality_classifier_randomized_cross_engine_parity(spark):
     want = {r[0]: (r[1], r[2]) for r in
             con.execute(quality_scores_sql("t")).fetchall()}
     assert got == want
+
+
+def test_url_blocklist_column_and_table_forms_agree(spark):
+    """r12 functions/urls: the scan-side literal-list predicate
+    (url_blocked) and the join form for blocklist TABLES
+    (filter_blocked_urls) must agree on randomized adversarial URLs, both
+    must match the DuckDB twin, and the label-boundary rule must hold
+    (a listed domain blocks subdomains, never mid-label lookalikes)."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.functions.urls import (
+        filter_blocked_urls, url_blocked, url_blocked_sql)
+
+    bl = ["bad.com", "evil.org", "le.com"]
+    rng = random.Random(5)
+    hosts = ["bad.com", "www.bad.com", "a.b.bad.com", "notbad.com",
+             "le.com", "good.le.com", "le.com.example.com", "evil.org",
+             "EVIL.ORG", "bad.com.safe.net", "example.com", ""]
+    rows = []
+    for i in range(120):
+        h = rng.choice(hosts)
+        scheme = rng.choice(["https://", "http://", ""])
+        user = rng.choice(["", "u@", "u:p@"]) if scheme else ""
+        port = rng.choice(["", ":443", ":8080"])
+        path = rng.choice(["", "/", "/x?q=1", "#f"])
+        rows.append((i, f"{scheme}{user}{h}{port}{path}"))
+    rows += [(900, None), (901, "https://"), (902, "   ")]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    col_form = {r.doc_id: r.b for r in df.select(
+        "doc_id", url_blocked(F.col("url"), bl).alias("b")).collect()}
+    blk = spark.createDataFrame([(d,) for d in bl], "domain string")
+    kept = {r.doc_id for r in
+            filter_blocked_urls(df, blk, "url").collect()}
+    blocked = {r.doc_id for r in
+               filter_blocked_urls(df, blk, "url",
+                                   keep_blocked=True).collect()}
+    assert kept | blocked == {r[0] for r in rows}
+    assert kept & blocked == set()
+    assert blocked == {d for d, b in col_form.items() if b}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id INT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {r[0]: r[1] for r in con.execute(
+        f"SELECT doc_id, {url_blocked_sql('url', bl)} FROM t").fetchall()}
+    assert col_form == want
+    # label-boundary pins
+    pin = spark.createDataFrame(
+        [(0, "https://a.bad.com/"), (1, "https://abad.com/"),
+         (2, "https://bad.com.x.net/")], "doc_id int, url string")
+    got = {r.doc_id: r.b for r in pin.select(
+        "doc_id", url_blocked(F.col("url"), bl).alias("b")).collect()}
+    assert got == {0: True, 1: False, 2: False}
