@@ -992,3 +992,28 @@ def test_url_blocklist_column_and_table_forms_agree(spark):
     got = {r.doc_id: r.b for r in pin.select(
         "doc_id", url_blocked(F.col("url"), bl).alias("b")).collect()}
     assert got == {0: True, 1: False, 2: False}
+
+
+def test_quality_classifier_arrow_kernel_row_identical(spark):
+    """r12: quality_scores_arrow (the crawl-scale kernel) must produce
+    ROW-IDENTICAL output to the Column form on randomized adversarial
+    docs including NULL/empty/no-letter edges — same integer sums, same
+    decimal-HALF_UP rounding Spark's round performs."""
+    import random
+
+    from memory_opensource_spark.functions.quality_clf import (
+        POS_SEED, NEG_SEED, quality_scores, quality_scores_arrow)
+
+    rng = random.Random(42)
+    bag = (POS_SEED.split()[:80] + NEG_SEED.split()[:80]
+           + ["zzz", "42", "café", "", "it's", "(c)"])
+    rows = [(i, " ".join(rng.choice(bag)
+                         for _ in range(rng.randint(0, 60))))
+            for i in range(400)]
+    rows += [(900, None), (901, ""), (902, "!!! 123")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    a = {r.doc_id: (r.q_score, r.q_label)
+         for r in quality_scores(df).collect()}
+    b = {r.doc_id: (r.q_score, r.q_label)
+         for r in quality_scores_arrow(df).collect()}
+    assert a == b and len(a) == len(rows)

@@ -4,7 +4,9 @@ exchanges — pushed through the full front-end:
 
     write shards (fixture) -> read_warc(response) + header/charset decode
     -> html_to_text(mark_links) -> boilerplate prune -> URL dedup
-    -> word-count gate
+    -> word-count gate -> quality classifier -> char-trigram lang-ID
+    (classifier/lang-ID stages added r12 — the learned filters run on
+    gate survivors only, the CCNet/DCLM ordering)
 
 Stage walls + row counts land as one JSON line; the WARC shards are
 written ONCE via a distributed kernel (one ~N-doc .warc.gz per input
@@ -119,9 +121,30 @@ def main():
     out["n_gated"] = gated.count()
     out["t_gate_s"] = round(time.time() - t0, 2)
 
+    t0 = time.time()
+    # scale path: the Arrow kernel (row-identical to the Column form,
+    # test-pinned) — the interpreted bigram HOF measured 21.5 s here
+    from memory_opensource_spark.functions.quality_clf import (
+        quality_scores_arrow)
+
+    gated_id = gated.select(
+        F.xxhash64("canonical_url").alias("doc_id"),
+        F.col("pruned").alias("text")).localCheckpoint(eager=True)
+    q = quality_scores_arrow(gated_id)
+    out["n_quality_high"] = q.filter(F.col("q_label") == "high").count()
+    out["t_quality_clf_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    from memory_opensource_spark.functions.langid import lang_id_ngram
+
+    lid = lang_id_ngram(gated_id)
+    out["n_lang_en"] = lid.filter(F.col("lang") == "en").count()
+    out["t_lang_id_s"] = round(time.time() - t0, 2)
+
     out["t_total_after_fixture_s"] = round(
         out["t_read_decode_s"] + out["t_extract_prune_s"]
-        + out["t_url_dedup_s"] + out["t_gate_s"], 2)
+        + out["t_url_dedup_s"] + out["t_gate_s"]
+        + out["t_quality_clf_s"] + out["t_lang_id_s"], 2)
     print(json.dumps(out))
 
 
