@@ -278,13 +278,16 @@ def foreach_batch_crawl_ingest(stream: DataFrame, state_dir: str,
                                jaccard_threshold: float = 0.5,
                                n: int = 8, fpp: float = 0.01,
                                n_eval_grams: int | None = None,
-                               embed=None, on_batch=None):
+                               embed=None, on_batch=None,
+                               blocklist: DataFrame | None = None):
     """Streaming crawl ingest (r11, VERDICT r9 task 7): the ST1 analog of
     the crawl chain — every micro-batch of WARC records (from
     sources/warc.read_warc_stream; ``text`` carries the decoded HTML for
     response records) runs the full front-end:
 
-        html_to_text(mark_links) -> boilerplate prune (Arrow kernel)
+        domain-blocklist filter (r12, when ``blocklist`` {domain} is
+        given — blocked URLs never reach extraction or state)
+        -> html_to_text(mark_links) -> boilerplate prune (Arrow kernel)
         -> URL canonicalization + cross-batch seen-URL dedup
         -> Bloom benchmark decontamination (bitmap built ONCE at wiring
            time and reused across micro-batches — the operators/bloom
@@ -328,10 +331,16 @@ def foreach_batch_crawl_ingest(stream: DataFrame, state_dir: str,
     num_bits, k = bloom.optimal_params(max(1, n_grams), fpp)
     bits = bloom.bloom_build(eval_grams, "gram", num_bits, k)
     eg = eval_grams.select("gram").localCheckpoint(eager=True)
+    blk = (blocklist.select("domain").localCheckpoint(eager=True)
+           if blocklist is not None else None)
     seen_path = os.path.join(state_dir, "seen_urls")
 
     def sink(batch_df: DataFrame, batch_id: int):
         spark = batch_df.sparkSession
+        if blk is not None:
+            # cheapest gate first: blocked domains never pay extraction,
+            # and (pure function of the batch) the filter is replay-safe
+            batch_df = U.filter_blocked_urls(batch_df, blk, "target_uri")
         marked = batch_df.select(
             F.col("target_uri"),
             H.html_to_text(F.col("text"), mark_links=True).alias("pruned"))

@@ -312,3 +312,82 @@ def test_streaming_crawl_ingest_end_to_end(spark, tmp_path):
     assert after == before
     seen = spark.read.parquet(os.path.join(sd, "seen_urls"))
     assert seen.count() == seen.select("canonical_url").distinct().count()
+
+
+def test_streaming_crawl_ingest_blocklist_gate(spark, tmp_path):
+    """r12: with a ``blocklist`` table wired, pages on listed domains (or
+    their subdomains) never reach extraction, verdicts, members or the
+    seen-URL state — and the filter is replay-safe (pure batch function)."""
+    import os
+
+    from memory_opensource_spark.plans import corpus
+    from memory_opensource_spark.plans.ingest import hash_embed_row
+    from memory_opensource_spark.sources import warc
+    from memory_opensource_spark.streaming.pipelines import (
+        foreach_batch_crawl_ingest)
+
+    sd = str(tmp_path / "state")
+    seed = ("a seed document that is full of the normal function words "
+            "we expect to keep")
+    init_docs = spark.createDataFrame([(0, seed)],
+                                      "doc_id long, text string")
+    init_emb = spark.createDataFrame([(0, hash_embed_row(seed))],
+                                     "doc_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(k, hash_embed_row(f"centroid {k}")) for k in range(2)],
+        "centroid_id int, embedding array<double>")
+    corpus.corpus_init(init_docs, init_emb, cents, sd, eps=0.99,
+                       jaccard_threshold=0.95)
+    eval_grams = spark.createDataFrame(
+        [("never matches anything in this tiny fixture corpus at all",)],
+        "gram string")
+    blocklist = spark.createDataFrame([("spam.example",)], "domain string")
+
+    body = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running through the quiet field")
+
+    def page(uri):
+        html = f"<html><body><p>{body} for {uri}</p></body></html>"
+        head = (b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=utf-8\r\n\r\n")
+        return (uri, "2024-01-01T00:00:00Z", html.encode("utf-8")
+                if False else head + html.encode("utf-8"))
+
+    d = str(tmp_path / "segs")
+    os.makedirs(d)
+    warc.write_warc_records(
+        [page("https://good.org/a"), page("https://spam.example/x"),
+         page("https://cdn.spam.example/y")],
+        os.path.join(d, "seg0.warc"))
+
+    got = {"verdicts": {}, "batches": 0}
+
+    def on_batch(v, flagged, batch_id):
+        for r in v.collect():
+            got["verdicts"][r.doc_id] = r.drop_stage
+        got["batches"] += 1
+
+    def run(ckpt):
+        stream = warc.read_warc_stream(
+            spark, os.path.join(d, "*"), record_types=("response",),
+            max_files_per_trigger=1)
+        q = (foreach_batch_crawl_ingest(
+                stream, sd, ckpt, eval_grams, eps=0.99,
+                jaccard_threshold=0.95, on_batch=on_batch,
+                blocklist=blocklist)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ckpt1"))
+    assert got["batches"] == 1
+    good = spark.sql("SELECT xxhash64('https://good.org/a') AS h").first().h
+    assert set(got["verdicts"]) == {good}
+    seen = {r.canonical_url for r in
+            spark.read.parquet(os.path.join(sd, "seen_urls")).collect()}
+    assert seen == {"https://good.org/a"}
+    # replay with a fresh checkpoint: identical outcome, state unchanged
+    n_members = spark.read.parquet(os.path.join(sd, "members")).count()
+    run(str(tmp_path / "ckpt2"))
+    assert set(got["verdicts"]) == {good}
+    assert spark.read.parquet(
+        os.path.join(sd, "members")).count() == n_members
