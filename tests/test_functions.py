@@ -1017,3 +1017,31 @@ def test_quality_classifier_arrow_kernel_row_identical(spark):
     b = {r.doc_id: (r.q_score, r.q_label)
          for r in quality_scores_arrow(df).collect()}
     assert a == b and len(a) == len(rows)
+
+
+def test_lang_id_ngram_arrow_kernel_row_identical(spark):
+    """r12: lang_id_ngram_arrow (packed-trigram numpy kernel) must produce
+    ROW-IDENTICAL output to the Column form on randomized mixed-language
+    docs including multi-byte text and und-edges — same int64 sums, same
+    decimal-HALF_UP rounding, same (score desc, idx asc) argmax."""
+    import random
+
+    from memory_opensource_spark.functions.langid import (
+        LANG_SEEDS, lang_id_ngram, lang_id_ngram_arrow)
+
+    rng = random.Random(3)
+    frags = []
+    for s in LANG_SEEDS.values():
+        w = s.split()
+        frags += [" ".join(w[i:i + 6]) for i in range(0, len(w) - 6, 7)]
+    frags += ["zzz qqq", "42 1234", "café naïve étude", "ab", "",
+              "日本語のテキスト"]
+    rows = [(i, " ".join(rng.choice(frags)
+                         for _ in range(rng.randint(0, 5))))
+            for i in range(300)] + [(900, None), (901, "xy")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    a = {r.doc_id: (r.lang, r.lang_score)
+         for r in lang_id_ngram(df).collect()}
+    b = {r.doc_id: (r.lang, r.lang_score)
+         for r in lang_id_ngram_arrow(df).collect()}
+    assert a == b and len(a) == len(rows)

@@ -135,9 +135,11 @@ def main():
     out["t_quality_clf_s"] = round(time.time() - t0, 2)
 
     t0 = time.time()
-    from memory_opensource_spark.functions.langid import lang_id_ngram
+    # scale path: packed-trigram numpy kernel (row-identical, test-pinned)
+    # — the interpreted per-char substr HOF measured 7.8-12.8 s here
+    from memory_opensource_spark.functions.langid import lang_id_ngram_arrow
 
-    lid = lang_id_ngram(gated_id)
+    lid = lang_id_ngram_arrow(gated_id)
     out["n_lang_en"] = lid.filter(F.col("lang") == "en").count()
     out["t_lang_id_s"] = round(time.time() - t0, 2)
 
