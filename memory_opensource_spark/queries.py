@@ -5632,48 +5632,70 @@ _CRAWL_RAW_HTML_SQL = (
 
 _CRAWL_EXTRACTED_SQL = H.html_to_text_sql("html", mark_links=True)
 
+# r12: a blocklisted slice of the synthetic crawl (two source domains) —
+# the UT1-style gate runs FIRST, before any per-byte work
+_CRAWL_BLOCKED = ["src7.site.org", "src11.site.org"]
+
 # oracle built at import time from the LIVE DuckDB twins (html + url +
-# boilerplate), the r10 lesson: frozen regex literals mangle; live twins
-# cannot drift
-_CRAWL_ORACLE = f"""WITH raw AS (
+# boilerplate + blocklist + quality + langid), the r10 lesson: frozen
+# regex literals mangle; live twins cannot drift
+_CRAWL_ORACLE = f"""WITH cr_raw0 AS (
   SELECT doc_id, {_CRAWL_RAW_URL_SQL} AS url,
          {_CRAWL_RAW_HTML_SQL} AS html
   FROM documents WHERE doc_id < 600
-), ex AS (
+), cr_raw AS (
+  SELECT * FROM cr_raw0 WHERE NOT {U.url_blocked_sql('url', _CRAWL_BLOCKED)}
+), cr_ex AS (
   SELECT doc_id, {B.prune_lines_sql(_CRAWL_EXTRACTED_SQL)} AS pruned,
          {U.canonical_url_sql('url')} AS canonical_url
-  FROM raw
-), keep AS (
-  SELECT canonical_url, MIN(doc_id) AS doc_id FROM ex GROUP BY 1
-), kept AS (
-  SELECT e.doc_id, e.canonical_url,
+  FROM cr_raw
+), cr_keep AS (
+  SELECT canonical_url, MIN(doc_id) AS doc_id FROM cr_ex GROUP BY 1
+), cr_kept AS (
+  SELECT e.doc_id, e.canonical_url, e.pruned,
          len(list_filter(string_split(lower(e.pruned), ' '),
                          t -> t <> ''))::BIGINT AS n_words
-  FROM ex e JOIN keep k
+  FROM cr_ex e JOIN cr_keep k
     ON e.doc_id = k.doc_id AND e.canonical_url = k.canonical_url
+), cr_gated AS (
+  SELECT doc_id, canonical_url, n_words, pruned,
+         (CASE WHEN n_words BETWEEN 3 AND 100000 THEN 1 ELSE 0 END)::INT
+           AS quality_pass
+  FROM cr_kept
 )
-SELECT doc_id, canonical_url, n_words,
-       (CASE WHEN n_words BETWEEN 3 AND 100000 THEN 1 ELSE 0 END)::INT
-         AS quality_pass
-FROM kept
+SELECT g.doc_id, g.canonical_url, g.n_words, g.quality_pass,
+       q.q_label, l.lang
+FROM cr_gated g
+LEFT JOIN ({_qclf_sql(
+    '(SELECT doc_id, pruned AS text FROM cr_gated WHERE quality_pass = 1)')}
+) q ON q.doc_id = g.doc_id
+LEFT JOIN ({_lang_ngram_sql(
+    '(SELECT doc_id, pruned AS text FROM cr_gated WHERE quality_pass = 1)')}
+) l ON l.doc_id = g.doc_id
 """
 
 
 @_register("crawl_mini", _CRAWL_ORACLE)
 def crawl_mini_q(spark, sf_dir):
-    """Crawl-chain COMPOSITION row (r10; r11 adds the boilerplate stage):
-    synthesize per-doc (url, html with nav/counter/footer chrome) ->
-    link-marked html_to_text extraction -> line-level boilerplate pruning
-    (functions/boilerplate.py: the nav anchors fall to link density R6,
-    the counter to R3, the footer to R7) -> canonical-URL dedup (keep min
-    doc_id) -> word-count quality gate ON THE PRUNED TEXT — the stage
-    interactions (pruning changes the word count the gate sees; URL
-    folding decides which doc survives to be gated) value-hash-verified
-    against one DuckDB CTE chain built from the SAME live twins the
-    single-stage rows use.  The pipeline_mini pattern (r8) applied to the
-    crawl stages.  Shape: two scan-side projections + one combinable
-    groupBy + an AQE-managed keeper join; no UDF, no window.
-    Reference: none (LLM-data-pipeline family)."""
+    """Crawl-chain COMPOSITION row (r10; r11 adds the boilerplate stage;
+    r12 adds the blocklist gate and the learned filters): synthesize
+    per-doc (url, html with nav/counter/footer chrome) -> domain-blocklist
+    gate FIRST (two blocked source domains; the cheapest stage runs before
+    any per-byte work) -> link-marked html_to_text extraction ->
+    line-level boilerplate pruning (functions/boilerplate.py: the nav
+    anchors fall to link density R6, the counter to R3, the footer to R7)
+    -> canonical-URL dedup (keep min doc_id) -> word-count quality gate ON
+    THE PRUNED TEXT -> quality classifier + char-trigram lang-ID on the
+    GATE SURVIVORS only (the CCNet/DCLM ordering; non-survivors carry
+    NULLs) — the stage interactions value-hash-verified against one DuckDB
+    CTE chain built from the SAME live twins the single-stage rows use.
+    The pipeline_mini pattern (r8) applied to the crawl stages.  Shape:
+    scan-side projections + combinable groupBys + broadcast weight-table
+    joins; no UDF, no window.  Reference: none (LLM-data-pipeline
+    family)."""
+    from .functions.langid import lang_id_ngram
+    from .functions.quality_clf import quality_scores
+
     docs = tables.load(spark, sf_dir, "documents") \
         .filter(F.col("doc_id") < 600)
     did = F.col("doc_id")
@@ -5695,11 +5717,13 @@ def crawl_mini_q(spark, sf_dir):
         F.lit(" likes</div><script>track && track(1);</script>"
               "<div>© 2024 "),
         F.col("source"), F.lit(" Corp</div></body></html>"))
-    # URL dedup FIRST (the cheap string key), extraction + pruning only on
-    # the survivors — at crawl scale the expensive per-byte stages must
-    # never run on rows the URL pass already discards (and the heavy
-    # expression tree appears ONCE in the plan, not on both semi-join
-    # sides: r11, 3.5s -> sub-second plan build)
+    # blocklist FIRST (pure string predicate on the URL), then URL dedup
+    # (the cheap string key), extraction + pruning only on the survivors —
+    # at crawl scale the expensive per-byte stages must never run on rows
+    # the URL passes already discard (and the heavy expression tree
+    # appears ONCE in the plan, not on both semi-join sides: r11, 3.5s ->
+    # sub-second plan build)
+    docs = docs.filter(~U.url_blocked(url, _CRAWL_BLOCKED))
     urls_df = docs.select("doc_id", U.canonical_url(url).alias("canonical_url"))
     keep = urls_df.groupBy("canonical_url") \
         .agg(F.min("doc_id").alias("doc_id"))
@@ -5709,10 +5733,17 @@ def crawl_mini_q(spark, sf_dir):
         B.prune_lines(H.html_to_text(html, mark_links=True)).alias("pruned"),
         U.canonical_url(url).alias("canonical_url"))
     n_words = F.size(T.tokens(F.col("pruned"))).cast("long")
-    return ex.select(
-        "doc_id", "canonical_url", n_words.alias("n_words"),
+    gated = ex.select(
+        "doc_id", "canonical_url", "pruned", n_words.alias("n_words"),
         F.when((n_words >= 3) & (n_words <= 100000), 1).otherwise(0)
          .cast("int").alias("quality_pass"))
+    survivors = gated.filter(F.col("quality_pass") == 1) \
+        .select("doc_id", F.col("pruned").alias("text"))
+    q = quality_scores(survivors).select("doc_id", "q_label")
+    lid = lang_id_ngram(survivors).select("doc_id", "lang")
+    return (gated.drop("pruned")
+            .join(q, "doc_id", "left")
+            .join(lid, "doc_id", "left"))
 
 
 # r11: the standalone oracle row for the boilerplate stage — documents
