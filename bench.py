@@ -138,6 +138,9 @@ HEADLINE = [
     # round 12: UT1-style domain-blocklist URL filtering (label-boundary
     # host-suffix match; pure scan-side predicate)
     "url_blocklist_filter",
+    # round 12: BPE subword encoding (sentinel-wrapped JVM replace fold;
+    # the distributed trainer is test-pinned)
+    "bpe_subword_stats",
 ]
 
 

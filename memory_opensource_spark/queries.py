@@ -5370,6 +5370,42 @@ def url_canonical_dedup_q(spark, sf_dir):
                  F.min("doc_id").alias("keeper_id")))
 
 
+# oracle built at import time from the LIVE twin in functions/bpe: the
+# registry row encodes with the import-time seed vocabulary (deterministic
+# without Spark); the distributed trainer is pinned in tests (iterative
+# training is not SQL-expressible, encoding IS — the sentinel-wrapped
+# replace fold)
+from .functions import bpe as _bpe  # noqa: E402
+
+_BPE_MERGES = _bpe.seed_merges(200)
+_BPE_ORACLE = f"""SELECT doc_id,
+ {_bpe.bpe_token_count_sql('text', _BPE_MERGES)} AS n_bpe_tokens,
+ md5({_bpe.apply_bpe_sql('text', _BPE_MERGES)}) AS encoded_md5
+FROM documents WHERE doc_id < 900"""
+
+
+@_register("bpe_subword_stats", _BPE_ORACLE)
+def bpe_subword_stats_q(spark, sf_dir):
+    """BPE subword encoding (r12, functions/bpe): encode every document
+    with a 200-merge vocabulary (trained deterministically at import from
+    the quality classifier's seed prose; the DISTRIBUTED trainer —
+    train_bpe, one combinable word-count groupBy + a bounded driver merge
+    loop — is reference-pinned in tests) and emit token count + an md5 of
+    the full encoded representation, so any divergence in merge order,
+    sentinel scheme or replace semantics turns the row red.  Shape: a
+    pure JVM string-replace fold — zero UDF, zero shuffle, scan-side; the
+    DuckDB twin folds the same merge literals via list_reduce.
+    Reference analog: none (LLM-data-pipeline family)."""
+    from .functions.bpe import apply_bpe, bpe_token_count
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 900)
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text"), _BPE_MERGES).alias("n_bpe_tokens"),
+        F.md5(apply_bpe(F.col("text"), _BPE_MERGES)).alias("encoded_md5"))
+
+
 # oracle built at import time from the LIVE twin in functions/urls (the
 # html_text_extract lesson: frozen regex literals drift; built twins cannot)
 _BLOCK_RAW_SQL = (

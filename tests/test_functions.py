@@ -1045,3 +1045,80 @@ def test_lang_id_ngram_arrow_kernel_row_identical(spark):
     b = {r.doc_id: (r.lang, r.lang_score)
          for r in lang_id_ngram_arrow(df).collect()}
     assert a == b and len(a) == len(rows)
+
+
+def test_bpe_trainer_textbook_and_partition_independent(spark):
+    """r12 functions/bpe: the merge loop reproduces the textbook
+    low/lower/newest/widest example with deterministic ties, and
+    train_bpe over a DataFrame equals the pure-Python loop on the same
+    word counts regardless of partition layout."""
+    from memory_opensource_spark.functions.bpe import (
+        train_bpe, train_bpe_from_counts)
+
+    m = train_bpe_from_counts(
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3}, 4)
+    # (e,s)=9 ties (s,t)=9 and (t,</w>)=9 -> lexicographic asc picks (e,s),
+    # then (es,t), then (est,</w>); fourth: (l,o)=7 over (w,</w>)... ties
+    # resolved identically by both implementations
+    assert m[:3] == [("e", "s"), ("es", "t"), ("est", "</w>")]
+
+    rows = [(i, f"alpha beta beta gamma{' delta' * (i % 3)}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    counts: dict = {}
+    for _, t in rows:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    want = train_bpe_from_counts(counts, 30)
+    assert train_bpe(df, n_merges=30) == want
+    assert train_bpe(df.repartition(7), n_merges=30) == want
+
+
+def test_bpe_encode_cross_engine_and_reference_parity(spark):
+    """The Column-expression encoder, the DuckDB list_reduce twin and a
+    naive per-word reference implementation must agree on token counts
+    and the full encoded representation (md5), including NULL/empty/
+    no-letter edges and case folding."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.functions import bpe
+
+    merges = bpe.seed_merges(200)
+    assert len(merges) == 200
+    rows = [(0, "the committee published the annual report"),
+            (1, "click here to buy cheap pills now"),
+            (2, None), (3, ""), (4, "zzz 123 !!!"), (5, "a"),
+            (6, "the THE The tHe"), (7, "x" * 300)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: (r.n, r.h) for r in df.select(
+        "doc_id",
+        bpe.bpe_token_count(F.col("text"), merges).alias("n"),
+        F.md5(bpe.apply_bpe(F.col("text"), merges)).alias("h")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {r[0]: (r[1], r[2]) for r in con.execute(
+        f"SELECT doc_id, {bpe.bpe_token_count_sql('text', merges)}, "
+        f"md5({bpe.apply_bpe_sql('text', merges)}) FROM t").fetchall()}
+    assert got == want
+
+    def py_encode(text):
+        out = []
+        for w in bpe._words(text or ""):
+            syms = list(w) + [bpe.EOW]
+            for a, b in merges:
+                i = 0
+                while i < len(syms) - 1:
+                    if syms[i] == a and syms[i + 1] == b:
+                        syms[i:i + 2] = [a + b]
+                    i += 1
+            out.extend(syms)
+        return out
+
+    for did, text in rows:
+        toks = py_encode(text)
+        assert len(toks) == got[did][0], did
+        # lossless: stripping subword boundaries reconstructs the words
+        joined = "".join(toks).replace(bpe.EOW, " ").strip()
+        assert joined == " ".join(bpe._words(text or "")), did
