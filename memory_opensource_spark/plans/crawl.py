@@ -1,0 +1,155 @@
+"""One-call crawl -> training-shards batch pipeline (round-12).
+
+The batch capstone over the crawl family: every stage already exists as
+an oracle-gated operator (sources/warc, functions/urls, functions/html,
+functions/boilerplate, functions/quality_clf, functions/langid,
+operators/dedup, operators/bloom, operators/sampling, sources/writers) —
+this module is their documented composition, the batch twin of
+streaming/pipelines.foreach_batch_crawl_ingest, ordered the way the
+public pipelines (CCNet / RefinedWeb / Gopher / DCLM) order them:
+
+    WARC read -> domain blocklist -> extract + boilerplate prune
+    -> URL canonical dedup -> word gate -> learned quality filter
+    -> language filter -> exact dedup -> MinHash near-dup
+    -> benchmark decontamination -> leakage-safe split -> shard write
+
+Cheapest-first: the string-only stages (blocklist, URL dedup) run before
+any per-byte work; the learned filters run on gate survivors; the
+quadratic-prone stages (MinHash) run on the already-filtered corpus.
+Scale kernels throughout (prune_lines_arrow, quality_scores_arrow,
+lang_id_ngram_arrow — each row-identical to its oracle-gated Column
+spec, test-pinned in their modules).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def crawl_to_training_shards(spark: SparkSession, warc_glob: str,
+                             out_dir: str, *,
+                             blocklist: DataFrame | None = None,
+                             eval_grams: DataFrame | None = None,
+                             langs: tuple = ("en",),
+                             min_words: int = 50,
+                             max_words: int = 100_000,
+                             jaccard_threshold: float = 0.5,
+                             contamination_n: int = 8,
+                             fractions: dict | None = None,
+                             n_shards: int = 8,
+                             seed: str = "crawl",
+                             record_types: tuple = ("response",)) -> dict:
+    """Run the full batch front-end (module docstring) and write one
+    sharded parquet layout per split under ``out_dir/split=<name>``.
+
+    Policies (each the corresponding operator's documented semantics):
+    URL dedup keeps min(text) per canonical URL; ``doc_id =
+    xxhash64(canonical_url)``; exact dedup keeps the min doc_id per
+    content hash; near-dup pairs drop the larger doc_id (first-come-
+    first-kept by id); splits assign by the CONTENT hash, so any
+    surviving duplicates of one document can never straddle splits.
+    ``langs=None`` skips language filtering; ``eval_grams=None`` skips
+    decontamination; ``blocklist=None`` skips the domain gate.
+
+    Returns ``{"stages": {name: rows_after}, "paths": {split: path}}`` —
+    the stage table is the per-run audit trail (each count is one
+    combinable action over the current frame)."""
+    from ..functions import html as H
+    from ..functions import urls as U
+    from ..functions.boilerplate import prune_lines_arrow
+    from ..functions.langid import lang_id_ngram_arrow
+    from ..functions.quality_clf import quality_scores_arrow
+    from ..operators import bloom, dedup
+    from ..operators.sampling import assign_split_by_group
+    from ..sources import warc
+    from ..sources.writers import shard_write
+
+    stages: dict[str, int] = {}
+
+    pages = warc.read_warc(spark, warc_glob, record_types=record_types) \
+        .select("target_uri", "text")
+    stages["read"] = pages.count()
+
+    if blocklist is not None:
+        pages = U.filter_blocked_urls(pages, blocklist, "target_uri")
+        stages["blocklist"] = pages.count()
+
+    marked = pages.select(
+        "target_uri",
+        H.html_to_text(F.col("text"), mark_links=True).alias("pruned"))
+    extracted = prune_lines_arrow(marked, "pruned")
+
+    docs = (extracted
+            .select(U.canonical_url(F.col("target_uri"))
+                    .alias("canonical_url"),
+                    F.col("pruned").alias("text"))
+            .groupBy("canonical_url")
+            .agg(F.min("text").alias("text"))
+            .select(F.xxhash64("canonical_url").alias("doc_id"),
+                    "canonical_url", "text")
+            .localCheckpoint(eager=True))
+    stages["url_dedup"] = docs.count()
+
+    from ..functions.text import tokens
+    n_words = F.size(tokens(F.col("text")))
+    docs = docs.filter((n_words >= min_words) & (n_words <= max_words))
+    stages["word_gate"] = docs.count()
+
+    q = quality_scores_arrow(docs.select("doc_id", "text"))
+    docs = docs.join(q.filter(F.col("q_label") == "high")
+                     .select("doc_id"), "doc_id", "left_semi")
+    stages["quality"] = docs.count()
+
+    if langs is not None:
+        lid = lang_id_ngram_arrow(docs.select("doc_id", "text"))
+        docs = docs.join(
+            lid.filter(F.col("lang").isin(list(langs))).select("doc_id"),
+            "doc_id", "left_semi")
+        stages["lang"] = docs.count()
+
+    # exact dedup: min doc_id per content hash (combinable groupBy)
+    keep = (docs.select("doc_id", F.md5("text").alias("content_hash"))
+            .groupBy("content_hash").agg(F.min("doc_id").alias("doc_id")))
+    docs = docs.join(keep.select("doc_id"), "doc_id", "left_semi") \
+        .localCheckpoint(eager=True)
+    stages["exact_dedup"] = docs.count()
+
+    pairs = dedup.minhash_near_duplicates(
+        docs, id_col="doc_id", text_col="text",
+        threshold=jaccard_threshold)
+    drops = pairs.select(
+        F.greatest(F.col("left_id"), F.col("right_id")).alias("doc_id")) \
+        .distinct()
+    docs = docs.join(drops, "doc_id", "left_anti")
+    stages["near_dedup"] = docs.count()
+
+    if eval_grams is not None:
+        n_grams = eval_grams.count()
+        num_bits, k = bloom.optimal_params(max(1, n_grams))
+        bits = bloom.bloom_build(eval_grams, "gram", num_bits, k)
+        flags = bloom.ngram_contamination_flags(
+            docs, eval_grams.select("gram"), bits, num_bits, k,
+            n=contamination_n)
+        docs = docs.join(
+            flags.filter(F.col("contaminated") == 1).select("doc_id"),
+            "doc_id", "left_anti")
+        stages["decontaminated"] = docs.count()
+
+    # leakage-safe split: the group key is the CONTENT hash — duplicate
+    # families never straddle splits (operators/sampling semantics)
+    split = assign_split_by_group(
+        docs.withColumn("content_hash", F.md5("text")),
+        "content_hash", fractions=fractions).localCheckpoint(eager=True)
+    paths = {}
+    for name in sorted({r.split for r in
+                        split.select("split").distinct().collect()}):
+        path = os.path.join(out_dir, f"split={name}")
+        shard_write(split.filter(F.col("split") == name)
+                    .select("doc_id", "canonical_url", "text"),
+                    path, n_shards, seed)
+        paths[name] = path
+    stages["written"] = split.count()
+    return {"stages": stages, "paths": paths}

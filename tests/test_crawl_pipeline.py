@@ -1,0 +1,105 @@
+"""plans/crawl.crawl_to_training_shards: the one-call batch front-end —
+every planted document dies at exactly the stage built to catch it, and
+the survivors land in leakage-safe sharded splits."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from memory_opensource_spark.plans.crawl import crawl_to_training_shards
+from memory_opensource_spark.sources import warc
+
+PROSE_A = ("the committee published its annual report describing how the "
+           "harbor town rebuilt its flood defenses after the storm and "
+           "the families returned to their homes before the winter came")
+PROSE_B = ("researchers at the university measured the temperature of "
+           "the lake every morning for ten years and found that the ice "
+           "now melts almost three weeks earlier than before the study")
+PROSE_B_NEAR = PROSE_B.replace("ten years", "nine years")
+# stopword-rich enough (>= 10%) to survive the boilerplate pruner's
+# density rule R5 — the CLASSIFIER must be the stage that kills it
+SPAM_F = ("buy cheap pills online and get the best casino bonus codes now "
+          "free spins for the slots poker win money fast work from home "
+          "miracle weight loss cure cheap flights cheap hotels best deals "
+          "book now limited time offer order today free shipping on all "
+          "orders click here to sign up now")
+GERMAN_G = ("der schnelle braune fuchs springt über den faulen hund "
+            "während der regen auf die stille stadt fällt und die leute "
+            "durch den alten markt gehen um brot käse und obst zu suchen "
+            "weil sie ein gutes abendessen kochen wollen und die kinder "
+            "spielen am fluss mit einem kleinen holzboot "
+            "the committee published the annual report and the museum "
+            "opened a small exhibition about the river trade this year")
+EVAL_SENT = ("held out benchmark question about the alpha beta gamma "
+             "delta epsilon zeta eta theta sequence")
+CONTAM_H = ("some ordinary prose with the usual words and then the alpha "
+            "beta gamma delta epsilon zeta eta theta sequence appears "
+            "verbatim in the middle of the document for the check to find")
+
+
+def _page(uri, body):
+    html = (f"<html><body><div><a href='/'>Home</a></div><p>{body}</p>"
+            f"<div>© 2024 site Corp</div></body></html>")
+    head = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n\r\n")
+    return (uri, "2024-01-01T00:00:00Z", head + html.encode("utf-8"))
+
+
+def test_crawl_to_training_shards_end_to_end(spark, tmp_path):
+    segs = str(tmp_path / "segs")
+    os.makedirs(segs)
+    warc.write_warc_records(
+        [_page("https://good.org/a", PROSE_A),
+         _page("https://good.org/a?utm_source=x", PROSE_A),  # URL dup
+         _page("https://good.org/b", PROSE_B),
+         _page("https://good.org/b2", PROSE_B),              # exact dup
+         _page("https://good.org/c", PROSE_B_NEAR),          # near dup
+         _page("https://spam.example/d", PROSE_A),           # blocked
+         _page("https://good.org/e", "too short"),           # word gate
+         _page("https://good.org/f", SPAM_F),                # quality
+         _page("https://good.org/g", GERMAN_G),              # lang
+         _page("https://good.org/h", CONTAM_H)],             # contaminated
+        os.path.join(segs, "seg0.warc"))
+
+    blocklist = spark.createDataFrame([("spam.example",)], "domain string")
+    toks = EVAL_SENT.lower().split()
+    eval_grams = spark.createDataFrame(
+        [(" ".join(toks[i:i + 8]),) for i in range(len(toks) - 7)],
+        "gram string")
+
+    out = str(tmp_path / "out")
+    res = crawl_to_training_shards(
+        spark, os.path.join(segs, "*"), out,
+        blocklist=blocklist, eval_grams=eval_grams,
+        langs=("en",), min_words=5, jaccard_threshold=0.5,
+        n_shards=2, fractions={"train": 0.7, "val": 0.3})
+
+    s = res["stages"]
+    assert s["read"] == 10
+    assert s["blocklist"] == 9        # spam.example dropped
+    assert s["url_dedup"] == 8        # utm variant folded
+    assert s["word_gate"] == 7        # 'too short'
+    assert s["quality"] == 6          # SPAM_F -> 'low'
+    assert s["lang"] == 5             # German doc -> 'de'
+    assert s["exact_dedup"] == 4      # b2 == b text
+    assert s["near_dedup"] == 3       # one of b/c dropped
+    assert s["decontaminated"] == 2   # contaminated doc h dropped
+    assert s["written"] == 2
+
+    # survivors are exactly {a, one of b/c}, readable from the shards
+    back = []
+    for name, path in res["paths"].items():
+        df = spark.read.parquet(path)
+        back.extend((name, r.canonical_url, r.text) for r in df.collect())
+    urls = {u for _, u, _ in back}
+    assert "https://good.org/a" in urls
+    assert len(urls & {"https://good.org/b", "https://good.org/c"}) == 1
+    assert len(back) == 2
+    # leakage-safe: identical content (none left here) would share splits —
+    # at minimum the assignment is deterministic across re-runs
+    res2 = crawl_to_training_shards(
+        spark, os.path.join(segs, "*"), str(tmp_path / "out2"),
+        blocklist=blocklist, eval_grams=eval_grams,
+        langs=("en",), min_words=5, jaccard_threshold=0.5,
+        n_shards=2, fractions={"train": 0.7, "val": 0.3})
+    assert res2["stages"] == s
