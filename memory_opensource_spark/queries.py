@@ -6534,8 +6534,12 @@ _EVIDENCE_PRIORITY = [
     # r8/r9; line-level exact dedup stays driver-checked inside
     # pipeline_mini's line stage + suite_dedup_family and locally gated
     # 3 SFs) in favor of the r10-new boilerplate_prune below.
-    "dedup_span_fraction",        # ExactSubstr detect (r7 new, r8 rework)
+    # round-12 rotation #2: dedup_span_fraction displaced (driver-green
+    # r8/r9; the span family stays driver-checked via dedup_span_removal,
+    # suite_dedup_family and pipeline_mini's span stage) in favor of the
+    # r12-new quality_classifier below.
     "dedup_span_removal",         # ExactSubstr remove (r7 new, r8 rework)
+    "quality_classifier",         # NB log-odds learned quality filter (r12)
     # round-9 rotation (VERDICT r8 task 1): the three r8-late rows that were
     # green in the local full gate but never held a driver slot.
     # gopher_quality_flags carries the r9 NULL-coalesce fix and
@@ -6561,8 +6565,17 @@ _EVIDENCE_PRIORITY = [
     # (g5_semantic_lookup displaced — driver-green since r2, G5 semantics
     # unchanged, the cosine-lookup family stays driver-covered by
     # v2_cosine_topk + both flagships; locally gated every round)
-    "sample_domain_cap",          # Gopher/RefinedWeb domain frequency cap (r8 new)
-    "g7_schema_discovery",        # G7
+    # round-12 rotation #2: sample_domain_cap displaced (driver-green
+    # r8/r9; sampling/split semantics stay driver-checked via
+    # split_leakage_safe + shard_token_budget + pack_sequences) in favor
+    # of the r12-new url_blocklist_filter below.
+    "url_blocklist_filter",       # UT1-style domain blocklist (r12 new)
+    # round-12 rotation #2: g7_schema_discovery displaced (driver-green
+    # r2..r9; the graph family keeps g1, suite_graph_lookup,
+    # g8_schema_driven_merge, suite_graph_store, g14, g15 and
+    # suite_graph_analytics in the window) in favor of the r12-new
+    # bpe_subword_stats below.
+    "bpe_subword_stats",          # BPE subword encoding (r12 new)
     "g8_schema_driven_merge",     # G8 + dynamic schema registry
     "suite_graph_store",          # G9/G10/G11
     "shard_token_budget",         # exact token-budgeted sharding (r7 new)

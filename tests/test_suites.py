@@ -25,7 +25,7 @@ def test_registry_prefix_covers_component_families():
         "v6_entity_resolution",
         "g1_pattern_match",
         "suite_graph_lookup",
-        "g7_schema_discovery", "g8_schema_driven_merge", "suite_graph_store",
+        "g8_schema_driven_merge", "suite_graph_store",
         "g14_constraint_when",
         "r2_stratified_merge",
         "suite_ranking_formulas",
@@ -58,12 +58,8 @@ def test_registry_prefix_covers_component_families():
         # g12_related_to_edges, g13_link_to_lookup — all driver-green for
         # multiple rounds, unchanged semantics, families keep >= 2 driver
         # rows) stay locally gated.
-        "dedup_span_fraction", "dedup_span_removal",
+        "dedup_span_removal",
         "shard_token_budget",
-        # round-8 new op straight into the window (g5_semantic_lookup
-        # displaced — driver-green since r2, family covered by
-        # v2_cosine_topk + flagships)
-        "sample_domain_cap",
         # round-8: the oracle-gated composition row (r12_delta_since_watermark
         # displaced — driver-green since r3, delta/watermark behavior stays
         # in suite_stream_windows)
@@ -95,6 +91,14 @@ def test_registry_prefix_covers_component_families():
         # multi-assignment inside ann_ivf_persisted + ann_pq_rerank; all
         # three stay locally gated at 3 SFs)
         "boilerplate_prune", "warc_response_extract", "text_lang_id_ngram",
+        # round-12 rotation #2: the three r12-new rows into the window
+        # (dedup_span_fraction / sample_domain_cap / g7_schema_discovery
+        # displaced — driver-green 2/2/8 rounds; span family stays
+        # driver-checked via dedup_span_removal + suite_dedup_family +
+        # pipeline_mini, sampling via split_leakage_safe + shard rows,
+        # graph discovery via the six remaining graph window rows; all
+        # three stay locally gated at 3 SFs)
+        "quality_classifier", "url_blocklist_filter", "bpe_subword_stats",
     ]
     missing = [q for q in required if q not in top50]
     assert not missing, f"top-50 evidence window lost: {missing}"
