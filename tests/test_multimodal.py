@@ -728,3 +728,121 @@ def test_jpeg_unsupported_variants_stay_behind_seam():
     assert _decode_jpeg(good[:len(good) // 2]) is None  # truncated entropy
     assert _decode_jpeg(b"\xff\xd8\xff\xd9") is None    # no scan
     assert _decode_jpeg(b"GIF89a") is None
+
+
+def _mp4_box(typ, body):
+    import struct
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _mp4_fixture(width=640, height=360, timescale=1000, duration=7500,
+                 codec=b"avc1"):
+    import struct
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mvhd = _mp4_box(b"mvhd", bytes(4) + bytes(8)
+                    + struct.pack(">II", timescale, duration) + bytes(80))
+    tkhd = _mp4_box(b"tkhd", bytes(4) + bytes(72)
+                    + struct.pack(">II", width << 16, height << 16))
+    stsd = _mp4_box(b"stsd", bytes(8) + _mp4_box(codec, bytes(70)))
+    stbl = _mp4_box(b"stbl", stsd)
+    minf = _mp4_box(b"minf", stbl)
+    mdia = _mp4_box(b"mdia", minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + moov + _mp4_box(b"mdat", b"\x00" * 32)
+
+
+def _mp3_fixture(n_frames=10, with_id3=True):
+    # MPEG1 Layer III, 128 kbps, 44100 Hz, joint stereo: FF FB 90 40
+    frame_len = int(144 * 128000 / 44100)      # 417 bytes
+    frame = b"\xff\xfb\x90\x40" + b"\x00" * (frame_len - 4)
+    id3 = b"ID3\x03\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 \
+        if with_id3 else b""
+    return id3 + frame * n_frames
+
+
+def test_probe_media_meta_all_containers(spark):
+    """r12: probe_media_meta extracts real header/box facts for every
+    supported container — including MP4 and MP3, whose PAYLOAD decode
+    stays behind the library seam — and returns None for unknown bytes."""
+    import numpy as np
+
+    from memory_opensource_spark.sources.multimodal import (
+        extract_media_meta,
+        probe_media_meta,
+    )
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(12, 10, 3)).astype(np.uint8)
+    ppm = b"P6\n10 12\n255\n" + px.tobytes()
+    png = _png(px, filters=[0])
+    jpg = _jpeg(px)
+    gif = _gif(np.zeros((4, 6, 3), dtype=np.uint8))
+    # 16-bit mono 8000 Hz WAV, 1 second
+    import struct
+    data = b"\x00\x00" * 8000
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                   16000, 2, 16)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    mp4 = _mp4_fixture()
+    mp3 = _mp3_fixture()
+
+    m = probe_media_meta(ppm)
+    assert (m["container"], m["width"], m["height"]) == ("ppm", 10, 12)
+    m = probe_media_meta(png)
+    assert (m["container"], m["width"], m["height"]) == ("png", 10, 12)
+    m = probe_media_meta(jpg)
+    assert (m["container"], m["width"], m["height"],
+            m["codec"]) == ("jpeg", 10, 12, "baseline")
+    m = probe_media_meta(gif)
+    assert (m["container"], m["width"], m["height"]) == ("gif", 6, 4)
+    m = probe_media_meta(wav)
+    assert (m["container"], m["sample_rate"], m["channels"],
+            m["duration_ms"], m["codec"]) == ("wav", 8000, 1, 1000,
+                                              "pcm16")
+    m = probe_media_meta(mp4)
+    assert (m["container"], m["width"], m["height"], m["duration_ms"],
+            m["codec"]) == ("mp4", 640, 360, 7500, "avc1")
+    m = probe_media_meta(mp3)
+    assert (m["container"], m["sample_rate"], m["channels"],
+            m["codec"]) == ("mp3", 44100, 2, "mp3")
+    assert 200 <= m["duration_ms"] <= 300      # 10 x 417B at 128 kbps
+    assert probe_media_meta(b"not a known container") is None
+    assert probe_media_meta(b"\xff\xd8truncated") is None
+
+    rows = [("m_mp4", "video", mp4, "video/mp4", None, None, None),
+            ("m_mp3", "audio", mp3, "audio/mpeg", None, None, None),
+            ("m_png", "image", png, "image/png", None, None, None),
+            ("m_bad", "image", b"junk", "application/octet-stream",
+             None, None, None)]
+    media = spark.createDataFrame(
+        rows, schema="media_id string, modality string, content binary, "
+        "mime_type string, meta_width int, meta_height int, "
+        "meta_duration_ms int")
+    got = {r.media_id: r.asDict() for r in
+           extract_media_meta(media).collect()}
+    assert got["m_mp4"]["width"] == 640 and got["m_mp4"]["codec"] == "avc1"
+    assert got["m_mp3"]["sample_rate"] == 44100
+    assert got["m_png"]["height"] == 12
+    assert got["m_bad"]["container"] is None
+
+
+def test_probe_media_meta_malformed_mp4_edges():
+    """Box-walk robustness: missing moov, truncated largesize, zero-size
+    box to end, and version-1 mvhd all behave (facts or None, no raise)."""
+    import struct
+
+    from memory_opensource_spark.sources.multimodal import probe_media_meta
+
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00")
+    assert probe_media_meta(ftyp) is None                  # no moov
+    # version-1 mvhd (64-bit times)
+    mvhd1 = _mp4_box(b"mvhd", b"\x01" + bytes(3) + bytes(16)
+                     + struct.pack(">I", 1000) + struct.pack(">Q", 2500)
+                     + bytes(80))
+    m = probe_media_meta(ftyp + _mp4_box(b"moov", mvhd1))
+    assert m["duration_ms"] == 2500
+    # truncated box claims more than the buffer: walk stops cleanly
+    bad = ftyp + struct.pack(">I", 4096) + b"moov" + b"\x00" * 8
+    assert probe_media_meta(bad) is None
