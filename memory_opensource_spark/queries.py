@@ -5370,6 +5370,72 @@ def url_canonical_dedup_q(spark, sf_dir):
                  F.min("doc_id").alias("keeper_id")))
 
 
+@_register("mm_media_meta", """
+SELECT doc_id,
+  (CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4' ELSE 'mp3' END)
+    AS container,
+  (CASE WHEN doc_id % 3 = 1 THEN 320 + (doc_id % 10) * 16 END)::INT
+    AS width,
+  (CASE WHEN doc_id % 3 = 1 THEN 180 + (doc_id % 10) * 9 END)::INT
+    AS height,
+  (CASE doc_id % 3
+     WHEN 0 THEN 500
+     WHEN 1 THEN 1000 + (doc_id % 7) * 500
+     ELSE ((5 + doc_id % 20) * 3336) // 128 END)::BIGINT AS duration_ms,
+  (CASE doc_id % 3 WHEN 0 THEN 8000 + (doc_id % 5) * 2000
+     WHEN 2 THEN 44100 END)::INT AS sample_rate,
+  (CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 2 WHEN 2 THEN 2 END)::INT
+    AS channels,
+  (CASE doc_id % 3 WHEN 0 THEN 'pcm16' WHEN 1 THEN 'avc1'
+     ELSE 'mp3' END) AS codec
+FROM documents WHERE doc_id < 600
+""")
+def mm_media_meta_q(spark, sf_dir):
+    """Container-metadata extraction (r12, sources/multimodal
+    probe_media_meta / extract_media_meta): per-doc media bytes are BUILT
+    executor-side by the in-package fixture twins (write_wav /
+    write_mp4_stub / write_mp3_stub — kind and every parameter derive
+    arithmetically from doc_id) and then PARSED back by the metadata
+    prober (WAV fmt/data chunks, ISO-BMFF mvhd/tkhd/stsd box walk, MPEG1
+    Layer III frame header behind an ID3v2 tag); the oracle recomputes
+    the same facts from doc_id directly, so any builder/parser asymmetry
+    — box offsets, fixed-point dims, syncsafe ID3 size, CBR duration
+    math — turns the row red (the warc_ingest_roundtrip pattern).
+    Shape: one Arrow kernel; metadata never touches payload bytes.
+    Reference analog: none (multimodal family)."""
+    import pandas as pd
+
+    from .sources.multimodal import (extract_media_meta, write_mp3_stub,
+                                     write_mp4_stub, write_wav)
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 600).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 3 == 0:
+                    sr = 8000 + (d % 5) * 2000
+                    content = write_wav(sr, 1 + d % 2, 16, sr // 2)
+                elif d % 3 == 1:
+                    content = write_mp4_stub(320 + (d % 10) * 16,
+                                             180 + (d % 10) * 9,
+                                             1000 + (d % 7) * 500)
+                else:
+                    content = write_mp3_stub(5 + d % 20)
+                rows.append((str(d), content))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(build, "media_id string, content binary")
+    return (extract_media_meta(media)
+            .select(F.col("media_id").cast("long").alias("doc_id"),
+                    "container", "width", "height",
+                    F.col("duration_ms").cast("long").alias("duration_ms"),
+                    "sample_rate", "channels", "codec"))
+
+
 # oracle built at import time from the LIVE twin in functions/bpe: the
 # registry row encodes with the import-time seed vocabulary (deterministic
 # without Spark); the distributed trainer is pinned in tests (iterative
