@@ -141,6 +141,9 @@ HEADLINE = [
     # round 12: BPE subword encoding (sentinel-wrapped JVM replace fold;
     # the distributed trainer is test-pinned)
     "bpe_subword_stats",
+    # round 12: container-metadata extraction (built fixtures parsed back
+    # by the prober — WAV/MP4/MP3 headers only, no payload bytes)
+    "mm_media_meta",
 ]
 
 
