@@ -144,6 +144,9 @@ HEADLINE = [
     # round 12: container-metadata extraction (built fixtures parsed back
     # by the prober — WAV/MP4/MP3 headers only, no payload bytes)
     "mm_media_meta",
+    # round 12: quality-aware duplicate-family keeper (CC + struct-argmax
+    # groupBy; keeps the best-scored member of each near-dup family)
+    "dedup_keep_best_quality",
 ]
 
 

@@ -901,3 +901,48 @@ def dup_ngram_char_coverage(docs: DataFrame, id_col: str = "doc_id",
     per input doc (docs with no duplicated n-grams get 0.0)."""
     return gopher_ngram_stats(docs, id_col=id_col, text_col=text_col,
                               cover_ns=tuple(ns), top_ns=())
+
+
+def keep_best_in_clusters(docs: DataFrame, pairs: DataFrame,
+                          scores: DataFrame, id_col: str = "doc_id",
+                          score_col: str = "score") -> DataFrame:
+    """Quality-aware duplicate-family keeper (r12): near-dup PAIRS
+    ({left_id, right_id}) -> connected components -> ONE keeper per
+    family chosen by the HIGHEST score (id-asc tie-break via the house
+    struct-argmax), not the min id — the RefinedWeb/SemDeDup practice of
+    keeping the best-quality member of each duplicate cluster instead of
+    an arbitrary one.  Docs in no pair are their own singleton keeper.
+
+    ``scores``: {id_col, score_col} (e.g. quality_clf.quality_scores'
+    q_score; NULL scores rank below every real score).  Returns
+    {id_col, cluster_id, keeper_id, retained} for EVERY input doc.
+
+    Shape: CC via the pointer-jumping label loop (O(log diameter)
+    rounds, operators/graph.connected_components), then ONE combinable
+    groupBy per family for the argmax — no per-cluster window, so a
+    giant duplicate family never pins a single task."""
+    from .graph import connected_components
+
+    und = (pairs.select(F.col("left_id").alias("src"),
+                        F.col("right_id").alias("dst"))
+           .unionByName(pairs.select(F.col("right_id").alias("src"),
+                                     F.col("left_id").alias("dst"))))
+    comp = connected_components(und)
+    base = (docs.select(F.col(id_col))
+            .join(comp, F.col(id_col) == F.col("node_id"), "left")
+            .select(id_col,
+                    F.coalesce(F.col("component"), F.col(id_col))
+                     .alias("cluster_id"))
+            .join(scores.select(F.col(id_col),
+                                F.col(score_col).alias("_s")),
+                  id_col, "left"))
+    keeper = (base.groupBy("cluster_id")
+              .agg(F.max(F.struct(
+                  F.coalesce(F.col("_s"), F.lit(float("-inf")))
+                   .alias("s"),
+                  (-F.col(id_col)).alias("ni"))).alias("_b"))
+              .select("cluster_id", (-F.col("_b.ni")).alias("keeper_id")))
+    return (base.join(keeper, "cluster_id")
+            .select(id_col, "cluster_id", "keeper_id",
+                    (F.col(id_col) == F.col("keeper_id")).cast("int")
+                    .alias("retained")))

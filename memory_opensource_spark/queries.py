@@ -422,6 +422,96 @@ def dedup_jaccard(spark, sf_dir):
     return out.select("left_id", "right_id", "jaccard")
 
 
+# oracle: recursive-CTE connected components (the v5_dup_clusters
+# pattern) over exact-Jaccard pairs + the quality twin's q_score argmax;
+# outer CTEs carry a kb_ prefix so the embedded quality twin's internal
+# CTE names cannot shadow them (the crawl_mini lesson)
+from .functions.quality_clf import quality_scores_sql as _qclf_sql  # noqa: E402
+
+_KB_ORACLE = f"""WITH RECURSIVE kb_sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(tk) - 2, 1) + 1),
+      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
+  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '') AS tk
+        FROM documents WHERE doc_id < 100)
+), kb_pairs AS (
+  SELECT a.doc_id AS l, b.doc_id AS r
+  FROM kb_sh a JOIN kb_sh b ON a.doc_id < b.doc_id
+  WHERE ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / greatest(len(list_distinct(a.shingles || b.shingles)), 1), 6)
+        >= 0.5
+), kb_und AS (
+  SELECT l AS src, r AS dst FROM kb_pairs
+  UNION SELECT r, l FROM kb_pairs
+), kb_members AS (SELECT DISTINCT src AS node_id FROM kb_und),
+kb_reach(node_id, peer) AS (
+  SELECT node_id, node_id FROM kb_members
+  UNION
+  SELECT re.node_id, u.dst FROM kb_reach re JOIN kb_und u
+    ON re.peer = u.src
+), kb_comp AS (
+  SELECT node_id, MIN(peer) AS component FROM kb_reach GROUP BY node_id
+), kb_q AS (
+  SELECT * FROM ({_qclf_sql(
+      '(SELECT doc_id, text FROM documents WHERE doc_id < 100)')})
+), kb_base AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id,
+         q.q_score
+  FROM documents d
+  LEFT JOIN kb_comp c ON c.node_id = d.doc_id
+  LEFT JOIN kb_q q ON q.doc_id = d.doc_id
+  WHERE d.doc_id < 100
+), kb_rk AS (
+  SELECT doc_id, cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY coalesce(q_score,
+                                              '-infinity'::DOUBLE) DESC,
+                                     doc_id ASC) AS rn
+  FROM kb_base
+), kb_keeper AS (
+  SELECT cluster_id, doc_id AS keeper_id FROM kb_rk WHERE rn = 1
+)
+SELECT b.doc_id, b.cluster_id, k.keeper_id,
+       (b.doc_id = k.keeper_id)::INT AS retained
+FROM kb_base b JOIN kb_keeper k USING (cluster_id)"""
+
+
+@_register("dedup_keep_best_quality", _KB_ORACLE)
+def dedup_keep_best_quality_q(spark, sf_dir):
+    """Quality-aware duplicate-family keeper (r12,
+    operators/dedup.keep_best_in_clusters): exact-Jaccard near-dup pairs
+    -> connected components -> ONE keeper per family chosen by the
+    HIGHEST quality-classifier score (id-asc ties) instead of the min id
+    — the RefinedWeb/SemDeDup practice of retaining the best member of
+    each duplicate cluster.  Singletons keep themselves.  Shape: the
+    pointer-jumping CC loop + one combinable struct-argmax groupBy per
+    family (no per-cluster window — a giant family never pins one task);
+    the oracle re-derives pairs, components (recursive CTE) and the
+    argmax from the quality twin.  Reference analog:
+    memory_graph.py identify_duplicates keeps an arbitrary member; the
+    score-ranked keeper is the LLM-pipeline upgrade."""
+    from .functions.quality_clf import quality_scores
+    from .operators.dedup import keep_best_in_clusters
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 100).select("doc_id", "text")
+    sh = docs.select(F.col("doc_id"), T.shingles(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("left_id"), F.col("sh").alias("lsh_"))
+    b = sh.select(F.col("doc_id").alias("right_id"), F.col("sh").alias("rsh_"))
+    pairs = (a.join(b, F.col("left_id") < F.col("right_id"))
+             .withColumn("inter", F.size(F.array_intersect("lsh_", "rsh_")))
+             .filter(F.col("inter") > 0)
+             .withColumn("uni", F.size(F.array_union("lsh_", "rsh_")))
+             .filter(_r6(F.col("inter").cast("double")
+                         / F.greatest(F.col("uni"), F.lit(1))) >= 0.5)
+             .select("left_id", "right_id"))
+    scores = quality_scores(docs).select("doc_id", "q_score")
+    return keep_best_in_clusters(docs, pairs, scores,
+                                 score_col="q_score")
+
+
 @_register("dedup_repeated_spans", """
 WITH tok AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
@@ -553,9 +643,7 @@ def text_lang_id_ngram_q(spark, sf_dir):
 
 
 # oracle built at import time from the LIVE twin in functions/quality_clf
-# (same pattern as the langid row: weight table + formula cannot drift)
-from .functions.quality_clf import quality_scores_sql as _qclf_sql  # noqa: E402
-
+# (_qclf_sql imported above, beside the keep-best oracle)
 _QCLF_ORACLE = (
     _qclf_sql("(SELECT doc_id, text FROM documents WHERE doc_id < 900)")
 )

@@ -456,3 +456,37 @@ def test_gopher_ngram_stats_top_gram_values_and_tie(spark):
     assert out[2].top2_char_frac == pytest.approx(round(5 / 10, 6))
     assert out[3].top2_char_frac == 0.0 and out[3].dup5_char_frac == 0.0
     assert len(out) == 3
+
+
+def test_keep_best_in_clusters_families_singletons_ties(spark):
+    """r12 operators/dedup.keep_best_in_clusters: a CHAINED family (a-b,
+    b-c) keeps its highest-scored member, singletons keep themselves,
+    NULL scores rank below every real score, and exact score ties break
+    to the smaller id."""
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.operators.dedup import (
+        keep_best_in_clusters)
+
+    docs = spark.createDataFrame([(i,) for i in range(7)],
+                                 "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2),        # chain family {0,1,2}
+         (3, 4),                # tie family {3,4}
+         (5, 6)],               # NULL-score member family {5,6}
+        "left_id long, right_id long")
+    scores = spark.createDataFrame(
+        [(0, 0.1), (1, 0.9), (2, 0.5),
+         (3, 0.7), (4, 0.7),
+         (5, None), (6, -0.2)],
+        "doc_id long, q double")
+    out = {r.doc_id: (r.cluster_id, r.keeper_id, r.retained)
+           for r in keep_best_in_clusters(
+               docs, pairs, scores, score_col="q").collect()}
+    assert len(out) == 7
+    for d in (0, 1, 2):
+        assert out[d] == (0, 1, int(d == 1))   # best score wins the chain
+    for d in (3, 4):
+        assert out[d] == (3, 3, int(d == 3))   # tie -> smaller id
+    for d in (5, 6):
+        assert out[d] == (5, 6, int(d == 6))   # NULL ranks below -0.2
