@@ -995,3 +995,53 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
         kern, "media_id string, container string, width int, height int, "
               "duration_ms long, sample_rate int, channels int, "
               "codec string")
+
+
+def write_wav(sample_rate: int, channels: int, bits: int,
+              n_samples: int) -> bytes:
+    """Serialize a silent PCM WAV — the fixture/export twin of the WAV
+    branch of :func:`probe_media_meta` (kept beside the parser like
+    sources/warc.write_wet, so builder/parser asymmetry turns the gated
+    row red)."""
+    import struct
+
+    data = bytes(n_samples * channels * (bits // 8))
+    byte_rate = sample_rate * channels * bits // 8
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels,
+                                    sample_rate, byte_rate,
+                                    channels * bits // 8, bits)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def write_mp4_stub(width: int, height: int, duration_ms: int,
+                   codec: bytes = b"avc1") -> bytes:
+    """Serialize a minimal ISO-BMFF container (ftyp + moov box tree with
+    mvhd/tkhd/stsd, empty mdat) — metadata-true, payload-free: the
+    fixture twin of the MP4 branch of :func:`probe_media_meta`."""
+    import struct
+
+    def box(typ, body):
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mvhd = box(b"mvhd", bytes(4) + bytes(8)
+               + struct.pack(">II", 1000, duration_ms) + bytes(80))
+    tkhd = box(b"tkhd", bytes(4) + bytes(72)
+               + struct.pack(">II", width << 16, height << 16))
+    stsd = box(b"stsd", bytes(8) + box(codec, bytes(70)))
+    trak = box(b"trak", tkhd + box(b"mdia", box(b"minf", box(b"stbl",
+                                                             stsd))))
+    return (ftyp + box(b"moov", mvhd + trak)
+            + box(b"mdat", b"\x00" * 16))
+
+
+def write_mp3_stub(n_frames: int, with_id3: bool = True) -> bytes:
+    """Serialize MPEG1 Layer III frame headers (128 kbps / 44.1 kHz /
+    joint stereo, zero payload) behind an optional ID3v2 tag — the
+    fixture twin of the MP3 branch of :func:`probe_media_meta`."""
+    frame_len = int(144 * 128000 / 44100)          # 417 bytes
+    frame = b"\xff\xfb\x90\x40" + b"\x00" * (frame_len - 4)
+    id3 = (b"ID3\x03\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+           if with_id3 else b"")
+    return id3 + frame * n_frames
