@@ -2,6 +2,9 @@
 drive the one-call batch front-end over the crawl_probe WARC segments
 (run tools/crawl_probe.py once first to build them) with a blocklist and
 an eval-suite gram table, and print the per-stage audit counts + wall.
+``langs=None`` here because the synthetic fixture prose is not natural
+language (the lang stage correctly reduces it to 89 "en" docs when
+enabled); real crawls pass ("en",) etc.
 
 Usage: python tools/pipeline_e2e_probe.py [n_docs]
 """
