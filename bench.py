@@ -147,6 +147,9 @@ HEADLINE = [
     # round 12: quality-aware duplicate-family keeper (CC + struct-argmax
     # groupBy; keeps the best-scored member of each near-dup family)
     "dedup_keep_best_quality",
+    # round 12: unicode punctuation folding (replace + translate, pure
+    # codegen — the pre-dedup normalization)
+    "text_fold_punctuation",
 ]
 
 

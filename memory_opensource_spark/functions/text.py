@@ -293,3 +293,45 @@ def simhash(text: Column, bits: int = 32) -> Column:
         )
         acc = acc + F.when(votes > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(F.lit(0).cast("bigint"))
     return acc
+
+
+# Unicode punctuation folding (r12) — the pre-dedup normalization every
+# crawl pipeline runs so typographic variants never split duplicate
+# detection: curly quotes/apostrophes -> ASCII, dashes -> '-', exotic
+# spaces -> ' ', zero-width characters deleted, fullwidth ASCII folded.
+# One replace (ellipsis, the only 1->many case) + one translate — both
+# engines delete characters that map past the end of the 'to' string,
+# so the zero-width set folds away inside the same translate call.
+_FOLD_ELLIPSIS = "…"
+_FOLD_FROM = (
+    "‘’‚′"          # single quotes/prime -> '
+    "“”„″"          # double quotes/prime -> "
+    "–—―−"          # dashes/minus -> -
+    "   　"          # no-break/figure/narrow/ideographic spaces
+    + "".join(chr(c) for c in range(0xFF01, 0xFF5F))   # fullwidth ASCII
+    + "​‌‍﻿"        # zero-width: DELETED (past 'to')
+)
+_FOLD_TO = (
+    "''''" + '""""' + "----" + "    "
+    + "".join(chr(c) for c in range(0x21, 0x7F))
+)
+
+
+def fold_punctuation(text: Column) -> Column:
+    """``text`` with typographic unicode folded to ASCII (table above).
+    Pure Column expression — scan-side; NULL stays NULL.  Run BEFORE
+    exact/MinHash dedup so re-typeset copies of one document hash
+    identically."""
+    return F.translate(
+        F.replace(text, F.lit(_FOLD_ELLIPSIS), F.lit("...")),
+        _FOLD_FROM, _FOLD_TO)
+
+
+def fold_punctuation_sql(expr: str) -> str:
+    """DuckDB twin of :func:`fold_punctuation` — same tables, same
+    replace-then-translate order, same delete-past-end semantics."""
+    def q(s):
+        return s.replace("'", "''")
+
+    return (f"translate(replace({expr}, '{_FOLD_ELLIPSIS}', '...'), "
+            f"'{q(_FOLD_FROM)}', '{q(_FOLD_TO)}')")

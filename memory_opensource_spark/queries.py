@@ -512,6 +512,50 @@ def dedup_keep_best_quality_q(spark, sf_dir):
                                  score_col="q_score")
 
 
+# the fixture decorates each doc with typographic unicode derived from
+# doc_id, so folding is NON-trivial on every row; the oracle decorates
+# identically and runs the live twin
+_FOLD_DECOR_SQL = (
+    "(CASE doc_id % 4 WHEN 0 THEN '“' WHEN 1 THEN '‘' WHEN 2 THEN '—'"
+    " ELSE '…' END) || coalesce(text, '') ||"
+    " (CASE doc_id % 3 WHEN 0 THEN '”​' WHEN 1 THEN '’ ' ELSE 'ＡＢ' END)")
+
+
+@_register("text_fold_punctuation", f"""
+SELECT doc_id,
+  md5({T.fold_punctuation_sql(f'({_FOLD_DECOR_SQL})')}) AS folded_md5,
+  (length(({_FOLD_DECOR_SQL}))
+   - length({T.fold_punctuation_sql(f'({_FOLD_DECOR_SQL})')}))::BIGINT
+    AS n_removed
+FROM documents WHERE doc_id < 600
+""")
+def text_fold_punctuation_q(spark, sf_dir):
+    """Unicode punctuation folding (r12, functions/text.fold_punctuation):
+    curly quotes/primes -> ASCII quotes, dashes/minus -> '-', exotic
+    spaces -> ' ', zero-width characters deleted, fullwidth ASCII folded,
+    ellipsis -> '...' — the pre-dedup normalization that makes re-typeset
+    copies of one document hash identically (test-pinned).  Every fixture
+    doc is decorated with doc_id-derived typographic unicode so the fold
+    is non-trivial on every row; md5 of the folded text + the
+    removed-char count are hash-compared against the live DuckDB twin.
+    Shape: one replace + one translate — pure codegen, zero UDF, zero
+    shuffle.  Reference analog: none (LLM-data-pipeline family)."""
+    docs = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 600)
+    did = F.col("doc_id")
+    decorated = F.concat(
+        F.element_at(F.array(F.lit("“"), F.lit("‘"), F.lit("—"),
+                             F.lit("…")), (did % 4 + 1).cast("int")),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.element_at(F.array(F.lit("”​"), F.lit("’ "),
+                             F.lit("ＡＢ")), (did % 3 + 1).cast("int")))
+    folded = T.fold_punctuation(decorated)
+    return docs.select(
+        "doc_id", F.md5(folded).alias("folded_md5"),
+        (F.length(decorated) - F.length(folded)).cast("long")
+        .alias("n_removed"))
+
+
 @_register("dedup_repeated_spans", """
 WITH tok AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk

@@ -1122,3 +1122,43 @@ def test_bpe_encode_cross_engine_and_reference_parity(spark):
         # lossless: stripping subword boundaries reconstructs the words
         joined = "".join(toks).replace(bpe.EOW, " ").strip()
         assert joined == " ".join(bpe._words(text or "")), did
+
+
+def test_fold_punctuation_unifies_retypeset_duplicates(spark):
+    """r12 functions/text.fold_punctuation: a re-typeset copy (curly
+    quotes, em-dash, ellipsis, fullwidth, zero-width junk) must hash
+    identically to the plain-ASCII original after folding — the pre-dedup
+    motivation — and the fold must agree with its DuckDB twin on
+    randomized decorated docs."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.functions.text import (
+        fold_punctuation, fold_punctuation_sql)
+
+    plain = 'he said "stop" - then left... "fine"'
+    fancy = 'he said “stop” — then left… “fine”​'
+    df = spark.createDataFrame([(0, plain), (1, fancy)],
+                               "doc_id int, text string")
+    out = {r.doc_id: r.h for r in df.select(
+        "doc_id", F.md5(fold_punctuation(F.col("text"))).alias("h"))
+        .collect()}
+    assert out[0] == out[1]
+
+    rng = random.Random(9)
+    decor = list("‘’“”–—―−… 　​﻿") + \
+        [chr(c) for c in range(0xFF01, 0xFF10)] + list("abc '\"-.")
+    rows = [(i, "".join(rng.choice(decor) for _ in range(rng.randint(0, 40))))
+            for i in range(200)] + [(900, None), (901, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.t for r in df.select(
+        "doc_id", fold_punctuation(F.col("text")).alias("t")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {r[0]: r[1] for r in con.execute(
+        f"SELECT doc_id, {fold_punctuation_sql('text')} FROM t")
+        .fetchall()}
+    assert got == want
