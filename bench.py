@@ -150,6 +150,10 @@ HEADLINE = [
     # round 12: unicode punctuation folding (replace + translate, pure
     # codegen — the pre-dedup normalization)
     "text_fold_punctuation",
+    # round 13: PDF text-layer extraction (builder/parser twins — xref +
+    # page-tree + FlateDecode + BT..ET text operators in two Arrow
+    # kernels; the processPDF per-page analog)
+    "pdf_text_extract",
 ]
 
 

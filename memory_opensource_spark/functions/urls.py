@@ -145,22 +145,28 @@ def filter_blocked_urls(df, blocklist, url_col: str = "url",
     crawl stage: drop every row whose URL host (or any parent domain on a
     label boundary) appears in ``blocklist`` ({domain} rows, any size).
 
-    Shape for 100 TB: explode the ≤ label-count host suffixes per row,
-    equi-join the blocklist on the suffix string (Catalyst broadcasts a
-    small list, shuffles a UT1-scale one — no forced strategy), then one
-    semi/anti join back on the row id — no regex-per-domain, no
-    O(rows x domains) work.  ``keep_blocked=True`` returns the blocked
-    rows instead (quarantine/audit side)."""
-    sfx = df.select(
-        F.monotonically_increasing_id().alias("_rid"), "*")
-    hits = (sfx.select("_rid",
-                       F.explode(host_suffixes(F.col(url_col)))
-                       .alias("_sfx"))
-            .join(blocklist.select(F.lower(F.col("domain")).alias("_sfx")),
-                  "_sfx")
-            .select("_rid").distinct())
+    Shape for 100 TB: DISTINCT the url values, explode the ≤ label-count
+    host suffixes per distinct url, equi-join the blocklist on the suffix
+    string (Catalyst broadcasts a small list, shuffles a UT1-scale one —
+    no forced strategy), then one semi/anti join back on the URL VALUE —
+    no regex-per-domain, no O(rows x domains) work.  Correlating on the
+    value (not a synthetic row id) keeps the operator deterministic under
+    task retry/speculation and nondeterministic shuffle-fetch order: a
+    ``monotonically_increasing_id`` correlate would re-evaluate the input
+    plan on both join branches and could assign DIFFERENT ids per branch
+    (r13 ADVICE fix).  NULL urls never match a join key, so they are kept
+    by the anti join (and dropped by ``keep_blocked=True`` — a NULL url is
+    not blocked).  ``keep_blocked=True`` returns the blocked rows instead
+    (quarantine/audit side)."""
+    blocked_urls = (df.select(F.col(url_col).alias("_u")).distinct()
+                    .select("_u", F.explode(host_suffixes(F.col("_u")))
+                            .alias("_sfx"))
+                    .join(blocklist.select(
+                        F.lower(F.col("domain")).alias("_sfx")), "_sfx")
+                    .select("_u").distinct())
     how = "left_semi" if keep_blocked else "left_anti"
-    return sfx.join(hits, "_rid", how).drop("_rid")
+    return df.join(blocked_urls,
+                   df[url_col] == blocked_urls["_u"], how)
 
 
 def host_suffixes_sql(expr: str) -> str:

@@ -918,9 +918,15 @@ def keep_best_in_clusters(docs: DataFrame, pairs: DataFrame,
     {id_col, cluster_id, keeper_id, retained} for EVERY input doc.
 
     Shape: CC via the pointer-jumping label loop (O(log diameter)
-    rounds, operators/graph.connected_components), then ONE combinable
-    groupBy per family for the argmax — no per-cluster window, so a
-    giant duplicate family never pins a single task."""
+    rounds, operators/graph.connected_components), then TWO combinable
+    groupBys per family for the argmax (max score, then min id among
+    rows AT that score) — no per-cluster window, so a giant duplicate
+    family never pins a single task.  The two-step form keeps the
+    id-asc tie-break TYPE-GENERIC (string/UUID ids work like the rest
+    of the dedup family): a single struct-argmax would need ``-id`` in
+    the struct, which raises on strings and overflows Long.MIN_VALUE
+    (r13 ADVICE fix).  Max is bit-exact over doubles (it returns one of
+    the input values), so the equality refilter is safe."""
     from .graph import connected_components
 
     und = (pairs.select(F.col("left_id").alias("src"),
@@ -936,12 +942,12 @@ def keep_best_in_clusters(docs: DataFrame, pairs: DataFrame,
             .join(scores.select(F.col(id_col),
                                 F.col(score_col).alias("_s")),
                   id_col, "left"))
-    keeper = (base.groupBy("cluster_id")
-              .agg(F.max(F.struct(
-                  F.coalesce(F.col("_s"), F.lit(float("-inf")))
-                   .alias("s"),
-                  (-F.col(id_col)).alias("ni"))).alias("_b"))
-              .select("cluster_id", (-F.col("_b.ni")).alias("keeper_id")))
+    eff = F.coalesce(F.col("_s"), F.lit(float("-inf")))
+    best = base.groupBy("cluster_id").agg(F.max(eff).alias("_best"))
+    keeper = (base.join(best, "cluster_id")
+              .filter(eff == F.col("_best"))
+              .groupBy("cluster_id")
+              .agg(F.min(F.col(id_col)).alias("keeper_id")))
     return (base.join(keeper, "cluster_id")
             .select(id_col, "cluster_id", "keeper_id",
                     (F.col(id_col) == F.col("keeper_id")).cast("int")

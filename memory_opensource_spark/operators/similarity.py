@@ -394,7 +394,19 @@ def hard_negative_mining(anchors: DataFrame, corpus: DataFrame, k: int,
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    rows = anchors.select(anchor_id, anchor_vec, anchor_label).collect()
+    # budget-guarded collect (VERDICT r10 task 8): same refusal discipline
+    # as _collect_matrix — collect at most budget+1 rows in ONE action and
+    # refuse if the extra row shows up; an unguarded collect of a large
+    # anchor table would OOM the driver.  Oversized anchor sets belong on
+    # the grid path (grid_knn_join), not in a broadcast.
+    rows = (anchors.select(anchor_id, anchor_vec, anchor_label)
+            .limit(BLAS_BROADCAST_BUDGET_ROWS + 1).collect())
+    if len(rows) > BLAS_BROADCAST_BUDGET_ROWS:
+        raise ValueError(
+            f"hard_negative_mining: anchor set exceeds the "
+            f"{BLAS_BROADCAST_BUDGET_ROWS}-row broadcast budget — mine in "
+            "anchor batches, or route anchors x corpus through "
+            "grid_knn_join and post-filter positives/fp_cap instead")
     spark = corpus.sparkSession
     out_schema = StructType([
         StructField("anchor_id", anchors.schema[anchor_id].dataType),

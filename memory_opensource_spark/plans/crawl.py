@@ -98,16 +98,24 @@ def crawl_to_training_shards(spark: SparkSession, warc_glob: str,
     docs = docs.filter((n_words >= min_words) & (n_words <= max_words))
     stages["word_gate"] = docs.count()
 
+    # localCheckpoint after each learned-filter semi-join: without it the
+    # Arrow kernels re-execute for every downstream action (the quality
+    # kernel would run for the quality count, the lang count AND the
+    # exact-dedup checkpoint — 3x the pipeline's most expensive stage;
+    # r13 ADVICE fix).  Each checkpoint materializes once and the stage
+    # count reads the materialized blocks.
     q = quality_scores_arrow(docs.select("doc_id", "text"))
     docs = docs.join(q.filter(F.col("q_label") == "high")
-                     .select("doc_id"), "doc_id", "left_semi")
+                     .select("doc_id"), "doc_id", "left_semi") \
+        .localCheckpoint(eager=True)
     stages["quality"] = docs.count()
 
     if langs is not None:
         lid = lang_id_ngram_arrow(docs.select("doc_id", "text"))
         docs = docs.join(
             lid.filter(F.col("lang").isin(list(langs))).select("doc_id"),
-            "doc_id", "left_semi")
+            "doc_id", "left_semi") \
+            .localCheckpoint(eager=True)
         stages["lang"] = docs.count()
 
     # exact dedup: min doc_id per content hash (combinable groupBy)

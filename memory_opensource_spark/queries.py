@@ -5568,6 +5568,74 @@ def mm_media_meta_q(spark, sf_dir):
                     "sample_rate", "channels", "codec"))
 
 
+@_register("pdf_text_extract", """
+WITH base AS (
+  SELECT doc_id, text,
+         (1 + doc_id % 3) AS n,
+         ((n_chars + doc_id % 3) // (1 + doc_id % 3)) AS L
+  FROM documents WHERE doc_id < 600),
+pages AS (
+  SELECT doc_id, i, n,
+    (CASE WHEN doc_id % 5 = 0 THEN chr((8211 + doc_id % 4)::INT)
+          ELSE '' END)
+      || substr(text, ((i - 1) * L + 1)::BIGINT, L::BIGINT) AS raw
+  FROM base, LATERAL (SELECT UNNEST(range(1, n + 1)) AS i) t)
+SELECT doc_id, i::INT AS page, n::INT AS total_pages,
+  (CASE WHEN length(raw) > 25
+        THEN substr(raw, 1, 25) || chr(10) || substr(raw, 26)
+        ELSE raw END) AS text
+FROM pages
+""")
+def pdf_text_extract_q(spark, sf_dir):
+    """PDF text-layer extraction (r13, sources/pdf — the analog of the
+    reference's per-page PDF processing, services/processPDF.py:117
+    extract_text_from_pdf_async + :38 process_pdf): per-doc PDFs are
+    BUILT executor-side by the in-module writer twin (page count, page
+    slicing, a mid-page line break, compression / hex-string /
+    UTF-16BE-string / split-content-stream variants ALL derive
+    arithmetically from doc_id) and PARSED back by the real text-layer
+    parser (scan+xref object index, page-tree walk, FlateDecode,
+    BT..ET Tj/TJ/T*/Td operators); the oracle recomputes the expected
+    per-page text from the documents table directly, so any
+    builder/parser asymmetry — string escaping, UTF-16 decode, stream
+    concatenation, newline semantics — turns the row red (the
+    mm_media_meta pattern).  Shape: two Arrow kernels (build, parse),
+    scan-side, zero shuffle; file-level parallelism at 100 TB via
+    binaryFile (read_pdf)."""
+    import pandas as pd
+
+    from .sources.pdf import pdf_extract_kernel, write_pdf
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 600).select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d, text = int(d), str(text)
+                n = 1 + d % 3
+                pl = (len(text) + n - 1) // n
+                deco = chr(8211 + d % 4) if d % 5 == 0 else ""
+                pages = []
+                for i in range(1, n + 1):
+                    raw = deco + text[(i - 1) * pl:i * pl]
+                    if len(raw) > 25:
+                        raw = raw[:25] + "\n" + raw[25:]
+                    pages.append(raw)
+                content = write_pdf(pages, compress=d % 2 == 0,
+                                    hex_strings=d % 5 == 1,
+                                    split_streams=d % 4 == 0)
+                rows.append((d, content))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    media = docs.mapInPandas(build, "doc_id long, content binary")
+    parsed = media.mapInPandas(
+        pdf_extract_kernel,
+        "doc_id long, page int, total_pages int, text string, error string")
+    return parsed.select("doc_id", "page", "total_pages", "text")
+
+
 # oracle built at import time from the LIVE twin in functions/bpe: the
 # registry row encodes with the import-time seed vocabulary (deterministic
 # without Spark); the distributed trainer is pinned in tests (iterative
@@ -6777,7 +6845,12 @@ _EVIDENCE_PRIORITY = [
     "g8_schema_driven_merge",     # G8 + dynamic schema registry
     "suite_graph_store",          # G9/G10/G11
     "shard_token_budget",         # exact token-budgeted sharding (r7 new)
-    "g14_constraint_when",        # G14
+    # round-13 rotation (driver r11, VERDICT r10 task 1): g14_constraint_when
+    # displaced (driver-green r3..r10; WHEN-clause constraints stay
+    # driver-exercised through suite_graph_store's G9 exists/content-check
+    # leg, which routes the same operators/constraints.py surface, and
+    # locally gated 3 SFs) in favor of the r12-new mm_media_meta below.
+    "mm_media_meta",              # MP4/MP3/WAV container metadata (r12 new)
     "g15_acl_both_endpoints",     # ACL OR-block on BOTH pattern endpoints
     # 33-37: ranking/aggregation R2..R17
     "r2_stratified_merge",        # R2
@@ -6788,8 +6861,12 @@ _EVIDENCE_PRIORITY = [
     # semantics unchanged, delta/watermark behavior stays exercised by
     # suite_stream_windows; locally gated every round)
     "pipeline_mini",              # exact->span-rewrite->Gopher->shards (r8)
-    "omo_export_roundtrip",       # OMO portability export->import (r6 new;
-                                  # r7: import path made distributed)
+    # round-13 rotation: omo_export_roundtrip displaced (driver-green
+    # r6..r10; the F7 OMO consent/risk predicate stays driver-checked as a
+    # suite_filters member and the export format stays locally gated 3 SFs)
+    # in favor of the r12-new dedup_keep_best_quality below.
+    "dedup_keep_best_quality",    # quality-aware duplicate-family keeper
+                                  # (r12 new: CC + struct-argmax groupBy)
     "suite_ranking_formulas",     # R8/R9/R10/R11/R13/R14/R15/R16
     # 38-40: streaming analogs ST1..ST8
     "suite_stream_windows",       # ST2/ST3/ST8 + ST1/ST6/ST7 (ST2 standalone
@@ -6805,7 +6882,12 @@ _EVIDENCE_PRIORITY = [
     # trainer-layout sharding stays driver-checked via shard_token_budget +
     # pack_sequences and locally gated)
     # 41-44: set ops / id algebra / scalar fns / UDF surface
-    "ids_chunk_algebra",
+    # round-13: ids_chunk_algebra displaced (driver-green r1..r10; the
+    # sha256-id + chunk-id algebra stays driver-exercised inside both
+    # flagships' fetch stages and scalar fns inside suite_text_analysis;
+    # locally gated 3 SFs) in favor of the round's flagship new operator:
+    "pdf_text_extract",           # PDF text-layer extraction (r13 new:
+                                  # builder/parser twins, processPDF analog)
     # round-10 rotation: set_ops_semi_anti displaced (driver-green r1..r9;
     # semi/anti set algebra is exercised by nearly every window row —
     # storage lifecycle's anti-join merge, dedup family, both flagships'
@@ -6821,9 +6903,13 @@ _EVIDENCE_PRIORITY = [
     "suite_dedup_family",         # exact/fingerprint/simhash/hamming/jaccard/minhash
     "dedup_semantic_clusters",    # SemDeDup cluster-scoped semantic dedup (r6 new;
                                   # r7: oracle rounds to 6 dp like the operator)
-    "lm_quality_scores",          # CCNet LM quality tiers (r6 new; r7: the
-                                  # global-ntile scale-killer replaced with
-                                  # distributed exact-ntile)
+    # round-13 rotation: lm_quality_scores displaced (driver-green r6..r10;
+    # the quality family keeps FOUR window rows — quality_classifier,
+    # gopher_quality_flags, gopher_repetition_flags, suite_text_analysis —
+    # and the CCNet tiers stay locally gated 3 SFs) in favor of the
+    # r12-new text_fold_punctuation below.
+    "text_fold_punctuation",      # unicode punctuation folding (r12 new:
+                                  # pre-dedup normalization, pure codegen)
     "ann_ivf_persisted",          # ANN with persisted pruned layout
     "suite_pipeline_ops",         # pii/contamination/packing/sampling/mixture/profile
     # round-10 rotation: the two r9-new rows that were green in the local

@@ -1,0 +1,761 @@
+"""PDF text-layer extraction (round-13).
+
+Reference analog: ``services/processPDF.py:117``
+``extract_text_from_pdf_async`` (PyMuPDF per-page text) and
+``process_pdf`` (:38 — PyPDFLoader pages -> one memory per page with
+``{file, page: "N of M"}`` metadata, routed through the normal
+add-memory path by ``background_tasks/pdf_processing.py:16``).  The
+Spark engine re-expresses the WHAT — PDF binary -> ordered per-page
+text rows feeding the document ingest chain — with a pure-Python
+text-layer parser (the PNG/JPEG-decoder genre: no PyMuPDF/pypdf in the
+container, and the parse is per-file embarrassingly parallel anyway).
+
+Two halves, kept in ONE module so they cannot drift (the
+``mm_media_meta`` builder/parser-twin pattern — the oracle row builds
+PDFs executor-side from table text and parses them back; any asymmetry
+turns the row red):
+
+``write_pdf(pages)``
+    A real classic-xref PDF 1.4 writer: catalog -> page tree -> one
+    content stream per page (optionally FlateDecoded, optionally SPLIT
+    into multiple streams — the /Contents-array form), text shown as
+    ``BT .. (line) Tj T* .. ET`` with literal-escaped or hex-encoded
+    strings.  Non-latin-1 text is written as UTF-16BE-with-BOM hex
+    strings (see *encoding semantics* below).
+
+``extract_pdf_pages(data)``
+    The text-layer parser:
+
+    1. **Object index** by full-file scan for ``N G obj`` (tolerates
+       broken/absent classic xref tables AND cross-reference-stream
+       PDFs without implementing PNG-predictor xref decoding; the
+       LAST definition of an object number wins — the incremental-
+       update rule).  ``/Type /ObjStm`` object streams are unpacked
+       (header pairs + FlateDecode) so compressed-object PDFs parse.
+    2. **Page tree walk** from the ``/Type /Catalog`` object through
+       ``/Pages`` -> ``/Kids`` recursively, in declaration order
+       (the document's page order); falls back to ``/Type /Page``
+       objects in object-number order when no catalog resolves.
+    3. **Content streams** (single ref or array, concatenated in
+       order) decoded via ``/Filter``: none or ``FlateDecode`` (zlib —
+       already a dependency of the PNG decoder); any other filter and
+       ``/Encrypt`` raise :class:`PdfParseError` LOUDLY (the
+       multimodal codec-seam discipline — never silently emit wrong
+       text).
+    4. **Text operators** inside BT..ET: ``Tj`` shows a string; ``TJ``
+       shows each string element of its array (kerning numbers are
+       positioning, not text — ignored); ``'`` and ``"`` move to the
+       next line then show; ``T*`` and ``Td``/``TD`` with a non-zero
+       ty operand emit a newline.  Everything else (graphics, fonts,
+       positioning on the same line) is skipped.
+
+**Encoding semantics** (documented, deterministic — NOT full CMap
+fidelity): show strings decode as latin-1 unless they begin with the
+UTF-16BE BOM ``FE FF``, which decodes as UTF-16BE.  Real-world PDFs
+map bytes to glyphs through per-font /Encoding + /ToUnicode CMaps;
+implementing CMaps would add a large surface no oracle can pin, so
+simple-font latin-1 text (the overwhelming text-layer case) is exact
+and CMap-dependent PDFs degrade to best-effort — the same honest seam
+as the progressive-JPEG note in sources/multimodal.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class PdfParseError(ValueError):
+    """Raised loudly for PDFs outside the documented surface (encryption,
+    non-Flate filters, malformed structure) — never silent wrong text."""
+
+
+# --------------------------------------------------------------------------
+# builder twin
+# --------------------------------------------------------------------------
+
+_ESC = {ord("("): b"\\(", ord(")"): b"\\)", ord("\\"): b"\\\\",
+        ord("\n"): b"\\n", ord("\r"): b"\\r", ord("\t"): b"\\t"}
+
+
+def _pdf_string(s: str, hex_strings: bool = False) -> bytes:
+    """One show-string token for ``s``: literal latin-1 with escapes by
+    default; hex form on request; UTF-16BE-with-BOM hex whenever ``s``
+    does not fit latin-1 (module-docstring encoding semantics)."""
+    try:
+        raw = s.encode("latin-1")
+    except UnicodeEncodeError:
+        return b"<" + (b"\xfe\xff" + s.encode("utf-16-be")).hex().encode() + b">"
+    if hex_strings:
+        return b"<" + raw.hex().encode() + b">"
+    return b"(" + b"".join(_ESC.get(c, bytes([c])) for c in raw) + b")"
+
+
+def _content_stream(lines: list[str], hex_strings: bool) -> bytes:
+    ops = [b"BT /F1 12 Tf 72 720 Td"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append(b"T*")
+        ops.append(_pdf_string(line, hex_strings) + b" Tj")
+    ops.append(b"ET")
+    return b" ".join(ops)
+
+
+def write_pdf(pages: list[str], *, compress: bool = True,
+              hex_strings: bool = False,
+              split_streams: bool = False) -> bytes:
+    """A complete single-font PDF 1.4 file showing ``pages`` (one
+    MediaBox'd page per element; lines split on ``\\n`` become
+    ``Tj``/``T*`` pairs, so :func:`extract_pdf_pages` round-trips the
+    page text EXACTLY).  ``compress`` flate-encodes content streams;
+    ``hex_strings`` writes hex show-strings; ``split_streams`` splits
+    each page's content into a two-stream ``/Contents`` array (all
+    three are parser-surface variations the oracle row sweeps)."""
+    objs: dict[int, bytes] = {}
+    n_pages = len(pages)
+    font_num = 3
+    page_nums = []
+    next_num = 4
+    for text in pages:
+        lines = text.split("\n")
+        body = _content_stream(lines, hex_strings)
+        if split_streams and len(lines) > 1:
+            # a BT..ET block per stream — concatenation is still valid
+            mid = len(lines) // 2
+            parts = [_content_stream(lines[:mid], hex_strings) + b"\n",
+                     _content_stream([""] + lines[mid:], hex_strings)]
+        else:
+            parts = [body]
+        content_nums = []
+        for part in parts:
+            data = zlib.compress(part) if compress else part
+            filt = b"/Filter /FlateDecode " if compress else b""
+            objs[next_num] = (b"<< " + filt + b"/Length "
+                              + str(len(data)).encode() + b" >>\nstream\n"
+                              + data + b"\nendstream")
+            content_nums.append(next_num)
+            next_num += 1
+        contents = (str(content_nums[0]).encode() + b" 0 R"
+                    if len(content_nums) == 1 else
+                    b"[" + b" ".join(b"%d 0 R" % n for n in content_nums)
+                    + b"]")
+        objs[next_num] = (b"<< /Type /Page /Parent 2 0 R "
+                          b"/MediaBox [0 0 612 792] "
+                          b"/Resources << /Font << /F1 "
+                          + str(font_num).encode() + b" 0 R >> >> "
+                          b"/Contents " + contents + b" >>")
+        page_nums.append(next_num)
+        next_num += 1
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (b"<< /Type /Pages /Kids ["
+               + b" ".join(b"%d 0 R" % n for n in page_nums)
+               + b"] /Count " + str(n_pages).encode() + b" >>")
+    objs[font_num] = (b"<< /Type /Font /Subtype /Type1 "
+                      b"/BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    max_num = max(objs)
+    out += b"xref\n0 %d\n" % (max_num + 1)
+    out += b"0000000000 65535 f \n"
+    for num in range(1, max_num + 1):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (max_num + 1, xref_at))
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# object-level parser
+# --------------------------------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_OBJ_RE = re.compile(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+obj\b")
+
+
+class Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"Ref({self.num})"
+
+
+class _Lexer:
+    """Minimal PDF object tokenizer over ``data`` starting at ``pos``."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self):
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = self.data[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # % comment to EOL
+                while self.pos < n and d[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def parse_object(self):
+        """One object at the cursor: dict/array/name/number/ref/string/
+        bool/null.  Raises PdfParseError on malformed input."""
+        self._skip_ws()
+        d = self.data
+        if self.pos >= len(d):
+            raise PdfParseError("unexpected end of PDF object data")
+        c = d[self.pos]
+        if d.startswith(b"<<", self.pos):
+            return self._parse_dict()
+        if c == ord("<"):
+            return self._parse_hex_string()
+        if c == ord("("):
+            return self._parse_literal_string()
+        if c == ord("["):
+            return self._parse_array()
+        if c == ord("/"):
+            return self._parse_name()
+        if d.startswith(b"true", self.pos):
+            self.pos += 4
+            return True
+        if d.startswith(b"false", self.pos):
+            self.pos += 5
+            return False
+        if d.startswith(b"null", self.pos):
+            self.pos += 4
+            return None
+        return self._parse_number_or_ref()
+
+    def _parse_dict(self):
+        self.pos += 2
+        out = {}
+        while True:
+            self._skip_ws()
+            if self.data.startswith(b">>", self.pos):
+                self.pos += 2
+                return out
+            key = self.parse_object()
+            if not isinstance(key, str) or not key.startswith("/"):
+                raise PdfParseError(f"dict key is not a name: {key!r}")
+            out[key] = self.parse_object()
+
+    def _parse_array(self):
+        self.pos += 1
+        out = []
+        while True:
+            self._skip_ws()
+            if self.pos < len(self.data) and self.data[self.pos] == ord("]"):
+                self.pos += 1
+                return out
+            out.append(self.parse_object())
+
+    def _parse_name(self):
+        d, n = self.data, len(self.data)
+        start = self.pos
+        self.pos += 1
+        while self.pos < n and d[self.pos] not in _WS \
+                and d[self.pos] not in _DELIM:
+            self.pos += 1
+        raw = d[start:self.pos]
+        # #xx hex escapes in names (PDF 1.2+)
+        return re.sub(rb"#([0-9A-Fa-f]{2})",
+                      lambda m: bytes([int(m.group(1), 16)]),
+                      raw).decode("latin-1")
+
+    def _parse_number_or_ref(self):
+        d = self.data
+        m = re.compile(rb"[+-]?(\d+\.?\d*|\.\d+)").match(d, self.pos)
+        if not m:
+            raise PdfParseError(
+                f"unparseable token at offset {self.pos}: "
+                f"{d[self.pos:self.pos + 16]!r}")
+        self.pos = m.end()
+        tok = m.group(0)
+        if b"." not in tok:
+            # lookahead for "G R" -> indirect reference
+            m2 = re.compile(rb"[\x00\t\n\x0c\r ]+\d+[\x00\t\n\x0c\r ]+R\b") \
+                .match(d, self.pos)
+            if m2:
+                self.pos = m2.end()
+                return Ref(int(tok))
+            return int(tok)
+        return float(tok)
+
+    def _parse_hex_string(self):
+        end = self.data.find(b">", self.pos + 1)
+        if end < 0:
+            raise PdfParseError("unterminated hex string")
+        hx = re.sub(rb"[\x00\t\n\x0c\r ]", b"", self.data[self.pos + 1:end])
+        if len(hx) % 2:
+            hx += b"0"  # spec: odd final digit pads with 0
+        self.pos = end + 1
+        return bytes.fromhex(hx.decode("ascii"))
+
+    def _parse_literal_string(self):
+        d, n = self.data, len(self.data)
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        while self.pos < n:
+            c = d[self.pos]
+            if c == ord("\\"):
+                self.pos += 1
+                if self.pos >= n:
+                    break
+                e = d[self.pos]
+                if e in b"nrtbf":
+                    out += {ord("n"): b"\n", ord("r"): b"\r",
+                            ord("t"): b"\t", ord("b"): b"\x08",
+                            ord("f"): b"\x0c"}[e]
+                    self.pos += 1
+                elif e in b"()\\":
+                    out.append(e)
+                    self.pos += 1
+                elif e in b"\r\n":  # line continuation
+                    self.pos += 1
+                    if e == ord("\r") and self.pos < n \
+                            and d[self.pos] == ord("\n"):
+                        self.pos += 1
+                elif 0x30 <= e <= 0x37:  # 1-3 octal digits
+                    oct_ = bytearray([e])
+                    self.pos += 1
+                    while len(oct_) < 3 and self.pos < n \
+                            and 0x30 <= d[self.pos] <= 0x37:
+                        oct_.append(d[self.pos])
+                        self.pos += 1
+                    out.append(int(oct_.decode(), 8) & 0xFF)
+                else:  # unknown escape: backslash dropped (spec)
+                    out.append(e)
+                    self.pos += 1
+                continue
+            if c == ord("("):
+                depth += 1
+            elif c == ord(")"):
+                depth -= 1
+                if depth == 0:
+                    self.pos += 1
+                    return bytes(out)
+            out.append(c)
+            self.pos += 1
+        raise PdfParseError("unterminated literal string")
+
+
+def _decode_stream(data: bytes, sdict: dict, resolve) -> bytes:
+    filt = resolve(sdict.get("/Filter"))
+    filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+    for f in filters:
+        f = resolve(f)
+        if f == "/FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:
+                raise PdfParseError(f"bad FlateDecode stream: {e}") from e
+        else:
+            raise PdfParseError(
+                f"unsupported stream filter {f} — only FlateDecode and "
+                "unfiltered streams are in the documented surface")
+    return data
+
+
+class _PdfDoc:
+    """Scan-indexed PDF document: object number -> parsed object, with
+    stream payloads resolved through /Length and /Filter."""
+
+    def __init__(self, data: bytes):
+        if re.search(rb"/Encrypt[\x00\t\n\x0c\r ]+\d+[\x00\t\n\x0c\r ]+\d+"
+                     rb"[\x00\t\n\x0c\r ]+R", data):
+            # trailer-level encryption: loud refusal (documented seam)
+            raise PdfParseError("encrypted PDF — decryption is outside "
+                                "the documented text-layer surface")
+        self.data = data
+        self._offsets: dict[int, int] = {}
+        for m in _OBJ_RE.finditer(data):
+            # last definition wins: the incremental-update rule
+            self._offsets[int(m.group(1))] = m.end()
+        self._root_ref: Ref | None = None
+        try:
+            # a VALID classic xref overrides the scan (a scan can
+            # false-positive on "N G obj" bytes inside a binary stream
+            # payload; the xref is authoritative when present and sane)
+            self._apply_classic_xref()
+        except (PdfParseError, ValueError, IndexError):
+            pass  # xref-stream or damaged xref: scan index stands
+        self._cache: dict[int, object] = {}
+        self._streams: dict[int, bytes] = {}
+        self._unpack_object_streams()
+
+    def _apply_classic_xref(self):
+        d = self.data
+        at = d.rfind(b"startxref")
+        if at < 0:
+            return
+        m = re.compile(rb"startxref[\x00\t\n\x0c\r ]+(\d+)").match(d, at)
+        if not m:
+            return
+        pos = int(m.group(1))
+        seen_tables = set()
+        xref_off: dict[int, int] = {}
+        while pos not in seen_tables:
+            seen_tables.add(pos)
+            lex = _Lexer(d, pos)
+            lex._skip_ws()
+            if not d.startswith(b"xref", lex.pos):
+                return  # cross-reference STREAM: scan index stands
+            lex.pos += 4
+            while True:
+                lex._skip_ws()
+                if d.startswith(b"trailer", lex.pos):
+                    lex.pos += 7
+                    trailer = lex.parse_object()
+                    if isinstance(trailer, dict):
+                        if self._root_ref is None and isinstance(
+                                trailer.get("/Root"), Ref):
+                            self._root_ref = trailer["/Root"]
+                        prev = trailer.get("/Prev")
+                        if isinstance(prev, int):
+                            pos = prev
+                            break
+                    self._offsets.update(xref_off)
+                    return
+                sub = re.compile(
+                    rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)").match(d, lex.pos)
+                if not sub:
+                    return
+                start, count = int(sub.group(1)), int(sub.group(2))
+                lex.pos = sub.end()
+                for i in range(count):
+                    lex._skip_ws()
+                    ent = d[lex.pos:lex.pos + 18]
+                    if len(ent) < 18:
+                        return
+                    lex.pos += 18
+                    if ent[17:18] not in b"n" or (start + i) in xref_off:
+                        # chains run newest table FIRST: the first entry
+                        # seen per object number wins (incremental update)
+                        continue
+                    off = int(ent[:10])
+                    om = _OBJ_RE.match(d, off)
+                    # only trust entries that really point at this object
+                    if om and int(om.group(1)) == start + i:
+                        xref_off[start + i] = om.end()
+
+    # -- object access ----------------------------------------------------
+    def resolve(self, obj):
+        while isinstance(obj, Ref):
+            obj = self.get(obj.num)
+        return obj
+
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        if num not in self._offsets:
+            self._cache[num] = None
+            return None
+        lex = _Lexer(self.data, self._offsets[num])
+        obj = lex.parse_object()
+        self._cache[num] = obj
+        if isinstance(obj, dict):
+            lex._skip_ws()
+            if self.data.startswith(b"stream", lex.pos):
+                p = lex.pos + 6
+                if self.data.startswith(b"\r\n", p):
+                    p += 2
+                elif self.data.startswith(b"\n", p):
+                    p += 1
+                length = self.resolve(obj.get("/Length"))
+                if not isinstance(length, int):
+                    # broken /Length: scan for endstream
+                    end = self.data.find(b"endstream", p)
+                    if end < 0:
+                        raise PdfParseError(f"object {num}: unterminated "
+                                            "stream")
+                    length = end - p
+                    if self.data[p:end].endswith(b"\r\n"):
+                        length -= 2
+                    elif self.data[p:end].endswith(b"\n"):
+                        length -= 1
+                self._streams[num] = self.data[p:p + length]
+        return obj
+
+    def stream_bytes(self, num: int) -> bytes | None:
+        obj = self.get(num)
+        if num not in self._streams or not isinstance(obj, dict):
+            return None
+        return _decode_stream(self._streams[num], obj, self.resolve)
+
+    # -- /ObjStm ----------------------------------------------------------
+    def _unpack_object_streams(self):
+        for num in list(self._offsets):
+            try:
+                obj = self.get(num)
+            except PdfParseError:
+                continue
+            if not (isinstance(obj, dict)
+                    and self.resolve(obj.get("/Type")) == "/ObjStm"):
+                continue
+            payload = self.stream_bytes(num)
+            if payload is None:
+                continue
+            n = self.resolve(obj.get("/N"))
+            first = self.resolve(obj.get("/First"))
+            if not isinstance(n, int) or not isinstance(first, int):
+                raise PdfParseError(f"object stream {num}: bad /N//First")
+            head = _Lexer(payload)
+            pairs = []
+            for _ in range(n):
+                onum = head.parse_object()
+                off = head.parse_object()
+                if not isinstance(onum, int) or not isinstance(off, int):
+                    raise PdfParseError(
+                        f"object stream {num}: malformed header")
+                pairs.append((onum, off))
+            for onum, off in pairs:
+                if onum in self._cache:  # a later full def already won
+                    continue
+                inner = _Lexer(payload, first + off)
+                self._cache[onum] = inner.parse_object()
+
+    # -- page tree --------------------------------------------------------
+    def pages(self) -> list[dict]:
+        catalog = None
+        if self._root_ref is not None:
+            root = self.resolve(self._root_ref)
+            if isinstance(root, dict):
+                catalog = root
+        if catalog is None:
+            for num in sorted(set(self._offsets) | set(self._cache)):
+                obj = self._cache.get(num) if num in self._cache \
+                    else self.get(num)
+                if isinstance(obj, dict) \
+                        and self.resolve(obj.get("/Type")) == "/Catalog":
+                    catalog = obj
+        out: list[dict] = []
+        if catalog is not None:
+            root = self.resolve(catalog.get("/Pages"))
+            seen: set[int] = set()
+
+            def walk(node):
+                if not isinstance(node, dict):
+                    return
+                t = self.resolve(node.get("/Type"))
+                if t == "/Page":
+                    out.append(node)
+                    return
+                for kid in self.resolve(node.get("/Kids")) or []:
+                    if isinstance(kid, Ref):
+                        if kid.num in seen:  # cycle guard
+                            continue
+                        seen.add(kid.num)
+                    walk(self.resolve(kid))
+
+            walk(root)
+        if not out:  # no catalog resolved: every /Page in numeric order
+            nums = sorted(set(self._offsets) | set(self._cache))
+            for num in nums:
+                obj = self.get(num) if num in self._offsets \
+                    else self._cache.get(num)
+                if isinstance(obj, dict) \
+                        and self.resolve(obj.get("/Type")) == "/Page":
+                    out.append(obj)
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        contents = page.get("/Contents")
+        resolved = self.resolve(contents)
+        if isinstance(resolved, list):
+            refs = resolved
+        elif isinstance(contents, Ref):
+            refs = [contents]
+        else:
+            refs = []
+        parts = []
+        for ref in refs:
+            if isinstance(ref, Ref):
+                payload = self.stream_bytes(ref.num)
+                if payload is not None:
+                    parts.append(payload)
+        # spec: an array of streams is equivalent to their concatenation
+        # with a whitespace byte between
+        return b"\n".join(parts)
+
+
+# --------------------------------------------------------------------------
+# content-stream text extraction
+# --------------------------------------------------------------------------
+
+def _decode_show_string(raw: bytes) -> str:
+    if raw.startswith(b"\xfe\xff"):
+        return raw[2:].decode("utf-16-be", errors="replace")
+    return raw.decode("latin-1")
+
+
+_NUM_RE = re.compile(rb"[+-]?(\d+\.?\d*|\.\d+)")
+
+#: TJ kern (thousandths of an em, negative = rightward gap) at or beyond
+#: which a space is emitted — ~0.18 em is the conventional word-gap
+#: threshold (tight tracking stays well under it)
+_TJ_SPACE_KERN = 180
+
+
+def _extract_page_text(content: bytes) -> str:
+    """Module-docstring text-operator semantics over one page's
+    (concatenated) content stream."""
+    out: list[str] = []
+    lex = _Lexer(content)
+    d = content
+    n = len(d)
+    operands: list[object] = []
+    # newline ops (T*, Td/TD, ', ") only EMIT once a show op has run in
+    # the current BT block — the initial cursor positioning after BT is
+    # layout, not a line break (otherwise every page starts with "\n")
+    shown = False
+    while True:
+        lex._skip_ws()
+        if lex.pos >= n:
+            break
+        c = d[lex.pos]
+        if c in b"(<[/" or (c in b"+-.0123456789"):
+            if d.startswith(b"<<", lex.pos):
+                operands.append(lex._parse_dict())
+                continue
+            try:
+                operands.append(lex.parse_object())
+            except PdfParseError:
+                lex.pos += 1
+            continue
+        # operator token
+        start = lex.pos
+        while lex.pos < n and d[lex.pos] not in _WS \
+                and d[lex.pos] not in _DELIM:
+            lex.pos += 1
+        op = d[start:lex.pos]
+        if op == b"Tj":
+            if operands and isinstance(operands[-1], bytes):
+                out.append(_decode_show_string(operands[-1]))
+                shown = True
+        elif op == b"TJ":
+            if operands and isinstance(operands[-1], list):
+                for el in operands[-1]:
+                    if isinstance(el, bytes):
+                        out.append(_decode_show_string(el))
+                        shown = True
+                    elif isinstance(el, (int, float)) \
+                            and el <= -_TJ_SPACE_KERN and shown \
+                            and out and not out[-1].endswith((" ", "\n")):
+                        # a large negative kern is an inter-word gap in
+                        # the wild (words are rarely written with space
+                        # glyphs in kerned PDFs) — emit one space
+                        out.append(" ")
+        elif op in (b"'", b'"'):
+            if shown:
+                out.append("\n")
+            if operands and isinstance(operands[-1], bytes):
+                out.append(_decode_show_string(operands[-1]))
+                shown = True
+        elif op == b"T*":
+            if shown:
+                out.append("\n")
+        elif op in (b"Td", b"TD"):
+            if shown and len(operands) >= 2 \
+                    and isinstance(operands[-1], (int, float)) \
+                    and operands[-1] != 0:
+                out.append("\n")
+        elif op == b"BT":
+            shown = False
+        elif op == b"BI":
+            # inline image: skip to EI (binary payload would desync the lexer)
+            end = d.find(b"EI", lex.pos)
+            lex.pos = n if end < 0 else end + 2
+        operands = []
+    return "".join(out)
+
+
+def extract_pdf_pages(data: bytes) -> list[str]:
+    """Ordered per-page text of ``data`` (module docstring semantics).
+    Raises :class:`PdfParseError` for encrypted input, non-Flate filters,
+    or structurally unparseable files."""
+    if not data.startswith(b"%PDF-"):
+        raise PdfParseError("not a PDF: missing %PDF- header")
+    doc = _PdfDoc(data)
+    pages = doc.pages()
+    if not pages:
+        raise PdfParseError("no pages found in PDF")
+    return [_extract_page_text(doc.page_content(p)) for p in pages]
+
+
+# --------------------------------------------------------------------------
+# Spark source + per-page memory projection
+# --------------------------------------------------------------------------
+
+PDF_SCHEMA = ("path string, page int, total_pages int, text string, "
+              "error string")
+
+
+def pdf_extract_kernel(batches):
+    """mapInPandas kernel over {path|doc-id column first, content binary}:
+    one output row per page; files outside the documented surface emit a
+    single row with ``error`` set and NULL text (decode-tolerant like the
+    WARC reader — one poison file must not kill a 100 TB scan, but the
+    failure is VISIBLE, never silent empty text)."""
+    import pandas as pd
+
+    for pdf in batches:
+        key_col = pdf.columns[0]
+        rows = []
+        for key, content in zip(pdf[key_col], pdf["content"]):
+            try:
+                pages = extract_pdf_pages(bytes(content))
+                total = len(pages)
+                for i, text in enumerate(pages):
+                    rows.append((key, i + 1, total, text, None))
+            except Exception as e:  # noqa: BLE001 — decode-tolerant scan
+                rows.append((key, None, None, None,
+                             f"{type(e).__name__}: {e}"))
+        yield pd.DataFrame(rows, columns=[
+            key_col, "page", "total_pages", "text", "error"])
+
+
+def read_pdf(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:
+    """Read PDF files under ``path`` into ``{path, page, total_pages,
+    text, error}`` — one ``binaryFile`` scan (file-level parallelism; a
+    1000-executor cluster assigns files round-robin) + one Arrow kernel;
+    ``content`` is pruned into the kernel and never shuffled."""
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", glob).load(path)
+             .select("path", "content"))
+    return files.mapInPandas(pdf_extract_kernel, PDF_SCHEMA)
+
+
+def pdf_pages_to_memories(pages: DataFrame) -> DataFrame:
+    """The reference's per-page memory shape (processPDF.process_pdf:38 —
+    one memory per page, metadata ``{file, page: "N of M"}``): parsed
+    page rows -> ``{memory_id, content, file, page_label}`` ready for the
+    S11 ingest chain (sources/documents.hierarchical_chunk downstream).
+    Error rows (unparseable files) are excluded — they carry no text."""
+    from pyspark.sql import functions as F
+
+    key = pages.columns[0]
+    fname = F.element_at(F.split(F.col(key).cast("string"), "/"), -1)
+    return (pages.filter(F.col("error").isNull())
+            .select(F.concat(F.lit("pdf_"),
+                             F.sha2(F.concat_ws(
+                                 "#", F.col(key).cast("string"),
+                                 F.col("page").cast("string")), 256)
+                             .substr(1, 16)).alias("memory_id"),
+                    F.col("text").alias("content"),
+                    fname.alias("file"),
+                    F.concat(F.col("page").cast("string"), F.lit(" of "),
+                             F.col("total_pages").cast("string"))
+                    .alias("page_label")))

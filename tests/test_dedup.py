@@ -490,3 +490,31 @@ def test_keep_best_in_clusters_families_singletons_ties(spark):
         assert out[d] == (3, 3, int(d == 3))   # tie -> smaller id
     for d in (5, 6):
         assert out[d] == (5, 6, int(d == 6))   # NULL ranks below -0.2
+
+
+def test_keep_best_in_clusters_string_ids(spark):
+    """r13 ADVICE fix: the id-asc tie-break must be TYPE-GENERIC — the old
+    struct-argmax negated the id (analysis error on strings, overflow on
+    Long.MIN_VALUE).  String/UUID doc ids now work end-to-end, including
+    the exact-tie and NULL-score paths."""
+    from memory_opensource_spark.operators.dedup import (
+        keep_best_in_clusters)
+
+    docs = spark.createDataFrame(
+        [("ua",), ("ub",), ("uc",), ("ud",), ("ue",)], "doc_id string")
+    pairs = spark.createDataFrame(
+        [("ua", "ub"), ("ub", "uc"),   # chain family
+         ("ud", "ue")],                # tie family
+        "left_id string, right_id string")
+    scores = spark.createDataFrame(
+        [("ua", 0.2), ("ub", 0.9), ("uc", None),
+         ("ud", 0.5), ("ue", 0.5)],
+        "doc_id string, q double")
+    out = {r.doc_id: (r.keeper_id, r.retained)
+           for r in keep_best_in_clusters(
+               docs, pairs, scores, score_col="q").collect()}
+    assert len(out) == 5
+    for d in ("ua", "ub", "uc"):
+        assert out[d] == ("ub", int(d == "ub"))
+    for d in ("ud", "ue"):
+        assert out[d] == ("ud", int(d == "ud"))   # tie -> lexicographic min

@@ -1,0 +1,172 @@
+"""PDF text-layer extraction (sources/pdf): builder/parser round-trip,
+object-model edge cases, real-world files, and the S11 composition."""
+
+import os
+
+import pytest
+
+from memory_opensource_spark.sources.pdf import (PdfParseError,
+                                                 extract_pdf_pages,
+                                                 write_pdf)
+
+PAGES = ["hello world\nsecond line", "page two text", "",
+         "unicode: café — “curly” ±5°", "trailing newline\n"]
+
+
+@pytest.mark.parametrize("kw", [
+    {}, {"compress": False}, {"hex_strings": True},
+    {"split_streams": True},
+    {"compress": False, "hex_strings": True, "split_streams": True}])
+def test_round_trip_exact_across_builder_variants(kw):
+    """Every builder surface variant (flate on/off, literal/hex strings,
+    single/array /Contents) must round-trip the page list EXACTLY —
+    including the empty page, embedded newlines and non-latin-1 text
+    (the UTF-16BE-with-BOM leg)."""
+    assert extract_pdf_pages(write_pdf(PAGES, **kw)) == PAGES
+
+
+def test_string_escapes_and_delimiters_round_trip():
+    tricky = ["a(b)c\\d", "(((nested)))", "tab\there",
+              "%not a comment (x)", "octal\x08bell", "<angle> [brack]"]
+    assert extract_pdf_pages(write_pdf(tricky)) == tricky
+    assert extract_pdf_pages(write_pdf(tricky, hex_strings=True)) == tricky
+
+
+def test_literal_string_escape_forms():
+    """Hand-written content streams: octal escapes (1-3 digits),
+    line continuations, unknown escapes (backslash dropped), and
+    odd-digit hex strings (spec: pad with 0)."""
+    from memory_opensource_spark.sources.pdf import _Lexer
+
+    assert _Lexer(rb"(\101\102\60)").parse_object() == b"AB0"
+    assert _Lexer(b"(a\\\nb)").parse_object() == b"ab"      # continuation
+    assert _Lexer(b"(a\\\r\nb)").parse_object() == b"ab"
+    assert _Lexer(rb"(\q)").parse_object() == b"q"          # unknown escape
+    assert _Lexer(b"<414>").parse_object() == b"A@"         # odd hex pads 0
+    assert _Lexer(b"<41 42\n43>").parse_object() == b"ABC"  # ws inside hex
+    assert _Lexer(b"/Na#6de").parse_object() == "/Name"     # #xx name escape
+
+
+def test_tj_kerning_emits_word_gaps():
+    """A TJ array with a large negative kern emits one space (the wild-PDF
+    word gap); small kerns do not."""
+    from memory_opensource_spark.sources.pdf import _extract_page_text
+
+    content = b"BT (Hel) Tj [(lo) -250 (world) -40 (!)] TJ ET"
+    assert _extract_page_text(content) == "Hello world!"
+
+
+def test_incremental_update_last_definition_wins():
+    """Appending a redefinition of a page's content stream (the PDF
+    incremental-update form: new object + new xref with /Prev) must make
+    the parser read the NEW text."""
+    base = write_pdf(["old text"], compress=False)
+    new_stream = (b"4 0 obj\n<< /Length 24 >>\nstream\n"
+                  b"BT (replacement) Tj ET\n\nendstream\nendobj\n")
+    at = len(base)
+    xref_at = at + len(new_stream)
+    update = (new_stream
+              + b"xref\n0 1\n0000000000 65535 f \n4 1\n"
+              + b"%010d 00000 n \n" % at
+              + b"trailer\n<< /Size 6 /Root 1 0 R /Prev "
+              + str(base.rfind(b"xref")).encode() + b" >>\nstartxref\n"
+              + str(xref_at).encode() + b"\n%%EOF\n")
+    assert extract_pdf_pages(base + update) == ["replacement"]
+
+
+def test_object_stream_objects_parse():
+    """/Type /ObjStm compressed objects (the modern-PDF form): page and
+    catalog dicts packed into one flate stream must still be indexed and
+    the page tree walked."""
+    import zlib
+
+    content = b"BT (objstm text) Tj ET"
+    inner = (b"<< /Type /Catalog /Pages 2 0 R >>"
+             b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+             b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    off1 = 0
+    off2 = off1 + 33
+    off3 = off2 + 41
+    header = b"1 %d 2 %d 3 %d " % (off1, off2, off3)
+    payload = zlib.compress(header + inner)
+    body = (b"%PDF-1.5\n"
+            b"5 0 obj\n<< /Type /ObjStm /N 3 /First " +
+            str(len(header)).encode() +
+            b" /Length " + str(len(payload)).encode() +
+            b" /Filter /FlateDecode >>\nstream\n" + payload +
+            b"\nendstream\nendobj\n"
+            b"4 0 obj\n<< /Length " + str(len(content)).encode() +
+            b" >>\nstream\n" + content + b"\nendstream\nendobj\n")
+    assert extract_pdf_pages(body) == ["objstm text"]
+
+
+def test_loud_refusals():
+    with pytest.raises(PdfParseError, match="missing %PDF"):
+        extract_pdf_pages(b"not a pdf at all")
+    with pytest.raises(PdfParseError, match="unsupported stream filter"):
+        extract_pdf_pages(
+            write_pdf(["x"]).replace(b"/FlateDecode", b"/LZWDecode"))
+    with pytest.raises(PdfParseError, match="encrypted"):
+        extract_pdf_pages(
+            write_pdf(["x"]).replace(b"/Root 1 0 R", b"/Root 1 0 R "
+                                     b"/Encrypt 9 0 R"))
+    with pytest.raises(PdfParseError, match="no pages"):
+        extract_pdf_pages(b"%PDF-1.4\njunk only\n%%EOF")
+
+
+@pytest.mark.parametrize("path", [
+    "/usr/share/doc/libtasn1-doc/libtasn1.pdf",
+    "/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf"])
+def test_real_world_pdfs_extract_nonempty_pages(path):
+    """Foreign PDFs (different producers, xref-stream era) must parse with
+    every page non-empty — the best-effort leg of the documented
+    surface."""
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not in container")
+    pages = extract_pdf_pages(open(path, "rb").read())
+    assert len(pages) > 5
+    assert all(t.strip() for t in pages)
+
+
+def test_read_pdf_and_s11_composition(spark, tmp_path):
+    """The full reference chain (processPDF -> per-page memories ->
+    hierarchical chunking): read_pdf over a binaryFile dir, error file
+    flagged not fatal, pdf_pages_to_memories shapes match, and
+    hierarchical_chunk consumes the pages."""
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.sources.documents import hierarchical_chunk
+    from memory_opensource_spark.sources.pdf import (pdf_pages_to_memories,
+                                                     read_pdf)
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(write_pdf(
+        ["1. Title\nintro text body", "2. Methods\nmore body text"]))
+    (d / "b.pdf").write_bytes(write_pdf(["single page doc"]))
+    (d / "broken.pdf").write_bytes(b"%PDF-1.4\ngarbage")
+
+    out = read_pdf(spark, str(d)).cache()
+    rows = {(r.path.rsplit("/", 1)[-1], r.page): r for r in out.collect()}
+    assert rows[("a.pdf", 1)].total_pages == 2
+    assert rows[("a.pdf", 2)].text == "2. Methods\nmore body text"
+    assert rows[("b.pdf", 1)].text == "single page doc"
+    err = [r for r in rows.values() if r.error is not None]
+    assert len(err) == 1 and "broken.pdf" in err[0].path
+    assert err[0].text is None
+
+    mems = pdf_pages_to_memories(out)
+    got = {r.page_label: r for r in mems.collect()}
+    assert set(got) == {"1 of 2", "2 of 2", "1 of 1"}
+    assert got["2 of 2"].file == "a.pdf"
+    assert got["2 of 2"].content.startswith("2. Methods")
+    assert len({r.memory_id for r in got.values()}) == 3  # unique ids
+
+    chunks = hierarchical_chunk(mems, id_col="memory_id",
+                                content_col="content")
+    by_mem = (chunks.groupBy("memory_id")
+              .agg(F.count("*").alias("n"),
+                   F.max("section_title").alias("title")).collect())
+    assert len(by_mem) == 3
+    titles = {r.title for r in by_mem}
+    assert "1. Title" in titles and "2. Methods" in titles

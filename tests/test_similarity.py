@@ -234,3 +234,42 @@ def test_collect_matrix_refuses_over_budget_frames(spark, monkeypatch):
     small = big.limit(5)
     ids, mat = similarity._collect_matrix(small, "id", "embedding")
     assert len(ids) == 5 and mat.shape == (5, 2)
+
+
+def test_hard_negative_mining_semantics_and_budget(vec_df, spark, monkeypatch):
+    """Mining returns per-anchor top-k NEGATIVES only (different label,
+    cosine < fp_cap), and the anchor collect is budget-guarded like
+    _collect_matrix (VERDICT r10 task 8) — an over-budget anchor table
+    refuses loudly instead of materializing on the driver."""
+    df, mat = vec_df
+    lab = df.withColumn("label", (F.col("id") % 4).cast("int"))
+    anchors = lab.filter(F.col("id") < 3)
+    out = similarity.hard_negative_mining(
+        anchors, lab, k=5, fp_cap=0.95).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for aid, rows in by_anchor.items():
+        assert len(rows) <= 5
+        for r in rows:
+            # negatives only: different label, below the fp cap
+            assert r.negative_id % 4 != aid % 4
+            assert r.score < 0.95
+            expect = float(mat[r.negative_id] @ mat[aid])
+            assert abs(r.score - expect) < 1e-9
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+    # oracle: brute-force numpy on the same exclusion rules
+    for aid in by_anchor:
+        scores = mat @ mat[aid]
+        mask = (np.arange(40) % 4 == aid % 4) | (scores >= 0.95)
+        scores = np.where(mask, -np.inf, scores)
+        expect_ids = [int(i) for i in np.lexsort((np.arange(40), -scores))[:5]
+                      if scores[i] > -np.inf]
+        got_ids = [r.negative_id for r in
+                   sorted(by_anchor[aid], key=lambda r: r.rank)]
+        assert got_ids == expect_ids
+    # over-budget anchor set refuses before any driver materialization
+    monkeypatch.setattr(similarity, "BLAS_BROADCAST_BUDGET_ROWS", 8)
+    with pytest.raises(ValueError, match="broadcast budget"):
+        similarity.hard_negative_mining(lab, lab, k=3)

@@ -26,11 +26,12 @@ def test_registry_prefix_covers_component_families():
         "g1_pattern_match",
         "suite_graph_lookup",
         "g8_schema_driven_merge", "suite_graph_store",
-        "g14_constraint_when",
         "r2_stratified_merge",
         "suite_ranking_formulas",
         "suite_stream_windows",
-        "ids_chunk_algebra", "suite_text_analysis",
+        # round-13: ids_chunk_algebra displaced for the round's flagship
+        # new operator (id algebra stays driver-exercised in the flagships)
+        "pdf_text_extract", "suite_text_analysis",
         "suite_dedup_family", "ann_ivf_persisted",
         "mm_feature_search", "suite_graph_analytics",
         "compress_sessions",
@@ -45,8 +46,14 @@ def test_registry_prefix_covers_component_families():
         # (v9_grouped_points, st2_session_windows, txn_merge_roundtrip,
         # zorder_layout_roundtrip move below fold — still locally gated,
         # semantics unchanged since they were last driver-checked)
-        "ann_pq_rerank", "lm_quality_scores",
-        "omo_export_roundtrip",
+        "ann_pq_rerank",
+        # round-13 rotation (driver r11): omo_export_roundtrip /
+        # lm_quality_scores / g14_constraint_when displaced (driver-green
+        # r6-r10 / r6-r10 / r3-r10; OMO stays a suite_filters member,
+        # quality keeps four window rows, constraints stay exercised via
+        # suite_graph_store's G9 leg) for the three r12-late registrations
+        # that never held a driver slot:
+        "mm_media_meta", "dedup_keep_best_quality", "text_fold_punctuation",
         # round-7 rotation 2: the round's flagship new op into the window
         # (st5_decayed_counter_replay below fold — unchanged for two rounds,
         # streaming family stays windowed via suite_stream_windows)
