@@ -154,6 +154,10 @@ HEADLINE = [
     # page-tree + FlateDecode + BT..ET text operators in two Arrow
     # kernels; the processPDF per-page analog)
     "pdf_text_extract",
+    # round 13: connector transposition (Slack/Linear events -> memory
+    # rows — ts-removal, flatten, id rename, route content rules; one
+    # scan-side Arrow kernel)
+    "connector_transpose",
 ]
 
 

@@ -5636,6 +5636,157 @@ def pdf_text_extract_q(spark, sf_dir):
     return parsed.select("doc_id", "page", "total_pages", "text")
 
 
+@_register("connector_transpose", """
+WITH d AS (
+  SELECT doc_id, text, doc_id % 6 AS r, 'w' || (doc_id % 4) AS ws
+  FROM documents WHERE doc_id < 600)
+SELECT doc_id,
+ CASE WHEN r IN (0, 1) THEN 'slack' WHEN r = 5 THEN 'custom'
+      ELSE 'linear' END AS connector,
+ CASE WHEN r = 2 THEN 'issue' ELSE 'text' END AS memory_type,
+ CASE r
+   WHEN 0 THEN text
+   WHEN 1 THEN substr(text, 1, 20) || ' ||| ' || substr(text, 21, 20)
+               || ' ||| ' || substr(text, 41, 20)
+   WHEN 2 THEN 'Issue ' || doc_id
+   WHEN 3 THEN 'Project: P' || doc_id || chr(10)
+               || 'Milestones: [''m1'', ''m' || (doc_id % 5) || ''']'
+   WHEN 4 THEN 'User: User' || doc_id || ' (u' || doc_id || '@x.example)'
+   ELSE text END AS content,
+ CASE WHEN r IN (0, 1) THEN 'slack' WHEN r = 5 THEN ''
+      ELSE 'linear' END AS source_type,
+ CASE r WHEN 0 THEN 'Slack Message' WHEN 1 THEN 'Slack Message'
+        WHEN 2 THEN 'P' || (doc_id % 3) || ', Issues'
+        WHEN 3 THEN 'P' || doc_id || ', Projects'
+        WHEN 4 THEN 'Users'
+        ELSE 'G' || (doc_id % 2) END AS hierarchical_structures,
+ CASE r WHEN 0 THEN 'https://slack.example/p' || doc_id
+        WHEN 1 THEN 'su1-' || doc_id ELSE '' END AS source_url,
+ ws AS workspace_id,
+ (CASE WHEN r = 0 THEN doc_id % 2 = 0 ELSE TRUE END) AS is_private,
+ CASE r WHEN 0 THEN 'U1,U2' WHEN 1 THEN 'U1,U3' ELSE '' END AS acl_csv,
+ CASE r WHEN 0 THEN 'S' || doc_id WHEN 1 THEN 'L' || doc_id
+        WHEN 2 THEN 'I' || doc_id WHEN 3 THEN 'PR' || doc_id
+        WHEN 4 THEN 'U' || doc_id ELSE 'G' || doc_id END AS meta_id,
+ CASE r
+   WHEN 0 THEN 'acl_object_ids,authed_user_id,block_id,channel_id,'
+     || 'channel_name,client_msg_id,connector,hierarchical structures,'
+     || 'is_private,slack_id,sourceType,sourceUrl,workspace_id'
+   WHEN 1 THEN 'acl_object_ids,authed_user_id,client_msg_ids,connector,'
+     || 'hierarchical structures,is_private,members,slack_id,sourceType,'
+     || 'sourceUrl,source_urls,type,user_ids,workspace_id'
+   WHEN 2 THEN 'acl_object_ids,connector,hierarchical structures,'
+     || 'is_private,linear_id,priority,project_name,sourceType,'
+     || 'sourceUrl,title,workspace_id'
+   WHEN 3 THEN 'acl_object_ids,connector,hierarchical structures,'
+     || 'is_private,linear_id,name,projectMilestones,sourceType,'
+     || 'sourceUrl,workspace_id'
+   WHEN 4 THEN 'acl_object_ids,active,connector,displayName,email,'
+     || 'hierarchical structures,is_private,linear_id,sourceType,'
+     || 'sourceUrl,workspace_id'
+   ELSE 'acl_object_ids,connector,content,custom_id,'
+     || 'hierarchical structures,is_private,project_name,sourceType,'
+     || 'sourceUrl,workspace_id' END AS meta_keys
+FROM d
+""")
+def connector_transpose_q(spark, sf_dir):
+    """Connector transposition (r13, operators/connector — the analog of
+    services/connector_service.py:95 transpose_data_to_memory): per-doc
+    connector events are BUILT executor-side (Slack message with blocks
+    + ts fields + nested channel dict, Slack messageList with 3
+    messages and a comma-string member list, Linear issue / project /
+    user, and a generic route whose ``stats``/``latest_ts`` keys
+    exercise the substring ts-removal rule), transposed by the real
+    operator, and checked against an oracle that recomputes EVERY
+    routed field — content rules, ``' ||| '`` joins, id->
+    ``<connector>_id`` rename (``meta_id``), flatten (``channel_name``
+    inside ``meta_keys``), ts-drop, exclusion lists, and the final
+    metadata KEY SET per route.  Shape: one Arrow kernel, scan-side,
+    zero shuffle."""
+    import pandas as pd
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 600).select("doc_id", "text")
+
+    def build(batches):
+        import json as J
+        for pdf in batches:
+            rows = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d, text = int(d), str(text)
+                r = d % 6
+                if r == 0:
+                    url = "https://hooks.example/slack/messages"
+                    payload = {
+                        "text": text, "ts": f"171{d}",
+                        "client_msg_id": f"cm{d}",
+                        "sourceUrl": f"https://slack.example/p{d}",
+                        "channel": {"id": f"C{d}", "name": f"gen{d % 3}",
+                                    "created_ts": d},
+                        "id": f"S{d}", "is_private": d % 2 == 0,
+                        "authed_user_id": f"U{d % 7}",
+                        "members": ["U2", "U1", "U2"],
+                        "blocks": [{"block_id": f"b{d}"}]}
+                elif r == 1:
+                    url = "https://hooks.example/slack/messages"
+                    payload = {
+                        "type": "messageList",
+                        "messages": [
+                            {"text": text[0:20], "user": "U1",
+                             "client_msg_id": f"a{d}",
+                             "sourceUrl": f"su1-{d}", "ts": "x"},
+                            {"text": text[20:40], "user": "U2",
+                             "client_msg_id": f"b{d}",
+                             "sourceUrl": f"su2-{d}"},
+                            {"text": text[40:60], "user": "U3",
+                             "client_msg_id": f"c{d}",
+                             "sourceUrl": f"su3-{d}"}],
+                        "members": "U3,U1,U3",
+                        "authed_user_id": f"U{d % 7}", "id": f"L{d}"}
+                elif r == 2:
+                    url = "https://hooks.example/linear/issues"
+                    payload = {"title": f"Issue {d}", "id": f"I{d}",
+                               "project": {"name": f"P{d % 3}",
+                                           "updated_ts": d},
+                               "priority": d % 5, "estimate": None}
+                elif r == 3:
+                    url = "https://hooks.example/linear/projects"
+                    payload = {"name": f"P{d}",
+                               "projectMilestones": ["m1", f"m{d % 5}"],
+                               "id": f"PR{d}"}
+                elif r == 4:
+                    url = "https://hooks.example/linear/users"
+                    payload = {"displayName": f"User{d}",
+                               "email": f"u{d}@x.example",
+                               "id": f"U{d}", "active": True}
+                else:
+                    url = "https://hooks.example/custom/events"
+                    payload = {"content": text,
+                               "project": {"name": f"G{d % 2}"},
+                               "id": f"G{d}", "stats": {"a": 1},
+                               "latest_ts": d}
+                rows.append((d, url, J.dumps(payload), f"w{d % 4}"))
+            yield pd.DataFrame(rows, columns=["doc_id", "url", "payload",
+                                              "ws"])
+
+    from .operators.connector import transpose_connector_events
+
+    events = docs.mapInPandas(
+        build, "doc_id long, url string, payload string, ws string")
+    out = transpose_connector_events(events, workspace_col="ws",
+                                     passthrough={"doc_id": "long"})
+    meta_map = F.from_json("metadata_json", "map<string,string>")
+    return (out
+            .select("doc_id", "connector", "memory_type", "content",
+                    "source_type", "hierarchical_structures",
+                    "source_url", "workspace_id", "is_private",
+                    F.array_join("acl_object_ids", ",").alias("acl_csv"),
+                    F.element_at(meta_map, F.concat(
+                        F.col("connector"), F.lit("_id"))).alias("meta_id"),
+                    F.array_join(F.map_keys(meta_map), ",")
+                    .alias("meta_keys")))
+
+
 # oracle built at import time from the LIVE twin in functions/bpe: the
 # registry row encodes with the import-time seed vocabulary (deterministic
 # without Spark); the distributed trainer is pinned in tests (iterative

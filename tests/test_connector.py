@@ -1,0 +1,153 @@
+"""Connector transposition (operators/connector): the reference's
+transpose_data_to_memory semantics, including its documented quirks."""
+
+import json
+
+import pytest
+
+from memory_opensource_spark.operators.connector import (
+    clean_body_data, flatten_dict, process_metadata, remove_ts_fields,
+    transpose_connector_events, transpose_event)
+
+
+def test_remove_ts_fields_substring_and_recursion():
+    """'ts' is a SUBSTRING match (connector_service.py:13): created_ts,
+    stats and counts all drop; recursion reaches dicts inside lists."""
+    got = remove_ts_fields({
+        "ts": 1, "created_ts": 2, "stats": {"x": 1}, "counts": 3,
+        "keep": {"ts": 4, "inner": 5},
+        "lst": [{"ts": 6, "ok": 7}, 8]})
+    assert got == {"keep": {"inner": 5}, "lst": [{"ok": 7}, 8]}
+
+
+def test_flatten_and_clean_body():
+    assert flatten_dict({"a": {"b": {"c": 1}}, "d": [1, 2]}) == \
+        {"a_b_c": 1, "d": [1, 2]}
+    body = json.dumps({"content": [
+        {"content": [{"text": "hello"}, {"noText": 1}]},
+        {"content": [{"text": "world"}]}]})
+    assert clean_body_data(body) == "hello world"
+    assert clean_body_data("not json {") == "not json {"
+    assert clean_body_data(json.dumps({"wrong": 1})) == '{"wrong": 1}'
+
+
+def test_process_metadata_rules():
+    """id rename, connector stamp, None drop, flatten-then-exclude,
+    str-list passthrough, str() for mixed lists (:40-93)."""
+    got = process_metadata({
+        "id": "X1", "none": None, "nested": {"k": "v"},
+        "strs": ["a", "b"], "mixed": [1, "a"], "num": 3,
+        "flag": True, "text": "excluded-by-default"}, "slack")
+    assert got == {"slack_id": "X1", "connector": "slack",
+                   "nested_k": "v", "strs": ["a", "b"],
+                   "mixed": "[1, 'a']", "num": 3, "flag": True}
+
+
+def test_slack_message_routes_and_block_promotion():
+    item = transpose_event(
+        {"text": "hi there", "ts": "1", "id": "S1",
+         "blocks": [{"block_id": "b9"}], "members": ["U2", "U1", "U2"]},
+        "https://h.example/slack/messages", workspace_id="w1")
+    assert item["content"] == "hi there"
+    assert item["type"] == "text"
+    meta = item["metadata"]
+    assert meta["sourceType"] == "slack"
+    assert meta["hierarchical structures"] == "Slack Message"
+    assert meta["acl_object_ids"] == ["U1", "U2"]  # sorted distinct
+    assert meta["block_id"] == "b9" and "blocks" not in meta
+    assert meta["slack_id"] == "S1" and "ts" not in meta
+    with pytest.raises(ValueError, match="No text content"):
+        transpose_event({"notext": 1}, "https://h.example/slack/messages")
+
+
+def test_slack_update_quirk_blocks_message_deleted():
+    """The reference promotes block_id into the message dict then deletes
+    the WHOLE dict (:252-254) — with blocks, neither message fields nor
+    client_msg_id survive; without blocks, client_msg_id is hoisted."""
+    with_blocks = transpose_event(
+        {"message": {"text": "edit", "blocks": [{"block_id": "b"}],
+                     "client_msg_id": "c7"},
+         "previous_message": {"blocks": [{"block_id": "o"}], "keep": "y"}},
+        "https://h.example/slack/messages", update=True)
+    assert with_blocks["content"] == "edit (edited)"
+    assert "client_msg_id" not in with_blocks["metadata"]
+    assert with_blocks["metadata"]["previous_message_keep"] == "y"
+    without = transpose_event(
+        {"message": {"text": "edit2", "client_msg_id": "c8"}},
+        "https://h.example/slack/messages", update=True)
+    assert without["metadata"]["client_msg_id"] == "c8"
+
+
+def test_message_list_joins_and_collects():
+    """Empty texts are skipped in the join but their per-message ids are
+    still collected (:196-226); comma-string members split."""
+    item = transpose_event(
+        {"type": "messageList",
+         "messages": [
+             {"text": "one", "user": "U1", "client_msg_id": "a",
+              "sourceUrl": "s1"},
+             {"text": "", "user": "U2", "client_msg_id": "b",
+              "sourceUrl": "s2"},
+             {"text": "three", "user": "U3", "client_msg_id": "c",
+              "sourceUrl": "s3"}],
+         "members": "U3,U1"},
+        "https://h.example/slack/messages", workspace_id="w2")
+    assert item["content"] == "one ||| three"
+    meta = item["metadata"]
+    assert meta["user_ids"] == ["U1", "U2", "U3"]
+    assert meta["client_msg_ids"] == ["a", "b", "c"]
+    assert meta["source_urls"] == ["s1", "s2", "s3"]
+    assert meta["sourceUrl"] == "s1"
+    assert meta["members"] == ["U3", "U1"]
+    assert meta["acl_object_ids"] == ["U1", "U3"]
+
+
+def test_linear_routes():
+    issue = transpose_event(
+        {"title": "T", "id": "I1", "project": {"name": "P"}},
+        "https://h.example/linear/issues")
+    assert issue["type"] == "issue" and issue["content"] == "T"
+    assert issue["metadata"]["hierarchical structures"] == "P, Issues"
+    assert issue["metadata"]["linear_id"] == "I1"
+    proj = transpose_event(
+        {"name": "N", "projectMilestones": ["m1"], "id": "P1"},
+        "https://h.example/linear/projects")
+    assert proj["content"] == "Project: N\nMilestones: ['m1']"
+    comment = transpose_event(
+        {"bodyData": json.dumps({"content": [
+            {"content": [{"text": "cmt"}]}]}), "id": "C1"},
+        "https://h.example/linear/comments")
+    assert comment["content"] == "cmt"
+    assert comment["metadata"]["hierarchical structures"] == "Comments"
+    user = transpose_event(
+        {"displayName": "D", "email": "e@x", "id": "U1"},
+        "https://h.example/linear/users")
+    assert user["content"] == "User: D (e@x)"
+
+
+def test_spark_operator_passthrough_and_errors(spark):
+    """The Arrow kernel: passthrough keys, canonical metadata JSON, and
+    per-row loud errors (a textless Slack message flags, not drops)."""
+    rows = [
+        (1, "https://h.example/slack/messages",
+         json.dumps({"text": "ok", "id": "S1"}), "w1"),
+        (2, "https://h.example/slack/messages",
+         json.dumps({"neither": 1}), "w1"),
+        (3, "https://h.example/custom/events",
+         json.dumps({"content": "c3", "project": {"name": "G"}}), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, payload string, ws string")
+    out = {r.doc_id: r for r in transpose_connector_events(
+        df, workspace_col="ws",
+        passthrough={"doc_id": "long"}).collect()}
+    assert out[1].content == "ok" and out[1].connector == "slack"
+    meta = json.loads(out[1].metadata_json)
+    assert meta["slack_id"] == "S1" and meta["workspace_id"] == "w1"
+    assert list(meta) == sorted(meta)  # canonical ordering
+    assert out[2].error is not None and "No text content" in out[2].error
+    assert out[2].content is None
+    assert out[3].content == "c3" and out[3].connector == "custom"
+    assert out[3].workspace_id is None
+    assert json.loads(out[3].metadata_json)[
+        "hierarchical structures"] == "G"
