@@ -41,7 +41,10 @@ def crawl_to_training_shards(spark: SparkSession, warc_glob: str,
                              fractions: dict | None = None,
                              n_shards: int = 8,
                              seed: str = "crawl",
-                             record_types: tuple = ("response",)) -> dict:
+                             record_types: tuple = ("response",),
+                             token_budget: int | None = None,
+                             bpe_merges=None,
+                             n_bpe_merges: int = 200) -> dict:
     """Run the full batch front-end (module docstring) and write one
     sharded parquet layout per split under ``out_dir/split=<name>``.
 
@@ -54,9 +57,23 @@ def crawl_to_training_shards(spark: SparkSession, warc_glob: str,
     ``langs=None`` skips language filtering; ``eval_grams=None`` skips
     decontamination; ``blocklist=None`` skips the domain gate.
 
-    Returns ``{"stages": {name: rows_after}, "paths": {split: path}}`` —
-    the stage table is the per-run audit trail (each count is one
-    combinable action over the current frame)."""
+    ``token_budget`` switches sharding from hash (document-count
+    balanced) to TRAINED-TOKENIZER token budgets — the data-loader
+    reality (GPT-3/Megatron corpora are budgeted in tokens of the
+    tokenizer that will train on them, and long-document skew makes
+    count-balanced and token-balanced shards very different): a BPE
+    merge table is trained ON THE SURVIVING CORPUS (functions/bpe
+    .train_bpe — one word-count groupBy + a bounded driver merge loop;
+    pass ``bpe_merges`` to reuse an existing vocabulary), every
+    document is costed by ``bpe_token_count`` (a zero-UDF JVM replace
+    fold), and each split packs documents into sequential
+    ~``token_budget``-token shards via the distributed exact prefix sum
+    (writers.shard_by_token_budget — no single-partition window).
+
+    Returns ``{"stages": {name: rows_after}, "paths": {split: path}}``
+    (+ ``"bpe_merges"`` when token budgeting ran) — the stage table is
+    the per-run audit trail (each count is one combinable action over
+    the current frame)."""
     from ..functions import html as H
     from ..functions import urls as U
     from ..functions.boilerplate import prune_lines_arrow
@@ -151,13 +168,34 @@ def crawl_to_training_shards(spark: SparkSession, warc_glob: str,
     split = assign_split_by_group(
         docs.withColumn("content_hash", F.md5("text")),
         "content_hash", fractions=fractions).localCheckpoint(eager=True)
+    result: dict = {}
+    if token_budget is not None:
+        from ..functions.bpe import bpe_token_count, train_bpe
+        from ..sources.writers import shard_by_token_budget
+
+        merges = (list(bpe_merges) if bpe_merges is not None
+                  else train_bpe(split, "text", n_merges=n_bpe_merges))
+        result["bpe_merges"] = merges
+        costed = split.withColumn(
+            "n_bpe_tokens", bpe_token_count(F.col("text"), merges))
     paths = {}
     for name in sorted({r.split for r in
                         split.select("split").distinct().collect()}):
         path = os.path.join(out_dir, f"split={name}")
-        shard_write(split.filter(F.col("split") == name)
-                    .select("doc_id", "canonical_url", "text"),
-                    path, n_shards, seed)
+        if token_budget is not None:
+            sharded = shard_by_token_budget(
+                costed.filter(F.col("split") == name), token_budget,
+                id_col="doc_id", tokens_col="n_bpe_tokens")
+            (sharded.select("doc_id", "canonical_url", "text",
+                            "n_bpe_tokens", "shard")
+             .repartition(max(1, n_shards), F.col("shard"))
+             .sortWithinPartitions("shard", "doc_id")
+             .write.mode("overwrite").partitionBy("shard").parquet(path))
+        else:
+            shard_write(split.filter(F.col("split") == name)
+                        .select("doc_id", "canonical_url", "text"),
+                        path, n_shards, seed)
         paths[name] = path
     stages["written"] = split.count()
-    return {"stages": stages, "paths": paths}
+    result.update({"stages": stages, "paths": paths})
+    return result

@@ -103,3 +103,39 @@ def test_crawl_to_training_shards_end_to_end(spark, tmp_path):
         langs=("en",), min_words=5, jaccard_threshold=0.5,
         n_shards=2, fractions={"train": 0.7, "val": 0.3})
     assert res2["stages"] == s
+
+
+def test_crawl_shards_with_trained_bpe_token_budget(spark, tmp_path):
+    """token_budget switches sharding to TRAINED-tokenizer units: a merge
+    table is trained on the surviving corpus, every doc is costed with
+    bpe_token_count, and shards pack to ~budget tokens in doc_id order —
+    verified against a driver-side exact prefix sum over the SAME
+    counts."""
+    import os
+
+    segs = str(tmp_path / "segs")
+    os.makedirs(segs)
+    bodies = [(f"https://good.org/p{i}",
+               " ".join([PROSE_A, PROSE_B][i % 2].split()[: 20 + 3 * i])
+               + f" unique marker token t{i}")
+              for i in range(8)]
+    warc.write_warc_records([_page(u, b) for u, b in bodies],
+                            os.path.join(segs, "seg0.warc"))
+
+    out = str(tmp_path / "out_bpe")
+    res = crawl_to_training_shards(
+        spark, os.path.join(segs, "*"), out, langs=None, min_words=5,
+        jaccard_threshold=0.99, n_shards=2,
+        fractions={"train": 1.0}, token_budget=120, n_bpe_merges=50)
+    assert len(res["bpe_merges"]) == 50
+
+    df = spark.read.parquet(res["paths"]["train"]) \
+        .orderBy("doc_id").collect()
+    assert len(df) == 8
+    # exact budget semantics: shard = floor(prior tokens / budget)
+    prior = 0
+    for r in df:
+        assert r.shard == prior // 120, (r.doc_id, prior, r.shard)
+        assert r.n_bpe_tokens > 0
+        prior += r.n_bpe_tokens
+    assert df[-1].shard >= 1  # budget actually split the corpus
