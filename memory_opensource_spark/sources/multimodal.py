@@ -848,8 +848,10 @@ def probe_media_meta(content: bytes) -> dict | None:
             i += 8 + ln + (ln & 1)
         if not (ch and sr and bits):
             return None
+        # data_len == 0 is a real (empty) data chunk: duration 0, not
+        # unknown — only a MISSING data chunk yields None (r13 sweep)
         dur = (int(data_len * 8000 / (ch * sr * bits))
-               if data_len else None)
+               if data_len is not None else None)
         return {"container": "wav", "width": None, "height": None,
                 "duration_ms": dur, "sample_rate": sr, "channels": ch,
                 "codec": f"pcm{bits}"}
@@ -871,6 +873,8 @@ def _mp4_boxes(data: bytes, start: int, end: int):
             if i + 16 > end:
                 return
             ln = int.from_bytes(data[i + 8:i + 16], "big")
+            if ln < 16:             # header alone is 16 bytes (r13 sweep)
+                return
             body = i + 16
         elif ln == 0:               # to end of enclosing box
             ln = end - i
@@ -898,6 +902,8 @@ def _probe_mp4(content: bytes) -> dict | None:
             if t2 == b"mvhd" and e2 - b2 >= 20:
                 ver = content[b2]
                 if ver == 1:
+                    if e2 - b2 < 32:   # truncated v1 body would silently
+                        continue       # misread duration (r13 sweep)
                     ts = int.from_bytes(content[b2 + 20:b2 + 24], "big")
                     dur = int.from_bytes(content[b2 + 24:b2 + 32], "big")
                 else:
@@ -948,14 +954,29 @@ def _probe_mp3(content: bytes) -> dict | None:
     while i + 4 <= n:
         if content[i] == 0xFF and (content[i + 1] & 0xE0) == 0xE0:
             b1, b2, b3 = content[i + 1], content[i + 2], content[i + 3]
+            # a sync pattern is only 11 bits — random bytes fake it about
+            # once per 2 KB, so an invalid candidate means KEEP SCANNING,
+            # and a field-valid candidate is accepted only if the frame
+            # length lands on another sync (or EOF) — the standard
+            # two-frame validation (r13 sweep; was: give up at the first
+            # false sync)
             if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
-                return None            # not MPEG1 Layer III
+                i += 1                 # not MPEG1 Layer III: false sync
+                continue
             br_idx = (b2 >> 4) & 0x0F
             sr_idx = (b2 >> 2) & 0x03
             if br_idx in (0, 15) or sr_idx == 3:
-                return None            # free/bad bitrate, reserved rate
+                i += 1                 # free/bad bitrate, reserved rate
+                continue
             bitrate = _MP3_BITRATES[br_idx]
             sr = _MP3_RATES[sr_idx]
+            pad = (b2 >> 1) & 0x01
+            flen = (144 * bitrate * 1000) // sr + pad
+            nxt = i + flen
+            if not (nxt >= n or (nxt + 1 < n and content[nxt] == 0xFF
+                                 and (content[nxt + 1] & 0xE0) == 0xE0)):
+                i += 1                 # next frame doesn't sync: false hit
+                continue
             ch = 1 if ((b3 >> 6) & 0x03) == 3 else 2
             dur = int((n - i) * 8 / bitrate) if bitrate else None
             return {"container": "mp3", "width": None, "height": None,
