@@ -158,6 +158,9 @@ HEADLINE = [
     # rows — ts-removal, flatten, id rename, route content rules; one
     # scan-side Arrow kernel)
     "connector_transpose",
+    # round 13: trained-BPE token counts driving the shard budget (JVM
+    # replace-fold costing + the distributed exact prefix sum)
+    "shard_bpe_budget",
 ]
 
 

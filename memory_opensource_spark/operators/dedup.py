@@ -905,7 +905,8 @@ def dup_ngram_char_coverage(docs: DataFrame, id_col: str = "doc_id",
 
 def keep_best_in_clusters(docs: DataFrame, pairs: DataFrame,
                           scores: DataFrame, id_col: str = "doc_id",
-                          score_col: str = "score") -> DataFrame:
+                          score_col: str = "score",
+                          report: dict | None = None) -> DataFrame:
     """Quality-aware duplicate-family keeper (r12): near-dup PAIRS
     ({left_id, right_id}) -> connected components -> ONE keeper per
     family chosen by the HIGHEST score (id-asc tie-break via the house
@@ -933,7 +934,7 @@ def keep_best_in_clusters(docs: DataFrame, pairs: DataFrame,
                         F.col("right_id").alias("dst"))
            .unionByName(pairs.select(F.col("right_id").alias("src"),
                                      F.col("left_id").alias("dst"))))
-    comp = connected_components(und)
+    comp = connected_components(und, report=report)
     base = (docs.select(F.col(id_col))
             .join(comp, F.col(id_col) == F.col("node_id"), "left")
             .select(id_col,

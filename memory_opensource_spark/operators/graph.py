@@ -257,10 +257,12 @@ def schema_discovery(nodes: DataFrame, edges: DataFrame,
     return labels, rels
 
 
-def connected_components(und_edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+def connected_components(und_edges: DataFrame, max_rounds: int = 30,
+                         report: dict | None = None) -> DataFrame:
     """Connected components via min-label propagation WITH pointer jumping,
     iterated to convergence (checked each round) — the GraphX CC algorithm as a
-    DataFrame loop.
+    DataFrame loop.  ``report`` (optional dict) receives ``{"rounds": k}``
+    — probe/test instrumentation for the O(log diameter) claim.
 
     ``und_edges``: {src, dst} already containing both orientations.
     Returns {node_id, component} where component = min node id in the component.
@@ -301,6 +303,8 @@ def connected_components(und_edges: DataFrame, max_rounds: int = 30) -> DataFram
             .count()
         )
         labels = jumped
+        if report is not None:
+            report["rounds"] = report.get("rounds", 0) + 1
         if changed == 0:
             break
     return labels

@@ -5862,6 +5862,82 @@ def shard_bpe_budget_q(spark, sf_dir):
         .select("doc_id", "n_bpe_tokens", "shard")
 
 
+from .functions import html as _html_mod  # noqa: E402
+
+_FTR_HTML = ("'<html><body><h1>Title ' || doc_id || '</h1><p>' || text || "
+             "'</p></body></html>'")
+_FTR_ORACLE = f"""WITH d AS (
+  SELECT doc_id, text, doc_id % 6 AS r,
+         CASE WHEN doc_id % 6 = 0 THEN 2 ELSE 1 END AS np
+  FROM documents WHERE doc_id < 600)
+SELECT doc_id,
+ CASE r WHEN 0 THEN 'application/pdf' WHEN 1 THEN 'text/html'
+        WHEN 2 THEN 'text/plain' WHEN 3 THEN 'audio/wav'
+        WHEN 4 THEN 'audio/mpeg'
+        ELSE 'application/octet-stream' END AS mime,
+ (CASE WHEN r IN (0, 1, 2) THEN i END)::INT AS page,
+ (CASE WHEN r IN (0, 1, 2) THEN np END)::INT AS total_pages,
+ CASE WHEN r = 0 THEN (CASE i WHEN 1 THEN 'alpha ' ELSE 'beta ' END)
+                      || doc_id
+      WHEN r = 1 THEN {_html_mod.html_to_text_sql(_FTR_HTML)}
+      WHEN r = 2 THEN text END AS text
+FROM d, LATERAL (SELECT UNNEST(range(1, np + 1)) AS i) t"""
+
+
+@_register("file_type_route", _FTR_ORACLE)
+def file_type_route_q(spark, sf_dir):
+    """Content-sniffed multi-format ingest routing (r13,
+    sources/filetype — the analog of services/processPDF.py:104
+    save_uploaded_file's libmagic sniff + :43-50 process_pdf's
+    pdf/html/txt loader switch): per-doc files are BUILT executor-side
+    (a 2-page PDF via the r13 writer twin, an HTML document, plain
+    text, WAV, MP3, and an opaque binary blob — format chosen by
+    doc_id), sniffed by magic bytes, and routed — PDFs explode to
+    per-page rows through the real text-layer parser, HTML finishes
+    through the zero-UDF Column extractor (whose DuckDB twin computes
+    the oracle's expected text), text decodes, and binary formats
+    produce typed skip rows.  Shape: one Arrow kernel + one Column
+    projection; binaryFile file-level parallelism via ingest_files."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 600).select("doc_id", "text")
+
+    def build(batches):
+        from .sources.multimodal import write_mp3_stub, write_wav
+        from .sources.pdf import write_pdf
+        for pdf in batches:
+            rows = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d, text = int(d), str(text)
+                r = d % 6
+                if r == 0:
+                    content = write_pdf([f"alpha {d}", f"beta {d}"],
+                                        compress=d % 2 == 0)
+                elif r == 1:
+                    content = (f"<html><body><h1>Title {d}</h1><p>{text}"
+                               f"</p></body></html>").encode()
+                elif r == 2:
+                    content = text.encode()
+                elif r == 3:
+                    content = write_wav(8000, 1, 16, 4000)
+                elif r == 4:
+                    content = write_mp3_stub(4)
+                else:
+                    content = b"\x00BIN" + hashlib.md5(
+                        str(d).encode()).digest()
+                rows.append((d, content))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    from .sources.filetype import route_documents
+
+    files = docs.mapInPandas(build, "doc_id long, content binary")
+    return route_documents(files).select(
+        "doc_id", "mime", "page", "total_pages", "text")
+
+
 # oracle built at import time from the LIVE twin in functions/urls (the
 # html_text_extract lesson: frozen regex literals drift; built twins cannot)
 _BLOCK_RAW_SQL = (
@@ -7008,8 +7084,11 @@ _EVIDENCE_PRIORITY = [
                                   # r9: + dup-5..10-gram char coverage)
     "pack_sequences",             # sequence packing on grouped_prefix_sum (r8
                                   # rework, never driver-checked in new shape)
-    "ann_pq_rerank",              # PQ/IVFADC ADC scan + exact re-rank (r6 new,
-                                  # r7 rotation: engine now SERVES this layout)
+    # round-13: ann_pq_rerank displaced (driver-green r6..r10; the
+    # PQ/ADC layout stays plan-pinned in tests and the ANN family keeps
+    # ann_ivf_persisted in the window; locally gated 3 SFs) in favor of
+    # the r13-new connector transposition below.
+    "connector_transpose",        # Slack/Linear events -> memories (r13)
     # 22-32: graph G1..G16 + both-endpoint ACL
     "g1_pattern_match",           # G1/G16
     # round-12 rotation: g2_two_hop_paths displaced (driver-green r1..r9;
@@ -7121,7 +7200,11 @@ _EVIDENCE_PRIORITY = [
     "boilerplate_prune",          # RefinedWeb/jusText line pruning (r10 new)
     "mm_feature_search",          # multimodal columns (sha256-oracle since r4)
     "suite_graph_analytics",      # degree + CC + pagerank + triangles + spans
-    "compress_sessions",          # session compression (/compress analog)
+    # round-13: compress_sessions displaced (driver-green r1..r10, the
+    # longest-tenured row in the window; session compression semantics
+    # unchanged since r3 and locally gated 3 SFs every round) in favor
+    # of the r13-new BPE-budget sharding composition below.
+    "shard_bpe_budget",           # trained-BPE tokens -> shard budget (r13)
 ]
 
 

@@ -187,3 +187,35 @@ def test_crawl_mini_prunes_after_url_dedup(spark):
     p = _plan(spark, "crawl_mini")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "MapInPandas" not in p
+
+
+def test_keeper_argmax_is_window_free_under_hot_family(spark):
+    """keep_best_in_clusters on a pathological hot family (one cluster
+    owning 95% of all rows): the per-family argmax must stay TWO
+    COMBINABLE groupBys — no Window node anywhere in the plan, so the
+    hot cluster partial-aggregates map-side instead of pinning one task
+    (the r8 content-key-window lesson applied to the r12 keeper)."""
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.operators.dedup import (
+        keep_best_in_clusters)
+
+    n = 2000
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    # star family: 0 -- i for 95% of ids; the rest singletons
+    pairs = spark.range(1, int(n * 0.95)).select(
+        F.lit(0).alias("left_id"), F.col("id").alias("right_id"))
+    scores = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 17).cast("double").alias("q"))
+    out = keep_best_in_clusters(docs, pairs, scores, score_col="q")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "keeper argmax regressed to a window"
+    rows = out.collect()
+    assert len(rows) == n
+    fam0 = [r for r in rows if r.cluster_id == 0]
+    assert len(fam0) == int(n * 0.95) - 1 + 1  # star members + hub
+    assert sum(r.retained for r in fam0) == 1
+    # keeper = max q (16), min id among ties inside the family
+    best = min(r.doc_id for r in fam0 if r.doc_id % 17 == 16)
+    assert all(r.keeper_id == best for r in fam0)

@@ -34,7 +34,6 @@ def test_registry_prefix_covers_component_families():
         "pdf_text_extract", "suite_text_analysis",
         "suite_dedup_family", "ann_ivf_persisted",
         "mm_feature_search", "suite_graph_analytics",
-        "compress_sessions",
         # round-4 additions (V2-batch moved below fold in their favor:
         # still locally gated, V2 covered by v2_cosine_topk + flagships)
         "search_spec_pushdown", "g15_acl_both_endpoints", "suite_pipeline_ops",
@@ -46,7 +45,10 @@ def test_registry_prefix_covers_component_families():
         # (v9_grouped_points, st2_session_windows, txn_merge_roundtrip,
         # zorder_layout_roundtrip move below fold — still locally gated,
         # semantics unchanged since they were last driver-checked)
-        "ann_pq_rerank",
+        # round-13: ann_pq_rerank and compress_sessions displaced
+        # (driver-green r6-r10 / r1-r10) for the round's two other new
+        # registrations — every registration holds a driver slot:
+        "connector_transpose", "shard_bpe_budget",
         # round-13 rotation (driver r11): omo_export_roundtrip /
         # lm_quality_scores / g14_constraint_when displaced (driver-green
         # r6-r10 / r6-r10 / r3-r10; OMO stays a suite_filters member,

@@ -51,9 +51,12 @@ def _stage_ids(spark):
         return {s["stageId"]: s for s in json.load(r)}
 
 
-def _task_balance(spark, before_ids):
+def _task_balance(spark, before_ids, min_ms: int = 500):
     """Worst max/median task-runtime ratio over heavy stages completed since
-    `before_ids`, plus shuffle-write bytes and peak execution memory."""
+    `before_ids`, plus shuffle-write bytes and peak execution memory.
+    ``min_ms``: stages whose slowest task is under this are noise and
+    skipped (raise it to 2000 when probing for scale-killer stragglers
+    specifically — sub-second max/median ratios are scheduler jitter)."""
     base = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
     after = _stage_ids(spark)
@@ -72,7 +75,7 @@ def _task_balance(spark, before_ids):
         except Exception:
             continue
         lo, med, hi = q["executorRunTime"]
-        if hi < 500:                      # sub-half-second stages are noise
+        if hi < min_ms:                   # sub-threshold stages are noise
             continue
         ratio = hi / max(med, 1.0)
         if ratio > worst:

@@ -6,7 +6,13 @@ an eval-suite gram table, and print the per-stage audit counts + wall.
 language (the lang stage correctly reduces it to 89 "en" docs when
 enabled); real crawls pass ("en",) etc.
 
-Usage: python tools/pipeline_e2e_probe.py [n_docs]
+``--bpe-budget N`` (r13) switches the shard stage to trained-BPE token
+budgeting: trains a 200-merge vocabulary on the survivors, costs every
+doc with the replace-fold counter, and packs ~N-token shards via the
+distributed prefix sum — the added wall over hash sharding is the
+PERF.md delta for VERDICT r10 task 6.
+
+Usage: python tools/pipeline_e2e_probe.py [n_docs] [--bpe-budget N]
 """
 
 from __future__ import annotations
@@ -47,18 +53,31 @@ def main():
         [(f"filler token {i} of the held out benchmark sentence",)
          for i in range(64)], "gram string")
 
+    budget = None
+    if "--bpe-budget" in sys.argv:
+        budget = int(sys.argv[sys.argv.index("--bpe-budget") + 1])
+
     t0 = time.time()
     res = crawl_to_training_shards(
         spark, os.path.join(warc_dir, "*"), out_dir,
         blocklist=blocklist, eval_grams=eval_grams,
         langs=None, min_words=3, jaccard_threshold=0.5,
-        n_shards=32)
+        n_shards=32, token_budget=budget)
     wall = round(time.time() - t0, 2)
     n_out = sum(
         spark.read.parquet(p).count() for p in res["paths"].values())
+    extra = {}
+    if budget is not None:
+        sh = spark.read.parquet(res["paths"]["train"])
+        from pyspark.sql import functions as F
+        agg = (sh.groupBy("shard")
+               .agg(F.sum("n_bpe_tokens").alias("tok")).collect())
+        toks = sorted(r.tok for r in agg)
+        extra = {"bpe_budget": budget, "n_shards_out": len(toks),
+                 "shard_tokens_min": toks[0], "shard_tokens_max": toks[-1]}
     print(json.dumps({"n_docs": n_docs, "wall_s": wall,
                       "stages": res["stages"], "rows_out": n_out,
-                      "splits": sorted(res["paths"])}))
+                      "splits": sorted(res["paths"]), **extra}))
 
 
 if __name__ == "__main__":
