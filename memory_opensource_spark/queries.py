@@ -5926,7 +5926,9 @@ def file_type_route_q(spark, sf_dir):
                 elif r == 4:
                     content = write_mp3_stub(4)
                 else:
-                    content = b"\x00BIN" + hashlib.md5(
+                    # \xff is never valid UTF-8 — a bare digest CAN be
+                    # (md5("533") is!), which would sniff text/plain
+                    content = b"\x00\xffBIN" + hashlib.md5(
                         str(d).encode()).digest()
                 rows.append((d, content))
             yield pd.DataFrame(rows, columns=["doc_id", "content"])

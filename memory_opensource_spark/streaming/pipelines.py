@@ -395,3 +395,82 @@ def foreach_batch_crawl_ingest(stream: DataFrame, state_dir: str,
     return (stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint)
             .outputMode("update"))
+
+
+def foreach_batch_connector_ingest(stream: DataFrame, state_dir: str,
+                                   checkpoint: str, *,
+                                   url_col: str = "url",
+                                   payload_col: str = "payload",
+                                   workspace_col: str | None = None,
+                                   on_batch=None):
+    """Streaming connector ingest (r13): the ST1 analog of the connector
+    transposition — webhook-shaped events (the reference receives them
+    one POST at a time through routers/webhooks; the engine reads them
+    as a micro-batched stream of ``{url, payload-JSON[, workspace]}``
+    rows) are transposed to memory rows per micro-batch
+    (operators/connector.transpose_connector_events) and appended to the
+    ``memories`` parquet under ``state_dir``.
+
+    Replay safety (at-least-once foreachBatch): event identity is
+    ``event_id = xxhash64(url, payload)`` — deterministic across
+    replays; each batch anti-joins the cross-batch ``seen_events``
+    table (excluding rows the CURRENT batch_id wrote, so a re-delivered
+    batch reproduces its original output) and skips re-appending ids
+    already present — state converges to exactly-once.
+
+    Transpose errors (e.g. a textless Slack message, the reference's
+    ValueError path) are quarantined to ``on_batch(memories, errors,
+    batch_id)``, never appended and never fatal to the stream."""
+    import os
+
+    from ..operators.connector import transpose_connector_events
+
+    mem_dir = os.path.join(state_dir, "memories")
+    seen_dir = os.path.join(state_dir, "seen_events")
+
+    def handle(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        ev_cols = [url_col, payload_col] + (
+            [workspace_col] if workspace_col else [])
+        events = (batch_df.select(*ev_cols)
+                  .withColumn("event_id",
+                              F.xxhash64(F.col(url_col),
+                                         F.col(payload_col)))
+                  .dropDuplicates(["event_id"])
+                  .localCheckpoint(eager=True))
+        if os.path.isdir(seen_dir):
+            seen = (spark.read.parquet(seen_dir)
+                    .filter(F.col("batch_id") != batch_id)
+                    .select("event_id"))
+            fresh = events.join(seen, "event_id", "left_anti")
+        else:
+            fresh = events
+        fresh = fresh.localCheckpoint(eager=True)
+        out = transpose_connector_events(
+            fresh, url_col=url_col, payload_col=payload_col,
+            workspace_col=workspace_col,
+            passthrough={"event_id": "long"}).localCheckpoint(eager=True)
+        memories = out.filter(F.col("error").isNull())
+        errors = out.filter(F.col("error").isNotNull())
+        # idempotent memories append: a REPLAYED batch recomputes its
+        # rows (seen_events excludes the current batch_id above) but
+        # must not write them twice — skip event_ids already on disk
+        to_write = memories.withColumn("batch_id", F.lit(batch_id))
+        if os.path.isdir(mem_dir):
+            to_write = to_write.join(
+                spark.read.parquet(mem_dir).select("event_id"),
+                "event_id", "left_anti")
+        to_write.write.mode("append").parquet(mem_dir)
+        # idempotent seen-id append: skip ids any prior attempt wrote
+        new_seen = (events.select("event_id")
+                    .withColumn("batch_id", F.lit(batch_id)))
+        if os.path.isdir(seen_dir):
+            new_seen = new_seen.join(
+                spark.read.parquet(seen_dir).select("event_id"),
+                "event_id", "left_anti")
+        new_seen.write.mode("append").parquet(seen_dir)
+        if on_batch is not None:
+            on_batch(memories, errors, batch_id)
+
+    return (stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint))

@@ -151,3 +151,72 @@ def test_spark_operator_passthrough_and_errors(spark):
     assert out[3].workspace_id is None
     assert json.loads(out[3].metadata_json)[
         "hierarchical structures"] == "G"
+
+
+def test_streaming_connector_ingest_replay_exactly_once(spark, tmp_path):
+    """r13 ST twin: JSON-line connector events arrive as a file stream;
+    two micro-batches transpose + append memories; a full
+    checkpoint-reset replay reproduces verdicts and leaves state
+    exactly-once (event_id anti-joins)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.streaming.pipelines import (
+        foreach_batch_connector_ingest)
+
+    d = tmp_path / "events"
+    d.mkdir()
+    sd = str(tmp_path / "state")
+
+    def ev(url, payload):
+        return json.dumps({"url": url, "payload": json.dumps(payload)})
+
+    b0 = [ev("https://h.example/slack/messages",
+             {"text": "hello", "id": "S1"}),
+          ev("https://h.example/slack/messages", {"broken": 1}),  # error
+          ev("https://h.example/linear/issues",
+             {"title": "T1", "id": "I1", "project": {"name": "P"}})]
+    (d / "b0.json").write_text("\n".join(b0))
+
+    got = {"batches": 0, "errors": set()}
+
+    def on_batch(mem, errs, bid):
+        got["batches"] += 1
+        got["errors"] |= {r.url for r in errs.collect()}
+
+    schema = "url string, payload string"
+
+    def run(ckpt):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).json(str(d)))
+        q = (foreach_batch_connector_ingest(
+                stream, sd, ckpt, on_batch=on_batch)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ck1"))
+    assert got["batches"] == 1
+    mem = spark.read.parquet(os.path.join(sd, "memories"))
+    assert mem.count() == 2
+    assert {r.content for r in mem.collect()} == {"hello", "T1"}
+    assert got["errors"] == {"https://h.example/slack/messages"}
+
+    # batch 2: one duplicate event (same url+payload -> same event_id,
+    # cross-batch drop) + one new event
+    b1 = [ev("https://h.example/slack/messages",
+             {"text": "hello", "id": "S1"}),          # dup of batch 0
+          ev("https://h.example/linear/users",
+             {"displayName": "D", "email": "e@x", "id": "U1"})]
+    (d / "b1.json").write_text("\n".join(b1))
+    run(str(tmp_path / "ck2-resume"))
+    mem = spark.read.parquet(os.path.join(sd, "memories"))
+    assert mem.count() == 3                     # dup dropped
+    assert "User: D (e@x)" in {r.content for r in mem.collect()}
+
+    # full replay from a FRESH checkpoint: state must not grow
+    run(str(tmp_path / "ck3-replay"))
+    mem = spark.read.parquet(os.path.join(sd, "memories"))
+    assert mem.count() == 3
+    seen = spark.read.parquet(os.path.join(sd, "seen_events"))
+    assert seen.count() == seen.select("event_id").distinct().count()
