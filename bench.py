@@ -161,6 +161,12 @@ HEADLINE = [
     # round 13: trained-BPE token counts driving the shard budget (JVM
     # replace-fold costing + the distributed exact prefix sum)
     "shard_bpe_budget",
+    # round 13: content-sniffed multi-format ingest routing (magic-byte
+    # MIME table -> pdf/html/txt extractors)
+    "file_type_route",
+    # round 13: robots.txt URL gating (RFC 9309 core: parse kernel +
+    # JVM join/argmax evaluation)
+    "robots_gate",
 ]
 
 

@@ -1,0 +1,159 @@
+"""robots.txt parsing + URL gating (round-13).
+
+The crawl front-end's FIRST gate in every real pipeline (CCNet /
+RefinedWeb fetch politeness): a crawler must not ingest paths the host
+disallows.  Reference analog: none (the memory service never crawls) —
+this is the LLM-data-pipeline family, beside the UT1 domain blocklist
+(functions/urls.filter_blocked_urls) which blocks whole DOMAINS; robots
+rules block PATHS per host.
+
+Implemented semantics — the RFC 9309 core, documented precisely so the
+oracle can mirror the evaluation:
+
+- **Group selection**: groups are ``User-agent:`` runs; a group applies
+  to our agent when its token is ``*`` or a case-insensitive substring
+  of the agent product token.  The MOST SPECIFIC group wins (longest
+  matching agent token; ``*`` counts as length 0); multiple
+  ``User-agent`` lines before rules share one group.
+- **Rules**: ``Allow:`` / ``Disallow:`` path patterns supporting ``*``
+  (any chars) and a trailing ``$`` (end anchor).  An EMPTY pattern is a
+  no-op (``Disallow:`` alone = allow everything — the classic idiom).
+- **Decision per URL path**: among matching rules, the LONGEST pattern
+  wins (character length, the Google/RFC specificity rule); a tie
+  between Allow and Disallow resolves to ALLOW.  No matching rule =
+  allowed.  An absent/unparseable robots.txt = allowed (crawl-neutral).
+
+Split of labor for 100 TB: robots.txt files are tiny and one-per-host —
+``parse_robots`` runs host-side in the same Arrow kernel that fetched
+the bytes, producing a RULES TABLE ``{host, pattern, allow, prio}``
+(a few rows per host).  ``robots_blocked`` then evaluates URLs against
+that table JVM-side: one host equi-join + one rlike per candidate rule
++ one argmax groupBy — scan-parallel, no UDF in the per-URL path."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def parse_robots(content: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """``[(pattern, allow)]`` for the group that applies to ``agent``
+    (module-docstring semantics).  Comments (#) and unknown directives
+    are ignored; an unparseable/empty file yields no rules (allowed)."""
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    agents_open = False  # collecting consecutive User-agent lines
+    for raw in (content or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not agents_open:
+                if cur_agents:
+                    groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                agents_open = True
+            cur_agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            agents_open = False
+            if cur_agents and val:
+                cur_rules.append((val, key == "allow"))
+        else:
+            agents_open = False
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+
+    al = agent.lower()
+    best_len, best_rules = None, []
+    for agents, rules in groups:
+        for a in agents:
+            if a == "*":
+                spec = 0
+            elif a and a in al:
+                spec = len(a)
+            else:
+                continue
+            if best_len is None or spec > best_len:
+                best_len, best_rules = spec, rules
+    return best_rules
+
+
+def _pattern_regex(pattern: str) -> str:
+    """The rlike regex of a robots path pattern: anchored prefix match,
+    ``*`` -> ``.*``, trailing ``$`` -> end anchor, everything else
+    literal."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    body = ".*".join(re.escape(part) for part in pattern.split("*"))
+    return "^" + body + ("$" if anchored else "")
+
+
+def robots_rules_table(robots: DataFrame, agent: str = "*",
+                       host_col: str = "host",
+                       content_col: str = "content") -> DataFrame:
+    """Parse per-host robots.txt bodies into the rules table
+    ``{host, pattern, allow, prio, rx}`` (prio = pattern length, the
+    specificity key; rx = the anchored rlike regex).  One Arrow kernel —
+    robots files are KB-sized, one per host."""
+    import pandas as pd
+
+    def kern(batches):
+        for pdf in batches:
+            rows = []
+            for host, content in zip(pdf[host_col], pdf[content_col]):
+                for pattern, allow in parse_robots(
+                        str(content) if content is not None else "",
+                        agent):
+                    rows.append((host, pattern, allow, len(pattern),
+                                 _pattern_regex(pattern)))
+            yield pd.DataFrame(rows, columns=[
+                "host", "pattern", "allow", "prio", "rx"])
+
+    return robots.select(host_col, content_col).mapInPandas(
+        kern, "host string, pattern string, allow boolean, prio int, "
+              "rx string")
+
+
+def url_path(url: Column) -> Column:
+    """Path + query of ``url`` (the robots match subject): everything
+    from the first ``/`` after the authority; no path -> ``/``."""
+    rest = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    return F.when(rest == "", F.lit("/")).otherwise(rest)
+
+
+def robots_blocked(df: DataFrame, rules: DataFrame,
+                   url_col: str = "url", agent_unused: str = "*",
+                   keep_blocked: bool = False) -> DataFrame:
+    """Filter ``df`` by the parsed ``rules`` table
+    (:func:`robots_rules_table` output): drop every row whose URL path
+    matches a winning Disallow rule for its host.
+
+    Shape for 100 TB: DISTINCT url -> host equi-join against the rules
+    table (Catalyst broadcasts a small rules side) -> rlike per
+    candidate rule (rules per host are few) -> ONE struct-argmax groupBy
+    per url (longest pattern wins, Allow wins ties via the struct's
+    allow-desc leg) -> semi/anti join back on the URL VALUE (the
+    filter_blocked_urls determinism discipline — no synthetic row ids).
+    NULL urls and hosts with no rules are kept."""
+    from .urls import url_host
+
+    urls = (df.select(F.col(url_col).alias("_u")).distinct()
+            .select("_u", url_host(F.col("_u")).alias("host"),
+                    url_path(F.col("_u")).alias("_p")))
+    hits = (urls.join(rules, "host")
+            .filter(F.expr("_p rlike rx"))
+            .groupBy("_u")
+            .agg(F.max(F.struct(
+                F.col("prio"),
+                F.col("allow").cast("int").alias("a"))).alias("_b"))
+            .filter(F.col("_b.a") == 0)            # winner disallows
+            .select("_u"))
+    how = "left_semi" if keep_blocked else "left_anti"
+    return df.join(hits, df[url_col] == hits["_u"], how)

@@ -5862,6 +5862,70 @@ def shard_bpe_budget_q(spark, sf_dir):
         .select("doc_id", "n_bpe_tokens", "shard")
 
 
+@_register("robots_gate", """
+WITH d AS (
+  SELECT doc_id, doc_id % 7 AS h, doc_id % 4 AS k, doc_id % 10 AS pn
+  FROM documents WHERE doc_id < 600)
+SELECT doc_id,
+ 'https://h' || h || '.example'
+   || (CASE k WHEN 0 THEN '/p/' || pn WHEN 1 THEN '/private/' || pn
+              WHEN 2 THEN '/private/ok' ELSE '/q/' || pn END) AS url,
+ (CASE WHEN h = 0 THEN (k = 1)::INT
+       WHEN h = 1 THEN (k = 0 AND pn = 3)::INT
+       WHEN h = 2 THEN (k IN (0, 1, 2))::INT
+       WHEN h = 5 THEN (k <> 0)::INT
+       ELSE 0 END)::INT AS blocked
+FROM d
+""")
+def robots_gate_q(spark, sf_dir):
+    """robots.txt URL gating (r13, functions/robots — RFC 9309 core):
+    seven hosts carry distinct robots.txt BODIES (prefix rules, a
+    $-anchored rule, a /p* wildcard that also catches /private, an
+    empty file, a group for a DIFFERENT agent, the Disallow-/ +
+    longer-Allow idiom, and the empty-Disallow no-op); per-doc URLs hit
+    four path shapes per host.  The real parser builds the rules table
+    and the join/argmax evaluator (longest pattern wins, Allow wins
+    ties) produces per-URL verdicts; the oracle states the expected
+    verdict closed-form per (host, path-kind), so any parser or
+    specificity-rule asymmetry turns the row red.  Shape: one tiny
+    Arrow parse kernel (KB robots bodies), then JVM-side joins + ONE
+    argmax groupBy per url; no per-URL Python."""
+    from .functions.robots import robots_blocked, robots_rules_table
+
+    robots_bodies = {
+        0: "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n",
+        1: "# anchored\nUser-agent: *\nDisallow: /p/3$\n",
+        2: "User-agent: *\nDisallow: /p*\n",
+        3: "",
+        4: "User-agent: otherbot\nDisallow: /\n",
+        5: "User-agent: *\nDisallow: /\nAllow: /p/\n",
+        6: "User-agent: *\nDisallow:\n",
+    }
+    robots = spark.createDataFrame(
+        [(f"h{h}.example", body) for h, body in robots_bodies.items()],
+        "host string, content string")
+    rules = robots_rules_table(robots, agent="memory-spark-crawler")
+
+    d = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 600) \
+        .select("doc_id", (F.col("doc_id") % 7).alias("h"),
+                (F.col("doc_id") % 4).alias("k"),
+                (F.col("doc_id") % 10).alias("pn"))
+    path = (F.when(F.col("k") == 0, F.concat(F.lit("/p/"), F.col("pn")))
+            .when(F.col("k") == 1, F.concat(F.lit("/private/"),
+                                            F.col("pn")))
+            .when(F.col("k") == 2, F.lit("/private/ok"))
+            .otherwise(F.concat(F.lit("/q/"), F.col("pn"))))
+    urls = d.select("doc_id", F.concat(
+        F.lit("https://h"), F.col("h"), F.lit(".example"), path)
+        .alias("url"))
+    blocked = robots_blocked(urls, rules, keep_blocked=True) \
+        .select("doc_id", "url", F.lit(1).alias("blocked"))
+    kept = robots_blocked(urls, rules) \
+        .select("doc_id", "url", F.lit(0).alias("blocked"))
+    return kept.unionByName(blocked)
+
+
 from .functions import html as _html_mod  # noqa: E402
 
 _FTR_HTML = ("'<html><body><h1>Title ' || doc_id || '</h1><p>' || text || "

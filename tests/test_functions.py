@@ -1162,3 +1162,60 @@ def test_fold_punctuation_unifies_retypeset_duplicates(spark):
         f"SELECT doc_id, {fold_punctuation_sql('text')} FROM t")
         .fetchall()}
     assert got == want
+
+
+def test_robots_parser_groups_and_rules():
+    """RFC 9309 core (functions/robots): group selection by most
+    specific agent token, comments, empty-Disallow no-op, $-anchor and
+    * wildcard preserved into patterns."""
+    from memory_opensource_spark.functions.robots import (_pattern_regex,
+                                                          parse_robots)
+
+    body = ("# politeness\n"
+            "User-agent: *\n"
+            "Disallow: /private/\n"
+            "Allow: /private/ok\n"
+            "Disallow: /tmp*$\n"
+            "Disallow:\n"                    # empty = no-op
+            "User-agent: special\n"
+            "User-agent: extra\n"            # shared group
+            "Disallow: /only-special\n")
+    star = parse_robots(body, agent="MyCrawler/1.0")
+    assert star == [("/private/", False), ("/private/ok", True),
+                    ("/tmp*$", False)]
+    spec = parse_robots(body, agent="SpecialBot")
+    assert spec == [("/only-special", False)]   # longest agent match wins
+    extra = parse_robots(body, agent="an-extra-agent")
+    assert extra == [("/only-special", False)]  # shared User-agent lines
+    assert parse_robots("", agent="x") == []
+    assert parse_robots("garbage without colons\n", agent="x") == []
+    assert _pattern_regex("/a.b*c$") == r"^/a\.b.*c$"
+
+
+def test_robots_blocked_specificity_and_determinism(spark):
+    """Longest pattern wins, Allow wins ties, absent host allows, NULL
+    urls kept; keep_blocked returns the complement."""
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.functions.robots import (
+        robots_blocked, robots_rules_table)
+
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /\nAllow: /p/\n"),
+         ("b.example", "User-agent: *\nDisallow: /x\nAllow: /x\n"),
+         ("c.example", "User-agent: other\nDisallow: /\n")],
+        "host string, content string")
+    rules = robots_rules_table(robots)
+    urls = spark.createDataFrame(
+        [(1, "https://a.example/p/deep"),    # Allow /p/ beats Disallow /
+         (2, "https://a.example/secret"),    # Disallow /
+         (3, "https://b.example/xyz"),       # tie -> Allow
+         (4, "https://c.example/anything"),  # other agent's group
+         (5, "https://d.example/no-robots"),
+         (6, None)],
+        "id long, url string")
+    kept = {r.id for r in robots_blocked(urls, rules).collect()}
+    assert kept == {1, 3, 4, 5, 6}
+    blocked = {r.id for r in
+               robots_blocked(urls, rules, keep_blocked=True).collect()}
+    assert blocked == {2}
