@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 def crawl_to_training_shards(spark: SparkSession, warc_glob: str,
                              out_dir: str, *,
                              blocklist: DataFrame | None = None,
+                             robots: DataFrame | None = None,
+                             robots_agent: str = "*",
                              eval_grams: DataFrame | None = None,
                              langs: tuple = ("en",),
                              min_words: int = 50,
@@ -55,7 +57,10 @@ def crawl_to_training_shards(spark: SparkSession, warc_glob: str,
     first-kept by id); splits assign by the CONTENT hash, so any
     surviving duplicates of one document can never straddle splits.
     ``langs=None`` skips language filtering; ``eval_grams=None`` skips
-    decontamination; ``blocklist=None`` skips the domain gate.
+    decontamination; ``blocklist=None`` skips the domain gate;
+    ``robots`` ({host, content} of fetched robots.txt bodies) adds the
+    path-level politeness gate right after the domain gate (r13,
+    functions/robots — RFC 9309 core).
 
     ``token_budget`` switches sharding from hash (document-count
     balanced) to TRAINED-TOKENIZER token budgets — the data-loader
@@ -93,6 +98,14 @@ def crawl_to_training_shards(spark: SparkSession, warc_glob: str,
     if blocklist is not None:
         pages = U.filter_blocked_urls(pages, blocklist, "target_uri")
         stages["blocklist"] = pages.count()
+
+    if robots is not None:
+        # path-level politeness after the domain gate: robots is a
+        # {host, content} table of fetched robots.txt bodies
+        from ..functions.robots import robots_blocked, robots_rules_table
+        rules = robots_rules_table(robots, agent=robots_agent)
+        pages = robots_blocked(pages, rules, url_col="target_uri")
+        stages["robots"] = pages.count()
 
     marked = pages.select(
         "target_uri",

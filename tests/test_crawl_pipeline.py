@@ -58,10 +58,14 @@ def test_crawl_to_training_shards_end_to_end(spark, tmp_path):
          _page("https://good.org/e", "too short"),           # word gate
          _page("https://good.org/f", SPAM_F),                # quality
          _page("https://good.org/g", GERMAN_G),              # lang
-         _page("https://good.org/h", CONTAM_H)],             # contaminated
+         _page("https://good.org/h", CONTAM_H),              # contaminated
+         _page("https://good.org/private/i", PROSE_A)],      # robots
         os.path.join(segs, "seg0.warc"))
 
     blocklist = spark.createDataFrame([("spam.example",)], "domain string")
+    robots = spark.createDataFrame(
+        [("good.org", "User-agent: *\nDisallow: /private/\n")],
+        "host string, content string")
     toks = EVAL_SENT.lower().split()
     eval_grams = spark.createDataFrame(
         [(" ".join(toks[i:i + 8]),) for i in range(len(toks) - 7)],
@@ -70,13 +74,14 @@ def test_crawl_to_training_shards_end_to_end(spark, tmp_path):
     out = str(tmp_path / "out")
     res = crawl_to_training_shards(
         spark, os.path.join(segs, "*"), out,
-        blocklist=blocklist, eval_grams=eval_grams,
+        blocklist=blocklist, robots=robots, eval_grams=eval_grams,
         langs=("en",), min_words=5, jaccard_threshold=0.5,
         n_shards=2, fractions={"train": 0.7, "val": 0.3})
 
     s = res["stages"]
-    assert s["read"] == 10
-    assert s["blocklist"] == 9        # spam.example dropped
+    assert s["read"] == 11
+    assert s["blocklist"] == 10       # spam.example dropped
+    assert s["robots"] == 9           # /private/ path dropped
     assert s["url_dedup"] == 8        # utm variant folded
     assert s["word_gate"] == 7        # 'too short'
     assert s["quality"] == 6          # SPAM_F -> 'low'
@@ -99,7 +104,7 @@ def test_crawl_to_training_shards_end_to_end(spark, tmp_path):
     # at minimum the assignment is deterministic across re-runs
     res2 = crawl_to_training_shards(
         spark, os.path.join(segs, "*"), str(tmp_path / "out2"),
-        blocklist=blocklist, eval_grams=eval_grams,
+        blocklist=blocklist, robots=robots, eval_grams=eval_grams,
         langs=("en",), min_words=5, jaccard_threshold=0.5,
         n_shards=2, fractions={"train": 0.7, "val": 0.3})
     assert res2["stages"] == s
