@@ -167,6 +167,9 @@ HEADLINE = [
     # round 13: robots.txt URL gating (RFC 9309 core: parse kernel +
     # JVM join/argmax evaluation)
     "robots_gate",
+    # round 13: outbound-link host graph (href extraction + resolution
+    # as a pure Column projection, one combinable groupBy)
+    "link_graph",
 ]
 
 

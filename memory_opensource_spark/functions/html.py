@@ -122,3 +122,67 @@ def html_to_text_sql(expr: str, mark_links: bool = False) -> str:
     x = (f"regexp_replace({x}, '{_q(_NL_RUNS)}', "
          f"chr(10) || chr(10), 'g')")
     return f"regexp_replace({x}, '^\\s+|\\s+$', '', 'g')"
+
+
+# --- link extraction (r13) -------------------------------------------------
+
+#: href attribute values in anchor tags: single/double-quoted forms.
+#: Capture group 2 is the value.  Case-insensitive, unquoted hrefs are
+#: out of scope (rare in the wild, ambiguous to delimit).
+_HREF = "(?is)<a\\b[^>]*?href\\s*=\\s*(\"([^\"]*)\"|'([^']*)')"
+
+
+def extract_links(html: Column, base_url: Column) -> Column:
+    """``array<string>`` of outbound ABSOLUTE links of ``html`` — the
+    crawl-frontier / link-graph primitive (r13).  Resolution rules
+    (documented, deterministic, SQL-mirrorable — NOT a full RFC 3986
+    resolver):
+
+    - absolute ``http(s)://...`` hrefs pass through;
+    - protocol-relative ``//host/path`` takes ``base_url``'s scheme;
+    - root-relative ``/path`` takes ``base_url``'s scheme://host;
+    - everything else (relative paths, ``mailto:``, ``javascript:``,
+      bare fragments) is DROPPED — resolving them needs path semantics
+      the oracle cannot pin byte-for-byte.
+
+    Pure Column expression (regexp_extract_all + transform/filter) —
+    scan-side, zero UDF.  NULL html -> empty array."""
+    hrefs = F.regexp_extract_all(F.coalesce(html, F.lit("")),
+                                 F.lit(_HREF), 1)
+    # strip the quoting kept by group 1 (Spark's extract_all takes ONE
+    # group index; group 1 includes the quotes)
+    vals = F.transform(hrefs, lambda h: F.regexp_replace(
+        h, "^[\"']|[\"']$", ""))
+    scheme = F.regexp_extract(base_url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://",
+                              1)
+    origin = F.regexp_extract(base_url,
+                              r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1)
+    resolved = F.transform(vals, lambda v: F.when(
+        v.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), v)
+        .when(v.rlike("^//"), F.concat(scheme, F.lit(":"), v))
+        .when(v.rlike("^/"), F.concat(origin, v))
+        .otherwise(F.lit(None)))
+    return F.filter(resolved,
+                    lambda v: v.isNotNull() & v.rlike("(?i)^https?://"))
+
+
+def extract_links_sql(html_expr: str, base_expr: str) -> str:
+    """DuckDB twin of :func:`extract_links` — same href regex, same
+    resolution rules, same drop set."""
+    href_rx = _q(_HREF)
+    hrefs = f"regexp_extract_all({html_expr}, '{href_rx}', 1)"
+    vals = (f"list_transform({hrefs}, h -> "
+            f"regexp_replace(regexp_replace(h, '^[\"'']', ''), "
+            f"'[\"'']$', ''))")
+    scheme = (f"regexp_extract({base_expr}, "
+              f"'^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)")
+    origin = (f"regexp_extract({base_expr}, "
+              f"'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1)")
+    resolved = (f"list_transform({vals}, v -> CASE "
+                f"WHEN regexp_matches(v, '^[a-zA-Z][a-zA-Z0-9+.-]*://') "
+                f"THEN v "
+                f"WHEN regexp_matches(v, '^//') THEN {scheme} || ':' || v "
+                f"WHEN regexp_matches(v, '^/') THEN {origin} || v "
+                f"ELSE NULL END)")
+    return (f"list_filter({resolved}, v -> v IS NOT NULL AND "
+            f"regexp_matches(v, '(?i)^https?://'))")

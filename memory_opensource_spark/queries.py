@@ -5862,6 +5862,67 @@ def shard_bpe_budget_q(spark, sf_dir):
         .select("doc_id", "n_bpe_tokens", "shard")
 
 
+from .functions import urls as _urls_mod  # noqa: E402
+
+_LG_BASE = "'https://h' || (doc_id % 5) || '.example/p/' || doc_id"
+_LG_HTML = ("'<p><a href=\"https://t' || (doc_id % 3) || "
+            "'.example/x\">a</a><a href=''/local/' || doc_id || "
+            "'''>b</a><a href=\"//t' || (doc_id % 4) || "
+            "'.example/y\">c</a><a href=\"mailto:a@b\">m</a></p>'")
+_LG_HOST = ("lower(regexp_replace(regexp_replace(regexp_extract("
+            "regexp_replace(dst, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), "
+            "'^([^/?#]+)', 1), '^.*@', ''), ':[0-9]+$', ''))")
+
+
+def _lg_oracle() -> str:
+    from .functions.html import extract_links_sql
+
+    links = extract_links_sql(_LG_HTML, _LG_BASE)
+    return f"""WITH d AS (
+  SELECT doc_id FROM documents WHERE doc_id < 600),
+ex AS (
+  SELECT 'h' || (doc_id % 5) || '.example' AS src_host,
+         UNNEST({links}) AS dst
+  FROM d)
+SELECT src_host, {_LG_HOST} AS dst_host,
+       COUNT(*)::BIGINT AS n_links
+FROM ex GROUP BY src_host, dst_host"""
+
+
+@_register("link_graph", _lg_oracle())
+def link_graph_q(spark, sf_dir):
+    """Outbound-link host graph (r13, functions/html.extract_links —
+    the crawl-frontier / PageRank-input primitive): per-doc HTML is
+    built as a PURE Column expression (absolute, root-relative,
+    protocol-relative and mailto anchors, all doc_id-derived), links
+    extract + resolve through the Column twin, hosts through url_host,
+    and one combinable groupBy emits {src_host, dst_host, n_links};
+    the oracle runs the SAME construction through the SQL twins
+    (extract_links_sql lives beside the Column form so the regex tables
+    cannot drift).  Shape: scan-side projection + explode + ONE
+    groupBy; composes with operators/graph pagerank for
+    frontier-priority scoring."""
+    from .functions.html import extract_links
+    from .functions.urls import url_host
+
+    d = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 600).select("doc_id")
+    base = F.concat(F.lit("https://h"), F.col("doc_id") % 5,
+                    F.lit(".example/p/"), F.col("doc_id"))
+    html = F.concat(
+        F.lit('<p><a href="https://t'), F.col("doc_id") % 3,
+        F.lit('.example/x">a</a><a href=\'/local/'), F.col("doc_id"),
+        F.lit('\'>b</a><a href="//t'), F.col("doc_id") % 4,
+        F.lit('.example/y">c</a><a href="mailto:a@b">m</a></p>'))
+    ex = (d.select(
+        F.concat(F.lit("h"), F.col("doc_id") % 5, F.lit(".example"))
+        .alias("src_host"),
+        F.explode(extract_links(html, base)).alias("dst")))
+    return (ex.select("src_host", url_host(F.col("dst")).alias("dst_host"))
+            .groupBy("src_host", "dst_host")
+            .agg(F.count("*").alias("n_links")))
+
+
 @_register("robots_gate", """
 WITH d AS (
   SELECT doc_id, doc_id % 7 AS h, doc_id % 4 AS k, doc_id % 10 AS pn

@@ -1219,3 +1219,52 @@ def test_robots_blocked_specificity_and_determinism(spark):
     blocked = {r.id for r in
                robots_blocked(urls, rules, keep_blocked=True).collect()}
     assert blocked == {2}
+
+
+def test_extract_links_resolution_and_pagerank_composition(spark):
+    """extract_links resolution rules (absolute pass, root-relative +
+    protocol-relative resolve, relative/mailto/fragment drop) and the
+    frontier composition: host link graph -> the graph_pagerank loop
+    shape (one join + one combinable groupBy per iteration)."""
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.functions.html import extract_links
+    from memory_opensource_spark.functions.urls import url_host
+
+    rows = [
+        ("https://a.example/p",
+         '<a href="https://b.example/x">1</a><a href="/self">2</a>'
+         '<a href="//c.example/y">3</a><a href="rel/p">4</a>'
+         '<a href="mailto:m@x">5</a><a href="#f">6</a>'),
+        ("https://b.example/p", '<a href="https://c.example/z">1</a>'),
+        ("https://c.example/p", '<a href="https://a.example/w">1</a>'),
+    ]
+    df = spark.createDataFrame(rows, "base string, html string")
+    links = df.select(
+        url_host(F.col("base")).alias("src"),
+        F.explode(extract_links(F.col("html"), F.col("base")))
+        .alias("dst_url"))
+    edges = links.select("src", url_host(F.col("dst_url")).alias("dst"))
+    got = {(r.src, r.dst) for r in edges.collect()}
+    assert got == {("a.example", "b.example"), ("a.example", "a.example"),
+                   ("a.example", "c.example"), ("b.example", "c.example"),
+                   ("c.example", "a.example")}
+    # frontier-priority composition: the graph_pagerank iteration shape
+    e = edges.filter(F.col("src") != F.col("dst")).localCheckpoint()
+    verts = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id"))).distinct())
+    outdeg = e.groupBy("src").agg(F.count("*").alias("d"))
+    n = verts.count()
+    ranks = verts.select("id", F.lit(1.0 / n).alias("r"))
+    for _ in range(5):
+        contribs = (e.join(ranks, e.src == ranks.id).join(outdeg, "src")
+                    .groupBy("dst")
+                    .agg(F.sum(F.col("r") / F.col("d")).alias("m")))
+        ranks = (verts.join(contribs, verts.id == contribs.dst, "left")
+                 .select(verts.id, (F.lit(0.15 / n) + F.lit(0.85)
+                                    * F.coalesce(F.col("m"), F.lit(0.0)))
+                         .alias("r")))
+    out = {r.id: r.r for r in ranks.collect()}
+    assert len(out) == 3 and abs(sum(out.values()) - 1.0) < 1e-6
+    # the a->{b,c}, b->c, c->a cycle makes c the top host
+    assert max(out, key=out.get) in ("c.example", "a.example")
