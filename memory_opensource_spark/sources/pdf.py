@@ -301,7 +301,13 @@ class _Lexer:
         if len(hx) % 2:
             hx += b"0"  # spec: odd final digit pads with 0
         self.pos = end + 1
-        return bytes.fromhex(hx.decode("ascii"))
+        try:
+            return bytes.fromhex(hx.decode("ascii"))
+        except (ValueError, UnicodeDecodeError) as e:
+            # invalid hex digits are structural damage: LOUD, and in the
+            # module's own exception type (r13 fuzz finding — raw
+            # ValueError/UnicodeDecodeError leaked past the contract)
+            raise PdfParseError(f"invalid hex string: {e}") from e
 
     def _parse_literal_string(self):
         d, n = self.data, len(self.data)
@@ -453,7 +459,11 @@ class _PdfDoc:
 
     # -- object access ----------------------------------------------------
     def resolve(self, obj):
+        seen: set[int] = set()
         while isinstance(obj, Ref):
+            if obj.num in seen:  # reference cycle (5 0 obj -> 5 0 R)
+                return None
+            seen.add(obj.num)
             obj = self.get(obj.num)
         return obj
 

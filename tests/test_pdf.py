@@ -170,3 +170,45 @@ def test_read_pdf_and_s11_composition(spark, tmp_path):
     assert len(by_mem) == 3
     titles = {r.title for r in by_mem}
     assert "1. Title" in titles and "2. Methods" in titles
+
+
+def test_reference_cycle_terminates():
+    """A self/mutually-referencing indirect object must not hang the
+    resolver (pre-r13-hardening: resolve() looped forever)."""
+    body = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n3 0 R\nendobj\n"
+            b"3 0 obj\n2 0 R\nendobj\n")
+    with pytest.raises(PdfParseError, match="no pages"):
+        extract_pdf_pages(body)
+
+
+def test_fuzzed_mutations_never_hang_or_crash_uncontrolled():
+    """300 seeded random byte-mutations of a valid PDF: the parser must
+    terminate with either extracted pages or PdfParseError — never an
+    infinite loop and never a non-PdfParseError leak for structural
+    damage the module claims to handle loudly.  (Kernel callers catch
+    everything anyway; this pins the pure-fn contract.)"""
+    import random
+
+    base = write_pdf(["page one text\nsecond line", "page two"],
+                     compress=False)
+    rng = random.Random(1337)
+    outcomes = {"ok": 0, "parse_err": 0, "other": 0}
+    for _ in range(300):
+        data = bytearray(base)
+        for _ in range(rng.randint(1, 8)):
+            data[rng.randrange(len(data))] = rng.randrange(256)
+        try:
+            pages = extract_pdf_pages(bytes(data))
+            assert isinstance(pages, list)
+            outcomes["ok"] += 1
+        except PdfParseError:
+            outcomes["parse_err"] += 1
+        except Exception:
+            outcomes["other"] += 1
+    # every mutation terminates as pages or PdfParseError — the r13 fuzz
+    # pass found (and fixed) hex-string decode leaking raw ValueError/
+    # UnicodeDecodeError past the module contract
+    assert outcomes["other"] == 0, outcomes
+    assert outcomes["ok"] + outcomes["parse_err"] == 300
