@@ -129,25 +129,29 @@ def url_path(url: Column) -> Column:
 
 
 def robots_blocked(df: DataFrame, rules: DataFrame,
-                   url_col: str = "url", agent_unused: str = "*",
-                   keep_blocked: bool = False) -> DataFrame:
+                   url_col: str = "url",
+                   keep_blocked: bool = False,
+                   broadcast_rules: bool = True) -> DataFrame:
     """Filter ``df`` by the parsed ``rules`` table
     (:func:`robots_rules_table` output): drop every row whose URL path
     matches a winning Disallow rule for its host.
 
     Shape for 100 TB: DISTINCT url -> host equi-join against the rules
-    table (Catalyst broadcasts a small rules side) -> rlike per
-    candidate rule (rules per host are few) -> ONE struct-argmax groupBy
-    per url (longest pattern wins, Allow wins ties via the struct's
-    allow-desc leg) -> semi/anti join back on the URL VALUE (the
-    filter_blocked_urls determinism discipline — no synthetic row ids).
-    NULL urls and hosts with no rules are kept."""
+    table (broadcast by default — the kernel output carries no stats, so
+    Catalyst would SortMergeJoin a table that is a few rows per crawled
+    host; pass ``broadcast_rules=False`` for a rules table too large to
+    broadcast) -> rlike per candidate rule (rules per host are few) ->
+    ONE struct-argmax groupBy per url (longest pattern wins, Allow wins
+    ties via the struct's allow-desc leg) -> semi/anti join back on the
+    URL VALUE (the filter_blocked_urls determinism discipline — no
+    synthetic row ids).  NULL urls and hosts with no rules are kept."""
     from .urls import url_host
 
     urls = (df.select(F.col(url_col).alias("_u")).distinct()
             .select("_u", url_host(F.col("_u")).alias("host"),
                     url_path(F.col("_u")).alias("_p")))
-    hits = (urls.join(rules, "host")
+    rside = F.broadcast(rules) if broadcast_rules else rules
+    hits = (urls.join(rside, "host")
             .filter(F.expr("_p rlike rx"))
             .groupBy("_u")
             .agg(F.max(F.struct(

@@ -1268,3 +1268,20 @@ def test_extract_links_resolution_and_pagerank_composition(spark):
     assert len(out) == 3 and abs(sum(out.values()) - 1.0) < 1e-6
     # the a->{b,c}, b->c, c->a cycle makes c the top host
     assert max(out, key=out.get) in ("c.example", "a.example")
+
+
+def test_robots_crawl_delay_and_group_edges():
+    """Edge semantics the sweep checked: rules before any User-agent
+    line are ignored (RFC: outside a group), CRLF bodies parse, agent
+    matching is case-insensitive substring."""
+    from memory_opensource_spark.functions.robots import parse_robots
+
+    body = ("Disallow: /orphan\r\n"          # outside any group: ignored
+            "User-agent: MegaBot\r\n"
+            "Disallow: /m\r\n"
+            "User-agent: *\r\n"
+            "Disallow: /all\r\n")
+    assert parse_robots(body, agent="MegaBot/2.1 (+http://x)") == \
+        [("/m", False)]
+    assert parse_robots(body, agent="megabot") == [("/m", False)]
+    assert parse_robots(body, agent="other") == [("/all", False)]

@@ -219,3 +219,17 @@ def test_keeper_argmax_is_window_free_under_hot_family(spark):
     # keeper = max q (16), min id among ties inside the family
     best = min(r.doc_id for r in fam0 if r.doc_id % 17 == 16)
     assert all(r.keeper_id == best for r in fam0)
+
+
+def test_robots_gate_broadcasts_rules_and_link_graph_single_shuffle(spark):
+    """r13 plan pins: robots evaluation broadcasts the (stat-less kernel
+    output) rules table instead of SortMergeJoining it, never goes
+    cartesian, and stays Window-free; the link-graph row is scan-side +
+    exactly ONE aggregation exchange."""
+    plan = _plan(spark, "robots_gate")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # rules join (kept+blocked)
+    lg = _plan(spark, "link_graph")
+    assert "Join" not in lg and "Window" not in lg
+    assert lg.count("Exchange") <= 2  # partial+final agg exchanges only
