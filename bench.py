@@ -170,6 +170,9 @@ HEADLINE = [
     # round 13: outbound-link host graph (href extraction + resolution
     # as a pure Column projection, one combinable groupBy)
     "link_graph",
+    # round 13: sitemap frontier discovery (loc extraction + URL
+    # canonicalization, one combinable groupBy)
+    "sitemap_frontier",
 ]
 
 

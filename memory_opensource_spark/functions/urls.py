@@ -187,3 +187,44 @@ def url_blocked_sql(expr: str, domains: list[str]) -> str:
     dset = "[" + ", ".join(f"'{d.lower()}'" for d in domains) + "]"
     return (f"coalesce(len(list_filter({host_suffixes_sql(expr)}, s -> "
             f"list_contains({dset}, s))) > 0, false)")
+
+
+# --- sitemap extraction (r13) ----------------------------------------------
+
+#: <loc> entries of a sitemap/sitemap-index document.  CDATA-wrapped and
+#: plain forms; the value is group 2.
+_SITEMAP_LOC = "(?is)<loc>\\s*(<!\\[CDATA\\[)?\\s*(.*?)\\s*(\\]\\]>)?\\s*</loc>"
+
+
+def sitemap_locs(xml: Column) -> Column:
+    """``array<string>`` of ``<loc>`` URLs in a sitemap or sitemap-index
+    XML body — the crawl-frontier DISCOVERY primitive (sitemaps feed the
+    frontier; robots.txt gates it).  Handles CDATA-wrapped locs and the
+    five XML entities; deliberately regex-scoped like html_to_text (a
+    DOM parser adds no value the oracle can pin).  Pure Column
+    expression; NULL -> empty array."""
+    locs = F.regexp_extract_all(F.coalesce(xml, F.lit("")),
+                                F.lit(_SITEMAP_LOC), 2)
+    ent = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+           ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&")]
+    def decode(v):
+        for e, ch in ent:
+            v = F.replace(v, F.lit(e), F.lit(ch))
+        return v
+    return F.filter(F.transform(locs, decode),
+                    lambda v: v.rlike("(?i)^https?://"))
+
+
+def sitemap_locs_sql(expr: str) -> str:
+    """DuckDB twin of :func:`sitemap_locs` — same regex, same entity
+    decode order (amp last), same scheme filter."""
+    rx = _SITEMAP_LOC.replace("'", "''")
+    locs = f"regexp_extract_all({expr}, '{rx}', 2)"
+    v = "v"
+    for e, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                  ("&#39;", chr(39) * 2), ("&apos;", chr(39) * 2),
+                  ("&amp;", "&")]:
+        ch_sql = ch if ch != "''" else "''"
+        v = f"replace({v}, '{e}', '{ch_sql}')"
+    return (f"list_filter(list_transform({locs}, v -> {v}), "
+            f"v -> regexp_matches(v, '(?i)^https?://'))")

@@ -5864,6 +5864,52 @@ def shard_bpe_budget_q(spark, sf_dir):
 
 from .functions import urls as _urls_mod  # noqa: E402
 
+_SM_XML = ("'<urlset><url><loc>https://WWW.s' || (doc_id % 4) || "
+           "'.example:443/page/' || doc_id || '/</loc></url>"
+           "<url><loc> https://s' || (doc_id % 4) || '.example/q?id=' || "
+           "(doc_id % 9) || '&amp;utm_source=x </loc></url>"
+           "<url><loc>ftp://skip.example/x</loc></url></urlset>'")
+
+
+def _sm_oracle() -> str:
+    locs = _urls_mod.sitemap_locs_sql(_SM_XML)
+    canon = _urls_mod.canonical_url_sql("loc")
+    return f"""WITH d AS (
+  SELECT doc_id FROM documents WHERE doc_id < 600),
+ex AS (SELECT UNNEST({locs}) AS loc FROM d)
+SELECT {canon} AS frontier_url, COUNT(*)::BIGINT AS n_refs
+FROM ex GROUP BY frontier_url"""
+
+
+@_register("sitemap_frontier", _sm_oracle())
+def sitemap_frontier_q(spark, sf_dir):
+    """Sitemap-driven frontier discovery (r13, functions/urls
+    .sitemap_locs — the discovery complement of robots_gate: sitemaps
+    FEED the frontier, robots GATES it): per-doc sitemap XML (CDATA-free
+    and entity-bearing locs, a www/:443/trailing-slash variant, a
+    tracking-param variant, and an ftp loc that must drop) is built as
+    a pure Column expression, locs extract through the Column twin,
+    canonicalize through canonical_url, and ONE combinable groupBy
+    emits the deduplicated frontier with reference counts; the oracle
+    runs the SAME construction through the SQL twins.  Shape: scan-side
+    projection + explode + one groupBy — zero UDF."""
+    from .functions.urls import canonical_url, sitemap_locs
+
+    d = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 600).select("doc_id")
+    xml = F.concat(
+        F.lit("<urlset><url><loc>https://WWW.s"), F.col("doc_id") % 4,
+        F.lit(".example:443/page/"), F.col("doc_id"),
+        F.lit("/</loc></url><url><loc> https://s"), F.col("doc_id") % 4,
+        F.lit(".example/q?id="), F.col("doc_id") % 9,
+        F.lit("&amp;utm_source=x </loc></url>"
+              "<url><loc>ftp://skip.example/x</loc></url></urlset>"))
+    ex = d.select(F.explode(sitemap_locs(xml)).alias("loc"))
+    return (ex.select(canonical_url(F.col("loc")).alias("frontier_url"))
+            .groupBy("frontier_url")
+            .agg(F.count("*").alias("n_refs")))
+
+
 _LG_BASE = "'https://h' || (doc_id % 5) || '.example/p/' || doc_id"
 _LG_HTML = ("'<p><a href=\"https://t' || (doc_id % 3) || "
             "'.example/x\">a</a><a href=''/local/' || doc_id || "

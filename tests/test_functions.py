@@ -1285,3 +1285,24 @@ def test_robots_crawl_delay_and_group_edges():
         [("/m", False)]
     assert parse_robots(body, agent="megabot") == [("/m", False)]
     assert parse_robots(body, agent="other") == [("/all", False)]
+
+
+def test_sitemap_locs_edges(spark):
+    """sitemap extraction: CDATA, entities (amp decoded last),
+    whitespace trim, case-insensitive tags, non-http(s) locs dropped,
+    NULL -> empty."""
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.functions.urls import sitemap_locs
+
+    xml = ('<sitemapindex><sitemap><loc>https://a.example/s1.xml</loc>'
+           '</sitemap></sitemapindex>'
+           '<urlset><url><LOC><![CDATA[ https://b.example/p ]]></LOC>'
+           '</url><url><loc>https://c.example/?a=1&amp;lt=2</loc></url>'
+           '<url><loc>mailto:x@y</loc></url></urlset>')
+    df = spark.createDataFrame([(xml,), (None,)], "x string")
+    got = [r.l for r in df.select(
+        sitemap_locs(F.col("x")).alias("l")).collect()]
+    assert got[0] == ["https://a.example/s1.xml", "https://b.example/p",
+                      "https://c.example/?a=1&lt=2"]
+    assert got[1] == []
