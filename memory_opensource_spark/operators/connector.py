@@ -290,14 +290,16 @@ def transpose_connector_events(events: DataFrame, url_col: str = "url",
     def kernel(batches):
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                url = str(r[url_col])
-                ws = (str(r[workspace_col])
-                      if workspace_col is not None
-                      and r[workspace_col] is not None else None)
-                keyed = tuple(r[c] for c in pt)
+            cols = list(pt) + [url_col, payload_col] + (
+                [workspace_col] if workspace_col else [])
+            for vals in zip(*(pdf[c] for c in cols)):
+                keyed = tuple(vals[:len(pt)])
+                url = str(vals[len(pt)])
+                payload_val = vals[len(pt) + 1]
+                ws = (str(vals[-1]) if workspace_col is not None
+                      and vals[-1] is not None else None)
                 try:
-                    data = json.loads(r[payload_col])
+                    data = json.loads(payload_val)
                     item = transpose_event(data, url, ws, update=update)
                     meta = item["metadata"]
                     rows.append(keyed + (
