@@ -1306,3 +1306,92 @@ def test_sitemap_locs_edges(spark):
     assert got[0] == ["https://a.example/s1.xml", "https://b.example/p",
                       "https://c.example/?a=1&lt=2"]
     assert got[1] == []
+
+
+def test_extract_links_random_cross_engine_parity(spark):
+    """r13: 150 seeded random HTML documents assembled from adversarial
+    anchor fragments (quote styles, attribute soup, case, scheme
+    variants, protocol/root-relative, droppable schemes, nested text) —
+    the Column form and the DuckDB twin must agree element-for-element,
+    including resolution against varying base URLs."""
+    import random
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.functions.html import (extract_links,
+                                                        extract_links_sql)
+
+    rnd = random.Random(13)
+    frags = [
+        '<a href="https://a.example/x">t</a>',
+        "<A HREF='/root/p'>r</A>",
+        '<a class="z" href="//cdn.example/c" id=k>c</a>',
+        '<a href="HTTP://Up.example/Q">u</a>',
+        '<a href="mailto:m@x">m</a>', '<a href="#f">f</a>',
+        '<a href="rel/page.html">rel</a>',
+        '<a href="javascript:void(0)">j</a>',
+        '<a href="/q?a=1&b=2">q</a>', "<a name='no-href'>n</a>",
+        "plain text < not a tag", '<a href="">empty</a>',
+        '<a   href = "/spaced" >s</a>',
+        '<a href="ftp://files.example/f">ftp</a>',
+    ]
+    bases = ["https://site.example/d/p", "http://h2.example:8080/",
+             "https://h3.example"]
+    rows = [(i, "".join(rnd.choice(frags)
+                        for _ in range(rnd.randint(1, 10))),
+             rnd.choice(bases)) for i in range(150)]
+    df = spark.createDataFrame(rows, "i int, h string, b string")
+    got = {r.i: r.l for r in df.select(
+        "i", extract_links(F.col("h"), F.col("b")).alias("l")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, h VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = dict(con.execute(
+        f"SELECT i, {extract_links_sql('h', 'b')} FROM t").fetchall())
+    bad = [(rows[i], got[i], want[i]) for i in range(150)
+           if got[i] != want[i]]
+    assert not bad, bad[:3]
+
+
+def test_sitemap_locs_random_cross_engine_parity(spark):
+    """r13: 150 seeded random sitemap bodies (CDATA, entities,
+    whitespace, case, index vs urlset, droppable schemes) — Column form
+    vs DuckDB twin element-for-element."""
+    import random
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.functions.urls import (sitemap_locs,
+                                                        sitemap_locs_sql)
+
+    rnd = random.Random(29)
+    frags = [
+        "<loc>https://a.example/p1</loc>",
+        "<LOC> https://b.example/p2 </LOC>",
+        "<loc><![CDATA[https://c.example/p3?x=1&amp;y=2]]></loc>",
+        "<loc>https://d.example/&quot;q&quot;</loc>",
+        "<loc>ftp://skip.example</loc>",
+        "<loc></loc>", "<loc>   </loc>",
+        "<lastmod>2024-01-01</lastmod>", "<priority>0.5</priority>",
+        "<loc>HTTPS://CASE.example/UP</loc>",
+        "plain <notloc>https://x</notloc> filler",
+        "<loc>\nhttps://e.example/m\n</loc>",
+    ]
+    docs = ["<urlset>" + "".join(rnd.choice(frags)
+                                 for _ in range(rnd.randint(1, 10)))
+            + "</urlset>" for _ in range(150)]
+    df = spark.createDataFrame(list(enumerate(docs)), "i int, x string")
+    got = {r.i: r.l for r in df.select(
+        "i", sitemap_locs(F.col("x")).alias("l")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, x VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(docs)))
+    want = dict(con.execute(
+        f"SELECT i, {sitemap_locs_sql('x')} FROM t").fetchall())
+    bad = [(docs[i], got[i], want[i]) for i in range(150)
+           if got[i] != want[i]]
+    assert not bad, bad[:3]
