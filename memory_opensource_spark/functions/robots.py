@@ -123,9 +123,16 @@ def robots_rules_table(robots: DataFrame, agent: str = "*",
 
 def url_path(url: Column) -> Column:
     """Path + query of ``url`` (the robots match subject): everything
-    from the first ``/`` after the authority; no path -> ``/``."""
-    rest = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
-    return F.when(rest == "", F.lit("/")).otherwise(rest)
+    from the first ``/``, ``?`` or ``#`` after the authority (RFC 3986
+    ends the authority at any of the three, matching url_host); a
+    pathless URL with a query, ``https://h.example?q=1``, is the
+    subject ``/?q=1`` — not ``/`` — so query-targeting rules can match.
+    No path at all -> ``/``."""
+    rest = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    return (F.when(rest == "", F.lit("/"))
+            .when(F.substring(rest, 1, 1).isin("?", "#"),
+                  F.concat(F.lit("/"), rest))
+            .otherwise(rest))
 
 
 def robots_blocked(df: DataFrame, rules: DataFrame,

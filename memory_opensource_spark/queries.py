@@ -6051,7 +6051,7 @@ SELECT doc_id,
  CASE WHEN r = 0 THEN (CASE i WHEN 1 THEN 'alpha ' ELSE 'beta ' END)
                       || doc_id
       WHEN r = 1 THEN {_html_mod.html_to_text_sql(_FTR_HTML)}
-      WHEN r = 2 THEN text END AS text
+      WHEN r = 2 THEN 'plain: ' || text END AS text
 FROM d, LATERAL (SELECT UNNEST(range(1, np + 1)) AS i) t"""
 
 
@@ -6091,7 +6091,11 @@ def file_type_route_q(spark, sf_dir):
                     content = (f"<html><body><h1>Title {d}</h1><p>{text}"
                                f"</p></body></html>").encode()
                 elif r == 2:
-                    content = text.encode()
+                    # ADVICE r11: a magic-safe prefix decouples the
+                    # text/plain leg from corpus content — a doc whose
+                    # text begins '%PDF-'/'<html'/'RIFF'/... can never
+                    # flip this row to a different route than the oracle
+                    content = b"plain: " + text.encode()
                 elif r == 3:
                     content = write_wav(8000, 1, 16, 4000)
                 elif r == 4:
@@ -7255,18 +7259,28 @@ _EVIDENCE_PRIORITY = [
     "gopher_quality_flags",       # Gopher A1.1 quality rule table (r8 new)
     "gopher_repetition_flags",    # Gopher A1.1 repetition table (r8 new,
                                   # r9: + dup-5..10-gram char coverage)
-    "pack_sequences",             # sequence packing on grouped_prefix_sum (r8
-                                  # rework, never driver-checked in new shape)
+    # round-14 rotation (VERDICT r11 task 1): pack_sequences displaced
+    # (driver-green r8..r11 in its reworked shape; packing semantics stay
+    # driver-checked via shard_token_budget + shard_bpe_budget — both
+    # route grouped_prefix_sum — and locally gated 3 SFs) in favor of the
+    # r13-new link_graph below.
+    "link_graph",                 # outbound links -> host link graph (r13 new)
     # round-13: ann_pq_rerank displaced (driver-green r6..r10; the
     # PQ/ADC layout stays plan-pinned in tests and the ANN family keeps
     # ann_ivf_persisted in the window; locally gated 3 SFs) in favor of
     # the r13-new connector transposition below.
     "connector_transpose",        # Slack/Linear events -> memories (r13)
     # 22-32: graph G1..G16 + both-endpoint ACL
-    "g1_pattern_match",           # G1/G16
+    # round-14 rotation (VERDICT r11 task 1): g1_pattern_match displaced
+    # (driver-green r1..r11, the longest-tenured graph row; G1/G16
+    # single-hop match + ACL stays driver-checked via
+    # g15_acl_both_endpoints — the same match_pattern surface with the
+    # ACL override — plus suite_graph_lookup/suite_graph_store, and
+    # locally gated 3 SFs) in favor of the r13-new robots_gate below.
+    "robots_gate",                # RFC 9309 robots.txt URL gating (r13 new)
     # round-12 rotation: g2_two_hop_paths displaced (driver-green r1..r9;
     # bounded-path semantics stay exercised by suite_graph_analytics'
-    # CC/triangle legs + g1_pattern_match and locally gated 3 SFs) in
+    # CC/triangle legs + g15's match leg and locally gated 3 SFs) in
     # favor of the r10-new warc_response_extract below.
     "suite_graph_lookup",         # G3/G4/G6
     # round-8 addition: the r8-new per-domain quota op takes a driver slot
@@ -7343,8 +7357,12 @@ _EVIDENCE_PRIORITY = [
     "text_lang_id_ngram",         # char-trigram language ID (r10 new)
     # 45-50: LLM-data-pipeline first-class ops
     "suite_dedup_family",         # exact/fingerprint/simhash/hamming/jaccard/minhash
-    "dedup_semantic_clusters",    # SemDeDup cluster-scoped semantic dedup (r6 new;
-                                  # r7: oracle rounds to 6 dp like the operator)
+    # round-14 rotation (VERDICT r11 task 1): dedup_semantic_clusters
+    # displaced (driver-green r6..r11; SemDeDup semantics stay
+    # driver-checked via v5_bucketed_pairs + v4_ingest_reuse — the same
+    # grid/cosine surface — plus suite_dedup_family's five families, and
+    # locally gated 3 SFs) in favor of the r13-new sitemap_frontier below.
+    "sitemap_frontier",           # sitemap loc extraction -> frontier (r13 new)
     # round-13 rotation: lm_quality_scores displaced (driver-green r6..r10;
     # the quality family keeps FOUR window rows — quality_classifier,
     # gopher_quality_flags, gopher_repetition_flags, suite_text_analysis —
@@ -7371,7 +7389,12 @@ _EVIDENCE_PRIORITY = [
                                   # + link-marked extraction -> boilerplate
                                   # pruning on URL-dedup survivors)
     "boilerplate_prune",          # RefinedWeb/jusText line pruning (r10 new)
-    "mm_feature_search",          # multimodal columns (sha256-oracle since r4)
+    # round-14 rotation (VERDICT r11 task 1): mm_feature_search displaced
+    # (driver-green r4..r11, long tenure; the multimodal family keeps
+    # mm_media_meta in the window — same sources/multimodal.py decode
+    # surface — and stays locally gated 3 SFs) in favor of the r13-new
+    # content-sniffed format routing below.
+    "file_type_route",            # magic-byte MIME routing (r13 new)
     "suite_graph_analytics",      # degree + CC + pagerank + triangles + spans
     # round-13: compress_sessions displaced (driver-green r1..r10, the
     # longest-tenured row in the window; session compression semantics

@@ -507,6 +507,13 @@ class _PdfDoc:
 
     # -- /ObjStm ----------------------------------------------------------
     def _unpack_object_streams(self):
+        # last-definition-wins across BOTH definition kinds: a packed
+        # object is only authoritative if no full "N 0 obj" definition
+        # (and no other ObjStm packing it) appears LATER in the file —
+        # offsets, not iteration order, decide (an incremental update can
+        # redefine an originally-packed object with a full def that sits
+        # after the ObjStm container in the byte stream).
+        packed_src: dict[int, int] = {}  # onum -> winning container offset
         for num in list(self._offsets):
             try:
                 obj = self.get(num)
@@ -518,6 +525,7 @@ class _PdfDoc:
             payload = self.stream_bytes(num)
             if payload is None:
                 continue
+            cont_off = self._offsets[num]
             n = self.resolve(obj.get("/N"))
             first = self.resolve(obj.get("/First"))
             if not isinstance(n, int) or not isinstance(first, int):
@@ -532,10 +540,18 @@ class _PdfDoc:
                         f"object stream {num}: malformed header")
                 pairs.append((onum, off))
             for onum, off in pairs:
-                if onum in self._cache:  # a later full def already won
-                    continue
+                full_off = self._offsets.get(onum)
+                if full_off is not None and full_off > cont_off:
+                    continue  # a later full "N 0 obj" redefinition wins
+                prev = packed_src.get(onum)
+                if prev is not None and prev > cont_off:
+                    continue  # a later ObjStm already packed this object
                 inner = _Lexer(payload, first + off)
                 self._cache[onum] = inner.parse_object()
+                # packed objects cannot carry streams: drop any payload a
+                # superseded earlier full definition registered
+                self._streams.pop(onum, None)
+                packed_src[onum] = cont_off
 
     # -- page tree --------------------------------------------------------
     def pages(self) -> list[dict]:

@@ -402,6 +402,7 @@ def foreach_batch_connector_ingest(stream: DataFrame, state_dir: str,
                                    url_col: str = "url",
                                    payload_col: str = "payload",
                                    workspace_col: str | None = None,
+                                   retain_batches: int | None = None,
                                    on_batch=None):
     """Streaming connector ingest (r13): the ST1 analog of the connector
     transposition — webhook-shaped events (the reference receives them
@@ -420,7 +421,21 @@ def foreach_batch_connector_ingest(stream: DataFrame, state_dir: str,
 
     Transpose errors (e.g. a textless Slack message, the reference's
     ValueError path) are quarantined to ``on_batch(memories, errors,
-    batch_id)``, never appended and never fatal to the stream."""
+    batch_id)``, never appended and never fatal to the stream.
+
+    State shape for long-lived streams (ADVICE r11): both state tables
+    are written PARTITIONED BY ``batch_id``, so every anti-join read is
+    partition-pruned — the memories idempotence check touches only the
+    CURRENT batch's partition (the only one a replayed attempt could
+    have written), never the full output directory.  The seen_events
+    read spans the dedup horizon: with ``retain_batches=N`` it is
+    pruned to the last N batch partitions and partitions older than
+    the horizon are deleted after each commit, so per-batch cost and
+    state size are O(horizon), not O(stream lifetime) — the standard
+    watermark trade (an event re-delivered MORE than N batches after
+    first ingest would re-append).  ``retain_batches=None`` (default)
+    keeps the exact unbounded set: correct for bounded backfills;
+    pass a horizon for a forever-running stream."""
     import os
 
     from ..operators.connector import transpose_connector_events
@@ -438,11 +453,15 @@ def foreach_batch_connector_ingest(stream: DataFrame, state_dir: str,
                                          F.col(payload_col)))
                   .dropDuplicates(["event_id"])
                   .localCheckpoint(eager=True))
+        horizon = (batch_id - retain_batches
+                   if retain_batches is not None else None)
         if os.path.isdir(seen_dir):
             seen = (spark.read.parquet(seen_dir)
-                    .filter(F.col("batch_id") != batch_id)
-                    .select("event_id"))
-            fresh = events.join(seen, "event_id", "left_anti")
+                    .filter(F.col("batch_id") != batch_id))
+            if horizon is not None:  # partition-pruned horizon read
+                seen = seen.filter(F.col("batch_id") >= horizon)
+            fresh = events.join(seen.select("event_id"),
+                                "event_id", "left_anti")
         else:
             fresh = events
         fresh = fresh.localCheckpoint(eager=True)
@@ -454,21 +473,47 @@ def foreach_batch_connector_ingest(stream: DataFrame, state_dir: str,
         errors = out.filter(F.col("error").isNotNull())
         # idempotent memories append: a REPLAYED batch recomputes its
         # rows (seen_events excludes the current batch_id above) but
-        # must not write them twice — skip event_ids already on disk
+        # must not write them twice — only the CURRENT batch_id's
+        # partition could hold a prior attempt's rows, so the
+        # idempotence read prunes to that one partition
         to_write = memories.withColumn("batch_id", F.lit(batch_id))
         if os.path.isdir(mem_dir):
             to_write = to_write.join(
-                spark.read.parquet(mem_dir).select("event_id"),
+                spark.read.parquet(mem_dir)
+                .filter(F.col("batch_id") == batch_id)
+                .select("event_id"),
                 "event_id", "left_anti")
-        to_write.write.mode("append").parquet(mem_dir)
+        to_write.write.mode("append").partitionBy("batch_id") \
+            .parquet(mem_dir)
         # idempotent seen-id append: skip ids any prior attempt wrote
+        # within the horizon (same pruned read as the dedup join)
         new_seen = (events.select("event_id")
                     .withColumn("batch_id", F.lit(batch_id)))
         if os.path.isdir(seen_dir):
-            new_seen = new_seen.join(
-                spark.read.parquet(seen_dir).select("event_id"),
-                "event_id", "left_anti")
-        new_seen.write.mode("append").parquet(seen_dir)
+            prior = spark.read.parquet(seen_dir)
+            if horizon is not None:
+                prior = prior.filter(F.col("batch_id") >= horizon)
+            new_seen = new_seen.join(prior.select("event_id"),
+                                     "event_id", "left_anti")
+        new_seen.write.mode("append").partitionBy("batch_id") \
+            .parquet(seen_dir)
+        if horizon is not None:
+            # age out partitions past the dedup horizon: bounds state
+            # size AND the pruned read above to O(retain_batches)
+            jvm = spark._jvm
+            jdir = jvm.org.apache.hadoop.fs.Path(seen_dir)
+            fs = jdir.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(jdir):
+                for st in fs.listStatus(jdir):
+                    part = st.getPath().getName()
+                    if not part.startswith("batch_id="):
+                        continue
+                    try:
+                        old = int(part.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if old < horizon:
+                        fs.delete(st.getPath(), True)
         if on_batch is not None:
             on_batch(memories, errors, batch_id)
 

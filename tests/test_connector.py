@@ -220,3 +220,59 @@ def test_streaming_connector_ingest_replay_exactly_once(spark, tmp_path):
     assert mem.count() == 3
     seen = spark.read.parquet(os.path.join(sd, "seen_events"))
     assert seen.count() == seen.select("event_id").distinct().count()
+    # ADVICE r11 state-shape fix: both tables are batch_id-partitioned
+    # so the per-batch anti-joins partition-prune instead of rescanning
+    # the full directories
+    assert any(p.startswith("batch_id=")
+               for p in os.listdir(os.path.join(sd, "seen_events")))
+    assert any(p.startswith("batch_id=")
+               for p in os.listdir(os.path.join(sd, "memories")))
+
+
+def test_streaming_connector_ingest_bounded_horizon(spark, tmp_path):
+    """retain_batches bounds seen_events state: partitions older than
+    the horizon are deleted after each commit, within-horizon dedup
+    still holds, and the trade (re-delivery AFTER the horizon
+    re-appends) behaves as documented."""
+    import os
+
+    from memory_opensource_spark.streaming.pipelines import (
+        foreach_batch_connector_ingest)
+
+    d = tmp_path / "events"
+    d.mkdir()
+    sd = str(tmp_path / "state")
+
+    def ev(url, payload):
+        return json.dumps({"url": url, "payload": json.dumps(payload)})
+
+    dup = ev("https://h.example/slack/messages",
+             {"text": "dup", "id": "S1"})
+    (d / "b0.json").write_text(dup)
+    (d / "b1.json").write_text(ev(
+        "https://h.example/slack/messages", {"text": "fresh1", "id": "S2"})
+        + "\n" + dup)                        # within-horizon dup: dropped
+    (d / "b2.json").write_text(ev(
+        "https://h.example/slack/messages", {"text": "fresh2", "id": "S3"}))
+    (d / "b3.json").write_text(dup)          # beyond horizon: re-appends
+    # FileStreamSource orders by modification time: pin strictly
+    # increasing mtimes so file -> batch_id mapping is deterministic
+    for i in range(4):
+        os.utime(d / f"b{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (spark.readStream.schema("url string, payload string")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (foreach_batch_connector_ingest(stream, sd, str(tmp_path / "ck"),
+                                        retain_batches=2)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    mem = spark.read.parquet(os.path.join(sd, "memories"))
+    assert [r.content for r in mem.collect()].count("dup") == 2
+    assert mem.count() == 4                  # 2x dup + fresh1 + fresh2
+    # state bounded: only partitions within the horizon survive
+    parts = sorted(int(p.split("=")[1])
+                   for p in os.listdir(os.path.join(sd, "seen_events"))
+                   if p.startswith("batch_id="))
+    assert parts == [1, 2, 3]                # batch 3 horizon = 3-2 = 1:
+                                             # partition 0 aged out

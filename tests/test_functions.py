@@ -1203,7 +1203,11 @@ def test_robots_blocked_specificity_and_determinism(spark):
     robots = spark.createDataFrame(
         [("a.example", "User-agent: *\nDisallow: /\nAllow: /p/\n"),
          ("b.example", "User-agent: *\nDisallow: /x\nAllow: /x\n"),
-         ("c.example", "User-agent: other\nDisallow: /\n")],
+         ("c.example", "User-agent: other\nDisallow: /\n"),
+         # ADVICE r11 (robots.url_path): the authority ends at '/', '?'
+         # or '#' — a pathless URL with a query is subject '/?q=...',
+         # so query-targeting rules must be able to match it
+         ("e.example", "User-agent: *\nDisallow: /?q=\n")],
         "host string, content string")
     rules = robots_rules_table(robots)
     urls = spark.createDataFrame(
@@ -1212,13 +1216,16 @@ def test_robots_blocked_specificity_and_determinism(spark):
          (3, "https://b.example/xyz"),       # tie -> Allow
          (4, "https://c.example/anything"),  # other agent's group
          (5, "https://d.example/no-robots"),
-         (6, None)],
+         (6, None),
+         (7, "https://e.example?q=1"),       # pathless query -> '/?q=1'
+         (8, "https://e.example"),           # bare authority -> '/'
+         (9, "https://e.example/page?q=1")], # rule is a prefix from '/'
         "id long, url string")
     kept = {r.id for r in robots_blocked(urls, rules).collect()}
-    assert kept == {1, 3, 4, 5, 6}
+    assert kept == {1, 3, 4, 5, 6, 8, 9}
     blocked = {r.id for r in
                robots_blocked(urls, rules, keep_blocked=True).collect()}
-    assert blocked == {2}
+    assert blocked == {2, 7}
 
 
 def test_extract_links_resolution_and_pagerank_composition(spark):

@@ -100,6 +100,56 @@ def test_object_stream_objects_parse():
     assert extract_pdf_pages(body) == ["objstm text"]
 
 
+def _objstm_body(content: bytes, contents_ref: bytes = b"4 0 R") -> bytes:
+    """Minimal ObjStm-packed PDF: catalog/pages/page packed in object 5,
+    content stream as full object 4."""
+    import zlib
+
+    inner = (b"<< /Type /Catalog /Pages 2 0 R >>"
+             b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+             b"<< /Type /Page /Parent 2 0 R /Contents " + contents_ref
+             + b" >>")
+    header = b"1 0 2 33 3 74 "
+    payload = zlib.compress(header + inner)
+    return (b"%PDF-1.5\n"
+            b"5 0 obj\n<< /Type /ObjStm /N 3 /First " +
+            str(len(header)).encode() +
+            b" /Length " + str(len(payload)).encode() +
+            b" /Filter /FlateDecode >>\nstream\n" + payload +
+            b"\nendstream\nendobj\n"
+            b"4 0 obj\n<< /Length " + str(len(content)).encode() +
+            b" >>\nstream\n" + content + b"\nendstream\nendobj\n")
+
+
+def test_objstm_then_full_redefinition_wins():
+    """ADVICE r11 (pdf.py _unpack_object_streams): an incremental update
+    that appends a FULL 'N 0 obj' redefinition of an object originally
+    packed in an object stream must win — the packed version is stale.
+    Pre-fix the ObjStm cache was consulted before _offsets and the new
+    definition was silently ignored."""
+    base = _objstm_body(b"BT (objstm text) Tj ET")
+    new_content = b"BT (updated text) Tj ET"
+    update = (b"6 0 obj\n<< /Length " + str(len(new_content)).encode() +
+              b" >>\nstream\n" + new_content + b"\nendstream\nendobj\n"
+              b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"
+              b"\nendobj\n")
+    assert extract_pdf_pages(base + update) == ["updated text"]
+
+
+def test_full_then_objstm_redefinition_wins():
+    """Symmetric case: the ObjStm container sits AFTER an earlier full
+    definition in the byte stream, so the PACKED version is the newest
+    and must win (plain last-definition-wins, either definition kind)."""
+    stale_page = (b"%PDF-1.5\n"
+                  b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R"
+                  b" >>\nendobj\n"
+                  b"6 0 obj\n<< /Length 21 >>\nstream\n"
+                  b"BT (stale text) Tj ET\nendstream\nendobj\n")
+    body = _objstm_body(b"BT (packed wins) Tj ET")
+    assert extract_pdf_pages(
+        stale_page + body[len(b"%PDF-1.5\n"):]) == ["packed wins"]
+
+
 def test_loud_refusals():
     with pytest.raises(PdfParseError, match="missing %PDF"):
         extract_pdf_pages(b"not a pdf at all")

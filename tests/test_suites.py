@@ -23,7 +23,6 @@ def test_registry_prefix_covers_component_families():
         "suite_graph_sinks", "suite_filters",
         "v4_ingest_reuse", "v5_bucketed_pairs",
         "v6_entity_resolution",
-        "g1_pattern_match",
         "suite_graph_lookup",
         "g8_schema_driven_merge", "suite_graph_store",
         "r2_stratified_merge",
@@ -33,13 +32,10 @@ def test_registry_prefix_covers_component_families():
         # new operator (id algebra stays driver-exercised in the flagships)
         "pdf_text_extract", "suite_text_analysis",
         "suite_dedup_family", "ann_ivf_persisted",
-        "mm_feature_search", "suite_graph_analytics",
+        "suite_graph_analytics",
         # round-4 additions (V2-batch moved below fold in their favor:
         # still locally gated, V2 covered by v2_cosine_topk + flagships)
         "search_spec_pushdown", "g15_acl_both_endpoints", "suite_pipeline_ops",
-        # round-6: SemDeDup into the driver window (f10_scalar_functions moved
-        # below fold — F10 scalar fns stay value-verified in suite_text_analysis)
-        "dedup_semantic_clusters",
         # round-7 rotation (VERDICT r6 item 4): the four below-fold round-6
         # ops into the driver window, displacing long-green r5-era rows
         # (v9_grouped_points, st2_session_windows, txn_merge_roundtrip,
@@ -77,7 +73,7 @@ def test_registry_prefix_covers_component_families():
         # window (s1_fetch_by_ids / v1_chunk_embed / f1_acl_filter displaced
         # — each driver-green for many rounds; S1 fetch and F1 ACL stay
         # driver-exercised inside the flagships, V1 inside v4_ingest_reuse)
-        "gopher_quality_flags", "gopher_repetition_flags", "pack_sequences",
+        "gopher_quality_flags", "gopher_repetition_flags",
         # round-10 rotation: the two r9-new pipeline ops into the window
         # (v2_cosine_topk / set_ops_semi_anti displaced — both driver-green
         # r1..r9; cosine top-k + threshold stay driver-checked inside both
@@ -108,6 +104,16 @@ def test_registry_prefix_covers_component_families():
         # graph discovery via the six remaining graph window rows; all
         # three stay locally gated at 3 SFs)
         "quality_classifier", "url_blocklist_filter", "bpe_subword_stats",
+        # round-14 rotation (VERDICT r11 task 1): the four r13-late
+        # crawl-discovery rows into the window (g1_pattern_match /
+        # pack_sequences / dedup_semantic_clusters / mm_feature_search
+        # displaced — driver-green r1..r11 / r8..r11 / r6..r11 / r4..r11;
+        # G1 match stays driver-checked via g15_acl_both_endpoints +
+        # suite_graph_lookup/store, packing via the two shard rows,
+        # SemDeDup via v5_bucketed_pairs + v4_ingest_reuse + the dedup
+        # suite, multimodal decode via mm_media_meta; all four stay
+        # locally gated at 3 SFs)
+        "file_type_route", "robots_gate", "link_graph", "sitemap_frontier",
     ]
     missing = [q for q in required if q not in top50]
     assert not missing, f"top-50 evidence window lost: {missing}"
