@@ -57,15 +57,16 @@ def parse_documents(files: DataFrame, provider=stub_parse_provider) -> DataFrame
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                text = provider(bytes(r["content"]), r["path"])
-                name = r["path"].rsplit("/", 1)[-1].rsplit(".", 1)[0]
+            # column-zip, not iterrows: avoids a Series per row
+            for path, content in zip(pdf["path"], pdf["content"]):
+                text = provider(bytes(content), path)
+                name = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
                 # basename + short FULL-PATH hash: same-named files in
                 # different directories must not collide into one memory_id
                 # (downstream chunk_id MERGE would silently drop one
                 # document — round-5 review finding)
-                phash = hashlib.sha256(str(r["path"]).encode()).hexdigest()[:8]
-                rows.append((r["path"], f"doc_{name}_{phash}", text))
+                phash = hashlib.sha256(str(path).encode()).hexdigest()[:8]
+                rows.append((path, f"doc_{name}_{phash}", text))
             yield pd.DataFrame(rows, columns=["doc_path", "memory_id", "content"])
 
     return files.mapInPandas(run, PARSED_SCHEMA)

@@ -700,24 +700,26 @@ def decode_features(media: DataFrame, frames_per_video: int = 4,
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                content = bytes(r["content"]) if r["content"] is not None else b""
-                n_frames = frames_per_video if r["modality"] == "video" else 1
+            # column-zip, not iterrows: avoids a Series per row
+            for media_id, modality, raw in zip(
+                    pdf["media_id"], pdf["modality"], pdf["content"]):
+                content = bytes(raw) if raw is not None else b""
+                n_frames = frames_per_video if modality == "video" else 1
                 for f_idx in range(n_frames):
                     if real:
-                        feat = _real_features(content, r["modality"], f_idx,
+                        feat = _real_features(content, modality, f_idx,
                                               total_frames=n_frames)
                         if feat is None:
                             raise NotImplementedError(
-                                f"media {r['media_id']}: bytes are not a "
+                                f"media {media_id}: bytes are not a "
                                 "container-decodable format (PPM/PNG/GIF/"
                                 "baseline-JPEG/WAV/PAPRVID0) — remaining "
                                 "compressed formats need the "
                                 "libjpeg/ffmpeg seam (_real_features)")
                         feat = feat + [0.0] * (FEATURE_DIM - len(feat))
                     else:
-                        feat = _fake_decode(content, r["modality"], f_idx)
-                    rows.append((r["media_id"], r["modality"], feat, f_idx))
+                        feat = _fake_decode(content, modality, f_idx)
+                    rows.append((media_id, modality, feat, f_idx))
             yield pd.DataFrame(rows, columns=["media_id", "modality", "feature", "frame_index"])
 
     return media.mapInPandas(compute, DECODED_SCHEMA)

@@ -518,3 +518,25 @@ def test_keep_best_in_clusters_string_ids(spark):
         assert out[d] == ("ub", int(d == "ub"))
     for d in ("ud", "ue"):
         assert out[d] == ("ud", int(d == "ud"))   # tie -> lexicographic min
+
+
+def test_keep_best_in_clusters_long_min_value(spark):
+    """r14 type dispatch: the integral path negates the id through
+    decimal(20,0) inside the struct-argmax — Long.MIN_VALUE (whose bare
+    long negation silently wraps to itself in non-ANSI mode) must still
+    win an exact-score tie as the smaller id."""
+    from memory_opensource_spark.operators.dedup import (
+        keep_best_in_clusters)
+
+    lo = -(2 ** 63)             # Long.MIN_VALUE
+    docs = spark.createDataFrame([(lo,), (lo + 1,), (7,)], "doc_id long")
+    pairs = spark.createDataFrame([(lo, lo + 1)],
+                                  "left_id long, right_id long")
+    scores = spark.createDataFrame(
+        [(lo, 0.5), (lo + 1, 0.5), (7, 0.1)], "doc_id long, q double")
+    out = {r.doc_id: (r.keeper_id, r.retained)
+           for r in keep_best_in_clusters(
+               docs, pairs, scores, score_col="q").collect()}
+    assert out[lo] == (lo, 1)          # MIN_VALUE wins the tie
+    assert out[lo + 1] == (lo, 0)
+    assert out[7] == (7, 1)            # singleton keeps itself
