@@ -173,6 +173,9 @@ HEADLINE = [
     # round 13: sitemap frontier discovery (loc extraction + URL
     # canonicalization, one combinable groupBy)
     "sitemap_frontier",
+    # round 14: /ToUnicode CMap decode (writer emits a non-identity byte
+    # code + CMap stream; parser reads bfchar/bfrange for real)
+    "pdf_cmap_text",
 ]
 
 

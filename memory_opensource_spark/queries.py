@@ -5636,6 +5636,73 @@ def pdf_text_extract_q(spark, sf_dir):
     return parsed.select("doc_id", "page", "total_pages", "text")
 
 
+@_register("pdf_cmap_text", """
+WITH base AS (
+  SELECT doc_id, text,
+         (1 + doc_id % 2) AS n,
+         ((n_chars + doc_id % 2) // (1 + doc_id % 2)) AS L,
+         chr((945 + doc_id % 24)::INT) AS deco
+  FROM documents WHERE doc_id < 500),
+pages AS (
+  SELECT doc_id, i, n,
+    deco || substr(text, ((i - 1) * L + 1)::BIGINT, L::BIGINT) AS raw
+  FROM base, LATERAL (SELECT UNNEST(range(1, n + 1)) AS i) t)
+SELECT doc_id, i::INT AS page, n::INT AS total_pages,
+  (CASE WHEN length(raw) > 30
+        THEN substr(raw, 1, 30) || chr(10) || substr(raw, 31)
+        ELSE raw END) AS text
+FROM pages
+""")
+def pdf_cmap_text_q(spark, sf_dir):
+    """PDF /ToUnicode CMap decode (r14, VERDICT r11 task 4 —
+    sources/pdf: the fidelity layer the reference gets from PyMuPDF in
+    services/processPDF.py:117): per-doc PDFs are built executor-side
+    with ``cmap_font=True`` — show strings in a NON-identity byte
+    encoding (codes assigned per distinct character, 1- or 2-byte
+    codespace as the alphabet requires) that is GIBBERISH under the
+    r13 latin-1 rules; the font carries a /ToUnicode CMap stream
+    (bfchar pairs + bfrange runs, chunked blocks) the parser must
+    actually read to recover the text.  Every page is decorated with
+    a doc_id-derived Greek letter so multi-byte UTF-16BE destinations
+    are exercised on every row; compression and split-stream variants
+    sweep by doc_id.  The oracle recomputes the expected per-page text
+    closed-form from the documents table — any writer/reader CMap
+    asymmetry (range increment rule, block chunking, code width) turns
+    the row red.  Shape: two Arrow kernels, scan-side, zero shuffle."""
+    import pandas as pd
+
+    from .sources.pdf import pdf_extract_kernel, write_pdf
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 500).select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d, text = int(d), str(text)
+                n = 1 + d % 2
+                pl = (len(text) + n - 1) // n
+                deco = chr(945 + d % 24)
+                pages = []
+                for i in range(1, n + 1):
+                    raw = deco + text[(i - 1) * pl:i * pl]
+                    if len(raw) > 30:
+                        raw = raw[:30] + "\n" + raw[30:]
+                    pages.append(raw)
+                content = write_pdf(pages, compress=d % 2 == 0,
+                                    split_streams=d % 3 == 0,
+                                    cmap_font=True)
+                rows.append((d, content))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    media = docs.mapInPandas(build, "doc_id long, content binary")
+    parsed = media.mapInPandas(
+        pdf_extract_kernel,
+        "doc_id long, page int, total_pages int, text string, error string")
+    return parsed.select("doc_id", "page", "total_pages", "text")
+
+
 @_register("connector_transpose", """
 WITH d AS (
   SELECT doc_id, text, doc_id % 6 AS r, 'w' || (doc_id % 4) AS ws

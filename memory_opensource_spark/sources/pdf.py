@@ -49,14 +49,26 @@ turns the row red):
        ty operand emit a newline.  Everything else (graphics, fonts,
        positioning on the same line) is skipped.
 
-**Encoding semantics** (documented, deterministic — NOT full CMap
-fidelity): show strings decode as latin-1 unless they begin with the
-UTF-16BE BOM ``FE FF``, which decodes as UTF-16BE.  Real-world PDFs
-map bytes to glyphs through per-font /Encoding + /ToUnicode CMaps;
-implementing CMaps would add a large surface no oracle can pin, so
-simple-font latin-1 text (the overwhelming text-layer case) is exact
-and CMap-dependent PDFs degrade to best-effort — the same honest seam
-as the progressive-JPEG note in sources/multimodal.
+**Encoding semantics** (documented, deterministic): a show string
+shown under a font that carries a **/ToUnicode CMap** decodes through
+it (r14, VERDICT r11 task 4): ``begincodespacerange`` fixes the code
+width (1 or 2 bytes), ``beginbfchar`` pairs and ``beginbfrange``
+triples (incrementing-destination form per PDF 32000-1 §9.10.3 — the
+LAST BYTE of the destination increments — and the array-destination
+form) map codes to UTF-16BE strings; unmapped codes fall back to
+latin-1 of their raw bytes (best-effort, never a crash).  The current
+font is tracked via the ``Tf`` operator against the page's
+``/Resources /Font`` table (inherited through ``/Parent`` when the
+page dict omits it).  Without a CMap the r13 rules stand: latin-1
+unless the string begins with the UTF-16BE BOM ``FE FF``.  The writer
+twin's ``cmap_font=True`` emits a deliberately NON-identity byte
+encoding (codes assigned per distinct character) whose text only a
+correct CMap decode recovers — gibberish under latin-1 — so the
+oracle row pins the real decode path.  Remaining seam: per-font
+simple-font **/Encoding /Differences** arrays (glyph-name remaps
+without a ToUnicode) are not consulted; such PDFs stay best-effort
+latin-1 — the same honest-seam class as the progressive-JPEG note in
+sources/multimodal.
 """
 
 from __future__ import annotations
@@ -93,39 +105,133 @@ def _pdf_string(s: str, hex_strings: bool = False) -> bytes:
     return b"(" + b"".join(_ESC.get(c, bytes([c])) for c in raw) + b")"
 
 
-def _content_stream(lines: list[str], hex_strings: bool) -> bytes:
+def _content_stream(lines: list[str], hex_strings: bool,
+                    encoder=None) -> bytes:
     ops = [b"BT /F1 12 Tf 72 720 Td"]
     for i, line in enumerate(lines):
         if i:
             ops.append(b"T*")
-        ops.append(_pdf_string(line, hex_strings) + b" Tj")
+        tok = (b"<" + encoder(line).hex().encode() + b">") if encoder \
+            else _pdf_string(line, hex_strings)
+        ops.append(tok + b" Tj")
     ops.append(b"ET")
     return b" ".join(ops)
 
 
+def _build_code_table(pages: list[str]) -> tuple[dict[str, int], int]:
+    """char -> code assignment for the CMap'd font: distinct characters
+    across all pages (newlines excluded — they become T* ops), codes
+    assigned in sorted-character order from 1, width 2 bytes once the
+    alphabet outgrows one byte.  Sorted order makes consecutive
+    codepoints land on consecutive codes, so the CMap writer can emit
+    real bfrange runs, not just bfchar pairs."""
+    alphabet = sorted({c for t in pages for c in t if c != "\n"})
+    table = {c: i + 1 for i, c in enumerate(alphabet)}
+    width = 1 if len(alphabet) <= 0xFE else 2
+    if len(alphabet) > 0xFFFE:
+        raise PdfParseError("cmap_font: alphabet exceeds 2-byte codespace")
+    return table, width
+
+
+def _tounicode_cmap(table: dict[str, int], width: int) -> bytes:
+    """The /ToUnicode CMap stream for ``table``: codespacerange fixing
+    the code width, then bfrange runs (consecutive codes AND consecutive
+    BMP codepoints, never overflowing the destination's LAST byte — the
+    PDF 32000-1 §9.10.3 increment rule) with bfchar leftovers, both
+    chunked at the spec's 100-entries-per-block cap."""
+    hexw = width * 2
+    by_code = sorted((code, ch) for ch, code in table.items())
+    runs: list[tuple[int, int, str]] = []   # (lo_code, hi_code, lo_char)
+    chars: list[tuple[int, str]] = []
+    i = 0
+    while i < len(by_code):
+        code, ch = by_code[i]
+        cp = ord(ch)
+        j = i
+        # extend while codes and codepoints both increment and the
+        # destination low byte does not wrap (increment rule)
+        while (j + 1 < len(by_code)
+               and by_code[j + 1][0] == by_code[j][0] + 1
+               and len(by_code[j + 1][1]) == 1
+               and ord(by_code[j + 1][1]) == ord(by_code[j][1]) + 1
+               and ord(by_code[j + 1][1]) <= 0xFFFF
+               and (ord(by_code[j][1]) & 0xFF) != 0xFF
+               and (code & ((1 << (8 * width)) - 1)) + (j + 1 - i)
+               <= (1 << (8 * width)) - 1):
+            j += 1
+        if j - i >= 2 and cp <= 0xFFFF:
+            runs.append((code, by_code[j][0], ch))
+            i = j + 1
+        else:
+            chars.append((code, ch))
+            i += 1
+
+    def u16(s: str) -> bytes:
+        return b"<" + s.encode("utf-16-be").hex().encode() + b">"
+
+    def chex(c: int) -> bytes:
+        return b"<" + format(c, f"0{hexw}x").encode() + b">"
+
+    out = [b"/CIDInit /ProcSet findresource begin\n12 dict begin\n"
+           b"begincmap\n/CMapName /Custom-UCS def\n/CMapType 2 def\n"
+           b"1 begincodespacerange\n"
+           + chex(0) + b" " + chex((1 << (8 * width)) - 1)
+           + b"\nendcodespacerange\n"]
+    for k in range(0, len(chars), 100):
+        block = chars[k:k + 100]
+        out.append(b"%d beginbfchar\n" % len(block))
+        for code, ch in block:
+            out.append(chex(code) + b" " + u16(ch) + b"\n")
+        out.append(b"endbfchar\n")
+    for k in range(0, len(runs), 100):
+        block = runs[k:k + 100]
+        out.append(b"%d beginbfrange\n" % len(block))
+        for lo, hi, ch in block:
+            out.append(chex(lo) + b" " + chex(hi) + b" " + u16(ch) + b"\n")
+        out.append(b"endbfrange\n")
+    out.append(b"endcmap\nCMapName currentdict /CMap defineresource pop\n"
+               b"end\nend")
+    return b"".join(out)
+
+
 def write_pdf(pages: list[str], *, compress: bool = True,
               hex_strings: bool = False,
-              split_streams: bool = False) -> bytes:
+              split_streams: bool = False,
+              cmap_font: bool = False) -> bytes:
     """A complete single-font PDF 1.4 file showing ``pages`` (one
     MediaBox'd page per element; lines split on ``\\n`` become
     ``Tj``/``T*`` pairs, so :func:`extract_pdf_pages` round-trips the
     page text EXACTLY).  ``compress`` flate-encodes content streams;
     ``hex_strings`` writes hex show-strings; ``split_streams`` splits
-    each page's content into a two-stream ``/Contents`` array (all
-    three are parser-surface variations the oracle row sweeps)."""
+    each page's content into a two-stream ``/Contents`` array;
+    ``cmap_font`` (r14) shows text in a NON-identity per-document byte
+    encoding under a font carrying a /ToUnicode CMap — the bytes are
+    gibberish under latin-1, so only a real CMap decode round-trips
+    (all four are parser-surface variations oracle rows sweep)."""
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_num = 3
     page_nums = []
     next_num = 4
+    encoder = None
+    cmap_obj: bytes | None = None
+    if cmap_font:
+        table, cwidth = _build_code_table(pages)
+
+        def encoder(line: str, _t=table, _w=cwidth) -> bytes:
+            return b"".join(_t[c].to_bytes(_w, "big") for c in line)
+
+        cmap_obj = _tounicode_cmap(table, cwidth)
     for text in pages:
         lines = text.split("\n")
-        body = _content_stream(lines, hex_strings)
+        body = _content_stream(lines, hex_strings, encoder)
         if split_streams and len(lines) > 1:
             # a BT..ET block per stream — concatenation is still valid
             mid = len(lines) // 2
-            parts = [_content_stream(lines[:mid], hex_strings) + b"\n",
-                     _content_stream([""] + lines[mid:], hex_strings)]
+            parts = [_content_stream(lines[:mid], hex_strings, encoder)
+                     + b"\n",
+                     _content_stream([""] + lines[mid:], hex_strings,
+                                     encoder)]
         else:
             parts = [body]
         content_nums = []
@@ -152,8 +258,19 @@ def write_pdf(pages: list[str], *, compress: bool = True,
     objs[2] = (b"<< /Type /Pages /Kids ["
                + b" ".join(b"%d 0 R" % n for n in page_nums)
                + b"] /Count " + str(n_pages).encode() + b" >>")
-    objs[font_num] = (b"<< /Type /Font /Subtype /Type1 "
-                      b"/BaseFont /Helvetica >>")
+    if cmap_obj is not None:
+        data = zlib.compress(cmap_obj) if compress else cmap_obj
+        filt = b"/Filter /FlateDecode " if compress else b""
+        objs[next_num] = (b"<< " + filt + b"/Length "
+                          + str(len(data)).encode() + b" >>\nstream\n"
+                          + data + b"\nendstream")
+        objs[font_num] = (b"<< /Type /Font /Subtype /TrueType "
+                          b"/BaseFont /Custom /ToUnicode "
+                          + str(next_num).encode() + b" 0 R >>")
+        next_num += 1
+    else:
+        objs[font_num] = (b"<< /Type /Font /Subtype /Type1 "
+                          b"/BaseFont /Helvetica >>")
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
@@ -616,12 +733,135 @@ class _PdfDoc:
         # with a whitespace byte between
         return b"\n".join(parts)
 
+    def page_cmaps(self, page: dict) -> dict:
+        """Font name -> parsed /ToUnicode CMap for ``page`` (fonts
+        without one are absent — they keep the latin-1/BOM rules).
+        /Resources is inherited through /Parent when the page dict
+        omits it (PDF 32000-1 §7.7.3.4)."""
+        res = None
+        node: object = page
+        seen: set[int] = set()
+        while isinstance(node, dict):
+            r = self.resolve(node.get("/Resources"))
+            if isinstance(r, dict):
+                res = r
+                break
+            par = node.get("/Parent")
+            if isinstance(par, Ref):
+                if par.num in seen:     # malformed parent cycle
+                    break
+                seen.add(par.num)
+            node = self.resolve(par)
+        fonts: dict = {}
+        if isinstance(res, dict):
+            fdict = self.resolve(res.get("/Font"))
+            if isinstance(fdict, dict):
+                for name, fref in fdict.items():
+                    fobj = self.resolve(fref)
+                    if not isinstance(fobj, dict):
+                        continue
+                    tu = fobj.get("/ToUnicode")
+                    if isinstance(tu, Ref):
+                        payload = self.stream_bytes(tu.num)
+                        if payload is not None:
+                            fonts[name] = _parse_tounicode(payload)
+        return fonts
+
+
+# --------------------------------------------------------------------------
+# /ToUnicode CMap (r14, VERDICT r11 task 4)
+# --------------------------------------------------------------------------
+
+_CSPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
+
+
+def _parse_tounicode(payload: bytes) -> tuple[int, dict[int, str]]:
+    """Minimal /ToUnicode CMap reader: ``(code_width_bytes, code ->
+    unicode string)``.  Covers the surface real ToUnicode CMaps use —
+    codespacerange (code width), bfchar pairs, bfrange in both the
+    incrementing-destination form (the LAST BYTE of the destination
+    increments, PDF 32000-1 §9.10.3) and the array-destination form.
+    Malformed sections raise :class:`PdfParseError` loudly."""
+    width = 1
+    m = _CSPACE_RE.search(payload)
+    if m:
+        tok = _CTOK_RE.search(m.group(1))
+        if tok and tok.group(1):
+            width = max(1, len(tok.group(1)) // 2)
+    mapping: dict[int, str] = {}
+
+    def u16(hx: bytes) -> str:
+        try:
+            return bytes.fromhex(hx.decode("ascii")).decode(
+                "utf-16-be", errors="replace")
+        except ValueError as e:
+            raise PdfParseError(f"ToUnicode: bad hex <{hx!r}>") from e
+
+    for m in _BFCHAR_RE.finditer(payload):
+        toks = [t.group(1) for t in _CTOK_RE.finditer(m.group(1))
+                if t.group(1)]
+        if len(toks) % 2:
+            raise PdfParseError("ToUnicode: odd bfchar token count")
+        for i in range(0, len(toks), 2):
+            mapping[int(toks[i], 16)] = u16(toks[i + 1])
+    for m in _BFRANGE_RE.finditer(payload):
+        toks = list(_CTOK_RE.finditer(m.group(1)))
+        i = 0
+        while i < len(toks):
+            if not (i + 2 < len(toks) and toks[i].group(1)
+                    and toks[i + 1].group(1)):
+                raise PdfParseError("ToUnicode: malformed bfrange")
+            lo = int(toks[i].group(1), 16)
+            hi = int(toks[i + 1].group(1), 16)
+            if hi < lo:
+                raise PdfParseError("ToUnicode: descending bfrange")
+            if toks[i + 2].group(2):            # [ <d1> <d2> ... ]
+                i += 3
+                code = lo
+                while i < len(toks) and not toks[i].group(3):
+                    if not toks[i].group(1):
+                        raise PdfParseError(
+                            "ToUnicode: bad bfrange array")
+                    mapping[code] = u16(toks[i].group(1))
+                    code += 1
+                    i += 1
+                if i >= len(toks):
+                    raise PdfParseError(
+                        "ToUnicode: unterminated bfrange array")
+                i += 1                           # the closing ]
+            else:                                # incrementing dst
+                dst = bytearray.fromhex(
+                    toks[i + 2].group(1).decode("ascii"))
+                if not dst:
+                    raise PdfParseError("ToUnicode: empty bfrange dst")
+                for off in range(hi - lo + 1):
+                    d = bytearray(dst)
+                    d[-1] = (d[-1] + off) & 0xFF  # last-byte increment
+                    mapping[lo + off] = bytes(d).decode(
+                        "utf-16-be", errors="replace")
+                i += 3
+    return width, mapping
+
 
 # --------------------------------------------------------------------------
 # content-stream text extraction
 # --------------------------------------------------------------------------
 
-def _decode_show_string(raw: bytes) -> str:
+def _decode_show_string(raw: bytes,
+                        cmap: tuple[int, dict[int, str]] | None = None
+                        ) -> str:
+    if cmap is not None:
+        width, mapping = cmap
+        out = []
+        for i in range(0, len(raw), width):
+            chunk = raw[i:i + width]
+            s = mapping.get(int.from_bytes(chunk, "big"))
+            # unmapped code: best-effort latin-1 of the raw bytes
+            out.append(s if s is not None else chunk.decode("latin-1"))
+        return "".join(out)
     if raw.startswith(b"\xfe\xff"):
         return raw[2:].decode("utf-16-be", errors="replace")
     return raw.decode("latin-1")
@@ -635,14 +875,19 @@ _NUM_RE = re.compile(rb"[+-]?(\d+\.?\d*|\.\d+)")
 _TJ_SPACE_KERN = 180
 
 
-def _extract_page_text(content: bytes) -> str:
+def _extract_page_text(content: bytes,
+                       fonts: dict[str, tuple[int, dict[int, str]]]
+                       | None = None) -> str:
     """Module-docstring text-operator semantics over one page's
-    (concatenated) content stream."""
+    (concatenated) content stream.  ``fonts`` maps resource font names
+    (``/F1``) to parsed /ToUnicode CMaps; the ``Tf`` operator selects
+    the current one for show-string decode."""
     out: list[str] = []
     lex = _Lexer(content)
     d = content
     n = len(d)
     operands: list[object] = []
+    cmap: tuple[int, dict[int, str]] | None = None
     # newline ops (T*, Td/TD, ', ") only EMIT once a show op has run in
     # the current BT block — the initial cursor positioning after BT is
     # layout, not a line break (otherwise every page starts with "\n")
@@ -669,13 +914,13 @@ def _extract_page_text(content: bytes) -> str:
         op = d[start:lex.pos]
         if op == b"Tj":
             if operands and isinstance(operands[-1], bytes):
-                out.append(_decode_show_string(operands[-1]))
+                out.append(_decode_show_string(operands[-1], cmap))
                 shown = True
         elif op == b"TJ":
             if operands and isinstance(operands[-1], list):
                 for el in operands[-1]:
                     if isinstance(el, bytes):
-                        out.append(_decode_show_string(el))
+                        out.append(_decode_show_string(el, cmap))
                         shown = True
                     elif isinstance(el, (int, float)) \
                             and el <= -_TJ_SPACE_KERN and shown \
@@ -688,7 +933,7 @@ def _extract_page_text(content: bytes) -> str:
             if shown:
                 out.append("\n")
             if operands and isinstance(operands[-1], bytes):
-                out.append(_decode_show_string(operands[-1]))
+                out.append(_decode_show_string(operands[-1], cmap))
                 shown = True
         elif op == b"T*":
             if shown:
@@ -698,6 +943,10 @@ def _extract_page_text(content: bytes) -> str:
                     and isinstance(operands[-1], (int, float)) \
                     and operands[-1] != 0:
                 out.append("\n")
+        elif op == b"Tf":
+            if fonts and len(operands) >= 2 \
+                    and isinstance(operands[-2], str):
+                cmap = fonts.get(operands[-2])
         elif op == b"BT":
             shown = False
         elif op == b"BI":
@@ -718,7 +967,8 @@ def extract_pdf_pages(data: bytes) -> list[str]:
     pages = doc.pages()
     if not pages:
         raise PdfParseError("no pages found in PDF")
-    return [_extract_page_text(doc.page_content(p)) for p in pages]
+    return [_extract_page_text(doc.page_content(p), doc.page_cmaps(p))
+            for p in pages]
 
 
 # --------------------------------------------------------------------------

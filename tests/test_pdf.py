@@ -150,6 +150,85 @@ def test_full_then_objstm_redefinition_wins():
         stale_page + body[len(b"%PDF-1.5\n"):]) == ["packed wins"]
 
 
+def test_cmap_font_roundtrip_variants():
+    """r14 /ToUnicode CMap: cmap_font=True writes show strings in a
+    non-identity byte code (gibberish under latin-1) that only a real
+    CMap decode recovers — swept across compression, split streams,
+    1-byte and 2-byte codespaces, and astral (surrogate-pair) chars."""
+    pages = ["hello CMap world", "naïve — ünïcode\nsecond line"]
+    for compress in (True, False):
+        for split in (True, False):
+            data = write_pdf(pages, compress=compress,
+                             split_streams=split, cmap_font=True)
+            assert extract_pdf_pages(data) == pages
+    # the encoding is really non-identity: neither the literal nor the
+    # hex form of the plain text appears in an uncompressed build
+    data = write_pdf(["abc"], compress=False, cmap_font=True)
+    assert b"(abc)" not in data
+    assert b"616263" not in data.lower()
+    # >254 distinct chars forces the 2-byte codespace
+    big = "".join(chr(0x100 + i) for i in range(300)) + " mixed ascii"
+    assert extract_pdf_pages(write_pdf([big], cmap_font=True)) == [big]
+    # astral chars ride bfchar with surrogate-pair destinations
+    emoji = "astral: \U0001F600\U0001F680 end"
+    assert extract_pdf_pages(write_pdf([emoji], cmap_font=True)) == [emoji]
+
+
+def test_cmap_parser_forms_and_fallback():
+    """_parse_tounicode covers both bfrange forms (incrementing dst with
+    the LAST-BYTE rule; array dst), bfchar, code width from the
+    codespacerange — and unmapped codes fall back to latin-1 bytes."""
+    from memory_opensource_spark.sources.pdf import (_decode_show_string,
+                                                     _parse_tounicode)
+
+    cmap = (b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+            b"1 begincodespacerange\n<00> <ff>\nendcodespacerange\n"
+            b"2 beginbfchar\n<01> <0041>\n<02> <D83DDE00>\nendbfchar\n"
+            b"1 beginbfrange\n<10> <12> <0061>\nendbfrange\n"
+            b"1 beginbfrange\n<20> <21> [<005A> <0059>]\nendbfrange\n"
+            b"endcmap\nend")
+    width, m = _parse_tounicode(cmap)
+    assert width == 1
+    assert m[0x01] == "A" and m[0x02] == "\U0001F600"
+    assert (m[0x10], m[0x11], m[0x12]) == ("a", "b", "c")
+    assert (m[0x20], m[0x21]) == ("Z", "Y")
+    # decode with fallback: code 0x7A unmapped -> latin-1 'z'
+    assert _decode_show_string(b"\x01\x7a\x10", (width, m)) == "Aza"
+    # 2-byte codespace
+    w2, m2 = _parse_tounicode(
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        b"1 beginbfchar\n<0105> <0106>\nendbfchar\n")
+    assert w2 == 2 and m2[0x105] == "Ć"
+    # last-byte increment rule: dst <00FE> + range of 3 wraps the LAST
+    # byte only (FE, FF, 00) — the documented §9.10.3 semantics
+    _, m3 = _parse_tounicode(
+        b"1 beginbfrange\n<01> <03> <00FE>\nendbfrange\n")
+    assert (m3[1], m3[2], m3[3]) == ("þ", "ÿ", "\x00")
+
+
+def test_cmap_resources_inherited_from_parent():
+    """/Resources may live on the Pages NODE, not the page dict — the
+    CMap must still be found through /Parent inheritance."""
+    import zlib
+
+    text = "parent resources"
+    base = write_pdf([text], compress=False, cmap_font=True)
+    # move the /Resources dict from the page object to the Pages node
+    assert b"/Resources" in base
+    import re as _re
+    m = _re.search(rb"(\d+) 0 obj\n<< /Type /Page /Parent 2 0 R "
+                   rb"/MediaBox \[0 0 612 792\] "
+                   rb"(/Resources << /Font << /F1 3 0 R >> >>) ", base)
+    assert m, "writer layout changed — update this test"
+    res = m.group(2)
+    moved = base.replace(res + b" ", b"", 1).replace(
+        b"2 0 obj\n<< /Type /Pages",
+        b"2 0 obj\n<< " + res + b" /Type /Pages", 1)
+    # offsets shifted: strip the xref so the scan index is used
+    moved = moved[:moved.rfind(b"xref")] + b"%%EOF\n"
+    assert extract_pdf_pages(moved) == [text]
+
+
 def test_loud_refusals():
     with pytest.raises(PdfParseError, match="missing %PDF"):
         extract_pdf_pages(b"not a pdf at all")
