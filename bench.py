@@ -176,6 +176,9 @@ HEADLINE = [
     # round 14: /ToUnicode CMap decode (writer emits a non-identity byte
     # code + CMap stream; parser reads bfchar/bfrange for real)
     "pdf_cmap_text",
+    # round 14: bounded-round crawl-frontier BFS (per-round robots +
+    # blocklist gating, seen-set anti-joins, checkpointed lineage)
+    "crawl_frontier",
 ]
 
 

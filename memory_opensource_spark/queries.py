@@ -6036,6 +6036,107 @@ def link_graph_q(spark, sf_dir):
             .agg(F.count("*").alias("n_links")))
 
 
+def _cf_oracle(rounds: int = 3) -> str:
+    """crawl_frontier oracle: the K BFS rounds UNROLLED as CTEs (the
+    G2-bounded-paths oracle pattern).  Candidates are tracked as
+    (host, num) pairs — URL strings are pure arithmetic renderings, so
+    the gate (robots closed-form + blocklist) and the fetch test
+    (h = num % 4 iff the URL exists in pages) need no string parsing."""
+    gate = "NOT (c.h IN (1, 3) OR (c.h = 0 AND c.num % 5 = 0))"
+    parts = [f"""WITH d AS (
+  SELECT doc_id AS num, doc_id % 4 AS h,
+         (7 * doc_id + 1) % 397 AS n1,
+         (13 * doc_id + 3) % 397 AS n2
+  FROM documents WHERE doc_id < 400),
+s0 AS (SELECT h, num FROM d WHERE num % 50 = 2),
+v0 AS (SELECT h, num FROM s0),
+f0 AS (SELECT c.h, c.num FROM s0 c
+       WHERE {gate} AND c.h = c.num % 4)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+c{r} AS (
+  SELECT DISTINCT c.h, c.num FROM (
+    SELECT d.n1 % 4 AS h, d.n1 AS num
+    FROM f{r - 1} f JOIN d ON d.num = f.num AND d.h = f.h
+    UNION ALL
+    SELECT f.h AS h, d.n2 AS num
+    FROM f{r - 1} f JOIN d ON d.num = f.num AND d.h = f.h
+  ) c
+  WHERE NOT EXISTS (SELECT 1 FROM v{r - 1} v
+                    WHERE v.h = c.h AND v.num = c.num)),
+v{r} AS (SELECT * FROM v{r - 1} UNION SELECT * FROM c{r}),
+f{r} AS (SELECT c.h, c.num FROM c{r} c
+         WHERE {gate} AND c.h = c.num % 4)""")
+    sel = "\nUNION ALL\n".join(
+        "SELECT 'https://h' || h || '.example' || "
+        "(CASE WHEN num % 5 = 0 THEN '/private/' ELSE '/p/' END) || num "
+        f"AS url, {r}::INT AS depth FROM f{r}"
+        for r in range(rounds + 1))
+    return "".join(parts) + "\n" + sel
+
+
+@_register("crawl_frontier", _cf_oracle(rounds=2))
+def crawl_frontier_q(spark, sf_dir):
+    """Bounded-round crawl-frontier expansion (r14,
+    plans/crawl.crawl_frontier — VERDICT r11 task 6): 8 seed URLs BFS
+    3 rounds over a 400-page synthetic web (each page links one
+    absolute double-quoted href and one root-relative single-quoted
+    href, both doc_id-derived; some targets are dead links on hosts
+    that never serve them), gated each round by REAL robots parsing
+    (h0 disallows /private/, h1 disallows everything, h2 empty) and
+    the UT1 blocklist (h3.example), candidates deduplicated against
+    every URL ever considered.  The oracle unrolls the rounds as
+    CTEs with the gate stated closed-form over (host, num) arithmetic
+    — any frontier-semantics drift (seen-set contents, gate order,
+    link resolution, fetch join) turns the row red.  Shape: per round
+    ONE anti-join + broadcast rules join + ONE fetch equi-join, every
+    frontier localCheckpointed (lineage stays flat — plan-pinned)."""
+    from .functions.robots import robots_rules_table
+    from .plans.crawl import crawl_frontier
+
+    d = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 400) \
+        .select(F.col("doc_id").alias("num"),
+                (F.col("doc_id") % 4).alias("h"),
+                ((F.col("doc_id") * 7 + 1) % 397).alias("n1"),
+                ((F.col("doc_id") * 13 + 3) % 397).alias("n2"))
+
+    def path(num):
+        return F.concat(
+            F.when(num % 5 == 0, F.lit("/private/"))
+            .otherwise(F.lit("/p/")), num)
+
+    def url(h, num):
+        return F.concat(F.lit("https://h"), h, F.lit(".example"),
+                        path(num))
+
+    pages = d.select(
+        url(F.col("h"), F.col("num")).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="'),
+            url(F.col("n1") % 4, F.col("n1")),
+            F.lit('">x</a><a href=\''),
+            path(F.col("n2")),
+            F.lit("'>y</a></body></html>")).alias("html"))
+    seeds = d.filter(F.col("num") % 50 == 2) \
+        .select(url(F.col("h"), F.col("num")).alias("url"))
+    robots = spark.createDataFrame(
+        [("h0.example", "User-agent: *\nDisallow: /private/\n"),
+         ("h1.example", "User-agent: *\nDisallow: /\n"),
+         ("h2.example", "")],
+        "host string, content string")
+    rules = robots_rules_table(robots, agent="memory-spark-crawler")
+    # fixture prep: the synthetic web and the parsed rules are built
+    # ONCE — every BFS round re-reads them (at 100 TB pages is a real
+    # table scan per round; here it would be a re-derivation of the
+    # arithmetic fixture inside every round's job)
+    pages = pages.localCheckpoint(eager=True)
+    rules = rules.localCheckpoint(eager=True)
+    out = crawl_frontier(seeds, pages, rounds=2, rules=rules,
+                         blocklist=["h3.example"])
+    return out.select("url", F.col("round").alias("depth"))
+
+
 @_register("robots_gate", """
 WITH d AS (
   SELECT doc_id, doc_id % 7 AS h, doc_id % 4 AS k, doc_id % 10 AS pn

@@ -144,3 +144,47 @@ def test_crawl_shards_with_trained_bpe_token_budget(spark, tmp_path):
         assert r.n_bpe_tokens > 0
         prior += r.n_bpe_tokens
     assert df[-1].shard >= 1  # budget actually split the corpus
+
+
+def test_crawl_frontier_semantics_and_flat_plan(spark):
+    """r14 plans/crawl.crawl_frontier: bounded BFS with per-round
+    gating — cycles do not loop (seen-set), blocked URLs are never
+    fetched AND never reconsidered, dead links (no page) vanish, a
+    page reached by two paths keeps its FIRST round, and the
+    accumulated result plan is a union of checkpointed leaves with
+    ZERO residual joins (lineage stays flat across rounds)."""
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.functions.robots import (
+        robots_rules_table)
+    from memory_opensource_spark.plans.crawl import crawl_frontier
+
+    def pg(url, *links):
+        return (url, "<html>" + "".join(
+            f'<a href="{x}">l</a>' for x in links) + "</html>")
+
+    A = "https://a.example/start"
+    B = "https://a.example/next"
+    C = "https://b.example/two"
+    D = "https://a.example/private/x"     # robots-blocked
+    E = "https://blk.example/spam"        # blocklist-blocked
+    G = "https://a.example/deep"
+    pages = spark.createDataFrame(
+        [pg(A, B, D, E, "https://a.example/dead"),
+         pg(B, C, A),                     # cycle back to A
+         pg(C, G, B),                     # second path to B (round 1)
+         pg(D, G),                        # never fetched: robots
+         pg(G)],
+        "url string, html string")
+    rules = robots_rules_table(spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /private/\n")],
+        "host string, content string"))
+    seeds = spark.createDataFrame([(A,)], "url string")
+    out = crawl_frontier(seeds, pages, rounds=3, rules=rules,
+                         blocklist=["blk.example"])
+    got = {r.url: r.round for r in out.collect()}
+    assert got == {A: 0, B: 1, C: 2, G: 3}
+    # D (robots) and E (blocklist) never fetched; dead link absent;
+    # the cycle back to A and the round-2 re-link to B do not repeat
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan   # union of checkpointed leaves only
