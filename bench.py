@@ -179,6 +179,9 @@ HEADLINE = [
     # round 14: bounded-round crawl-frontier BFS (per-round robots +
     # blocklist gating, seen-set anti-joins, checkpointed lineage)
     "crawl_frontier",
+    # round 14: multi-format pipeline capstone (sniff-route -> per-type
+    # extraction -> reassembly -> dedup -> word gate -> token shards)
+    "pipeline_multiformat",
 ]
 
 

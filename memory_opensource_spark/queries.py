@@ -6283,6 +6283,128 @@ def file_type_route_q(spark, sf_dir):
         "doc_id", "mime", "page", "total_pages", "text")
 
 
+_PMF_ORACLE = f"""WITH d AS (
+  SELECT doc_id, text, doc_id % 6 AS r,
+         ((n_chars + 1) // 2) AS L
+  FROM documents WHERE doc_id < 600),
+txt AS (
+  SELECT doc_id,
+    CASE r WHEN 0 THEN 'application/pdf' WHEN 1 THEN 'text/html'
+           ELSE 'text/plain' END AS mime,
+    CASE r
+      WHEN 0 THEN substr(text, 1, L::BIGINT) || chr(10)
+                  || substr(text, (L + 1)::BIGINT)
+      WHEN 1 THEN {_html_mod.html_to_text_sql(_FTR_HTML)}
+      ELSE 'plain: ' || text END AS xt
+  FROM d WHERE r IN (0, 1, 2)),
+canon AS (
+  SELECT t.doc_id, t.mime, t.xt FROM txt t
+  JOIN (SELECT md5(xt) AS h, MIN(doc_id) AS c FROM txt GROUP BY 1) g
+    ON md5(t.xt) = g.h AND t.doc_id = g.c),
+counted AS (
+  SELECT doc_id, mime,
+         len(list_filter(
+             string_split(regexp_replace(lower(xt), '\\s+', ' ', 'g'), ' '),
+             t -> t <> '')) AS n_tokens
+  FROM canon),
+passed AS (SELECT * FROM counted WHERE n_tokens >= 50)
+SELECT doc_id, mime, n_tokens::BIGINT AS n_tokens,
+       FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND 1 PRECEDING), 0)
+             / 2000.0)::INT AS shard
+FROM passed"""
+
+
+@_register("pipeline_multiformat", _PMF_ORACLE)
+def pipeline_multiformat_q(spark, sf_dir):
+    """Multi-format corpus pipeline CAPSTONE (r14, VERDICT r11 task 8):
+    a mixed pdf/html/txt/wav/mp3/binary corpus (format by doc_id, built
+    executor-side — PDFs are 2-page text slices, HALF of them CMap'd so
+    the r14 decode path composes; html wraps the text; txt carries the
+    magic-safe prefix) routes through the content sniffer
+    (sources/filetype.route_documents): PDFs re-enter through the real
+    text-layer parser page-by-page, html through the zero-UDF Column
+    extractor, media/binary become typed skip rows.  Extracted per-page
+    rows reassemble per doc (array_sort + array_join — order by page,
+    JVM-side), then the crawl filter chain runs ON THE EXTRACTED text:
+    exact dedup (min-id canonical), a 50-word floor, and token-budgeted
+    sequential sharding (budget 2000) — stage interactions are the
+    point: the shard prefix sums depend on which route produced each
+    doc's text and on which duplicates collapsed.  One DuckDB CTE chain
+    (slice arithmetic + the html twin + the window-form prefix sum)
+    states the whole composition closed-form — the pipeline_mini
+    pattern with the format router at the head.  Shape: two Arrow
+    kernels (build, route) + one combinable reassembly groupBy + one
+    dedup groupBy + the range-bucketed prefix-sum shard — no
+    single-partition window, no driver collect."""
+    import hashlib
+
+    import pandas as pd
+
+    from .sources.filetype import route_documents
+    from .sources.pdf import write_pdf
+    from .sources.writers import shard_by_token_budget
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 600).select("doc_id", "text")
+
+    def build(batches):
+        from .sources.multimodal import write_mp3_stub, write_wav
+        for pdf in batches:
+            rows = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d, text = int(d), str(text)
+                r = d % 6
+                if r == 0:
+                    half = (len(text) + 1) // 2
+                    content = write_pdf([text[:half], text[half:]],
+                                        compress=d % 2 == 0,
+                                        cmap_font=d % 4 == 2)
+                elif r == 1:
+                    content = (f"<html><body><h1>Title {d}</h1><p>{text}"
+                               f"</p></body></html>").encode()
+                elif r == 2:
+                    content = b"plain: " + text.encode()
+                elif r == 3:
+                    content = write_wav(8000, 1, 16, 4000)
+                elif r == 4:
+                    content = write_mp3_stub(4)
+                else:
+                    content = b"\x00\xffBIN" + hashlib.md5(
+                        str(d).encode()).digest()
+                rows.append((d, content))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    files = docs.mapInPandas(build, "doc_id long, content binary")
+    routed = route_documents(files)
+    texty = routed.filter(F.col("error").isNull()
+                          & F.col("text").isNotNull())
+    per_doc = (texty.groupBy("doc_id")
+               .agg(F.first("mime").alias("mime"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("page", "text"))),
+                            lambda s: s["text"]),
+                        "\n").alias("xt")))
+    canon = (per_doc.groupBy(F.md5("xt").alias("_h"))
+             .agg(F.min("doc_id").alias("doc_id"))
+             .join(per_doc, "doc_id")
+             .select("doc_id", "mime", "xt"))
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col("xt")), r"\s+", " "), " "),
+        lambda t: t != "")
+    passed = (canon.select("doc_id", "mime",
+                           F.size(toks).alias("n_tokens"))
+              .filter(F.col("n_tokens") >= 50))
+    return (shard_by_token_budget(passed, 2_000, id_col="doc_id",
+                                  tokens_col="n_tokens")
+            .select("doc_id", "mime",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "shard"))
+
+
 # oracle built at import time from the LIVE twin in functions/urls (the
 # html_text_extract lesson: frozen regex literals drift; built twins cannot)
 _BLOCK_RAW_SQL = (
