@@ -32,12 +32,12 @@ MAGIC_RULES = (
     ("image/png", "PNG signature"),
     ("image/gif", "GIF87a/GIF89a"),
     ("image/jpeg", "FFD8 SOI"),
-    ("image/x-portable-pixmap", "P6"),
+    ("image/x-portable-pixmap", "P6 + whitespace"),
     ("audio/wav", "RIFF....WAVE"),
     ("video/mp4", "ftyp at offset 4"),
     ("audio/mpeg", "ID3 tag or MPEG frame sync"),
     ("text/html", "optional BOM/ws then <html or <!doctype"),
-    ("text/plain", "valid UTF-8"),
+    ("text/plain", "valid UTF-8 with no NUL byte"),
     ("application/octet-stream", "fallback"),
 )
 
@@ -52,7 +52,9 @@ def sniff_mime(b: bytes) -> str:
         return "image/gif"
     if b.startswith(b"\xff\xd8"):
         return "image/jpeg"
-    if b.startswith(b"P6"):
+    # sweep-16: the PPM magic is "P6" + WHITESPACE — a text file that
+    # merely starts "P6x..." must not route to the image prober
+    if b.startswith(b"P6") and b[2:3] in (b" ", b"\t", b"\r", b"\n"):
         return "image/x-portable-pixmap"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "audio/wav"
@@ -67,11 +69,17 @@ def sniff_mime(b: bytes) -> str:
     stripped = head.lstrip(b" \t\r\n").lower()
     if stripped.startswith(b"<html") or stripped.startswith(b"<!doctype"):
         return "text/html"
+    # sweep-16: NUL bytes are valid UTF-8 but never appear in real text
+    # (the libmagic convention) — without this, binary containers whose
+    # bytes happen to decode (e.g. RIFF/AVI headers) would route to the
+    # text leg and emit control-char garbage as "text"
     try:
-        b.decode("utf-8")
-        return "text/plain"
+        if b"\x00" not in b:
+            b.decode("utf-8")
+            return "text/plain"
     except UnicodeDecodeError:
-        return "application/octet-stream"
+        pass
+    return "application/octet-stream"
 
 
 ROUTED_SCHEMA = ("path string, mime string, page int, total_pages int, "

@@ -833,6 +833,15 @@ def _parse_tounicode(payload: bytes) -> tuple[int, dict[int, str]]:
                         "ToUnicode: unterminated bfrange array")
                 i += 1                           # the closing ]
             else:                                # incrementing dst
+                # sweep-16 guard: a hostile <000000> <ffffff> range would
+                # materialize millions of entries (a task-stalling DoS on
+                # a poison PDF); no real codespace exceeds 2 bytes, so no
+                # legit CMap maps more than 0x10000 codes
+                if hi - lo + 1 > 0x10000 \
+                        or len(mapping) + (hi - lo + 1) > 0x10000:
+                    raise PdfParseError(
+                        "ToUnicode: bfrange wider than the 2-byte "
+                        "codespace — refusing a hostile/corrupt CMap")
                 dst = bytearray.fromhex(
                     toks[i + 2].group(1).decode("ascii"))
                 if not dst:
