@@ -5660,15 +5660,19 @@ def pdf_cmap_text_q(spark, sf_dir):
     with ``cmap_font=True`` — show strings in a NON-identity byte
     encoding (codes assigned per distinct character, 1- or 2-byte
     codespace as the alphabet requires) that is GIBBERISH under the
-    r13 latin-1 rules; the font carries a /ToUnicode CMap stream
-    (bfchar pairs + bfrange runs, chunked blocks) the parser must
-    actually read to recover the text.  Every page is decorated with
-    a doc_id-derived Greek letter so multi-byte UTF-16BE destinations
-    are exercised on every row; compression and split-stream variants
+    r13 latin-1 rules; the code table is published per doc_id as a
+    /ToUnicode CMap stream (bfchar pairs + bfrange runs, chunked
+    blocks), as a simple-font /Encoding /Differences glyph-name array
+    (uniXXXX + AGL names), or as BOTH (the reader must prefer
+    ToUnicode) — the parser must actually read whichever table is
+    present to recover the text.  Every page is decorated with a
+    doc_id-derived Greek letter so multi-byte destinations are
+    exercised on every row; compression and split-stream variants
     sweep by doc_id.  The oracle recomputes the expected per-page text
-    closed-form from the documents table — any writer/reader CMap
-    asymmetry (range increment rule, block chunking, code width) turns
-    the row red.  Shape: two Arrow kernels, scan-side, zero shuffle."""
+    closed-form from the documents table — any writer/reader
+    asymmetry (range increment rule, block chunking, code width,
+    glyph-name resolution, precedence) turns the row red.  Shape: two
+    Arrow kernels, scan-side, zero shuffle."""
     import pandas as pd
 
     from .sources.pdf import pdf_extract_kernel, write_pdf
@@ -5690,9 +5694,20 @@ def pdf_cmap_text_q(spark, sf_dir):
                     if len(raw) > 30:
                         raw = raw[:30] + "\n" + raw[30:]
                     pages.append(raw)
+                # encoding publication sweeps by doc_id: CMap only /
+                # Differences only / both (ToUnicode precedence);
+                # Differences are single-byte — alphabets past 254
+                # distinct chars fall back to the CMap form
+                # (deterministic from the text, oracle-invariant)
+                enc = d % 3
+                fits = len({c for p in pages for c in p
+                            if c != "\n"}) <= 0xFE
+                use_diff = enc >= 1 and fits
+                use_cmap = enc != 1 or not fits
                 content = write_pdf(pages, compress=d % 2 == 0,
                                     split_streams=d % 3 == 0,
-                                    cmap_font=True)
+                                    cmap_font=use_cmap,
+                                    diff_encoding=use_diff)
                 rows.append((d, content))
             yield pd.DataFrame(rows, columns=["doc_id", "content"])
 

@@ -64,11 +64,18 @@ unless the string begins with the UTF-16BE BOM ``FE FF``.  The writer
 twin's ``cmap_font=True`` emits a deliberately NON-identity byte
 encoding (codes assigned per distinct character) whose text only a
 correct CMap decode recovers — gibberish under latin-1 — so the
-oracle row pins the real decode path.  Remaining seam: per-font
-simple-font **/Encoding /Differences** arrays (glyph-name remaps
-without a ToUnicode) are not consulted; such PDFs stay best-effort
-latin-1 — the same honest-seam class as the progressive-JPEG note in
-sources/multimodal.
+oracle row pins the real decode path.  A font WITHOUT a ToUnicode but
+WITH a simple-font **/Encoding /Differences** array decodes through
+the Differences (r14): integers set the current code, each following
+glyph NAME assigns that code and increments; glyph names resolve to
+unicode via ``uniXXXX``/``uXXXXX[X]`` forms plus the common-AGL subset
+(letters, digits, space/punctuation names); unresolvable names and
+unmapped codes fall back to latin-1 of the raw byte.  ToUnicode wins
+when both are present (it is the authoritative text mapping per
+PDF 32000-1 §9.10.2).  Remaining seam: named base encodings
+(/WinAnsiEncoding et al.) are approximated by the latin-1 fallback
+rather than their exact tables — the same honest-seam class as the
+progressive-JPEG note in sources/multimodal.
 """
 
 from __future__ import annotations
@@ -103,6 +110,96 @@ def _pdf_string(s: str, hex_strings: bool = False) -> bytes:
     if hex_strings:
         return b"<" + raw.hex().encode() + b">"
     return b"(" + b"".join(_ESC.get(c, bytes([c])) for c in raw) + b")"
+
+
+#: common-AGL glyph-name subset (Adobe Glyph List): name -> character.
+#: Letters map to themselves and digits to their word names below; this
+#: table carries the punctuation both twins use.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+}
+_AGL_REV = {c: n for n, c in _AGL.items()}
+_UNI_NAME_RE = re.compile(r"^uni([0-9A-Fa-f]{4})$")
+_U_NAME_RE = re.compile(r"^u([0-9A-Fa-f]{5,6})$")
+
+
+def _glyph_to_unicode(name: str) -> str | None:
+    """Glyph name (no leading slash) -> unicode char, or None when the
+    name is outside the documented surface (the caller falls back)."""
+    if len(name) == 1 and (name.isalpha() or name.isdigit()):
+        return name
+    if name in _AGL:
+        return _AGL[name]
+    m = _UNI_NAME_RE.match(name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = _U_NAME_RE.match(name)
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp <= 0x10FFFF else None
+    return None
+
+
+def _glyph_name(c: str) -> str:
+    """Writer twin of :func:`_glyph_to_unicode`."""
+    if c.isascii() and c.isalpha():
+        return c
+    if c in _AGL_REV:
+        return _AGL_REV[c]
+    cp = ord(c)
+    return f"uni{cp:04X}" if cp <= 0xFFFF else f"u{cp:05X}"
+
+
+def _differences_array(table: dict[str, int]) -> bytes:
+    """The /Differences array for ``table`` (char -> code): integers set
+    the current code, names assign consecutive codes — runs of
+    consecutive codes omit the repeated integers."""
+    out = []
+    prev = None
+    for code, ch in sorted((v, k) for k, v in table.items()):
+        if prev is None or code != prev + 1:
+            out.append(str(code).encode())
+        out.append(b"/" + _glyph_name(ch).encode("ascii"))
+        prev = code
+    return b"[ " + b" ".join(out) + b" ]"
+
+
+def _parse_differences(diffs: list) -> dict[int, str]:
+    """/Differences array -> {code: unicode}.  Integers set the current
+    code; each following name assigns it and increments.  Names outside
+    the glyph surface are SKIPPED (their codes keep the latin-1
+    fallback), malformed entries raise loudly."""
+    mapping: dict[int, str] = {}
+    code = None
+    for el in diffs:
+        if isinstance(el, int):
+            if not 0 <= el <= 255:
+                raise PdfParseError(
+                    f"/Differences: code {el} outside one byte")
+            code = el
+        elif isinstance(el, str) and el.startswith("/"):
+            if code is None:
+                raise PdfParseError("/Differences: name before any code")
+            if code > 255:
+                raise PdfParseError("/Differences: ran past code 255")
+            u = _glyph_to_unicode(el[1:])
+            if u is not None:
+                mapping[code] = u
+            code += 1
+        else:
+            raise PdfParseError(
+                f"/Differences: unexpected element {el!r}")
+    return mapping
 
 
 def _content_stream(lines: list[str], hex_strings: bool,
@@ -197,7 +294,8 @@ def _tounicode_cmap(table: dict[str, int], width: int) -> bytes:
 def write_pdf(pages: list[str], *, compress: bool = True,
               hex_strings: bool = False,
               split_streams: bool = False,
-              cmap_font: bool = False) -> bytes:
+              cmap_font: bool = False,
+              diff_encoding: bool = False) -> bytes:
     """A complete single-font PDF 1.4 file showing ``pages`` (one
     MediaBox'd page per element; lines split on ``\\n`` become
     ``Tj``/``T*`` pairs, so :func:`extract_pdf_pages` round-trips the
@@ -206,8 +304,12 @@ def write_pdf(pages: list[str], *, compress: bool = True,
     each page's content into a two-stream ``/Contents`` array;
     ``cmap_font`` (r14) shows text in a NON-identity per-document byte
     encoding under a font carrying a /ToUnicode CMap — the bytes are
-    gibberish under latin-1, so only a real CMap decode round-trips
-    (all four are parser-surface variations oracle rows sweep)."""
+    gibberish under latin-1, so only a real CMap decode round-trips;
+    ``diff_encoding`` (r14) uses the same non-identity byte code but
+    publishes it as a simple-font /Encoding /Differences array (glyph
+    names) instead — single-byte codes only.  With BOTH set, the font
+    carries both tables (the reader must prefer ToUnicode).  All are
+    parser-surface variations oracle rows sweep."""
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_num = 3
@@ -215,13 +317,21 @@ def write_pdf(pages: list[str], *, compress: bool = True,
     next_num = 4
     encoder = None
     cmap_obj: bytes | None = None
-    if cmap_font:
+    diff_arr: bytes | None = None
+    if cmap_font or diff_encoding:
         table, cwidth = _build_code_table(pages)
+        if diff_encoding and cwidth != 1:
+            raise PdfParseError(
+                "diff_encoding: alphabet exceeds one byte — "
+                "/Differences codes are single-byte; use cmap_font")
 
         def encoder(line: str, _t=table, _w=cwidth) -> bytes:
             return b"".join(_t[c].to_bytes(_w, "big") for c in line)
 
-        cmap_obj = _tounicode_cmap(table, cwidth)
+        if cmap_font:
+            cmap_obj = _tounicode_cmap(table, cwidth)
+        if diff_encoding:
+            diff_arr = _differences_array(table)
     for text in pages:
         lines = text.split("\n")
         body = _content_stream(lines, hex_strings, encoder)
@@ -258,16 +368,21 @@ def write_pdf(pages: list[str], *, compress: bool = True,
     objs[2] = (b"<< /Type /Pages /Kids ["
                + b" ".join(b"%d 0 R" % n for n in page_nums)
                + b"] /Count " + str(n_pages).encode() + b" >>")
-    if cmap_obj is not None:
-        data = zlib.compress(cmap_obj) if compress else cmap_obj
-        filt = b"/Filter /FlateDecode " if compress else b""
-        objs[next_num] = (b"<< " + filt + b"/Length "
-                          + str(len(data)).encode() + b" >>\nstream\n"
-                          + data + b"\nendstream")
+    if cmap_obj is not None or diff_arr is not None:
+        extra = b""
+        if cmap_obj is not None:
+            data = zlib.compress(cmap_obj) if compress else cmap_obj
+            filt = b"/Filter /FlateDecode " if compress else b""
+            objs[next_num] = (b"<< " + filt + b"/Length "
+                              + str(len(data)).encode() + b" >>\nstream\n"
+                              + data + b"\nendstream")
+            extra += b"/ToUnicode " + str(next_num).encode() + b" 0 R "
+            next_num += 1
+        if diff_arr is not None:
+            extra += (b"/Encoding << /Type /Encoding /Differences "
+                      + diff_arr + b" >> ")
         objs[font_num] = (b"<< /Type /Font /Subtype /TrueType "
-                          b"/BaseFont /Custom /ToUnicode "
-                          + str(next_num).encode() + b" 0 R >>")
-        next_num += 1
+                          b"/BaseFont /Custom " + extra + b">>")
     else:
         objs[font_num] = (b"<< /Type /Font /Subtype /Type1 "
                           b"/BaseFont /Helvetica >>")
@@ -765,6 +880,12 @@ class _PdfDoc:
                         payload = self.stream_bytes(tu.num)
                         if payload is not None:
                             fonts[name] = _parse_tounicode(payload)
+                            continue  # ToUnicode is authoritative
+                    enc = self.resolve(fobj.get("/Encoding"))
+                    if isinstance(enc, dict):
+                        diffs = self.resolve(enc.get("/Differences"))
+                        if isinstance(diffs, list):
+                            fonts[name] = (1, _parse_differences(diffs))
         return fonts
 
 

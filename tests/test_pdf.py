@@ -341,3 +341,53 @@ def test_fuzzed_mutations_never_hang_or_crash_uncontrolled():
     # UnicodeDecodeError past the module contract
     assert outcomes["other"] == 0, outcomes
     assert outcomes["ok"] + outcomes["parse_err"] == 300
+
+
+def test_diff_encoding_roundtrip_and_precedence():
+    """r14 simple-font /Encoding /Differences: a non-identity byte code
+    published as glyph names (letters/digits/AGL punctuation/uniXXXX/
+    uXXXXX) round-trips; with BOTH tables present ToUnicode wins (a
+    deliberately damaged Differences array must be ignored); alphabets
+    past one byte refuse loudly."""
+    import re
+
+    pages = ["hello Differences 123!", "naïve — ünïcode\nsecond (line)"]
+    for compress in (True, False):
+        for split in (True, False):
+            data = write_pdf(pages, compress=compress,
+                             split_streams=split, diff_encoding=True)
+            assert extract_pdf_pages(data) == pages
+    data = write_pdf(["abc"], compress=False, diff_encoding=True)
+    assert b"(abc)" not in data and b"616263" not in data.lower()
+    emoji = "astral: \U0001F600 end"   # -> uXXXXX glyph-name form
+    assert extract_pdf_pages(
+        write_pdf([emoji], diff_encoding=True)) == [emoji]
+    both = write_pdf(["precedence"], compress=False,
+                     cmap_font=True, diff_encoding=True)
+    assert extract_pdf_pages(both) == ["precedence"]
+    evil = re.sub(rb"/Differences \[ [^\]]*\]",
+                  b"/Differences [ 1 /Z ]", both)
+    assert extract_pdf_pages(evil) == ["precedence"]
+    big = "".join(chr(0x100 + i) for i in range(300))
+    with pytest.raises(PdfParseError, match="single-byte"):
+        write_pdf([big], diff_encoding=True)
+
+
+def test_parse_differences_semantics():
+    """Integers set the current code, names assign consecutively,
+    unknown glyph names are SKIPPED (fallback codes), malformed
+    entries raise."""
+    from memory_opensource_spark.sources.pdf import (_decode_show_string,
+                                                     _parse_differences)
+
+    m = _parse_differences([65, "/a", "/b", 100, "/uni0416",
+                            "/mystery.glyph", "/space"])
+    assert m == {65: "a", 66: "b", 100: "Ж", 102: " "}
+    # decode with fallback: unmapped 0x43 -> latin-1 'C'
+    assert _decode_show_string(b"\x41\x43\x64", (1, m)) == "aCЖ"
+    with pytest.raises(PdfParseError, match="name before any code"):
+        _parse_differences(["/a"])
+    with pytest.raises(PdfParseError, match="outside one byte"):
+        _parse_differences([300, "/a"])
+    with pytest.raises(PdfParseError, match="ran past"):
+        _parse_differences([255, "/a", "/b"])
