@@ -182,6 +182,9 @@ HEADLINE = [
     # round 14: multi-format pipeline capstone (sniff-route -> per-type
     # extraction -> reassembly -> dedup -> word gate -> token shards)
     "pipeline_multiformat",
+    # round 14: scanned-page OCR seam (image-XObject detection +
+    # resolution; deterministic fake engine in the slot)
+    "pdf_ocr_seam",
 ]
 
 

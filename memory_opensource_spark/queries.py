@@ -5718,6 +5718,68 @@ def pdf_cmap_text_q(spark, sf_dir):
     return parsed.select("doc_id", "page", "total_pages", "text")
 
 
+@_register("pdf_ocr_seam", """
+WITH base AS (
+  SELECT doc_id, text,
+         (1 + doc_id % 2) AS n,
+         ((n_chars + doc_id % 2) // (1 + doc_id % 2)) AS L
+  FROM documents WHERE doc_id < 500),
+pages AS (
+  SELECT doc_id, i, n,
+    (CASE WHEN (doc_id + i) % 2 = 0 THEN 'scan: ' ELSE '' END)
+      || substr(text, ((i - 1) * L + 1)::BIGINT, L::BIGINT) AS text
+  FROM base, LATERAL (SELECT UNNEST(range(1, n + 1)) AS i) t)
+SELECT doc_id, i::INT AS page, n::INT AS total_pages, text
+FROM pages
+""")
+def pdf_ocr_seam_q(spark, sf_dir):
+    """Scanned-page OCR seam (r14 — the second half of the reference's
+    PDF fidelity, services/processPDF.py provider OCR): per-doc PDFs
+    mix TEXT-LAYER pages with SCANNED pages (image-only — no text
+    operators, one /Image XObject drawn by ``Do``; which pages are
+    scanned derives from (doc_id + page) parity, so every multi-page
+    doc mixes both legs).  Extraction runs with the deterministic
+    ``ocr_stub`` plugged into the ``ocr=`` seam: scanned pages are
+    DETECTED (empty text layer + image resources), their XObject
+    streams resolved and routed through the callable — the 'scan: '
+    marker in the expected text proves the OCR leg produced the row,
+    not the text layer (a routing bug yields '' and a hash mismatch).
+    A real deployment passes a real OCR engine through the same slot;
+    the detection/resolution plumbing is what this row pins.  Shape:
+    two Arrow kernels, scan-side, zero shuffle."""
+    import pandas as pd
+
+    from .sources.pdf import make_pdf_extract_kernel, ocr_stub, write_pdf
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 500).select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d, text = int(d), str(text)
+                n = 1 + d % 2
+                pl = (len(text) + n - 1) // n
+                pages, scanned = [], set()
+                for i in range(1, n + 1):
+                    raw = text[(i - 1) * pl:i * pl]
+                    if (d + i) % 2 == 0:
+                        scanned.add(i - 1)
+                        raw = "scan: " + raw
+                    pages.append(raw)
+                content = write_pdf(pages, compress=d % 2 == 0,
+                                    scanned=scanned)
+                rows.append((d, content))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    media = docs.mapInPandas(build, "doc_id long, content binary")
+    parsed = media.mapInPandas(
+        make_pdf_extract_kernel(ocr=ocr_stub),
+        "doc_id long, page int, total_pages int, text string, error string")
+    return parsed.select("doc_id", "page", "total_pages", "text")
+
+
 @_register("connector_transpose", """
 WITH d AS (
   SELECT doc_id, text, doc_id % 6 AS r, 'w' || (doc_id % 4) AS ws

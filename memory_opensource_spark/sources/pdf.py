@@ -295,7 +295,8 @@ def write_pdf(pages: list[str], *, compress: bool = True,
               hex_strings: bool = False,
               split_streams: bool = False,
               cmap_font: bool = False,
-              diff_encoding: bool = False) -> bytes:
+              diff_encoding: bool = False,
+              scanned: bool | set[int] = False) -> bytes:
     """A complete single-font PDF 1.4 file showing ``pages`` (one
     MediaBox'd page per element; lines split on ``\\n`` become
     ``Tj``/``T*`` pairs, so :func:`extract_pdf_pages` round-trips the
@@ -308,8 +309,13 @@ def write_pdf(pages: list[str], *, compress: bool = True,
     ``diff_encoding`` (r14) uses the same non-identity byte code but
     publishes it as a simple-font /Encoding /Differences array (glyph
     names) instead — single-byte codes only.  With BOTH set, the font
-    carries both tables (the reader must prefer ToUnicode).  All are
-    parser-surface variations oracle rows sweep."""
+    carries both tables (the reader must prefer ToUnicode).
+    ``scanned`` (r14) renders the given page indices (or all pages,
+    ``True``) as IMAGE-ONLY pages: no text operators, one /XObject
+    /Image drawn by ``Do`` whose stream bytes are the page text in the
+    deterministic fake-scan format :func:`ocr_stub` reads back — the
+    scanned-page/OCR seam twin.  All are parser-surface variations
+    oracle rows sweep."""
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_num = 3
@@ -332,7 +338,39 @@ def write_pdf(pages: list[str], *, compress: bool = True,
             cmap_obj = _tounicode_cmap(table, cwidth)
         if diff_encoding:
             diff_arr = _differences_array(table)
-    for text in pages:
+    scanned_set = (set(range(n_pages)) if scanned is True
+                   else set(scanned or ()))
+    for page_idx, text in enumerate(pages):
+        if page_idx in scanned_set:
+            # a SCANNED page: no text operators at all — one image
+            # XObject whose stream is the page "scan" (the deterministic
+            # fake-scan format ocr_stub reads back; a real scanner would
+            # put pixels here and a real OCR engine in the seam)
+            img = text.encode("utf-8")
+            data = zlib.compress(img) if compress else img
+            filt = b"/Filter /FlateDecode " if compress else b""
+            objs[next_num] = (b"<< /Type /XObject /Subtype /Image "
+                              b"/Width 612 /Height 792 "
+                              b"/ColorSpace /DeviceGray "
+                              b"/BitsPerComponent 8 " + filt
+                              + b"/Length " + str(len(data)).encode()
+                              + b" >>\nstream\n" + data + b"\nendstream")
+            img_num = next_num
+            next_num += 1
+            body = b"q 612 0 0 792 0 0 cm /Im1 Do Q"
+            cdata = zlib.compress(body) if compress else body
+            objs[next_num] = (b"<< " + filt + b"/Length "
+                              + str(len(cdata)).encode()
+                              + b" >>\nstream\n" + cdata + b"\nendstream")
+            objs[next_num + 1] = (
+                b"<< /Type /Page /Parent 2 0 R "
+                b"/MediaBox [0 0 612 792] "
+                b"/Resources << /XObject << /Im1 "
+                + str(img_num).encode() + b" 0 R >> >> "
+                b"/Contents " + str(next_num).encode() + b" 0 R >>")
+            page_nums.append(next_num + 1)
+            next_num += 2
+            continue
         lines = text.split("\n")
         body = _content_stream(lines, hex_strings, encoder)
         if split_streams and len(lines) > 1:
@@ -848,25 +886,49 @@ class _PdfDoc:
         # with a whitespace byte between
         return b"\n".join(parts)
 
-    def page_cmaps(self, page: dict) -> dict:
-        """Font name -> parsed /ToUnicode CMap for ``page`` (fonts
-        without one are absent — they keep the latin-1/BOM rules).
-        /Resources is inherited through /Parent when the page dict
-        omits it (PDF 32000-1 §7.7.3.4)."""
-        res = None
+    def _page_resources(self, page: dict) -> dict | None:
+        """The page's /Resources dict, inherited through /Parent when
+        the page dict omits it (PDF 32000-1 §7.7.3.4)."""
         node: object = page
         seen: set[int] = set()
         while isinstance(node, dict):
             r = self.resolve(node.get("/Resources"))
             if isinstance(r, dict):
-                res = r
-                break
+                return r
             par = node.get("/Parent")
             if isinstance(par, Ref):
                 if par.num in seen:     # malformed parent cycle
-                    break
+                    return None
                 seen.add(par.num)
             node = self.resolve(par)
+        return None
+
+    def page_images(self, page: dict) -> list[bytes]:
+        """Decoded stream bytes of every /Subtype /Image XObject in the
+        page's resources, in resource-name order (the scanned-page leg:
+        these are the bytes an OCR engine would read)."""
+        res = self._page_resources(page)
+        out: list[bytes] = []
+        if isinstance(res, dict):
+            xdict = self.resolve(res.get("/XObject"))
+            if isinstance(xdict, dict):
+                for _name, xref in sorted(xdict.items()):
+                    if not isinstance(xref, Ref):
+                        continue
+                    xobj = self.resolve(xref)
+                    if isinstance(xobj, dict) \
+                            and self.resolve(
+                                xobj.get("/Subtype")) == "/Image":
+                        payload = self.stream_bytes(xref.num)
+                        if payload is not None:
+                            out.append(payload)
+        return out
+
+    def page_cmaps(self, page: dict) -> dict:
+        """Font name -> parsed /ToUnicode CMap (or /Differences map)
+        for ``page`` (fonts with neither are absent — they keep the
+        latin-1/BOM rules)."""
+        res = self._page_resources(page)
         fonts: dict = {}
         if isinstance(res, dict):
             fdict = self.resolve(res.get("/Font"))
@@ -1087,18 +1149,44 @@ def _extract_page_text(content: bytes,
     return "".join(out)
 
 
-def extract_pdf_pages(data: bytes) -> list[str]:
+def ocr_stub(image_bytes: bytes) -> str:
+    """Deterministic OCR stand-in (the embedder-seam pattern,
+    core/document_processing provider OCR analog): reads back the
+    fake-scan format :func:`write_pdf` ``scanned=`` emits — the image
+    stream IS the page text's utf-8 bytes.  A real deployment passes
+    pytesseract/a provider client through the same ``ocr=`` slot; the
+    plumbing (scanned-page detection, XObject resolution, per-page
+    image extraction) is identical and fully tested."""
+    return image_bytes.decode("utf-8", errors="replace")
+
+
+def extract_pdf_pages(data: bytes, ocr=None) -> list[str]:
     """Ordered per-page text of ``data`` (module docstring semantics).
     Raises :class:`PdfParseError` for encrypted input, non-Flate filters,
-    or structurally unparseable files."""
+    or structurally unparseable files.
+
+    ``ocr`` (r14): optional ``Callable[[bytes], str]`` for SCANNED
+    pages — a page whose text layer is EMPTY but whose resources carry
+    /Image XObjects routes each image through ``ocr`` and joins the
+    results (the reference's provider-OCR path in
+    services/processPDF.py).  Without ``ocr`` such pages stay empty —
+    the r13 behavior, honest and silent-wrong-free (no text exists in
+    the text layer)."""
     if not data.startswith(b"%PDF-"):
         raise PdfParseError("not a PDF: missing %PDF- header")
     doc = _PdfDoc(data)
     pages = doc.pages()
     if not pages:
         raise PdfParseError("no pages found in PDF")
-    return [_extract_page_text(doc.page_content(p), doc.page_cmaps(p))
-            for p in pages]
+    out = []
+    for p in pages:
+        text = _extract_page_text(doc.page_content(p), doc.page_cmaps(p))
+        if text == "" and ocr is not None:
+            images = doc.page_images(p)
+            if images:
+                text = "\n".join(ocr(img) for img in images)
+        out.append(text)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -1109,28 +1197,38 @@ PDF_SCHEMA = ("path string, page int, total_pages int, text string, "
               "error string")
 
 
-def pdf_extract_kernel(batches):
-    """mapInPandas kernel over {path|doc-id column first, content binary}:
-    one output row per page; files outside the documented surface emit a
-    single row with ``error`` set and NULL text (decode-tolerant like the
-    WARC reader — one poison file must not kill a 100 TB scan, but the
-    failure is VISIBLE, never silent empty text)."""
-    import pandas as pd
+def make_pdf_extract_kernel(ocr=None):
+    """Kernel factory: a mapInPandas kernel over {path|doc-id column
+    first, content binary} — one output row per page; files outside the
+    documented surface emit a single row with ``error`` set and NULL
+    text (decode-tolerant like the WARC reader — one poison file must
+    not kill a 100 TB scan, but the failure is VISIBLE, never silent
+    empty text).  ``ocr`` plugs the scanned-page seam
+    (:func:`extract_pdf_pages`)."""
 
-    for pdf in batches:
-        key_col = pdf.columns[0]
-        rows = []
-        for key, content in zip(pdf[key_col], pdf["content"]):
-            try:
-                pages = extract_pdf_pages(bytes(content))
-                total = len(pages)
-                for i, text in enumerate(pages):
-                    rows.append((key, i + 1, total, text, None))
-            except Exception as e:  # noqa: BLE001 — decode-tolerant scan
-                rows.append((key, None, None, None,
-                             f"{type(e).__name__}: {e}"))
-        yield pd.DataFrame(rows, columns=[
-            key_col, "page", "total_pages", "text", "error"])
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            key_col = pdf.columns[0]
+            rows = []
+            for key, content in zip(pdf[key_col], pdf["content"]):
+                try:
+                    pages = extract_pdf_pages(bytes(content), ocr=ocr)
+                    total = len(pages)
+                    for i, text in enumerate(pages):
+                        rows.append((key, i + 1, total, text, None))
+                except Exception as e:  # noqa: BLE001 — decode-tolerant
+                    rows.append((key, None, None, None,
+                                 f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows, columns=[
+                key_col, "page", "total_pages", "text", "error"])
+
+    return kernel
+
+
+#: the default (no-OCR) kernel — the r13 surface, unchanged
+pdf_extract_kernel = make_pdf_extract_kernel()
 
 
 def read_pdf(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:

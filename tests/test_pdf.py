@@ -391,3 +391,39 @@ def test_parse_differences_semantics():
         _parse_differences([300, "/a"])
     with pytest.raises(PdfParseError, match="ran past"):
         _parse_differences([255, "/a", "/b"])
+
+
+def test_scanned_pages_and_ocr_seam():
+    """r14 scanned-page seam: image-only pages (no text operators, one
+    /Image XObject drawn by Do) yield '' without ocr= and route their
+    image bytes through the callable with it; mixed text/scanned and
+    cmap+scanned docs compose; a legitimately empty TEXT page (no
+    images) never triggers OCR."""
+    from memory_opensource_spark.sources.pdf import ocr_stub
+
+    pages = ["scan one text", "scan two — ünïcode"]
+    for compress in (True, False):
+        data = write_pdf(pages, compress=compress, scanned=True)
+        assert extract_pdf_pages(data, ocr=ocr_stub) == pages
+        assert extract_pdf_pages(data) == ["", ""]
+    mixed = write_pdf(["text layer", "scanned page"], scanned={1})
+    assert extract_pdf_pages(mixed, ocr=ocr_stub) == \
+        ["text layer", "scanned page"]
+    assert extract_pdf_pages(mixed) == ["text layer", ""]
+    both = write_pdf(["cmap text", "scanned"], cmap_font=True,
+                     scanned={1})
+    assert extract_pdf_pages(both, ocr=ocr_stub) == \
+        ["cmap text", "scanned"]
+    empty_text = write_pdf(["", "x"])
+    assert extract_pdf_pages(empty_text, ocr=ocr_stub) == ["", "x"]
+    # the seam takes ANY callable — a custom engine sees the raw bytes
+    seen = []
+
+    def fake_engine(b):
+        seen.append(b)
+        return "ENGINE"
+
+    assert extract_pdf_pages(
+        write_pdf(["payload"], scanned=True, compress=False),
+        ocr=fake_engine) == ["ENGINE"]
+    assert seen == [b"payload"]
