@@ -185,6 +185,12 @@ HEADLINE = [
     # round 14: scanned-page OCR seam (image-XObject detection +
     # resolution; deterministic fake engine in the slot)
     "pdf_ocr_seam",
+    # round 14: Sitemap: directives out of robots.txt (Column regex +
+    # canonical fold + one groupBy)
+    "robots_sitemap_discovery",
+    # round 14: per-host politeness waves (skew-proof grouped rank on a
+    # hot-host frontier)
+    "crawl_politeness_waves",
 ]
 
 

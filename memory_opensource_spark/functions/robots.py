@@ -168,3 +168,28 @@ def robots_blocked(df: DataFrame, rules: DataFrame,
             .select("_u"))
     how = "left_semi" if keep_blocked else "left_anti"
     return df.join(hits, df[url_col] == hits["_u"], how)
+
+
+#: Sitemap: directive extraction — group-INDEPENDENT per the
+#: sitemaps-protocol extension to robots.txt (any agent may use every
+#: Sitemap line, regardless of User-agent groups); comments strip first
+_SITEMAP_RX = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"
+
+
+def robots_sitemaps(content: Column) -> Column:
+    """``array<string>`` of ``Sitemap:`` directive URLs in a robots.txt
+    body (r14) — the discovery bridge from the politeness file to
+    functions/urls.sitemap_locs: robots.txt advertises the sitemaps,
+    the sitemaps advertise the frontier.  Case-insensitive key, comment
+    stripping, whitespace-delimited URL.  Pure Column expression
+    (regexp_replace + regexp_extract_all), scan-side, zero UDF; NULL
+    body -> empty array."""
+    clean = F.regexp_replace(F.coalesce(content, F.lit("")),
+                             "(?m)#.*$", "")
+    return F.regexp_extract_all(clean, F.lit(_SITEMAP_RX), 1)
+
+
+def robots_sitemaps_sql(expr: str) -> str:
+    """DuckDB twin of :func:`robots_sitemaps` — same regexes."""
+    return (f"regexp_extract_all(regexp_replace(coalesce({expr}, ''), "
+            f"'(?m)#.*$', '', 'g'), '{_SITEMAP_RX}', 1)")

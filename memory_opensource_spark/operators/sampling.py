@@ -50,41 +50,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def cap_rows_per_group(df: DataFrame, group_col: str, cap: int,
-                       order_col: str, id_col: str = "doc_id",
-                       range_buckets: int = 32) -> DataFrame:
-    """Keep the ``cap`` smallest rows by ``(order_col, id_col)`` in every
-    ``group_col`` group.  Returns the surviving input rows (original
-    columns).  Exact ``row_number <= cap`` semantics, no hot-group window.
-
-    ``order_col`` must be NUMERIC (the range-bucket machinery casts it to
-    double; under ANSI mode a string cast would error) — derive one from a
-    string key with ``conv(substring(md5(k), 1, 8), 16, 10)`` like the
-    registered query does."""
+def grouped_exact_ranks(df: DataFrame, order_col: str,
+                        id_col: str,
+                        range_buckets: int = 32) -> DataFrame:
+    """Exact per-group ``row_number`` by ``(order_col asc, id_col asc)``
+    over a frame carrying a ``_g`` struct group key — WITHOUT a
+    whole-group window (the skew-proof shape cap_rows_per_group
+    established): per-group ``percentile_approx`` boundaries of
+    ``order_col`` -> (group, bucket) assignment -> combinable bucket
+    counts -> broadcast-sized exclusive offsets -> a window partitioned
+    by (group, BUCKET), never by the group alone.  Adds ``_rk``
+    (1-based).  ``order_col`` must be numeric (see cap_rows_per_group's
+    note)."""
     from pyspark.sql import Window
 
-    if cap < 1:
-        raise ValueError(f"cap must be >= 1, got {cap}")
-    cols = df.columns
-    # struct key: null-safe through every join below
-    df = df.withColumn("_g", F.struct(F.col(group_col).alias("k"))) \
-           .localCheckpoint(eager=False)   # read by 2-3 branches below
-    sizes = df.groupBy("_g").agg(F.count("*").alias("_n"))
-    under = sizes.filter(F.col("_n") <= cap).select("_g")
-    over = sizes.filter(F.col("_n") > cap).select("_g")
-    kept_small = df.join(under, "_g", "left_semi")
-
-    # Zipfian head only: per-group order boundaries -> (group, bucket) ranks.
-    # NO broadcast hints below: `over`/`bounds`/`offs` are one row per
-    # over-quota group — few on a Zipfian corpus, but an adversarial input
-    # (every group just over cap) makes them O(n/cap) rows, so the sizing
-    # call belongs to AQE, which broadcasts them when they are in fact small
-    hot = df.join(over, "_g", "left_semi")
     probs = [i / range_buckets for i in range(1, range_buckets)]
-    bounds = (hot.groupBy("_g")
+    bounds = (df.groupBy("_g")
               .agg(F.percentile_approx(F.col(order_col).cast("double"),
                                        probs, 10_000).alias("_b")))
-    rb = hot.join(bounds, "_g").withColumn(
+    rb = df.join(bounds, "_g").withColumn(
         "_rb",
         F.aggregate(
             F.coalesce(F.col("_b"), F.array()),
@@ -102,8 +86,40 @@ def cap_rows_per_group(df: DataFrame, group_col: str, cap: int,
             .agg(F.coalesce(F.sum("b._c"), F.lit(0)).alias("_off")))
     w = (Window.partitionBy("_g", "_rb")
          .orderBy(F.col(order_col).asc(), F.col(id_col).asc()))
-    ranked = (rb.join(offs, ["_g", "_rb"])
-              .withColumn("_rk", F.col("_off") + F.row_number().over(w)))
+    return (rb.join(offs, ["_g", "_rb"])
+            .withColumn("_rk", F.col("_off") + F.row_number().over(w))
+            .drop("_rb", "_off"))
+
+
+def cap_rows_per_group(df: DataFrame, group_col: str, cap: int,
+                       order_col: str, id_col: str = "doc_id",
+                       range_buckets: int = 32) -> DataFrame:
+    """Keep the ``cap`` smallest rows by ``(order_col, id_col)`` in every
+    ``group_col`` group.  Returns the surviving input rows (original
+    columns).  Exact ``row_number <= cap`` semantics, no hot-group window.
+
+    ``order_col`` must be NUMERIC (the range-bucket machinery casts it to
+    double; under ANSI mode a string cast would error) — derive one from a
+    string key with ``conv(substring(md5(k), 1, 8), 16, 10)`` like the
+    registered query does."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    cols = df.columns
+    # struct key: null-safe through every join below
+    df = df.withColumn("_g", F.struct(F.col(group_col).alias("k"))) \
+           .localCheckpoint(eager=False)   # read by 2-3 branches below
+    sizes = df.groupBy("_g").agg(F.count("*").alias("_n"))
+    under = sizes.filter(F.col("_n") <= cap).select("_g")
+    over = sizes.filter(F.col("_n") > cap).select("_g")
+    kept_small = df.join(under, "_g", "left_semi")
+
+    # Zipfian head only: per-group order boundaries -> (group, bucket) ranks.
+    # NO broadcast hints below: `over`/`bounds`/`offs` are one row per
+    # over-quota group — few on a Zipfian corpus, but an adversarial input
+    # (every group just over cap) makes them O(n/cap) rows, so the sizing
+    # call belongs to AQE, which broadcasts them when they are in fact small
+    hot = df.join(over, "_g", "left_semi")
+    ranked = grouped_exact_ranks(hot, order_col, id_col, range_buckets)
     kept_hot = ranked.filter(F.col("_rk") <= cap) \
                      .select(*cols, "_g")
     return kept_small.select(*cols, "_g").unionByName(kept_hot).select(*cols)

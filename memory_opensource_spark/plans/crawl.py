@@ -280,3 +280,40 @@ def crawl_frontier(seeds: DataFrame, pages: DataFrame, *,
         out = out.unionByName(
             frontier.select(url_col, F.lit(r).alias("round")))
     return out
+
+
+def politeness_waves(frontier: DataFrame, per_wave: int, *,
+                     host_col: str = "host",
+                     url_col: str = "url",
+                     range_buckets: int = 32) -> DataFrame:
+    """Per-host politeness scheduling for a fetch frontier (r14): a
+    polite crawler fetches at most ``per_wave`` URLs per host per wave,
+    so the frontier is partitioned into fetch WAVES — ``wave =
+    (per-host rank - 1) // per_wave``, rank ordered by a salted md5 of
+    the URL (a deterministic uniform spread, so every wave samples the
+    host's URL space instead of draining it in path order).  Adds
+    ``{wave}``.
+
+    Shape (100 TB): the skew-proof exact grouped rank
+    (operators/sampling.grouped_exact_ranks — percentile range-buckets
+    + broadcast offsets; windows partitioned by (host, bucket), never
+    by host alone), so one mega-host (the Zipfian crawl reality:
+    wikipedia/github dominate frontiers) never pins a single task.
+    Complements crawl_frontier: rounds bound DEPTH, waves bound
+    PER-HOST RATE within a round."""
+    from ..operators.sampling import grouped_exact_ranks
+
+    if per_wave < 1:
+        raise ValueError(f"per_wave must be >= 1, got {per_wave}")
+    cols = frontier.columns
+    keyed = (frontier
+             .withColumn("_g", F.struct(F.col(host_col).alias("k")))
+             .withColumn("_ord", F.conv(
+                 F.substring(F.md5(F.concat(F.lit("wave:"),
+                                            F.col(url_col))), 1, 8),
+                 16, 10).cast("long")))
+    ranked = grouped_exact_ranks(keyed, "_ord", url_col,
+                                 range_buckets)
+    return ranked.select(
+        *cols,
+        (((F.col("_rk") - 1) / per_wave).cast("int")).alias("wave"))

@@ -6113,6 +6113,95 @@ def link_graph_q(spark, sf_dir):
             .agg(F.count("*").alias("n_links")))
 
 
+@_register("robots_sitemap_discovery", """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 600),
+s1 AS (SELECT 'https://cdn.example/sm/' || (doc_id % 25) || '.xml' AS url
+       FROM d WHERE doc_id % 3 <> 0),
+s2 AS (SELECT 'https://maps.example/idx.xml?page=' || (doc_id % 7) AS url
+       FROM d WHERE doc_id % 4 = 0),
+u AS (SELECT url FROM s1 UNION ALL SELECT url FROM s2)
+SELECT url AS sitemap_url, COUNT(*)::BIGINT AS n_hosts
+FROM u GROUP BY 1
+""")
+def robots_sitemap_discovery_q(spark, sf_dir):
+    """Sitemap directives out of robots.txt (r14,
+    functions/robots.robots_sitemaps — the discovery bridge: robots.txt
+    advertises sitemaps, sitemap_locs advertises the frontier): one
+    synthetic robots body per host mixes directive case (Sitemap /
+    sItEmAp / SITEMAP), trailing comments, rule noise, and 0-2
+    directives by doc_id arithmetic; extraction is the pure Column
+    regex, then canonical_url folds the advertised URLs (uppercase
+    hosts lowercase; utm_ tracking params drop) and ONE combinable
+    groupBy counts referencing hosts.  The oracle states the canonical
+    URLs and counts closed-form — independent of both regexes, so a
+    drift in either extraction or canonicalization turns the row red.
+    Shape: scan-side projections + explode + one groupBy; zero UDF."""
+    from .functions.robots import robots_sitemaps
+    from .functions.urls import canonical_url
+
+    d = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 600).select("doc_id")
+    i = F.col("doc_id")
+    s1 = F.when(i % 3 != 0, F.concat(
+        F.when(i % 2 == 0, F.lit("Sitemap: "))
+        .otherwise(F.lit("sItEmAp:  ")),
+        F.lit("https://CDN.example/sm/"), i % 25,
+        F.lit(".xml  # advertised")))
+    s2 = F.when(i % 4 == 0, F.concat(
+        F.lit("SITEMAP: https://MAPS.example/idx.xml?utm_source=x&page="),
+        i % 7))
+    body = F.concat_ws(
+        "\n", F.lit("User-agent: *"),
+        F.lit("Disallow: /private/  # rule noise, not a directive"),
+        s1, F.lit("# sitemap: https://comment.example/no.xml"), s2)
+    robots = d.select(F.concat(F.lit("h"), i, F.lit(".example"))
+                      .alias("host"), body.alias("content"))
+    ex = robots.select(F.explode(robots_sitemaps(F.col("content")))
+                       .alias("raw"))
+    return (ex.select(canonical_url(F.col("raw")).alias("sitemap_url"))
+            .groupBy("sitemap_url")
+            .agg(F.count("*").alias("n_hosts")))
+
+
+@_register("crawl_politeness_waves", """
+WITH f AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'hot.example'
+         ELSE 'h' || (doc_id % 5) || '.example' END AS host
+  FROM documents WHERE doc_id < 600),
+u AS (SELECT host, 'https://' || host || '/p/' || doc_id AS url FROM f),
+r AS (SELECT host, url,
+        ROW_NUMBER() OVER (
+          PARTITION BY host
+          ORDER BY ('0x' || substr(md5('wave:' || url), 1, 8))::BIGINT ASC,
+                   url ASC) AS rn
+      FROM u)
+SELECT host, url, ((rn - 1) // 20)::INT AS wave FROM r
+""")
+def crawl_politeness_waves_q(spark, sf_dir):
+    """Per-host politeness scheduling (r14,
+    plans/crawl.politeness_waves): a frontier where ONE host carries
+    half the URLs (the Zipfian crawl reality) is partitioned into fetch
+    waves of 20 URLs per host — rank by salted url-md5 (deterministic
+    uniform spread), wave = (rank-1)//20.  The oracle IS the hot-host
+    window form; the operator computes identical ranks with the
+    skew-proof grouped_exact_ranks shape (percentile range-buckets +
+    broadcast offsets; every window partitioned by (host, bucket),
+    never by host alone — the mega-host never pins one task;
+    plan-pinned in tests)."""
+    from .plans.crawl import politeness_waves
+
+    d = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 600).select("doc_id")
+    i = F.col("doc_id")
+    host = F.when(i % 2 == 0, F.lit("hot.example")) \
+        .otherwise(F.concat(F.lit("h"), i % 5, F.lit(".example")))
+    frontier = d.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, F.lit("/p/"), i).alias("url"))
+    return politeness_waves(frontier, 20)
+
+
 def _cf_oracle(rounds: int = 3) -> str:
     """crawl_frontier oracle: the K BFS rounds UNROLLED as CTEs (the
     G2-bounded-paths oracle pattern).  Candidates are tracked as

@@ -133,3 +133,43 @@ def test_grouped_prefix_sum_randomized_window_twin(spark):
                     "p", F.coalesce(F.sum("val").over(w), F.lit(0)))
                 .collect()}
         assert got == want, seed
+
+
+def test_politeness_waves_semantics_and_plan(spark):
+    """r14 plans/crawl.politeness_waves: per-host waves of K via the
+    skew-proof grouped rank — wave sizes are exactly K until the host
+    drains (last wave partial), waves partition each host's URLs, the
+    spread is the salted-hash order (not path order), and the plan
+    carries no unbucketed per-host window."""
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.plans.crawl import politeness_waves
+
+    rows = [("hot.example", f"https://hot.example/p/{i}")
+            for i in range(105)]
+    rows += [("cold.example", f"https://cold.example/p/{i}")
+             for i in range(7)]
+    df = spark.createDataFrame(rows, "host string, url string")
+    out = politeness_waves(df, 10)
+    got = out.collect()
+    assert len(got) == 112
+    by = {}
+    for r in got:
+        by.setdefault((r.host, r.wave), set()).add(r.url)
+    hot_waves = sorted(w for h, w in by if h == "hot.example")
+    assert hot_waves == list(range(11))          # 105 urls -> 11 waves
+    for w in range(10):
+        assert len(by[("hot.example", w)]) == 10
+    assert len(by[("hot.example", 10)]) == 5     # partial tail
+    assert len(by[("cold.example", 0)]) == 7
+    # deterministic across runs
+    again = {(r.host, r.url): r.wave
+             for r in politeness_waves(df, 10).collect()}
+    assert all(again[(r.host, r.url)] == r.wave for r in got)
+    # scale pin: every window partitioned by (host-struct, range bucket)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert win_lines and all("_rb" in ln for ln in win_lines), win_lines
+    with pytest.raises(ValueError, match="per_wave"):
+        politeness_waves(df, 0)
