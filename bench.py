@@ -191,6 +191,9 @@ HEADLINE = [
     # round 14: per-host politeness waves (skew-proof grouped rank on a
     # hot-host frontier)
     "crawl_politeness_waves",
+    # round 14: doc-level fuzzy decontamination (cross-table band join +
+    # exact-Jaccard refine; no corpus self-join)
+    "fuzzy_decontamination",
 ]
 
 

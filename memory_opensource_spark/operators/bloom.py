@@ -147,3 +147,80 @@ def bloom_might_contain(bits_col, value, num_bits: int, k: int):
         mask = F.element_at(masks, F.pmod(p, F.lit(64)).cast("int") + 1)
         pred = pred & (word.bitwiseAND(mask) != 0)
     return pred
+
+
+def fuzzy_contamination_flags(corpus: DataFrame, eval_docs: DataFrame, *,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              eval_id_col: str = "eval_id",
+                              eval_text_col: str = "text",
+                              threshold: float | None = None,
+                              hash_fn: str = "md5",
+                              max_bucket: int | None = None) -> DataFrame:
+    """FUZZY decontamination verdicts (r14 — the doc-level complement of
+    the exact n-gram forms above; GPT-3 appendix C / The Pile's method):
+    a corpus document is contaminated when its shingle-set Jaccard
+    against ANY eval document reaches ``threshold`` (default
+    semantics.NEAR_DUP_JACCARD).  Returns ``{id_col, contaminated}``
+    for EVERY corpus doc.
+
+    Shape (100 TB): MinHash band tables of BOTH sides (the oracle-gated
+    dedup machinery), candidates by a CROSS-table equi-join on
+    (band_idx, band_hash) — the eval side is benchmark-sized, so
+    Catalyst broadcasts it and the corpus is never self-joined — then
+    the exact-Jaccard refine on candidates only, then one distinct +
+    left join for the verdict column.  ``max_bucket`` drops oversize
+    CORPUS buckets from candidate generation (the output-amplification
+    guard minhash_lsh_candidates documents; near-identical boilerplate
+    that collides at that scale is caught by the exact n-gram pass this
+    operator composes with)."""
+    from ..semantics import NEAR_DUP_JACCARD
+    from .dedup import minhash_band_table
+
+    if threshold is None:
+        threshold = NEAR_DUP_JACCARD
+    cb = minhash_band_table(corpus, id_col, text_col, hash_fn=hash_fn)
+    if max_bucket is not None:
+        small = (cb.groupBy("band_idx", "band_hash")
+                 .agg(F.count("*").alias("_n"))
+                 .filter(F.col("_n") <= max_bucket)
+                 .drop("_n"))
+        cb = cb.join(small, ["band_idx", "band_hash"], "semi")
+    eb = minhash_band_table(eval_docs, eval_id_col, eval_text_col,
+                            hash_fn=hash_fn)
+    cands = (cb.alias("c")
+             .join(eb.alias("e"),
+                   (F.col("c.band_idx") == F.col("e.band_idx"))
+                   & (F.col("c.band_hash") == F.col("e.band_hash")))
+             .select(F.col("c.id").alias("left_id"),
+                     F.col("e.id").alias("right_id"))
+             .distinct())
+    # exact refine across the two tables (the jaccard_pairs algebra,
+    # with each side's shingles joined from its own frame)
+    from ..functions.text import shingles
+
+    shc = corpus.select(F.col(id_col).alias("left_id"),
+                        shingles(F.col(text_col)).alias("lsh_"))
+    she = eval_docs.select(F.col(eval_id_col).alias("right_id"),
+                           shingles(F.col(eval_text_col)).alias("rsh_"))
+    hits = (cands.join(shc, "left_id").join(she, "right_id")
+            .withColumn("inter", F.size(F.array_intersect("lsh_", "rsh_")))
+            .withColumn("uni", F.size(F.array_union("lsh_", "rsh_")))
+            .filter(F.col("inter").cast("double")
+                    / F.greatest(F.col("uni"), F.lit(1)) >= threshold)
+            .select(F.col("left_id").alias(id_col)).distinct())
+    return (corpus.select(id_col)
+            .join(hits.withColumn("_c", F.lit(1)), id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("_c"), F.lit(0)).alias("contaminated")))
+
+
+def fuzzy_decontaminate(corpus: DataFrame, eval_docs: DataFrame,
+                        **kw) -> DataFrame:
+    """Drop fuzzy-contaminated corpus rows (see
+    :func:`fuzzy_contamination_flags`); returns surviving corpus rows
+    with their original columns."""
+    id_col = kw.get("id_col", "doc_id")
+    flags = fuzzy_contamination_flags(corpus, eval_docs, **kw)
+    return corpus.join(flags.filter(F.col("contaminated") == 1)
+                       .select(id_col), id_col, "left_anti")

@@ -6113,6 +6113,96 @@ def link_graph_q(spark, sf_dir):
             .agg(F.count("*").alias("n_links")))
 
 
+def _mh_band_ctes(prefix: str, src: str, num_hashes: int = 16,
+                  bands: int = 4) -> str:
+    """Parameterized DuckDB minhash band-table CTEs (the _minhash_sql
+    twin generalized to any source select): emits ``{prefix}b`` with
+    {id, band_idx, band_hash}."""
+    rows = num_hashes // bands
+    return f"""
+{prefix}tk AS (
+  SELECT id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+  FROM ({src})
+), {prefix}sh AS (
+  SELECT id,
+    list_distinct(list_transform(
+      range(1, greatest(len(tk) - 2, 1) + 1),
+      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
+  FROM {prefix}tk
+), {prefix}sig AS (
+  SELECT id, shingles,
+    list_transform(range(0, {num_hashes}),
+      i -> list_aggregate(list_transform(shingles,
+             s -> md5(i::VARCHAR || ':' || s)), 'min')) AS sig
+  FROM {prefix}sh
+), {prefix}b AS (
+  SELECT id, u['band_idx'] AS band_idx, u['band_hash'] AS band_hash FROM (
+    SELECT id,
+      UNNEST(list_transform(range(0, {bands}),
+        b -> {{'band_idx': b, 'band_hash': md5(array_to_string(
+              list_slice(sig, b * {rows} + 1, b * {rows} + {rows}),
+              ','))}})) AS u
+    FROM {prefix}sig)
+)"""
+
+
+_FDC_ORACLE = f"""WITH
+{_mh_band_ctes("c_", "SELECT doc_id AS id, text FROM documents "
+                     "WHERE doc_id < 400")},
+{_mh_band_ctes("e_", "SELECT doc_id AS id, "
+                     "(CASE WHEN doc_id % 9 = 4 THEN text "
+                     " ELSE text || ' appended evaluation suffix tokens'"
+                     " END) AS text "
+                     "FROM documents WHERE doc_id < 400 "
+                     "AND doc_id % 9 IN (4, 7)")},
+cand AS (
+  SELECT DISTINCT c.id AS cid, e.id AS eid
+  FROM c_b c JOIN e_b e
+    ON c.band_idx = e.band_idx AND c.band_hash = e.band_hash),
+hit AS (
+  SELECT DISTINCT cand.cid
+  FROM cand
+  JOIN c_sh cs ON cs.id = cand.cid
+  JOIN e_sh es ON es.id = cand.eid
+  WHERE len(list_intersect(cs.shingles, es.shingles))::DOUBLE
+        / greatest(len(list_distinct(cs.shingles || es.shingles)), 1)
+        >= 0.8)
+SELECT d.doc_id, (CASE WHEN h.cid IS NULL THEN 0 ELSE 1 END) AS contaminated
+FROM documents d LEFT JOIN hit h ON h.cid = d.doc_id
+WHERE d.doc_id < 400"""
+
+
+@_register("fuzzy_decontamination", _FDC_ORACLE)
+def fuzzy_decontamination_q(spark, sf_dir):
+    """Doc-level FUZZY decontamination (r14,
+    operators/bloom.fuzzy_contamination_flags — the GPT-3 appendix-C /
+    The-Pile complement of the exact n-gram rows): an eval set built
+    from the corpus itself (exact copies for doc_id%9==4, suffix-
+    perturbed copies for %9==7) is banded alongside the corpus, the
+    CROSS-table (band_idx, band_hash) equi-join proposes candidates —
+    never a corpus self-join — and the exact shingle-Jaccard refine at
+    the 0.8 house threshold issues a per-doc verdict.  The oracle
+    mirrors the FULL pipeline including banding (the parameterized
+    band-table twin), so candidate recall is part of the pinned
+    semantics, not an assumption: exact copies always collide; whether
+    a perturbed copy reaches a band match is decided identically by
+    both engines.  Shape: two band tables + one broadcast-able
+    candidate join + refine on candidates only; zero self-join."""
+    from .operators.bloom import fuzzy_contamination_flags
+
+    corpus = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 400).select("doc_id", "text")
+    ev = (corpus.filter(F.col("doc_id") % 9 == 4)
+          .select(F.col("doc_id").alias("eval_id"), "text")
+          .unionByName(
+              corpus.filter(F.col("doc_id") % 9 == 7)
+              .select(F.col("doc_id").alias("eval_id"),
+                      F.concat(F.col("text"),
+                               F.lit(" appended evaluation suffix "
+                                     "tokens")).alias("text"))))
+    return fuzzy_contamination_flags(corpus, ev, threshold=0.8)
+
+
 @_register("robots_sitemap_discovery", """
 WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 600),
 s1 AS (SELECT 'https://cdn.example/sm/' || (doc_id % 25) || '.xml' AS url

@@ -120,3 +120,39 @@ def test_bloom_sidecar_roundtrip_and_reuse(spark, tmp_path):
          ngram_contamination_flags(docs, grams, bits2, nb2, k2).collect()}
     assert a == b
     assert (0, 1, 1) in a and (1, 0, 0) in a
+
+
+def test_fuzzy_decontamination_cross_table(spark):
+    """r14 operators/bloom.fuzzy_contamination_flags: exact eval copies
+    flag, unrelated docs do not, the near-copy boundary follows exact
+    Jaccard on banded candidates, and fuzzy_decontaminate drops exactly
+    the flagged rows; max_bucket caps corpus-side amplification."""
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.operators.bloom import (
+        fuzzy_contamination_flags, fuzzy_decontaminate)
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again with many more words to shingle properly")
+    corpus = spark.createDataFrame(
+        [(1, base),
+         (2, base + " tiny tail"),          # near-copy of eval doc 1
+         (3, "completely different content about spark catalyst "
+             "optimizer plans and shuffle partitions everywhere"),
+         (4, "short doc")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(100, base)], "eval_id long, text string")
+    flags = {r.doc_id: r.contaminated
+             for r in fuzzy_contamination_flags(
+                 corpus, ev, threshold=0.8).collect()}
+    assert flags[1] == 1           # exact copy
+    assert flags[2] == 1           # near copy above 0.8
+    assert flags[3] == 0 and flags[4] == 0
+    kept = {r.doc_id for r in fuzzy_decontaminate(
+        corpus, ev, threshold=0.8).collect()}
+    assert kept == {3, 4}
+    # max_bucket=0 disables candidate generation entirely -> nothing flags
+    flags0 = {r.doc_id: r.contaminated
+              for r in fuzzy_contamination_flags(
+                  corpus, ev, threshold=0.8, max_bucket=0).collect()}
+    assert set(flags0.values()) == {0}
