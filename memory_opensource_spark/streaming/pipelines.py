@@ -519,3 +519,113 @@ def foreach_batch_connector_ingest(stream: DataFrame, state_dir: str,
 
     return (stream.writeStream.foreachBatch(handle)
             .option("checkpointLocation", checkpoint))
+
+
+def foreach_batch_frontier_ingest(stream: DataFrame, state_dir: str,
+                                  checkpoint: str, *,
+                                  rules: DataFrame | None = None,
+                                  blocklist: list[str] | None = None,
+                                  url_col: str = "url",
+                                  html_col: str = "html",
+                                  retain_batches: int | None = None,
+                                  on_batch=None):
+    """Streaming frontier discovery (r14): the incremental twin of
+    plans/crawl.crawl_frontier — micro-batches of FETCHED pages
+    ``{url, html}`` arrive (a fetcher loop feeds pages requested from
+    the frontier back in); each batch
+
+        canonicalizes the fetched URLs and records them as seen
+        -> extracts + canonicalizes outbound links
+        -> anti-joins every URL ever seen (fetched OR already queued)
+        -> gates by the domain blocklist and the parsed robots rules
+        -> appends the survivors to the ``frontier`` table — the queue
+           a fetcher drains for the next wave.
+
+    State shape: both state tables (``seen_urls``, ``frontier``) are
+    PARTITIONED BY batch_id with the connector-ingest discipline —
+    idempotent replays (a re-delivered batch excludes its own
+    batch_id's seen rows and re-derives its original output),
+    horizon-pruned anti-join reads, and aged-out partitions deleted
+    when ``retain_batches`` is set (the documented watermark trade: a
+    URL re-discovered more than N batches after first sight re-queues).
+    ``on_batch(new_frontier, batch_id)`` observes each batch's queue
+    delta."""
+    import os
+
+    from ..functions.html import extract_links
+    from ..functions.robots import robots_blocked
+    from ..functions.urls import canonical_url, url_blocked
+
+    seen_dir = os.path.join(state_dir, "seen_urls")
+    frontier_dir = os.path.join(state_dir, "frontier")
+
+    def handle(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        pages = (batch_df
+                 .select(canonical_url(F.col(url_col)).alias(url_col),
+                         F.col(html_col))
+                 .filter(F.col(url_col).isNotNull())
+                 .dropDuplicates([url_col])
+                 .localCheckpoint(eager=True))
+        links = (pages
+                 .select(F.explode(extract_links(
+                     F.col(html_col), F.col(url_col))).alias("_raw"))
+                 .select(canonical_url(F.col("_raw")).alias(url_col))
+                 .distinct())
+        horizon = (batch_id - retain_batches
+                   if retain_batches is not None else None)
+        batch_urls = pages.select(url_col)
+        cand = links.join(batch_urls, url_col, "left_anti")
+        if os.path.isdir(seen_dir):
+            seen = (spark.read.parquet(seen_dir)
+                    .filter(F.col("batch_id") != batch_id))
+            if horizon is not None:
+                seen = seen.filter(F.col("batch_id") >= horizon)
+            cand = cand.join(seen.select(url_col), url_col, "left_anti")
+        if blocklist:
+            cand = cand.filter(~url_blocked(F.col(url_col), blocklist))
+        if rules is not None:
+            cand = robots_blocked(cand, rules, url_col=url_col)
+        cand = cand.localCheckpoint(eager=True)
+        # frontier append: idempotent per batch (prune to own partition)
+        to_queue = cand.withColumn("batch_id", F.lit(batch_id))
+        if os.path.isdir(frontier_dir):
+            to_queue = to_queue.join(
+                spark.read.parquet(frontier_dir)
+                .filter(F.col("batch_id") == batch_id)
+                .select(url_col), url_col, "left_anti")
+        to_queue.write.mode("append").partitionBy("batch_id") \
+            .parquet(frontier_dir)
+        # seen append: fetched urls + newly queued urls, deduped within
+        # the horizon (same pruned read as the dedup join)
+        new_seen = (batch_urls.unionByName(cand)
+                    .distinct()
+                    .withColumn("batch_id", F.lit(batch_id)))
+        if os.path.isdir(seen_dir):
+            prior = spark.read.parquet(seen_dir)
+            if horizon is not None:
+                prior = prior.filter(F.col("batch_id") >= horizon)
+            new_seen = new_seen.join(prior.select(url_col),
+                                     url_col, "left_anti")
+        new_seen.write.mode("append").partitionBy("batch_id") \
+            .parquet(seen_dir)
+        if horizon is not None:
+            jvm = spark._jvm
+            jdir = jvm.org.apache.hadoop.fs.Path(seen_dir)
+            fs = jdir.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(jdir):
+                for st in fs.listStatus(jdir):
+                    part = st.getPath().getName()
+                    if not part.startswith("batch_id="):
+                        continue
+                    try:
+                        old = int(part.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if old < horizon:
+                        fs.delete(st.getPath(), True)
+        if on_batch is not None:
+            on_batch(cand, batch_id)
+
+    return (stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint))

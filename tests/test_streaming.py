@@ -231,3 +231,64 @@ def test_decayed_counter_updates_late_batch_never_inflates(spark):
     assert abs(out.ema - (10.0 + 0.5 ** (31 / 30.0))) < 1e-9
     assert out.hit_total == 101.0
     assert str(out.ema_updated_at) == "2024-02-01 00:00:00"  # never regresses
+
+
+def test_streaming_frontier_ingest_incremental_discovery(spark, tmp_path):
+    """r14 foreach_batch_frontier_ingest: fetched-page micro-batches
+    grow a frontier queue incrementally — links gate through robots +
+    blocklist, URLs ever seen (fetched or queued) never re-queue, and
+    a fresh-checkpoint replay leaves state unchanged."""
+    import json
+    import os
+
+    from memory_opensource_spark.functions.robots import (
+        robots_rules_table)
+    from memory_opensource_spark.streaming.pipelines import (
+        foreach_batch_frontier_ingest)
+
+    d = tmp_path / "fetched"
+    d.mkdir()
+    sd = str(tmp_path / "state")
+
+    def page(url, *links):
+        return json.dumps({"url": url, "html": "<html>" + "".join(
+            f'<a href="{x}">l</a>' for x in links) + "</html>"})
+
+    A = "https://a.example/start"
+    B = "https://a.example/next"
+    C = "https://b.example/two"
+    # batch 0: page A links B, a robots-blocked URL, a blocklisted URL
+    (d / "b0.json").write_text(page(
+        A, B, "https://a.example/private/x", "https://blk.example/s"))
+    # batch 1: page B (fetched from the queue) links C, A (seen) and B
+    (d / "b1.json").write_text(page(B, C, A, B))
+    for i in range(2):
+        os.utime(d / f"b{i}.json", (1_700_000_000 + i,) * 2)
+
+    rules = robots_rules_table(spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /private/\n")],
+        "host string, content string")).localCheckpoint(eager=True)
+
+    def run(ckpt):
+        stream = (spark.readStream.schema("url string, html string")
+                  .option("maxFilesPerTrigger", 1).json(str(d)))
+        q = (foreach_batch_frontier_ingest(
+                stream, sd, str(tmp_path / ckpt), rules=rules,
+                blocklist=["blk.example"])
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run("ck1")
+    fr = spark.read.parquet(os.path.join(sd, "frontier"))
+    got = {(r.url, r.batch_id) for r in fr.collect()}
+    assert got == {(B, 0), (C, 1)}   # blocked/seen/self links never queue
+    seen = spark.read.parquet(os.path.join(sd, "seen_urls"))
+    assert seen.count() == seen.select("url").distinct().count()
+    assert {r.url for r in seen.collect()} == {A, B, C}
+
+    # fresh-checkpoint replay: same batches, state must not grow
+    run("ck2-replay")
+    fr2 = spark.read.parquet(os.path.join(sd, "frontier"))
+    assert {(r.url, r.batch_id) for r in fr2.collect()} == got
+    seen2 = spark.read.parquet(os.path.join(sd, "seen_urls"))
+    assert seen2.count() == 3
