@@ -194,6 +194,9 @@ HEADLINE = [
     # round 14: doc-level fuzzy decontamination (cross-table band join +
     # exact-Jaccard refine; no corpus self-join)
     "fuzzy_decontamination",
+    # round 14: anchor-text link extraction (whole-element regex ->
+    # href resolution + tag-stripped anchors; one projection + explode)
+    "link_anchors",
 ]
 
 

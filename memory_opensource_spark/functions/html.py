@@ -186,3 +186,72 @@ def extract_links_sql(html_expr: str, base_expr: str) -> str:
                 f"ELSE NULL END)")
     return (f"list_filter({resolved}, v -> v IS NOT NULL AND "
             f"regexp_matches(v, '(?i)^https?://'))")
+
+
+# --- anchor-text link extraction (r14) ---------------------------------------
+
+#: whole <a ...>...</a> elements (non-greedy inner; nested anchors are
+#: invalid HTML and split at the first close — documented scope)
+_A_ELEM = ("(?is)<a\\b[^>]*?href\\s*=\\s*(\"[^\"]*\"|'[^']*')"
+           "[^>]*>(.*?)</a\\s*>")
+
+
+def extract_links_anchors(html: Column, base_url: Column) -> Column:
+    """``array<struct<url string, anchor string>>`` — outbound links
+    WITH their anchor text (r14): the crawl-priority / focused-crawl
+    signal (anchor words describe the TARGET page; OPIC/focused
+    crawlers and anchor-text indexes both key on it).  The href resolves
+    by :func:`extract_links`' documented rules (absolute / protocol-
+    relative / root-relative; everything else dropped); the anchor is
+    the element's inner HTML with tags stripped and whitespace
+    collapsed.  Pure Column expression, scan-side, zero UDF; NULL html
+    -> empty array."""
+    elems = F.regexp_extract_all(F.coalesce(html, F.lit("")),
+                                 F.lit(_A_ELEM), 0)
+    scheme = F.regexp_extract(base_url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://",
+                              1)
+    origin = F.regexp_extract(base_url,
+                              r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1)
+
+    def one(el):
+        raw = F.regexp_replace(
+            F.regexp_extract(el, _HREF, 1), "^[\"']|[\"']$", "")
+        url = (F.when(raw.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), raw)
+               .when(raw.rlike("^//"), F.concat(scheme, F.lit(":"), raw))
+               .when(raw.rlike("^/"), F.concat(origin, raw))
+               .otherwise(F.lit(None)))
+        inner = F.regexp_extract(el, _A_ELEM, 2)
+        anchor = F.trim(F.regexp_replace(
+            F.regexp_replace(inner, _ANY_TAG, " "), r"\s+", " "))
+        return F.struct(url.alias("url"), anchor.alias("anchor"))
+
+    pairs = F.transform(elems, one)
+    return F.filter(pairs, lambda p: p["url"].isNotNull()
+                    & p["url"].rlike("(?i)^https?://"))
+
+
+def extract_links_anchors_sql(html_expr: str, base_expr: str) -> str:
+    """DuckDB twin of :func:`extract_links_anchors` — same regexes."""
+    elem_rx = _q(_A_ELEM)
+    href_rx = _q(_HREF)
+    any_tag = _q(_ANY_TAG)
+    elems = f"regexp_extract_all(coalesce({html_expr}, ''), '{elem_rx}', 0)"
+    scheme = (f"regexp_extract({base_expr}, "
+              f"'^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)")
+    origin = (f"regexp_extract({base_expr}, "
+              f"'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1)")
+    raw = (f"regexp_replace(regexp_replace("
+           f"regexp_extract(el, '{href_rx}', 1), '^[\"'']', ''), "
+           f"'[\"'']$', '')")
+    url = (f"CASE WHEN regexp_matches({raw}, "
+           f"'^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN {raw} "
+           f"WHEN regexp_matches({raw}, '^//') THEN {scheme} || ':' || {raw} "
+           f"WHEN regexp_matches({raw}, '^/') THEN {origin} || {raw} "
+           f"ELSE NULL END")
+    anchor = (f"trim(regexp_replace(regexp_replace("
+              f"regexp_extract(el, '{elem_rx}', 2), '{any_tag}', ' ', 'g'),"
+              f" '\\s+', ' ', 'g'))")
+    pairs = (f"list_transform({elems}, el -> "
+             f"{{'url': {url}, 'anchor': {anchor}}})")
+    return (f"list_filter({pairs}, p -> p['url'] IS NOT NULL AND "
+            f"regexp_matches(p['url'], '(?i)^https?://'))")

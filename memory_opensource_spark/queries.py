@@ -6393,6 +6393,59 @@ def crawl_frontier_q(spark, sf_dir):
     return out.select("url", F.col("round").alias("depth"))
 
 
+from .functions import html as _html_mod  # noqa: E402
+
+_LA_HTML = ("'<div><a href=\"https://t' || (doc_id % 3) || "
+            "'.example/x\">Read <b>about ' || source || '</b> here</a>"
+            "<a href=''/p/' || (doc_id % 5) || ''' title=\"t\">  go '"
+            " || doc_id || '  </a>"
+            "<a href=\"//u' || (doc_id % 2) || '.example/q\"><i>proto</i>"
+            "</a><a href=\"mailto:a@b\">drop</a>"
+            "<a href=\"rel/path\">drop too</a></div>'")
+_LA_BASE = "'https://h' || (doc_id % 4) || '.example/page/' || doc_id"
+
+
+@_register("link_anchors", f"""
+SELECT doc_id, p['url'] AS url, p['anchor'] AS anchor
+FROM (
+  SELECT doc_id,
+         UNNEST({_html_mod.extract_links_anchors_sql(_LA_HTML, _LA_BASE)})
+         AS p
+  FROM documents WHERE doc_id < 600)
+""")
+def link_anchors_q(spark, sf_dir):
+    """Anchor-text link extraction (r14,
+    functions/html.extract_links_anchors — the crawl-priority /
+    focused-crawl signal: anchor words describe the TARGET page):
+    per-doc HTML built as a pure Column expression carries absolute,
+    root-relative (single-quoted, extra attributes, padded anchor),
+    protocol-relative (nested tags inside the anchor), mailto and
+    relative hrefs; the extractor resolves the first three, strips
+    inner tags and collapses whitespace in the anchor text.  Oracle
+    BUILT AT IMPORT TIME from the live SQL twin (the html_text_extract
+    discipline — frozen regex literals drift, built twins cannot).
+    Shape: one scan-side projection + explode; zero UDF."""
+    from .functions.html import extract_links_anchors
+
+    d = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 600).select("doc_id", "source")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<div><a href="https://t'), i % 3,
+        F.lit('.example/x">Read <b>about '), F.col("source"),
+        F.lit("</b> here</a><a href='/p/"), i % 5,
+        F.lit("' title=\"t\">  go "), i, F.lit('  </a>'),
+        F.lit('<a href="//u'), i % 2,
+        F.lit('.example/q"><i>proto</i></a>'
+              '<a href="mailto:a@b">drop</a>'
+              '<a href="rel/path">drop too</a></div>'))
+    base = F.concat(F.lit("https://h"), i % 4, F.lit(".example/page/"), i)
+    ex = d.select("doc_id",
+                  F.explode(extract_links_anchors(html, base)).alias("p"))
+    return ex.select("doc_id", F.col("p.url").alias("url"),
+                     F.col("p.anchor").alias("anchor"))
+
+
 @_register("robots_gate", """
 WITH d AS (
   SELECT doc_id, doc_id % 7 AS h, doc_id % 4 AS k, doc_id % 10 AS pn

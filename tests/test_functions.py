@@ -1402,3 +1402,52 @@ def test_sitemap_locs_random_cross_engine_parity(spark):
     bad = [(docs[i], got[i], want[i]) for i in range(150)
            if got[i] != want[i]]
     assert not bad, bad[:3]
+
+
+def test_extract_links_anchors_random_cross_engine_parity(spark):
+    """r14: 120 seeded random HTML documents assembled from adversarial
+    anchor fragments (nested tags in anchors, quote mixes, attribute
+    soup, mailto/relative drops, protocol-relative, anchors split by
+    stray brackets) — the Column form and the DuckDB twin must agree
+    element-for-element, and the resolution rules must match
+    extract_links' documented set."""
+    import random
+
+    import duckdb
+
+    from memory_opensource_spark.functions.html import (
+        extract_links_anchors, extract_links_anchors_sql)
+
+    rnd = random.Random(14)
+    frags = [
+        '<a href="https://a.example/x">plain text</a>',
+        "<a href='/rooty'>  padded   <b>bold</b> inner </a>",
+        '<a class="z" href="//cdn.example/p" rel=nofollow><i>it</i></a>',
+        '<a href="mailto:a@b">mail</a>',
+        '<a href="relative/p">rel</a>',
+        '<a href="https://q.example/y?a=1&amp;b=2">q &gt; r</a>',
+        '<a href="">empty</a>',
+        "<p>not a link</p>", "stray < bracket >",
+        '<A HREF="HTTPS://UP.example/Z">caps</A>',
+        '<a title="x" href=\'https://s.example/t\'>attr first</a>',
+        "<a href='/multi'>line\nbroken\tanchor</a>",
+    ]
+    docs = ["".join(rnd.choice(frags) for _ in range(rnd.randint(1, 10)))
+            for _ in range(120)]
+    base = "https://base.example/dir/page"
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(docs)],
+                               "i int, h string")
+    got = {r.i: [(p.url, p.anchor) for p in r.p] for r in df.select(
+        "i", extract_links_anchors(F.col("h"), F.lit(base)).alias("p"))
+        .collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, h VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(docs)))
+    want = {i: [(p["url"], p["anchor"]) for p in lst] for i, lst in
+            con.execute(
+                "SELECT i, "
+                + extract_links_anchors_sql("h", f"'{base}'")
+                + " FROM t").fetchall()}
+    bad = [(docs[i], got[i], want[i]) for i in range(120)
+           if got[i] != want[i]]
+    assert not bad, bad[:2]

@@ -196,3 +196,46 @@ def test_crawl_frontier_null_dead_and_zero_rounds(spark):
         [("https://a.example/x", 0)]
     empty = spark.createDataFrame([], "url string")
     assert crawl_frontier(empty, pages, rounds=2).count() == 0
+
+
+# --- r14-late additions (fuzzy decon, politeness, sitemap directives) --------
+
+def test_r14_late_edges(spark):
+    """Newest-code edges: politeness_waves survives NULL host/url (the
+    null-safe struct group; NULL order keys rank deterministically);
+    fuzzy decon treats two EMPTY documents as identical (the shingle
+    set of empty text is [""] across the whole dedup family, mirrored
+    by the oracle) and never flags real text against empty evals;
+    Sitemap directives tolerate space-before-colon, strip '#'
+    fragments as comments (the REP rule), and ignore bare keys."""
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.functions.robots import robots_sitemaps
+    from memory_opensource_spark.operators.bloom import (
+        fuzzy_contamination_flags)
+    from memory_opensource_spark.plans.crawl import politeness_waves
+
+    df = spark.createDataFrame(
+        [("h.example", "https://h.example/1"),
+         (None, "https://x.example/2"),
+         ("h.example", None), (None, None)],
+        "host string, url string")
+    out = politeness_waves(df, 2).collect()
+    assert len(out) == 4 and all(r.wave == 0 for r in out)
+
+    c = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "real content here with words")],
+        "doc_id long, text string")
+    e = spark.createDataFrame([(9, ""), (8, None)],
+                              "eval_id long, text string")
+    flags = {r.doc_id: r.contaminated
+             for r in fuzzy_contamination_flags(c, e).collect()}
+    assert flags == {1: 1, 2: 1, 3: 0}
+
+    rows = spark.createDataFrame(
+        [("Sitemap:",), ("Sitemap: https://x/a.xml#frag",),
+         ("  sitemap :https://y/b.xml",), (None,)],
+        "content string").select(
+        robots_sitemaps(F.col("content")).alias("s")).collect()
+    assert [r.s for r in rows] == [
+        [], ["https://x/a.xml"], ["https://y/b.xml"], []]
