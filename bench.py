@@ -197,6 +197,9 @@ HEADLINE = [
     # round 14: anchor-text link extraction (whole-element regex ->
     # href resolution + tag-stripped anchors; one projection + explode)
     "link_anchors",
+    # round 14: SURT index keys (label-reversed host sort keys; one
+    # scan-side projection)
+    "url_surt_keys",
 ]
 
 

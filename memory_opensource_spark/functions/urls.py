@@ -228,3 +228,47 @@ def sitemap_locs_sql(expr: str) -> str:
         v = f"replace({v}, '{e}', '{ch_sql}')"
     return (f"list_filter(list_transform({locs}, v -> {v}), "
             f"v -> regexp_matches(v, '(?i)^https?://'))")
+
+
+# --- SURT form (r14) ---------------------------------------------------------
+
+def surt(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) of ``url`` — the
+    Common-Crawl/Wayback index key: scheme and userinfo dropped, host
+    lowercased and its labels REVERSED comma-joined, non-default port
+    kept, then ``)`` + path/query (fragment dropped):
+    ``https://www.Example.com:8080/a/b?q=1`` ->
+    ``com,example,www:8080)/a/b?q=1``.  Sorting a 100 TB crawl by SURT
+    clusters every domain's pages (and its subdomains as a prefix
+    range), which is what makes index lookups and per-domain scans
+    partition-prunable.  Pure Column expression; NULL stays NULL."""
+    rest = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    hostport = F.regexp_replace(
+        F.regexp_extract(rest, r"^([^/?#]+)", 1), "^.*@", "")
+    host = F.lower(F.regexp_replace(hostport, ":[0-9]+$", ""))
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    port = F.when((port == "") | (port == "80") | (port == "443"),
+                  F.lit("")).otherwise(F.concat(F.lit(":"), port))
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    tail = F.regexp_replace(
+        F.regexp_replace(rest, r"^[^/?#]+", ""), "#.*$", "")
+    tail = F.when(tail == "", F.lit("/")).otherwise(tail)
+    return F.when(url.isNull(), F.lit(None)) \
+        .otherwise(F.concat(rev, port, F.lit(")"), tail))
+
+
+def surt_sql(expr: str) -> str:
+    """DuckDB twin of :func:`surt` — same regexes and rules."""
+    rest = f"regexp_replace({expr}, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')"
+    hostport = (f"regexp_replace(regexp_extract({rest}, "
+                f"'^([^/?#]+)', 1), '^.*@', '')")
+    host = f"lower(regexp_replace({hostport}, ':[0-9]+$', ''))"
+    port_raw = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    port = (f"(CASE WHEN {port_raw} IN ('', '80', '443') THEN '' "
+            f"ELSE ':' || {port_raw} END)")
+    rev = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    tail_raw = (f"regexp_replace(regexp_replace({rest}, '^[^/?#]+', ''), "
+                f"'#.*$', '')")
+    tail = f"(CASE WHEN {tail_raw} = '' THEN '/' ELSE {tail_raw} END)"
+    return (f"(CASE WHEN {expr} IS NULL THEN NULL "
+            f"ELSE {rev} || {port} || ')' || {tail} END)")

@@ -6759,6 +6759,46 @@ def url_blocklist_filter_q(spark, sf_dir):
         U.url_blocked(raw, _BLOCK_DOMAINS).cast("int").alias("blocked"))
 
 
+# the blocklist fixture's raw-URL expression reused: it already sweeps
+# userinfo/cdn-subdomain/mixed-case/port/path edges; add a query+fragment
+# arm so the SURT tail rules (query kept, fragment dropped) are exercised
+_SURT_RAW_SQL = (f"({_BLOCK_RAW_SQL}) || (CASE WHEN doc_id % 6 = 0 "
+                 "THEN '?q=' || (doc_id % 9) || '#frag' ELSE '' END)")
+
+
+@_register("url_surt_keys", f"""
+SELECT doc_id, {U.surt_sql(f'({_SURT_RAW_SQL})')} AS surt_key
+FROM documents""")
+def url_surt_keys_q(spark, sf_dir):
+    """SURT index keys (r14, functions/urls.surt — the
+    Common-Crawl/Wayback Sort-friendly URI Reordering Transform):
+    scheme/userinfo dropped, host labels reversed comma-joined,
+    non-default ports kept, fragment dropped, pathless URLs get '/'.
+    Sorting a 100 TB crawl by this key clusters every domain AND its
+    subdomains into one prefix range — the layout that makes
+    per-domain scans and index lookups partition-prunable (compose
+    with sources/layout's range-partitioned writes).  The fixture
+    reuses the blocklist row's adversarial raw URLs (userinfo, cdn
+    subdomains, mixed case, ports) plus a query+fragment arm; oracle
+    BUILT AT IMPORT TIME from the live SQL twin.  Shape: one scan-side
+    projection, zero UDF, zero shuffle."""
+    docs = tables.load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(did % 7 == 0, F.lit("user@")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(did % 2 == 0, F.lit(".Example.COM"))
+         .otherwise(F.lit(".example.net")),
+        F.when(did % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"), (did % 40).cast("string"),
+        F.when(did % 6 == 0,
+               F.concat(F.lit("?q="), (did % 9).cast("string"),
+                        F.lit("#frag"))).otherwise(F.lit("")))
+    return docs.select("doc_id", U.surt(raw).alias("surt_key"))
+
+
 @_register("warc_ingest_roundtrip", r"""
 SELECT 'https://crawl.example/docs/' || doc_id::VARCHAR AS target_uri,
        md5(coalesce(text, '')) AS text_md5,

@@ -1451,3 +1451,40 @@ def test_extract_links_anchors_random_cross_engine_parity(spark):
     bad = [(docs[i], got[i], want[i]) for i in range(120)
            if got[i] != want[i]]
     assert not bad, bad[:2]
+
+
+def test_surt_rules_and_cross_engine_parity(spark):
+    """r14 functions/urls.surt: every documented rule on crafted URLs
+    (label reversal, default-port drop, non-default port kept, userinfo
+    and scheme dropped, fragment dropped, pathless -> '/'), Spark and
+    the DuckDB twin byte-for-byte."""
+    import duckdb
+
+    from memory_opensource_spark.functions.urls import surt, surt_sql
+
+    cases = [
+        ("https://www.Example.com:8080/a/b?q=1",
+         "com,example,www:8080)/a/b?q=1"),
+        ("http://u:p@X.org/", "org,x)/"),
+        ("https://h.example", "example,h)/"),
+        ("example.com/a#frag", "com,example)/a"),
+        ("http://h.example:80/x", "example,h)/x"),
+        ("https://h.example:443/y?a=1#z", "example,h)/y?a=1"),
+        ("https://single/", "single)/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r.s for r in df.select(surt(F.col("u")).alias("s")).collect()]
+    assert got == [w for _, w in cases]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u, _ in cases])
+    assert [r[0] for r in con.execute(
+        f"SELECT {surt_sql('u')} FROM t").fetchall()] == \
+        [w for _, w in cases]
+    # prefix property: every subdomain of a domain sorts inside the
+    # domain's SURT prefix range
+    assert surt_sql  # twin exists
+    a = "com,example)"
+    assert all(s.startswith("com,example") for s in [
+        "com,example)/x", "com,example,www)/y", "com,example,cdn,a)/z"])
+    assert a < "com,example,www)/y"   # parent before subdomains
