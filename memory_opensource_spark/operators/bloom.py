@@ -188,8 +188,11 @@ def fuzzy_contamination_flags(corpus: DataFrame, eval_docs: DataFrame, *,
         cb = cb.join(small, ["band_idx", "band_hash"], "semi")
     eb = minhash_band_table(eval_docs, eval_id_col, eval_text_col,
                             hash_fn=hash_fn)
+    # the eval side is benchmark-sized by definition — broadcast it
+    # EXPLICITLY (the band kernel output carries no stats, so a static
+    # plan would SortMergeJoin and only AQE would fix it at runtime)
     cands = (cb.alias("c")
-             .join(eb.alias("e"),
+             .join(F.broadcast(eb.alias("e")),
                    (F.col("c.band_idx") == F.col("e.band_idx"))
                    & (F.col("c.band_hash") == F.col("e.band_hash")))
              .select(F.col("c.id").alias("left_id"),
