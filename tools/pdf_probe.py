@@ -7,7 +7,9 @@ text).  Prints docs/sec for the parse leg — the number a 100 TB
 document-ingest sizing starts from (file-level parallelism: N PDFs
 spread over executors, no shuffle).
 
-Usage: python tools/pdf_probe.py [n_docs]   (default 50_000)
+Usage: python tools/pdf_probe.py [n_docs] [mode]   (default 50_000 classic)
+mode: classic | cmap (ToUnicode/Differences-encoded fonts, r14) |
+      scanned (image-only pages parsed through the ocr_stub seam, r14)
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ def main():
     from memory_opensource_spark.session import get_spark
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    mode = sys.argv[2] if len(sys.argv) > 2 else "classic"
     src = os.path.join(SCRATCH, "pipe_docs_600000.parquet")
     if not os.path.exists(src):
         print("run tools/pipeline_probe.py first", file=sys.stderr)
@@ -49,9 +52,22 @@ def main():
             for d, text in zip(pdf["doc_id"], pdf["text"]):
                 d, text = int(d), str(text)
                 pages = [text[i:i + 120] for i in range(0, len(text), 120)]
-                rows.append((d, write_pdf(
-                    pages or [""], compress=d % 2 == 0,
-                    hex_strings=d % 5 == 1, split_streams=d % 4 == 0)))
+                if mode == "cmap":
+                    rows.append((d, write_pdf(
+                        pages or [""], compress=d % 2 == 0,
+                        cmap_font=d % 3 != 1,
+                        diff_encoding=d % 3 >= 1
+                        and len({c for p in pages for c in p
+                                 if c != "\n"}) <= 0xFE)))
+                elif mode == "scanned":
+                    rows.append((d, write_pdf(
+                        pages or [""], compress=d % 2 == 0,
+                        scanned=True)))
+                else:
+                    rows.append((d, write_pdf(
+                        pages or [""], compress=d % 2 == 0,
+                        hex_strings=d % 5 == 1,
+                        split_streams=d % 4 == 0)))
             yield pd.DataFrame(rows, columns=["doc_id", "content"])
 
     t0 = time.time()
@@ -66,11 +82,13 @@ def main():
 
         import pandas as pd
 
-        from memory_opensource_spark.sources.pdf import extract_pdf_pages
+        from memory_opensource_spark.sources.pdf import (extract_pdf_pages,
+                                                          ocr_stub)
+        ocr = ocr_stub if mode == "scanned" else None
         for pdf in batches:
             rows = []
             for d, content in zip(pdf["doc_id"], pdf["content"]):
-                pages = extract_pdf_pages(bytes(content))
+                pages = extract_pdf_pages(bytes(content), ocr=ocr)
                 joined = "".join(pages)
                 rows.append((int(d), len(pages),
                              hashlib.md5(joined.encode()).hexdigest()))
@@ -84,7 +102,7 @@ def main():
 
     bad = (parsed.join(docs, "doc_id")
            .filter(F.md5(F.col("text")) != F.col("md5")).count())
-    out = {"n_docs": n, "built": n_built, "parsed": n_parsed,
+    out = {"n_docs": n, "mode": mode, "built": n_built, "parsed": n_parsed,
            "pdf_mb": round(total_bytes / 1e6, 1),
            "build_s": round(t_build, 2), "parse_s": round(t_parse, 2),
            "parse_docs_per_s": round(n_parsed / t_parse),
