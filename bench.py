@@ -200,6 +200,9 @@ HEADLINE = [
     # round 14: SURT index keys (label-reversed host sort keys; one
     # scan-side projection)
     "url_surt_keys",
+    # round 14: Crawl-delay-aware politeness caps (real parser -> one
+    # broadcast delays join on the grouped rank)
+    "politeness_crawl_delay",
 ]
 
 

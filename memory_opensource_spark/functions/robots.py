@@ -38,13 +38,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def parse_robots(content: str, agent: str = "*") -> list[tuple[str, bool]]:
-    """``[(pattern, allow)]`` for the group that applies to ``agent``
-    (module-docstring semantics).  Comments (#) and unknown directives
-    are ignored; an unparseable/empty file yields no rules (allowed)."""
-    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+def _best_group(content: str, agent: str):
+    """The (rules, crawl_delay) of the group that applies to ``agent``
+    (module-docstring group-selection semantics)."""
+    groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] \
+        = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[str, bool]] = []
+    cur_delay: float | None = None
     agents_open = False  # collecting consecutive User-agent lines
     for raw in (content or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -56,22 +57,33 @@ def parse_robots(content: str, agent: str = "*") -> list[tuple[str, bool]]:
         if key == "user-agent":
             if not agents_open:
                 if cur_agents:
-                    groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
+                    groups.append((cur_agents, cur_rules, cur_delay))
+                cur_agents, cur_rules, cur_delay = [], [], None
                 agents_open = True
             cur_agents.append(val.lower())
         elif key in ("allow", "disallow"):
             agents_open = False
             if cur_agents and val:
                 cur_rules.append((val, key == "allow"))
+        elif key == "crawl-delay":
+            # the widely-honored de-facto extension (not in RFC 9309):
+            # seconds between fetches, per group; malformed -> ignored
+            agents_open = False
+            if cur_agents:
+                try:
+                    d = float(val)
+                    if d >= 0:
+                        cur_delay = d
+                except ValueError:
+                    pass
         else:
             agents_open = False
     if cur_agents:
-        groups.append((cur_agents, cur_rules))
+        groups.append((cur_agents, cur_rules, cur_delay))
 
     al = agent.lower()
-    best_len, best_rules = None, []
-    for agents, rules in groups:
+    best_len, best_rules, best_delay = None, [], None
+    for agents, rules, delay in groups:
         for a in agents:
             if a == "*":
                 spec = 0
@@ -80,8 +92,22 @@ def parse_robots(content: str, agent: str = "*") -> list[tuple[str, bool]]:
             else:
                 continue
             if best_len is None or spec > best_len:
-                best_len, best_rules = spec, rules
-    return best_rules
+                best_len, best_rules, best_delay = spec, rules, delay
+    return best_rules, best_delay
+
+
+def parse_robots(content: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """``[(pattern, allow)]`` for the group that applies to ``agent``
+    (module-docstring semantics).  Comments (#) and unknown directives
+    are ignored; an unparseable/empty file yields no rules (allowed)."""
+    return _best_group(content, agent)[0]
+
+
+def parse_crawl_delay(content: str, agent: str = "*") -> float | None:
+    """The applying group's ``Crawl-delay`` seconds (r14), or None when
+    the group declares none / the file is empty — same group selection
+    as :func:`parse_robots`."""
+    return _best_group(content, agent)[1]
 
 
 def _pattern_regex(pattern: str) -> str:
@@ -193,3 +219,26 @@ def robots_sitemaps_sql(expr: str) -> str:
     """DuckDB twin of :func:`robots_sitemaps` — same regexes."""
     return (f"regexp_extract_all(regexp_replace(coalesce({expr}, ''), "
             f"'(?m)#.*$', '', 'g'), '{_SITEMAP_RX}', 1)")
+
+
+def robots_delays_table(robots: DataFrame, agent: str = "*",
+                        host_col: str = "host",
+                        content_col: str = "content") -> DataFrame:
+    """Per-host ``{host, crawl_delay}`` from fetched robots.txt bodies
+    (r14) — hosts whose applying group declares no delay are ABSENT.
+    One Arrow kernel like :func:`robots_rules_table` (KB bodies, one
+    per host); feeds plans/crawl.politeness_waves' per-host caps."""
+    import pandas as pd
+
+    def kern(batches):
+        for pdf in batches:
+            rows = []
+            for host, content in zip(pdf[host_col], pdf[content_col]):
+                d = parse_crawl_delay(
+                    str(content) if content is not None else "", agent)
+                if d is not None:
+                    rows.append((host, d))
+            yield pd.DataFrame(rows, columns=["host", "crawl_delay"])
+
+    return robots.select(host_col, content_col).mapInPandas(
+        kern, "host string, crawl_delay double")

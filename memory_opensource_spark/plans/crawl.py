@@ -285,26 +285,40 @@ def crawl_frontier(seeds: DataFrame, pages: DataFrame, *,
 def politeness_waves(frontier: DataFrame, per_wave: int, *,
                      host_col: str = "host",
                      url_col: str = "url",
+                     delays: DataFrame | None = None,
+                     wave_seconds: float | None = None,
                      range_buckets: int = 32) -> DataFrame:
     """Per-host politeness scheduling for a fetch frontier (r14): a
     polite crawler fetches at most ``per_wave`` URLs per host per wave,
     so the frontier is partitioned into fetch WAVES — ``wave =
-    (per-host rank - 1) // per_wave``, rank ordered by a salted md5 of
+    (per-host rank - 1) // host_cap``, rank ordered by a salted md5 of
     the URL (a deterministic uniform spread, so every wave samples the
     host's URL space instead of draining it in path order).  Adds
     ``{wave}``.
+
+    ``delays`` + ``wave_seconds`` (r14, second leg): when a per-host
+    ``{host, crawl_delay}`` table (functions/robots.robots_delays_table
+    — the applying group's de-facto Crawl-delay seconds) and the wave's
+    wall-clock duration are given, a declaring host's cap becomes
+    ``min(per_wave, max(1, floor(wave_seconds / crawl_delay)))`` — a
+    host asking for 10 s between fetches gets at most 6 URLs in a 60 s
+    wave regardless of ``per_wave``.  Hosts without a declared delay
+    keep ``per_wave``.
 
     Shape (100 TB): the skew-proof exact grouped rank
     (operators/sampling.grouped_exact_ranks — percentile range-buckets
     + broadcast offsets; windows partitioned by (host, bucket), never
     by host alone), so one mega-host (the Zipfian crawl reality:
-    wikipedia/github dominate frontiers) never pins a single task.
-    Complements crawl_frontier: rounds bound DEPTH, waves bound
-    PER-HOST RATE within a round."""
+    wikipedia/github dominate frontiers) never pins a single task; the
+    delays table is one broadcast left join.  Complements
+    crawl_frontier: rounds bound DEPTH, waves bound PER-HOST RATE
+    within a round."""
     from ..operators.sampling import grouped_exact_ranks
 
     if per_wave < 1:
         raise ValueError(f"per_wave must be >= 1, got {per_wave}")
+    if (delays is None) != (wave_seconds is None):
+        raise ValueError("delays and wave_seconds go together")
     cols = frontier.columns
     keyed = (frontier
              .withColumn("_g", F.struct(F.col(host_col).alias("k")))
@@ -314,6 +328,19 @@ def politeness_waves(frontier: DataFrame, per_wave: int, *,
                  16, 10).cast("long")))
     ranked = grouped_exact_ranks(keyed, "_ord", url_col,
                                  range_buckets)
+    cap = F.lit(per_wave)
+    if delays is not None:
+        dcap = F.least(
+            F.lit(per_wave),
+            F.greatest(F.lit(1), F.floor(
+                F.lit(float(wave_seconds)) / F.col("crawl_delay"))
+                .cast("int")))
+        ranked = ranked.join(
+            F.broadcast(delays.select(
+                F.col("host").alias(host_col), "crawl_delay")),
+            host_col, "left")
+        cap = F.coalesce(
+            F.when(F.col("crawl_delay") > 0, dcap), F.lit(per_wave))
     return ranked.select(
         *cols,
-        (((F.col("_rk") - 1) / per_wave).cast("int")).alias("wave"))
+        (((F.col("_rk") - 1) / cap).cast("int")).alias("wave"))

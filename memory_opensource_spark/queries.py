@@ -6292,6 +6292,63 @@ def crawl_politeness_waves_q(spark, sf_dir):
     return politeness_waves(frontier, 20)
 
 
+@_register("politeness_crawl_delay", """
+WITH f AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'hot.example'
+         ELSE 'h' || (doc_id % 5) || '.example' END AS host
+  FROM documents WHERE doc_id < 600),
+u AS (SELECT host, 'https://' || host || '/p/' || doc_id AS url FROM f),
+r AS (SELECT host, url,
+        ROW_NUMBER() OVER (
+          PARTITION BY host
+          ORDER BY ('0x' || substr(md5('wave:' || url), 1, 8))::BIGINT ASC,
+                   url ASC) AS rn
+      FROM u),
+capped AS (SELECT host, url, rn,
+  CASE host WHEN 'hot.example' THEN 12   -- Crawl-delay 5  -> 60/5
+            WHEN 'h1.example' THEN 6     -- Crawl-delay 10 -> 60/10
+            WHEN 'h2.example' THEN 20    -- delay 0.5 -> 120, capped at 20
+            ELSE 20 END AS cap           -- none/malformed/other-agent
+  FROM r)
+SELECT host, url, ((rn - 1) // cap)::INT AS wave FROM capped
+""")
+def politeness_crawl_delay_q(spark, sf_dir):
+    """Crawl-delay-aware politeness waves (r14 second leg,
+    functions/robots.parse_crawl_delay + robots_delays_table +
+    plans/crawl.politeness_waves(delays=)): per-host robots bodies
+    declare the de-facto ``Crawl-delay`` — 5 s on the hot host, 10 s on
+    h1, 0.5 s on h2 (cap saturates at per_wave), a MALFORMED value on
+    h3 (ignored), a delay in ANOTHER agent's group on h4 (not
+    applying), none on h0 — and a 60 s wave at per_wave 20 gives caps
+    12/6/20/20/20/20.  The REAL parser reads the bodies (group
+    selection included); the oracle states the caps closed-form, so a
+    parse or cap-formula drift turns the row red.  Shape: the
+    skew-proof grouped rank + ONE broadcast delays join."""
+    from .functions.robots import robots_delays_table
+    from .plans.crawl import politeness_waves
+
+    d = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 600).select("doc_id")
+    i = F.col("doc_id")
+    host = F.when(i % 2 == 0, F.lit("hot.example")) \
+        .otherwise(F.concat(F.lit("h"), i % 5, F.lit(".example")))
+    frontier = d.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, F.lit("/p/"), i).alias("url"))
+    robots = spark.createDataFrame(
+        [("hot.example", "User-agent: *\nCrawl-delay: 5\nDisallow:\n"),
+         ("h1.example", "User-agent: *\nCrawl-delay: 10\n"),
+         ("h2.example", "User-agent: *\nCrawl-delay: 0.5\n"),
+         ("h3.example", "User-agent: *\nCrawl-delay: soon\n"),
+         ("h4.example", "User-agent: otherbot\nCrawl-delay: 30\n"),
+         ("h0.example", "User-agent: *\nDisallow: /private/\n")],
+        "host string, content string")
+    delays = robots_delays_table(robots, agent="memory-spark-crawler")
+    return politeness_waves(frontier, 20, delays=delays,
+                            wave_seconds=60.0)
+
+
 def _cf_oracle(rounds: int = 3) -> str:
     """crawl_frontier oracle: the K BFS rounds UNROLLED as CTEs (the
     G2-bounded-paths oracle pattern).  Candidates are tracked as

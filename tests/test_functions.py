@@ -1488,3 +1488,55 @@ def test_surt_rules_and_cross_engine_parity(spark):
     assert all(s.startswith("com,example") for s in [
         "com,example)/x", "com,example,www)/y", "com,example,cdn,a)/z"])
     assert a < "com,example,www)/y"   # parent before subdomains
+
+
+def test_parse_crawl_delay_groups_and_forms():
+    """r14 functions/robots.parse_crawl_delay: same group selection as
+    parse_robots (most-specific agent), float and int forms, malformed
+    and negative values ignored, absent -> None; parse_robots behavior
+    unchanged by the refactor."""
+    from memory_opensource_spark.functions.robots import (
+        parse_crawl_delay, parse_robots)
+
+    body = ("User-agent: *\nCrawl-delay: 2\nDisallow: /a\n"
+            "User-agent: mybot\nCrawl-delay: 7.5\nDisallow: /m\n")
+    assert parse_crawl_delay(body, agent="MyBot/1.0") == 7.5
+    assert parse_crawl_delay(body, agent="other") == 2.0
+    assert parse_robots(body, agent="MyBot/1.0") == [("/m", False)]
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: soon\n") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: -3\n") is None
+    assert parse_crawl_delay("User-agent: *\nDisallow: /x\n") is None
+    assert parse_crawl_delay("") is None
+    # outside any group: ignored (the RFC orphan-line rule)
+    assert parse_crawl_delay("Crawl-delay: 9\nUser-agent: *\n") is None
+
+
+def test_politeness_waves_delay_caps(spark):
+    """politeness_waves(delays=, wave_seconds=): a declaring host's cap
+    is min(per_wave, floor(wave_seconds/delay)) and >= 1; hosts without
+    a delay keep per_wave; the two kwargs must travel together."""
+    import pytest as _pytest
+
+    from memory_opensource_spark.plans.crawl import politeness_waves
+
+    rows = [("slow.example", f"https://slow.example/p/{i}")
+            for i in range(10)]
+    rows += [("free.example", f"https://free.example/p/{i}")
+             for i in range(10)]
+    rows += [("glacial.example", f"https://glacial.example/p/{i}")
+             for i in range(4)]
+    df = spark.createDataFrame(rows, "host string, url string")
+    delays = spark.createDataFrame(
+        [("slow.example", 20.0),      # 60/20 -> cap 3
+         ("glacial.example", 400.0)], # floor(0.15) -> clamped to 1
+        "host string, crawl_delay double")
+    out = politeness_waves(df, 5, delays=delays, wave_seconds=60.0)
+    by = {}
+    for r in out.collect():
+        by.setdefault((r.host, r.wave), 0)
+        by[(r.host, r.wave)] += 1
+    assert [by[("slow.example", w)] for w in range(4)] == [3, 3, 3, 1]
+    assert by[("free.example", 0)] == 5 and by[("free.example", 1)] == 5
+    assert all(by[("glacial.example", w)] == 1 for w in range(4))
+    with _pytest.raises(ValueError, match="go together"):
+        politeness_waves(df, 5, delays=delays)
