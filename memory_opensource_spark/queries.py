@@ -7894,208 +7894,103 @@ for _k in list(ORACLE):
 # (suites.py) bundle several components into one row; singles cover the rest.
 # Components per slot are listed in each suite's docstring.
 _EVIDENCE_PRIORITY = [
-    # 1-3: flagship read paths (R1/R3/R4/R5, F1, F6, V2, V12, G15) + the
-    # denormalized spec-pushdown variant (F2/F3/F7 at the chunk scan)
-    "search_flagship", "search_agentic_flagship", "search_spec_pushdown",
-    # 4-8: storage/sources S1..S15
-    # round-9 rotation (VERDICT r8 task 1): s1_fetch_by_ids displaced —
-    # driver-green every round since r1, S1/S2 fetch semantics stay
-    # driver-exercised inside both flagships' id-fetch stage and locally
-    # gated at 3 SFs every round
+    # ------------------------------------------------------------------
+    # round-15 rotation (VERDICT r12 task 1 — evidence-debt clearing):
+    # 25 rows swapped in one pass so the COMMITTED driver record catches
+    # up with the (judge-verified) 185/185 reality:
+    #   * the 10 r14-late rows that never held a driver slot
+    #     (pdf_cmap_text .. url_surt_keys below),
+    #   * the 9 rows whose LAST driver record was the stale round-2 red
+    #     (a tables.load timestamp-dtype crash fixed in r3; green in the
+    #     local gate every round since): st8_sliding_window,
+    #     agg_cube_events, st2_session_memories, user_id_validation,
+    #     feedback_confidence_scores, feedback_engagement_rollup,
+    #     msg_batch_triggers, prediction_validation, session_summaries,
+    #   * 6 never-driver-checked rows that keep the displaced families
+    #     covered: acl_audit (ACL, for g15_acl_both_endpoints),
+    #     graph_pagerank + graph_triangle_count (graph analytics, for
+    #     suite_graph_analytics), v7_content_resolution (content-based
+    #     resolution, for v6_entity_resolution), f10_map_functions
+    #     (scalar/map fns, for suite_text_analysis), dedup_repeated_spans
+    #     (span family, for dedup_span_removal).
+    # Displaced (each driver-green >=3 rounds, semantics unchanged, each
+    # family keeps >=2 window rows; all stay hash-gated locally at
+    # sf0.01 AND sf0.1 every round): search_spec_pushdown,
+    # s11_section_hierarchy, v6_entity_resolution, dedup_span_removal,
+    # gopher_quality_flags, gopher_repetition_flags, suite_graph_lookup,
+    # url_blocklist_filter, bpe_subword_stats, g8_schema_driven_merge,
+    # shard_token_budget, g15_acl_both_endpoints, r2_stratified_merge,
+    # pipeline_mini, suite_stream_windows, suite_text_analysis,
+    # suite_pipeline_ops, contamination_bloom, split_leakage_safe,
+    # warc_response_extract, html_text_extract, url_canonical_dedup,
+    # crawl_mini, boilerplate_prune, suite_graph_analytics.
+    # The remaining 16 never-driver-checked rows are scheduled for the
+    # round-16 window (rotation plan in DEVNOTES.md).
+    # ------------------------------------------------------------------
+    # 1-2: flagship read paths (R1/R3/R4/R5, F1, F6, V2, V12, G15)
+    "search_flagship", "search_agentic_flagship",
+    # 3-5: storage/sources S3..S15 (S1/S2 fetch stays driver-exercised
+    # inside both flagships' id-fetch stage; S11 hierarchy stays gated
+    # locally and via the PDF extraction row)
     "suite_storage_lifecycle",    # S3/S4/S5/S7/S8/S13/S14/S15 (real api ops)
     "suite_graph_sinks",          # S9/S10
-    "s11_section_hierarchy",      # S11 (page->section->chunk depth; chunk
-                                  # windows variant below fold)
-    # round-11 rotation (VERDICT r9 task 1): s12_cascade_delete and
-    # f9_fallback_relax displaced (driver-green r1..r9; S12's delete path
-    # shares the api.delete_memory surface suite_storage_lifecycle
-    # driver-checks via S5/S13, F9's relax-retry stays locally gated at
-    # 3 SFs) in favor of the r9-new crawl-chain rows below.
-    # 9: filters/predicates F2..F7 (F10 scalar fns moved below fold in
-    # round 6 — still value-verified inside suite_text_analysis, which routes
-    # through the same functions/text.py surface — in favor of driver-checking
-    # the new SemDeDup operator)
+    "pdf_text_extract",           # S11 PDF text-layer extraction (r13)
+    # 6-7: filters/predicates F2..F7 + ACL audit surface
     "suite_filters",              # F2/F3/F4/F5/F7
-    # 12-21: vector/similarity V1..V12
-    # round-9 rotation: v1_chunk_embed displaced (driver-green r1..r8,
-    # unchanged; V1 chunk+embed stays exercised by v4_ingest_reuse's ingest
-    # leg and locally gated) in favor of the r8-late Gopher rows below.
-    # round-10 rotation: v2_cosine_topk displaced (driver-green r1..r9;
-    # V2/F6 cosine-top-k + threshold stays driver-checked inside BOTH
-    # flagships' scoring stage and locally gated 3 SFs) in favor of the
-    # r9-new contamination_bloom below.
-    "v4_ingest_reuse",            # V4
+    "acl_audit",                  # F1 ACL audit trail (never driver-checked)
+    # 8-11: vector/similarity V1..V12
+    "v4_ingest_reuse",            # V4 (+ V1 ingest leg)
     "v5_bucketed_pairs",          # V5 (scale path)
-    "v6_entity_resolution",       # V6/V7
-    # round-8 rotation (VERDICT r7 task 3): the four r7-new pipeline ops move
-    # into the driver prefix — dedup_span_fraction / dedup_span_removal also
-    # carry the round-8 rework (rolling-hash spans + skew-proof aggregation),
-    # so their driver turn re-gates the NEW implementation.  Displaced
-    # long-green rows (v3_scroll_fallback, v8_property_index,
-    # g12_related_to_edges, g13_link_to_lookup — every one driver-green
-    # multiple rounds, semantics unchanged, each family keeps >= 2 driver
-    # rows) stay hash-verified by the local gate at sf0.01 and sf0.1.
-    # round-12 rotation (driver r10): dedup_lines displaced (driver-green
-    # r8/r9; line-level exact dedup stays driver-checked inside
-    # pipeline_mini's line stage + suite_dedup_family and locally gated
-    # 3 SFs) in favor of the r10-new boilerplate_prune below.
-    # round-12 rotation #2: dedup_span_fraction displaced (driver-green
-    # r8/r9; the span family stays driver-checked via dedup_span_removal,
-    # suite_dedup_family and pipeline_mini's span stage) in favor of the
-    # r12-new quality_classifier below.
-    "dedup_span_removal",         # ExactSubstr remove (r7 new, r8 rework)
-    "quality_classifier",         # NB log-odds learned quality filter (r12)
-    # round-9 rotation (VERDICT r8 task 1): the three r8-late rows that were
-    # green in the local full gate but never held a driver slot.
-    # gopher_quality_flags carries the r9 NULL-coalesce fix and
-    # gopher_repetition_flags the r9 dup-5..10-gram coverage extension, so
-    # their driver turn gates current code.  Displaced: f1_acl_filter
-    # (driver-green r6..r8; F1 ACL stays driver-checked inside
-    # search_flagship + g15_acl_both_endpoints)
-    "gopher_quality_flags",       # Gopher A1.1 quality rule table (r8 new)
-    "gopher_repetition_flags",    # Gopher A1.1 repetition table (r8 new,
-                                  # r9: + dup-5..10-gram char coverage)
-    # round-14 rotation (VERDICT r11 task 1): pack_sequences displaced
-    # (driver-green r8..r11 in its reworked shape; packing semantics stay
-    # driver-checked via shard_token_budget + shard_bpe_budget — both
-    # route grouped_prefix_sum — and locally gated 3 SFs) in favor of the
-    # r13-new link_graph below.
-    "link_graph",                 # outbound links -> host link graph (r13 new)
-    # round-13: ann_pq_rerank displaced (driver-green r6..r10; the
-    # PQ/ADC layout stays plan-pinned in tests and the ANN family keeps
-    # ann_ivf_persisted in the window; locally gated 3 SFs) in favor of
-    # the r13-new connector transposition below.
-    "connector_transpose",        # Slack/Linear events -> memories (r13)
-    # 22-32: graph G1..G16 + both-endpoint ACL
-    # round-14 rotation (VERDICT r11 task 1): g1_pattern_match displaced
-    # (driver-green r1..r11, the longest-tenured graph row; G1/G16
-    # single-hop match + ACL stays driver-checked via
-    # g15_acl_both_endpoints — the same match_pattern surface with the
-    # ACL override — plus suite_graph_lookup/suite_graph_store, and
-    # locally gated 3 SFs) in favor of the r13-new robots_gate below.
-    "robots_gate",                # RFC 9309 robots.txt URL gating (r13 new)
-    # round-12 rotation: g2_two_hop_paths displaced (driver-green r1..r9;
-    # bounded-path semantics stay exercised by suite_graph_analytics'
-    # CC/triangle legs + g15's match leg and locally gated 3 SFs) in
-    # favor of the r10-new warc_response_extract below.
-    "suite_graph_lookup",         # G3/G4/G6
-    # round-8 addition: the r8-new per-domain quota op takes a driver slot
-    # (g5_semantic_lookup displaced — driver-green since r2, G5 semantics
-    # unchanged, the cosine-lookup family stays driver-covered by
-    # v2_cosine_topk + both flagships; locally gated every round)
-    # round-12 rotation #2: sample_domain_cap displaced (driver-green
-    # r8/r9; sampling/split semantics stay driver-checked via
-    # split_leakage_safe + shard_token_budget + pack_sequences) in favor
-    # of the r12-new url_blocklist_filter below.
-    "url_blocklist_filter",       # UT1-style domain blocklist (r12 new)
-    # round-12 rotation #2: g7_schema_discovery displaced (driver-green
-    # r2..r9; the graph family keeps g1, suite_graph_lookup,
-    # g8_schema_driven_merge, suite_graph_store, g14, g15 and
-    # suite_graph_analytics in the window) in favor of the r12-new
-    # bpe_subword_stats below.
-    "bpe_subword_stats",          # BPE subword encoding (r12 new)
-    "g8_schema_driven_merge",     # G8 + dynamic schema registry
-    "suite_graph_store",          # G9/G10/G11
-    "shard_token_budget",         # exact token-budgeted sharding (r7 new)
-    # round-13 rotation (driver r11, VERDICT r10 task 1): g14_constraint_when
-    # displaced (driver-green r3..r10; WHEN-clause constraints stay
-    # driver-exercised through suite_graph_store's G9 exists/content-check
-    # leg, which routes the same operators/constraints.py surface, and
-    # locally gated 3 SFs) in favor of the r12-new mm_media_meta below.
-    "mm_media_meta",              # MP4/MP3/WAV container metadata (r12 new)
-    "g15_acl_both_endpoints",     # ACL OR-block on BOTH pattern endpoints
-    # 33-37: ranking/aggregation R2..R17
-    "r2_stratified_merge",        # R2
-    # round-11 rotation: r6_rerank displaced (driver-green r1..r9; the
-    # mapInPandas rerank slot is unchanged and stays locally gated)
-    # round-8: the oracle-gated COMPOSITION row takes a driver slot
-    # (r12_delta_since_watermark displaced — driver-green since r3,
-    # semantics unchanged, delta/watermark behavior stays exercised by
-    # suite_stream_windows; locally gated every round)
-    "pipeline_mini",              # exact->span-rewrite->Gopher->shards (r8)
-    # round-13 rotation: omo_export_roundtrip displaced (driver-green
-    # r6..r10; the F7 OMO consent/risk predicate stays driver-checked as a
-    # suite_filters member and the export format stays locally gated 3 SFs)
-    # in favor of the r12-new dedup_keep_best_quality below.
-    "dedup_keep_best_quality",    # quality-aware duplicate-family keeper
-                                  # (r12 new: CC + struct-argmax groupBy)
-    "suite_ranking_formulas",     # R8/R9/R10/R11/R13/R14/R15/R16
-    # 38-40: streaming analogs ST1..ST8
-    "suite_stream_windows",       # ST2/ST3/ST8 + ST1/ST6/ST7 (ST2 standalone
-                                  # st2_session_windows rotated below fold —
-                                  # same family, long green)
-    # round-7 rotation 2: the round's flagship new op (stateful incremental
-    # corpus dedup) into the window; st5_decayed_counter_replay below fold —
-    # driver-green two rounds, semantics unchanged, streaming family stays
-    # windowed via suite_stream_windows (and st5 stays hash-verified by the
-    # local gate at sf0.01 AND sf0.1 every round)
-    "corpus_increment_dedup",     # exact/near/semantic verdicts vs state (r7 new)
-    # round-11 rotation: shard_corpus displaced (driver-green r7..r9;
-    # trainer-layout sharding stays driver-checked via shard_token_budget +
-    # pack_sequences and locally gated)
-    # 41-44: set ops / id algebra / scalar fns / UDF surface
-    # round-13: ids_chunk_algebra displaced (driver-green r1..r10; the
-    # sha256-id + chunk-id algebra stays driver-exercised inside both
-    # flagships' fetch stages and scalar fns inside suite_text_analysis;
-    # locally gated 3 SFs) in favor of the round's flagship new operator:
-    "pdf_text_extract",           # PDF text-layer extraction (r13 new:
-                                  # builder/parser twins, processPDF analog)
-    # round-10 rotation: set_ops_semi_anti displaced (driver-green r1..r9;
-    # semi/anti set algebra is exercised by nearly every window row —
-    # storage lifecycle's anti-join merge, dedup family, both flagships'
-    # id-fetch semi-joins — and stays locally gated 3 SFs) in favor of the
-    # r9-new split_leakage_safe below.
-    "suite_text_analysis",        # scalar fns + lang-ID + quality + top terms
-    # round-12 rotation: ann_ivf_spill displaced (driver-green r5..r9; IVF
-    # multi-assignment stays driver-checked via ann_ivf_persisted +
-    # ann_pq_rerank and locally gated 3 SFs) in favor of the r10-new
-    # text_lang_id_ngram below.
-    "text_lang_id_ngram",         # char-trigram language ID (r10 new)
-    # 45-50: LLM-data-pipeline first-class ops
-    "suite_dedup_family",         # exact/fingerprint/simhash/hamming/jaccard/minhash
-    # round-14 rotation (VERDICT r11 task 1): dedup_semantic_clusters
-    # displaced (driver-green r6..r11; SemDeDup semantics stay
-    # driver-checked via v5_bucketed_pairs + v4_ingest_reuse — the same
-    # grid/cosine surface — plus suite_dedup_family's five families, and
-    # locally gated 3 SFs) in favor of the r13-new sitemap_frontier below.
-    "sitemap_frontier",           # sitemap loc extraction -> frontier (r13 new)
-    # round-13 rotation: lm_quality_scores displaced (driver-green r6..r10;
-    # the quality family keeps FOUR window rows — quality_classifier,
-    # gopher_quality_flags, gopher_repetition_flags, suite_text_analysis —
-    # and the CCNet tiers stay locally gated 3 SFs) in favor of the
-    # r12-new text_fold_punctuation below.
-    "text_fold_punctuation",      # unicode punctuation folding (r12 new:
-                                  # pre-dedup normalization, pure codegen)
+    "v7_content_resolution",      # V7 content-based entity resolution
     "ann_ivf_persisted",          # ANN with persisted pruned layout
-    "suite_pipeline_ops",         # pii/contamination/packing/sampling/mixture/profile
-    # round-10 rotation: the two r9-new rows that were green in the local
-    # full gate at 3 SFs but never held a driver slot
-    "contamination_bloom",        # Bloom-prefiltered decontamination (r9 new)
-    "split_leakage_safe",         # leakage-safe train/val/test split (r9 new)
-    # round-11 rotation (VERDICT r9 task 1): the four r9-late crawl-chain
-    # rows that were green in the local full gate at sf0.01 AND sf0.1 but
-    # never held a driver slot — the crawl front-end (WARC read ->
-    # HTML extract -> URL dedup -> composed chain) gets driver evidence
-    "warc_ingest_roundtrip",      # WARC/WET container ingestion (r9 new)
-    "warc_response_extract",      # WARC response leg: header strip +
-                                  # charset sniff + extraction (r10 new)
-    "html_text_extract",          # HTML -> text extraction (r9 new)
-    "url_canonical_dedup",        # URL canonicalization dedup (r9 new)
-    "crawl_mini",                 # composed crawl chain (r9 new; r10:
-                                  # + link-marked extraction -> boilerplate
-                                  # pruning on URL-dedup survivors)
-    "boilerplate_prune",          # RefinedWeb/jusText line pruning (r10 new)
-    # round-14 rotation (VERDICT r11 task 1): mm_feature_search displaced
-    # (driver-green r4..r11, long tenure; the multimodal family keeps
-    # mm_media_meta in the window — same sources/multimodal.py decode
-    # surface — and stays locally gated 3 SFs) in favor of the r13-new
-    # content-sniffed format routing below.
-    "file_type_route",            # magic-byte MIME routing (r13 new)
-    "suite_graph_analytics",      # degree + CC + pagerank + triangles + spans
-    # round-13: compress_sessions displaced (driver-green r1..r10, the
-    # longest-tenured row in the window; session compression semantics
-    # unchanged since r3 and locally gated 3 SFs every round) in favor
-    # of the r13-new BPE-budget sharding composition below.
+    # 12-15: graph G1..G16 + analytics + multimodal
+    "suite_graph_store",          # G9/G10/G11
+    "graph_pagerank",             # graph analytics: pagerank
+    "graph_triangle_count",       # graph analytics: triangles
+    "mm_media_meta",              # MP4/MP3/WAV container metadata (r12)
+    # 16-22: ranking/feedback R2..R17 + validation rows (the six
+    # feedback/validation rows below carry the stale r02 red record)
+    "suite_ranking_formulas",     # R8/R9/R10/R11/R13/R14/R15/R16
+    "feedback_confidence_scores", # R16 confidence EMA (stale r02 record)
+    "feedback_engagement_rollup", # R16 engagement rollup (stale r02 record)
+    "prediction_validation",      # prediction vs outcome (stale r02 record)
+    "user_id_validation",         # id-format validation (stale r02 record)
+    "msg_batch_triggers",         # ST6 batch triggers (stale r02 record)
+    "session_summaries",          # session summarization (stale r02 record)
+    # 23-25: streaming analogs ST1..ST8 (stale r02 records)
+    "st2_session_memories",       # ST2 session-batch memories
+    "st8_sliding_window",         # ST8 sliding windows
+    "agg_cube_events",            # cube aggregation (stale r02 record)
+    # 26-27: incremental corpus + connector surface
+    "corpus_increment_dedup",     # exact/near/semantic verdicts vs state (r7)
+    "connector_transpose",        # Slack/Linear events -> memories (r13)
+    # 28-31: dedup family
+    "suite_dedup_family",         # exact/fingerprint/simhash/hamming/jaccard/minhash
+    "dedup_keep_best_quality",    # quality-aware duplicate-family keeper (r12)
+    "dedup_repeated_spans",       # intra-doc repeated spans (never checked)
+    "fuzzy_decontamination",      # doc-level MinHash decon vs eval sets (r14)
+    # 32-35: quality/text
+    "quality_classifier",         # NB log-odds learned quality filter (r12)
+    "text_lang_id_ngram",         # char-trigram language ID (r10)
+    "text_fold_punctuation",      # unicode punctuation folding (r12)
+    "f10_map_functions",          # F10 map/scalar fn surface (never checked)
+    # 36-46: crawl family (r13/r14-late rows that never held a slot)
+    "warc_ingest_roundtrip",      # WARC/WET container ingestion (r9)
+    "file_type_route",            # magic-byte MIME routing (r13)
+    "robots_gate",                # RFC 9309 robots.txt URL gating (r13)
+    "robots_sitemap_discovery",   # Sitemap: directives out of robots.txt (r14)
+    "sitemap_frontier",           # sitemap loc extraction -> frontier (r13)
+    "link_graph",                 # outbound links -> host link graph (r13)
+    "link_anchors",               # anchor-text link extraction (r14)
+    "url_surt_keys",              # SURT sort keys for crawl layouts (r14)
+    "crawl_frontier",             # bounded-round BFS frontier (r14)
+    "crawl_politeness_waves",     # per-host politeness fetch waves (r14)
+    "politeness_crawl_delay",     # Crawl-delay parsed wave caps (r14)
+    # 47-48: PDF deep-decode family (r14-late)
+    "pdf_cmap_text",              # /ToUnicode CMap + /Differences decode (r14)
+    "pdf_ocr_seam",               # scanned-page detection + OCR seam (r14)
+    # 49-50: composition capstone + tokenizer sharding
+    "pipeline_multiformat",       # mixed-format router composition (r14)
     "shard_bpe_budget",           # trained-BPE tokens -> shard budget (r13)
 ]
 

@@ -14,106 +14,55 @@ def _components(df):
 
 def test_registry_prefix_covers_component_families():
     """The driver verifies the first 50 registrations; that prefix must keep
-    one row per component family (the whole point of the suites)."""
+    one row per component family (the whole point of the suites).
+
+    round-15 rotation (VERDICT r12 task 1): the window is the evidence-debt
+    clearing pack — the 10 r14-late rows that never held a driver slot, the
+    9 rows whose last driver record was the stale round-2 red, and 6 more
+    never-driver-checked rows chosen so every displaced family keeps
+    coverage (full displacement rationale in queries._EVIDENCE_PRIORITY).
+    The required list below IS the window: any drift between the curated
+    prefix and this pin is a bug.
+    """
     from memory_opensource_spark.queries import QUERIES
 
     top50 = list(QUERIES)[:50]
     required = [
-        "search_flagship", "suite_storage_lifecycle",
-        "suite_graph_sinks", "suite_filters",
-        "v4_ingest_reuse", "v5_bucketed_pairs",
-        "v6_entity_resolution",
-        "suite_graph_lookup",
-        "g8_schema_driven_merge", "suite_graph_store",
-        "r2_stratified_merge",
-        "suite_ranking_formulas",
-        "suite_stream_windows",
-        # round-13: ids_chunk_algebra displaced for the round's flagship
-        # new operator (id algebra stays driver-exercised in the flagships)
-        "pdf_text_extract", "suite_text_analysis",
-        "suite_dedup_family", "ann_ivf_persisted",
-        "suite_graph_analytics",
-        # round-4 additions (V2-batch moved below fold in their favor:
-        # still locally gated, V2 covered by v2_cosine_topk + flagships)
-        "search_spec_pushdown", "g15_acl_both_endpoints", "suite_pipeline_ops",
-        # round-7 rotation (VERDICT r6 item 4): the four below-fold round-6
-        # ops into the driver window, displacing long-green r5-era rows
-        # (v9_grouped_points, st2_session_windows, txn_merge_roundtrip,
-        # zorder_layout_roundtrip move below fold — still locally gated,
-        # semantics unchanged since they were last driver-checked)
-        # round-13: ann_pq_rerank and compress_sessions displaced
-        # (driver-green r6-r10 / r1-r10) for the round's two other new
-        # registrations — every registration holds a driver slot:
-        "connector_transpose", "shard_bpe_budget",
-        # round-13 rotation (driver r11): omo_export_roundtrip /
-        # lm_quality_scores / g14_constraint_when displaced (driver-green
-        # r6-r10 / r6-r10 / r3-r10; OMO stays a suite_filters member,
-        # quality keeps four window rows, constraints stay exercised via
-        # suite_graph_store's G9 leg) for the three r12-late registrations
-        # that never held a driver slot:
-        "mm_media_meta", "dedup_keep_best_quality", "text_fold_punctuation",
-        # round-7 rotation 2: the round's flagship new op into the window
-        # (st5_decayed_counter_replay below fold — unchanged for two rounds,
-        # streaming family stays windowed via suite_stream_windows)
-        "corpus_increment_dedup",
-        # round-8 rotation (VERDICT r7 task 3): the four r7-new pipeline ops
-        # into the driver window — the span pair also carries the r8
-        # skew/rolling-hash rework, so its driver turn re-gates new code.
-        # Displaced (v3_scroll_fallback, v8_property_index,
-        # g12_related_to_edges, g13_link_to_lookup — all driver-green for
-        # multiple rounds, unchanged semantics, families keep >= 2 driver
-        # rows) stay locally gated.
-        "dedup_span_removal",
-        "shard_token_budget",
-        # round-8: the oracle-gated composition row (r12_delta_since_watermark
-        # displaced — driver-green since r3, delta/watermark behavior stays
-        # in suite_stream_windows)
-        "pipeline_mini",
-        # round-9 rotation (VERDICT r8 task 1): the r8-late rows into the
-        # window (s1_fetch_by_ids / v1_chunk_embed / f1_acl_filter displaced
-        # — each driver-green for many rounds; S1 fetch and F1 ACL stay
-        # driver-exercised inside the flagships, V1 inside v4_ingest_reuse)
-        "gopher_quality_flags", "gopher_repetition_flags",
-        # round-10 rotation: the two r9-new pipeline ops into the window
-        # (v2_cosine_topk / set_ops_semi_anti displaced — both driver-green
-        # r1..r9; cosine top-k + threshold stay driver-checked inside both
-        # flagships, semi/anti algebra inside storage lifecycle, dedup and
-        # id-fetch rows; both stay locally gated at 3 SFs)
-        "contamination_bloom", "split_leakage_safe",
-        # round-11 rotation (VERDICT r9 task 1): the four r9-new
-        # crawl-chain rows into the window (s12_cascade_delete /
-        # f9_fallback_relax / r6_rerank / shard_corpus displaced — each
-        # driver-green for many rounds, semantics unchanged; delete paths
-        # stay driver-checked in suite_storage_lifecycle, sharding in
-        # shard_token_budget + pack_sequences; all stay locally gated)
-        "warc_ingest_roundtrip", "html_text_extract",
-        "url_canonical_dedup", "crawl_mini",
-        # round-12 rotation (driver r10): the three r10-new rows into the
-        # window (dedup_lines / g2_two_hop_paths / ann_ivf_spill displaced
-        # — driver-green for 2/9/5 rounds respectively; line dedup stays
-        # driver-checked inside pipeline_mini + suite_dedup_family,
-        # bounded paths inside g1 + suite_graph_analytics, IVF
-        # multi-assignment inside ann_ivf_persisted + ann_pq_rerank; all
-        # three stay locally gated at 3 SFs)
-        "boilerplate_prune", "warc_response_extract", "text_lang_id_ngram",
-        # round-12 rotation #2: the three r12-new rows into the window
-        # (dedup_span_fraction / sample_domain_cap / g7_schema_discovery
-        # displaced — driver-green 2/2/8 rounds; span family stays
-        # driver-checked via dedup_span_removal + suite_dedup_family +
-        # pipeline_mini, sampling via split_leakage_safe + shard rows,
-        # graph discovery via the six remaining graph window rows; all
-        # three stay locally gated at 3 SFs)
-        "quality_classifier", "url_blocklist_filter", "bpe_subword_stats",
-        # round-14 rotation (VERDICT r11 task 1): the four r13-late
-        # crawl-discovery rows into the window (g1_pattern_match /
-        # pack_sequences / dedup_semantic_clusters / mm_feature_search
-        # displaced — driver-green r1..r11 / r8..r11 / r6..r11 / r4..r11;
-        # G1 match stays driver-checked via g15_acl_both_endpoints +
-        # suite_graph_lookup/store, packing via the two shard rows,
-        # SemDeDup via v5_bucketed_pairs + v4_ingest_reuse + the dedup
-        # suite, multimodal decode via mm_media_meta; all four stay
-        # locally gated at 3 SFs)
-        "file_type_route", "robots_gate", "link_graph", "sitemap_frontier",
+        # flagships
+        "search_flagship", "search_agentic_flagship",
+        # storage/sources
+        "suite_storage_lifecycle", "suite_graph_sinks", "pdf_text_extract",
+        # filters/ACL
+        "suite_filters", "acl_audit",
+        # vector/similarity
+        "v4_ingest_reuse", "v5_bucketed_pairs", "v7_content_resolution",
+        "ann_ivf_persisted",
+        # graph + analytics + multimodal
+        "suite_graph_store", "graph_pagerank", "graph_triangle_count",
+        "mm_media_meta",
+        # ranking/feedback/validation (six stale-r02-record rows)
+        "suite_ranking_formulas", "feedback_confidence_scores",
+        "feedback_engagement_rollup", "prediction_validation",
+        "user_id_validation", "msg_batch_triggers", "session_summaries",
+        # streaming analogs (stale-r02-record rows)
+        "st2_session_memories", "st8_sliding_window", "agg_cube_events",
+        # incremental corpus + connectors
+        "corpus_increment_dedup", "connector_transpose",
+        # dedup family
+        "suite_dedup_family", "dedup_keep_best_quality",
+        "dedup_repeated_spans", "fuzzy_decontamination",
+        # quality/text
+        "quality_classifier", "text_lang_id_ngram", "text_fold_punctuation",
+        "f10_map_functions",
+        # crawl family (r13/r14-late, never driver-checked before r13)
+        "warc_ingest_roundtrip", "file_type_route", "robots_gate",
+        "robots_sitemap_discovery", "sitemap_frontier", "link_graph",
+        "link_anchors", "url_surt_keys", "crawl_frontier",
+        "crawl_politeness_waves", "politeness_crawl_delay",
+        # PDF deep-decode
+        "pdf_cmap_text", "pdf_ocr_seam",
+        # composition capstone + tokenizer sharding
+        "pipeline_multiformat", "shard_bpe_budget",
     ]
     missing = [q for q in required if q not in top50]
     assert not missing, f"top-50 evidence window lost: {missing}"
@@ -123,6 +72,7 @@ def test_registry_prefix_covers_component_families():
     from memory_opensource_spark.queries import _EVIDENCE_PRIORITY
 
     assert len(_EVIDENCE_PRIORITY) == 50
+    assert len(required) == 50 and set(required) == set(_EVIDENCE_PRIORITY)
     stale = [n for n in _EVIDENCE_PRIORITY if n not in QUERIES]
     assert not stale, f"stale priority names: {stale}"
 
