@@ -973,6 +973,108 @@ def g4(spark, sf_dir):
     return out.select("node_id", "label", "prop_name")
 
 
+@_register("g15_where_compiler", f"""
+WITH {NODES_CTE.strip()}, {EDGES_CTE.strip()},
+-- the nodes' deterministic ACL block (FIXTURES.md): org/ns are NULL for the
+-- ~10% legacy rows (id_num % 10 = 7) — the IS [NOT] NULL / NOT IN legs below
+-- exercise three-valued logic on them
+acld AS (
+  SELECT node_id, label, prop_name, prop_status,
+         'u' || (id_num % 20)::VARCHAR AS user_id,
+         CASE WHEN id_num % 10 = 7 THEN NULL
+              ELSE 'o' || (id_num % 3)::VARCHAR END AS organization_id,
+         CASE WHEN id_num % 10 = 7 THEN NULL
+              ELSE 'ns' || (id_num % 5)::VARCHAR END AS namespace_id
+  FROM nodes_d
+)
+SELECT DISTINCT m.node_id AS m_id, m.label AS m_label, e.rel_type,
+       n.node_id AS n_id, n.label AS n_label
+FROM edges_d e
+JOIN acld m ON e.src = m.node_id AND m.label = 'Customer'
+JOIN acld n ON e.dst = n.node_id AND n.label = 'Nation'
+WHERE e.rel_type = 'BELONGS_TO'
+  -- m: the WhereCondition chain below, with CYPHER precedence (AND > OR)
+  AND ( (m.prop_status IN ('BUILDING', 'MACHINERY')
+         AND m.prop_status NOT IN ('FURNITURE', 'AUTOMOBILE', 'HOUSEHOLD')
+         AND regexp_full_match(m.prop_name, 'Customer#[0-9]+')
+         AND m.prop_name > 'Customer#000000009'
+         AND m.prop_name <= 'Customer#000000099')
+     OR (m.organization_id IS NULL AND contains(m.prop_name, '11'))
+     OR (ends_with(m.prop_name, '7') AND m.prop_status <> 'FURNITURE'
+         AND m.namespace_id IS NOT NULL
+         AND starts_with(m.prop_name, 'Customer#')
+         AND m.prop_name >= 'Customer#000000050'
+         AND m.prop_name < 'Customer#000000200')
+     OR m.user_id = 'u3' )
+  -- n: G15 grouping — same property ORs, distinct properties AND
+  AND (starts_with(n.prop_name, 'NATION_1') OR contains(n.prop_name, '_2'))
+  AND n.prop_status = 'active'
+  AND n.node_id IN ('n1', 'n2', 'n3', 'n7', 'n12', 'n21')
+""")
+def g15_where(spark, sf_dir):
+    """WhereCondition-complete predicate compiler (VERDICT r12 task 2).
+
+    The m-side chain covers the reference's FULL ComparisonOperator enum
+    (models/cipher_ast.py:26-51) — =, <>, >, >=, <, <=, CONTAINS,
+    STARTS WITH, ENDS WITH, IN, NOT IN, IS NULL, IS NOT NULL, =~ — chained
+    with mixed and_operator flags so Cypher's AND-over-OR precedence and the
+    and_operator=None skip rule (:585-595) are both value-pinned.  The NULL
+    legs ride the fixture's legacy rows (org/ns NULL at id % 10 == 7):
+    ``organization_id NOT IN (...)`` would 3VL-drop them, ``IS NULL``
+    selects them.  The n-side compiles G15 SearchOverrideFilters
+    (models/memory_models.py:699-719) with the executor's grouping —
+    same-property ORs, cross-property ANDs
+    (chat_gpt_completion.py:5699-5744, :5865) — including a filter aimed at
+    another label (ignored) and an empty-value filter (dropped, :5712).
+    """
+    from .operators.constraints import (SearchFilter, WhereCondition,
+                                        compile_search_filters, compile_where)
+
+    t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "region", "supplier"]}
+    nodes = tables.build_nodes(t["customer"], t["nation"], t["region"], t["supplier"])
+    edges = tables.build_edges(t["customer"], t["nation"], t["supplier"])
+
+    m_pred = compile_where([
+        # group 1 (AND-chain)
+        WhereCondition("prop_status", "IN", ["BUILDING", "MACHINERY"]),
+        WhereCondition("prop_status", "NOT IN",
+                       ["FURNITURE", "AUTOMOBILE", "HOUSEHOLD"]),
+        WhereCondition("prop_name", "=~", "Customer#[0-9]+"),
+        WhereCondition("prop_name", ">", "Customer#000000009"),
+        WhereCondition("prop_name", "<=", "Customer#000000099"),
+        # group 2 (OR starts a new AND-group): legacy NULL-org rows
+        WhereCondition("organization_id", "IS NULL", and_operator=False),
+        WhereCondition("prop_name", "CONTAINS", "11"),
+        # and_operator=None -> the condition is SKIPPED (cipher_ast.py:593);
+        # if it were wrongly AND-ed, group 2 would empty out and the value
+        # hash would catch it
+        WhereCondition("user_id", "=", "u999", and_operator=None),
+        # group 3
+        WhereCondition("prop_name", "ENDS WITH", "7", and_operator=False),
+        WhereCondition("prop_status", "<>", "FURNITURE"),
+        WhereCondition("namespace_id", "IS NOT NULL"),
+        WhereCondition("prop_name", "STARTS WITH", "Customer#"),
+        WhereCondition("prop_name", ">=", "Customer#000000050"),
+        WhereCondition("prop_name", "<", "Customer#000000200"),
+        # group 4
+        WhereCondition("user_id", "=", "u3", and_operator=False),
+    ])
+    n_pred = compile_search_filters([
+        SearchFilter("Nation", "prop_name", "STARTS_WITH", "NATION_1"),
+        SearchFilter("Nation", "prop_name", "CONTAINS", "_2"),  # same prop: OR
+        SearchFilter("Nation", "prop_status", "EQUALS", "active"),
+        SearchFilter("Nation", "node_id", "IN",
+                     ["n1", "n2", "n3", "n7", "n12", "n21"]),
+        SearchFilter("Customer", "prop_name", "CONTAINS", "zzz"),  # other label
+        SearchFilter("Nation", "prop_name", "CONTAINS", ""),       # empty: drop
+    ], label="Nation")
+
+    spec = PatternSpec(source_label="Customer", relationship_type="BELONGS_TO",
+                       target_label="Nation", direction="out")
+    out = graph.match_pattern(nodes, edges, spec, m_pred=m_pred, n_pred=n_pred)
+    return out.select("m_id", "m_label", "rel_type", "n_id", "n_label")
+
+
 @_register("g7_schema_discovery", f"""
 WITH {NODES_CTE.strip()}, {EDGES_CTE.strip()}
 SELECT label AS name, 'node_label' AS kind FROM (SELECT DISTINCT label FROM nodes_d)
