@@ -191,9 +191,16 @@ def extract_links_sql(html_expr: str, base_expr: str) -> str:
 # --- anchor-text link extraction (r14) ---------------------------------------
 
 #: whole <a ...>...</a> elements (non-greedy inner; nested anchors are
-#: invalid HTML and split at the first close — documented scope)
+#: invalid HTML and split at the first close — documented scope).  The
+#: inner match is CAPPED at 1000 chars: an unbounded `.*?` backtracks
+#: quadratically on hostile pages stuffed with unclosed <a> tags (the
+#: CMap-bomb adversarial class, ~30x slower on a 3k-anchor page), and
+#: RE2 (the DuckDB twin) has no lookahead to express "until </a>"
+#: linearly — the bounded repeat is the one form both engines run fast.
+#: Anchors whose inner HTML exceeds the cap are skipped (pathological;
+#: anchor TEXT that long carries no crawl-priority signal).
 _A_ELEM = ("(?is)<a\\b[^>]*?href\\s*=\\s*(\"[^\"]*\"|'[^']*')"
-           "[^>]*>(.*?)</a\\s*>")
+           "[^>]*>(.{0,1000}?)</a\\s*>")
 
 
 def extract_links_anchors(html: Column, base_url: Column) -> Column:

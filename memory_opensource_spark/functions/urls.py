@@ -241,7 +241,14 @@ def surt(url: Column) -> Column:
     ``com,example,www:8080)/a/b?q=1``.  Sorting a 100 TB crawl by SURT
     clusters every domain's pages (and its subdomains as a prefix
     range), which is what makes index lookups and per-domain scans
-    partition-prunable.  Pure Column expression; NULL stays NULL."""
+    partition-prunable.  Pure Column expression; NULL stays NULL.
+
+    A pathless URL with a query gets the canonical ``/`` before the
+    ``?`` (``http://h?q=1`` -> ``h)/?q=1``), matching the Common-Crawl/
+    Wayback SURT form and this module's ``url_path``.  Caveat (kept
+    deliberately): ports 80 AND 443 are both dropped regardless of the
+    original scheme — an explicit ``http://h:443/`` folds with
+    ``https://h/``, which is the fold canonicalization wants here."""
     rest = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     hostport = F.regexp_replace(
         F.regexp_extract(rest, r"^([^/?#]+)", 1), "^.*@", "")
@@ -252,7 +259,9 @@ def surt(url: Column) -> Column:
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
     tail = F.regexp_replace(
         F.regexp_replace(rest, r"^[^/?#]+", ""), "#.*$", "")
-    tail = F.when(tail == "", F.lit("/")).otherwise(tail)
+    tail = (F.when(tail == "", F.lit("/"))
+            .when(tail.startswith("?"), F.concat(F.lit("/"), tail))
+            .otherwise(tail))
     return F.when(url.isNull(), F.lit(None)) \
         .otherwise(F.concat(rev, port, F.lit(")"), tail))
 
@@ -269,6 +278,8 @@ def surt_sql(expr: str) -> str:
     rev = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
     tail_raw = (f"regexp_replace(regexp_replace({rest}, '^[^/?#]+', ''), "
                 f"'#.*$', '')")
-    tail = f"(CASE WHEN {tail_raw} = '' THEN '/' ELSE {tail_raw} END)"
+    tail = (f"(CASE WHEN {tail_raw} = '' THEN '/' "
+            f"WHEN starts_with({tail_raw}, '?') THEN '/' || {tail_raw} "
+            f"ELSE {tail_raw} END)")
     return (f"(CASE WHEN {expr} IS NULL THEN NULL "
             f"ELSE {rev} || {port} || ')' || {tail} END)")

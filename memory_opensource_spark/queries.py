@@ -6669,8 +6669,6 @@ def robots_gate_q(spark, sf_dir):
     return kept.unionByName(blocked)
 
 
-from .functions import html as _html_mod  # noqa: E402
-
 _FTR_HTML = ("'<html><body><h1>Title ' || doc_id || '</h1><p>' || text || "
              "'</p></body></html>'")
 _FTR_ORACLE = f"""WITH d AS (

@@ -52,6 +52,86 @@ def windowed_event_counts(stream: DataFrame, width: str = "5 minutes",
     )
 
 
+def _migrate_unpartitioned_state(spark, state_dir: str) -> None:
+    """One-time state-layout migration (ADVICE r12).
+
+    State tables written by the pre-partitioning handlers were plain
+    parquet part-files at the directory ROOT (``batch_id`` as a data
+    column); the current handlers write ``partitionBy('batch_id')``
+    subdirectories.  Spark cannot read the mixed layout (the partition
+    directory turns ``batch_id`` into a partition column that collides
+    with the root files' data column), and the pruned idempotence read
+    (``batch_id == N``) would never see root-level rows.  So: detect
+    root part-files, move them into a ``_premigration`` staging dir
+    (underscore-prefixed == invisible to Spark readers; per-file rename
+    is atomic, so a crash mid-move converges on the next call), rewrite
+    them into the partitioned layout, then drop the staging dir.  ALL
+    migrated rows land in ``batch_id=-1`` — pre-history: a data-column
+    batch_id from the old layout numbers a DEAD checkpoint's batches,
+    and keeping it would collide with the new stream's own numbering
+    (the replay-exclusion read ``batch_id != current`` would silently
+    drop old batch-0 state during the new batch 0, un-deduplicating
+    re-delivered events).  Pre-history sorts before every real batch
+    and is the first to age out under any horizon.
+
+    At-least-once caveat (documented, matching the handlers' own replay
+    story): a crash between the staged write and the staging-dir delete
+    re-appends the staged rows on the next call; the anti-join dedup
+    reads are insensitive to duplicate state rows, so correctness holds
+    — only state size pays until the horizon ages the extra rows out.
+    """
+    import os
+    import shutil
+
+    if not os.path.isdir(state_dir):
+        return
+    staging = os.path.join(state_dir, "_premigration")
+    root_files = [f for f in os.listdir(state_dir)
+                  if f.endswith(".parquet") and not f.startswith(("_", "."))]
+    if root_files:
+        os.makedirs(staging, exist_ok=True)
+        for f in root_files:
+            os.replace(os.path.join(state_dir, f), os.path.join(staging, f))
+    if not os.path.isdir(staging):
+        return
+    staged = [os.path.join(staging, f) for f in os.listdir(staging)
+              if f.endswith(".parquet")]
+    if staged:
+        old = spark.read.parquet(*staged)
+        if "batch_id" in old.columns:
+            old = old.drop("batch_id")
+        old = old.withColumn("batch_id", F.lit(-1))
+        old.write.mode("append").partitionBy("batch_id").parquet(state_dir)
+    shutil.rmtree(staging)
+
+
+#: batches a cross-batch-state stream may run with ``retain_batches=None``
+#: before the handlers warn: the unbounded dedup horizon is correct for a
+#: bounded backfill, but on a forever-stream the seen-state and its
+#: anti-join read grow O(stream lifetime) — silently scale-hostile
+#: (VERDICT r12 task 6).
+UNBOUNDED_STATE_WARN_BATCHES = 100
+
+
+def _warn_unbounded_horizon(fn_name: str, batch_id: int,
+                            warned: list[bool]) -> None:
+    """Warn ONCE per stream once batch_id crosses the threshold with no
+    retention horizon set.  A list-cell flag (not a bare bool) so the
+    closure can mark it from inside foreachBatch."""
+    if warned[0] or batch_id < UNBOUNDED_STATE_WARN_BATCHES:
+        return
+    warned[0] = True
+    import warnings
+
+    warnings.warn(
+        f"{fn_name}: {batch_id} micro-batches with retain_batches=None — "
+        f"the cross-batch dedup state and its per-batch anti-join read grow "
+        f"with stream lifetime. Pass retain_batches=<N> to bound both "
+        f"(events re-delivered more than N batches after first ingest would "
+        f"then re-append; pick N above the source's re-delivery window).",
+        RuntimeWarning, stacklevel=3)
+
+
 def foreach_batch_ingest(stream: DataFrame, sink: Callable[[DataFrame, int], None],
                          checkpoint: str):
     """ST1: micro-batch ingest driving the §3.2 pipeline; batch-id = epoch id
@@ -442,9 +522,15 @@ def foreach_batch_connector_ingest(stream: DataFrame, state_dir: str,
 
     mem_dir = os.path.join(state_dir, "memories")
     seen_dir = os.path.join(state_dir, "seen_events")
+    _warned = [False]
 
     def handle(batch_df, batch_id: int):
         spark = batch_df.sparkSession
+        if retain_batches is None:
+            _warn_unbounded_horizon("foreach_batch_connector_ingest",
+                                    batch_id, _warned)
+        _migrate_unpartitioned_state(spark, mem_dir)
+        _migrate_unpartitioned_state(spark, seen_dir)
         ev_cols = [url_col, payload_col] + (
             [workspace_col] if workspace_col else [])
         events = (batch_df.select(*ev_cols)
@@ -558,9 +644,15 @@ def foreach_batch_frontier_ingest(stream: DataFrame, state_dir: str,
 
     seen_dir = os.path.join(state_dir, "seen_urls")
     frontier_dir = os.path.join(state_dir, "frontier")
+    _warned = [False]
 
     def handle(batch_df, batch_id: int):
         spark = batch_df.sparkSession
+        if retain_batches is None:
+            _warn_unbounded_horizon("foreach_batch_frontier_ingest",
+                                    batch_id, _warned)
+        _migrate_unpartitioned_state(spark, seen_dir)
+        _migrate_unpartitioned_state(spark, frontier_dir)
         pages = (batch_df
                  .select(canonical_url(F.col(url_col)).alias(url_col),
                          F.col(html_col))

@@ -276,3 +276,116 @@ def test_streaming_connector_ingest_bounded_horizon(spark, tmp_path):
                    if p.startswith("batch_id="))
     assert parts == [1, 2, 3]                # batch 3 horizon = 3-2 = 1:
                                              # partition 0 aged out
+
+
+def test_streaming_connector_ingest_migrates_old_state_layout(spark, tmp_path):
+    """ADVICE r12: a stream restarting over PRE-partitioning state (plain
+    part-files at the state-dir root) must migrate it to the
+    batch_id-partitioned layout on first batch — old seen ids keep
+    deduplicating, old memories stay readable, and no root-level part
+    files survive.  Old memories lack a batch_id column entirely (they
+    land in batch_id=-1); old seen_events carry one as a data column."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.streaming.pipelines import (
+        foreach_batch_connector_ingest)
+
+    d = tmp_path / "events"
+    d.mkdir()
+    sd = str(tmp_path / "state")
+
+    def ev(url, payload):
+        return json.dumps({"url": url, "payload": json.dumps(payload)})
+
+    dup_url = "https://h.example/slack/messages"
+    dup_payload = json.dumps({"text": "old-hello", "id": "S1"})
+
+    # ---- fabricate the OLD state layout -------------------------------
+    eid = spark.createDataFrame([(dup_url, dup_payload)], "u string, p string") \
+        .select(F.xxhash64("u", "p").alias("event_id")).collect()[0].event_id
+    # seen_events: root-level file WITH a batch_id data column
+    spark.createDataFrame([(eid, 0)], "event_id long, batch_id int") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "old_seen"))
+    # memories: root-level file WITHOUT batch_id (oldest shape)
+    spark.createDataFrame(
+        [(eid, "old-hello", "slack")],
+        "event_id long, content string, connector string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "old_mem"))
+    for src, dst in [("old_seen", "seen_events"), ("old_mem", "memories")]:
+        os.makedirs(os.path.join(sd, dst), exist_ok=True)
+        for f in os.listdir(tmp_path / src):
+            if f.endswith(".parquet"):
+                os.replace(os.path.join(tmp_path, src, f),
+                           os.path.join(sd, dst, f))
+    assert any(f.endswith(".parquet")
+               for f in os.listdir(os.path.join(sd, "seen_events")))
+
+    # ---- stream one batch: the dup must be dropped against OLD state --
+    b0 = [ev(dup_url, {"text": "old-hello", "id": "S1"}),   # in old seen
+          ev("https://h.example/linear/issues",
+             {"title": "T-new", "id": "I1", "project": {"name": "P"}})]
+    (d / "b0.json").write_text("\n".join(b0))
+    stream = (spark.readStream.schema("url string, payload string")
+              .json(str(d)))
+    q = (foreach_batch_connector_ingest(stream, sd, str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    mem_dir = os.path.join(sd, "memories")
+    seen_dir = os.path.join(sd, "seen_events")
+    # no root-level part files or staging dirs survive anywhere
+    for sdir in (mem_dir, seen_dir):
+        assert not any(f.endswith(".parquet") for f in os.listdir(sdir))
+        assert "_premigration" not in os.listdir(sdir)
+        assert any(p.startswith("batch_id=") for p in os.listdir(sdir))
+    # the mixed-layout read works and holds old + new rows exactly once
+    mem = spark.read.parquet(mem_dir)
+    assert sorted(r.content for r in mem.collect()) == ["T-new", "old-hello"]
+    # columnless old memories landed in batch_id=-1
+    assert "batch_id=-1" in os.listdir(mem_dir)
+    seen = spark.read.parquet(seen_dir)
+    assert seen.count() == seen.select("event_id").distinct().count() == 2
+
+
+def test_unbounded_horizon_warns_once(spark, tmp_path, monkeypatch):
+    """VERDICT r12 task 6: retain_batches=None on a long stream warns
+    loudly (once) after the threshold; setting a horizon stays silent."""
+    import os
+    import warnings as W
+
+    from memory_opensource_spark.streaming import pipelines as P
+
+    # unit: the helper itself
+    flag = [False]
+    with pytest.warns(RuntimeWarning, match="retain_batches=None"):
+        P._warn_unbounded_horizon("x", P.UNBOUNDED_STATE_WARN_BATCHES, flag)
+    assert flag[0]
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        P._warn_unbounded_horizon("x", 10 ** 6, flag)   # already warned
+        P._warn_unbounded_horizon("y", 0, [False])      # below threshold
+    assert not rec
+
+    # end-to-end: the connector stream fires it past a patched threshold
+    monkeypatch.setattr(P, "UNBOUNDED_STATE_WARN_BATCHES", 1)
+    d = tmp_path / "events"
+    d.mkdir()
+    for i in range(2):
+        (d / f"b{i}.json").write_text(json.dumps(
+            {"url": "https://h.example/slack/messages",
+             "payload": json.dumps({"text": f"t{i}", "id": f"S{i}"})}))
+        os.utime(d / f"b{i}.json", (1_700_000_000 + i,) * 2)
+    stream = (spark.readStream.schema("url string, payload string")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        q = (P.foreach_batch_connector_ingest(
+                stream, str(tmp_path / "state"), str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    hits = [w for w in rec if issubclass(w.category, RuntimeWarning)
+            and "foreach_batch_connector_ingest" in str(w.message)]
+    assert len(hits) == 1                     # once, not per batch

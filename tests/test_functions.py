@@ -1471,6 +1471,10 @@ def test_surt_rules_and_cross_engine_parity(spark):
         ("http://h.example:80/x", "example,h)/x"),
         ("https://h.example:443/y?a=1#z", "example,h)/y?a=1"),
         ("https://single/", "single)/"),
+        # pathless URL WITH a query: canonical '/' before the '?' (the
+        # Common-Crawl/Wayback form, mirroring url_path) — ADVICE r12
+        ("http://example.h?q=1", "h,example)/?q=1"),
+        ("https://h.example?a=1#frag", "example,h)/?a=1"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r.s for r in df.select(surt(F.col("u")).alias("s")).collect()]
