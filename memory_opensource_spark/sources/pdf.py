@@ -296,7 +296,8 @@ def write_pdf(pages: list[str], *, compress: bool = True,
               split_streams: bool = False,
               cmap_font: bool = False,
               diff_encoding: bool = False,
-              scanned: bool | set[int] = False) -> bytes:
+              scanned: bool | set[int] = False,
+              scan_raster: bool = False) -> bytes:
     """A complete single-font PDF 1.4 file showing ``pages`` (one
     MediaBox'd page per element; lines split on ``\\n`` become
     ``Tj``/``T*`` pairs, so :func:`extract_pdf_pages` round-trips the
@@ -314,8 +315,13 @@ def write_pdf(pages: list[str], *, compress: bool = True,
     ``True``) as IMAGE-ONLY pages: no text operators, one /XObject
     /Image drawn by ``Do`` whose stream bytes are the page text in the
     deterministic fake-scan format :func:`ocr_stub` reads back — the
-    scanned-page/OCR seam twin.  All are parser-surface variations
-    oracle rows sweep."""
+    scanned-page/OCR seam twin.  ``scan_raster`` (r15) upgrades the
+    scanned pages from the marker format to REAL PIXELS: the image
+    stream becomes an 8-bit grayscale raster of the page text rendered
+    by sources/rasterocr.render_text_image, with /Width and /Height set
+    from the raster — the ``raster_ocr`` template-matching engine in
+    the same ``ocr=`` seam decodes it back from pixel math alone.  All
+    are parser-surface variations oracle rows sweep."""
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_num = 3
@@ -343,15 +349,22 @@ def write_pdf(pages: list[str], *, compress: bool = True,
     for page_idx, text in enumerate(pages):
         if page_idx in scanned_set:
             # a SCANNED page: no text operators at all — one image
-            # XObject whose stream is the page "scan" (the deterministic
-            # fake-scan format ocr_stub reads back; a real scanner would
-            # put pixels here and a real OCR engine in the seam)
-            img = text.encode("utf-8")
+            # XObject whose stream is the page "scan" (marker format
+            # ocr_stub reads back, or — scan_raster — real grayscale
+            # pixels the raster_ocr template matcher decodes)
+            if scan_raster:
+                from .rasterocr import IMAGE_W, render_text_image
+                img = render_text_image(text)
+                w, h = IMAGE_W, len(img) // IMAGE_W
+            else:
+                img = text.encode("utf-8")
+                w, h = 612, 792
             data = zlib.compress(img) if compress else img
             filt = b"/Filter /FlateDecode " if compress else b""
             objs[next_num] = (b"<< /Type /XObject /Subtype /Image "
-                              b"/Width 612 /Height 792 "
-                              b"/ColorSpace /DeviceGray "
+                              b"/Width " + str(w).encode()
+                              + b" /Height " + str(h).encode()
+                              + b" /ColorSpace /DeviceGray "
                               b"/BitsPerComponent 8 " + filt
                               + b"/Length " + str(len(data)).encode()
                               + b" >>\nstream\n" + data + b"\nendstream")
