@@ -82,8 +82,8 @@ def _best_group(content: str, agent: str):
         groups.append((cur_agents, cur_rules, cur_delay))
 
     al = agent.lower()
-    best_len, best_rules, best_delay = None, [], None
-    for agents, rules, delay in groups:
+    best_len: int | None = None
+    for agents, _, _ in groups:
         for a in agents:
             if a == "*":
                 spec = 0
@@ -92,7 +92,26 @@ def _best_group(content: str, agent: str):
             else:
                 continue
             if best_len is None or spec > best_len:
-                best_len, best_rules, best_delay = spec, rules, delay
+                best_len = spec
+    if best_len is None:
+        return [], None
+    # RFC 9309 §2.2.1 (sweep-17 fix): ALL groups matching at the winning
+    # specificity MERGE into one — a second "User-agent: *" group later in
+    # the file adds its rules rather than being silently dropped.  The
+    # de-facto Crawl-delay extension has no merge rule in any spec; we take
+    # the MAX among the merged groups' declarations (the most conservative
+    # politeness — a crawler honoring the larger delay honors both).
+    best_rules, best_delay = [], None
+    for agents, rules, delay in groups:
+        spec = max((0 if a == "*" else len(a))
+                   for a in agents if a == "*" or (a and a in al))\
+            if any(a == "*" or (a and a in al) for a in agents) else None
+        if spec != best_len:
+            continue
+        best_rules.extend(rules)
+        if delay is not None:
+            best_delay = delay if best_delay is None else max(best_delay,
+                                                              delay)
     return best_rules, best_delay
 
 

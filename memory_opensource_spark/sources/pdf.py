@@ -960,6 +960,14 @@ class _PdfDoc:
                     if isinstance(enc, dict):
                         diffs = self.resolve(enc.get("/Differences"))
                         if isinstance(diffs, list):
+                            # any element may be indirect (sweep-17): a
+                            # resolvable ref substitutes its object; a
+                            # DANGLING one resolves to None and fails
+                            # _parse_differences loudly (error row,
+                            # never silently shifted codes)
+                            diffs = [self.resolve(el)
+                                     if isinstance(el, Ref) else el
+                                     for el in diffs]
                             fonts[name] = (1, _parse_differences(diffs))
         return fonts
 
@@ -982,11 +990,24 @@ def _parse_tounicode(payload: bytes) -> tuple[int, dict[int, str]]:
     increments, PDF 32000-1 §9.10.3) and the array-destination form.
     Malformed sections raise :class:`PdfParseError` loudly."""
     width = 1
-    m = _CSPACE_RE.search(payload)
-    if m:
-        tok = _CTOK_RE.search(m.group(1))
-        if tok and tok.group(1):
-            width = max(1, len(tok.group(1)) // 2)
+    widths = set()
+    for m in _CSPACE_RE.finditer(payload):
+        for tok in _CTOK_RE.finditer(m.group(1)):
+            if tok.group(1):
+                widths.add(max(1, len(tok.group(1)) // 2))
+    if len(widths) > 1:
+        # sweep-17 guard: MIXED code widths (a CID-style multi-range
+        # codespace like <00><80> <8140><9ffc>) cannot decode through a
+        # single fixed-width show-string walk — silently picking the
+        # first range's width would emit garbage text for every code of
+        # the other width.  Out of the documented simple-ToUnicode
+        # surface: refuse the FILE loudly (the error-isolation rows turn
+        # this into an error row, never silent text).
+        raise PdfParseError(
+            f"ToUnicode: mixed codespace widths {sorted(widths)} — "
+            f"multi-width CMaps are outside the simple-font surface")
+    if widths:
+        width = widths.pop()
     mapping: dict[int, str] = {}
 
     def u16(hx: bytes) -> str:
@@ -1042,9 +1063,19 @@ def _parse_tounicode(payload: bytes) -> tuple[int, dict[int, str]]:
                     toks[i + 2].group(1).decode("ascii"))
                 if not dst:
                     raise PdfParseError("ToUnicode: empty bfrange dst")
+                if dst[-1] + (hi - lo) > 0xFF:
+                    # sweep-17 guard: §9.10.3 increments the LAST BYTE of
+                    # the destination; a range crossing the byte boundary
+                    # is invalid (Adobe CMap rule) and the old masked
+                    # wrap-around silently mapped the overflowing codes
+                    # BACKWARDS (<00FF> + 1 -> <0000>) — garbage text.
+                    # Refuse loudly instead.
+                    raise PdfParseError(
+                        "ToUnicode: bfrange destination crosses a byte "
+                        "boundary — invalid per the CMap increment rule")
                 for off in range(hi - lo + 1):
                     d = bytearray(dst)
-                    d[-1] = (d[-1] + off) & 0xFF  # last-byte increment
+                    d[-1] = d[-1] + off           # last-byte increment
                     mapping[lo + off] = bytes(d).decode(
                         "utf-16-be", errors="replace")
                 i += 3

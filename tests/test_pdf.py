@@ -199,11 +199,18 @@ def test_cmap_parser_forms_and_fallback():
         b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
         b"1 beginbfchar\n<0105> <0106>\nendbfchar\n")
     assert w2 == 2 and m2[0x105] == "Ć"
-    # last-byte increment rule: dst <00FE> + range of 3 wraps the LAST
-    # byte only (FE, FF, 00) — the documented §9.10.3 semantics
+    # last-byte increment rule stays within the byte: dst <00FD> + range
+    # of 3 -> FD, FE, FF (§9.10.3)
     _, m3 = _parse_tounicode(
-        b"1 beginbfrange\n<01> <03> <00FE>\nendbfrange\n")
-    assert (m3[1], m3[2], m3[3]) == ("þ", "ÿ", "\x00")
+        b"1 beginbfrange\n<01> <03> <00FD>\nendbfrange\n")
+    assert (m3[1], m3[2], m3[3]) == ("ý", "þ", "ÿ")
+    # sweep-17: a destination that would cross the byte boundary is
+    # invalid per the CMap increment rule — the old masked wrap mapped
+    # the overflow BACKWARDS (<00FE> + 2 -> <0000>), silent garbage;
+    # now refused loudly
+    with pytest.raises(PdfParseError, match="crosses a byte boundary"):
+        _parse_tounicode(
+            b"1 beginbfrange\n<01> <03> <00FE>\nendbfrange\n")
 
 
 def test_cmap_resources_inherited_from_parent():

@@ -73,11 +73,15 @@ def test_cmap_bfrange_bomb_refused():
     with pytest.raises(PdfParseError, match="bfrange wider"):
         _parse_tounicode(
             b"1 beginbfrange\n<000000> <ffffff> <0041>\nendbfrange\n")
-    # and cumulative ranges that together exceed the codespace
+    # and cumulative ranges that together exceed the codespace — each
+    # range here is individually byte-boundary-legal (sweep-17 added
+    # that stricter guard, which now fires FIRST on the old 2-range
+    # vector), so the cumulative bomb needs many small ranges
+    ranges = b"".join(b"<%06x> <%06x> <0100>\n" % (k * 255, k * 255 + 254)
+                      for k in range(258))
     with pytest.raises(PdfParseError, match="bfrange wider"):
         _parse_tounicode(
-            b"2 beginbfrange\n<0000> <ffff> <0041>\n"
-            b"<0000> <0001> <0042>\nendbfrange\n")
+            b"258 beginbfrange\n" + ranges + b"endbfrange\n")
     # a full single 2-byte-codespace range is legitimate and bounded
     from memory_opensource_spark.sources.pdf import _parse_tounicode as p
     _, m = p(b"1 beginbfrange\n<0000> <00ff> <0100>\nendbfrange\n")
