@@ -112,6 +112,59 @@ def match_pattern(nodes: DataFrame, edges: DataFrame, spec: PatternSpec,
     return out
 
 
+#: SearchOverridePattern.direction tokens (models/memory_models.py:693-696)
+#: -> PatternSpec.direction
+_DIRECTION = {"->": "out", "<-": "in", "-": "any"}
+
+
+def search_override(nodes: DataFrame, edges: DataFrame, *,
+                    source_label: str, relationship_type: str,
+                    target_label: str, direction: str = "->",
+                    filters: list | None = None,
+                    return_properties: list[str] | None = None,
+                    node_cols: list[str] | None = None,
+                    limit: int | None = None,
+                    acl: Column | None = None) -> DataFrame:
+    """The full G15 SearchOverrideSpecification surface in ONE call
+    (models/memory_models.py:679-763): developer pattern
+    ``(source)-[relationship]->(target)`` with direction tokens
+    ``->``/``<-``/``-``, property ``filters`` (constraints.SearchFilter —
+    compiled per endpoint with the executor's same-property-OR /
+    cross-property-AND grouping, chat_gpt_completion.py:5699-5744,
+    :5865), and ``return_properties`` (project only the requested node
+    properties; None = every carried property, the reference default).
+
+    ``node_cols`` is the set of property columns carried through the
+    join (defaults to return_properties, else none); ``acl`` applies to
+    BOTH endpoints (the reference's mandatory both-endpoint ACL — G15's
+    defining constraint).  Everything compiles to the same
+    :func:`match_pattern` join tree as G1."""
+    from .constraints import compile_search_filters
+
+    if direction not in _DIRECTION:
+        raise ValueError(f"direction must be one of {sorted(_DIRECTION)}, "
+                         f"got {direction!r}")
+    flts = list(filters or ())
+    m_pred = compile_search_filters(flts, source_label)
+    n_pred = compile_search_filters(flts, target_label)
+    if acl is not None:
+        m_pred = acl if m_pred is None else (m_pred & acl)
+        n_pred = acl if n_pred is None else (n_pred & acl)
+    cols = node_cols if node_cols is not None else (return_properties or [])
+    spec = PatternSpec(source_label=source_label,
+                       relationship_type=relationship_type,
+                       target_label=target_label,
+                       direction=_DIRECTION[direction], limit=limit)
+    out = match_pattern(nodes, edges, spec, m_pred=m_pred, n_pred=n_pred,
+                        node_cols=cols)
+    if return_properties is not None:
+        keep = ["m_id", "m_label", "rel_type", "n_id", "n_label"] + \
+            [f"{side}_{p}" for p in return_properties for side in ("m", "n")
+             if f"{side}_{p}" in out.columns]
+        out = out.select(*keep)
+    return out
+
+
 def two_hop_paths(nodes: DataFrame, edges: DataFrame,
                   start_pred: Column | None = None,
                   limit: int | None = None) -> DataFrame:

@@ -1075,6 +1075,66 @@ def g15_where(spark, sf_dir):
     return out.select("m_id", "m_label", "rel_type", "n_id", "n_label")
 
 
+@_register("g15_override_spec", f"""
+WITH {NODES_CTE.strip()}, {EDGES_CTE.strip()},
+acld AS (
+  SELECT node_id, label, prop_name, prop_status, id_num,
+         'u' || (id_num % 20)::VARCHAR AS user_id,
+         ['u' || (id_num % 20)::VARCHAR,
+          'u' || ((id_num + 1) % 20)::VARCHAR] AS user_read_access
+  FROM nodes_d
+),
+-- node_acl_predicate(user u3, org o0): OR-block (user arms + org-read
+-- arm) AND strict org equality — legacy NULL-org rows (id_num % 10 = 7)
+-- carry an EMPTY org_read list and never pass the strict AND
+gated AS (
+  SELECT * FROM acld
+  WHERE (user_id = 'u3'
+         OR list_contains(user_read_access, 'u3')
+         OR (id_num % 10 != 7
+             AND list_contains(['o' || (id_num % 3)::VARCHAR], 'o0')))
+    AND (id_num % 10 != 7 AND 'o' || (id_num % 3)::VARCHAR = 'o0')
+)
+SELECT DISTINCT m.node_id AS m_id, m.label AS m_label, e.rel_type,
+       n.node_id AS n_id, n.label AS n_label,
+       m.prop_name AS m_prop_name, n.prop_name AS n_prop_name
+FROM edges_d e
+JOIN gated m ON e.dst = m.node_id AND m.label = 'Nation'
+JOIN gated n ON e.src = n.node_id AND n.label = 'Customer'
+WHERE e.rel_type = 'BELONGS_TO'
+  AND starts_with(m.prop_name, 'NATION')
+  AND contains(n.prop_name, '1')
+  AND n.prop_status IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+""")
+def g15_override(spark, sf_dir):
+    """G15 end-to-end: the FULL SearchOverrideSpecification surface
+    (models/memory_models.py:679-763) through one call —
+    ``(Nation)<-[BELONGS_TO]-(Customer)`` with the ``<-`` direction
+    token, per-endpoint SearchOverrideFilters, ``return_properties``
+    projection, and the mandatory BOTH-endpoint node ACL
+    (memory_graph.py:3001-3048 strict-tenant algebra: the legacy
+    NULL-org nodes never pass an org-scoped lookup)."""
+    from .operators.constraints import SearchFilter
+    from .operators.predicate import node_acl_predicate
+
+    t = {n: tables.load(spark, sf_dir, n) for n in ["customer", "nation", "region", "supplier"]}
+    nodes = tables.build_nodes(t["customer"], t["nation"], t["region"], t["supplier"])
+    edges = tables.build_edges(t["customer"], t["nation"], t["supplier"])
+    ctx = AclContext(user_id="u3", organization_id="o0")
+    return graph.search_override(
+        nodes, edges,
+        source_label="Nation", relationship_type="BELONGS_TO",
+        target_label="Customer", direction="<-",
+        filters=[
+            SearchFilter("Customer", "prop_name", "CONTAINS", "1"),
+            SearchFilter("Customer", "prop_status", "IN",
+                         ["BUILDING", "MACHINERY", "AUTOMOBILE"]),
+            SearchFilter("Nation", "prop_name", "STARTS_WITH", "NATION"),
+        ],
+        return_properties=["prop_name"],
+        acl=node_acl_predicate(ctx))
+
+
 @_register("g7_schema_discovery", f"""
 WITH {NODES_CTE.strip()}, {EDGES_CTE.strip()}
 SELECT label AS name, 'node_label' AS kind FROM (SELECT DISTINCT label FROM nodes_d)

@@ -168,3 +168,82 @@ class TestSearchFilters:
         with pytest.raises(ValueError, match="unknown G15 filter operator"):
             compile_search_filters(
                 [SearchFilter("P", "name", "FUZZY", "x")], label="P")
+
+
+class TestSearchOverride:
+    """operators/graph.search_override: the one-call G15 spec surface."""
+
+    @pytest.fixture(scope="class")
+    def g(self, spark):
+        nodes = spark.createDataFrame([
+            ("p1", "Person", "Ada", "active"),
+            ("p2", "Person", "Grace", "retired"),
+            ("c1", "Company", "Initech", "active"),
+            ("c2", "Company", "Acme", "active"),
+        ], "node_id string, label string, prop_name string, "
+           "prop_status string")
+        edges = spark.createDataFrame([
+            ("p1", "c1", "WORKS_FOR"), ("p2", "c2", "WORKS_FOR"),
+            ("p1", "c2", "FOUNDED"),
+        ], "src string, dst string, rel_type string")
+        return nodes, edges
+
+    def test_directed_with_filters_and_projection(self, g):
+        from memory_opensource_spark.operators.constraints import SearchFilter
+        from memory_opensource_spark.operators.graph import search_override
+
+        nodes, edges = g
+        out = search_override(
+            nodes, edges, source_label="Person",
+            relationship_type="WORKS_FOR", target_label="Company",
+            direction="->",
+            filters=[SearchFilter("Person", "prop_status", "EQUALS",
+                                  "active"),
+                     SearchFilter("Company", "prop_name", "CONTAINS", "tech")],
+            return_properties=["prop_name"])
+        rows = out.collect()
+        assert [(r.m_id, r.n_id) for r in rows] == [("p1", "c1")]
+        assert set(out.columns) == {"m_id", "m_label", "rel_type", "n_id",
+                                    "n_label", "m_prop_name", "n_prop_name"}
+        assert rows[0].m_prop_name == "Ada" and rows[0].n_prop_name == "Initech"
+
+    def test_incoming_direction_token(self, g):
+        from memory_opensource_spark.operators.graph import search_override
+
+        nodes, edges = g
+        out = search_override(
+            nodes, edges, source_label="Company",
+            relationship_type="WORKS_FOR", target_label="Person",
+            direction="<-")
+        assert sorted((r.m_id, r.n_id) for r in out.collect()) == [
+            ("c1", "p1"), ("c2", "p2")]
+
+    def test_bidirectional_token(self, g):
+        from memory_opensource_spark.operators.graph import search_override
+
+        nodes, edges = g
+        out = search_override(
+            nodes, edges, source_label="Person",
+            relationship_type="FOUNDED", target_label="Company",
+            direction="-")
+        assert [(r.m_id, r.n_id) for r in out.collect()] == [("p1", "c2")]
+
+    def test_bad_direction_raises(self, g):
+        from memory_opensource_spark.operators.graph import search_override
+
+        nodes, edges = g
+        with pytest.raises(ValueError, match="direction"):
+            search_override(nodes, edges, source_label="Person",
+                            relationship_type="WORKS_FOR",
+                            target_label="Company", direction="=>")
+
+    def test_acl_applies_to_both_endpoints(self, g):
+        from memory_opensource_spark.operators.graph import search_override
+
+        nodes, edges = g
+        out = search_override(
+            nodes, edges, source_label="Person",
+            relationship_type="WORKS_FOR", target_label="Company",
+            direction="->", acl=F.col("prop_status") == "active")
+        # p2 is retired: its edge drops even though c2 is active
+        assert [(r.m_id, r.n_id) for r in out.collect()] == [("p1", "c1")]
