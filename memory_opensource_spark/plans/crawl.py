@@ -287,7 +287,8 @@ def politeness_waves(frontier: DataFrame, per_wave: int, *,
                      url_col: str = "url",
                      delays: DataFrame | None = None,
                      wave_seconds: float | None = None,
-                     range_buckets: int = 32) -> DataFrame:
+                     range_buckets: int = 32,
+                     priority_col: str | None = None) -> DataFrame:
     """Per-host politeness scheduling for a fetch frontier (r14): a
     polite crawler fetches at most ``per_wave`` URLs per host per wave,
     so the frontier is partitioned into fetch WAVES — ``wave =
@@ -305,6 +306,15 @@ def politeness_waves(frontier: DataFrame, per_wave: int, *,
     wave regardless of ``per_wave``.  Hosts without a declared delay
     keep ``per_wave``.
 
+    ``priority_col`` (r15, third leg): a numeric per-URL crawl priority
+    (host in-degree, OPIC score, sitemap freshness…) — higher-priority
+    URLs take the EARLIER waves of their host, so a rate-limited crawl
+    fetches the frontier's most-linked pages first (the focused-crawl
+    discipline).  Rank order becomes (priority DESC, salted-md5 ASC):
+    the md5 spread still breaks ties uniformly within a priority level.
+    Priorities clamp to [0, 2^29] (the packed rank key reserves 33 bits
+    for the md5 tiebreak) — a larger score is saturation, not error.
+
     Shape (100 TB): the skew-proof exact grouped rank
     (operators/sampling.grouped_exact_ranks — percentile range-buckets
     + broadcast offsets; windows partitioned by (host, bucket), never
@@ -320,12 +330,23 @@ def politeness_waves(frontier: DataFrame, per_wave: int, *,
     if (delays is None) != (wave_seconds is None):
         raise ValueError("delays and wave_seconds go together")
     cols = frontier.columns
+    md5l = F.conv(
+        F.substring(F.md5(F.concat(F.lit("wave:"), F.col(url_col))), 1, 8),
+        16, 10).cast("long")
+    if priority_col is not None:
+        # pack (priority desc, md5 asc) into ONE ascending long for the
+        # range-bucketed rank: -(clamped priority) << 33 keeps the 32-bit
+        # md5 strictly inside a priority level (no cross-level collision)
+        pri = F.least(
+            F.greatest(F.coalesce(F.col(priority_col).cast("long"),
+                                  F.lit(0)), F.lit(0)),
+            F.lit(1 << 29))
+        ordc = (F.lit(0) - pri) * F.lit(1 << 33) + md5l
+    else:
+        ordc = md5l
     keyed = (frontier
              .withColumn("_g", F.struct(F.col(host_col).alias("k")))
-             .withColumn("_ord", F.conv(
-                 F.substring(F.md5(F.concat(F.lit("wave:"),
-                                            F.col(url_col))), 1, 8),
-                 16, 10).cast("long")))
+             .withColumn("_ord", ordc))
     ranked = grouped_exact_ranks(keyed, "_ord", url_col,
                                  range_buckets)
     cap = F.lit(per_wave)

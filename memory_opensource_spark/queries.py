@@ -6454,6 +6454,56 @@ def crawl_politeness_waves_q(spark, sf_dir):
     return politeness_waves(frontier, 20)
 
 
+@_register("frontier_priority_waves", """
+WITH f AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'hot.example'
+         ELSE 'h' || (doc_id % 5) || '.example' END AS host
+  FROM documents WHERE doc_id < 600),
+u AS (SELECT doc_id, host,
+             'https://' || host || '/p/' || doc_id AS url FROM f),
+-- quadratic link map -> skewed in-degree (0/1/2/4... inlinks per page)
+l AS (SELECT (doc_id * doc_id + 3 * doc_id) % 600 AS t FROM f),
+ind AS (SELECT t AS doc_id, COUNT(*) AS c FROM l GROUP BY t),
+p AS (SELECT u.host, u.url, COALESCE(ind.c, 0)::INT AS priority
+      FROM u LEFT JOIN ind USING (doc_id)),
+r AS (SELECT host, url, priority,
+        ROW_NUMBER() OVER (
+          PARTITION BY host
+          ORDER BY priority DESC,
+                   ('0x' || substr(md5('wave:' || url), 1, 8))::BIGINT ASC,
+                   url ASC) AS rn
+      FROM p)
+SELECT host, url, priority, ((rn - 1) // 20)::INT AS wave FROM r
+""")
+def frontier_priority_waves_q(spark, sf_dir):
+    """Priority-ordered politeness waves (r15,
+    plans/crawl.politeness_waves(priority_col=)): per-URL in-degree from
+    a skewed synthetic link map becomes the crawl priority — within each
+    host the most-linked pages take the EARLIEST waves (focused-crawl
+    order), the salted md5 still spreading ties.  The oracle is the
+    hot-host window form ordered (priority DESC, md5 ASC); the operator
+    packs the same order into one ascending long for the skew-proof
+    grouped rank, so a packing or clamp drift turns the row red."""
+    from .plans.crawl import politeness_waves
+
+    d = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 600).select("doc_id")
+    i = F.col("doc_id")
+    host = F.when(i % 2 == 0, F.lit("hot.example")) \
+        .otherwise(F.concat(F.lit("h"), i % 5, F.lit(".example")))
+    urls = d.select(
+        "doc_id", host.alias("host"),
+        F.concat(F.lit("https://"), host, F.lit("/p/"), i).alias("url"))
+    ind = (d.select(((i * i + 3 * i) % 600).alias("doc_id"))
+           .groupBy("doc_id").agg(F.count("*").alias("_c")))
+    frontier = (urls.join(ind, "doc_id", "left")
+                .select("host", "url",
+                        F.coalesce(F.col("_c"), F.lit(0))
+                        .cast("int").alias("priority")))
+    return politeness_waves(frontier, 20, priority_col="priority")
+
+
 @_register("politeness_crawl_delay", """
 WITH f AS (
   SELECT doc_id,

@@ -258,3 +258,25 @@ def test_anchor_extraction_hostile_pages(spark):
         [long_anchor]).fetchone()[0]
     assert [(p["url"], p["anchor"]) for p in got] == [
         ("https://x.test/ok", "fine")]
+
+
+def test_priority_waves_order_and_clamp(spark):
+    """r15 politeness_waves(priority_col=): within a host, higher
+    priority takes the earlier wave; ties spread by the salted md5;
+    negative/NULL priorities clamp to 0; a score past 2^29 saturates
+    instead of corrupting the packed rank key."""
+    from memory_opensource_spark.plans.crawl import politeness_waves
+
+    rows = [("h.example", f"https://h.example/p{i}",
+             {0: 5, 1: 5, 2: 1, 3: 0}.get(i)) for i in range(4)]
+    rows.append(("h.example", "https://h.example/huge", 1 << 40))
+    rows.append(("h.example", "https://h.example/neg", -7))
+    frontier = spark.createDataFrame(
+        rows, "host string, url string, priority long")
+    out = politeness_waves(frontier, 2, priority_col="priority")
+    wave = {r.url.rsplit("/", 1)[1]: r.wave for r in out.collect()}
+    # huge (saturated max) first wave; the two 5s next; then 1; 0/NULL/neg last
+    assert wave["huge"] == 0
+    assert sorted(wave[k] for k in ("p0", "p1")) == [0, 1]
+    assert wave["p2"] == 1
+    assert sorted(wave[k] for k in ("p3", "neg")) == [2, 2]
