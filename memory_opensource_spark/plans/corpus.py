@@ -310,11 +310,28 @@ def _assign_clusters(new2: DataFrame, emb: DataFrame, codebook: DataFrame,
                      .alias("assign_margin")))
 
 
+def _cap_band_buckets(bands: DataFrame, max_bucket: int,
+                      keys=("band_idx", "band_hash")) -> DataFrame:
+    """Drop band rows whose (band_idx, band_hash) bucket holds more than
+    ``max_bucket`` docs BEFORE candidate pairing — the dedup.py:165
+    mega-bucket guard, ported to the corpus band joins (r15: the 600k
+    streaming-crawl probe ground to a halt on a wave of boilerplate
+    near-identical pages — every doc in the same buckets, a quadratic
+    candidate join).  Same recall trade as the batch op: docs whose
+    EVERY band is a mega-bucket escape near-dedup (production LSH
+    behavior); the bucket-size pass is one combinable groupBy."""
+    keys = list(keys)
+    ok = (bands.groupBy(*keys).agg(F.count("*").alias("_n"))
+          .filter(F.col("_n") <= max_bucket).select(*keys))
+    return bands.join(ok, keys, "left_semi")
+
+
 def corpus_init(docs: DataFrame, emb: DataFrame, centroids: DataFrame,
                 state_dir: str, *, eps: float,
                 jaccard_threshold: float = NEAR_DUP_JACCARD,
                 hash_fn: str = "md5", id_col: str = "doc_id",
-                text_col: str = "text") -> dict:
+                text_col: str = "text",
+                max_bucket: int | None = None) -> dict:
     """Run the batch dedup stages over ``docs`` (+ aligned ``emb`` on
     ``doc_id``) and persist the corpus state.  ``centroids`` is the SemDeDup
     codebook {centroid_id, embedding} — train once (e.g.
@@ -333,8 +350,10 @@ def corpus_init(docs: DataFrame, emb: DataFrame, centroids: DataFrame,
     bands = dedup.minhash_band_table(
         x, id_col="doc_id", text_col="text",
         hash_fn=hash_fn).localCheckpoint(eager=False)
-    cand = (bands.alias("l")
-            .join(bands.alias("r"),
+    cbands = (_cap_band_buckets(bands, max_bucket)
+              if max_bucket is not None else bands)
+    cand = (cbands.alias("l")
+            .join(cbands.alias("r"),
                   (F.col("l.band_idx") == F.col("r.band_idx"))
                   & (F.col("l.band_hash") == F.col("r.band_hash"))
                   & (F.col("l.id") < F.col("r.id")))
@@ -384,7 +403,8 @@ def corpus_increment(spark: SparkSession, new_docs: DataFrame,
                      jaccard_threshold: float = NEAR_DUP_JACCARD,
                      hash_fn: str = "md5", id_col: str = "doc_id",
                      text_col: str = "text",
-                     update_state: bool = True) -> DataFrame:
+                     update_state: bool = True,
+                     max_bucket: int | None = None) -> DataFrame:
     """Verdict every new doc against the persisted corpus state + earlier
     members of the SAME batch, then (``update_state``) append the batch to
     state.  Returns one row per input doc:
@@ -501,8 +521,21 @@ def corpus_increment(spark: SparkSession, new_docs: DataFrame,
     r_new = new_bands.select("band_idx", "band_hash",
                              F.col("id").alias("r_id"),
                              F.lit(1).alias("r_new"))
-    cand = (new_bands.alias("l")
-            .join(r_old.unionByName(r_new).alias("r"),
+    r_all = r_old.unionByName(r_new)
+    l_bands = new_bands
+    if max_bucket is not None:
+        # mega-bucket guard (r15): occupancy counted over state ∪ batch —
+        # the join's true bucket population; both sides prune to the
+        # allowed keys (same recall trade as dedup.minhash_candidate_pairs)
+        ok = (r_all.groupBy("band_idx", "band_hash")
+              .agg(F.count("*").alias("_n"))
+              .filter(F.col("_n") <= max_bucket)
+              .select("band_idx", "band_hash"))
+        r_all = r_all.join(ok, ["band_idx", "band_hash"], "left_semi")
+        l_bands = new_bands.join(ok, ["band_idx", "band_hash"],
+                                 "left_semi")
+    cand = (l_bands.alias("l")
+            .join(r_all.alias("r"),
                   (F.col("l.band_idx") == F.col("r.band_idx"))
                   & (F.col("l.band_hash") == F.col("r.band_hash"))
                   & ((F.col("r.r_new") == 0)

@@ -293,7 +293,8 @@ def foreach_batch_corpus_maintenance(stream: DataFrame, state_dir: str,
                                      compact_partitions: int = 32,
                                      on_drift=None,
                                      drift_every: int = 1,
-                                     drift_window: int = 3):
+                                     drift_window: int = 3,
+                                     max_bucket: int | None = None):
     """Continuous corpus maintenance: every micro-batch of
     (doc_id, text, embedding) rows is verdicted against the persisted corpus
     state (plans/corpus.corpus_increment — exact / near_dup / semantic /
@@ -335,7 +336,8 @@ def foreach_batch_corpus_maintenance(stream: DataFrame, state_dir: str,
         emb = batch_df.select("doc_id", "embedding")
         v = corpus.corpus_increment(
             batch_df.sparkSession, docs, emb, state_dir, eps=eps,
-            jaccard_threshold=jaccard_threshold, hash_fn=hash_fn)
+            jaccard_threshold=jaccard_threshold, hash_fn=hash_fn,
+            max_bucket=max_bucket)
         if on_verdict is not None:
             on_verdict(v, batch_id)
         if on_drift is not None and batch_id % max(drift_every, 1) == 0:
@@ -359,7 +361,8 @@ def foreach_batch_crawl_ingest(stream: DataFrame, state_dir: str,
                                n: int = 8, fpp: float = 0.01,
                                n_eval_grams: int | None = None,
                                embed=None, on_batch=None,
-                               blocklist: DataFrame | None = None):
+                               blocklist: DataFrame | None = None,
+                               max_bucket: int | None = 10_000):
     """Streaming crawl ingest (r11, VERDICT r9 task 7): the ST1 analog of
     the crawl chain — every micro-batch of WARC records (from
     sources/warc.read_warc_stream; ``text`` carries the decoded HTML for
@@ -393,6 +396,14 @@ def foreach_batch_crawl_ingest(stream: DataFrame, state_dir: str,
     increment's doc_id uniqueness contract).  ``embed`` defaults to the
     deterministic hash embedder (plans/ingest.hash_embed_arrow); pass a
     callable ``df -> df+embedding`` to use a real model.
+
+    ``max_bucket`` (r15, default 10k — found by the 600k streaming-crawl
+    probe): a crawl wave of boilerplate near-identical pages (error
+    pages, templates) collides every doc into the same MinHash band
+    buckets and the increment's candidate join goes quadratic; buckets
+    above the cap are skipped for candidate generation (the
+    dedup.minhash_candidate_pairs recall trade).  ``None`` restores the
+    exact uncapped join.
 
     ``on_batch(verdict_df, flagged_df, batch_id)`` receives the
     localCheckpointed corpus verdicts for the batch's fresh clean docs and
@@ -460,7 +471,8 @@ def foreach_batch_crawl_ingest(stream: DataFrame, state_dir: str,
         verdict = corpus.corpus_increment(
             spark, with_emb.select("doc_id", "text"),
             with_emb.select("doc_id", "embedding"), state_dir,
-            eps=eps, jaccard_threshold=jaccard_threshold)
+            eps=eps, jaccard_threshold=jaccard_threshold,
+            max_bucket=max_bucket)
         # record this batch's fresh URLs (idempotent: skip rows any prior
         # attempt already wrote)
         new_seen = (docs.select("canonical_url")
@@ -515,7 +527,9 @@ def foreach_batch_connector_ingest(stream: DataFrame, state_dir: str,
     watermark trade (an event re-delivered MORE than N batches after
     first ingest would re-append).  ``retain_batches=None`` (default)
     keeps the exact unbounded set: correct for bounded backfills;
-    pass a horizon for a forever-running stream."""
+    pass a horizon for a forever-running stream — after
+    ``UNBOUNDED_STATE_WARN_BATCHES`` micro-batches without one the
+    handler warns once (RuntimeWarning, VERDICT r12 task 6)."""
     import os
 
     from ..operators.connector import transpose_connector_events

@@ -280,3 +280,45 @@ def test_priority_waves_order_and_clamp(spark):
     assert sorted(wave[k] for k in ("p0", "p1")) == [0, 1]
     assert wave["p2"] == 1
     assert sorted(wave[k] for k in ("p3", "neg")) == [2, 2]
+
+
+def test_corpus_increment_mega_bucket_guard(spark, tmp_path):
+    """r15 (found by the 600k streaming-crawl probe): a batch of
+    boilerplate near-identical pages collides every doc into the same
+    MinHash band buckets and the increment's candidate join goes
+    quadratic.  With max_bucket the mega-buckets are skipped (docs keep
+    — the documented LSH recall trade) while ordinary near-dups still
+    dedup; default None keeps the exact join (oracle parity)."""
+    from memory_opensource_spark.plans import corpus
+    from memory_opensource_spark.plans.ingest import hash_embed_row
+
+    sd = str(tmp_path / "state")
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the wide open field every single day")
+    init = [(0, "seed document zero " + base), (1, "seed one " + base[::-1])]
+    corpus.corpus_init(
+        spark.createDataFrame(init, "doc_id long, text string"),
+        spark.createDataFrame([(i, hash_embed_row(t)) for i, t in init],
+                              "doc_id long, embedding array<double>"),
+        spark.createDataFrame(
+            [(k, hash_embed_row(f"c{k}")) for k in range(2)],
+            "centroid_id int, embedding array<double>"),
+        sd, eps=0.99, jaccard_threshold=0.9)
+
+    # 40 near-identical docs (one token differs) -> every band collides
+    docs = [(100 + i, base + f" tail{i}") for i in range(40)]
+    # plus an EXACT pair that must still dedup through the guard
+    docs += [(900, "a unique document about completely other things"),
+             (901, "a unique document about completely other things")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    edf = spark.createDataFrame(
+        [(i, hash_embed_row(t)) for i, t in docs],
+        "doc_id long, embedding array<double>")
+    v = corpus.corpus_increment(spark, ddf, edf, sd, eps=0.99,
+                                jaccard_threshold=0.9, max_bucket=5,
+                                update_state=False)
+    stages = {r.doc_id: r.drop_stage for r in v.collect()}
+    # mega-bucket family escapes NEAR-dedup (recall trade): all kept
+    assert all(stages[100 + i] in ("kept", "semantic") for i in range(40))
+    # exact dedup is upstream of the bands: the exact twin still drops
+    assert stages[901] == "exact" and stages[900] in ("kept", "semantic")
