@@ -202,7 +202,10 @@ HEADLINE = [
     "url_surt_keys",
     # round 14: Crawl-delay-aware politeness caps (real parser -> one
     # broadcast delays join on the grouped rank)
-    "politeness_crawl_delay",
+    "politeness_crawl_delay",    # r15 additions
+    "g15_where_compiler",
+    "g15_override_spec",
+    "frontier_priority_waves",
 ]
 
 
