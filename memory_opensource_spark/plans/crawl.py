@@ -282,6 +282,41 @@ def crawl_frontier(seeds: DataFrame, pages: DataFrame, *,
     return out
 
 
+def cdx_index(pages: DataFrame, *, url_col: str = "url",
+              payload_col: str = "payload",
+              range_shards: int | None = None) -> DataFrame:
+    """CDX-style capture index over fetched pages (r15) — the
+    Common-Crawl/Wayback lookup layout: one row per capture with
+    ``{urlkey, url, digest, length, shard}`` where ``urlkey`` is the
+    SURT form (functions/urls.surt — the sort key that clusters a
+    domain and its subdomains into one prefix range), ``digest`` the
+    sha-256 of the payload (dedup/revisit detection; classic CDX uses
+    sha-1, the digest algorithm is a format parameter), ``length`` the
+    payload byte length.
+
+    Sharding: the deterministic default assigns ``shard`` by the
+    urlkey's first character — coarse but pure-Column (the oracle can
+    mirror it) and still prefix-prunable.  ``range_shards=N`` switches
+    to the PRODUCTION layout: ``repartitionByRange(N, urlkey)`` —
+    Spark samples range boundaries over the sort key exactly like
+    zipnum's split file, giving N balanced, binary-searchable shards —
+    and records ``spark_partition_id()`` as the shard (boundaries are
+    sample-dependent, so this path is for writing real indexes, not
+    for the value-hash gate)."""
+    from ..functions.urls import surt
+
+    out = pages.select(
+        surt(F.col(url_col)).alias("urlkey"),
+        F.col(url_col).alias("url"),
+        F.sha2(F.col(payload_col).cast("string"), 256).alias("digest"),
+        F.octet_length(F.col(payload_col).cast("string")).alias("length"),
+    )
+    if range_shards is not None:
+        return (out.repartitionByRange(range_shards, "urlkey")
+                .withColumn("shard", F.spark_partition_id()))
+    return out.withColumn("shard", F.substring("urlkey", 1, 1))
+
+
 def politeness_waves(frontier: DataFrame, per_wave: int, *,
                      host_col: str = "host",
                      url_col: str = "url",

@@ -7050,8 +7050,42 @@ def url_surt_keys_q(spark, sf_dir):
     BUILT AT IMPORT TIME from the live SQL twin.  Shape: one scan-side
     projection, zero UDF, zero shuffle."""
     docs = tables.load(spark, sf_dir, "documents")
+    return docs.select("doc_id", U.surt(_surt_raw_col()).alias("surt_key"))
+
+
+@_register("cdx_index", f"""
+SELECT {U.surt_sql(f'({_SURT_RAW_SQL})')} AS urlkey,
+       ({_SURT_RAW_SQL}) AS url,
+       sha256(text) AS digest,
+       strlen(text) AS length,
+       substr({U.surt_sql(f'({_SURT_RAW_SQL})')}, 1, 1) AS shard
+FROM documents""")
+def cdx_index_q(spark, sf_dir):
+    """CDX-style capture index (r15, plans/crawl.cdx_index — the
+    Common-Crawl/Wayback lookup layout): urlkey = SURT sort key,
+    digest = sha-256 of the payload (revisit/dedup detection), length
+    = payload bytes, shard = the deterministic prefix assignment (the
+    production path is repartitionByRange over urlkey — zipnum's
+    sampled split — recorded as spark_partition_id and exercised in
+    tests, not in the value-hash gate).  Fixture reuses the
+    url_surt_keys adversarial raw URLs over the documents table with
+    the document text as payload; oracle BUILT AT IMPORT TIME from the
+    live surt SQL twin.  Shape: one scan-side projection, zero UDF,
+    zero shuffle on the deterministic path."""
+    from .plans.crawl import cdx_index
+
+    docs = tables.load(spark, sf_dir, "documents")
+    pages = docs.select(_surt_raw_col().alias("url"),
+                        F.col("text").alias("payload"))
+    return cdx_index(pages)
+
+
+def _surt_raw_col():
+    """The url_surt_keys fixture's adversarial raw URL as a Column —
+    SHARED with cdx_index above so the two rows cannot drift (the SQL
+    twin is _SURT_RAW_SQL)."""
     did = F.col("doc_id")
-    raw = F.concat(
+    return F.concat(
         F.lit("https://"),
         F.when(did % 7 == 0, F.lit("user@")).otherwise(F.lit("")),
         F.when(did % 3 == 0, F.lit("cdn.")).otherwise(F.lit("")),
@@ -7063,7 +7097,6 @@ def url_surt_keys_q(spark, sf_dir):
         F.when(did % 6 == 0,
                F.concat(F.lit("?q="), (did % 9).cast("string"),
                         F.lit("#frag"))).otherwise(F.lit("")))
-    return docs.select("doc_id", U.surt(raw).alias("surt_key"))
 
 
 @_register("warc_ingest_roundtrip", r"""

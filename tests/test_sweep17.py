@@ -322,3 +322,34 @@ def test_corpus_increment_mega_bucket_guard(spark, tmp_path):
     assert all(stages[100 + i] in ("kept", "semantic") for i in range(40))
     # exact dedup is upstream of the bands: the exact twin still drops
     assert stages[901] == "exact" and stages[900] in ("kept", "semantic")
+
+
+def test_cdx_index_range_shard_path(spark):
+    """r15 cdx_index(range_shards=N): the production layout —
+    repartitionByRange over urlkey (zipnum's sampled split) — must give
+    shards whose urlkey ranges are disjoint and ordered (binary-
+    searchable), while the deterministic prefix path stays pure-Column."""
+    from memory_opensource_spark.plans.crawl import cdx_index
+
+    rows = [(f"https://h{i % 23}.example/p/{i}", f"payload {i}")
+            for i in range(500)]
+    pages = spark.createDataFrame(rows, "url string, payload string")
+    out = cdx_index(pages, range_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.urlkey)
+    bounds = sorted((min(v), max(v)) for v in by_shard.values())
+    for (lo1, hi1), (lo2, _) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2                      # disjoint, ordered ranges
+    assert sum(len(v) for v in by_shard.values()) == 500
+    # deterministic path: shard == first urlkey char, no shuffle needed
+    det = cdx_index(pages).limit(5).collect()
+    assert all(r.shard == r.urlkey[0] for r in det)
+    # digest is the payload hash (revisit detection): same payload, same
+    # digest; different payloads differ
+    a = cdx_index(spark.createDataFrame(
+        [("https://x.test/a", "same"), ("https://x.test/b", "same"),
+         ("https://x.test/c", "other")], "url string, payload string")
+    ).collect()
+    d = {r.url[-1]: r.digest for r in a}
+    assert d["a"] == d["b"] != d["c"]
