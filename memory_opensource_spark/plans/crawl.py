@@ -317,6 +317,35 @@ def cdx_index(pages: DataFrame, *, url_col: str = "url",
     return out.withColumn("shard", F.substring("urlkey", 1, 1))
 
 
+def cdx_revisits(captures: DataFrame, *, key_col: str = "urlkey",
+                 ts_col: str = "ts",
+                 digest_col: str = "digest") -> DataFrame:
+    """Revisit detection over a capture index (r15) — the Wayback/WARC
+    ``revisit`` record: a capture whose payload digest equals the
+    PREVIOUS capture of the same urlkey is a revisit (the fetcher
+    stores a pointer instead of the body — at recrawl cadence this is
+    most of a mature crawl's bytes).  Adds ``{revisit, first_capture}``
+    (ints).  The comparison is against the immediately preceding
+    capture, not the whole history — the WARC profile's
+    ``identical-payload-digest`` semantics: A,B,A reads as three stored
+    bodies, A,A,B as one revisit.
+
+    Shape: ONE window partitioned by urlkey ordered by ts — safe here
+    because a urlkey's group is bounded by its recrawl count (dozens),
+    never corpus-sized; the host-skew hazard class does not apply to a
+    per-URL key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(),
+                                            F.col(digest_col).asc())
+    prev = F.lag(F.col(digest_col)).over(w)
+    return (captures
+            .withColumn("revisit",
+                        (prev.isNotNull()
+                         & (prev == F.col(digest_col))).cast("int"))
+            .withColumn("first_capture", prev.isNull().cast("int")))
+
+
 def politeness_waves(frontier: DataFrame, per_wave: int, *,
                      host_col: str = "host",
                      url_col: str = "url",

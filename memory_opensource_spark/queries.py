@@ -7080,6 +7080,52 @@ def cdx_index_q(spark, sf_dir):
     return cdx_index(pages)
 
 
+@_register("cdx_revisits", f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 600),
+c AS (SELECT doc_id AS ts,
+        'https://h' || (doc_id % 120 % 9) || '.example/p/'
+          || (doc_id % 120) AS url,
+        'payload ' || (doc_id % 120)
+          || CASE WHEN doc_id >= 240 AND doc_id < 360
+                  THEN 'v2' ELSE '' END AS payload
+      FROM d),
+x AS (SELECT {U.surt_sql('url')} AS urlkey, ts,
+             sha256(payload) AS digest FROM c)
+SELECT urlkey, ts, digest,
+  CASE WHEN LAG(digest) OVER w IS NOT NULL
+        AND LAG(digest) OVER w = digest THEN 1 ELSE 0 END AS revisit,
+  CASE WHEN LAG(digest) OVER w IS NULL THEN 1 ELSE 0 END AS first_capture
+FROM x WINDOW w AS (PARTITION BY urlkey ORDER BY ts ASC, digest ASC)
+""")
+def cdx_revisits_q(spark, sf_dir):
+    """Revisit detection over recrawl captures (r15,
+    plans/crawl.cdx_revisits — the Wayback/WARC ``revisit`` record):
+    ~5 captures per URL whose payload flips version mid-history in an
+    A,A,B,A,A pattern, so the row pins the identical-payload-digest
+    semantics exactly — compare against the IMMEDIATELY PREVIOUS
+    capture (flags 0,1,0,0,1), not the whole history (which would read
+    the fourth capture as a revisit of the first).  At recrawl cadence
+    revisits are most of a mature crawl's bytes; this flag is what
+    lets the fetcher store a pointer instead of the body.  Shape: one
+    window per urlkey (group size = recrawl count, bounded — not the
+    host-skew hazard class)."""
+    from .plans.crawl import cdx_revisits
+
+    d = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 600).select("doc_id")
+    i = F.col("doc_id")
+    k = i % 120
+    url = F.concat(F.lit("https://h"), k % 9, F.lit(".example/p/"), k)
+    payload = F.concat(
+        F.lit("payload "), k,
+        F.when((i >= 240) & (i < 360), F.lit("v2")).otherwise(F.lit("")))
+    captures = d.select(
+        U.surt(url).alias("urlkey"),
+        i.alias("ts"),
+        F.sha2(payload, 256).alias("digest"))
+    return cdx_revisits(captures)
+
+
 def _surt_raw_col():
     """The url_surt_keys fixture's adversarial raw URL as a Column —
     SHARED with cdx_index above so the two rows cannot drift (the SQL
