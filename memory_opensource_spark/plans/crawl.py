@@ -346,6 +346,48 @@ def cdx_revisits(captures: DataFrame, *, key_col: str = "urlkey",
             .withColumn("first_capture", prev.isNull().cast("int")))
 
 
+def recrawl_due(captures: DataFrame, *, now: float,
+                base_interval: float, key_col: str = "urlkey",
+                ts_col: str = "ts",
+                min_interval: float = 1.0) -> DataFrame:
+    """Freshness-aware recrawl scheduling (r15) — the Cho &
+    Garcia-Molina change-rate discipline: pages that changed often in
+    their capture history are revisited sooner, static ones later.
+
+    Per urlkey over its capture history (``captures`` carries the
+    :func:`cdx_revisits` flags): ``change_rate`` = changed transitions
+    / observed transitions (a capture that is NOT a revisit of its
+    predecessor counts as a change; first captures are not
+    transitions), ``interval = max(min_interval, base_interval * (1 -
+    change_rate) + min_interval * change_rate)`` linearly interpolated
+    — a page changing every fetch gets ``min_interval``, a never-
+    changing page the full ``base_interval`` — and ``due = 1`` when
+    ``now - last_ts >= interval``.  Returns one row per urlkey:
+    ``{urlkey, n_captures, change_rate, interval, due}``.
+
+    Shape: ONE combinable groupBy per urlkey (count/sum/max — map-side
+    partial), no window, no skew surface: at 100 TB the schedule for a
+    billion URLs is a single agg over the capture index."""
+    changes = F.sum((1 - F.col("revisit"))
+                    * (1 - F.col("first_capture")))
+    transitions = F.sum(1 - F.col("first_capture"))
+    agg = captures.groupBy(key_col).agg(
+        F.count("*").alias("n_captures"),
+        F.max(F.col(ts_col)).alias("_last"),
+        F.when(transitions > 0, changes / transitions)
+        .otherwise(F.lit(0.0)).alias("change_rate"))
+    interval = F.greatest(
+        F.lit(float(min_interval)),
+        F.lit(float(base_interval)) * (1 - F.col("change_rate"))
+        + F.lit(float(min_interval)) * F.col("change_rate"))
+    return agg.select(
+        key_col, "n_captures",
+        F.round("change_rate", 6).cast("double").alias("change_rate"),
+        F.round(interval, 6).cast("double").alias("interval"),
+        (F.lit(float(now)) - F.col("_last") >= interval)
+        .cast("int").alias("due"))
+
+
 def politeness_waves(frontier: DataFrame, per_wave: int, *,
                      host_col: str = "host",
                      url_col: str = "url",

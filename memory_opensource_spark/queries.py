@@ -7126,6 +7126,68 @@ def cdx_revisits_q(spark, sf_dir):
     return cdx_revisits(captures)
 
 
+@_register("recrawl_due", f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 600),
+c AS (SELECT doc_id AS ts,
+        'https://h' || (doc_id % 120 % 9) || '.example/p/'
+          || (doc_id % 120) AS url,
+        'payload ' || (doc_id % 120)
+          || CASE WHEN doc_id >= 240 AND doc_id < 360 AND doc_id % 2 = 0
+                  THEN 'v2' ELSE '' END AS payload
+      FROM d),
+x AS (SELECT {U.surt_sql('url')} AS urlkey, ts,
+             sha256(payload) AS digest FROM c),
+f AS (SELECT urlkey, ts,
+        CASE WHEN LAG(digest) OVER w IS NOT NULL
+              AND LAG(digest) OVER w = digest THEN 1 ELSE 0 END AS revisit,
+        CASE WHEN LAG(digest) OVER w IS NULL THEN 1 ELSE 0
+             END AS first_capture
+      FROM x WINDOW w AS (PARTITION BY urlkey ORDER BY ts ASC, digest ASC)),
+a AS (SELECT urlkey, COUNT(*) AS n_captures, MAX(ts) AS last,
+        CASE WHEN SUM(1 - first_capture) > 0
+             THEN SUM((1 - revisit) * (1 - first_capture))::DOUBLE
+                  / SUM(1 - first_capture)::DOUBLE
+             ELSE 0.0 END AS cr
+      FROM f GROUP BY urlkey)
+SELECT urlkey, n_captures,
+       ROUND(cr, 6)::DOUBLE AS change_rate,
+       ROUND(GREATEST(50.0, 400.0 * (1 - cr) + 50.0 * cr), 6)::DOUBLE
+         AS interval,
+       CASE WHEN 800.0 - last >= GREATEST(50.0, 400.0 * (1 - cr)
+                                          + 50.0 * cr)
+            THEN 1 ELSE 0 END AS due
+FROM a
+""")
+def recrawl_due_q(spark, sf_dir):
+    """Freshness-aware recrawl scheduling (r15, plans/crawl.recrawl_due
+    — the Cho & Garcia-Molina change-rate discipline, composed over
+    cdx_revisits' flags): even-keyed URLs change mid-history
+    (change_rate 0.5 -> interval 225 s), odd-keyed never change (rate
+    0 -> the full 400 s base), and at now=800 only the early
+    even-keyed URLs are due — so the row pins the rate computation
+    (transitions exclude first captures), the linear interval
+    interpolation, the min clamp, and the due cutoff all at once.
+    Shape: the cdx_revisits window + ONE combinable groupBy per
+    urlkey; the billion-URL schedule is a single agg over the capture
+    index."""
+    from .plans.crawl import cdx_revisits, recrawl_due
+
+    d = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 600).select("doc_id")
+    i = F.col("doc_id")
+    k = i % 120
+    url = F.concat(F.lit("https://h"), k % 9, F.lit(".example/p/"), k)
+    payload = F.concat(
+        F.lit("payload "), k,
+        F.when((i >= 240) & (i < 360) & (i % 2 == 0), F.lit("v2"))
+        .otherwise(F.lit("")))
+    captures = cdx_revisits(d.select(
+        U.surt(url).alias("urlkey"), i.alias("ts"),
+        F.sha2(payload, 256).alias("digest")))
+    return recrawl_due(captures, now=800.0, base_interval=400.0,
+                       min_interval=50.0)
+
+
 def _surt_raw_col():
     """The url_surt_keys fixture's adversarial raw URL as a Column —
     SHARED with cdx_index above so the two rows cannot drift (the SQL
