@@ -339,11 +339,16 @@ def cdx_revisits(captures: DataFrame, *, key_col: str = "urlkey",
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(),
                                             F.col(digest_col).asc())
     prev = F.lag(F.col(digest_col)).over(w)
+    # first_capture keys on previous-ROW existence (lag of the non-null
+    # order key), NOT on the previous digest — a failed fetch recorded
+    # with a NULL digest must not make its successor look like a first
+    # capture (r15 self-sweep finding)
+    prev_row = F.lag(F.col(ts_col)).over(w)
     return (captures
             .withColumn("revisit",
                         (prev.isNotNull()
                          & (prev == F.col(digest_col))).cast("int"))
-            .withColumn("first_capture", prev.isNull().cast("int")))
+            .withColumn("first_capture", prev_row.isNull().cast("int")))
 
 
 def recrawl_due(captures: DataFrame, *, now: float,

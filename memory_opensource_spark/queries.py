@@ -7094,7 +7094,8 @@ x AS (SELECT {U.surt_sql('url')} AS urlkey, ts,
 SELECT urlkey, ts, digest,
   CASE WHEN LAG(digest) OVER w IS NOT NULL
         AND LAG(digest) OVER w = digest THEN 1 ELSE 0 END AS revisit,
-  CASE WHEN LAG(digest) OVER w IS NULL THEN 1 ELSE 0 END AS first_capture
+  -- previous-ROW existence, not digest nullability (r15 self-sweep)
+  CASE WHEN LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS first_capture
 FROM x WINDOW w AS (PARTITION BY urlkey ORDER BY ts ASC, digest ASC)
 """)
 def cdx_revisits_q(spark, sf_dir):
@@ -7140,7 +7141,7 @@ x AS (SELECT {U.surt_sql('url')} AS urlkey, ts,
 f AS (SELECT urlkey, ts,
         CASE WHEN LAG(digest) OVER w IS NOT NULL
               AND LAG(digest) OVER w = digest THEN 1 ELSE 0 END AS revisit,
-        CASE WHEN LAG(digest) OVER w IS NULL THEN 1 ELSE 0
+        CASE WHEN LAG(ts) OVER w IS NULL THEN 1 ELSE 0
              END AS first_capture
       FROM x WINDOW w AS (PARTITION BY urlkey ORDER BY ts ASC, digest ASC)),
 a AS (SELECT urlkey, COUNT(*) AS n_captures, MAX(ts) AS last,

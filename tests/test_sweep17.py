@@ -18,6 +18,10 @@ Bugs found and fixed this sweep (each pinned below):
 - /Differences arrays with INDIRECT elements failed even when the ref
   resolved; now resolved per element — a DANGLING ref still fails the
   file loudly (never silently shifted codes).
+- (self-sweep of r15-new code) cdx_revisits keyed first_capture on the
+  PREVIOUS DIGEST being NULL instead of a previous ROW existing — a
+  failed fetch recorded with a NULL digest made its successor look like
+  a first capture; now keyed on lag of the order column.
 """
 
 import pytest
@@ -353,3 +357,88 @@ def test_cdx_index_range_shard_path(spark):
     ).collect()
     d = {r.url[-1]: r.digest for r in a}
     assert d["a"] == d["b"] != d["c"]
+
+
+# --- self-sweep of r15-new code (hostile inputs) ------------------------------
+
+def test_rasterocr_hostile_rasters():
+    """All-white decodes to empty, all-black doesn't crash and is
+    deterministic, and the ink threshold is exclusive at 128."""
+    from memory_opensource_spark.sources import rasterocr as R
+
+    row_bytes = R.IMAGE_W * R.CELL_H
+    assert R.raster_ocr(b"\xff" * row_bytes) == ""
+    black1 = R.raster_ocr(b"\x00" * row_bytes)
+    black2 = R.raster_ocr(b"\x00" * row_bytes)
+    assert black1 == black2 and len(black1) <= R.LINE_GLYPHS
+    # pixel exactly 128 is PAPER (threshold < 128): a 128-gray image is blank
+    assert R.raster_ocr(bytes([128]) * row_bytes) == ""
+
+
+def test_search_override_missing_property_fails_loudly(spark):
+    """A filter naming a property the nodes table lacks must fail at
+    plan time (AnalysisException), never silently match nothing."""
+    from memory_opensource_spark.operators.constraints import SearchFilter
+    from memory_opensource_spark.operators.graph import search_override
+
+    nodes = spark.createDataFrame(
+        [("p1", "Person", "Ada")],
+        "node_id string, label string, prop_name string")
+    edges = spark.createDataFrame([("p1", "p1", "SELF")],
+                                  "src string, dst string, rel_type string")
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        search_override(
+            nodes, edges, source_label="Person",
+            relationship_type="SELF", target_label="Person",
+            filters=[SearchFilter("Person", "no_such_prop", "EQUALS", "x")]
+        ).collect()
+
+
+def test_cdx_null_propagation(spark):
+    """NULL url/payload propagate as NULL index fields (never a crash),
+    and a NULL digest never fabricates a revisit on its neighbor."""
+    from memory_opensource_spark.plans.crawl import cdx_index, cdx_revisits
+
+    pages = spark.createDataFrame(
+        [(None, "body"), ("https://x.test/a", None)],
+        "url string, payload string")
+    rows = cdx_index(pages).collect()
+    assert rows[0].urlkey is None and rows[1].digest is None
+    caps = spark.createDataFrame(
+        [("k", 1, None), ("k", 2, "d1"), ("k", 3, "d1")],
+        "urlkey string, ts int, digest string")
+    got = {r.ts: (r.revisit, r.first_capture)
+           for r in cdx_revisits(caps).collect()}
+    assert got[1] == (0, 1)          # NULL digest, first capture
+    assert got[2] == (0, 0)          # d1 vs NULL -> not a revisit
+    assert got[3] == (1, 0)          # d1 vs d1 -> revisit
+
+
+def test_recrawl_due_single_capture(spark):
+    """One capture = zero transitions: change_rate 0 (the guarded leg,
+    never a divide-by-zero NULL), full base interval."""
+    from memory_opensource_spark.plans.crawl import cdx_revisits, recrawl_due
+
+    caps = cdx_revisits(spark.createDataFrame(
+        [("k", 10, "d")], "urlkey string, ts int, digest string"))
+    r = recrawl_due(caps, now=1000.0, base_interval=400.0).collect()[0]
+    assert (r.n_captures, r.change_rate, r.interval, r.due) == (1, 0.0, 400.0, 1)
+
+
+def test_state_migration_ignores_marker_files(spark, tmp_path):
+    """A state dir holding only _SUCCESS/partition dirs is a no-op; a
+    leftover empty staging dir is cleaned without a write."""
+    import os
+
+    from memory_opensource_spark.streaming.pipelines import (
+        _migrate_unpartitioned_state)
+
+    sd = tmp_path / "state"
+    (sd / "batch_id=0").mkdir(parents=True)
+    (sd / "_SUCCESS").write_text("")
+    (sd / "_premigration").mkdir()
+    _migrate_unpartitioned_state(spark, str(sd))
+    assert sorted(os.listdir(sd)) == ["_SUCCESS", "batch_id=0"]
+    _migrate_unpartitioned_state(spark, str(tmp_path / "absent"))  # no-op
