@@ -7189,6 +7189,69 @@ def recrawl_due_q(spark, sf_dir):
                        min_interval=50.0)
 
 
+@_register("sft_chat_render", """
+WITH e AS (SELECT event_id FROM events WHERE event_id < 3000),
+m AS (SELECT event_id % 60 AS conv_id, event_id AS turn,
+        CASE WHEN event_id % 3 = 0 THEN 'system'
+             WHEN event_id % 3 = 1 THEN 'user'
+             ELSE 'assistant' END AS role,
+        'msg ' || event_id AS text FROM e),
+r AS (SELECT conv_id, turn, role,
+        '<|' || role || '|>' || text || '<|end|>' AS rendered_msg,
+        SUM(length('<|' || role || '|>' || text || '<|end|>'))
+          OVER (PARTITION BY conv_id
+                ORDER BY turn ASC, role ASC, text ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+          AS span_end
+      FROM m),
+doc AS (SELECT conv_id,
+          string_agg(rendered_msg, '' ORDER BY turn) AS rendered
+        FROM r GROUP BY conv_id)
+SELECT r.conv_id, r.turn,
+       (r.span_end - length(r.rendered_msg))::BIGINT AS span_start,
+       r.span_end, r.rendered_msg,
+       substr(doc.rendered,
+              (r.span_end - length(r.rendered_msg))::INT + 1,
+              length(r.rendered_msg)::INT) AS span_text
+FROM r JOIN doc USING (conv_id)
+WHERE r.role = 'assistant'
+""")
+def sft_chat_render_q(spark, sf_dir):
+    """SFT chat-template rendering with loss-mask spans (r15,
+    functions/chat — the training-data step between a conversation
+    corpus and a trainer): messages render through a role template
+    into one document per conversation, and every ASSISTANT message's
+    character span inside that document comes out as the unmasked SFT
+    target.  The row is SELF-VERIFYING: ``span_text`` is re-extracted
+    from the rendered document AT the claimed offsets, independently
+    in both engines, so an off-by-one in the cumulative-length window
+    or a template drift breaks the hash against ``rendered_msg``.
+    Character offsets are the tokenizer-agnostic form (any
+    offset-mapping tokenizer converts them to token masks without
+    re-running the render).  Shape: one bounded window per
+    conversation + one groupBy; zero UDF."""
+    from .functions import chat
+
+    ev = tables.load(spark, sf_dir, "events") \
+        .filter(F.col("event_id") < 3000).select("event_id")
+    i = F.col("event_id")
+    msgs = ev.select(
+        (i % 60).alias("conv_id"), i.alias("turn"),
+        F.when(i % 3 == 0, F.lit("system"))
+         .when(i % 3 == 1, F.lit("user"))
+         .otherwise(F.lit("assistant")).alias("role"),
+        F.concat(F.lit("msg "), i).alias("text"))
+    per = chat.render_chat_sft(msgs)
+    doc = chat.render_conversations(msgs)
+    return (per.filter(F.col("is_target") == 1)
+            .join(doc.select("conv_id", "rendered"), "conv_id")
+            .select(
+                "conv_id", "turn", "span_start", "span_end",
+                "rendered_msg",
+                F.expr("substring(rendered, cast(span_start + 1 as int), "
+                       "length(rendered_msg))").alias("span_text")))
+
+
 def _surt_raw_col():
     """The url_surt_keys fixture's adversarial raw URL as a Column —
     SHARED with cdx_index above so the two rows cannot drift (the SQL
