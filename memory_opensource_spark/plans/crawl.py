@@ -351,6 +351,50 @@ def cdx_revisits(captures: DataFrame, *, key_col: str = "urlkey",
             .withColumn("first_capture", prev_row.isNull().cast("int")))
 
 
+def sitemap_expand(seeds: DataFrame, sitemaps: DataFrame, *,
+                   rounds: int,
+                   url_col: str = "url",
+                   body_col: str = "body") -> DataFrame:
+    """Bounded sitemap-index recursion (r15) — sitemap-of-sitemaps, the
+    ubiquitous large-site layout: ``seeds`` ({url}) name fetched
+    sitemap documents in ``sitemaps`` ({url, body}); each round
+    extracts every ``<loc>`` (functions/urls.sitemap_locs),
+    canonicalizes, drops anything already CONSIDERED (the
+    crawl_frontier seen-set discipline), and splits the rest by one
+    equi-join against ``sitemaps``: a loc WITH a fetched body is a
+    child sitemap and expands next round; a loc WITHOUT one is a
+    frontier LEAF, emitted as ``{url, level}`` (level = discovery
+    round).  Mixed indexes (page locs beside child-sitemap locs) fall
+    out naturally — classification is by what the fetch table holds,
+    exactly how a crawler tells them apart (it fetches the loc and
+    looks).  Per-round localCheckpoint keeps lineage flat
+    (crawl_frontier's pointer-jumping discipline)."""
+    from ..functions.urls import canonical_url, sitemap_locs
+
+    seen = (seeds.select(canonical_url(F.col(url_col)).alias(url_col))
+            .distinct().localCheckpoint(eager=True))
+    frontier = seen
+    out = None
+    for level in range(1, rounds + 1):
+        bodies = frontier.join(sitemaps.select(url_col, body_col), url_col)
+        locs = (bodies
+                .select(F.explode(sitemap_locs(F.col(body_col)))
+                        .alias("_raw"))
+                .select(canonical_url(F.col("_raw")).alias(url_col))
+                .distinct()
+                .join(seen, url_col, "left_anti")
+                .localCheckpoint(eager=True))
+        seen = seen.unionByName(locs)
+        is_map = locs.join(sitemaps.select(url_col), url_col, "left_semi") \
+            .localCheckpoint(eager=True)
+        leaves = (locs.join(is_map, url_col, "left_anti")
+                  .select(url_col, F.lit(level).alias("level"))
+                  .localCheckpoint(eager=True))
+        out = leaves if out is None else out.unionByName(leaves)
+        frontier = is_map
+    return out
+
+
 def recrawl_due(captures: DataFrame, *, now: float,
                 base_interval: float, key_col: str = "urlkey",
                 ts_col: str = "ts",

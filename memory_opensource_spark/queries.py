@@ -7252,6 +7252,103 @@ def sft_chat_render_q(spark, sf_dir):
                        "length(rendered_msg))").alias("span_text")))
 
 
+def _smx_oracle() -> str:
+    """sitemap_index_recursion oracle: 2 unrolled rounds (the
+    crawl_frontier CTE pattern) through the live sitemap_locs /
+    canonical_url SQL twins."""
+    locs = U.sitemap_locs_sql("body")
+    canon = U.canonical_url_sql("loc")
+    return f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+idx AS (SELECT
+  'https://s' || (doc_id % 4) || '.example/maps/index' || doc_id
+    || '.xml' AS url,
+  '<sitemapindex>'
+   || '<sitemap><loc>https://s' || (((doc_id*3+1) % 40) % 4)
+   || '.example/maps/child' || ((doc_id*3+1) % 40)
+   || '.xml</loc></sitemap>'
+   || '<sitemap><loc>https://s' || (((doc_id*5+2) % 40) % 4)
+   || '.example/maps/child' || ((doc_id*5+2) % 40)
+   || '.xml</loc></sitemap>'
+   || '<sitemap><loc>https://s' || (doc_id % 4) || '.example/landing/'
+   || doc_id || '</loc></sitemap>'
+   || '</sitemapindex>' AS body
+  FROM d),
+cd AS (SELECT doc_id AS c FROM documents WHERE doc_id < 40),
+ch AS (SELECT
+  'https://s' || (c % 4) || '.example/maps/child' || c || '.xml' AS url,
+  '<urlset><url><loc>https://s' || (c % 4) || '.example/p/' || (c*7)
+   || '</loc></url><url><loc>https://s' || (c % 4) || '.example/p/'
+   || (c*7+1) || '</loc></url><url><loc>https://s' || (c % 4)
+   || '.example/p/' || (c*7+2) || '</loc></url></urlset>' AS body
+  FROM cd),
+sm AS (SELECT url, body FROM idx UNION ALL SELECT url, body FROM ch),
+seeds AS (SELECT DISTINCT url FROM idx),
+x1 AS (SELECT unnest({locs}) AS loc
+       FROM (SELECT b.body FROM seeds s JOIN sm b USING (url)) q1),
+l1 AS (SELECT DISTINCT {canon} AS url FROM x1),
+l1f AS (SELECT url FROM l1 WHERE url NOT IN (SELECT url FROM seeds)),
+leaf1 AS (SELECT f.url, 1 AS level FROM l1f f
+          LEFT JOIN sm ON sm.url = f.url WHERE sm.url IS NULL),
+map1 AS (SELECT f.url FROM l1f f JOIN sm ON sm.url = f.url),
+x2 AS (SELECT unnest({locs}) AS loc
+       FROM (SELECT b.body FROM map1 m JOIN sm b USING (url)) q2),
+l2 AS (SELECT DISTINCT {canon} AS url FROM x2),
+l2f AS (SELECT url FROM l2 WHERE url NOT IN
+        (SELECT url FROM seeds UNION SELECT url FROM l1f)),
+leaf2 AS (SELECT f.url, 2 AS level FROM l2f f
+          LEFT JOIN sm ON sm.url = f.url WHERE sm.url IS NULL)
+SELECT url, level FROM leaf1 UNION ALL SELECT url, level FROM leaf2
+"""
+
+
+@_register("sitemap_index_recursion", _smx_oracle())
+def sitemap_index_recursion_q(spark, sf_dir):
+    """Bounded sitemap-index recursion (r15, plans/crawl.sitemap_expand
+    — sitemap-of-sitemaps, the large-site layout sitemap_frontier's
+    single level cannot reach): index documents list child sitemaps
+    AND a direct page loc (mixed index); children list the real pages.
+    Classification is by the fetch table — a loc with a fetched body
+    expands next round, one without is a frontier leaf — exactly how a
+    crawler tells them apart.  The row pins: mixed-index leaves at
+    level 1, child pages at level 2, cross-index child dedup via the
+    seen set, and unreferenced children staying invisible.  Oracle =
+    2 unrolled CTE rounds through the live twins (the crawl_frontier
+    pattern).  Shape per round: one equi-join against the fetch table
+    + explode + distinct; checkpoint-flat lineage."""
+    from .plans.crawl import sitemap_expand
+
+    docs = tables.load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    idx = docs.filter(i < 50).select(
+        F.concat(F.lit("https://s"), i % 4, F.lit(".example/maps/index"),
+                 i, F.lit(".xml")).alias("url"),
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://s"),
+            ((i * 3 + 1) % 40) % 4,
+            F.lit(".example/maps/child"), (i * 3 + 1) % 40,
+            F.lit(".xml</loc></sitemap><sitemap><loc>https://s"),
+            ((i * 5 + 2) % 40) % 4,
+            F.lit(".example/maps/child"), (i * 5 + 2) % 40,
+            F.lit(".xml</loc></sitemap><sitemap><loc>https://s"),
+            i % 4, F.lit(".example/landing/"), i,
+            F.lit("</loc></sitemap></sitemapindex>")).alias("body"))
+    c = F.col("doc_id")
+    ch = docs.filter(c < 40).select(
+        F.concat(F.lit("https://s"), c % 4, F.lit(".example/maps/child"),
+                 c, F.lit(".xml")).alias("url"),
+        F.concat(
+            F.lit("<urlset><url><loc>https://s"), c % 4,
+            F.lit(".example/p/"), c * 7,
+            F.lit("</loc></url><url><loc>https://s"), c % 4,
+            F.lit(".example/p/"), c * 7 + 1,
+            F.lit("</loc></url><url><loc>https://s"), c % 4,
+            F.lit(".example/p/"), c * 7 + 2,
+            F.lit("</loc></url></urlset>")).alias("body"))
+    sm = idx.unionByName(ch)
+    return sitemap_expand(idx.select("url"), sm, rounds=2)
+
+
 def _surt_raw_col():
     """The url_surt_keys fixture's adversarial raw URL as a Column —
     SHARED with cdx_index above so the two rows cannot drift (the SQL
