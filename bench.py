@@ -206,6 +206,11 @@ HEADLINE = [
     "g15_where_compiler",
     "g15_override_spec",
     "frontier_priority_waves",
+    "cdx_index",
+    "cdx_revisits",
+    "recrawl_due",
+    "sft_chat_render",
+    "sitemap_index_recursion",
 ]
 
 
