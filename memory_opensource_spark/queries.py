@@ -711,6 +711,33 @@ def quality_classifier_q(spark, sf_dir):
     return quality_scores(docs)
 
 
+# oracle built at import time from the LIVE twin in functions/dsir —
+# bucketing, fit, Gumbel recipes all parameterized once, shared
+from .functions.dsir import dsir_sql as _dsir_sql  # noqa: E402
+
+_DSIR_ORACLE = _dsir_sql("(SELECT doc_id, text, lang FROM documents "
+                         "WHERE doc_id < 900)", "lang = 'en'", k=40, m=64)
+
+
+@_register("dsir_importance_resample", _DSIR_ORACLE)
+def dsir_importance_resample_q(spark, sf_dir):
+    """DSIR target-distribution selection (r13, functions/dsir — Xie et
+    al. NeurIPS 2023): fit Laplace-smoothed hashed-ngram (unigram+bigram,
+    md5 buckets) models on the TARGET subset (lang='en' here — the
+    'looks like reference text' proxy) and the raw pool, weight every doc
+    by the micro-integer log-likelihood ratio, deterministic Gumbel-top-k
+    resample (salted-md5 noise, no RNG).  Shape: gram explode -> m-key
+    combinable fit groupBy + broadcast m-row weight join -> doc groupBy
+    -> TakeOrderedAndProject top-k.  No UDF, no window, no collect.
+    Oracle is the module's own DuckDB twin (m=64 so bucket counts are
+    meaningful at sf0.001; paper-scale m in the module default)."""
+    from .functions.dsir import importance_resample
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 900).select("doc_id", "text", "lang")
+    return importance_resample(docs, F.col("lang") == "en", k=40, m=64)
+
+
 # ---------------------------------------------------------------------------------
 # Ranking / counters (R8, R9, R10, R11, R13)
 # ---------------------------------------------------------------------------------
