@@ -163,3 +163,71 @@ def assign_split_by_group(df: DataFrame, group_col: str,
     expr = (F.lit(names[-1]) if expr is None
             else expr.otherwise(names[-1]))
     return df.withColumn("split", expr)
+
+
+def sample_mixture_temperature(df: DataFrame, group_col: str, budget: int,
+                               alpha: float = 0.7, salt: str = "mix",
+                               id_col: str = "doc_id",
+                               range_buckets: int = 32) -> DataFrame:
+    """Temperature-based mixture sampling (r13) — the domain/language
+    reweighting step every multi-source pretraining corpus runs: group g
+    with n_g rows gets a quota proportional to n_g^alpha (alpha < 1
+    upsamples the tail, the multilingual temperature-sampling rule of
+    XLM-R arXiv:1911.02116 §3.1 and the GPT-3 mixture table
+    arXiv:2005.14165 §2.2), apportioned EXACTLY by largest-remainder
+    (Hamilton) so quotas sum to ``budget``, then capped at n_g — one
+    round, no redistribution of capped seats (UniMax arXiv:2304.09151
+    is the redistributing variant; compose by re-running on the
+    leftover budget if needed).
+
+    Selection within a group = the quota smallest by salted-md5 hash of
+    ``id_col`` (the unbiased deterministic uniform of cap_rows_per_group),
+    ranked with grouped_exact_ranks — no whole-group window, skew-proof.
+
+    Scale shape: the quota table is ONE ROW PER GROUP (domains/languages
+    — thousands at most, by construction orders of magnitude under the
+    corpus), so its remainder-ranking window is a broadcast-sized sort,
+    and the row-level work is one scan + the range-bucket rank machinery.
+
+    Float note: n_g^alpha and the remainder comparisons are doubles; a
+    cross-engine 1-ulp pow() divergence flips a floor()/rank boundary
+    only when a share lands within ~1e-15 of it (the dsir.py ln() risk
+    class) — pinned green at 3 SFs by the registered row.
+
+    Returns the selected input rows (original columns)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    cols = df.columns
+    from pyspark.sql import Window
+
+    sizes = (df.groupBy(F.struct(F.col(group_col).alias("k")).alias("_g"))
+             .agg(F.count("*").alias("_n")))
+    tot = sizes.agg(F.sum(F.pow(F.col("_n"), F.lit(alpha))).alias("_X"))
+    share = (sizes.crossJoin(F.broadcast(tot))
+             .withColumn("_s", F.lit(float(budget))
+                         * F.pow(F.col("_n"), F.lit(alpha)) / F.col("_X"))
+             .withColumn("_base", F.floor(F.col("_s")).cast("long"))
+             .withColumn("_rem", F.col("_s") - F.col("_base")))
+    # largest-remainder seats: the window runs over the G-row group table
+    deficit = (share.agg((F.lit(budget) - F.sum("_base")).alias("_d")))
+    w = Window.orderBy(F.col("_rem").desc(), F.col("_g.k").asc_nulls_last())
+    quotas = (share.withColumn("_rr", F.row_number().over(w))
+              .crossJoin(F.broadcast(deficit))
+              .select("_g",
+                      F.least(
+                          F.col("_n"),
+                          F.col("_base")
+                          + (F.col("_rr") <= F.col("_d")).cast("long"))
+                      .alias("_quota")))
+    ordered = (df.withColumn(
+                   "_g", F.struct(F.col(group_col).alias("k")))
+               .withColumn(
+                   "_ord",
+                   F.conv(F.substring(
+                       F.md5(F.concat(F.lit(salt + ":"),
+                                      F.col(id_col).cast("string"))),
+                       1, 8), 16, 10).cast("long")))
+    ranked = grouped_exact_ranks(ordered, "_ord", id_col, range_buckets)
+    return (ranked.join(F.broadcast(quotas), "_g")
+            .filter(F.col("_rk") <= F.col("_quota"))
+            .select(*cols))

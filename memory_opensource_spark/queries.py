@@ -4578,6 +4578,52 @@ def text_repetition_q(spark, sf_dir):
     )
 
 
+@_register("sample_mixture_temperature", """
+WITH sz AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT SUM(pow(n, 0.7)) AS X FROM sz),
+base AS (
+  SELECT source, n,
+         CAST(floor(120.0 * pow(n, 0.7) / X) AS BIGINT) AS b,
+         120.0 * pow(n, 0.7) / X - floor(120.0 * pow(n, 0.7) / X) AS rem
+  FROM sz CROSS JOIN tot
+),
+d AS (SELECT 120 - SUM(b) AS d FROM base),
+quota AS (
+  SELECT source,
+         least(n, b + (CASE WHEN ROW_NUMBER()
+                              OVER (ORDER BY rem DESC, source ASC)
+                            <= (SELECT d FROM d) THEN 1 ELSE 0 END)) AS q
+  FROM base
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8))::BIGINT ASC,
+                    doc_id ASC) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source FROM ranked r JOIN quota USING (source)
+WHERE r.rk <= quota.q
+""")
+def sample_mixture_temperature_q(spark, sf_dir):
+    """Temperature-based mixture sampling (r13,
+    operators/sampling.sample_mixture_temperature — XLM-R
+    arXiv:1911.02116 temperature rule / GPT-3 mixture table): per-source
+    quota proportional to n^0.7, exact largest-remainder apportionment of
+    a 120-doc budget, capped at group size (the cap/saturation path is
+    pinned by tests/test_dsir.py on a skewed fixture — the parquet
+    sources are uniform), selection = quota smallest by salted doc-id
+    hash.  Shape: G-row quota table (broadcast window), row-level
+    work = one scan + the range-bucket exact-rank machinery — no
+    whole-group window."""
+    from .operators.sampling import sample_mixture_temperature
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .select("doc_id", "source")
+    return sample_mixture_temperature(docs, "source", budget=120, alpha=0.7)
+
+
 @_register("sample_stratified", """
 WITH rated AS (
   SELECT doc_id, source,

@@ -92,3 +92,62 @@ def test_duckdb_twin_parity(spark, tmp_path):
             for r in dsir.importance_resample(
                 docs, F.col("is_t"), k=6, m=64).collect()]
     assert [tuple(r) for r in got] == want
+
+
+# ---------------------------------------------------------------------------
+# sample_mixture_temperature (operators/sampling) — shares the DSIR test
+# module: both are the training-mixture selection family.
+# ---------------------------------------------------------------------------
+
+def _skewed(spark):
+    rows = ([(i, "big") for i in range(100)]
+            + [(1000 + i, "mid") for i in range(20)]
+            + [(2000 + i, "tiny") for i in range(3)])
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_mixture_quotas_sum_to_budget_and_tilt(spark):
+    from memory_opensource_spark.operators.sampling import (
+        sample_mixture_temperature)
+    out = sample_mixture_temperature(_skewed(spark), "source", budget=40,
+                                     alpha=0.7).toPandas()
+    by = out.groupby("source").size().to_dict()
+    assert sum(by.values()) == 40
+    # alpha=0.7 upsamples the tail: tiny's share of the sample exceeds its
+    # share of the corpus (3/123), and big stays the largest group
+    assert by["tiny"] / 40 > 3 / 123
+    assert by["big"] > by["mid"] > by["tiny"]
+
+
+def test_mixture_cap_binds_without_redistribution(spark):
+    from memory_opensource_spark.operators.sampling import (
+        sample_mixture_temperature)
+    # budget 100 over (100, 20, 3): tiny's uncapped quota exceeds 3 at
+    # alpha=0.1 (near-uniform apportionment ~33 each) -> cap binds, and
+    # the capped seats are NOT redistributed (documented one-round rule)
+    out = sample_mixture_temperature(_skewed(spark), "source", budget=100,
+                                     alpha=0.1).toPandas()
+    by = out.groupby("source").size().to_dict()
+    assert by["tiny"] == 3
+    assert sum(by.values()) < 100
+
+
+def test_mixture_alpha_one_is_proportional(spark):
+    from memory_opensource_spark.operators.sampling import (
+        sample_mixture_temperature)
+    # alpha=1: shares are exactly n_g/N -> largest-remainder of
+    # 41 * (100,20,3)/123 = (33.33, 6.67, 1.0) -> (33, 7, 1)
+    out = sample_mixture_temperature(_skewed(spark), "source", budget=41,
+                                     alpha=1.0).toPandas()
+    by = out.groupby("source").size().to_dict()
+    assert by == {"big": 33, "mid": 7, "tiny": 1}
+
+
+def test_mixture_deterministic_selection(spark):
+    from memory_opensource_spark.operators.sampling import (
+        sample_mixture_temperature)
+    a = sample_mixture_temperature(_skewed(spark), "source", budget=40,
+                                   alpha=0.7).toPandas()
+    b = sample_mixture_temperature(_skewed(spark), "source", budget=40,
+                                   alpha=0.7).toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
