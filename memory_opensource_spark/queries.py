@@ -738,6 +738,36 @@ def dsir_importance_resample_q(spark, sf_dir):
     return importance_resample(docs, F.col("lang") == "en", k=40, m=64)
 
 
+# oracle built at import time from the LIVE twin in operators/preference
+from .operators.preference import preference_pairs_sql as _pref_sql  # noqa: E402
+
+_PREF_ORACLE = _pref_sql(
+    "(SELECT event_id % 80 AS prompt_id, 'resp ' || event_id AS response, "
+    "value AS score, event_id AS response_id "
+    "FROM events WHERE event_id < 4000)")
+
+
+@_register("dpo_preference_pairs", _PREF_ORACLE)
+def dpo_preference_pairs_q(spark, sf_dir):
+    """RLHF/DPO preference-pair construction (r13, operators/preference —
+    InstructGPT arXiv:2203.02155 comparison data / DPO arXiv:2305.18290):
+    per-prompt best/worst response by reward with a deterministic
+    (score, id) struct tie-break, margin-filtered.  Shape: ONE combinable
+    groupBy of two struct-argmax aggregates — no per-prompt window, one
+    shuffle on the prompt key.  Fixture: events as a scored response log
+    (prompt = event_id % 80, reward = value)."""
+    from .operators.preference import build_preference_pairs
+
+    ev = tables.load(spark, sf_dir, "events") \
+        .filter(F.col("event_id") < 4000)
+    log = ev.select((F.col("event_id") % 80).alias("prompt_id"),
+                    F.concat(F.lit("resp "), F.col("event_id"))
+                     .alias("response"),
+                    F.col("value").alias("score"),
+                    F.col("event_id").alias("response_id"))
+    return build_preference_pairs(log)
+
+
 # ---------------------------------------------------------------------------------
 # Ranking / counters (R8, R9, R10, R11, R13)
 # ---------------------------------------------------------------------------------
