@@ -995,3 +995,48 @@ def cosine_join_auto(left: DataFrame, right: DataFrame, threshold: float,
         return both.unionByName(selfs.filter(keep))
     return cosine_join_blas(left, right, threshold, left_vec, right_vec,
                             left_id, right_id, anti_reflexive, inclusive)
+
+
+def mine_hard_negatives(anchors: DataFrame, corpus: DataFrame, k: int,
+                        overfetch: int = 2, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for embedding/retriever training (r13) — the
+    ANCE arXiv:2007.00808 / DPR arXiv:2004.04906 data step: for every
+    anchor, retrieve the globally most-similar candidates, drop the
+    anchor's POSITIVES (same ``label_col`` here — swap in any positive
+    predicate by relabeling), and keep the top-k survivors as training
+    negatives.  Filter-AFTER-retrieve is the published semantic: a
+    negative is only found if it ranks inside the top
+    ``m = k * (1 + overfetch)`` overall, so an anchor whose positives
+    flood its neighborhood can surface FEWER than k negatives — that
+    starvation is visible in the output (rank gaps), not silently
+    backfilled with easy negatives.
+
+    Shape: one budget-routed exact kNN (broadcast-BLAS or grid past the
+    budget — never an unguarded cross join), two id-keyed label joins,
+    then a re-rank window whose partitions are <= m rows by construction
+    (skew-safe).  Ranks re-break ties on the ROUNDED score so the DuckDB
+    oracle's window agrees at grid boundaries (the v5_knn_join
+    convention).  A NULL anchor label treats every candidate as a
+    negative (IS DISTINCT FROM semantics).
+
+    Returns {anchor_id, negative_id, score (round-6), rank}."""
+    m = k * (1 + overfetch)
+    nn = knn_join_auto(anchors, corpus, m, left_vec=vec_col,
+                       right_vec=vec_col, left_id=id_col, right_id=id_col)
+    a_lab = anchors.select(F.col(id_col).alias("left_id"),
+                           F.col(label_col).alias("_alab"))
+    c_lab = corpus.select(F.col(id_col).alias("right_id"),
+                          F.col(label_col).alias("_clab"))
+    neg = (nn.join(a_lab, "left_id").join(c_lab, "right_id")
+           .filter(~F.col("_clab").eqNullSafe(F.col("_alab"))))
+    w = Window.partitionBy("left_id").orderBy(
+        F.round(F.col("score").cast("double"), 6).desc(),
+        F.col("right_id").asc())
+    return (neg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("left_id").alias("anchor_id"),
+                    F.col("right_id").alias("negative_id"),
+                    F.round(F.col("score").cast("double"), 6).alias("score"),
+                    "rank"))

@@ -314,6 +314,41 @@ def v5_knn(spark, sf_dir):
     )
 
 
+@_register("hard_negative_mining", f"""
+WITH scored AS (
+  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+         a.label AS alab, b.label AS blab,
+         {_COSINE_SQL.replace('e.embedding', 'a.embedding').replace('q.embedding', 'b.embedding')} AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 50
+), cand AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id
+                               ORDER BY score DESC, right_id ASC) AS rc
+  FROM scored
+), neg AS (
+  SELECT left_id, right_id, score FROM cand
+  WHERE rc <= 15 AND alab IS DISTINCT FROM blab
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id
+                               ORDER BY score DESC, right_id ASC) AS rank
+  FROM neg
+)
+SELECT left_id AS anchor_id, right_id AS negative_id, score, rank
+FROM ranked WHERE rank <= 5
+""")
+def hard_negative_mining_q(spark, sf_dir):
+    """Hard-negative mining for retriever training (r13,
+    operators/similarity.mine_hard_negatives — ANCE arXiv:2007.00808 /
+    DPR arXiv:2004.04906): retrieve each anchor's global top-15 by
+    cosine, drop same-label positives (filter-after-retrieve, the
+    published semantic), keep the top-5 survivors.  Shape: budget-routed
+    exact kNN + two id joins + a window whose partitions are <= 15 rows
+    by construction."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 50)
+    return similarity.mine_hard_negatives(anchors, emb, k=5, overfetch=2)
+
+
 # ---------------------------------------------------------------------------------
 # Dedup family, text side (exact hash / fingerprint / minhash-LSH / jaccard)
 # ---------------------------------------------------------------------------------

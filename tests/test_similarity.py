@@ -273,3 +273,55 @@ def test_hard_negative_mining_semantics_and_budget(vec_df, spark, monkeypatch):
     monkeypatch.setattr(similarity, "BLAS_BROADCAST_BUDGET_ROWS", 8)
     with pytest.raises(ValueError, match="broadcast budget"):
         similarity.hard_negative_mining(lab, lab, k=3)
+
+
+# ---------------------------------------------------------------------------
+# mine_hard_negatives (r13)
+# ---------------------------------------------------------------------------
+
+def _hn_fixture(spark):
+    # cluster A (label 0) tightly packed near e1; one far label-1 vector;
+    # anchor 0's neighborhood is flooded by its own positives
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.14, 0.0], 0),
+        (2, [0.98, 0.19, 0.0], 0),
+        (3, [0.97, 0.24, 0.0], 0),
+        (4, [0.0, 1.0, 0.0], 1),
+        (5, [0.0, 0.9, 0.43], 1),
+        (6, [0.0, 0.0, 1.0], None),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_hard_negatives_drop_positives(spark):
+    from memory_opensource_spark.operators.similarity import mine_hard_negatives
+    emb = _hn_fixture(spark)
+    out = mine_hard_negatives(emb.filter("vec_id = 0"), emb, k=2,
+                              overfetch=2).collect()
+    ids = [r["negative_id"] for r in out]
+    # same-label 1,2,3 excluded; nearest cross-label survivors win
+    assert all(i not in (1, 2, 3) for i in ids)
+    assert len(ids) == 2
+    assert [r["rank"] for r in out] == [1, 2]
+
+
+def test_hard_negatives_starvation_visible(spark):
+    from memory_opensource_spark.operators.similarity import mine_hard_negatives
+    emb = _hn_fixture(spark)
+    # m = k*(1+0) = 3: anchor 0's top-3 are its 3 positives -> 0 negatives
+    out = mine_hard_negatives(emb.filter("vec_id = 0"), emb, k=3,
+                              overfetch=0).collect()
+    assert out == []
+
+
+def test_hard_negatives_null_label_is_never_positive(spark):
+    from memory_opensource_spark.operators.similarity import mine_hard_negatives
+    emb = _hn_fixture(spark)
+    # NULL-label anchor: IS DISTINCT FROM -> every other row is a negative,
+    # including the other NULL?  No: NULL vs NULL is NOT distinct -> excluded.
+    out = mine_hard_negatives(emb.filter("vec_id = 6"), emb, k=6,
+                              overfetch=2).collect()
+    ids = {r["negative_id"] for r in out}
+    assert ids == {0, 1, 2, 3, 4, 5}
