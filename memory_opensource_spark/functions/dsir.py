@@ -99,20 +99,86 @@ def _bucket(gram_col, m: int):
                                1, 8), 16, 10).cast("long") % m)
 
 
-def fit_bucket_weights(raw: DataFrame, target_pred, m: int = 8192,
-                       text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
-    """Fit the hashed-ngram importance model: (bucket, lam_micro) with one
-    row per bucket that occurs in ``raw``.  ``target_pred`` is a boolean
-    Column selecting the TARGET subset of ``raw`` (fit both models in ONE
-    pass — t_k via a conditional sum, r_k via count)."""
-    grams = _gram_stream(raw.withColumn("_is_t", target_pred),
+def bucket_counts(df: DataFrame, target_pred, m: int = 8192,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  use_arrow: bool = False) -> DataFrame:
+    """(id, _is_t, bucket, n) — one row per (document, hash bucket) with
+    the doc's gram-occurrence count in that bucket.  The shared substrate
+    both the fit and the scoring aggregate from (one derivation, not
+    two).  ``use_arrow=True`` routes through the mapInPandas kernel —
+    row-identical (test-pinned), built for the 600k+ path where the
+    interpreted bigram ``transform`` lambda dominates (the
+    quality_scores_arrow / lang_id_ngram_arrow pattern)."""
+    if use_arrow:
+        return _bucket_counts_arrow(df, target_pred, m, text_col, id_col)
+    grams = _gram_stream(df.withColumn("_is_t", target_pred),
                          text_col, id_col, ["_is_t"])
-    per_bucket = (grams
-                  .groupBy(_bucket(F.col("gram"), m).alias("bucket"))
-                  .agg(F.sum(F.when(F.col("_is_t"), 1).otherwise(0))
-                        .alias("t_k"),
-                       F.count("*").alias("r_k")))
+    return (grams
+            .groupBy(F.col(id_col), F.col("_is_t"),
+                     _bucket(F.col("gram"), m).alias("bucket"))
+            .agg(F.count("*").alias("n")))
+
+
+def _bucket_counts_arrow(df: DataFrame, target_pred, m: int,
+                         text_col: str, id_col: str) -> DataFrame:
+    """mapInPandas twin of the Column :func:`bucket_counts` path: same
+    tokenization (lower, non-[a-z ] -> space, split on runs), same
+    ``md5('dsir:' || gram)`` buckets (first 4 digest bytes == the Column
+    form's first-8-hex-chars conv), md5 evaluated once per DISTINCT gram
+    per partition (Zipfian cache — the vocabulary is orders of magnitude
+    under the occurrence stream)."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    src = df.select(F.col(id_col), F.col(text_col).alias("_t"),
+                    target_pred.alias("_is_t"))
+    non_az = re.compile(r"[^a-z ]")
+
+    def gen(batches):
+        cache: dict = {}
+
+        def bucket(g: str) -> int:
+            b = cache.get(g)
+            if b is None:
+                b = int.from_bytes(
+                    hashlib.md5(b"dsir:" + g.encode()).digest()[:4],
+                    "big") % m
+                cache[g] = b
+            return b
+
+        for pdf in batches:
+            ids, tgts, bks, ns = [], [], [], []
+            for i, txt, tgt in zip(pdf[id_col], pdf["_t"], pdf["_is_t"]):
+                toks = non_az.sub(" ", (txt or "").lower()).split()
+                c: Counter = Counter()
+                prev = None
+                for w in toks:
+                    c[bucket(w)] += 1
+                    if prev is not None:
+                        c[bucket(prev + " " + w)] += 1
+                    prev = w
+                t = None if tgt is None or tgt != tgt else bool(tgt)
+                for bk, n in c.items():
+                    ids.append(i)
+                    tgts.append(t)
+                    bks.append(bk)
+                    ns.append(n)
+            yield pd.DataFrame({id_col: ids, "_is_t": tgts,
+                                "bucket": bks, "n": ns})
+
+    return src.mapInPandas(
+        gen, schema=f"{id_col} long, _is_t boolean, bucket long, n long")
+
+
+def _fit_from_counts(counts: DataFrame, m: int) -> DataFrame:
+    """(bucket, lam_micro) from the shared counts table (module math)."""
+    per_bucket = (counts.groupBy("bucket")
+                  .agg(F.sum(F.when(F.col("_is_t"), F.col("n"))
+                             .otherwise(0)).alias("t_k"),
+                       F.sum("n").alias("r_k")))
     totals = per_bucket.agg(F.sum("t_k").alias("T"), F.sum("r_k").alias("R"))
     return (per_bucket.crossJoin(F.broadcast(totals))
             .select("bucket",
@@ -124,18 +190,35 @@ def fit_bucket_weights(raw: DataFrame, target_pred, m: int = 8192,
                     .cast("long").alias("lam_micro")))
 
 
+def fit_bucket_weights(raw: DataFrame, target_pred, m: int = 8192,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       use_arrow: bool = False) -> DataFrame:
+    """Fit the hashed-ngram importance model: (bucket, lam_micro) with one
+    row per bucket that occurs in ``raw``.  ``target_pred`` is a boolean
+    Column selecting the TARGET subset of ``raw`` (fit both models in ONE
+    pass — t_k via a conditional sum, r_k via the total)."""
+    return _fit_from_counts(
+        bucket_counts(raw, target_pred, m, text_col, id_col, use_arrow), m)
+
+
 def importance_weights(pool: DataFrame, weights: DataFrame, m: int = 8192,
-                       text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       use_arrow: bool = False) -> DataFrame:
     """(id, logw_micro) for every pool document — exact int64 sum of the
     bucket micro-weights over the doc's gram occurrences.  ``weights``
     must be fitted on a superset of ``pool`` (module docstring); the m-row
     table is broadcast.  Zero-gram docs get logw_micro = 0."""
-    grams = _gram_stream(pool, text_col, id_col, [])
-    sums = (grams.withColumn("bucket", _bucket(F.col("gram"), m))
-            .join(F.broadcast(weights), "bucket")
+    counts = bucket_counts(pool, F.lit(False), m, text_col, id_col,
+                           use_arrow)
+    return _weights_from_counts(pool, counts, weights, id_col)
+
+
+def _weights_from_counts(pool: DataFrame, counts: DataFrame,
+                         weights: DataFrame, id_col: str) -> DataFrame:
+    sums = (counts.join(F.broadcast(weights), "bucket")
             .groupBy(id_col)
-            .agg(F.sum("lam_micro").alias("logw_micro")))
+            .agg(F.sum(F.col("n") * F.col("lam_micro"))
+                  .alias("logw_micro")))
     return (pool.select(id_col)
             .join(sums, id_col, "left")
             .select(id_col,
@@ -164,39 +247,21 @@ def gumbel_topk(weighted: DataFrame, k: int, salt: str = "dsir-g:",
 
 def importance_resample(raw: DataFrame, target_pred, k: int, m: int = 8192,
                         text_col: str = "text", id_col: str = "doc_id",
-                        salt: str = "dsir-g:") -> DataFrame:
+                        salt: str = "dsir-g:",
+                        use_arrow: bool = False) -> DataFrame:
     """One-call DSIR: fit on ``raw`` (target = ``target_pred`` rows),
     weight every raw doc, Gumbel-top-k resample.  Returns
     {id, logw, gumbel_key} sorted by key DESC.
 
-    The bucketed gram stream is derived ONCE and localCheckpoint'ed —
-    the fit and the per-doc scoring both read it, so the tokenize +
-    bigram lambdas (the expensive part) run a single pass."""
-    grams = (_gram_stream(raw.withColumn("_is_t", target_pred),
-                          text_col, id_col, ["_is_t"])
-             .select(id_col, "_is_t",
-                     _bucket(F.col("gram"), m).alias("bucket"))
-             .localCheckpoint(eager=False))
-    per_bucket = (grams.groupBy("bucket")
-                  .agg(F.sum(F.when(F.col("_is_t"), 1).otherwise(0))
-                        .alias("t_k"),
-                       F.count("*").alias("r_k")))
-    totals = per_bucket.agg(F.sum("t_k").alias("T"), F.sum("r_k").alias("R"))
-    w = (per_bucket.crossJoin(F.broadcast(totals))
-         .select("bucket",
-                 F.round(1e6 * (
-                     F.log((F.col("t_k") + 1.0) / (F.col("T") + float(m)))
-                     - F.log((F.col("r_k") + 1.0)
-                             / (F.col("R") + float(m)))))
-                 .cast("long").alias("lam_micro")))
-    sums = (grams.join(F.broadcast(w), "bucket")
-            .groupBy(id_col)
-            .agg(F.sum("lam_micro").alias("logw_micro")))
-    lw = (raw.select(id_col)
-          .join(sums, id_col, "left")
-          .select(id_col,
-                  F.coalesce(F.col("logw_micro"), F.lit(0))
-                   .alias("logw_micro")))
+    The per-(doc, bucket) counts table is derived ONCE and
+    localCheckpoint'ed — the fit and the per-doc scoring both read it,
+    so the tokenize + bigram work (the expensive part) runs a single
+    pass.  ``use_arrow=True`` is the 600k+ path (row-identical kernel;
+    PERF.md round-16 probe)."""
+    counts = bucket_counts(raw, target_pred, m, text_col, id_col,
+                           use_arrow).localCheckpoint(eager=False)
+    w = _fit_from_counts(counts, m)
+    lw = _weights_from_counts(raw, counts, w, id_col)
     return gumbel_topk(lw, k, salt, id_col)
 
 

@@ -151,3 +151,28 @@ def test_mixture_deterministic_selection(spark):
     b = sample_mixture_temperature(_skewed(spark), "source", budget=40,
                                    alpha=0.7).toPandas()
     assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+def test_arrow_kernel_row_identical(spark):
+    # hostile mix: punctuation, digits, unicode, empty, None text, None flag
+    rows = [
+        (1, "The  quick-BROWN fox!! jumps 42 times", True),
+        (2, "über café naïve — emoji 🚀 text", False),
+        (3, "", True),
+        (4, None, False),
+        (5, "a", None),
+        (6, "a a a b b c", True),
+    ]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, text string, is_t boolean")
+    col = dsir.bucket_counts(docs, F.col("is_t"), m=64).collect()
+    arw = dsir.bucket_counts(docs, F.col("is_t"), m=64,
+                             use_arrow=True).collect()
+    key = lambda r: (r["doc_id"], r["bucket"])
+    assert sorted([tuple(r) for r in col], key=lambda t: (t[0], t[2])) == \
+           sorted([tuple(r) for r in arw], key=lambda t: (t[0], t[2]))
+    # and end-to-end: identical resample through both paths
+    a = dsir.importance_resample(docs, F.col("is_t"), k=6, m=64).collect()
+    b = dsir.importance_resample(docs, F.col("is_t"), k=6, m=64,
+                                 use_arrow=True).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
