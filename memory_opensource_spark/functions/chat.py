@@ -33,7 +33,11 @@ TURN_SUFFIX = "<|end|>"
 
 
 def _rendered_msg(role_col, text_col):
-    return F.concat(F.lit("<|"), role_col, F.lit("|>"),
+    # coalesce BOTH fields: a NULL role would otherwise null the whole
+    # concat and the message would silently vanish from the render while
+    # still emitting a row (sweep 18)
+    return F.concat(F.lit("<|"), F.coalesce(role_col, F.lit("")),
+                    F.lit("|>"),
                     F.coalesce(text_col, F.lit("")), F.lit(TURN_SUFFIX))
 
 
@@ -48,9 +52,17 @@ def render_chat_sft(messages: DataFrame, *, conv_col: str = "conv_id",
     the unmasked SFT spans).  Ties on ``turn_col`` break by
     ``role_col`` then ``text_col`` so offsets stay deterministic."""
     msg = _rendered_msg(F.col(role_col), F.col(text_col))
+    # sweep 18: (a) explicit ROWS frame — the default RANGE frame makes
+    # duplicate (turn, role, text) messages PEERS sharing one cumulative
+    # sum, so the first duplicate's span pointed past itself (and the
+    # inline SQL oracle already said ROWS); (b) order by the COALESCED
+    # role/text so a NULL never hits the engines' opposite ASC-null
+    # placement (Spark NULLS FIRST vs DuckDB NULLS LAST)
     w = (Window.partitionBy(conv_col)
-         .orderBy(F.col(turn_col).asc(), F.col(role_col).asc(),
-                  F.col(text_col).asc()))
+         .orderBy(F.col(turn_col).asc(),
+                  F.coalesce(F.col(role_col), F.lit("")).asc(),
+                  F.coalesce(F.col(text_col), F.lit("")).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum(F.length(msg)).over(w)
     return (messages
             .withColumn("rendered_msg", msg)
@@ -68,7 +80,12 @@ def render_conversations(messages: DataFrame, *, conv_col: str = "conv_id",
     the training DOCUMENT the spans from :func:`render_chat_sft` index
     into.  Deterministic order: the per-struct sort key is (turn, role,
     text), matching the per-message window exactly."""
-    key = F.struct(F.col(turn_col), F.col(role_col), F.col(text_col))
+    # coalesced fields: the sort key matches render_chat_sft's window
+    # (NULL role/text never hit struct-comparison null placement), and
+    # _rendered_msg coalesces identically so the render is unchanged
+    key = F.struct(F.col(turn_col),
+                   F.coalesce(F.col(role_col), F.lit("")).alias(role_col),
+                   F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
     return (messages
             .groupBy(conv_col)
             .agg(F.array_sort(F.collect_list(key)).alias("_m"),
