@@ -339,16 +339,18 @@ def cdx_revisits(captures: DataFrame, *, key_col: str = "urlkey",
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(),
                                             F.col(digest_col).asc())
     prev = F.lag(F.col(digest_col)).over(w)
-    # first_capture keys on previous-ROW existence (lag of the non-null
-    # order key), NOT on the previous digest — a failed fetch recorded
-    # with a NULL digest must not make its successor look like a first
-    # capture (r15 self-sweep finding)
-    prev_row = F.lag(F.col(ts_col)).over(w)
+    # first_capture = row_number()==1 — frame-independent previous-ROW
+    # existence.  The r15 self-sweep keyed it on lag(ts) ("the non-null
+    # order key") so a NULL digest could not fool it, but sweep 18
+    # found the symmetric hole: a NULL **ts** capture sorts first and
+    # its successor's lag(ts) is NULL, double-flagging first_capture.
+    # row_number is fooled by neither.
     return (captures
             .withColumn("revisit",
                         (prev.isNotNull()
                          & (prev == F.col(digest_col))).cast("int"))
-            .withColumn("first_capture", prev_row.isNull().cast("int")))
+            .withColumn("first_capture",
+                        (F.row_number().over(w) == 1).cast("int")))
 
 
 def sitemap_expand(seeds: DataFrame, sitemaps: DataFrame, *,
@@ -371,6 +373,16 @@ def sitemap_expand(seeds: DataFrame, sitemaps: DataFrame, *,
     (crawl_frontier's pointer-jumping discipline)."""
     from ..functions.urls import canonical_url, sitemap_locs
 
+    # canonicalize the FETCH TABLE keys too (sweep 18): seeds and
+    # extracted locs are canonicalized, so a sitemap stored under an
+    # uncanonical fetch URL (trailing default port, fragment…) would
+    # otherwise never match the equi-join and silently read as a leaf.
+    # Two raw URLs collapsing to one canonical key keep the MIN body —
+    # an arbitrary but deterministic pick (dropDuplicates is not).
+    sitemaps = (sitemaps
+                .select(canonical_url(F.col(url_col)).alias(url_col),
+                        F.col(body_col))
+                .groupBy(url_col).agg(F.min(body_col).alias(body_col)))
     seen = (seeds.select(canonical_url(F.col(url_col)).alias(url_col))
             .distinct().localCheckpoint(eager=True))
     frontier = seen
