@@ -143,6 +143,11 @@ def _bucket_counts_arrow(df: DataFrame, target_pred, m: int,
         def bucket(g: str) -> int:
             b = cache.get(g)
             if b is None:
+                # bound the per-partition vocab cache (sweep 18): an
+                # adversarial partition with an unbounded bigram
+                # vocabulary must not grow driver-of-OOM state
+                if len(cache) >= 4_000_000:
+                    cache.clear()
                 b = int.from_bytes(
                     hashlib.md5(b"dsir:" + g.encode()).digest()[:4],
                     "big") % m

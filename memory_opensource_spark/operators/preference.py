@@ -32,7 +32,16 @@ def build_preference_pairs(df: DataFrame, prompt_col: str = "prompt_id",
                            min_margin: float = 0.0) -> DataFrame:
     """{prompt_col, chosen, rejected, margin} — one row per prompt with a
     strict preference (module docstring).  ``margin`` is rounded to the
-    repo's 6-decimal cross-engine grid."""
+    repo's 6-decimal cross-engine grid.
+
+    NULL-scored responses are EXCLUDED before selection (sweep 18): an
+    unscored response is not evidence of a bad one, and the engines
+    disagree about where NULL sorts (Spark's min-struct would always
+    pick it as 'rejected'; DuckDB's ASC ranking puts it last).  NaN
+    rewards are the caller's bug — both engines sort NaN greatest, so
+    results stay engine-consistent, but a NaN 'chosen' carries no
+    signal."""
+    df = df.filter(F.col(score_col).isNotNull())
     hi = F.max(F.struct(F.col(score_col).alias("s"),
                         F.col(id_col).alias("i"),
                         F.col(response_col).alias("r"))).alias("_hi")
@@ -65,6 +74,7 @@ def preference_pairs_sql(table: str, prompt_col: str = "prompt_id",
          ROW_NUMBER() OVER (PARTITION BY {prompt_col}
                             ORDER BY {score_col} ASC, {id_col} ASC) AS rl
   FROM {table}
+  WHERE {score_col} IS NOT NULL
 ),
 pair AS (
   SELECT h.pid, h.resp AS chosen, l.resp AS rejected,

@@ -189,10 +189,20 @@ def sample_mixture_temperature(df: DataFrame, group_col: str, budget: int,
     corpus), so its remainder-ranking window is a broadcast-sized sort,
     and the row-level work is one scan + the range-bucket rank machinery.
 
-    Float note: n_g^alpha and the remainder comparisons are doubles; a
-    cross-engine 1-ulp pow() divergence flips a floor()/rank boundary
-    only when a share lands within ~1e-15 of it (the dsir.py ln() risk
-    class) — pinned green at 3 SFs by the registered row.
+    EXACT-ARITHMETIC apportionment (sweep 18): the naive form floors
+    ``budget * pow(n_g, alpha) / SUM(pow(n_h, alpha))`` — but a uniform
+    corpus puts every share EXACTLY on an integer, and a float SUM is
+    re-association-nondeterministic (DuckDB's parallel aggregation
+    flipped the oracle between 100 and 120 rows run-to-run; Spark's
+    partition-order sums carry the same hazard).  So pow() is evaluated
+    ONCE per group and micro-rounded to an int64 weight
+    ``w_g = round(1000 * n_g^alpha)``, and everything downstream —
+    ``X = SUM(w)``, ``p = budget * w_g``, ``base = (p - p % X) / X``,
+    remainder ranking on the exact integer ``p % X`` — is 128-bit
+    integer math (decimal(38,0) / HUGEINT): bit-identical across runs,
+    partitionings, and engines.  The only float left is the single
+    pow() per group (a 1-ulp flip lands on the 1e-3 weight grid only at
+    a .0005 boundary — the dsir.py risk class, pinned at 3 SFs).
 
     Returns the selected input rows (original columns)."""
     if budget < 0:
@@ -202,12 +212,19 @@ def sample_mixture_temperature(df: DataFrame, group_col: str, budget: int,
 
     sizes = (df.groupBy(F.struct(F.col(group_col).alias("k")).alias("_g"))
              .agg(F.count("*").alias("_n")))
-    tot = sizes.agg(F.sum(F.pow(F.col("_n"), F.lit(alpha))).alias("_X"))
+    dec = "decimal(38,0)"
+    wcol = F.round(F.lit(1000.0)
+                   * F.pow(F.col("_n"), F.lit(alpha))).cast(dec)
+    sizes = sizes.withColumn("_w", wcol)
+    tot = sizes.agg(F.sum("_w").cast(dec).alias("_X"))
     share = (sizes.crossJoin(F.broadcast(tot))
-             .withColumn("_s", F.lit(float(budget))
-                         * F.pow(F.col("_n"), F.lit(alpha)) / F.col("_X"))
-             .withColumn("_base", F.floor(F.col("_s")).cast("long"))
-             .withColumn("_rem", F.col("_s") - F.col("_base")))
+             .withColumn("_p", F.lit(budget).cast(dec) * F.col("_w"))
+             .withColumn("_rem", F.col("_p") % F.col("_X"))
+             # (p - p % X) is divisible by X, so the decimal division
+             # is exact — a // without needing one
+             .withColumn("_base",
+                         ((F.col("_p") - F.col("_rem")) / F.col("_X"))
+                         .cast("long")))
     # largest-remainder seats: the window runs over the G-row group table
     deficit = (share.agg((F.lit(budget) - F.sum("_base")).alias("_d")))
     w = Window.orderBy(F.col("_rem").desc(), F.col("_g.k").asc_nulls_last())

@@ -1022,6 +1022,10 @@ def mine_hard_negatives(anchors: DataFrame, corpus: DataFrame, k: int,
     negative (IS DISTINCT FROM semantics).
 
     Returns {anchor_id, negative_id, score (round-6), rank}."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if overfetch < 0:
+        raise ValueError(f"overfetch must be >= 0, got {overfetch}")
     m = k * (1 + overfetch)
     nn = knn_join_auto(anchors, corpus, m, left_vec=vec_col,
                        right_vec=vec_col, left_id=id_col, right_id=id_col)

@@ -4644,12 +4644,16 @@ def text_repetition_q(spark, sf_dir):
 
 
 @_register("sample_mixture_temperature", """
-WITH sz AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
-tot AS (SELECT SUM(pow(n, 0.7)) AS X FROM sz),
+WITH sz AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(round(1000.0 * pow(n, 0.7)) AS HUGEINT) AS w
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(w)::HUGEINT AS X FROM sz),
 base AS (
   SELECT source, n,
-         CAST(floor(120.0 * pow(n, 0.7) / X) AS BIGINT) AS b,
-         120.0 * pow(n, 0.7) / X - floor(120.0 * pow(n, 0.7) / X) AS rem
+         CAST((120::HUGEINT * w) // X AS BIGINT) AS b,
+         (120::HUGEINT * w) % X AS rem
   FROM sz CROSS JOIN tot
 ),
 d AS (SELECT 120 - SUM(b) AS d FROM base),

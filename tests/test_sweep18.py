@@ -70,3 +70,37 @@ def test_sitemap_expand_duplicate_canonical_bodies_deterministic(spark):
                  sitemap_expand(seeds, sitemaps, rounds=2).collect())
     # min(body) sorts '<urlset><url><loc>https://a.example/A...' first
     assert out == ["https://a.example/A"]
+
+
+def test_preference_null_scores_excluded(spark):
+    """NULL-scored responses must not be selected as 'rejected' (Spark
+    min-struct sorts NULL first; DuckDB ASC sorts it last — sweep 18
+    excludes them in both engines)."""
+    from memory_opensource_spark.operators.preference import (
+        build_preference_pairs)
+    rows = [(1, "a", 0.9, 10), (1, "b", 0.2, 11), (1, "u", None, 12)]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, response string, score double, response_id long")
+    out = build_preference_pairs(df).collect()
+    assert len(out) == 1
+    assert (out[0]["chosen"], out[0]["rejected"]) == ("a", "b")
+
+
+def test_mixture_zero_budget_empty(spark):
+    from memory_opensource_spark.operators.sampling import (
+        sample_mixture_temperature)
+    df = spark.createDataFrame([(1, "a"), (2, "b")],
+                               "doc_id long, source string")
+    assert sample_mixture_temperature(df, "source", budget=0).count() == 0
+
+
+def test_hard_negatives_arg_guards(spark):
+    import pytest
+    from memory_opensource_spark.operators.similarity import (
+        mine_hard_negatives)
+    df = spark.createDataFrame([(1, [1.0], 0)],
+                               "vec_id long, embedding array<double>, label int")
+    with pytest.raises(ValueError):
+        mine_hard_negatives(df, df, k=0)
+    with pytest.raises(ValueError):
+        mine_hard_negatives(df, df, k=1, overfetch=-1)
