@@ -248,3 +248,90 @@ def sample_mixture_temperature(df: DataFrame, group_col: str, budget: int,
     return (ranked.join(F.broadcast(quotas), "_g")
             .filter(F.col("_rk") <= F.col("_quota"))
             .select(*cols))
+
+
+def sample_mixture_unimax(df: DataFrame, group_col: str, budget: int,
+                          epochs_cap: float = 1.0, salt: str = "unimax",
+                          id_col: str = "doc_id",
+                          range_buckets: int = 32) -> DataFrame:
+    """UniMax mixture sampling (r13) — the budget-capped UNIFORM
+    apportionment of arXiv:2304.09151: spread ``budget`` rows evenly
+    across groups, but never take more than ``capacity_g =
+    floor(n_g * epochs_cap)`` from a group (the paper's per-language
+    epoch cap against low-resource overfitting); capacity freed by small
+    groups WATERFILLS into the rest — the redistribution
+    :func:`sample_mixture_temperature` deliberately omits.
+
+    Exact integer waterfill over the G-row group table (same
+    float-sum-free discipline as the temperature sampler's sweep-18
+    fix): sort groups by capacity ascending with prefix sums; group i
+    (1-based, L = groups remaining at i) saturates iff
+    ``c_i * (L) <= B - prefix_{i-1}`` — a prefix property under the
+    ascending sort — taking ``c_i``; the unsaturated rest split the
+    leftover R evenly, ``R // L'`` each, the first ``R %% L'`` by group
+    key ascending getting one extra.  Every quantity is int64; the only
+    float is ``epochs_cap`` scaling (floor of one multiply).
+
+    Selection within a group = quota smallest by salted-md5 hash of
+    ``id_col`` (the repo's deterministic uniform).  Windows run over the
+    G-row table only.  Returns the selected input rows."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if epochs_cap <= 0:
+        raise ValueError(f"epochs_cap must be > 0, got {epochs_cap}")
+    cols = df.columns
+    from pyspark.sql import Window
+
+    sizes = (df.groupBy(F.struct(F.col(group_col).alias("k")).alias("_g"))
+             .agg(F.count("*").alias("_n")))
+    sizes = sizes.withColumn(
+        "_c", F.floor(F.col("_n") * F.lit(float(epochs_cap))).cast("long"))
+    ws = Window.orderBy(F.col("_c").asc(), F.col("_g.k").asc_nulls_last())
+    g_tot = sizes.agg(F.count("*").alias("_ng"))
+    ranked = (sizes
+              .withColumn("_i", F.row_number().over(ws))
+              .withColumn("_pfx", F.sum("_c").over(
+                  ws.rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow)))
+              .crossJoin(F.broadcast(g_tot)))
+    # saturated prefix: c_i * (G - i + 1) <= B - prefix_{i-1}
+    ranked = ranked.withColumn(
+        "_sat",
+        (F.col("_c") * (F.col("_ng") - F.col("_i") + 1)
+         <= F.lit(budget) - (F.col("_pfx") - F.col("_c"))).cast("int"))
+    stats = ranked.agg(
+        F.sum("_sat").alias("_S"),
+        F.sum(F.col("_sat") * F.col("_c")).alias("_used"))
+    ranked = ranked.crossJoin(F.broadcast(stats))
+    lprime = F.col("_ng") - F.col("_S")
+    leftover = F.lit(budget) - F.coalesce(F.col("_used"), F.lit(0))
+    # greatest(.., 1) denominator: when every group saturates the ELSE
+    # branch is never SELECTED but vectorized engines still EVALUATE it
+    # — an unguarded /0 is an ANSI error (same guard mirrored in the
+    # oracle's CASE)
+    safe_l = F.greatest(lprime, F.lit(1))
+    fair = F.when(lprime > 0, F.floor(leftover / safe_l)).otherwise(0) \
+        .cast("long")
+    n_extra = F.when(lprime > 0, leftover % safe_l).otherwise(0)
+    # rank among the UNSATURATED by group key asc for the +1 seats
+    wk = Window.partitionBy("_sat").orderBy(F.col("_g.k").asc_nulls_last())
+    ranked = ranked.withColumn("_ki", F.row_number().over(wk))
+    quotas = ranked.select(
+        "_g",
+        F.when(F.col("_sat") == 1, F.col("_c"))
+         .otherwise(F.least(
+             F.col("_c"),
+             fair + (F.col("_ki") <= n_extra).cast("long")))
+        .alias("_quota"))
+    ordered = (df.withColumn(
+                   "_g", F.struct(F.col(group_col).alias("k")))
+               .withColumn(
+                   "_ord",
+                   F.conv(F.substring(
+                       F.md5(F.concat(F.lit(salt + ":"),
+                                      F.col(id_col).cast("string"))),
+                       1, 8), 16, 10).cast("long")))
+    ranked_rows = grouped_exact_ranks(ordered, "_ord", id_col, range_buckets)
+    return (ranked_rows.join(F.broadcast(quotas), "_g")
+            .filter(F.col("_rk") <= F.col("_quota"))
+            .select(*cols))

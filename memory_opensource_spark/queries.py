@@ -4693,6 +4693,64 @@ def sample_mixture_temperature_q(spark, sf_dir):
     return sample_mixture_temperature(docs, "source", budget=120, alpha=0.7)
 
 
+@_register("sample_mixture_unimax", """
+WITH sz AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+cap AS (SELECT source, n, CAST(floor(n * 0.2) AS BIGINT) AS c FROM sz),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY c ASC, source ASC) AS i,
+         SUM(c) OVER (ORDER BY c ASC, source ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx,
+         COUNT(*) OVER () AS g
+  FROM cap
+),
+sat AS (
+  SELECT *, CASE WHEN c * (g - i + 1) <= 90 - (pfx - c)
+                 THEN 1 ELSE 0 END AS s
+  FROM rk
+),
+st AS (SELECT COALESCE(SUM(s), 0) AS sc, COALESCE(SUM(s * c), 0) AS used
+       FROM sat),
+seats AS (
+  SELECT sat.*, st.sc, st.used,
+         ROW_NUMBER() OVER (PARTITION BY s ORDER BY source ASC) AS ki
+  FROM sat CROSS JOIN st
+),
+quota AS (
+  SELECT source,
+         CASE WHEN s = 1 THEN c
+              ELSE least(c,
+                (90 - used) // greatest(g - sc, 1)
+                + CASE WHEN ki <= (90 - used) % greatest(g - sc, 1)
+                       THEN 1 ELSE 0 END)
+         END AS q
+  FROM seats
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5('unimax:' || doc_id::VARCHAR), 1, 8))::BIGINT ASC,
+                    doc_id ASC) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source FROM ranked r JOIN quota USING (source)
+WHERE r.rk <= quota.q
+""")
+def sample_mixture_unimax_q(spark, sf_dir):
+    """UniMax budget-capped uniform mixture (r13,
+    operators/sampling.sample_mixture_unimax — arXiv:2304.09151): a
+    90-doc budget spread evenly over sources, per-source capacity
+    floor(n * 0.2) epochs-capped, small groups' freed capacity
+    waterfilled into the rest.  Exact int64 waterfill (no float sums —
+    the sweep-18 apportionment discipline); windows over the G-row
+    group table only."""
+    from .operators.sampling import sample_mixture_unimax
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .select("doc_id", "source")
+    return sample_mixture_unimax(docs, "source", budget=90, epochs_cap=0.2)
+
+
 @_register("sample_stratified", """
 WITH rated AS (
   SELECT doc_id, source,

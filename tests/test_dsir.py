@@ -176,3 +176,38 @@ def test_arrow_kernel_row_identical(spark):
     b = dsir.importance_resample(docs, F.col("is_t"), k=6, m=64,
                                  use_arrow=True).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_unimax_waterfill_redistributes(spark):
+    from memory_opensource_spark.operators.sampling import (
+        sample_mixture_unimax)
+    # capacities (100, 20, 3) at epochs_cap=1; budget 60:
+    # tiny saturates (3*3 <= 60), mid saturates (20*2 <= 57)?  20*2=40
+    # <= 57 yes -> 20; big gets 60-23=37
+    out = sample_mixture_unimax(_skewed(spark), "source", budget=60,
+                                epochs_cap=1.0).toPandas()
+    by = out.groupby("source").size().to_dict()
+    assert by == {"big": 37, "mid": 20, "tiny": 3}
+    assert sum(by.values()) == 60
+
+
+def test_unimax_all_saturated_underuses_budget(spark):
+    from memory_opensource_spark.operators.sampling import (
+        sample_mixture_unimax)
+    # capacities (50, 10, 1) at epochs_cap=0.5; budget 1000 > total 61
+    out = sample_mixture_unimax(_skewed(spark), "source", budget=1000,
+                                epochs_cap=0.5).toPandas()
+    by = out.groupby("source").size().to_dict()
+    assert by == {"big": 50, "mid": 10, "tiny": 1}
+
+
+def test_unimax_extra_seats_by_key_order(spark):
+    from memory_opensource_spark.operators.sampling import (
+        sample_mixture_unimax)
+    # budget 8 over capacities (100, 20, 3): nothing saturates
+    # (3*3=9 > 8); fair = 8//3 = 2, extra = 2 -> "big","mid" (key asc)
+    # get 3, "tiny" gets 2
+    out = sample_mixture_unimax(_skewed(spark), "source", budget=8,
+                                epochs_cap=1.0).toPandas()
+    by = out.groupby("source").size().to_dict()
+    assert by == {"big": 3, "mid": 3, "tiny": 2}
