@@ -211,6 +211,11 @@ HEADLINE = [
     "recrawl_due",
     "sft_chat_render",
     "sitemap_index_recursion",
+    "dsir_importance_resample",
+    "sample_mixture_temperature",
+    "sample_mixture_unimax",
+    "dpo_preference_pairs",
+    "hard_negative_mining",
 ]
 
 

@@ -233,3 +233,31 @@ def test_robots_gate_broadcasts_rules_and_link_graph_single_shuffle(spark):
     lg = _plan(spark, "link_graph")
     assert "Join" not in lg and "Window" not in lg
     assert lg.count("Exchange") <= 2  # partial+final agg exchanges only
+
+
+def test_dsir_broadcasts_weights_and_takeordered_topk(spark):
+    """r13 plan pins: the m-row bucket-weight table joins the counts
+    stream as a BROADCAST (never SortMergeJoin), and the Gumbel top-k is
+    TakeOrderedAndProject (per-partition heaps), not a global Sort+Limit."""
+    p = _plan(spark, "dsir_importance_resample")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_mixture_quota_join_is_broadcast(spark):
+    """r13 plan pins: the G-row quota tables broadcast onto the ranked
+    row stream; no SortMergeJoin anywhere in either mixture row."""
+    for name in ["sample_mixture_temperature", "sample_mixture_unimax"]:
+        p = _plan(spark, name)
+        assert "SortMergeJoin" not in p, name
+        assert "BroadcastHashJoin" in p, name
+
+
+def test_preference_pairs_single_aggregate_no_window(spark):
+    """r13 plan pin: the struct-argmax keeper form — one combinable
+    aggregate, zero Window operators (the whole point vs the textbook
+    per-prompt row_number)."""
+    p = _plan(spark, "dpo_preference_pairs")
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p
