@@ -284,7 +284,8 @@ def crawl_frontier(seeds: DataFrame, pages: DataFrame, *,
 
 def cdx_index(pages: DataFrame, *, url_col: str = "url",
               payload_col: str = "payload",
-              range_shards: int | None = None) -> DataFrame:
+              range_shards: int | None = None,
+              extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """CDX-style capture index over fetched pages (r15) — the
     Common-Crawl/Wayback lookup layout: one row per capture with
     ``{urlkey, url, digest, length, shard}`` where ``urlkey`` is the
@@ -310,6 +311,7 @@ def cdx_index(pages: DataFrame, *, url_col: str = "url",
         F.col(url_col).alias("url"),
         F.sha2(F.col(payload_col).cast("string"), 256).alias("digest"),
         F.octet_length(F.col(payload_col).cast("string")).alias("length"),
+        *[F.col(c) for c in extra_cols],
     )
     if range_shards is not None:
         return (out.repartitionByRange(range_shards, "urlkey")

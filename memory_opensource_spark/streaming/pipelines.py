@@ -735,3 +735,84 @@ def foreach_batch_frontier_ingest(stream: DataFrame, state_dir: str,
 
     return (stream.writeStream.foreachBatch(handle)
             .option("checkpointLocation", checkpoint))
+
+
+def foreach_batch_capture_ingest(stream: DataFrame, state_dir: str,
+                                 checkpoint: str, *,
+                                 url_col: str = "url",
+                                 payload_col: str = "payload",
+                                 ts_col: str = "ts",
+                                 on_batch=None):
+    """Streaming CDX capture-index maintenance (r16): the incremental
+    twin of plans/crawl.cdx_index + cdx_revisits — micro-batches of
+    fetched pages ``{url, payload, ts}`` append to a capture index with
+    ONLINE revisit flags:
+
+        batch -> SURT urlkey + sha-256 digest + byte length (cdx_index)
+        -> union the PRIOR captures of just the batch's urlkeys
+           (left-semi pruned read — a key's history is bounded by its
+           recrawl count, the cdx_revisits premise)
+        -> per-urlkey revisit/first_capture flags (cdx_revisits window)
+        -> append the batch's rows, flags attached, PARTITIONED BY
+           batch_id.
+
+    Replay safety (the connector-ingest discipline): the history read
+    EXCLUDES the current batch_id (a re-delivered batch re-derives its
+    original flags) and the append anti-joins the capture identity
+    ``(urlkey, ts, digest)`` against the whole index — state converges
+    to exactly-once.  No retention horizon: the capture index IS the
+    product (unlike the dedup memos), so nothing ages out here.
+
+    Flag semantics are AS-OF-INGEST: a late-arriving capture (ts older
+    than already-indexed ones) is flagged against the history it lands
+    in, but flags already stored for later-ts captures are not
+    rewritten — the batch recompute over the full index
+    (plans/crawl.cdx_revisits) is the authoritative view; the streaming
+    flag is the fetcher's online dedup signal (store body vs pointer).
+
+    ``on_batch(flagged, batch_id)`` observes each batch's flagged rows
+    (e.g. to route revisit bodies to pointer storage)."""
+    import os
+
+    from ..plans.crawl import cdx_index, cdx_revisits
+
+    cap_dir = os.path.join(state_dir, "captures")
+    out_cols = ["urlkey", "url", "digest", "length", ts_col]
+
+    def handle(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        caps = (cdx_index(batch_df, url_col=url_col,
+                          payload_col=payload_col,
+                          extra_cols=(ts_col,))
+                .drop("shard")
+                .select(*out_cols)
+                .withColumn("_new", F.lit(1))
+                .localCheckpoint(eager=True))
+        if os.path.isdir(cap_dir):
+            prior_all = spark.read.parquet(cap_dir)
+            prior = (prior_all
+                     .filter(F.col("batch_id") != batch_id)
+                     .join(caps.select("urlkey"), "urlkey", "left_semi")
+                     .select(*out_cols)
+                     .withColumn("_new", F.lit(0)))
+            hist = caps.unionByName(prior)
+        else:
+            prior_all = None
+            hist = caps
+        flagged = (cdx_revisits(hist, key_col="urlkey", ts_col=ts_col,
+                                digest_col="digest")
+                   .filter(F.col("_new") == 1)
+                   .drop("_new")
+                   .localCheckpoint(eager=True))
+        to_write = flagged.withColumn("batch_id", F.lit(batch_id))
+        if prior_all is not None:
+            ident = ["urlkey", ts_col, "digest"]
+            to_write = to_write.join(
+                prior_all.select(*ident), ident, "left_anti")
+        to_write.write.mode("append").partitionBy("batch_id") \
+            .parquet(cap_dir)
+        if on_batch is not None:
+            on_batch(flagged, batch_id)
+
+    return (stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint))

@@ -292,3 +292,65 @@ def test_streaming_frontier_ingest_incremental_discovery(spark, tmp_path):
     assert {(r.url, r.batch_id) for r in fr2.collect()} == got
     seen2 = spark.read.parquet(os.path.join(sd, "seen_urls"))
     assert seen2.count() == 3
+
+
+def test_streaming_capture_ingest_cross_batch_revisits(spark, tmp_path):
+    """r16 foreach_batch_capture_ingest: revisit flags span micro-batch
+    boundaries (batch 2's capture of an unchanged page reads as a
+    revisit of batch 1's), identity-idempotent appends, as-of-ingest
+    flags."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.streaming.pipelines import (
+        foreach_batch_capture_ingest)
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "url string, payload string, ts double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: two pages
+    write_batch("b1", [("https://a.example/p", "body-1", 1.0),
+                       ("https://b.example/q", "other", 1.0)])
+    seen = []
+    stream = (spark.readStream.schema("url string, payload string, ts double")
+              .parquet(src))
+    q = (foreach_batch_capture_ingest(
+            stream, state, ckpt,
+            on_batch=lambda df, bid: seen.append((bid, df.collect())))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # batch 2: a revisit (same payload) + a change + a new key
+    write_batch("b2", [("https://a.example/p", "body-1", 2.0),
+                       ("https://b.example/q", "changed", 2.0),
+                       ("https://c.example/r", "new", 2.0)])
+    q = (foreach_batch_capture_ingest(
+            stream, state, ckpt,
+            on_batch=lambda df, bid: seen.append((bid, df.collect())))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    idx = spark.read.parquet(os.path.join(state, "captures"))
+    got = {(r["urlkey"], r["ts"]): (r["revisit"], r["first_capture"])
+           for r in idx.collect()}
+    assert got[("example,a)/p", 1.0)] == (0, 1)
+    assert got[("example,a)/p", 2.0)] == (1, 0)   # cross-batch revisit
+    assert got[("example,b)/q", 2.0)] == (0, 0)   # changed, not revisit
+    assert got[("example,c)/r", 2.0)] == (0, 1)   # new key
+    assert idx.count() == 5
+
+    # replay from a fresh checkpoint: state converges (no duplicates)
+    import shutil
+    shutil.rmtree(ckpt)
+    q = (foreach_batch_capture_ingest(stream, state, str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(state, "captures")).count() == 5
