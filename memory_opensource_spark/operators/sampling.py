@@ -335,3 +335,38 @@ def sample_mixture_unimax(df: DataFrame, group_col: str, budget: int,
     return (ranked_rows.join(F.broadcast(quotas), "_g")
             .filter(F.col("_rk") <= F.col("_quota"))
             .select(*cols))
+
+
+def sample_weighted_k(df: DataFrame, k: int, weight_col: str,
+                      salt: str = "esr", id_col: str = "doc_id") -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact k (r13) — the
+    Efraimidis-Spirakis reservoir rule ("Weighted random sampling with a
+    reservoir", IPL 2006): every row draws a uniform u and keeps key
+    ``u^(1/w)``; the k largest keys are a weighted sample without
+    replacement.  The exact-k complement of the Bernoulli
+    quality-weighted row (keep-probability sampling cannot hit a target
+    size).  Computed in the log domain (``ln(u)/w`` — same order,
+    no pow underflow on tiny weights) with the repo's deterministic
+    salted-md5 uniform, so replays and partition layouts cannot move
+    the sample.
+
+    Rows with NULL or non-positive weight are EXCLUDED (a zero weight
+    is never drawn; negative is a caller bug, refused by filter rather
+    than silently flipping the key's sign).
+
+    Shape: scan-side key + TakeOrderedAndProject — no shuffle, no
+    window, no collect.  Returns {id_col, weight_col, es_key} sorted by
+    key DESC."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = ((F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt + ":"),
+                           F.col(id_col).cast("string"))),
+            1, 15), 16, 10).cast("double") + 0.5) / float(16 ** 15))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (df.filter(F.col(weight_col).isNotNull()
+                      & (F.col(weight_col) > 0))
+            .select(F.col(id_col), F.col(weight_col),
+                    F.round(key, 6).cast("double").alias("es_key"))
+            .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+            .limit(k))

@@ -4751,6 +4751,32 @@ def sample_mixture_unimax_q(spark, sf_dir):
     return sample_mixture_unimax(docs, "source", budget=90, epochs_cap=0.2)
 
 
+@_register("sample_weighted_k", f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         round(ln(((('0x' || substr(md5('esr:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                    + 0.5) / {float(16 ** 15)!r}))
+               / n_chars::DOUBLE, 6)::DOUBLE AS es_key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, n_chars, es_key FROM keyed
+ORDER BY es_key DESC, doc_id ASC
+LIMIT 60
+""")
+def sample_weighted_k_q(spark, sf_dir):
+    """Exact-k weighted sampling without replacement (r13,
+    operators/sampling.sample_weighted_k — Efraimidis-Spirakis IPL
+    2006): key = ln(u)/w with the deterministic salted-md5 uniform,
+    top-60 by key, weight = n_chars (length-proportional selection).
+    Shape: scan-side key + TakeOrderedAndProject — zero shuffles."""
+    from .operators.sampling import sample_weighted_k
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .select("doc_id", "n_chars")
+    return sample_weighted_k(docs, k=60, weight_col="n_chars")
+
+
 @_register("sample_stratified", """
 WITH rated AS (
   SELECT doc_id, source,

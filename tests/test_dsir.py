@@ -211,3 +211,22 @@ def test_unimax_extra_seats_by_key_order(spark):
                                 epochs_cap=1.0).toPandas()
     by = out.groupby("source").size().to_dict()
     assert by == {"big": 3, "mid": 3, "tiny": 2}
+
+
+def test_weighted_k_bias_and_exclusions(spark):
+    from memory_opensource_spark.operators.sampling import sample_weighted_k
+    # 50 heavy (w=1000) + 50 light (w=1) + invalid rows
+    rows = ([(i, 1000) for i in range(50)]
+            + [(100 + i, 1) for i in range(50)]
+            + [(200, 0), (201, -5), (202, None)])
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+    out = sample_weighted_k(df, k=30, weight_col="w").collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == 30
+    assert not {200, 201, 202} & set(ids)       # invalid excluded
+    heavy = sum(1 for i in ids if i < 50)
+    assert heavy >= 25                          # 1000:1 weights dominate
+    # deterministic
+    again = [r["doc_id"] for r in
+             sample_weighted_k(df, k=30, weight_col="w").collect()]
+    assert ids == again
