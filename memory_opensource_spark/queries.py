@@ -4777,6 +4777,81 @@ def sample_weighted_k_q(spark, sf_dir):
     return sample_weighted_k(docs, k=60, weight_col="n_chars")
 
 
+@_register("training_mixture_manifest", """
+WITH canon AS (
+  SELECT d.* FROM documents d
+  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keeper
+        FROM documents GROUP BY 1) g
+    ON md5(d.text) = g.h AND d.doc_id = g.keeper
+),
+sz AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(round(1000.0 * pow(COUNT(*), 0.7)) AS HUGEINT) AS w
+  FROM canon GROUP BY source
+),
+tot AS (SELECT SUM(w)::HUGEINT AS X FROM sz),
+base AS (
+  SELECT source, n,
+         CAST((200::HUGEINT * w) // X AS BIGINT) AS b,
+         (200::HUGEINT * w) % X AS rem
+  FROM sz CROSS JOIN tot
+),
+d AS (SELECT 200 - SUM(b) AS d FROM base),
+quota AS (
+  SELECT source,
+         least(n, b + (CASE WHEN ROW_NUMBER()
+                              OVER (ORDER BY rem DESC, source ASC)
+                            <= (SELECT d FROM d) THEN 1 ELSE 0 END)) AS q
+  FROM base
+),
+ranked AS (
+  SELECT c.*,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8))::BIGINT ASC,
+                    doc_id ASC) AS rk
+  FROM canon c
+),
+sel AS (
+  SELECT r.* FROM ranked r JOIN quota USING (source) WHERE r.rk <= quota.q
+),
+split AS (
+  SELECT *,
+         CASE WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                     % 1000 < 800 THEN 'train'
+              WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                     % 1000 < 900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM sel
+)
+SELECT source, split, COUNT(*) AS n_docs,
+       SUM(n_chars)::BIGINT AS sum_chars
+FROM split GROUP BY source, split
+""")
+def training_mixture_manifest_q(spark, sf_dir):
+    """Training-mixture manifest capstone (r13): the assembly audit a
+    trainer consumes — exact dedup (md5 keeper) -> temperature mixture
+    quotas (the exact-apportionment sampler, budget 200) ->
+    leakage-safe split assignment -> per-(source, split) doc/char
+    manifest.  Each stage is the registered operator itself, composed;
+    the oracle re-derives the WHOLE chain so stage interactions (dedup
+    changing quota inputs, quota changing split population) are
+    value-hash-verified, not assumed."""
+    from .operators.sampling import (assign_split_by_group,
+                                     sample_mixture_temperature)
+
+    docs = tables.load(spark, sf_dir, "documents")
+    keep = (docs.groupBy(F.md5("text").alias("_h"))
+            .agg(F.min("doc_id").alias("doc_id")))
+    canon = docs.join(keep, "doc_id", "left_semi")
+    sel = sample_mixture_temperature(canon, "source", budget=200,
+                                     alpha=0.7)
+    split = assign_split_by_group(sel, "doc_id")
+    return (split.groupBy("source", "split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
 @_register("sample_stratified", """
 WITH rated AS (
   SELECT doc_id, source,
