@@ -216,6 +216,8 @@ HEADLINE = [
     "sample_mixture_unimax",
     "dpo_preference_pairs",
     "hard_negative_mining",
+    "sample_weighted_k",
+    "training_mixture_manifest",
 ]
 
 
