@@ -165,10 +165,76 @@ def assign_split_by_group(df: DataFrame, group_col: str,
     return df.withColumn("split", expr)
 
 
+def _select_quota_smallest(df, quotas, salt: str, id_col: str,
+                           range_buckets: int, cols, group_col: str,
+                           prefilter_margin: float | None = None):
+    """Shared mixture tail: per-group ``_quota`` smallest rows by the
+    salted-md5 order key.  EXACT regardless of ``prefilter_margin``:
+
+    With a margin set, a hash-threshold prefilter shrinks the exact-rank
+    input first: ``_ord`` is a salted md5 — UNIFORM on [0, 2^32) by
+    construction — so the per-group candidate threshold needs no
+    quantile estimate at all: ``t_g = 2^32 * min(1, (margin * quota_g
+    + 64) / n_g)`` (the +64 absolute cushion covers small-quota
+    binomial variance).  Any threshold whose candidate set holds
+    >= quota rows is a SUFFICIENT superset (by counting, the quota-th
+    smallest value is <= t), so an unlucky hash draw can only cost
+    performance, never correctness: groups whose candidate count falls
+    short of their quota — or with quota >= group size — bypass the
+    prefilter WHOLESALE into the rank (deficit fallback).
+    Equal-to-threshold rows are kept (<=), so boundary ties cannot drop
+    a candidate.  ``prefilter_margin=None`` (the DEFAULT) ranks everything;
+    results are identical either way (test-pinned).
+
+    MEASURED, not assumed (PERF.md round-16): on this box the
+    prefilter LOSES — 51.7 s vs 9.2 s at 600k/200-group/100k-budget —
+    because the branch point forces an eager localCheckpoint of the
+    ordered table (a full write+read on shared disk) plus three extra
+    aggregation stages, which swamp the saved rank work.  It is kept
+    as an opt-in for regimes where the trade reverses (very large
+    groups, small sampling ratios, fast local storage)."""
+    ordered = (df.withColumn(
+                   "_g", F.struct(F.col(group_col).alias("k")))
+               .withColumn(
+                   "_ord",
+                   F.conv(F.substring(
+                       F.md5(F.concat(F.lit(salt + ":"),
+                                      F.col(id_col).cast("string"))),
+                       1, 8), 16, 10).cast("long")))
+    if prefilter_margin is not None:
+        ordered = ordered.localCheckpoint(eager=False)
+        sizes = ordered.groupBy("_g").agg(F.count("*").alias("_n"))
+        frac = F.least(
+            F.lit(1.0),
+            (F.lit(float(prefilter_margin)) * F.col("_quota") + 64)
+            / F.col("_n"))
+        thr = (sizes.join(F.broadcast(quotas), "_g")
+               .select("_g",
+                       F.ceil(F.lit(float(2 ** 32)) * frac)
+                       .cast("long").alias("_thr")))
+        cand = (ordered.join(F.broadcast(thr), "_g")
+                .filter(F.col("_ord") <= F.col("_thr")).drop("_thr"))
+        ccnt = cand.groupBy("_g").agg(F.count("*").alias("_cn"))
+        ok = (ccnt.join(F.broadcast(quotas), "_g")
+              .filter(F.col("_cn") >= F.col("_quota")).select("_g"))
+        # groups passing the sufficiency check rank only candidates;
+        # deficit groups rank wholesale
+        rank_in = (cand.join(ok, "_g", "left_semi")
+                   .unionByName(ordered.join(ok, "_g", "left_anti")))
+    else:
+        rank_in = ordered
+    ranked = grouped_exact_ranks(rank_in, "_ord", id_col, range_buckets)
+    return (ranked.join(F.broadcast(quotas), "_g")
+            .filter(F.col("_rk") <= F.col("_quota"))
+            .select(*cols))
+
+
 def sample_mixture_temperature(df: DataFrame, group_col: str, budget: int,
                                alpha: float = 0.7, salt: str = "mix",
                                id_col: str = "doc_id",
-                               range_buckets: int = 32) -> DataFrame:
+                               range_buckets: int = 32,
+                               prefilter_margin: float | None = None
+                               ) -> DataFrame:
     """Temperature-based mixture sampling (r13) — the domain/language
     reweighting step every multi-source pretraining corpus runs: group g
     with n_g rows gets a quota proportional to n_g^alpha (alpha < 1
@@ -236,24 +302,16 @@ def sample_mixture_temperature(df: DataFrame, group_col: str, budget: int,
                           F.col("_base")
                           + (F.col("_rr") <= F.col("_d")).cast("long"))
                       .alias("_quota")))
-    ordered = (df.withColumn(
-                   "_g", F.struct(F.col(group_col).alias("k")))
-               .withColumn(
-                   "_ord",
-                   F.conv(F.substring(
-                       F.md5(F.concat(F.lit(salt + ":"),
-                                      F.col(id_col).cast("string"))),
-                       1, 8), 16, 10).cast("long")))
-    ranked = grouped_exact_ranks(ordered, "_ord", id_col, range_buckets)
-    return (ranked.join(F.broadcast(quotas), "_g")
-            .filter(F.col("_rk") <= F.col("_quota"))
-            .select(*cols))
+    return _select_quota_smallest(df, quotas, salt, id_col, range_buckets,
+                                  cols, group_col, prefilter_margin)
 
 
 def sample_mixture_unimax(df: DataFrame, group_col: str, budget: int,
                           epochs_cap: float = 1.0, salt: str = "unimax",
                           id_col: str = "doc_id",
-                          range_buckets: int = 32) -> DataFrame:
+                          range_buckets: int = 32,
+                          prefilter_margin: float | None = None
+                          ) -> DataFrame:
     """UniMax mixture sampling (r13) — the budget-capped UNIFORM
     apportionment of arXiv:2304.09151: spread ``budget`` rows evenly
     across groups, but never take more than ``capacity_g =
@@ -323,18 +381,8 @@ def sample_mixture_unimax(df: DataFrame, group_col: str, budget: int,
              F.col("_c"),
              fair + (F.col("_ki") <= n_extra).cast("long")))
         .alias("_quota"))
-    ordered = (df.withColumn(
-                   "_g", F.struct(F.col(group_col).alias("k")))
-               .withColumn(
-                   "_ord",
-                   F.conv(F.substring(
-                       F.md5(F.concat(F.lit(salt + ":"),
-                                      F.col(id_col).cast("string"))),
-                       1, 8), 16, 10).cast("long")))
-    ranked_rows = grouped_exact_ranks(ordered, "_ord", id_col, range_buckets)
-    return (ranked_rows.join(F.broadcast(quotas), "_g")
-            .filter(F.col("_rk") <= F.col("_quota"))
-            .select(*cols))
+    return _select_quota_smallest(df, quotas, salt, id_col, range_buckets,
+                                  cols, group_col, prefilter_margin)
 
 
 def sample_weighted_k(df: DataFrame, k: int, weight_col: str,

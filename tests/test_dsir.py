@@ -230,3 +230,20 @@ def test_weighted_k_bias_and_exclusions(spark):
     again = [r["doc_id"] for r in
              sample_weighted_k(df, k=30, weight_col="w").collect()]
     assert ids == again
+
+
+def test_mixture_prefilter_identical_to_full_rank(spark):
+    """The hash-threshold prefilter is performance-only: selections are
+    row-identical with and without it, including deficit-fallback
+    groups (the 3-doc group's cushioned threshold covers everything)."""
+    from memory_opensource_spark.operators.sampling import (
+        sample_mixture_temperature, sample_mixture_unimax)
+    df = _skewed(spark)
+    for fn, kw in [(sample_mixture_temperature, dict(budget=40, alpha=0.7)),
+                   (sample_mixture_unimax,
+                    dict(budget=60, epochs_cap=1.0))]:
+        a = sorted(r["doc_id"] for r in
+                   fn(df, "source", prefilter_margin=1.5, **kw).collect())
+        b = sorted(r["doc_id"] for r in
+                   fn(df, "source", prefilter_margin=None, **kw).collect())
+        assert a == b, fn.__name__
