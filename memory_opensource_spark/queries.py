@@ -4852,6 +4852,44 @@ def training_mixture_manifest_q(spark, sf_dir):
                  F.sum("n_chars").cast("long").alias("sum_chars")))
 
 
+@_register("training_windows", """
+WITH t AS (
+  SELECT doc_id, n_chars::BIGINT AS n FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+p AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS prior
+  FROM t
+),
+pieces AS (
+  SELECT doc_id, n, prior,
+         unnest(generate_series((prior // 4096)::BIGINT,
+                                ((prior + n - 1) // 4096)::BIGINT)) AS window_id
+  FROM p
+)
+SELECT doc_id, window_id,
+       (greatest(prior, window_id * 4096) - prior)::BIGINT AS doc_tok_start,
+       (least(prior + n, (window_id + 1) * 4096) - prior)::BIGINT AS doc_tok_end,
+       (greatest(prior, window_id * 4096) - window_id * 4096)::BIGINT AS win_offset
+FROM pieces
+""")
+def training_windows_q(spark, sf_dir):
+    """Fixed-length training-example construction (r13,
+    sources/writers.fixed_window_examples — the GPT-3 §2.3 pack-into-
+    2048-contexts step, here 4096-char windows over the document
+    stream): exact distributed prefix sum -> bounded sequence explode
+    -> int64 boundary arithmetic.  The oracle re-derives the whole
+    stream with a window prefix sum + generate_series."""
+    from .sources.writers import fixed_window_examples
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .select("doc_id", "n_chars")
+    return fixed_window_examples(docs, 4096, tokens_col="n_chars")
+
+
 @_register("sample_stratified", """
 WITH rated AS (
   SELECT doc_id, source,

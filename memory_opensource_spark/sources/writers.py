@@ -386,3 +386,53 @@ def files_matching(path: str, col: str, lo, hi) -> int:
         if flo is None or not (hi < flo or lo > fhi):
             n += 1
     return n
+
+
+def fixed_window_examples(df: DataFrame, window_tokens: int,
+                          id_col: str = "doc_id",
+                          tokens_col: str = "n_tokens") -> DataFrame:
+    """Fixed-length training-example construction (r13) — the
+    tokenize-concatenate-split step every causal-LM corpus ends with
+    (GPT-3 arXiv:2005.14165 §2.3 packs documents into 2048-token
+    contexts; T5/Megatron do the same): documents in ``id_col`` order
+    form one conceptual token stream, cut every ``window_tokens``; each
+    document yields one PIECE row per window it overlaps.
+
+    Returns {id_col, window_id, doc_tok_start, doc_tok_end, win_offset}:
+    the half-open token span [doc_tok_start, doc_tok_end) of the doc
+    (document-local offsets — the trainer slices the doc's token array
+    with them) landing in ``window_id`` at window-local position
+    ``win_offset``.  Self-verifying invariants (test-pinned): a doc's
+    pieces tile [0, n) exactly; every window's pieces sum to
+    ``window_tokens`` except the last.
+
+    Zero/NULL-token documents contribute nothing (filtered).
+
+    Scale shape: the global stream position is the EXACT distributed
+    prefix sum (:func:`grouped_prefix_sum` — range-bucketed, never a
+    single-partition window), piece expansion is a bounded
+    ``sequence()`` explode (<= n/W + 1 rows per doc), and every
+    boundary is int64 arithmetic (``div``, no float division — a
+    100 TB stream position exceeds double precision)."""
+    if window_tokens < 1:
+        raise ValueError(f"window_tokens must be >= 1, got {window_tokens}")
+    src = (df.filter(F.col(tokens_col).isNotNull()
+                     & (F.col(tokens_col) > 0))
+           .select(F.col(id_col),
+                   F.col(tokens_col).cast("long").alias("_n"))
+           .withColumn("_all", F.lit(1)))
+    pri = grouped_prefix_sum(src, "_all", id_col, "_n", "prior")
+    W = int(window_tokens)
+    start, end = F.col("prior"), F.col("prior") + F.col("_n")
+    w0 = F.expr(f"prior div {W}")
+    w1 = F.expr(f"(prior + _n - 1) div {W}")
+    pieces = (pri.withColumn("window_id",
+                             F.explode(F.sequence(w0, w1))))
+    tok_start = F.greatest(start, F.col("window_id") * W)
+    tok_end = F.least(end, (F.col("window_id") + 1) * W)
+    return pieces.select(
+        F.col(id_col),
+        F.col("window_id"),
+        (tok_start - start).alias("doc_tok_start"),
+        (tok_end - start).alias("doc_tok_end"),
+        (tok_start - F.col("window_id") * W).alias("win_offset"))

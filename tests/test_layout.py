@@ -484,3 +484,37 @@ def test_grouped_prefix_sum_tie_col_breaks_order_ties(spark):
         "p", F.coalesce(F.sum(F.coalesce(F.col("v"), F.lit(0))).over(w),
                         F.lit(0)).cast("long")).collect()}
     assert got == want and len(got) == len(rows)
+
+
+def test_fixed_window_examples_tile_exactly(spark):
+    """r16 fixed_window_examples invariants: every doc's pieces tile
+    [0, n) exactly; every window sums to W except the last; win_offset
+    is consistent with the global stream position."""
+    from pyspark.sql import functions as F
+
+    from memory_opensource_spark.sources import writers
+    rows = [(1, 5), (2, 12), (3, 1), (4, 0), (5, None), (6, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = writers.fixed_window_examples(df, 8).collect()
+    # docs 4 (zero) and 5 (NULL) contribute nothing
+    assert {r["doc_id"] for r in out} == {1, 2, 3, 6}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    lens = {1: 5, 2: 12, 3: 1, 6: 9}
+    for d, n in lens.items():
+        spans = sorted((r["doc_tok_start"], r["doc_tok_end"])
+                       for r in by_doc[d])
+        assert spans[0][0] == 0 and spans[-1][1] == n
+        for (_, b1), (a2, _) in zip(spans, spans[1:]):
+            assert b1 == a2
+    # window totals: stream is 5+12+1+9 = 27 tokens -> windows 0,1,2 of
+    # size 8, 8, 8 and a last window of 3
+    win_tot = {}
+    for r in out:
+        win_tot[r["window_id"]] = win_tot.get(r["window_id"], 0) \
+            + (r["doc_tok_end"] - r["doc_tok_start"])
+    assert win_tot == {0: 8, 1: 8, 2: 8, 3: 3}
+    # piece at win_offset 0 exists in every window
+    assert all(any(r["window_id"] == w and r["win_offset"] == 0
+                   for r in out) for w in win_tot)
