@@ -218,6 +218,7 @@ HEADLINE = [
     "hard_negative_mining",
     "sample_weighted_k",
     "training_mixture_manifest",
+    "training_windows",
 ]
 
 
