@@ -4890,6 +4890,29 @@ def training_windows_q(spark, sf_dir):
     return fixed_window_examples(docs, 4096, tokens_col="n_chars")
 
 
+# oracle built at import time from the LIVE twin in functions/denoise
+from .functions.denoise import corruption_spans_sql as _denoise_sql  # noqa: E402
+
+_DENOISE_ORACLE = _denoise_sql(
+    "(SELECT doc_id, n_chars FROM documents)", tokens_col="n_chars")
+
+
+@_register("denoise_corruption_spans", _DENOISE_ORACLE)
+def denoise_corruption_spans_q(spark, sf_dir):
+    """T5/UL2 span-corruption example construction (r13,
+    functions/denoise — arXiv:1910.10683 §3.1.4): ~15% of tokens in
+    mean-length-3 sentinel spans, DETERMINISTIC segment-stratified
+    placement (one largest-remainder-sized span per equal segment,
+    salted-md5 offset — replayable, documented trade vs T5's RNG).
+    Shape: scan-side closed-form arithmetic + a bounded sequence
+    explode — no shuffle, no window, no UDF."""
+    from .functions.denoise import corruption_spans
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .select("doc_id", "n_chars")
+    return corruption_spans(docs, tokens_col="n_chars")
+
+
 @_register("sample_stratified", """
 WITH rated AS (
   SELECT doc_id, source,
