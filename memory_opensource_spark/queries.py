@@ -4913,6 +4913,32 @@ def denoise_corruption_spans_q(spark, sf_dir):
     return corruption_spans(docs, tokens_col="n_chars")
 
 
+@_register("shard_balanced_load", """
+WITH r AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY coalesce(n_chars, 0) DESC,
+                            doc_id ASC) AS rk
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       (CASE WHEN ((rk - 1) // 16) % 2 = 0 THEN (rk - 1) % 16
+             ELSE 15 - (rk - 1) % 16 END)::INT AS shard
+FROM r
+""")
+def shard_balanced_load_q(spark, sf_dir):
+    """Serpentine load-balanced sharding for a fixed worker count (r13,
+    sources/writers.shard_balanced_load — the closed-form cousin of LPT
+    scheduling, Graham 1969): rank by token count DESC, deal snake-wise
+    across 16 shards so every worker's token total lands within one
+    document of even.  Global rank via the skew-proof range-bucketed
+    machinery — no single-partition window."""
+    from .sources.writers import shard_balanced_load
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .select("doc_id", "n_chars")
+    return shard_balanced_load(docs, 16, tokens_col="n_chars")
+
+
 @_register("sample_stratified", """
 WITH rated AS (
   SELECT doc_id, source,

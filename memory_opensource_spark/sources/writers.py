@@ -436,3 +436,46 @@ def fixed_window_examples(df: DataFrame, window_tokens: int,
         (tok_start - start).alias("doc_tok_start"),
         (tok_end - start).alias("doc_tok_end"),
         (tok_start - F.col("window_id") * W).alias("win_offset"))
+
+
+def shard_balanced_load(df: DataFrame, n_shards: int,
+                        tokens_col: str = "n_tokens",
+                        id_col: str = "doc_id",
+                        range_buckets: int = 64) -> DataFrame:
+    """Load-balanced sharding for a FIXED worker count (r13) — the
+    data-parallel complement of :func:`shard_assignment` (count-balanced
+    hash) and :func:`shard_by_token_budget` (size-governed shard count):
+    N training workers each want the SAME token total, and document
+    length skew makes hash assignment miss by the heavy tail.
+
+    Serpentine (snake/folded) distribution: rank documents by
+    (tokens DESC, id ASC) and deal rank r to
+
+        pass = (r-1) // N,  pos = (r-1) % N
+        shard = pos        if pass is even
+              = N-1 - pos  if pass is odd
+
+    — the closed-form cousin of LPT greedy scheduling (Graham 1969):
+    each pass deals one doc per shard, the fold cancels the
+    within-pass descending bias, and the max-shard excess is bounded by
+    one document.  Deterministic, partition-layout independent.
+
+    The global rank reuses the skew-proof grouped machinery with ONE
+    group (range-bucketed by token value — no single-partition window).
+    NULL token counts rank as 0 (they cost nothing to any shard).
+    Adds {shard}; drops nothing."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from ..operators.sampling import grouped_exact_ranks
+
+    cols = df.columns
+    prep = (df.withColumn("_g", F.struct(F.lit(1).alias("k")))
+            .withColumn("_negtok",
+                        -F.coalesce(F.col(tokens_col).cast("double"),
+                                    F.lit(0.0))))
+    ranked = grouped_exact_ranks(prep, "_negtok", id_col, range_buckets)
+    r0 = F.col("_rk") - 1
+    pas = F.floor(r0 / n_shards).cast("long")
+    pos = r0 % n_shards
+    shard = F.when(pas % 2 == 0, pos).otherwise(n_shards - 1 - pos)
+    return ranked.select(*cols, shard.cast("int").alias("shard"))

@@ -518,3 +518,21 @@ def test_fixed_window_examples_tile_exactly(spark):
     # piece at win_offset 0 exists in every window
     assert all(any(r["window_id"] == w and r["win_offset"] == 0
                    for r in out) for w in win_tot)
+
+
+def test_shard_balanced_load_even_token_totals(spark):
+    """r16 serpentine sharding: per-shard token totals land within one
+    max-document of each other; NULL tokens cost 0; deterministic."""
+    from memory_opensource_spark.sources import writers
+    rows = [(i, (i * 37) % 500 + 1) for i in range(200)] + [(999, None)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = writers.shard_balanced_load(df, 8).collect()
+    assert len(out) == 201
+    tot = {}
+    for r in out:
+        tot[r["shard"]] = tot.get(r["shard"], 0) + (r["n_tokens"] or 0)
+    assert set(tot) == set(range(8))
+    assert max(tot.values()) - min(tot.values()) <= 500  # one max doc
+    again = {r["doc_id"]: r["shard"]
+             for r in writers.shard_balanced_load(df, 8).collect()}
+    assert all(again[r["doc_id"]] == r["shard"] for r in out)
