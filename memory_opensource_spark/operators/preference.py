@@ -83,3 +83,66 @@ pair AS (
 )
 SELECT pid AS {prompt_col}, chosen, rejected, margin
 FROM pair WHERE margin > {min_margin!r}"""
+
+
+def ict_pairs(df: DataFrame, chunk_chars: int = 200,
+              id_col: str = "doc_id", text_col: str = "text",
+              max_pairs_per_doc: int | None = None) -> DataFrame:
+    """Inverse-Cloze-Task positive pairs (r13) — the self-supervised
+    retriever-pretraining data of ORQA (Lee et al. arXiv:1906.00300
+    §3.2) and DPR warm-starts: a passage chunk is the QUERY, its
+    adjacent chunk the POSITIVE; in-batch negatives come free at
+    training time.  Deterministic fixed-width variant: documents cut
+    into ``chunk_chars`` character chunks (the tokenizer-agnostic
+    stand-in for sentence segmentation — swap the chunker, keep the
+    pairing), adjacent pairs (i, i+1) emitted as
+    {id, pair_idx (0-based), query_text, positive_text}.
+
+    Docs shorter than 2 chunks emit nothing.  ``max_pairs_per_doc``
+    caps long-document fan-out (NULL = all pairs).
+
+    Shape: scan-side substring arithmetic + a bounded sequence explode
+    — no shuffle, no UDF."""
+    if chunk_chars < 1:
+        raise ValueError(f"chunk_chars must be >= 1, got {chunk_chars}")
+    W = int(chunk_chars)
+    n_chunks = F.ceil(F.length(F.col(text_col)) / W).cast("long")
+    n_pairs = F.greatest(n_chunks - 1, F.lit(0).cast("long"))
+    if max_pairs_per_doc is not None:
+        n_pairs = F.least(n_pairs,
+                          F.lit(int(max_pairs_per_doc)).cast("long"))
+    base = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col), F.col(text_col).alias("_t"),
+                    n_pairs.alias("_np"))
+            .filter(F.col("_np") > 0))
+    sp = base.withColumn("pair_idx",
+                         F.explode(F.sequence(F.lit(0).cast("long"),
+                                              F.col("_np") - 1)))
+    i = F.col("pair_idx")
+    q = F.expr(f"substring(_t, cast(pair_idx * {W} + 1 as int), {W})")
+    p = F.expr(f"substring(_t, cast((pair_idx + 1) * {W} + 1 as int), {W})")
+    return sp.select(F.col(id_col), i,
+                     q.alias("query_text"), p.alias("positive_text"))
+
+
+def ict_pairs_sql(table: str, chunk_chars: int = 200,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  max_pairs_per_doc: int | None = None) -> str:
+    """DuckDB twin of :func:`ict_pairs` over ``table``."""
+    W = int(chunk_chars)
+    np_expr = f"greatest(ceil(length({text_col}) / {W}.0)::BIGINT - 1, 0)"
+    if max_pairs_per_doc is not None:
+        np_expr = f"least({np_expr}, {int(max_pairs_per_doc)}::BIGINT)"
+    return f"""WITH base AS (
+  SELECT {id_col} AS id, {text_col} AS t,
+         {np_expr} AS np
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+sp AS (
+  SELECT id, t, unnest(generate_series(0::BIGINT, np - 1)) AS pair_idx
+  FROM base WHERE np > 0
+)
+SELECT id AS {id_col}, pair_idx,
+       substr(t, (pair_idx * {W} + 1)::INT, {W}) AS query_text,
+       substr(t, ((pair_idx + 1) * {W} + 1)::INT, {W}) AS positive_text
+FROM sp"""

@@ -4890,6 +4890,27 @@ def training_windows_q(spark, sf_dir):
     return fixed_window_examples(docs, 4096, tokens_col="n_chars")
 
 
+# oracle built at import time from the LIVE twin in operators/preference
+from .operators.preference import ict_pairs_sql as _ict_sql  # noqa: E402
+
+_ICT_ORACLE = _ict_sql("(SELECT doc_id, text FROM documents)",
+                       chunk_chars=60, max_pairs_per_doc=3)
+
+
+@_register("ict_positive_pairs", _ICT_ORACLE)
+def ict_positive_pairs_q(spark, sf_dir):
+    """Inverse-Cloze-Task retriever-pretraining pairs (r13,
+    operators/preference.ict_pairs — ORQA arXiv:1906.00300 §3.2):
+    adjacent fixed-width chunks as (query, positive), 3-pair fan-out
+    cap per doc.  Shape: scan-side substring arithmetic + bounded
+    sequence explode — no shuffle, no UDF."""
+    from .operators.preference import ict_pairs
+
+    docs = tables.load(spark, sf_dir, "documents") \
+        .select("doc_id", "text")
+    return ict_pairs(docs, chunk_chars=60, max_pairs_per_doc=3)
+
+
 # oracle built at import time from the LIVE twin in functions/denoise
 from .functions.denoise import corruption_spans_sql as _denoise_sql  # noqa: E402
 

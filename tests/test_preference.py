@@ -45,3 +45,21 @@ def test_duckdb_twin_parity(spark, tmp_path):
     want = sorted((r["prompt_id"], r["chosen"], r["rejected"], r["margin"])
                   for r in build_preference_pairs(df).collect())
     assert got == want
+
+
+def test_ict_pairs_adjacency_and_cap(spark):
+    from memory_opensource_spark.operators.preference import ict_pairs
+    rows = [(1, "abcdefghij"),      # 10 chars, W=4 -> chunks abcd efgh ij
+            (2, "abc"),             # single chunk -> nothing
+            (3, None),              # NULL -> nothing
+            (4, "x" * 40)]          # 10 chunks -> capped pairs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ict_pairs(df, chunk_chars=4, max_pairs_per_doc=2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    assert set(by) == {1, 4}
+    d1 = sorted(by[1], key=lambda r: r["pair_idx"])
+    assert [(r["query_text"], r["positive_text"]) for r in d1] == \
+        [("abcd", "efgh"), ("efgh", "ij")]
+    assert len(by[4]) == 2          # fan-out cap
