@@ -219,6 +219,9 @@ HEADLINE = [
     "sample_weighted_k",
     "training_mixture_manifest",
     "training_windows",
+    "denoise_corruption_spans",
+    "shard_balanced_load",
+    "ict_positive_pairs",
 ]
 
 
