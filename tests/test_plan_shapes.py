@@ -261,3 +261,21 @@ def test_preference_pairs_single_aggregate_no_window(spark):
     p = _plan(spark, "dpo_preference_pairs")
     assert "Window" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_scanline_training_ops_no_shuffle(spark):
+    """r16 plan pins: span corruption and ICT pairing are pure scan-side
+    projections + bounded explodes — zero exchanges, zero joins, zero
+    windows."""
+    for name in ["denoise_corruption_spans", "ict_positive_pairs"]:
+        p = _plan(spark, name)
+        assert "Exchange" not in p, name
+        assert "Join" not in p, name
+        assert "Window" not in p, name
+
+
+def test_training_windows_no_single_partition_window(spark):
+    """r16 plan pin: the fixed-window stream position comes from the
+    range-bucketed prefix machinery — no SinglePartition window spec."""
+    p = _plan(spark, "training_windows")
+    assert "SinglePartition" not in p
