@@ -179,13 +179,28 @@ def _bucket_counts_arrow(df: DataFrame, target_pred, m: int,
 
 
 def _fit_from_counts(counts: DataFrame, m: int) -> DataFrame:
-    """(bucket, lam_micro) from the shared counts table (module math)."""
+    """(bucket, lam_micro) from the shared counts table (module math).
+
+    T/R (corpus-total gram counts) come from an unpartitioned window SUM
+    over the per-bucket table instead of a separate agg + crossJoin
+    broadcast (r13 opt): the window's single partition holds at most ``m``
+    rows — a module constant (8192 default), never data-sized — so the
+    shape is scale-safe, and it removes one nested broadcast build (the
+    totals subtree re-aggregated the counts stream a second time; the
+    before plan scanned the checkpointed counts 6x, the after plan 2x).
+    t_k/r_k are exact int64s, so the window sum equals the agg sum
+    bit-for-bit."""
+    from pyspark.sql import Window
+
     per_bucket = (counts.groupBy("bucket")
                   .agg(F.sum(F.when(F.col("_is_t"), F.col("n"))
                              .otherwise(0)).alias("t_k"),
                        F.sum("n").alias("r_k")))
-    totals = per_bucket.agg(F.sum("t_k").alias("T"), F.sum("r_k").alias("R"))
-    return (per_bucket.crossJoin(F.broadcast(totals))
+    w_all = Window.partitionBy()
+    return (per_bucket
+            .select("bucket", "t_k", "r_k",
+                    F.sum("t_k").over(w_all).alias("T"),
+                    F.sum("r_k").over(w_all).alias("R"))
             .select("bucket",
                     F.round(1e6 * (
                         F.log((F.col("t_k") + 1.0)

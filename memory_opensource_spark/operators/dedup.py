@@ -308,6 +308,12 @@ def simhash_hamming_duplicates(docs: DataFrame, id_col: str = "doc_id",
             for b in range(n_bands)
         ])).alias("bv"),
     ).select("id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    # r13 OPT: the candidate join consumes the band table twice (l ⋈ r);
+    # without the lineage cut the whole fingerprint pipeline (token
+    # explode + 32-column vote groupBy) executes once per side.  The band
+    # table is n_bands rows per doc of 4 small columns — strictly smaller
+    # than the exploded token table one pass already shuffles.
+    bands = bands.localCheckpoint(eager=False)
     l = bands.select(F.col("id").alias("left_id"), F.col("simhash").alias("lfp"),
                      "band", "val")
     r = bands.select(F.col("id").alias("right_id"), F.col("simhash").alias("rfp"),

@@ -381,31 +381,43 @@ def sitemap_expand(seeds: DataFrame, sitemaps: DataFrame, *,
     # otherwise never match the equi-join and silently read as a leaf.
     # Two raw URLs collapsing to one canonical key keep the MIN body —
     # an arbitrary but deterministic pick (dropDuplicates is not).
+    # checkpoint the canonical fetch table ONCE (r13 opt): it is joined
+    # twice per round (bodies + classification), and without the lineage
+    # cut each consumer replays the canonicalize + min-body groupBy
     sitemaps = (sitemaps
                 .select(canonical_url(F.col(url_col)).alias(url_col),
                         F.col(body_col))
-                .groupBy(url_col).agg(F.min(body_col).alias(body_col)))
+                .groupBy(url_col).agg(F.min(body_col).alias(body_col))
+                .localCheckpoint(eager=False))
     seen = (seeds.select(canonical_url(F.col(url_col)).alias(url_col))
-            .distinct().localCheckpoint(eager=True))
+            .distinct().localCheckpoint(eager=False))
     frontier = seen
     out = None
     for level in range(1, rounds + 1):
         bodies = frontier.join(sitemaps.select(url_col, body_col), url_col)
-        locs = (bodies
-                .select(F.explode(sitemap_locs(F.col(body_col)))
-                        .alias("_raw"))
-                .select(canonical_url(F.col("_raw")).alias(url_col))
-                .distinct()
-                .join(seen, url_col, "left_anti")
-                .localCheckpoint(eager=True))
-        seen = seen.unionByName(locs)
-        is_map = locs.join(sitemaps.select(url_col), url_col, "left_semi") \
-            .localCheckpoint(eager=True)
-        leaves = (locs.join(is_map, url_col, "left_anti")
-                  .select(url_col, F.lit(level).alias("level"))
-                  .localCheckpoint(eager=True))
+        # ONE left join against the fetch table classifies each new loc
+        # (fetched body => child sitemap, else frontier leaf) — replacing
+        # the r15 semi-join + anti-join pair — and ONE lazy checkpoint per
+        # round keeps lineage flat for its three consumers (seen union,
+        # next-round frontier, leaves); the r15 form paid three EAGER
+        # checkpoint jobs per round (locs, is_map, leaves), serializing
+        # 3*rounds job barriers that carried no information the single
+        # tagged table does not (plans/r13/sitemap_index_recursion_*).
+        tagged = (bodies
+                  .select(F.explode(sitemap_locs(F.col(body_col)))
+                          .alias("_raw"))
+                  .select(canonical_url(F.col("_raw")).alias(url_col))
+                  .distinct()
+                  .join(seen, url_col, "left_anti")
+                  .join(sitemaps.select(url_col,
+                                        F.lit(1).alias("_is_map")),
+                        url_col, "left")
+                  .localCheckpoint(eager=False))
+        seen = seen.unionByName(tagged.select(url_col))
+        leaves = (tagged.filter(F.col("_is_map").isNull())
+                  .select(url_col, F.lit(level).alias("level")))
         out = leaves if out is None else out.unionByName(leaves)
-        frontier = is_map
+        frontier = tagged.filter(F.col("_is_map") == 1).select(url_col)
     return out
 
 

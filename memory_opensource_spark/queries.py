@@ -6567,8 +6567,13 @@ def shard_bpe_budget_q(spark, sf_dir):
     from .functions.bpe import bpe_token_count
     from .sources.writers import shard_by_token_budget
 
-    docs = tables.load(spark, sf_dir, "documents") \
-        .filter(F.col("doc_id") < 900) \
+    # r13 OPT: the BPE replace-fold is the one genuinely expensive
+    # per-row projection in this row; the sf fixture scan is a single
+    # row-group (one task), so fan_out spreads the fold across cores
+    # (no-op at scale where the scan already has splits)
+    docs = tables.fan_out(
+        tables.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 900).select("doc_id", "text")) \
         .select("doc_id",
                 bpe_token_count(F.col("text"), _BPE_MERGES)
                 .alias("n_bpe_tokens"))
@@ -8095,10 +8100,18 @@ def crawl_mini_q(spark, sf_dir):
         B.prune_lines(H.html_to_text(html, mark_links=True)).alias("pruned"),
         U.canonical_url(url).alias("canonical_url"))
     n_words = F.size(T.tokens(F.col("pruned"))).cast("long")
+    # r13 OPT: checkpoint the gated table ONCE at the composition point.
+    # Five downstream consumers read it (main branch, quality explode+base
+    # legs, langid explode+base legs); without the lineage cut Catalyst
+    # replays the blocklist filter + dedup semi-join + html_to_text +
+    # prune_lines tree per consumer (the before plan re-scans the source
+    # 20x and evaluates the extraction 5x — plans/r13/crawl_mini_before).
+    # The checkpoint is batch-bounded (dedup survivors + their pruned
+    # text), the same shape crawl_to_training_shards already pins.
     gated = ex.select(
         "doc_id", "canonical_url", "pruned", n_words.alias("n_words"),
         F.when((n_words >= 3) & (n_words <= 100000), 1).otherwise(0)
-         .cast("int").alias("quality_pass"))
+         .cast("int").alias("quality_pass")).localCheckpoint(eager=False)
     survivors = gated.filter(F.col("quality_pass") == 1) \
         .select("doc_id", F.col("pruned").alias("text"))
     q = quality_scores(survivors).select("doc_id", "q_label")

@@ -232,6 +232,11 @@ def hierarchical_chunk(docs: DataFrame, id_col: str = "memory_id",
                  F.lit("_s"), F.col("sec_ord").cast("string")),
     ).withColumn("page_id", F.concat("memory_id", F.lit("_p"),
                                      F.col("page_num").cast("string")))
+    # r13 OPT: three consumers (headers, implicit, content) read the line
+    # table; without the lineage cut each replays the page/line explodes +
+    # the header-detection window.  Row count is bounded by input lines —
+    # the same data a single pass already materializes in the shuffle.
+    lines = lines.localCheckpoint(eager=False)
 
     # section frame: explicit header sections + implicit "Page N" level-1 roots
     headers = lines.filter(F.col("level") > 0).select(
@@ -261,7 +266,9 @@ def hierarchical_chunk(docs: DataFrame, id_col: str = "memory_id",
     parent_pos = F.when(F.col("level") == 2, F.col("_last1")) \
         .when(F.col("level") == 3, F.greatest("_last1", "_last2")) \
         .when(F.col("level") == 4, F.greatest("_last1", "_last2", "_last3"))
-    sec = sec.withColumn("parent_pos", parent_pos)
+    # r13 OPT: the parent lookup self-joins this frame (sec ⋈ by_pos);
+    # checkpoint after the ranking windows so they run once, not twice
+    sec = sec.withColumn("parent_pos", parent_pos).localCheckpoint(eager=False)
     by_pos = sec.select("memory_id", F.col("gpos").alias("parent_pos"),
                         F.col("section_id").alias("parent_section_id"))
     sec = sec.join(by_pos, ["memory_id", "parent_pos"], "left").withColumn(
