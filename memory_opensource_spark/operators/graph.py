@@ -339,28 +339,32 @@ def connected_components(und_edges: DataFrame, max_rounds: int = 30,
         )
         stepped = labels.join(neighbor_min, "node_id", "left").select(
             "node_id",
+            F.col("component").alias("_old"),
             F.least(F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))).alias("component"),
         )
         # pointer jump: component <- component's own component
         parent = stepped.select(
             F.col("node_id").alias("component"), F.col("component").alias("grand"),
         )
+        # r13 OPT: carry the previous label through the step and stamp a
+        # changed flag INTO the checkpointed frame — the convergence count
+        # then scans the checkpoint (no shuffle) instead of re-joining the
+        # new labels against the old on node_id (one join + one shuffled
+        # job per round, removed; label math is unchanged)
+        new_c = F.least(F.col("component"),
+                        F.coalesce(F.col("grand"), F.col("component")))
         jumped = stepped.join(parent, "component", "left").select(
             "node_id",
-            F.least(F.col("component"), F.coalesce(F.col("grand"), F.col("component"))).alias("component"),
+            new_c.alias("component"),
+            (new_c != F.col("_old")).alias("_chg"),
         ).localCheckpoint(eager=True)
-        changed = (
-            jumped.alias("new")
-            .join(labels.alias("old"), "node_id")
-            .filter(F.col("new.component") != F.col("old.component"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("_chg")).count()
+        labels = jumped.select("node_id", "component")
         if report is not None:
             report["rounds"] = report.get("rounds", 0) + 1
         if changed == 0:
             break
-    return labels
+    return labels.select("node_id", "component")
 
 
 def merge_nodes(existing: DataFrame, incoming: DataFrame,

@@ -5302,10 +5302,14 @@ def pipeline_mini_q(spark, sf_dir):
     from .sources.writers import shard_by_token_budget
 
     docs = tables.load(spark, sf_dir, "documents")
+    # r13 OPT: remove_duplicate_spans reads its input twice (token table
+    # + span table); checkpoint the canonical survivors so the dedup
+    # groupBy + keeper join run once, not per consumer
     canon = (docs.groupBy(F.md5("text").alias("_h"))
              .agg(F.min("doc_id").alias("doc_id"))
              .join(docs, "doc_id")
-             .select("doc_id", "text"))
+             .select("doc_id", "text")
+             .localCheckpoint(eager=False))
     rem = dedup.remove_duplicate_spans(canon, k=8)
     rebuilt = rem.select(F.col("id").alias("doc_id"),
                          F.col("text_dedup").alias("text"))
@@ -7370,6 +7374,10 @@ def pipeline_multiformat_q(spark, sf_dir):
     routed = route_documents(files)
     texty = routed.filter(F.col("error").isNull()
                           & F.col("text").isNotNull())
+    # r13 OPT: the dedup stage consumes this twice (hash groupBy + the
+    # keeper join-back); without the lineage cut the fixture build +
+    # route kernels (the two mapInPandas stages) execute once per
+    # consumer
     per_doc = (texty.groupBy("doc_id")
                .agg(F.first("mime").alias("mime"),
                     F.array_join(
@@ -7377,7 +7385,8 @@ def pipeline_multiformat_q(spark, sf_dir):
                             F.array_sort(F.collect_list(
                                 F.struct("page", "text"))),
                             lambda s: s["text"]),
-                        "\n").alias("xt")))
+                        "\n").alias("xt"))
+               .localCheckpoint(eager=False))
     canon = (per_doc.groupBy(F.md5("xt").alias("_h"))
              .agg(F.min("doc_id").alias("doc_id"))
              .join(per_doc, "doc_id")
