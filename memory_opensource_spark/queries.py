@@ -57,13 +57,30 @@ def _qvec(sf_dir: str, vec_id: int = 0) -> list[float]:
     """Query vector via a direct pyarrow read — avoids spending a whole Spark
     job on a 1-row collect in every vector query (the embeddings file is tiny;
     a real deployment would pass the query vector in the request)."""
+    return _qvecs(sf_dir, [vec_id])[vec_id]
+
+
+def _qvecs(sf_dir: str, vec_ids: list[int]) -> dict[int, list[float]]:
+    """Several query vectors from ONE pyarrow read (r13 opt): the ANN rows
+    fetch 8 centroid vectors per invocation, and a per-vector read paid a
+    full footer+column scan of embeddings.parquet each time.  One read per
+    INVOCATION — nothing is memoized across bench runs."""
     import pyarrow.parquet as pqt
 
     t = pqt.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
                        columns=["vec_id", "embedding"])
     d = t.to_pydict()
-    idx = d["vec_id"].index(vec_id)
-    return [float(x) for x in d["embedding"][idx]]
+    want = set(vec_ids)
+    out = {}
+    for i, vid in enumerate(d["vec_id"]):
+        if vid in want:
+            out[vid] = [float(x) for x in d["embedding"][i]]
+            if len(out) == len(want):
+                break
+    missing = want - out.keys()
+    if missing:
+        raise KeyError(f"vec_ids not in embeddings.parquet: {sorted(missing)}")
+    return out
 
 
 def _r2(col):
@@ -2141,7 +2158,8 @@ def ann_ivf(spark, sf_dir):
     probe the 2 nearest the query.  With the table partitioned by ivf_bucket the
     probe becomes partition pruning: the scan reads nprobe/C of 100 TB."""
     emb = tables.load(spark, sf_dir, "embeddings")
-    cents = [_qvec(sf_dir, i) for i in range(8)]
+    _cv = _qvecs(sf_dir, list(range(8)))
+    cents = [_cv[i] for i in range(8)]
     qvec = cents[0]
     out = similarity.ivf_topk_search(emb, qvec, 10, cents, nprobe=2,
                                      vec_col="embedding", id_col="vec_id")
@@ -2163,7 +2181,8 @@ def ann_ivf_persisted(spark, sf_dir):
     from .sources import ann_index
 
     emb = tables.load(spark, sf_dir, "embeddings")
-    cents = [_qvec(sf_dir, i) for i in range(8)]
+    _cv = _qvecs(sf_dir, list(range(8)))
+    cents = [_cv[i] for i in range(8)]
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
     fp = _source_fingerprint(sf_dir, ("embeddings",))
@@ -8593,7 +8612,8 @@ def ann_ivf_spill(spark, sf_dir):
     from .sources import ann_index
 
     emb = tables.load(spark, sf_dir, "embeddings")
-    cents = [_qvec(sf_dir, i) for i in range(8)]
+    _cv = _qvecs(sf_dir, list(range(8)))
+    cents = [_cv[i] for i in range(8)]
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_spill_{tag}")
     fp = _source_fingerprint(sf_dir, ("embeddings",))
