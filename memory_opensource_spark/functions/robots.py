@@ -197,13 +197,23 @@ def robots_blocked(df: DataFrame, rules: DataFrame,
     ties via the struct's allow-desc leg) -> semi/anti join back on the
     URL VALUE (the filter_blocked_urls determinism discipline — no
     synthetic row ids).  NULL urls and hosts with no rules are kept."""
+    hits = _disallowed_urls(df, rules, url_col, broadcast_rules)
+    how = "left_semi" if keep_blocked else "left_anti"
+    return df.join(hits, df[url_col] == hits["_u"], how)
+
+
+def _disallowed_urls(df: DataFrame, rules: DataFrame, url_col: str,
+                     broadcast_rules: bool) -> DataFrame:
+    """The winning-Disallow URL set ``{_u}`` over ``df``'s distinct URLs
+    — the shared evaluation :func:`robots_blocked` filters against and
+    :func:`robots_verdicts` flags with."""
     from .urls import url_host
 
     urls = (df.select(F.col(url_col).alias("_u")).distinct()
             .select("_u", url_host(F.col("_u")).alias("host"),
                     url_path(F.col("_u")).alias("_p")))
     rside = F.broadcast(rules) if broadcast_rules else rules
-    hits = (urls.join(rside, "host")
+    return (urls.join(rside, "host")
             .filter(F.expr("_p rlike rx"))
             .groupBy("_u")
             .agg(F.max(F.struct(
@@ -211,8 +221,24 @@ def robots_blocked(df: DataFrame, rules: DataFrame,
                 F.col("allow").cast("int").alias("a"))).alias("_b"))
             .filter(F.col("_b.a") == 0)            # winner disallows
             .select("_u"))
-    how = "left_semi" if keep_blocked else "left_anti"
-    return df.join(hits, df[url_col] == hits["_u"], how)
+
+
+def robots_verdicts(df: DataFrame, rules: DataFrame,
+                    url_col: str = "url",
+                    flag_col: str = "robots_blocked",
+                    broadcast_rules: bool = True) -> DataFrame:
+    """``df`` + a boolean ``flag_col`` (true = a winning Disallow rule
+    matches the URL) — ONE rules evaluation instead of the two a
+    kept-leg + blocked-leg pair of :func:`robots_blocked` calls pays
+    (r13 opt, guide §2.4: the distinct+join+rlike+argmax subtree ran
+    twice for one verdict set).  Row-identical to the two-leg union:
+    the hit set is distinct on the URL value so the left join cannot
+    multiply rows, and NULL urls never match (kept, flag false)."""
+    hits = _disallowed_urls(df, rules, url_col, broadcast_rules)
+    return (df.join(hits.withColumn("_blk", F.lit(True)),
+                    df[url_col] == hits["_u"], "left")
+            .withColumn(flag_col, F.coalesce(F.col("_blk"), F.lit(False)))
+            .drop("_u", "_blk"))
 
 
 #: Sitemap: directive extraction — group-INDEPENDENT per the

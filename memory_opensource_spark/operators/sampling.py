@@ -50,25 +50,55 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def group_order_stats(df: DataFrame, order_col: str,
+                      range_buckets: int = 32) -> DataFrame:
+    """ONE combinable groupBy producing everything the quota builders and
+    the rank machinery need from the ``_g``-keyed frame: per-group row
+    count ``_n`` AND the ``percentile_approx`` range-bucket boundaries
+    ``_b`` of ``order_col`` (r13 opt, guide §2.4): computing them in two
+    separate aggregations scanned the input twice, and the G-row result
+    feeding 4-6 quota subtrees without a checkpoint re-ran the scan+agg
+    once PER CONSUMER (the unimax before-plan held 8 parquet scans of the
+    same table).  The result is lazily localCheckpoint'ed — it is one row
+    per group (domains/languages/hosts: orders of magnitude under the
+    corpus by construction), so the materialization is broadcast-sized."""
+    probs = [i / range_buckets for i in range(1, range_buckets)]
+    return (df.groupBy("_g")
+            .agg(F.count("*").alias("_n"),
+                 F.percentile_approx(F.col(order_col).cast("double"),
+                                     probs, 10_000).alias("_b"))
+            .localCheckpoint(eager=False))
+
+
 def grouped_exact_ranks(df: DataFrame, order_col: str,
                         id_col: str,
-                        range_buckets: int = 32) -> DataFrame:
+                        range_buckets: int = 32,
+                        bounds: DataFrame | None = None) -> DataFrame:
     """Exact per-group ``row_number`` by ``(order_col asc, id_col asc)``
     over a frame carrying a ``_g`` struct group key — WITHOUT a
     whole-group window (the skew-proof shape cap_rows_per_group
     established): per-group ``percentile_approx`` boundaries of
     ``order_col`` -> (group, bucket) assignment -> combinable bucket
-    counts -> broadcast-sized exclusive offsets -> a window partitioned
-    by (group, BUCKET), never by the group alone.  Adds ``_rk``
-    (1-based).  ``order_col`` must be numeric (see cap_rows_per_group's
-    note)."""
+    counts -> exclusive offsets via a running-sum window over the
+    (group, bucket) table (<= ``range_buckets`` rows per partition — a
+    module constant, never data-sized) -> a window partitioned by
+    (group, BUCKET), never by the group alone.  Adds ``_rk`` (1-based).
+    ``order_col`` must be numeric (see cap_rows_per_group's note).
+
+    ``bounds`` (optional): a precomputed ``{_g, _b}`` boundary table
+    (:func:`group_order_stats` output) — callers that already aggregate
+    the frame per group pass it so the input is scanned once, not twice."""
     from pyspark.sql import Window
 
-    probs = [i / range_buckets for i in range(1, range_buckets)]
-    bounds = (df.groupBy("_g")
-              .agg(F.percentile_approx(F.col(order_col).cast("double"),
-                                       probs, 10_000).alias("_b")))
-    rb = df.join(bounds, "_g").withColumn(
+    if bounds is None:
+        # single-consumer boundary sketch: no count, no checkpoint (the
+        # merged+checkpointed group_order_stats form pays only when the
+        # caller ALSO needs per-group counts in several subtrees)
+        probs = [i / range_buckets for i in range(1, range_buckets)]
+        bounds = (df.groupBy("_g")
+                  .agg(F.percentile_approx(F.col(order_col).cast("double"),
+                                           probs, 10_000).alias("_b")))
+    rb = df.join(bounds.select("_g", "_b"), "_g").withColumn(
         "_rb",
         F.aggregate(
             F.coalesce(F.col("_b"), F.array()),
@@ -108,9 +138,12 @@ def cap_rows_per_group(df: DataFrame, group_col: str, cap: int,
     # struct key: null-safe through every join below
     df = df.withColumn("_g", F.struct(F.col(group_col).alias("k"))) \
            .localCheckpoint(eager=False)   # read by 2-3 branches below
-    sizes = df.groupBy("_g").agg(F.count("*").alias("_n"))
-    under = sizes.filter(F.col("_n") <= cap).select("_g")
-    over = sizes.filter(F.col("_n") > cap).select("_g")
+    # one merged (count, percentile-bounds) agg instead of two (r13 opt):
+    # the bounds now cover under-quota groups too (same per-group input
+    # rows -> same sketch for the over-quota groups the rank consumes)
+    stats = group_order_stats(df, order_col, range_buckets)
+    under = stats.filter(F.col("_n") <= cap).select("_g")
+    over = stats.filter(F.col("_n") > cap).select("_g")
     kept_small = df.join(under, "_g", "left_semi")
 
     # Zipfian head only: per-group order boundaries -> (group, bucket) ranks.
@@ -119,7 +152,8 @@ def cap_rows_per_group(df: DataFrame, group_col: str, cap: int,
     # (every group just over cap) makes them O(n/cap) rows, so the sizing
     # call belongs to AQE, which broadcasts them when they are in fact small
     hot = df.join(over, "_g", "left_semi")
-    ranked = grouped_exact_ranks(hot, order_col, id_col, range_buckets)
+    ranked = grouped_exact_ranks(hot, order_col, id_col, range_buckets,
+                                 bounds=stats)
     kept_hot = ranked.filter(F.col("_rk") <= cap) \
                      .select(*cols, "_g")
     return kept_small.select(*cols, "_g").unionByName(kept_hot).select(*cols)
@@ -165,8 +199,22 @@ def assign_split_by_group(df: DataFrame, group_col: str,
     return df.withColumn("split", expr)
 
 
-def _select_quota_smallest(df, quotas, salt: str, id_col: str,
-                           range_buckets: int, cols, group_col: str,
+def _ordered_frame(df, salt: str, id_col: str, group_col: str):
+    """``df`` + the ``_g`` struct group key and the salted-md5 ``_ord``
+    order key — the shared frame the stats agg and the rank both read."""
+    return (df.withColumn(
+                "_g", F.struct(F.col(group_col).alias("k")))
+            .withColumn(
+                "_ord",
+                F.conv(F.substring(
+                    F.md5(F.concat(F.lit(salt + ":"),
+                                   F.col(id_col).cast("string"))),
+                    1, 8), 16, 10).cast("long")))
+
+
+def _select_quota_smallest(ordered, quotas, id_col: str,
+                           range_buckets: int, cols,
+                           stats=None,
                            prefilter_margin: float | None = None):
     """Shared mixture tail: per-group ``_quota`` smallest rows by the
     salted-md5 order key.  EXACT regardless of ``prefilter_margin``:
@@ -192,23 +240,20 @@ def _select_quota_smallest(df, quotas, salt: str, id_col: str,
     ordered table (a full write+read on shared disk) plus three extra
     aggregation stages, which swamp the saved rank work.  It is kept
     as an opt-in for regimes where the trade reverses (very large
-    groups, small sampling ratios, fast local storage)."""
-    ordered = (df.withColumn(
-                   "_g", F.struct(F.col(group_col).alias("k")))
-               .withColumn(
-                   "_ord",
-                   F.conv(F.substring(
-                       F.md5(F.concat(F.lit(salt + ":"),
-                                      F.col(id_col).cast("string"))),
-                       1, 8), 16, 10).cast("long")))
+    groups, small sampling ratios, fast local storage).
+
+    ``ordered`` is the :func:`_ordered_frame` output; ``stats`` the
+    caller's :func:`group_order_stats` table (count + bounds in one agg
+    — the r13 scan-sharing rework), required when a prefilter margin or
+    the bounds reuse is wanted."""
+    bounds = stats
     if prefilter_margin is not None:
         ordered = ordered.localCheckpoint(eager=False)
-        sizes = ordered.groupBy("_g").agg(F.count("*").alias("_n"))
         frac = F.least(
             F.lit(1.0),
             (F.lit(float(prefilter_margin)) * F.col("_quota") + 64)
             / F.col("_n"))
-        thr = (sizes.join(F.broadcast(quotas), "_g")
+        thr = (stats.join(F.broadcast(quotas), "_g")
                .select("_g",
                        F.ceil(F.lit(float(2 ** 32)) * frac)
                        .cast("long").alias("_thr")))
@@ -221,9 +266,13 @@ def _select_quota_smallest(df, quotas, salt: str, id_col: str,
         # deficit groups rank wholesale
         rank_in = (cand.join(ok, "_g", "left_semi")
                    .unionByName(ordered.join(ok, "_g", "left_anti")))
+        # the prefiltered stream is a per-group SUBSET of the stats
+        # input: its bucket boundaries must be re-sketched
+        bounds = None
     else:
         rank_in = ordered
-    ranked = grouped_exact_ranks(rank_in, "_ord", id_col, range_buckets)
+    ranked = grouped_exact_ranks(rank_in, "_ord", id_col, range_buckets,
+                                 bounds=bounds)
     return (ranked.join(F.broadcast(quotas), "_g")
             .filter(F.col("_rk") <= F.col("_quota"))
             .select(*cols))
@@ -276,8 +325,12 @@ def sample_mixture_temperature(df: DataFrame, group_col: str, budget: int,
     cols = df.columns
     from pyspark.sql import Window
 
-    sizes = (df.groupBy(F.struct(F.col(group_col).alias("k")).alias("_g"))
-             .agg(F.count("*").alias("_n")))
+    ordered = _ordered_frame(df, salt, id_col, group_col)
+    # ONE scan produces counts AND rank boundaries; the checkpointed
+    # G-row table feeds every quota subtree below (r13 opt — the before
+    # plan re-ran the scan+agg once per consumer)
+    gstats = group_order_stats(ordered, "_ord", range_buckets)
+    sizes = gstats.select("_g", "_n")
     dec = "decimal(38,0)"
     wcol = F.round(F.lit(1000.0)
                    * F.pow(F.col("_n"), F.lit(alpha))).cast(dec)
@@ -302,8 +355,9 @@ def sample_mixture_temperature(df: DataFrame, group_col: str, budget: int,
                           F.col("_base")
                           + (F.col("_rr") <= F.col("_d")).cast("long"))
                       .alias("_quota")))
-    return _select_quota_smallest(df, quotas, salt, id_col, range_buckets,
-                                  cols, group_col, prefilter_margin)
+    return _select_quota_smallest(ordered, quotas, id_col, range_buckets,
+                                  cols, stats=gstats,
+                                  prefilter_margin=prefilter_margin)
 
 
 def sample_mixture_unimax(df: DataFrame, group_col: str, budget: int,
@@ -340,9 +394,9 @@ def sample_mixture_unimax(df: DataFrame, group_col: str, budget: int,
     cols = df.columns
     from pyspark.sql import Window
 
-    sizes = (df.groupBy(F.struct(F.col(group_col).alias("k")).alias("_g"))
-             .agg(F.count("*").alias("_n")))
-    sizes = sizes.withColumn(
+    ordered = _ordered_frame(df, salt, id_col, group_col)
+    gstats = group_order_stats(ordered, "_ord", range_buckets)
+    sizes = gstats.select("_g", "_n").withColumn(
         "_c", F.floor(F.col("_n") * F.lit(float(epochs_cap))).cast("long"))
     ws = Window.orderBy(F.col("_c").asc(), F.col("_g.k").asc_nulls_last())
     g_tot = sizes.agg(F.count("*").alias("_ng"))
@@ -381,8 +435,9 @@ def sample_mixture_unimax(df: DataFrame, group_col: str, budget: int,
              F.col("_c"),
              fair + (F.col("_ki") <= n_extra).cast("long")))
         .alias("_quota"))
-    return _select_quota_smallest(df, quotas, salt, id_col, range_buckets,
-                                  cols, group_col, prefilter_margin)
+    return _select_quota_smallest(ordered, quotas, id_col, range_buckets,
+                                  cols, stats=gstats,
+                                  prefilter_margin=prefilter_margin)
 
 
 def sample_weighted_k(df: DataFrame, k: int, weight_col: str,

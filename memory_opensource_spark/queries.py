@@ -4862,7 +4862,12 @@ def training_mixture_manifest_q(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
     keep = (docs.groupBy(F.md5("text").alias("_h"))
             .agg(F.min("doc_id").alias("doc_id")))
-    canon = docs.join(keep, "doc_id", "left_semi")
+    # r13 opt (guide §2.3, project before the exchange): quota selection
+    # reads only (doc_id, source), the split only doc_id, the manifest agg
+    # only n_chars — carrying `text` through the sampler's rank shuffle
+    # moved the whole corpus payload for no consumer
+    canon = (docs.select("doc_id", "source", "n_chars")
+             .join(keep, "doc_id", "left_semi"))
     sel = sample_mixture_temperature(canon, "source", budget=200,
                                      alpha=0.7)
     split = assign_split_by_group(sel, "doc_id")
@@ -7180,7 +7185,7 @@ def robots_gate_q(spark, sf_dir):
     specificity-rule asymmetry turns the row red.  Shape: one tiny
     Arrow parse kernel (KB robots bodies), then JVM-side joins + ONE
     argmax groupBy per url; no per-URL Python."""
-    from .functions.robots import robots_blocked, robots_rules_table
+    from .functions.robots import robots_rules_table, robots_verdicts
 
     robots_bodies = {
         0: "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n",
@@ -7209,11 +7214,13 @@ def robots_gate_q(spark, sf_dir):
     urls = d.select("doc_id", F.concat(
         F.lit("https://h"), F.col("h"), F.lit(".example"), path)
         .alias("url"))
-    blocked = robots_blocked(urls, rules, keep_blocked=True) \
-        .select("doc_id", "url", F.lit(1).alias("blocked"))
-    kept = robots_blocked(urls, rules) \
-        .select("doc_id", "url", F.lit(0).alias("blocked"))
-    return kept.unionByName(blocked)
+    # r13 opt: one robots_verdicts flag pass replaces the blocked-leg +
+    # kept-leg robots_blocked pair (the rules evaluation ran twice);
+    # row-identical — the union of the two legs is exactly every url
+    # with its verdict
+    return robots_verdicts(urls, rules) \
+        .select("doc_id", "url",
+                F.col("robots_blocked").cast("int").alias("blocked"))
 
 
 _FTR_HTML = ("'<html><body><h1>Title ' || doc_id || '</h1><p>' || text || "

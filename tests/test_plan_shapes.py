@@ -225,11 +225,14 @@ def test_robots_gate_broadcasts_rules_and_link_graph_single_shuffle(spark):
     """r13 plan pins: robots evaluation broadcasts the (stat-less kernel
     output) rules table instead of SortMergeJoining it, never goes
     cartesian, and stays Window-free; the link-graph row is scan-side +
-    exactly ONE aggregation exchange."""
+    exactly ONE aggregation exchange.  r13-opt: the gate runs ONE rules
+    evaluation (a single rlike'd broadcast join + argmax) with a flag
+    join, not the old kept-leg + blocked-leg pair."""
     plan = _plan(spark, "robots_gate")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2  # rules join (kept+blocked)
+    assert plan.count("BroadcastHashJoin") == 1  # the rules join, ONCE
+    assert plan.count("RLIKE") == 1              # one rules evaluation
     lg = _plan(spark, "link_graph")
     assert "Join" not in lg and "Window" not in lg
     assert lg.count("Exchange") <= 2  # partial+final agg exchanges only
@@ -247,9 +250,22 @@ def test_dsir_broadcasts_weights_and_takeordered_topk(spark):
 
 def test_mixture_quota_join_is_broadcast(spark):
     """r13 plan pins: the G-row quota tables broadcast onto the ranked
-    row stream; no SortMergeJoin anywhere in either mixture row."""
+    row stream; no SortMergeJoin anywhere in either mixture row.
+
+    r13-opt: the shared (count, bounds) group table is lazily
+    localCheckpoint'ed, so the STATIC plan carries stat-less LogicalRDD
+    sides that Catalyst conservatively SortMergeJoins; what runs is the
+    AQE-final plan, where every such join converts to broadcast once the
+    G-row table's true size is known — so this pin executes the row (at
+    sf0.001) and asserts on the final adaptive plan."""
+    from memory_opensource_spark.queries import QUERIES
+
     for name in ["sample_mixture_temperature", "sample_mixture_unimax"]:
-        p = _plan(spark, name)
+        df = QUERIES[name](spark, SF_DIR)
+        df.collect()
+        p = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+        assert "isFinalPlan=true" in p, name
         assert "SortMergeJoin" not in p, name
         assert "BroadcastHashJoin" in p, name
 
