@@ -780,14 +780,23 @@ def dsir_importance_resample_q(spark, sf_dir):
     by the micro-integer log-likelihood ratio, deterministic Gumbel-top-k
     resample (salted-md5 noise, no RNG).  Shape: gram explode -> m-key
     combinable fit groupBy + broadcast m-row weight join -> doc groupBy
-    -> TakeOrderedAndProject top-k.  No UDF, no window, no collect.
+    -> TakeOrderedAndProject top-k.  No window, no collect.
     Oracle is the module's own DuckDB twin (m=64 so bucket counts are
-    meaningful at sf0.001; paper-scale m in the module default)."""
+    meaningful at sf0.001; paper-scale m in the module default).
+
+    r13 opt (guide §4.2): the counts substrate routes through the
+    row-identical mapInPandas kernel (`use_arrow=True`, the ed3ba5e
+    600k path) — the Column form's interpreted bigram `transform`
+    lambda dominated the row even at 900 docs (within-session noop A/B
+    min-of-3: 2.7-2.8 s Column vs 0.8-1.0 s Arrow); equality of the two
+    paths is pinned in tests/test_dsir.py and the oracle re-verified at
+    all three SFs."""
     from .functions.dsir import importance_resample
 
     docs = tables.load(spark, sf_dir, "documents") \
         .filter(F.col("doc_id") < 900).select("doc_id", "text", "lang")
-    return importance_resample(docs, F.col("lang") == "en", k=40, m=64)
+    return importance_resample(docs, F.col("lang") == "en", k=40, m=64,
+                               use_arrow=True)
 
 
 # oracle built at import time from the LIVE twin in operators/preference
