@@ -619,10 +619,14 @@ class MemoryEngine:
         related = out["related_edges"].localCheckpoint(eager=True)
         extracted = out["extracted_edges"].localCheckpoint(eager=True)
         prop_index = out["property_index"].localCheckpoint(eager=True)
+        # distinct-all, not dropDuplicates(["node_id"]): label/prop_name are
+        # functionally dependent on node_id (the entity id embeds the
+        # token), so the row set is identical and the dedup plans as a
+        # pure-grouping HashAggregate instead of first()-string SortAggregate
         ent_nodes = out["entities"].select(
             F.col("entity_id").alias("node_id"), "label", "prop_name",
             F.lit("active").alias("prop_status"),
-        ).dropDuplicates(["node_id"]).localCheckpoint(eager=True)
+        ).dropDuplicates().localCheckpoint(eager=True)
         self.nodes = self._merge(self.nodes, ent_nodes, ["node_id"])
         new_edges = related.unionByName(
             extracted.withColumn("similarity_score", F.lit(None).cast("double"))
@@ -801,7 +805,11 @@ class MemoryEngine:
         cand = (self.spark.read.parquet(self._ann_index_path)
                 .filter(F.col(ann_index.BUCKET_COL).isin(probe)))
         if assign_k > 1:
-            cand = cand.dropDuplicates(["chunk_id"])
+            # replicated rows are byte-identical once the bucket column is
+            # dropped — distinct-all keeps the same one-row-per-chunk set as
+            # a pure-grouping HashAggregate (first(embedding)'s array buffer
+            # forced SortAggregate); same rework as ann_index.ann_query
+            cand = cand.drop(ann_index.BUCKET_COL).dropDuplicates()
         tomb = getattr(self, "_ann_tombstones", None)
         if tomb is not None:
             cand = cand.join(F.broadcast(tomb), "memory_id", "left_anti")

@@ -106,7 +106,23 @@ def match_pattern(nodes: DataFrame, edges: DataFrame, spec: PatternSpec,
         # subset key with NO inner row cap: a limit over non-distinct paths
         # lets duplicate rows (self-loops under direction="any", repeated
         # edge rows) consume limit slots and silently drop distinct matches.
-        out = out.dropDuplicates(["m_id", "rel_type", "n_id"])
+        #
+        # DISTINCT over ALL columns, not the (m_id, rel_type, n_id) key
+        # subset: labels and carried node properties are functionally
+        # dependent on the endpoint ids (nodes are unique by node_id — the
+        # G8 merge contract), so the row set is identical either way, but
+        # the key-subset form aggregates the other columns with first() —
+        # a string buffer is not UnsafeRow-mutable, which forces
+        # SortAggregate (every path row sorted per task before the
+        # combine).  Distinct-all has NO aggregate functions, so it plans
+        # as a pure-grouping HashAggregate — and it is literally the
+        # oracle's SELECT DISTINCT.  Map-typed properties are not
+        # groupable; fall back to the key-subset form if a caller carries
+        # one.
+        if any(t.startswith("map<") for _, t in out.dtypes):
+            out = out.dropDuplicates(["m_id", "rel_type", "n_id"])
+        else:
+            out = out.dropDuplicates()
     if spec.limit:
         out = out.orderBy("m_id", "rel_type", "n_id").limit(spec.limit)
     return out

@@ -103,12 +103,17 @@ def extract_entities(memories: DataFrame, content_col: str = "content",
     toks = memories.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(F.col(content_col)))).alias("tok")
     ).filter(F.length("tok") > 5)
+    # distinct over ALL columns: entity_id embeds the token, so label (a
+    # literal) and prop_name (the token) are functionally dependent on the
+    # (memory_id, entity_id) key — same row set, but no first() string
+    # aggregates, so the dedup plans as a pure-grouping HashAggregate
+    # instead of a per-task-sorted SortAggregate
     return toks.select(
         F.col(id_col).alias("memory_id"),
         F.concat(F.lit("ent_"), F.col("tok")).alias("entity_id"),
         F.lit("Entity").alias("label"),
         F.col("tok").alias("prop_name"),
-    ).dropDuplicates(["memory_id", "entity_id"])
+    ).dropDuplicates()
 
 
 def extracted_edges(entities: DataFrame) -> DataFrame:

@@ -340,7 +340,16 @@ def ann_query(spark: SparkSession, index_path: str, query_vec: list[float],
     # build-time assign_k so the common single-assignment read path keeps its
     # zero-shuffle TakeOrdered plan.
     if multi:
-        df = df.dropDuplicates([id_col])
+        # Dedup on every column EXCEPT the bucket id: a replicated vector's
+        # rows are byte-identical once the bucket column is dropped (the
+        # copies differ only in bucket assignment), so distinct-all keeps
+        # the same one-row-per-id candidate set while planning as a
+        # pure-grouping HashAggregate — the key-subset form aggregated the
+        # embedding with first(), whose array buffer is not
+        # UnsafeRow-mutable and forced a SortAggregate (candidates sorted
+        # per task before the combine).  The final drop(BUCKET_COL) below
+        # is then a no-op on this path.
+        df = df.drop(BUCKET_COL).dropDuplicates()
     return topk_search(df, query_vec, k, None, vec_col, id_col,
                        score_threshold=None).drop(BUCKET_COL)
 

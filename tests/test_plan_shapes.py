@@ -29,6 +29,13 @@ def test_graph_pattern_broadcasts_node_dims(spark):
     p = _plan(spark, "g1_pattern_match")
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+    # the DISTINCT-path dedup must stay a pure-grouping HashAggregate: the
+    # old key-subset dropDuplicates aggregated labels with first(), whose
+    # string buffer forced SortAggregate — every path row sorted per task
+    # (r13 optimization; same row set, the labels are functionally
+    # dependent on the endpoint ids)
+    assert "SortAggregate" not in p
+    assert "HashAggregate" in p
 
 
 def test_topk_queries_avoid_global_sort(spark):
