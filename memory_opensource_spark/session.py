@@ -38,6 +38,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # r13 OPT (guide §1.2: the profiler, not intuition): PySpark 4's
+        # DataFrame-debugging wrapper pays THREE py4j round trips
+        # (conf.get + PySparkCurrentOrigin.set/clear) plus a Python stack
+        # walk on EVERY DataFrame/Column API call, purely to decorate JVM
+        # error messages with the Python call site.  cProfile showed plan
+        # CONSTRUCTION (not execution) at ~half the bench wall, dominated
+        # by exactly these calls; disabling cuts build 30-55% per query
+        # (controlled A/B, min-of-5).  Scale-neutral: driver-side CPU at
+        # any cluster size.  Errors keep the full JVM context; only the
+        # "called from <file>:<line>" fragment disappears.  Re-enable via
+        # extra_conf when debugging a plan interactively.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -27,6 +27,92 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_USERS = 20          # synthetic tenant population for ACL derivation
 N_WORKSPACES = 8
 
+#: path -> (footer mtime, StructType).  Schema METADATA only (never data or
+#: results): spark.read.parquet runs a schema-inference job per call (~80 ms
+#: measured), and the bench pays it for every load of every query run; the
+#: footer holds the same schema and pyarrow reads it in <1 ms.
+_SCHEMA_CACHE: dict[str, tuple[float, object]] = {}
+
+
+def _spark_type_from_arrow(dt, at):
+    """from_arrow_schema output fixed up to match Spark's OWN parquet
+    inference exactly: a tz-less arrow timestamp is TIMESTAMP_NTZ to Spark
+    (inferTimestampNTZ default), and a NANOS timestamp arrives as BIGINT
+    under the nanosAsLong conf read_events_parquet sets — from_arrow_schema
+    maps both to TimestampType, which would silently change dtypes."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.TimestampType) and pa.types.is_timestamp(at):
+        if at.unit == "ns":
+            return T.LongType()
+        if at.tz is None:
+            return T.TimestampNTZType()
+        return dt
+    if isinstance(dt, T.ArrayType) and pa.types.is_list(at):
+        return T.ArrayType(
+            _spark_type_from_arrow(dt.elementType, at.value_type),
+            dt.containsNull)
+    if isinstance(dt, T.StructType) and pa.types.is_struct(at):
+        return T.StructType([
+            T.StructField(f.name,
+                          _spark_type_from_arrow(f.dataType, at.field(i).type),
+                          f.nullable, f.metadata)
+            for i, f in enumerate(dt.fields)])
+    return dt
+
+
+def _footer_schema(path: str):
+    """The parquet footer's Spark schema for a LOCAL file/dir, cached on
+    (path, mtime); None for non-local schemes or on any read problem (the
+    caller falls back to Spark inference — behavior identical either way,
+    verified schema-equal across every fixture table and SF)."""
+    if "://" in path:
+        if not path.startswith("file://"):
+            return None
+        path = path[len("file://"):]
+    try:
+        target = path
+        if os.path.isdir(path):
+            files = sorted(f for f in os.listdir(path)
+                           if f.endswith(".parquet"))
+            if not files:
+                return None
+            target = os.path.join(path, files[0])
+        elif not os.path.isfile(path):
+            return None
+        mtime = os.path.getmtime(target)
+        hit = _SCHEMA_CACHE.get(path)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        pf = pq.ParquetFile(target)
+        # INT96 timestamps (Spark's own default parquet timestamp encoding,
+        # so any round-tripped copy of an events table has them) surface in
+        # the ARROW schema as timestamp[ns] — indistinguishable from the
+        # INT64 TIMESTAMP(NANOS) that must map to BIGINT under nanosAsLong,
+        # while Spark itself infers INT96 as TIMESTAMP.  No safe mapping
+        # from the arrow view alone: fall back to Spark inference.
+        pqs = pf.schema
+        if any(pqs.column(i).physical_type == "INT96"
+               for i in range(len(pqs))):
+            return None
+        pa_sch = pf.schema_arrow
+        sch0 = from_arrow_schema(pa_sch)
+        from pyspark.sql import types as T
+
+        sch = T.StructType([
+            T.StructField(f.name,
+                          _spark_type_from_arrow(f.dataType, pa_sch.types[i]),
+                          f.nullable, f.metadata)
+            for i, f in enumerate(sch0.fields)])
+        _SCHEMA_CACHE[path] = (mtime, sch)
+        return sch
+    except Exception:
+        return None
+
 
 def read_events_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Read an events-shaped parquet AT THE GIVEN PATH with the ts-dtype
@@ -40,7 +126,9 @@ def read_events_parquet(spark: SparkSession, path: str) -> DataFrame:
     paths (compacted/round-tripped copies via formats.read_table) get the
     same normalization instead of being rerouted to the fixture path."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    sch = _footer_schema(path)
+    df = (spark.read.schema(sch).parquet(path) if sch is not None
+          else spark.read.parquet(path))
     ts_type = dict(df.dtypes).get("ts", "")
     if ts_type in ("bigint", "long"):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -52,7 +140,11 @@ def read_events_parquet(spark: SparkSession, path: str) -> DataFrame:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return read_events_parquet(spark, f"{sf_dir}/{name}.parquet")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _footer_schema(path)
+    if sch is not None:
+        return spark.read.schema(sch).parquet(path)
+    return spark.read.parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -93,22 +185,25 @@ def _acl_cols(df: DataFrame, id_num: str) -> DataFrame:
     w2 = F.concat(F.lit("w"), ((i + 2) % N_WORKSPACES).cast("string"))
     org = F.when(i % 10 == 7, F.lit(None)).otherwise(F.concat(F.lit("o"), (i % 3).cast("string")))
     ns = F.when(i % 10 == 7, F.lit(None)).otherwise(F.concat(F.lit("ns"), (i % 5).cast("string")))
-    return (
-        df.withColumn("user_id", u)
-        .withColumn("workspace_id", w)
-        .withColumn("organization_id", org)
-        .withColumn("namespace_id", ns)
-        .withColumn("user_read_access", F.array(u, u2))
-        .withColumn("user_write_access", F.array(u))
-        .withColumn("workspace_read_access", F.array(w, w2))
-        .withColumn("workspace_write_access", F.array(w))
-        .withColumn("role_read_access", F.array(F.concat(F.lit("r"), (i % 4).cast("string"))))
-        .withColumn("role_write_access", F.array().cast("array<string>"))
-        .withColumn("organization_read_access",
-                    F.when(org.isNull(), F.array()).otherwise(F.array(org)))
-        .withColumn("namespace_read_access",
-                    F.when(ns.isNull(), F.array()).otherwise(F.array(ns)))
-    )
+    # ONE withColumns call, not 12 chained withColumn: each withColumn is a
+    # full JVM analysis pass over the growing plan (~12 ms apiece in the
+    # r13 build profile); the batched form analyzes once.  Identical plan.
+    return df.withColumns({
+        "user_id": u,
+        "workspace_id": w,
+        "organization_id": org,
+        "namespace_id": ns,
+        "user_read_access": F.array(u, u2),
+        "user_write_access": F.array(u),
+        "workspace_read_access": F.array(w, w2),
+        "workspace_write_access": F.array(w),
+        "role_read_access": F.array(F.concat(F.lit("r"), (i % 4).cast("string"))),
+        "role_write_access": F.array().cast("array<string>"),
+        "organization_read_access":
+            F.when(org.isNull(), F.array()).otherwise(F.array(org)),
+        "namespace_read_access":
+            F.when(ns.isNull(), F.array()).otherwise(F.array(ns)),
+    })
 
 
 def build_memories(documents: DataFrame) -> DataFrame:
