@@ -59,6 +59,14 @@ def _spark_type_from_arrow(dt, at):
                           _spark_type_from_arrow(f.dataType, at.field(i).type),
                           f.nullable, f.metadata)
             for i, f in enumerate(dt.fields)])
+    if isinstance(dt, T.MapType) and pa.types.is_map(at):
+        # r14 (ADVICE r13): without this branch a map-valued column keeps
+        # from_arrow_schema's TimestampType where Spark inference yields
+        # TIMESTAMP_NTZ/BIGINT — silent dtype change for non-fixture paths.
+        return T.MapType(
+            _spark_type_from_arrow(dt.keyType, at.key_type),
+            _spark_type_from_arrow(dt.valueType, at.item_type),
+            dt.valueContainsNull)
     return dt
 
 
@@ -72,33 +80,48 @@ def _footer_schema(path: str):
             return None
         path = path[len("file://"):]
     try:
-        target = path
+        targets = [path]
         if os.path.isdir(path):
             files = sorted(f for f in os.listdir(path)
                            if f.endswith(".parquet"))
-            if not files:
+            # r14 (VERDICT r13 item 4 + ADVICE): a multi-file dir may carry
+            # schema drift between part files — verify EVERY footer matches
+            # (bounded at 32 files; past that, inference amortizes anyway),
+            # and key the cache on the full (dir, every-file) mtime set so
+            # appends and in-place part rewrites both invalidate.
+            if not files or len(files) > 32:
                 return None
-            target = os.path.join(path, files[0])
+            targets = [os.path.join(path, f) for f in files]
+            mtime = (os.path.getmtime(path),
+                     tuple((f, os.path.getmtime(t))
+                           for f, t in zip(files, targets)))
         elif not os.path.isfile(path):
             return None
-        mtime = os.path.getmtime(target)
+        else:
+            mtime = os.path.getmtime(path)
         hit = _SCHEMA_CACHE.get(path)
         if hit is not None and hit[0] == mtime:
             return hit[1]
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        pf = pq.ParquetFile(target)
-        # INT96 timestamps (Spark's own default parquet timestamp encoding,
-        # so any round-tripped copy of an events table has them) surface in
-        # the ARROW schema as timestamp[ns] — indistinguishable from the
-        # INT64 TIMESTAMP(NANOS) that must map to BIGINT under nanosAsLong,
-        # while Spark itself infers INT96 as TIMESTAMP.  No safe mapping
-        # from the arrow view alone: fall back to Spark inference.
-        pqs = pf.schema
-        if any(pqs.column(i).physical_type == "INT96"
-               for i in range(len(pqs))):
-            return None
+        pf = pq.ParquetFile(targets[0])
+        for t in targets:
+            p = pf if t == targets[0] else pq.ParquetFile(t)
+            if p.schema_arrow != pf.schema_arrow:
+                return None
+            # INT96 timestamps (Spark's own default parquet timestamp
+            # encoding, so any round-tripped copy of an events table has
+            # them) surface in the ARROW schema as timestamp[ns] —
+            # indistinguishable from the INT64 TIMESTAMP(NANOS) that must
+            # map to BIGINT under nanosAsLong, while Spark itself infers
+            # INT96 as TIMESTAMP.  No safe mapping from the arrow view
+            # alone: fall back to Spark inference.  Checked PER FILE (the
+            # arrow-schema equality above cannot see the physical type).
+            pqs = p.schema
+            if any(pqs.column(i).physical_type == "INT96"
+                   for i in range(len(pqs))):
+                return None
         pa_sch = pf.schema_arrow
         sch0 = from_arrow_schema(pa_sch)
         from pyspark.sql import types as T

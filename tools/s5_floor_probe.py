@@ -69,8 +69,6 @@ def main():
                       "build_total": round(total, 3),
                       "n_rows": len(builds),
                       "builds": builds}), flush=True)
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "repo", "plans")
     spark.stop()
 
 
