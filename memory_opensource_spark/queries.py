@@ -8874,37 +8874,25 @@ for _k in list(ORACLE):
 # Components per slot are listed in each suite's docstring.
 _EVIDENCE_PRIORITY = [
     # ------------------------------------------------------------------
-    # round-15 rotation (VERDICT r12 task 1 — evidence-debt clearing):
-    # 25 rows swapped in one pass so the COMMITTED driver record catches
-    # up with the (judge-verified) 185/185 reality:
-    #   * the 10 r14-late rows that never held a driver slot
-    #     (pdf_cmap_text .. url_surt_keys below),
-    #   * the 9 rows whose LAST driver record was the stale round-2 red
-    #     (a tables.load timestamp-dtype crash fixed in r3; green in the
-    #     local gate every round since): st8_sliding_window,
+    # round-16 rotation (VERDICT r13 item 8; plan written in DEVNOTES.md
+    # at the r15 rotation): the LAST 16 never-driver-checked rows rotate
+    # in, zeroing the never-checked set — every registry row now has (or
+    # gets this round) a driver-green record.  All 16 were re-gated green
+    # at sf0.01 in this session's full 204/204 run before the swap.
+    # Displaced (per the written plan; all stay hash-gated locally at
+    # sf0.01 AND sf0.1 every round):
+    #   * the 9 ex-stale-red rows, driver-green once in r13
+    #     (CORRECTNESS_r13 queries_newly_passing): st8_sliding_window,
     #     agg_cube_events, st2_session_memories, user_id_validation,
     #     feedback_confidence_scores, feedback_engagement_rollup,
-    #     msg_batch_triggers, prediction_validation, session_summaries,
-    #   * 6 never-driver-checked rows that keep the displaced families
-    #     covered: acl_audit (ACL, for g15_acl_both_endpoints),
-    #     graph_pagerank + graph_triangle_count (graph analytics, for
-    #     suite_graph_analytics), v7_content_resolution (content-based
-    #     resolution, for v6_entity_resolution), f10_map_functions
-    #     (scalar/map fns, for suite_text_analysis), dedup_repeated_spans
-    #     (span family, for dedup_span_removal).
-    # Displaced (each driver-green >=3 rounds, semantics unchanged, each
-    # family keeps >=2 window rows; all stay hash-gated locally at
-    # sf0.01 AND sf0.1 every round): search_spec_pushdown,
-    # s11_section_hierarchy, v6_entity_resolution, dedup_span_removal,
-    # gopher_quality_flags, gopher_repetition_flags, suite_graph_lookup,
-    # url_blocklist_filter, bpe_subword_stats, g8_schema_driven_merge,
-    # shard_token_budget, g15_acl_both_endpoints, r2_stratified_merge,
-    # pipeline_mini, suite_stream_windows, suite_text_analysis,
-    # suite_pipeline_ops, contamination_bloom, split_leakage_safe,
-    # warc_response_extract, html_text_extract, url_canonical_dedup,
-    # crawl_mini, boilerplate_prune, suite_graph_analytics.
-    # The remaining 16 never-driver-checked rows are scheduled for the
-    # round-16 window (rotation plan in DEVNOTES.md).
+    #     msg_batch_triggers, prediction_validation, session_summaries —
+    #     their families keep window coverage via the five incoming
+    #     events/streaming rows below + suite_ranking_formulas;
+    #   * 7 long-tenured holdovers (each driver-green >=2 rounds):
+    #     warc_ingest_roundtrip, sitemap_frontier, link_graph,
+    #     robots_gate, file_type_route, text_fold_punctuation,
+    #     connector_transpose — crawl keeps 6 window rows, text keeps
+    #     quality_classifier/text_lang_id_ngram + 3 incoming text rows.
     # ------------------------------------------------------------------
     # 1-2: flagship read paths (R1/R3/R4/R5, F1, F6, V2, V12, G15)
     "search_flagship", "search_agentic_flagship",
@@ -8916,7 +8904,7 @@ _EVIDENCE_PRIORITY = [
     "pdf_text_extract",           # S11 PDF text-layer extraction (r13)
     # 6-7: filters/predicates F2..F7 + ACL audit surface
     "suite_filters",              # F2/F3/F4/F5/F7
-    "acl_audit",                  # F1 ACL audit trail (never driver-checked)
+    "acl_audit",                  # F1 ACL audit trail
     # 8-11: vector/similarity V1..V12
     "v4_ingest_reuse",            # V4 (+ V1 ingest leg)
     "v5_bucketed_pairs",          # V5 (scale path)
@@ -8927,39 +8915,39 @@ _EVIDENCE_PRIORITY = [
     "graph_pagerank",             # graph analytics: pagerank
     "graph_triangle_count",       # graph analytics: triangles
     "mm_media_meta",              # MP4/MP3/WAV container metadata (r12)
-    # 16-22: ranking/feedback R2..R17 + validation rows (the six
-    # feedback/validation rows below carry the stale r02 red record)
+    # 16: ranking/feedback R2..R17
     "suite_ranking_formulas",     # R8/R9/R10/R11/R13/R14/R15/R16
-    "feedback_confidence_scores", # R16 confidence EMA (stale r02 record)
-    "feedback_engagement_rollup", # R16 engagement rollup (stale r02 record)
-    "prediction_validation",      # prediction vs outcome (stale r02 record)
-    "user_id_validation",         # id-format validation (stale r02 record)
-    "msg_batch_triggers",         # ST6 batch triggers (stale r02 record)
-    "session_summaries",          # session summarization (stale r02 record)
-    # 23-25: streaming analogs ST1..ST8 (stale r02 records)
-    "st2_session_memories",       # ST2 session-batch memories
-    "st8_sliding_window",         # ST8 sliding windows
-    "agg_cube_events",            # cube aggregation (stale r02 record)
-    # 26-27: incremental corpus + connector surface
+    # 17-24: events/streaming + retention (rotate-ins: never checked)
+    "events_in_sessions",         # ST1 sessionization (never checked)
+    "st2_session_analysis",       # ST2 session stats (never checked)
+    "agg_pivot_events",           # pivoted event rollup (never checked)
+    "events_value_quantiles",     # event value quantiles (never checked)
+    "asof_latest_event",          # as-of latest-event join (never checked)
+    "full_outer_counter_merge",   # counter-state merge (never checked)
+    "retention_sweep",            # TTL retention sweep (never checked)
+    "skew_salted_count",          # salted hot-key aggregation (never checked)
+    # 25-28: sampling/mixture (rotate-ins: never checked)
+    "sample_fixed_k",             # exact fixed-k sampler (never checked)
+    "sample_quality_weighted",    # quality-weighted sampler (never checked)
+    "mixture_weights",            # mixture weight computation (never checked)
+    "corpus_profile",             # corpus profiling stats (never checked)
+    # 29-30: incremental corpus
     "corpus_increment_dedup",     # exact/near/semantic verdicts vs state (r7)
-    "connector_transpose",        # Slack/Linear events -> memories (r13)
-    # 28-31: dedup family
+    "mm_metadata_pruning",        # multimodal metadata pruning (never checked)
+    # 31-34: dedup family
     "suite_dedup_family",         # exact/fingerprint/simhash/hamming/jaccard/minhash
     "dedup_keep_best_quality",    # quality-aware duplicate-family keeper (r12)
-    "dedup_repeated_spans",       # intra-doc repeated spans (never checked)
+    "dedup_repeated_spans",       # intra-doc repeated spans
     "fuzzy_decontamination",      # doc-level MinHash decon vs eval sets (r14)
-    # 32-35: quality/text
+    # 35-40: quality/text (3 rotate-ins: never checked)
     "quality_classifier",         # NB log-odds learned quality filter (r12)
     "text_lang_id_ngram",         # char-trigram language ID (r10)
-    "text_fold_punctuation",      # unicode punctuation folding (r12)
-    "f10_map_functions",          # F10 map/scalar fn surface (never checked)
-    # 36-46: crawl family (r13/r14-late rows that never held a slot)
-    "warc_ingest_roundtrip",      # WARC/WET container ingestion (r9)
-    "file_type_route",            # magic-byte MIME routing (r13)
-    "robots_gate",                # RFC 9309 robots.txt URL gating (r13)
+    "text_tfidf_top_terms",       # TF-IDF top terms (never checked)
+    "text_cms_frequency",         # count-min-sketch frequencies (never checked)
+    "text_collocations_pmi",      # PMI collocation mining (never checked)
+    "f10_map_functions",          # F10 map/scalar fn surface
+    # 41-46: crawl family
     "robots_sitemap_discovery",   # Sitemap: directives out of robots.txt (r14)
-    "sitemap_frontier",           # sitemap loc extraction -> frontier (r13)
-    "link_graph",                 # outbound links -> host link graph (r13)
     "link_anchors",               # anchor-text link extraction (r14)
     "url_surt_keys",              # SURT sort keys for crawl layouts (r14)
     "crawl_frontier",             # bounded-round BFS frontier (r14)

@@ -16,11 +16,10 @@ def test_registry_prefix_covers_component_families():
     """The driver verifies the first 50 registrations; that prefix must keep
     one row per component family (the whole point of the suites).
 
-    round-15 rotation (VERDICT r12 task 1): the window is the evidence-debt
-    clearing pack — the 10 r14-late rows that never held a driver slot, the
-    9 rows whose last driver record was the stale round-2 red, and 6 more
-    never-driver-checked rows chosen so every displaced family keeps
-    coverage (full displacement rationale in queries._EVIDENCE_PRIORITY).
+    round-16 rotation (VERDICT r13 item 8): the last 16 never-driver-checked
+    rows rotate in, zeroing the never-checked set; displaced are the 9
+    ex-stale-red rows (driver-green once in r13) and 7 long-tenured
+    holdovers (full displacement rationale in queries._EVIDENCE_PRIORITY).
     The required list below IS the window: any drift between the curated
     prefix and this pin is a bug.
     """
@@ -40,25 +39,26 @@ def test_registry_prefix_covers_component_families():
         # graph + analytics + multimodal
         "suite_graph_store", "graph_pagerank", "graph_triangle_count",
         "mm_media_meta",
-        # ranking/feedback/validation (six stale-r02-record rows)
-        "suite_ranking_formulas", "feedback_confidence_scores",
-        "feedback_engagement_rollup", "prediction_validation",
-        "user_id_validation", "msg_batch_triggers", "session_summaries",
-        # streaming analogs (stale-r02-record rows)
-        "st2_session_memories", "st8_sliding_window", "agg_cube_events",
-        # incremental corpus + connectors
-        "corpus_increment_dedup", "connector_transpose",
+        # ranking/feedback
+        "suite_ranking_formulas",
+        # events/streaming + retention (round-16 rotate-ins)
+        "events_in_sessions", "st2_session_analysis", "agg_pivot_events",
+        "events_value_quantiles", "asof_latest_event",
+        "full_outer_counter_merge", "retention_sweep", "skew_salted_count",
+        # sampling/mixture (round-16 rotate-ins)
+        "sample_fixed_k", "sample_quality_weighted", "mixture_weights",
+        "corpus_profile",
+        # incremental corpus + multimodal pruning
+        "corpus_increment_dedup", "mm_metadata_pruning",
         # dedup family
         "suite_dedup_family", "dedup_keep_best_quality",
         "dedup_repeated_spans", "fuzzy_decontamination",
-        # quality/text
-        "quality_classifier", "text_lang_id_ngram", "text_fold_punctuation",
-        "f10_map_functions",
-        # crawl family (r13/r14-late, never driver-checked before r13)
-        "warc_ingest_roundtrip", "file_type_route", "robots_gate",
-        "robots_sitemap_discovery", "sitemap_frontier", "link_graph",
-        "link_anchors", "url_surt_keys", "crawl_frontier",
-        "crawl_politeness_waves", "politeness_crawl_delay",
+        # quality/text (3 round-16 rotate-ins)
+        "quality_classifier", "text_lang_id_ngram", "text_tfidf_top_terms",
+        "text_cms_frequency", "text_collocations_pmi", "f10_map_functions",
+        # crawl family
+        "robots_sitemap_discovery", "link_anchors", "url_surt_keys",
+        "crawl_frontier", "crawl_politeness_waves", "politeness_crawl_delay",
         # PDF deep-decode
         "pdf_cmap_text", "pdf_ocr_seam",
         # composition capstone + tokenizer sharding

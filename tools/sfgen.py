@@ -15,9 +15,11 @@ input.  This upsamples a driver fixture directory K-fold into
   intra-replica duplicate/near-duplicate structure is byte-identical,
   cross-replica shingle overlap is destroyed, so the corpus-internal
   dup RATE stays sf0.1's instead of inflating K-fold;
-- embeddings get a per-replica circular roll of the components:
-  within-replica cosine geometry is exactly preserved, cross-replica
-  similarity is decorrelated;
+- embeddings get a per-replica ORTHOGONAL transform (circular roll +
+  replica-seeded sign flips): within-replica cosine geometry is exactly
+  preserved, cross-replica similarity is decorrelated.  (Roll alone is
+  not enough: the fixture vectors are shift-structured, so v ~= roll(v)
+  and near-dup pair counts scaled K^2 instead of K — measured);
 - events shift ``user_id`` by the user base so per-user session length
   stays constant and key cardinality grows with scale (the realistic
   shape for a stream table);
@@ -26,7 +28,8 @@ input.  This upsamples a driver fixture directory K-fold into
 
 Each replica is written as its own file under ``<name>.parquet/`` so the
 scan has K splits.  Schemas are byte-compatible with the fixtures (same
-arrow schema object).  No RNG anywhere — byte-deterministic output.
+arrow schema object).  Only replica-seeded PRNG — byte-deterministic
+output.
 
 MEASUREMENT DATA ONLY: nothing here feeds the oracle gate; the lane is
 selected explicitly via SPARK_GRAFT_SF_DIR.
@@ -141,8 +144,11 @@ def main() -> None:
                     cols.append(pa.array(
                         [s.translate(tbl) if s is not None else None
                          for s in col.to_pylist()], type=col.type))
-                elif name == "embeddings" and field == "embedding" and r % dim:
-                    rolled = np.roll(emb_np, r % dim, axis=1)
+                elif name == "embeddings" and field == "embedding" and r:
+                    signs = np.where(
+                        np.random.default_rng(10_000 + r)
+                        .random(dim) < 0.5, -1.0, 1.0).astype(np.float32)
+                    rolled = np.roll(emb_np, r % dim, axis=1) * signs
                     cols.append(pa.array(
                         [row for row in rolled.astype(np.float32)],
                         type=col.type))
